@@ -1,0 +1,70 @@
+"""Flagship query: revenue by nation (TPC-H Q5 shape).
+
+One query through the whole stack — filtered+projected scans, a
+five-way join chain, and a hash aggregate — the end-to-end slice of
+everything the reference system could do with a SELECT
+(scan pushdown ``hbase/HBaseFilterableTable.kt:28-45`` +
+calcite-core joins/aggregates, ``build.gradle:28``).
+
+Scale design: lineitem/orders/customer are fact-sized (shuffle joins on
+their keys, handled by sort-merge + AQE); nation/region/supplier are
+dimension-sized and explicitly broadcast so the big tables never shuffle
+for them. Filters sit directly on the scans so Catalyst pushes them into
+the Parquet readers (date range on orders, region name on region).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+query("flagship_revenue_by_nation", oracle=FLAGSHIP_ORACLE)(revenue_by_nation)

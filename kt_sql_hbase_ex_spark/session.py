@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Reference analog: ``hbase/HBaseConnection.kt:28-44`` builds one singleton
+HBase client connection per process and bootstraps the system catalog
+tables. Here the session *is* the connection: one SparkSession whose
+config is tuned for analytics, with AQE enabled so plans re-optimize at
+runtime (partition coalescing, skew-join splitting) — the behavior you
+want on a 1000-executor cluster and on local[32] alike.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "kt_sql_hbase_ex_spark"
+
+
+def default_parallelism() -> int:
+    """CPU budget: env override first (driver contract), else machine CPUs."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_session(
+    app_name: str = DEFAULT_APP_NAME,
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Config notes, written for the 100 TB target even though tests run on
+    ``local[N]``:
+
+    * ``spark.sql.shuffle.partitions`` — sized to the core budget here; on a
+      real cluster AQE coalescing makes the static number a ceiling, not a
+      tuning knob.
+    * AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching (sort-merge -> broadcast when a side
+      turns out small after filtering).
+    * Arrow enabled: every pandas interchange (Pandas UDFs, toPandas) goes
+      through columnar Arrow batches instead of row pickling.
+    * UTC session timezone so timestamp semantics match the DuckDB oracle.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffledHashJoinFactor", "3")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,132 @@
+"""Catalog: table registry + schema metadata.
+
+Reference analog: the reference persists its catalog in two HBase system
+tables — ``table.sys`` (rowkey = table name, attributes per
+``SystemAttribute``; ``hbase/HBaseTable.kt:209-219``,
+``hbase/HBaseSchema.kt:119-139``) and ``column.sys`` (rowkey =
+``{table}.{column}``, attributes per ``ColumnAttribute`` incl. DATA_TYPE /
+NULLABLE / POSITION; ``hbase/HBaseTable.kt:221-229``,
+``hbase/HBaseSchema.kt:143-162``) — and rebuilds Calcite row types from
+them at table open (``hbase/HBaseTable.kt:101-118,135-165``).
+
+Spark-first: the session catalog already *is* that system — temp views /
+catalog tables carry a ``StructType`` with name, type, nullability and
+position. ``describe_table``/``describe_columns`` expose the same
+attribute surface the reference's catalog did, sourced from Spark.
+
+Scale note: table paths are directories of Parquet files; on a cluster a
+"table" here is thousands of files and the registration below is
+metadata-only (no data read happens until an action).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All fixture tables (TESTDATA.md). Order is the registration order.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough (dimension-shaped) to broadcast in joins even at
+#: 100 TB total scale — region/nation are bounded by geography; supplier
+#: and part grow sub-linearly in TPC-H-style schemas. customer/orders/
+#: lineitem/events/documents/embeddings are fact-sized: never broadcast.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+#: Primary key by convention (reference: mandatory PK concatenated into
+#: the HBase rowkey, ``hbase/HBaseSchema.kt:127-136``). Used by the
+#: DML-as-transform operators for merge/delete semantics.
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One SQL table = one Parquet dataset (reference: one SQL table = one
+    HBase table with a single column family, ``hbase/HBaseTable.kt:62-65``)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view so both the DataFrame
+    and ``spark.sql`` surfaces see the same catalog (reference:
+    ``HBaseSchema`` eagerly builds the name->Table map at connect,
+    ``hbase/HBaseSchema.kt:57-61,293-312``)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+@dataclass(frozen=True)
+class ColumnInfo:
+    """``column.sys`` attribute row analog (``hbase/HBaseTable.kt:221-229``):
+    DATA_TYPE, NULLABLE, POSITION surface here; DEFAULT/COMMENT live in
+    StructField metadata when present."""
+
+    table: str
+    name: str
+    data_type: str
+    nullable: bool
+    position: int
+
+
+def describe_columns(spark: SparkSession, name: str) -> list[ColumnInfo]:
+    """Column metadata in declaration order — the ``getRowType`` contract
+    (``hbase/HBaseTable.kt:101-118``): build the struct type from catalog
+    attributes, ordered by POSITION."""
+    schema = spark.table(name).schema
+    return [
+        ColumnInfo(name, f.name, f.dataType.simpleString(), f.nullable, i)
+        for i, f in enumerate(schema.fields)
+    ]
+
+
+def describe_table(spark: SparkSession, name: str) -> dict[str, object]:
+    """``table.sys`` attribute row analog (``hbase/HBaseTable.kt:209-219``).
+    OLTP-only attributes (IS_TRANSACTIONAL, LOCK_STATUS) have no analytics
+    analog and are reported as None."""
+    return {
+        "name": name,
+        "primary": PRIMARY_KEYS.get(name),
+        "n_columns": len(spark.table(name).columns),
+        "is_transactional": None,
+        "lock_status": None,
+        "broadcastable": name in BROADCAST_TABLES,
+    }
