@@ -1,1 +1,156 @@
-"""(stub — populated in this round)"""
+"""Scalar functions: string / math / datetime / conditional — SURVEY.md §2.3.
+
+Reference analog: Calcite's ``SqlStdOperatorTable`` scalar set evaluated
+by the Enumerable engine / RexExecutor (``build.gradle:28``). The Spark
+builtin library is a superset; these queries pin the shared core with
+oracle checks so semantics (1-based SUBSTRING, HALF_UP ROUND, EXTRACT
+fields, CASE/COALESCE/NULLIF null behavior) provably match ANSI.
+
+All expressions are JVM-side builtins — whole-stage-codegen'd, no Python
+in the row path (UDF registration itself is exercised in
+functions/text.py where Python is genuinely needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+@query(
+    "f01_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                       AS name_upper,
+           LOWER(p_brand)                      AS brand_lower,
+           SUBSTRING(p_type, 1, 4)             AS type_prefix,
+           CAST(LENGTH(p_name) AS INTEGER)     AS name_len,
+           TRIM(CONCAT('  ', p_brand, '  '))   AS brand_trimmed,
+           CONCAT(p_brand, ':', p_type)        AS brand_type,
+           REPLACE(p_brand, 'Brand#', 'B')     AS brand_short,
+           CAST(POSITION('#' IN p_brand) AS INTEGER) AS hash_pos,
+           (p_type LIKE 'PROMO%')              AS is_promo
+    FROM part WHERE p_partkey <= 50
+    """,
+)
+def f01_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER/LOWER/SUBSTRING(1-based)/LENGTH/TRIM/CONCAT/REPLACE/
+    POSITION/LIKE — the reference's Calcite string set."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trimmed"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.instr(F.col("p_brand"), "#").cast("int").alias("hash_pos"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+    )
+
+
+@query(
+    "f02_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_extendedprice - 1000.0), 2)      AS abs_diff,
+           CAST(MOD(CAST(l_quantity AS INTEGER), 7) AS INTEGER) AS qty_mod7,
+           FLOOR(l_extendedprice / 100.0)               AS price_bucket,
+           CEIL(l_discount * 100.0)                     AS disc_pct_ceil,
+           ROUND(POWER(l_quantity, 2.0), 2)             AS qty_sq,
+           ROUND(LN(l_extendedprice + 1.0), 6)          AS log_price,
+           ROUND(SQRT(l_quantity), 6)                   AS sqrt_qty,
+           ROUND(EXP(l_discount), 6)                    AS exp_disc
+    FROM lineitem WHERE l_orderkey <= 50
+    """,
+)
+def f02_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABS/MOD/FLOOR/CEIL/POWER/LN/SQRT/EXP/ROUND — Calcite math set.
+    Transcendentals rounded to 6dp: libm ulp differences across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 50)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        (F.col("l_quantity").cast("int") % 7).cast("int").alias("qty_mod7"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("price_bucket"),
+        F.ceil(F.col("l_discount") * 100.0).alias("disc_pct_ceil"),
+        F.round(F.pow(F.col("l_quantity"), 2.0), 2).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        F.round(F.sqrt(F.col("l_quantity")), 6).alias("sqrt_qty"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+    )
+
+
+@query(
+    "f03_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR  FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(EXTRACT(DAY   FROM o_orderdate) AS INTEGER) AS order_day,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY                    AS due_date,
+           CAST(o_orderdate AS DATE)                        AS order_date_d,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def f03_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT/DATE_TRUNC/interval arithmetic/CAST-to-DATE/day difference
+    — Calcite temporal set (reference stored these as epoch ints,
+    SURVEY §1.3; Spark uses real temporal types)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.col("o_orderdate").cast("date").alias("order_date_d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "f04_conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                                  AS balance_tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_or_default,
+           (c_acctbal > 0)                                       AS is_positive,
+           CAST(c_nationkey AS BIGINT)                           AS nationkey_big,
+           ROUND(CAST(c_acctbal AS DOUBLE) / 100.0, 4)           AS acctbal_hundreds
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def f04_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/CAST — Calcite conditional set. NULLIF
+    manufactures NULLs (fixtures have none) so COALESCE's null handling
+    is actually exercised."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "segment_or_default"
+        ),
+        (F.col("c_acctbal") > 0).alias("is_positive"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey_big"),
+        F.round(F.col("c_acctbal").cast("double") / 100.0, 4).alias("acctbal_hundreds"),
+    )

@@ -1,1 +1,246 @@
-"""(stub — populated in this round)"""
+"""Aggregates: hash agg, distinct, rollup/cube/grouping sets — SURVEY.md §2.3.
+
+Reference analog: ``EnumerableAggregate`` (hash) with distinct and
+grouping-set support, all in calcite-core (``build.gradle:28``),
+evaluated client-side single-threaded after the scan.
+
+Spark-first scale design: every groupBy below compiles to a partial
+(map-side) aggregate + shuffle-on-group-key + final aggregate — the
+partial combine is what makes 100 TB group-bys feasible (bytes shuffled
+∝ #groups, not #rows). Low-cardinality group keys (returnflag ×
+linestatus = 6 groups) shuffle almost nothing. Double-typed measures are
+rounded at the *end* (2dp) so cross-engine float-sum ordering effects
+can't flip the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+@query(
+    "a01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical hash aggregate: 8
+    aggregates over 2 group keys, map-side combined to 6 groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "a02_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a02_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = group-by-all-columns; partial dedup happens map-side."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "a03_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a03_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi COUNT(DISTINCT) — Catalyst plans an Expand + two-phase
+    aggregate; at scale prefer a04's approx_count_distinct when ±2% is
+    acceptable (no expand, constant memory HLL sketch)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query("a04_approx_count_distinct")  # no oracle: HLL sketches differ across engines
+def a04_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale answer to
+    COUNT(DISTINCT) — mergeable constant-size sketch, no Expand, no
+    per-key shuffle. Rows-only check (sketch estimates are engine-
+    specific); tests assert ≤5% relative error vs exact."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "a05_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (rf,ls), (rf), () hierarchy levels (Calcite
+    Aggregate.groupSets analog)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a06_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-key subsets in one pass (Expand operator)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
+    "a07_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers disambiguating
+    "NULL because aggregated away" from a NULL key value."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "a08_statistical_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price,
+           ROUND(VAR_SAMP(l_extendedprice), 1) AS var_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a08_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/AVG/STDDEV/VARIANCE (SqlStdOperatorTable aggregate set)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            F.round(F.var_samp("l_extendedprice"), 1).alias("var_price"),
+        )
+    )
+
+
+@query(
+    "a09_conditional_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS price_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS price_f,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a09_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-by-CASE): one pass computes
+    per-status measures as columns — the scalable alternative to N
+    filtered scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("price_o"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("price_f"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
+    )
+
+
+@query(
+    "a10_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def a10_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregate filter (planner folds it above the agg)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )

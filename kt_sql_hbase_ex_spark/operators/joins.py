@@ -1,1 +1,222 @@
-"""(stub — populated in this round)"""
+"""Joins: every join type the reference system supported — SURVEY.md §2.3.
+
+The reference executed all joins in calcite-core's Enumerable engine
+(``EnumerableHashJoin``/``EnumerableNestedLoopJoin``/``EnumerableSemiJoin``,
+dependency ``build.gradle:28``), single-threaded on the client after the
+adapter's scans returned rows (``hbase/HBaseTable.kt:40-50``). Here each
+join is declared on the DataFrame API and Catalyst picks the physical
+strategy.
+
+Scale design (100 TB):
+
+* fact ⋈ dimension → explicit ``F.broadcast`` on the dimension side
+  (region/nation/supplier/part per ``catalog.BROADCAST_TABLES``) — no
+  shuffle of the fact table.
+* fact ⋈ fact (lineitem⋈orders, customer⋈orders) → shuffle on the join
+  key; both sides hash-partition on the same key so co-location holds,
+  AQE handles skew (``skewJoin.enabled``) and may demote to broadcast
+  after filters shrink a side.
+* theta/non-equi joins → BroadcastNestedLoop only when one side is
+  provably small (here: self-join of `part` within brand); never
+  fact × fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+@query(
+    "j01_inner_equi_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+    """,
+)
+def j01_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact⋈dim with broadcast (EnumerableHashJoin analog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_orderkey", "l_linenumber", "p_name", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "j02_left_outer_join",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def j02_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (TPC-H Q13 shape).
+    COUNT(col) counts only matched rows — null-extension semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@query(
+    "j03_right_outer_join",
+    oracle="""
+    SELECT n_name, s_suppkey, s_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def j03_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation appears, suppliers null-extended."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, F.col("s_nationkey") == F.col("n_nationkey"), "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "j04_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def j04_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cn.join(sn, F.col("cnk") == F.col("snk"), "full").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "j05_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def j05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS subquery (EnumerableSemiJoin analog).
+    Only left columns survive; no row duplication from multiple matches."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j06_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+    """,
+)
+def j06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS (planner-derived anti join in Calcite):
+    customers with no large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000.0)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "j07_theta_join",
+    oracle="""
+    SELECT a.p_brand AS p_brand, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+    GROUP BY a.p_brand
+    """,
+)
+def j07_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) self-join: ordered part pairs within a brand
+    (EnumerableNestedLoopJoin analog). The equi conjunct on p_brand keeps
+    it a hash join with a residual `<` condition — at scale the non-equi
+    part never degenerates to a full cross product."""
+    a = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand"), F.col("p_size").alias("a_size")
+    )
+    b = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("b_brand"), F.col("p_size").alias("b_size")
+    )
+    return (
+        a.join(b, (F.col("p_brand") == F.col("b_brand")) & (F.col("a_size") < F.col("b_size")))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
+@query(
+    "j08_cross_join",
+    oracle="""
+    SELECT r_name, seg, CAST(COUNT(*) AS BIGINT) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    GROUP BY r_name, seg
+    """,
+)
+def j08_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two provably-small relations (5 regions ×
+    5 segments). Cross joins are only ever sane dim × dim; Spark requires
+    the explicit crossJoin() call — a guard the reference lacked."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(seg).groupBy("r_name", "seg").agg(F.count("*").alias("n"))
+
+
+@query(
+    "j09_correlated_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+    WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def j09_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (EnumerableCorrelate / decorrelation in
+    Calcite's planner): suppliers above their nation's average balance.
+    Catalyst decorrelates this into an aggregate + equi-join."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+        WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
