@@ -1,1 +1,221 @@
-"""(stub — populated in this round)"""
+"""DML as pure batch transforms — SURVEY.md §2.1 S9–S11, §2.4.
+
+The reference mutates rows in place over HBase: INSERT = ``Put`` with the
+PK as rowkey (``hbase/HBaseModifiableTable.kt:123-130,171-195``), UPDATE =
+cell rewrite detected by an oversized row array (``:135-166``), DELETE =
+``Delete`` per PK rowkey (``:221-246``), all under a mandatory primary key
+(``hbase/HBaseSchema.kt:127-136``).
+
+The analytics re-expression keeps the *semantics* (keyed row identity)
+but as immutable-snapshot transforms — the only model that scales to
+100 TB of Parquet:
+
+* INSERT  → union of the snapshot with the new-rows relation (append).
+* UPDATE  → column recompute under a predicate (every row flows through;
+  map-side only, no shuffle).
+* DELETE  → anti-join against the delete key set.
+* UPSERT  → outer-merge on PK: changed rows replace, new rows append —
+  the MERGE INTO pattern, expressed with anti-join + union so the DuckDB
+  oracle can state it in ANSI SQL.
+* PK dedup → ``dropDuplicates`` on the key columns (the reference's
+  "rowkey wins once" semantics for re-ingested data).
+
+Each query returns a verification projection/aggregate of the
+transformed table so the oracle can hash-check the end state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import PRIMARY_KEYS, load_table
+
+_ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+_NEW_ORDERS = [
+    (900000001, 1, "O", 111.11, dt.datetime(2001, 9, 1), "1-URGENT"),
+    (900000002, 2, "F", 222.22, dt.datetime(2001, 9, 2), "5-LOW"),
+    (900000003, 3, "P", 333.33, dt.datetime(2001, 9, 3), "3-MEDIUM"),
+]
+
+_NEW_ORDERS_SQL = """
+    SELECT * FROM (VALUES
+        (900000001, 1, 'O', 111.11, TIMESTAMP '2001-09-01', '1-URGENT'),
+        (900000002, 2, 'F', 222.22, TIMESTAMP '2001-09-02', '5-LOW'),
+        (900000003, 3, 'P', 333.33, TIMESTAMP '2001-09-03', '3-MEDIUM')
+    ) AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+"""
+
+
+def insert_rows(base: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """INSERT = append (``df.write.mode("append")`` against a real sink;
+    pure-transform form here). Reference: row array → Put,
+    ``HBaseModifiableTable.kt:171-195``."""
+    return base.unionByName(new_rows)
+
+
+def update_where(base: DataFrame, condition, assignments: dict[str, object]) -> DataFrame:
+    """UPDATE ... SET assignments WHERE condition, as a column recompute.
+    Reference: oversized row array → cell rewrite,
+    ``HBaseModifiableTable.kt:135-166``. Narrow (map-side) — no shuffle."""
+    out = base
+    for col_name, expr in assignments.items():
+        out = out.withColumn(col_name, F.when(condition, expr).otherwise(F.col(col_name)))
+    return out
+
+
+def delete_keys(base: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
+    """DELETE by key set = left-anti join. Reference: Delete per PK rowkey,
+    ``HBaseModifiableTable.kt:221-246``."""
+    return base.join(keys, on=on, how="left_anti")
+
+
+def upsert_on_key(base: DataFrame, changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE/upsert: rows in ``changes`` replace same-key rows of ``base``;
+    unmatched keys append. anti-join + union (shuffle on PK only).
+
+    On a cluster with a transactional table format this is ``MERGE INTO``;
+    formulated relationally so it stays oracle-checkable."""
+    survivors = base.join(changes.select(*key_cols), on=key_cols, how="left_anti")
+    return survivors.unionByName(changes)
+
+
+@query(
+    "dml01_insert_append",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM (SELECT * FROM orders UNION ALL {_NEW_ORDERS_SQL})
+    GROUP BY o_orderstatus
+    """,
+)
+def dml01_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT: append 3 literal rows, verify end-state aggregate."""
+    base = load_table(spark, sf_dir, "orders")
+    new_rows = spark.createDataFrame(_NEW_ORDERS, schema=_ORDERS_SCHEMA)
+    return (
+        insert_rows(base, new_rows)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "dml02_update_where",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def dml02_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE orders SET o_totalprice = o_totalprice*1.1 WHERE status='O',
+    verified by the post-update aggregate."""
+    base = load_table(spark, sf_dir, "orders")
+    updated = update_where(
+        base, F.col("o_orderstatus") == "O", {"o_totalprice": F.col("o_totalprice") * 1.1}
+    )
+    return updated.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "dml03_delete_antijoin",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+    GROUP BY l_returnflag
+    """,
+)
+def dml03_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE lineitems of completed ('F') orders via anti-join on the
+    FK/PK key set; verified by the survivor aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    done_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        delete_keys(li, done_orders, on=["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "dml04_upsert_merge",
+    oracle=f"""
+    WITH changes AS (
+        SELECT * FROM (VALUES
+            (1, 1, 'X', 999.99, TIMESTAMP '2001-10-01', '1-URGENT'),
+            (2, 2, 'X', 888.88, TIMESTAMP '2001-10-02', '2-HIGH')
+        ) AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+        UNION ALL {_NEW_ORDERS_SQL}
+    ),
+    merged AS (
+        SELECT * FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = orders.o_orderkey)
+        UNION ALL SELECT * FROM changes
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'X' THEN 1 END) AS BIGINT) AS n_updated,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged
+    """,
+)
+def dml04_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT (MERGE INTO analog): 2 updates to existing PKs 1,2 + 3 new
+    PKs; end state checked on count / updated-count / total."""
+    base = load_table(spark, sf_dir, "orders")
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "X", 999.99, dt.datetime(2001, 10, 1), "1-URGENT"),
+            (2, 2, "X", 888.88, dt.datetime(2001, 10, 2), "2-HIGH"),
+        ]
+        + _NEW_ORDERS,
+        schema=_ORDERS_SCHEMA,
+    )
+    merged = upsert_on_key(base, changes, key_cols=list(PRIMARY_KEYS["orders"]))
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("n_updated"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "dml05_dedup_by_pk",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM (SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders))
+    GROUP BY o_orderstatus
+    """,
+)
+def dml05_dedup_by_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-uniqueness semantics (reference: one rowkey, one row —
+    re-ingesting the same key overwrites, ``HBaseSchema.kt:127-136``):
+    double-ingest orders, dedup on the PK, verify the original state is
+    restored. Uses orders because its PK is provably unique in the
+    fixtures (lineitem's conventional (l_orderkey, l_linenumber) is NOT
+    unique in the synthetic data — dedup there would be a nondeterministic
+    pick among true duplicates)."""
+    o = load_table(spark, sf_dir, "orders")
+    doubled = o.unionByName(o)
+    deduped = doubled.dropDuplicates(list(PRIMARY_KEYS["orders"]))
+    return deduped.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )

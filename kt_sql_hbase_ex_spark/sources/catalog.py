@@ -25,6 +25,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: All fixture tables (TESTDATA.md). Order is the registration order.
 TABLES: tuple[str, ...] = (
@@ -49,6 +50,9 @@ BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "p
 #: Primary key by convention (reference: mandatory PK concatenated into
 #: the HBase rowkey, ``hbase/HBaseSchema.kt:127-136``). Used by the
 #: DML-as-transform operators for merge/delete semantics.
+#: NOTE: in the synthetic fixtures every key below is verified unique
+#: EXCEPT lineitem's (l_orderkey, l_linenumber) — the generator reuses
+#: line numbers, so keyed DML demos use orders instead.
 PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey",),
     "nation": ("n_nationkey",),
@@ -73,9 +77,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One SQL table = one Parquet dataset (reference: one SQL table = one
-    HBase table with a single column family, ``hbase/HBaseTable.kt:62-65``)."""
+    HBase table with a single column family, ``hbase/HBaseTable.kt:62-65``).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; the Spark-native path is the
+    ``nanosAsLong`` legacy conf + an explicit nanos→timestamp conversion
+    (micros precision — the fixture values carry none below that).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

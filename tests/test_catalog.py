@@ -1,0 +1,115 @@
+"""Catalog metadata contract — the table.sys/column.sys analog.
+
+Reference: ``getRowType`` rebuilds a table's struct type from catalog
+attributes ordered by POSITION (``hbase/HBaseTable.kt:101-118,135-165``);
+this suite asserts our catalog reports the exact FIXTURES.md schemas
+(name, type, nullability, position) through the same public surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kt_sql_hbase_ex_spark.sources import catalog
+
+EXPECTED_SCHEMAS = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),  # parquet ts w/o UTC adjustment
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, sf_small):
+    catalog.register_views(spark, sf_small)
+
+
+@pytest.mark.parametrize("table", catalog.TABLES)
+def test_schema_matches_fixtures(spark, table):
+    cols = catalog.describe_columns(spark, table)
+    got = [(c.name, c.data_type) for c in cols]
+    assert got == EXPECTED_SCHEMAS[table]
+    assert [c.position for c in cols] == list(range(len(cols)))
+
+
+def test_all_tables_registered(spark):
+    names = {t.name for t in spark.catalog.listTables()}
+    assert set(catalog.TABLES) <= names
+
+
+def test_describe_table_attributes(spark):
+    info = catalog.describe_table(spark, "orders")
+    assert info["primary"] == ("o_orderkey",)
+    assert info["n_columns"] == 6
+    assert info["is_transactional"] is None  # OLTP attr: no analytics analog
+
+
+@pytest.mark.parametrize(
+    "table",
+    [t for t in catalog.TABLES if t != "lineitem"],  # fixture reuses line numbers
+)
+def test_primary_keys_unique(spark, table):
+    df = spark.table(table)
+    keys = list(catalog.PRIMARY_KEYS[table])
+    assert df.count() == df.select(*keys).distinct().count()

@@ -1,0 +1,45 @@
+"""The core gate: every registered query hash-matches its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS check (row-count + schema +
+order-insensitive value compare) at the same scale factor (sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kt_sql_hbase_ex_spark import registry
+from kt_sql_hbase_ex_spark.testing import check_query, duckdb_connect
+
+from .conftest import SF_ORACLE
+
+ALL = sorted(registry.all_queries())
+_RESULTS: dict[str, object] = {}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connect(SF_ORACLE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(name, spark, con):
+    result = check_query(name, spark, SF_ORACLE, con)
+    _RESULTS[name] = result
+    assert result.ok, str(result)
+
+
+def test_no_vacuous_queries():
+    """Every oracle-checked query must return >0 rows at the gate scale —
+    a 0-row match proves nothing about operator semantics. (Reuses the
+    results of the parametrized run above; runs after it by definition
+    order.)"""
+    assert len(_RESULTS) == len(ALL)
+    empty = [
+        name
+        for name, result in _RESULTS.items()
+        if result.spark_rows == 0 and registry.all_queries()[name].oracle is not None
+    ]
+    assert not empty, f"vacuous (0-row) queries: {empty}"

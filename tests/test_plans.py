@@ -1,0 +1,88 @@
+"""Physical-plan quality gates — the 100 TB design checks.
+
+The reference hand-built pushdown through storage interfaces
+(``hbase/HBaseFilterableTable.kt``, ``hbase/HBaseProjectableFilterableTable.kt``)
+and A/B tested it with a config flavor (``hbase/HBaseTable.kt:198-207``).
+Here the equivalents are Catalyst behaviors; these tests pin them so a
+refactor can't silently regress the plan shape that makes queries viable
+at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.operators.flagship import revenue_by_nation
+from kt_sql_hbase_ex_spark.operators.scans import (
+    s02_filtered_scan,
+    s03_projected_filtered_scan,
+)
+from kt_sql_hbase_ex_spark.operators.sort_limit import sl01_top_k
+from kt_sql_hbase_ex_spark.operators.aggregates import a01_pricing_summary
+from kt_sql_hbase_ex_spark.plans.explain import (
+    formatted_plan,
+    has_pushed_filter,
+    read_schema_columns,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_small):
+    """S2 analog: predicates appear in PushedFilters, not only as a
+    post-scan Filter (the reference shipped them to region servers;
+    Parquet row-group skipping is our equivalent)."""
+    df = s02_filtered_scan(spark, sf_small)
+    assert has_pushed_filter(df, "l_quantity"), formatted_plan(df)
+
+
+def test_projection_prunes_read_schema(spark, sf_small):
+    """S3 analog: the Parquet ReadSchema must carry only referenced
+    columns (scan.addColumn, HBaseProjectableFilterableTable.kt:28-33)."""
+    df = s03_projected_filtered_scan(spark, sf_small)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    for cols in schemas:
+        assert set(cols) <= {"p_name", "p_retailprice", "p_size"}, cols
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_small):
+    """Dimension joins must be broadcast — shuffling lineitem to join a
+    25-row nation table would be the classic 100 TB anti-pattern."""
+    df = revenue_by_nation(spark, sf_small)
+    assert uses_broadcast_join(df)
+
+
+def test_top_k_avoids_global_sort(spark, sf_small):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full range-partitioned sort."""
+    df = sl01_top_k(spark, sf_small)
+    assert uses_take_ordered(df)
+
+
+def test_aggregate_has_partial_phase(spark, sf_small):
+    """Group-by must map-side combine (two HashAggregate phases) so bytes
+    shuffled scale with group count, not row count."""
+    plan = formatted_plan(a01_pricing_summary(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pushdown_toggle_knob(spark, sf_small):
+    """S6 analog: the reference's flavor experiment — with parquet
+    pushdown disabled the same query still answers identically (the
+    correctness-vs-performance separation the flavors demonstrated)."""
+    on = s02_filtered_scan(spark, sf_small).count()
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        off = s02_filtered_scan(spark, sf_small).count()
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert on == off
+
+
+def test_point_lookup_prunes_row_groups(spark, sf_small):
+    """S7/rowkey-filter analog: a PK equality predicate is pushed as an
+    IsNotNull + EqualTo pair on the key column."""
+    df = load_table(spark, sf_small, "customer").filter(F.col("c_custkey") == 42)
+    assert has_pushed_filter(df, "c_custkey"), formatted_plan(df)
