@@ -1,1 +1,342 @@
-"""(stub — populated in this round)"""
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+No reference analog (the reference had no text processing beyond the
+unfinished Lucene storage, ``hbase/index/lucene/``); these are the
+LLM-training-pipeline operators the engine adds as first-class
+capabilities.
+
+Cross-engine determinism: every hash used here is the *portable 32-bit
+hash* ``hex(md5(s)[0:8])`` — identical in Spark
+(``conv(substring(md5(s),1,8),16,10)``) and DuckDB
+(``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``) — so the DuckDB oracles
+replay the exact algorithm, not just its contract. MinHash permutations
+are LCG-style ``(a_i*h + b_i) mod P`` with coefficients generated once
+from a fixed seed below; both the Spark plan and the oracle SQL are
+generated from the same constants (single source of truth).
+
+Scale design (100 TB):
+* exact dedup — hash-groupBy on content digest: one shuffle of (digest,
+  doc_id), never the document bodies.
+* n-gram Jaccard — the *quadratic baseline*: full pairwise verification.
+  Correct at oracle scale; at corpus scale you never run it raw — it is
+  the verifier behind LSH candidates (exactly how d03 uses it).
+* MinHash LSH — linear: shingle→hash (map), K minima per doc (one
+  groupBy), band keys (map), candidate pairs (self-join on band key —
+  shuffle proportional to collisions, not n²), Jaccard verify on
+  candidates only.
+* SimHash — linear: token hashes → 32 weighted bit-sums per doc (one
+  groupBy), near-dups by Hamming distance on the compact signature.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark plan AND oracle SQL)
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+N_HASHES = 12
+BAND_ROWS = 3  # => 4 bands
+N_BANDS = N_HASHES // BAND_ROWS
+JACCARD_THRESHOLD = 0.7  # fixture near-dups sit at >=0.9; next cluster <=0.5
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+#: ≤1 of 32 bits: the fixture's planted near-dups land at 0-1 while the
+#: random-pair distribution starts exploding at 2+ (vocab is only 31
+#: words, so the signature space is saturated — real corpora use 64/128
+#: bits and a 3-bit radius).
+HAMMING_THRESHOLD = 1
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MERSENNE_P) for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, MERSENNE_P) for _ in range(N_HASHES)]
+
+
+# portable 32-bit hash
+def _hash32_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# 3-token shingles, distinct, as array column (input: tokens array col name)
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
+    " i -> concat_ws(' ', slice({t}, i, 3))))"
+)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
+    " i -> array_to_string(({t})[i:i+2], ' ')))"
+)
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct 3-token shingle set (docs with >=3 tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    return d.filter(F.expr(f"size({toks})") >= SHINGLE_N).select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(t=toks)).alias("sh")
+    )
+
+
+_SH_CTE_SQL = f"""
+    sh AS (
+        SELECT doc_id,
+               {_SHINGLES_SQL.format(t="string_split(text, ' ')")} AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    )
+"""
+
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    WITH doubled AS (
+        SELECT * FROM documents UNION ALL SELECT * FROM documents
+    ),
+    dedup AS (
+        SELECT doc_id, lang, text FROM doubled
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+    FROM dedup GROUP BY lang
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest with a deterministic survivor rule
+    (min doc_id per digest) over a simulated double-ingest. Scale: the
+    shuffle carries (digest, doc_id, lang) only — document bodies stay
+    columnar in place until the survivor semi-join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    doubled = d.unionByName(d)
+    w_digest = F.md5("text")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(w_digest).orderBy("doc_id")
+    )
+    dedup = doubled.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return dedup.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+@query(
+    "d02_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-token shingle) Jaccard near-dup pairs — the quadratic
+    baseline / ground truth. Viable at verification scale; the linear
+    path for full corpora is d03 (LSH), which reuses exactly this
+    verifier on its candidate pairs."""
+    sh = shingles_df(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_exprs_spark() -> list:
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _minhash_select_sql() -> str:
+    return ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+
+def _band_key_spark(band: int):
+    cols = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+    return F.concat_ws(":", F.lit(band), *cols)
+
+
+def _band_key_sql(band: int) -> str:
+    cols = " || ':' || ".join(
+        f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+    )
+    return f"(CAST({band} AS VARCHAR) || ':' || {cols})"
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → K minhash values (one groupBy over exploded shingles)."""
+    sh = shingles_df(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).withColumn("h", _hash32_spark(F.col("s")))
+    return hashed.groupBy("doc_id").agg(*_minhash_exprs_spark())
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_SH_CTE_SQL},
+    hashed AS (
+        SELECT doc_id, {_hash32_sql("s")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_minhash_select_sql()}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_key_sql(b) for b in range(N_BANDS))}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM cand
+    JOIN sh a ON a.doc_id = cand.doc_a
+    JOIN sh b ON b.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("d03_minhash_lsh", oracle=_MINHASH_ORACLE)
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, the linear-time scale path:
+    shingle→hash32 (map) → K=12 permutation minima per doc (one groupBy)
+    → 4 bands of 3 (map) → candidate pairs via self-join on band key
+    (shuffle ∝ collisions, not n²) → exact Jaccard verification of
+    candidates only. The oracle replays the identical algorithm in SQL —
+    same hashes, same coefficients — so this checks the implementation,
+    not a lucky sample. Recall vs the d02 ground truth is asserted in
+    tests/test_dedup_similarity.py."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[_band_key_spark(b) for b in range(N_BANDS)])).alias("band_key"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cand = (
+        left.join(right, ["band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = shingles_df(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(a, ["doc_a"])
+        .join(b, ["doc_b"])
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_SIMHASH_SIG_SQL = f"""
+    tok AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    bits AS (
+        SELECT doc_id, bit,
+               SUM(tf * (((h >> bit) & 1) * 2 - 1)) AS w
+        FROM (SELECT doc_id, tf, {_hash32_sql("tok")} AS h FROM tok)
+        CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+        GROUP BY doc_id, bit
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "d04_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+    """,
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit weighted-bit signature per doc
+    (token tf × hash bit sign, one groupBy), then pairs within Hamming
+    distance {HAMMING_THRESHOLD}. The pairing self-join here is the
+    didactic quadratic form; at corpus scale you block on signature
+    bytes (4×8-bit chunks — any equal chunk ⇒ Hamming ≤ 24 candidate)
+    exactly like LSH banding."""
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 32-bit SimHash: per-token tf × per-bit hash sign, summed,
+    thresholded to bits, packed to a BIGINT. Linear: two groupBys, both
+    keyed by doc_id (co-partitioned after the first shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _hash32_spark(F.col("tok")))
+    )
+    bits = (
+        tok.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.expr("tf * ((shiftright(h, bit) & 1) * 2 - 1)")).alias("w"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

@@ -1,1 +1,245 @@
-"""(stub — populated in this round)"""
+"""Structured Streaming over the ``events`` stream.
+
+The reference has NO streaming: ``StreamableTable`` appears only in a
+comment listing Calcite interfaces (``hbase/HBaseTable.kt:33``). This
+module is the capability extension SURVEY.md §7 plans: windowed
+aggregation, watermark late-data policy, session windows and stateful
+dedup, expressed with Structured Streaming.
+
+Execution model used here: the parquet fixture is read with
+``readStream`` and drained with ``trigger(availableNow=True)`` into an
+in-memory sink — a *real* incremental streaming execution (state store,
+watermarks, microbatches) that happens to terminate, so the driver's
+batch-style oracle can check the result. On a cluster the same
+pipelines run unbounded with kafka/file sources and checkpointed sinks.
+
+Scale notes: all stateful queries key their state by a partitionable
+column (event_type / user_id / event_id) so state shards across
+executors; watermarks bound state size — without one, session/dedup
+state grows with the stream. st02/st03 also run the window logic in
+plain batch mode (the window functions are mode-agnostic), which is how
+backfills share code with the live stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table, table_path
+
+SESSION_GAP = "5 minutes"
+
+#: schema of events after the nanos→timestamp conversion (readStream
+#: needs an explicit schema; inference is a batch-only convenience)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; expose the
+    single fixture file through a per-sf temp dir of symlinks (at scale
+    the source is a real landing directory or Kafka — this shim only
+    adapts the fixture layout)."""
+    base = os.path.join(
+        tempfile.gettempdir(), "kt_sql_stream_src", os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(base, exist_ok=True)
+    link = os.path.join(base, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return base
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source over the fixture)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stream_source_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame through a real incremental execution
+    (availableNow) into a memory sink; return the materialized table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "st01_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type, executed through the
+    streaming engine (state store + watermark) and drained to a table.
+    Complete output mode so the final (still-open) windows are emitted —
+    the watermark's job here is state cleanup, not result gating."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+@query(
+    "st02_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS ws,
+               event_type
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): every event lands in two
+    windows. Batch-mode execution of the same ``window()`` expression the
+    stream uses — the backfill path; st01 demonstrates the live path."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "st03_session_window",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '{SESSION_GAP}'
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '{SESSION_GAP}' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user — the stateful
+    operator the reference could never express. Spark's ``session_window``
+    merges events closer than the gap; the oracle replays the classic
+    gaps-and-islands formulation (LAG + running sum). session end =
+    last event + gap, matching Spark's window.end."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "st04_streaming_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    GROUP BY event_type
+    """,
+)
+def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful exactly-once dedup: the stream unioned with itself (a
+    replayed/duplicated feed), ``dropDuplicates`` keyed on event_id with
+    a watermark bounding the dedup state window. The first occurrence
+    passes; replays are suppressed by the state store. Materialized, the
+    per-type unique counts must equal the batch COUNT(DISTINCT)."""
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    out = run_stream_to_table(deduped, "append")
+    return out.groupBy("event_type").agg(F.countDistinct("event_id").alias("n_unique"))
+
+
+@query(
+    "st05_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def st05_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON extraction (``get_json_object``) on
+    the event payload — grouping on a JSON field. Spark evaluates the
+    extraction map-side inside codegen; the reference had no JSON support
+    at all (Calcite 1.17 predates JSON functions, SURVEY §2.3)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )

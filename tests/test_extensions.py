@@ -1,0 +1,100 @@
+"""Semantic checks the SQL oracle can't express: probabilistic-operator
+recall, Pandas-UDF value-exactness, sketch error bounds."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.functions.dedup import (
+    d02_ngram_jaccard,
+    d03_minhash_lsh,
+    simhash_signatures,
+)
+from kt_sql_hbase_ex_spark.functions.multimodal import mm02_decode_features
+from kt_sql_hbase_ex_spark.functions.similarity import (
+    sim01_cosine_topk,
+    sim02_lsh_ann,
+)
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+def test_minhash_lsh_recall(spark, sf_oracle):
+    """LSH must recover ≥90% of the true (quadratic-verified) near-dup
+    pairs — with 4 bands of 3 at j≥0.9, expected recall ≈99.5%."""
+    truth = {
+        (r["doc_a"], r["doc_b"]) for r in d02_ngram_jaccard(spark, sf_oracle).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in d03_minhash_lsh(spark, sf_oracle).collect()
+    }
+    assert truth, "ground-truth near-dup set is empty — fixture changed?"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2%} (found {len(found)}, truth {len(truth)})"
+    # verification step guarantees no false positives above threshold
+    assert found <= truth | found  # sanity; all found pairs carry verified jaccard
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_oracle):
+    """Bucketed ANN recall@10 vs the exact baseline. One 6-bit hyperplane
+    table is a coarse filter; require ≥30% overlap (single-table LSH;
+    production uses multiple tables OR'd together for high recall)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim01_cosine_topk(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim02_lsh_ann(spark, sf_oracle).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall {recall:.2%}"
+
+
+def test_simhash_signature_stability(spark, sf_small):
+    """Signatures are deterministic and 32-bit bounded."""
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, sf_small).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, sf_small).collect()}
+    assert sig == sig2
+    assert all(0 <= s < 2**32 for s in sig.values())
+
+
+def test_mm02_decode_features_exact(spark, sf_small):
+    """The mapInPandas feature extractor must match a plain-Python
+    recomputation byte for byte (deterministic stub contract)."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+    }
+    feats = {r["media_id"]: r for r in mm02_decode_features(spark, sf_small).collect()}
+    assert set(feats) == set(docs)
+    for doc_id, text in list(docs.items())[:50]:
+        b = text.encode("utf-8")
+        row = feats[doc_id]
+        assert row["n_bytes"] == len(b)
+        assert abs(row["mean_byte"] - sum(b) / len(b)) < 1e-9
+        assert row["head_hex"] == b[:4].hex()
+
+
+def test_approx_count_distinct_error(spark, sf_oracle):
+    """HLL sketch estimate within the configured 2%+slack of exact."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.05, f"approx={row['approx']} exact={row['exact']}"
+
+
+def test_portable_hash32_matches_python(spark):
+    """The md5-prefix hash32 used across dedup/similarity equals a
+    reference Python computation (and therefore DuckDB's)."""
+    df = spark.createDataFrame([("abc",), ("spark",)], schema="s string").select(
+        "s", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    for r in df.collect():
+        expected = int(hashlib.md5(r["s"].encode()).hexdigest()[:8], 16)
+        assert r["h"] == expected
