@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Timing method: each query DataFrame is written to the ``noop`` sink, so
+the full plan executes JVM-side (scan -> shuffle -> agg/join/window)
+without driver-side collect overhead — the same work profile the plan
+would have on a cluster writing Parquet. A warmup query first absorbs
+session/JIT startup so per-query numbers are plan cost, not codegen
+compile cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from kt_sql_hbase_ex_spark import registry
+from kt_sql_hbase_ex_spark.session import get_session
+from kt_sql_hbase_ex_spark.sources.catalog import default_sf_dir
+
+# One representative per operator family (SURVEY.md §2): scan+filter
+# pushdown, multi-way join, hash aggregate, rollup, window, top-k,
+# set op, DML-as-transform, scalar functions, text analysis, minhash
+# dedup, embedding similarity, streaming window. These are the queries
+# whose shape dominates cost at 100 TB (wide shuffles, Pandas-UDF
+# stages), so they are the ones worth tracking round over round.
+HEADLINE = (
+    "flagship_revenue_by_nation",
+    "s03_projected_filtered_scan",
+    "j01_inner_equi_join",
+    "a01_pricing_summary",
+    "a05_rollup",
+    "w01_row_number_topk_per_group",
+    "sl01_top_k",
+    "set04_intersect_all",
+    "dml04_upsert_merge",
+    "f03_datetime_functions",
+    "t07_tfidf",
+    "d03_minhash_lsh",
+    "sim01_cosine_topk",
+    "st01_tumbling_window",
+)
+
+
+def _run_once(df) -> None:
+    # noop sink: full execution, rows discarded executor-side.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_session("bench")
+
+    queries = registry.all_queries()
+    missing = [name for name in HEADLINE if name not in queries]
+    if missing:
+        print(f"bench: unknown headline queries {missing}", file=sys.stderr)
+        sys.exit(2)
+
+    # Warmup: run the flagship once untimed (JVM/codegen warmup).
+    _run_once(queries[HEADLINE[0]].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        _run_once(queries[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
