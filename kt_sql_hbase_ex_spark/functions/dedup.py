@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table
+from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # shared constants (single source of truth for Spark plan AND oracle SQL)
@@ -82,7 +82,7 @@ _SHINGLES_SQL = (
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct 3-token shingle set (docs with >=3 tokens)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = "split(text, ' ')"
     return d.filter(F.expr(f"size({toks})") >= SHINGLE_N).select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(t=toks)).alias("sh")
@@ -119,7 +119,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id per digest) over a simulated double-ingest. Scale: the
     shuffle carries (digest, doc_id, lang) only — document bodies stay
     columnar in place until the survivor semi-join."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
     doubled = d.unionByName(d)
     w_digest = F.md5("text")
     from pyspark.sql import Window as W
@@ -316,7 +316,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 32-bit SimHash: per-token tf × per-bit hash sign, summed,
     thresholded to bits, packed to a BIGINT. Linear: two groupBys, both
     keyed by doc_id (co-partitioned after the first shuffle)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table
+from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table
 
 FRAME_STRIDE = 30  # sample one frame per stride
 
@@ -41,7 +41,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic media table: payload binary + typed metadata
     (the schema a real ingest would produce: media_id, payload, format,
     declared dims, frame count)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
     return d.select(
         F.col("doc_id").alias("media_id"),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table
+from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table
 
 COSINE_NEARDUP_THRESHOLD = 0.45  # fixture pair max ≈0.51; ~dozen pairs ≥0.45
 TOP_K = 10
@@ -80,7 +80,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (quadratic verifier). At
     corpus scale, run it only on LSH/IVF candidate buckets — the full
     self-join here is the correctness baseline."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     cos = _cosine_spark("va", "vb")
@@ -114,7 +114,7 @@ def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-{TOP_K} for a fixed query set: broadcast the
     query vectors against the corpus (map-side scoring, no shuffle of the
     corpus), then per-query top-k via window. The exact-ANN baseline."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = (
         e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
@@ -171,7 +171,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature needs no shuffle of the corpus at all; the groupBys below
     are over the exploded (vector × plane × dim) form keyed by vec_id, so
     partial aggregation collapses them before any exchange."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _vec("embedding").alias("v")
     )
     exploded = e.select(
@@ -239,7 +239,7 @@ def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation; *recall* vs the sim01 exact baseline is asserted
     separately in tests."""
     buckets = lsh_buckets(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = (
         buckets.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
         .select(F.col("vec_id").alias("query_id"), F.col("t").alias("qt"), F.col("bucket").alias("qb"))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table
+from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table
 
 #: Tiny per-language marker lists (stopword-overlap heuristic). The
 #: fixture vocabulary is synthetic/overlapping, so the *mechanism* —
@@ -58,7 +58,7 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     pass ([a-z0-9]+ runs or single punctuation — the pre-tokenizer shape
     real BPE pipelines use)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",
@@ -108,7 +108,7 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     en>de>fr tie order). The real-corpus version swaps the marker lists
     for per-language stopword/char-n-gram profiles; the plan is identical:
     one map-side pass, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id",
         "lang",
@@ -151,7 +151,7 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length / lexical-diversity / stopword
     features combined into a bounded score — the pre-training corpus
     filter shape (Gopher/C4-style rules). Map-side only."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens_col()
     feat = d.select(
         "doc_id",
@@ -193,7 +193,7 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary fingerprint (sorted distinct tokens → md5), and a 32-bit
     bucket hash (the engine-portable md5-prefix trick also used by the
     MinHash implementation in dedup.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens_col()
     return d.select(
         "doc_id",
@@ -221,7 +221,7 @@ def t05_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     was being built for (``hbase/index/lucene/``), served by a scan.
     At 100 TB the t06 inverted index is the indexed path; this is the
     always-available fallback."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.filter(
         F.col("text").rlike("(^| )(fast|slow)( |$)")
         & F.col("text").contains("join")
@@ -245,7 +245,7 @@ def t06_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_freq + total term frequency), keeping terms with df ≥ 5. This
     *is* the Lucene-replacement postings table: one shuffle on the term
     key; write it partitioned by term prefix for point lookups at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("term")
@@ -279,7 +279,7 @@ def t07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weighting built relationally (term frequency × inverse
     document frequency), filtered to heavy terms. The df table is tiny
     (vocabulary-sized) → broadcast back onto the postings."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     postings = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))

@@ -95,6 +95,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least the session's core budget of partitions before a
+    CPU-heavy narrow transform (shingling, hashing, vector math).
+
+    The fixture tables are single Parquet files → one input split, which
+    serializes every downstream per-row computation on one core. On the
+    100 TB target the scan has thousands of splits and this is a no-op —
+    the repartition only fires when the input is narrower than the core
+    budget, so it never adds a shuffle at scale.
+    """
+    from kt_sql_hbase_ex_spark.session import default_parallelism
+
+    n = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
