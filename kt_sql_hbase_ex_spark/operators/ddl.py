@@ -1,0 +1,136 @@
+"""DDL / catalog lifecycle — CREATE TABLE, CTAS, DROP, catalog listing.
+
+Reference analog: the reference's second half is DDL against HBase —
+``createTable`` validates the schema, writes ``table.sys``/``column.sys``
+catalog rows, creates the storage table and registers it live
+(``hbase/HBaseSchema.kt:101-178``); ``dropTable`` tears all of it down
+(``hbase/HBaseSchema.kt:187-217``); table listing enumerates the
+namespace minus system tables (``hbase/HBaseSchema.kt:293-312``).
+
+Spark-first: DDL goes through the session catalog — ``saveAsTable`` /
+``spark.sql("CREATE TABLE ...")`` writes Parquet under the warehouse dir
+and registers metadata; ``DROP TABLE`` removes both. The reference's
+index DDL (``createIndex``/``dropIndex``, ``hbase/HBaseSchema.kt:226-288``)
+is intentionally dropped: Parquet min/max stats + partition pruning
+replace user-managed secondary indexes (SURVEY.md §2.4).
+
+Scale notes: CTAS is a distributed write (one task per partition, no
+driver data path); the managed-table roundtrip below is byte-for-byte
+the pattern that writes a 100 TB table — only the partition count
+differs. DDL itself is metadata-only and O(1) in data size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+#: CTAS result table name (namespaced to avoid user collisions, like the
+#: reference's system-table prefix convention ``hbase/HBaseUtils.kt:8-9``)
+CTAS_TABLE = "ktsql_ddl01_region_summary"
+
+
+def _reset_table(spark: SparkSession, tbl: str) -> None:
+    """DROP IF EXISTS plus orphan-location cleanup: a managed table whose
+    files survive a crashed session blocks re-creation (the reference had
+    the same failure mode — its DDL lock attribute existed to fence
+    half-done DDL, ``hbase/HBaseTable.kt:187-190``)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), tbl)
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ddl01_ctas_roundtrip",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def ddl01_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT, then read the *stored* table back through
+    the catalog (reference: createTable + registered live table map,
+    ``hbase/HBaseSchema.kt:101-178``). The result returned to the driver
+    is the post-write catalog read, so the oracle checks the full
+    write→catalog→scan roundtrip, not just the SELECT."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    summary = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_nations"))
+    )
+    _reset_table(spark, CTAS_TABLE)
+    summary.write.mode("overwrite").saveAsTable(CTAS_TABLE)
+    return spark.table(CTAS_TABLE)
+
+
+@query(
+    "ddl02_catalog_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('create', 'ktsql_ddl02_tmp', TRUE),
+        ('exists', 'ktsql_ddl02_tmp', TRUE),
+        ('columns', 'ktsql_ddl02_tmp', TRUE),
+        ('drop',   'ktsql_ddl02_tmp', FALSE)
+    ) AS t(op, tbl, present)
+    """,
+)
+def ddl02_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create → verify existence and column metadata → drop → verify
+    gone, reported as a deterministic op log (the reference's create/
+    drop/list cycle, ``hbase/HBaseSchema.kt:101-217,293-312``). Uses a
+    real managed table so DROP also removes storage."""
+    tbl = "ktsql_ddl02_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (k BIGINT NOT NULL, v STRING, price DECIMAL(10,2)) USING parquet"
+    )
+    created = spark.catalog.tableExists(tbl)
+    cols = [c.name for c in spark.catalog.listColumns(tbl)]
+    cols_ok = cols == ["k", "v", "price"]
+    spark.sql(f"DROP TABLE {tbl}")
+    dropped_present = spark.catalog.tableExists(tbl)
+    return spark.createDataFrame(
+        [
+            ("create", tbl, True),
+            ("exists", tbl, created),
+            ("columns", tbl, cols_ok),
+            ("drop", tbl, dropped_present),
+        ],
+        "op string, tbl string, present boolean",
+    )
+
+
+@query(
+    "ddl03_insert_into_table",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+    UNION ALL SELECT 99, 'ATLANTIS'
+    """,
+)
+def ddl03_insert_into_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO a managed table (reference: S9 insert sink,
+    ``hbase/HBaseModifiableTable.kt:123-130,171-195`` — PK row + cells
+    put). Spark-side: CTAS from the fixture then an ``INSERT INTO``
+    appends a file; the read-back shows both. Append is the one
+    mutation that stays cheap at 100 TB (no rewrite, no shuffle)."""
+    tbl = "ktsql_ddl03_region_copy"
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("bigint"), "r_name"
+    )
+    _reset_table(spark, tbl)
+    r.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"INSERT INTO {tbl} VALUES (99, 'ATLANTIS')")
+    return spark.table(tbl)

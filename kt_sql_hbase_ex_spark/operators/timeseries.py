@@ -1,0 +1,240 @@
+"""Time-series operators over ``events`` — as-of join, range join,
+multi-granularity rollup, gap fill.
+
+No reference analog (the reference's time support stops at encoding
+DATE/TIME/TIMESTAMP cells, ``hbase/HBaseTable.kt:274-286``); these are
+the time-series operators a hypertable-style engine layers on top, and
+Spark lacks them as built-ins — each is expressed as a composition of
+DataFrame ops chosen for its shuffle profile at 100 TB.
+
+Scale design:
+* as-of join — the naive formulation is a per-row correlated subquery
+  (quadratic). Implemented instead as UNION + one window over
+  (user_id, ts): a single shuffle, linear state, no join explosion.
+  This is the standard "merge the two streams, carry the last right
+  row forward" trick.
+* range join — naive is an inequality join (cross-product per user).
+  Implemented by bucketing time into interval-width bins and equi-
+  joining on (user_id, bin ∈ {b, b-1}) before the exact range filter:
+  the shuffle carries only same-bucket pairs, turning O(n·m) into
+  O(collisions). This is exactly how Spark's own range-join hints work.
+* rollup — GROUPING SETS over pre-computed time buckets: one shuffle,
+  partial aggregation on the map side.
+* gap fill — per-series min/max + ``sequence()`` explode generates the
+  dense time axis distributed (no driver-side calendar), then a left
+  join + last-value-carry-forward window fills the gaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+RANGE_MINUTES = 10
+
+
+@query(
+    "ts01_asof_join",
+    oracle="""
+    SELECT a.event_id AS click_id, a.user_id,
+           b.ts AS purchase_ts,
+           ROUND(b.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def ts01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent purchase
+    at-or-before it. Implemented as union-then-window — both sides
+    shuffle ONCE on user_id, a window ordered by (ts, side) carries the
+    last purchase forward, and rows tagged as clicks exit. Linear in
+    events, no inequality join. (DuckDB replays it with its native
+    ASOF JOIN, so the semantics are pinned to the standard.)"""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("side"),
+        F.col("value").alias("pvalue"),
+    )
+    # side=0 sorts before side=1 at equal ts => purchase at the exact
+    # click timestamp is visible to the click (ASOF's <= semantics).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id", "user_id", "ts", "side",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("purchase_ts"),
+        F.last("pvalue", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+@query(
+    "ts02_range_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_prior_errors
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = p.user_id
+     AND e.ts <= p.ts
+     AND e.ts > p.ts - INTERVAL '{RANGE_MINUTES} minutes'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def ts02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: errors within the {RANGE_MINUTES}-minute window before
+    each purchase, counted per purchase. The interval predicate is made
+    equi-joinable by bucketing ts into window-width bins: a row can only
+    match purchases in its own or the next bin, so each error emits two
+    (user_id, bin) keys and the join shuffles same-bucket pairs only —
+    the bucketed-range-join pattern, O(bucket collisions) not O(n·m)."""
+    bin_expr = f"CAST(floor(unix_micros(ts) / ({RANGE_MINUTES} * 60 * 1000000)) AS BIGINT)"
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.expr(bin_expr).alias("bin"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        # an error can match purchases in its bin or the one after
+        F.explode(F.array(F.expr(bin_expr), F.expr(bin_expr) + 1)).alias("bin"),
+    )
+    joined = purchases.join(
+        errors,
+        (purchases.user_id == errors.e_user)
+        & (purchases.bin == errors.bin)
+        & (errors.e_ts <= purchases.p_ts)
+        & (errors.e_ts > purchases.p_ts - F.expr(f"INTERVAL {RANGE_MINUTES} MINUTES")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("error_id").alias("n_prior_errors")
+    )
+
+
+@query(
+    "ts03_multi_granularity_rollup",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 day', ts) AS day_bucket,
+           CASE WHEN GROUPING(time_bucket(INTERVAL '1 hour', ts)) = 0
+                THEN time_bucket(INTERVAL '1 hour', ts) END AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, time_bucket(INTERVAL '1 day', ts)),
+        (event_type, time_bucket(INTERVAL '1 day', ts),
+         time_bucket(INTERVAL '1 hour', ts)))
+    """,
+)
+def ts03_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly and daily
+    materializations in one pass via GROUPING SETS over pre-computed
+    time buckets (one shuffle, map-side partials). At scale this is the
+    query that backfills a continuous aggregate; the day level reuses
+    the hour level's partial aggregation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("day_bucket"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+    )
+    e.createOrReplaceTempView("ts03_events")
+    return e.sparkSession.sql(
+        """
+        SELECT event_type, day_bucket, hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM ts03_events
+        GROUP BY GROUPING SETS (
+            (event_type, day_bucket),
+            (event_type, day_bucket, hour_bucket))
+        """
+    )
+
+
+@query(
+    "ts04_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(value), 2) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    axis AS (
+        SELECT event_type, unnest(generate_series(min(day), max(day),
+                                  INTERVAL '1 day')) AS day
+        FROM daily GROUP BY event_type
+    )
+    SELECT axis.event_type, axis.day,
+           COALESCE(daily.n, 0) AS n_events,
+           COALESCE(daily.avg_value,
+                    LAST_VALUE(daily.avg_value IGNORE NULLS) OVER (
+                        PARTITION BY axis.event_type ORDER BY axis.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ) AS avg_value_locf
+    FROM axis LEFT JOIN daily
+      ON daily.event_type = axis.event_type AND daily.day = axis.day
+    """,
+)
+def ts04_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill + LOCF: dense daily axis per event_type generated
+    distributed via ``sequence()``/``explode`` (no driver-side calendar
+    loop), left-joined to the sparse daily aggregate, missing counts
+    zero-filled and missing averages carried forward with a
+    last-value-ignore-nulls window. The time axis generation is O(series
+    × days) executor-side — the shape that still works when 'series'
+    is millions of devices."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+    axis = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        axis.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                "avg_value", F.last("avg_value", ignorenulls=True).over(w)
+            ).alias("avg_value_locf"),
+        )
+    )

@@ -43,6 +43,8 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.operators.setops",
     "kt_sql_hbase_ex_spark.operators.sort_limit",
     "kt_sql_hbase_ex_spark.operators.dml",
+    "kt_sql_hbase_ex_spark.operators.timeseries",
+    "kt_sql_hbase_ex_spark.operators.ddl",
     "kt_sql_hbase_ex_spark.operators.flagship",
     "kt_sql_hbase_ex_spark.functions.scalar",
     "kt_sql_hbase_ex_spark.functions.text",

@@ -243,3 +243,79 @@ def st05_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy((k % 10).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
     )
+
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("max_ts", T.LongType()),  # micros
+    ]
+)
+
+STATS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen", T.TimestampType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Per-user running (count, sum, max ts) — arbitrary stateful logic
+    the built-in windowed aggs can't express (the state here could be
+    any Python object: a sketch, a model, a session struct)."""
+    import pandas as pd  # local import: runs on executors
+
+    if state.exists:
+        n, total, max_ts = state.get
+    else:
+        n, total, max_ts = 0, 0.0, 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = int(pdf["ts"].max().value // 1000)  # ns -> micros
+        max_ts = max(max_ts, batch_max)
+    state.update((n, total, max_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "last_seen": [pd.Timestamp(max_ts, unit="us")],
+        }
+    )
+
+
+@query(
+    "st06_stateful_user_stats",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running stats held in the state store, updated per
+    microbatch through Arrow-batched pandas (the extension hook for
+    operators Spark lacks — sessionization with custom rules, online
+    sketches, per-key models). State is keyed by user_id so it shards
+    across executors; at 100 TB the state store is RocksDB-backed and
+    each key's state stays O(1). Bounded replay drains in one
+    availableNow batch, so the emitted state equals the batch GROUP BY —
+    which is exactly what the oracle checks."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = events_stream(spark, sf_dir)
+    stats = s.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(stats, "append")

@@ -86,3 +86,25 @@ def test_point_lookup_prunes_row_groups(spark, sf_small):
     IsNotNull + EqualTo pair on the key column."""
     df = load_table(spark, sf_small, "customer").filter(F.col("c_custkey") == 42)
     assert has_pushed_filter(df, "c_custkey"), formatted_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """ts01: the union+window as-of join must shuffle once on user_id —
+    no inequality join, no cross product."""
+    from kt_sql_hbase_ex_spark.operators.timeseries import ts01_asof_join
+    from kt_sql_hbase_ex_spark.plans.explain import count_shuffles, formatted_plan
+
+    df = ts01_asof_join(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert count_shuffles(df) <= 2, plan  # hashpartition + AQE read
+
+
+def test_range_join_is_equi_join(spark, sf_small):
+    """ts02: the bucketed range join must plan as a hash/sort-merge equi
+    join on (user_id, bin), never a nested-loop over the inequality."""
+    from kt_sql_hbase_ex_spark.operators.timeseries import ts02_range_join
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(ts02_range_join(spark, sf_small))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
