@@ -46,6 +46,8 @@ HEADLINE = (
     "t07_tfidf",
     "d03_minhash_lsh",
     "sim01_cosine_topk",
+    "ts01_asof_join",
+    "ts02_range_join",
     "st01_tumbling_window",
 )
 

@@ -1,0 +1,63 @@
+"""User-defined functions — the vectorized extension surface.
+
+Reference analog: Calcite supports schema-registered functions but the
+reference registers none (no ``SqlFunction``/``ScalarFunction`` anywhere
+under ``src/``, SURVEY.md §2.3) — UDFs are a capability *extension*
+here, expressed the way they must be at 100 TB:
+
+* ``@pandas_udf`` — Arrow-batched, columnar transfer, numpy kernel:
+  ~10–100× a row-at-a-time Python UDF. This is the only sanctioned way
+  to put Python in a hot path.
+* ``spark.udf.register`` exposes the same kernel to the SQL surface, so
+  ``spark.sql`` queries and DataFrame code share one implementation.
+
+Row-at-a-time ``F.udf`` is deliberately absent from this repo: anything
+expressible as column algebra stays JVM-side in codegen, and anything
+that truly needs Python gets Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+# DoubleType() instance, not the "double" DDL string: the string form is
+# parsed through the active session at decoration time, which would make
+# importing this module require a running SparkContext.
+@pandas_udf(DoubleType())
+def revenue_score(price: pd.Series, discount: pd.Series) -> pd.Series:
+    """log1p-scaled net revenue — a numpy kernel over Arrow batches."""
+    import numpy as np
+
+    return pd.Series(np.log1p(price.to_numpy() * (1.0 - discount.to_numpy())))
+
+
+@query(
+    "f05_vectorized_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LN(1 + l_extendedprice * (1 - l_discount)), 6) AS score
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+)
+def f05_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow/pandas) UDF applied both through the DataFrame
+    API and — registered — through SQL; the plan shows a single
+    ``ArrowEvalPython`` stage fused over the scan, no per-row pickling.
+    The oracle replays the same math in SQL, pinning the kernel's
+    semantics, not just its shape."""
+    spark.udf.register("revenue_score", revenue_score)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(revenue_score("l_extendedprice", "l_discount"), 6).alias("score"),
+    )

@@ -47,6 +47,8 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.operators.ddl",
     "kt_sql_hbase_ex_spark.operators.flagship",
     "kt_sql_hbase_ex_spark.functions.scalar",
+    "kt_sql_hbase_ex_spark.functions.udf",
+    "kt_sql_hbase_ex_spark.sources.formats",
     "kt_sql_hbase_ex_spark.functions.text",
     "kt_sql_hbase_ex_spark.functions.dedup",
     "kt_sql_hbase_ex_spark.functions.similarity",
