@@ -77,13 +77,26 @@ def delete_keys(base: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
     return base.join(keys, on=on, how="left_anti")
 
 
-def upsert_on_key(base: DataFrame, changes: DataFrame, key_cols: list[str]) -> DataFrame:
+def upsert_on_key(
+    base: DataFrame, changes: DataFrame, key_cols: list[str], small_changes: bool = True
+) -> DataFrame:
     """MERGE/upsert: rows in ``changes`` replace same-key rows of ``base``;
-    unmatched keys append. anti-join + union (shuffle on PK only).
+    unmatched keys append.
+
+    ``small_changes=True`` broadcasts the change-key set so the anti-join
+    never shuffles ``base`` — merging a statement-sized batch into a
+    100 TB table must not move the table. (A local-relation changes side
+    has no stats, so without the hint Catalyst assumes it is huge and
+    plans a full sort-merge join of the fact table.) Set it False only
+    when ``changes`` is itself fact-sized; the join then shuffles both
+    sides on the PK, which is the correct plan at that shape.
 
     On a cluster with a transactional table format this is ``MERGE INTO``;
     formulated relationally so it stays oracle-checkable."""
-    survivors = base.join(changes.select(*key_cols), on=key_cols, how="left_anti")
+    keys = changes.select(*key_cols)
+    if small_changes:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, on=key_cols, how="left_anti")
     return survivors.unionByName(changes)
 
 

@@ -108,3 +108,15 @@ def test_range_join_is_equi_join(spark, sf_small):
 
     plan = formatted_plan(ts02_range_join(spark, sf_small))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_upsert_broadcasts_change_keys(spark, sf_small):
+    """dml04: merging a statement-sized batch must broadcast the change
+    keys (BroadcastHashJoin LeftAnti), never sort-merge-shuffle the base
+    fact table."""
+    from kt_sql_hbase_ex_spark.operators.dml import dml04_upsert_merge
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(dml04_upsert_merge(spark, sf_small))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
