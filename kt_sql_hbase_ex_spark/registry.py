@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.operators.dml",
     "kt_sql_hbase_ex_spark.operators.timeseries",
     "kt_sql_hbase_ex_spark.operators.ddl",
+    "kt_sql_hbase_ex_spark.operators.optimize",
     "kt_sql_hbase_ex_spark.operators.flagship",
     "kt_sql_hbase_ex_spark.functions.scalar",
     "kt_sql_hbase_ex_spark.functions.udf",

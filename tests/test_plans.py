@@ -120,3 +120,20 @@ def test_upsert_broadcasts_change_keys(spark, sf_small):
     plan = formatted_plan(dml04_upsert_merge(spark, sf_small))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small):
+    """opt02: with broadcast disabled, the bucketed fact-fact join must
+    plan as a sort-merge join with NO hash-partition exchange — bucket
+    co-location replaces the shuffle."""
+    from kt_sql_hbase_ex_spark.operators.optimize import opt02_bucketed_colocated_join
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(opt02_bucketed_colocated_join(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan, plan
+    # at most the final groupBy may exchange; the join itself must not
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
