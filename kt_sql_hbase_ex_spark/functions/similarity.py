@@ -9,6 +9,8 @@ No reference analog — LLM-pipeline extension. Three operators:
 * sim02 LSH-bucketed ANN: random-hyperplane signatures (deterministic,
   hash-derived planes — engine-portable) bucket the space; candidates
   share the query's bucket; exact cosine re-ranks candidates only.
+* sim03 IVF-style ANN: nearest-of-N_CELLS coarse quantization (frozen
+  deterministic centroid set), probe N_PROBE cells, rerank within.
 
 Determinism across engines: all vector math is done in DOUBLE with
 left-to-right summation on both sides (Spark ``aggregate`` over
@@ -19,9 +21,9 @@ oracle replays the identical plane set.
 
 Scale design (100 TB of vectors): brute force is per-query O(n) —
 viable for batch scoring, not for online serving. The LSH path shrinks
-candidates by ~2^bits; the production variant is IVF (k-means coarse
-quantizer) which needs iterative training — out of SQL's reach, noted
-as the mapInPandas extension point in multimodal.py's pattern.
+candidates by ~2^bits. sim03 carries the IVF query path (assign /
+probe / rerank) with a frozen centroid set; production k-means training
+of the centroids is the iterative mapInPandas extension point.
 """
 
 from __future__ import annotations
@@ -254,7 +256,10 @@ def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    # only the query vectors are broadcast — never the full corpus
+    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
     nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
     scored = (
         cand.join(F.broadcast(qv), ["query_id"])
@@ -264,6 +269,117 @@ def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
+    )
+
+
+# IVF coarse quantizer: deterministic "training" — the centroid set is
+# the first N_CELLS corpus vectors (vec_id < N_CELLS). Real IVF trains
+# centroids with k-means (iterative, mapInPandas territory); freezing
+# the centroid set keeps the *query path* — assign / probe / rerank —
+# identical and engine-portable so the oracle can replay it.
+N_CELLS = 16
+N_PROBE = 4
+
+
+@query(
+    "sim03_ivf_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_COSINE_SQL.format(a="e.v", b="cent.cv")}, 6) DESC,
+                                cent.cid) AS rn
+            FROM e CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_COSINE_SQL.format(a="e.v", b="cent.cv")}, 6) DESC,
+                                cent.cid) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id IN {QUERY_VEC_IDS}) t
+        WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_COSINE_SQL.format(a="qe.v", b="ne.v")} AS c,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                   ORDER BY ROUND({_COSINE_SQL.format(a="qe.v", b="ne.v")}, 6) DESC,
+                            cand.neighbor_id) AS rnk
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id
+    ) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of {N_CELLS}
+    coarse centroids (broadcast centroids, map-side scoring, argmax via
+    ``max_by`` partial aggregation — the corpus never shuffles more than
+    (vec_id, cell) pairs), probe the query's {N_PROBE} nearest cells,
+    exact-cosine rerank within probed cells only. At 100 TB the
+    assignment is a write-time partitioning (cluster-by-cell layout), so
+    a query reads {N_PROBE}/{N_CELLS} of the data — the IVF index IS the
+    partition pruning. Cosines are rounded to 6dp *before* ranking on
+    both engines so a last-ulp difference can't flip an argmax."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored_cells = e.select("vec_id", "embedding").join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+    )
+    # nearest cell per vector: max_by over struct(cosine, -cid) == the
+    # SQL row_number()=1 with (cc DESC, cid ASC) tie-break, but computed
+    # with map-side partial aggregation instead of a 16x-row window
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
+        ).alias("cid")
+    )
+    from pyspark.sql import Window as W
+
+    w_probe = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    probes = (
+        scored_cells.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), ["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select("query_id", "neighbor_id", _cosine_spark("qv", "nv").alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("c", 6).desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)

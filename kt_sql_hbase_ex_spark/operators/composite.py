@@ -1,0 +1,154 @@
+"""Composite analytics queries — realistic multi-operator pipelines.
+
+TPC-H-shaped end-to-end queries (the flagship's siblings): each one
+chains scan-pushdown → dimension broadcast → fact shuffle → aggregation
+→ window/top-k, the composition profile of real reporting workloads.
+The reference ran shapes like these through Calcite's Enumerable
+operators over adapter scans (SURVEY.md §3.1); here each stage lands on
+the Catalyst physical operator the plan tests pin.
+
+Scale notes: these inherit every guarantee of their constituent parts —
+dims broadcast, facts shuffle at most once per key change, top-k never
+sorts globally. They are also the queries where AQE's join-strategy
+switching matters: post-filter selectivity on orders/lineitem decides
+broadcast vs shuffle at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+@query(
+    "c01_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def c01_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered orders
+    ⋈ unshipped lineitems → revenue per order → top-10. Both date
+    predicates push to the scans; the orderkey aggregation reuses the
+    join's partitioning."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "c02_supplier_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, s.s_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, s.s_name
+    )
+    SELECT n.n_name AS nation, s_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY n.n_name), 6) AS share,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                     ORDER BY revenue DESC, s_name) AS rnk FROM rev) r
+    JOIN nation n ON n.n_nationkey = r.s_nationkey
+    WHERE rnk <= 3
+    """,
+)
+def c02_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation with revenue share: fact aggregation →
+    two windows over the (small) aggregate → dimension broadcast for
+    names. The windows run on supplier-level data (post-aggregation),
+    so the expensive lineitem pass happens exactly once."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w_rank = W.partitionBy("s_nationkey").orderBy(F.desc("revenue"), "s_name")
+    ranked = rev.withColumn("rnk", F.row_number().over(w_rank))
+    w_share = W.partitionBy("n_name")
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .join(F.broadcast(n), n.n_nationkey == ranked.s_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_name",
+            "revenue",
+            F.round(F.col("revenue") / F.sum("revenue").over(w_share), 6).alias("share"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "c03_customer_order_distribution",
+    oracle="""
+    WITH counts AS (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def c03_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram including
+    zero-order customers (LEFT join with a join-condition filter — the
+    filter must NOT push below the outer join or empty customers
+    vanish). Two aggregations: per-customer count, then the
+    distribution; the second input is customer-cardinality, tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.operators.ddl",
     "kt_sql_hbase_ex_spark.operators.optimize",
     "kt_sql_hbase_ex_spark.operators.flagship",
+    "kt_sql_hbase_ex_spark.operators.composite",
     "kt_sql_hbase_ex_spark.functions.scalar",
     "kt_sql_hbase_ex_spark.functions.udf",
     "kt_sql_hbase_ex_spark.sources.formats",
