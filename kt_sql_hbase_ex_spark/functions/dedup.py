@@ -237,7 +237,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. The oracle replays the identical algorithm in SQL —
     same hashes, same coefficients — so this checks the implementation,
     not a lucky sample. Recall vs the d02 ground truth is asserted in
-    tests/test_dedup_similarity.py."""
+    tests/test_extensions.py."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",

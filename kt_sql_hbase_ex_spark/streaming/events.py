@@ -60,7 +60,11 @@ def _stream_source_dir(sf_dir: str) -> str:
     )
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, "events.parquet")
-    if not os.path.exists(link):
+    # lexists: a broken symlink (stale testdata path) must be replaced,
+    # not tripped over
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(table_path(sf_dir, "events"), link)
     return base
 
