@@ -1,0 +1,70 @@
+"""Engine facade — the user-facing surface a reference user switches to.
+
+The reference is used as: connect Calcite-JDBC with the HBase schema
+factory, then issue SQL — SELECTs, DML, DDL — against the registered
+tables (``hbase/HBaseSchemaFactory.kt:22-35``, flow documented at
+``hbase/HBaseSchema.kt:38-49``). This facade is that contract on Spark:
+construct ``KtSqlEngine`` over a data directory (= the connect step:
+catalog bootstrap, ``hbase/HBaseConnection.kt:28-44``), then ``.sql()``
+anything — the full Spark SQL dialect, a strict superset of the Calcite
+1.17 surface the reference exposed (SURVEY.md §2.3; the reference
+additionally *crashed* on OR/IN/LIKE predicates at the scan layer,
+§2.2, which work here).
+
+    eng = KtSqlEngine(spark, "/root/testdata/sf0.01")
+    eng.sql("SELECT r_name, count(*) FROM region GROUP BY r_name")
+    eng.create_table("t", "k BIGINT, v STRING")       # DDL
+    eng.sql("INSERT INTO t VALUES (1, 'x')")          # DML
+    eng.describe("lineitem")                          # catalog metadata
+
+Scale note: construction registers metadata-only views (no data read);
+every ``.sql`` is planned by Catalyst with the same pushdown/broadcast
+/AQE behavior the named queries pin in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kt_sql_hbase_ex_spark.sources import catalog as cat
+
+
+class KtSqlEngine:
+    """One engine instance ≙ one reference 'connection' (schema bound to
+    a storage location + live table map, ``hbase/HBaseSchema.kt:57-61``)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir or cat.default_sf_dir()
+        self.tables = cat.register_views(spark, self.sf_dir)
+
+    # -- query ---------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        """Full Spark SQL dialect over the registered catalog."""
+        return self.spark.sql(statement)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- DDL (reference: HBaseSchema.createTable/dropTable) ------------
+    def create_table(self, name: str, schema_ddl: str) -> None:
+        from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
+
+        _reset_table(self.spark, name)
+        self.spark.sql(f"CREATE TABLE {name} ({schema_ddl}) USING parquet")
+
+    def drop_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def list_tables(self) -> list[str]:
+        """Catalog enumeration minus nothing — temp views and managed
+        tables both (reference: listTables minus system tables,
+        ``hbase/HBaseSchema.kt:293-312``)."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    # -- metadata (reference: table.sys/column.sys reads) --------------
+    def describe(self, name: str) -> list[cat.ColumnInfo]:
+        return cat.describe_columns(self.spark, name)
+
+    def table_info(self, name: str) -> dict[str, object]:
+        return cat.describe_table(self.spark, name)
