@@ -251,7 +251,17 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingles_df(spark, sf_dir)
+    # verification reads shingles only for candidate docs: the broadcast
+    # left-semi join pushes below the shingle projection (Catalyst
+    # PushDownLeftSemiAntiJoin), so the expensive shingling runs over
+    # |candidate docs|, not the corpus — candidates are ~collisions,
+    # orders of magnitude smaller than n at any scale
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles_df(spark, sf_dir).join(F.broadcast(cand_ids), "doc_id", "left_semi")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
