@@ -61,3 +61,38 @@ def f05_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(revenue_score("l_extendedprice", "l_discount"), 6).alias("score"),
     )
+
+
+@query(
+    "f06_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS dim,
+           ROUND(list_aggregate(v, 'sum'), 6) AS vec_sum,
+           ROUND(list_aggregate(list_transform(v, x -> x*x), 'sum'), 6) AS vec_norm2,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           ROUND(list_sort(v)[1], 6) AS vec_min
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t
+    WHERE vec_id < 100
+    """,
+)
+def f06_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions — transform, filter, aggregate,
+    sort — over the embedding vectors. The reference's type system had
+    no ARRAY/MAP at all (decode throws ``AssertionError('unknown column
+    type')``, ``hbase/HBaseTable.kt:306``); Spark evaluates these
+    lambda expressions inside codegen, JVM-side — per-element work with
+    zero Python cost, the 100 TB way to do vector arithmetic short of
+    a numpy pandas UDF."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("vec_norm2"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_min(v), 6).alias("vec_min"),
+    )
