@@ -104,3 +104,48 @@ def opt02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "opt03_partition_pruned_layout",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-06')
+    GROUP BY 1, 2
+    """,
+)
+def opt03_partition_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events written
+    ``partitionBy(day)`` once, then a day-predicate query reads ONLY the
+    matching directories (PartitionFilters in the scan, pinned by plan
+    test) — the Spark analog of the reference's rowkey-range access path
+    (``hbase/HBaseModifiableTable.kt:337-339``: PK predicates became
+    rowkey ranges so region servers skipped everything else). At 100 TB
+    this is the first-order design decision: time-partitioned facts make
+    every time-bounded query touch days, not the archive."""
+    import os
+    import re
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table as _lt
+
+    slug = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.join(tempfile.gettempdir(), "kt_sql_part_layout", slug)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            _lt(spark, sf_dir, "events")
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    e = spark.read.parquet(path)
+    return (
+        e.filter(F.col("day").isin("2024-01-05", "2024-01-06"))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )

@@ -137,3 +137,14 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small):
     assert "SortMergeJoin" in plan, plan
     # at most the final groupBy may exchange; the join itself must not
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_partitioned_layout_prunes(spark, sf_small):
+    """opt03: the day predicate must land in PartitionFilters (directory
+    pruning), not just as a post-scan filter."""
+    from kt_sql_hbase_ex_spark.operators.optimize import opt03_partition_pruned_layout
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(opt03_partition_pruned_layout(spark, sf_small))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0] and "2024-01-05" in pf[0], plan
