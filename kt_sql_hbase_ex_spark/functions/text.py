@@ -279,13 +279,18 @@ def t07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weighting built relationally (term frequency × inverse
     document frequency), filtered to heavy terms. The df table is tiny
     (vocabulary-sized) → broadcast back onto the postings."""
+    from pyspark.sql import Window as W
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
     postings = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    n_docs = d.count()  # scalar; computed once on the driver like any COUNT
+    n_docs = d.count()  # scalar; parquet-metadata count, computed once
+    # doc_freq as a window count over tf: ONE pass over the postings
+    # (explode+groupBy happens once), vs the groupBy+re-join formulation
+    # that would compute the tf subtree twice
+    doc_freq = F.count("*").over(W.partitionBy("term"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn("doc_freq", doc_freq)
         .select(
             "doc_id",
             "term",

@@ -152,3 +152,66 @@ def c03_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "c04_semantic_doc_retrieval",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               (list_dot_product(q.qv, e.v)
+                / (sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(e.v, e.v)))) AS c
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, doc_id, c,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(c, 6) DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT t.query_id, t.doc_id AS neighbor_doc, ROUND(t.c, 6) AS cosine,
+           CAST(t.rnk AS BIGINT) AS rnk, d.lang, d.n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+    WHERE t.rnk <= 5
+    """,
+)
+def c04_semantic_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval pipeline — the training-data workflow end to
+    end: query documents → their embedding vectors → cosine top-5 over
+    the corpus → join back to document metadata. documents.doc_id and
+    embeddings.vec_id are the shared key (one row per document in both).
+    Scale shape: query vectors broadcast (map-side scoring, corpus never
+    shuffles), per-query top-k via window over the scored slice, and the
+    k·|queries| winners — tiny — broadcast into the documents join, so
+    the *documents* table is touched only by a semi-join-sized probe."""
+    from kt_sql_hbase_ex_spark.functions.similarity import _cosine_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v"))
+        .join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", _cosine_spark("qv", "v").alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("c", 6).desc(), F.col("doc_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+    return (
+        d.join(F.broadcast(topk), ["doc_id"])
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_doc"),
+            F.round("c", 6).alias("cosine"),
+            "rnk",
+            "lang",
+            "n_chars",
+        )
+    )
