@@ -96,3 +96,75 @@ def f06_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
         F.round(F.array_min(v), 6).alias("vec_min"),
     )
+
+
+@pandas_udf(DoubleType())
+def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:  # type: ignore[misc]
+    """Grouped-aggregate pandas UDF (UDAF): quantity-weighted mean price.
+    Whole groups arrive as Arrow batches; returns one scalar per group."""
+    import numpy as np
+
+    q = qty.to_numpy()
+    return float(np.dot(price.to_numpy(), q) / q.sum())
+
+
+@query(
+    "f07_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+               AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def f07_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function via grouped-agg pandas UDF — the
+    second half of the UDF surface (reference registered neither,
+    SURVEY.md §2.3). Executes as a real aggregate in the plan (partial
+    batches per group, Arrow transfer); the oracle replays the math
+    relationally. At 100 TB: groups arrive whole per-reducer, so UDAF
+    memory is O(group size) — keep custom aggs algebraic (decomposable)
+    when group cardinality is low and groups are huge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                weighted_avg_price("l_extendedprice", "l_quantity"), 6
+            ).alias("w_avg_price")
+        )
+    )
+
+
+@query(
+    "f08_python_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 20),
+    i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok FROM i
+    """,
+)
+def f08_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (UDTF): a tokenizer expanding
+    each document into (pos, tok) rows, applied per input row with
+    ``LATERAL`` — the extension hook for row-expanding logic that isn't
+    a built-in generator (custom parsers, segmenters). Rows stream
+    per-partition through the Python worker; for hot paths prefer the
+    codegen'd ``explode`` (t01) — this query exists to pin the UDTF
+    surface itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, tok: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t
+
+    spark.udtf.register("ktsql_tokenize", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.select("doc_id", "text").createOrReplaceTempView("f08_docs")
+    return spark.sql(
+        "SELECT doc_id, pos, tok FROM f08_docs, LATERAL ktsql_tokenize(text)"
+    )
