@@ -244,3 +244,28 @@ def a10_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 15)
     )
+
+
+@query(
+    "a11_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` — the
+    same continuous-quantile definition as the oracle's quantile_cont).
+    Scale note: exact percentile buffers per-group values at the
+    reducer; at 100 TB swap in ``approx_percentile`` (t-digest-style
+    sketch, mergeable, fixed memory) exactly as a04 does for distinct
+    counts — the exact form here is the correctness baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )

@@ -94,3 +94,22 @@ def oracle_dict() -> dict[str, str]:
     return {
         name: rq.oracle for name, rq in all_queries().items() if rq.oracle is not None
     }
+
+
+def _main() -> None:
+    """``python -m kt_sql_hbase_ex_spark.registry`` — print the query
+    surface (name, oracle-checked?, first doc line)."""
+    for name, rq in sorted(all_queries().items()):
+        doc = (rq.doc or "").strip().splitlines()
+        first = doc[0] if doc else ""
+        oracle = "oracle" if rq.oracle else "rows-only"
+        print(f"{name:36s} {oracle:9s} {first}")
+
+
+if __name__ == "__main__":
+    # under ``python -m`` this file runs as ``__main__`` while the query
+    # modules register into the canonical ``kt_sql_hbase_ex_spark.registry``
+    # instance — delegate so both read the same registry
+    from kt_sql_hbase_ex_spark import registry as _canonical
+
+    _canonical._main()
