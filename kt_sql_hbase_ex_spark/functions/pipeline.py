@@ -1,0 +1,115 @@
+"""Training-data pipeline operators — deterministic splits and corpus
+curation, composed from the engine's text/dedup primitives.
+
+No reference analog (LLM-pipeline extension). These are the two
+operations every pretraining-data run does last:
+
+* tr01 — a *deterministic, content-stable* train/val/test split. Hash
+  the primary key (never ``rand()``: re-runs and backfills must land
+  every document in the same split) and bucket 8/1/1. Map-side only:
+  the split adds zero shuffles to whatever pipeline feeds it.
+* tr02 — corpus curation stats after quality + language filtering: the
+  sizing numbers (docs, tokens) a training run is provisioned from.
+
+Both reuse the portable md5-prefix hash (see dedup.py) so the DuckDB
+oracle replays the exact bucketing, not a statistical approximation.
+
+Scale notes: at 100 TB the split column is written once as a partition
+column (``partitionBy("split")``, cf. opt03) so training jobs read
+their split by directory; the hash-bucket rule here is that write's
+defining expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table
+
+#: hash buckets 0-7 train, 8 val, 9 test
+N_BUCKETS = 10
+_BUCKET_SPARK = "pmod(conv(substring(md5(cast(doc_id AS STRING)), 1, 8), 16, 10), 10)"
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
+)
+
+
+@query(
+    "tr01_train_val_test_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, n_chars, {_BUCKET_SQL} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def tr01_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8/1/1 train/val/test split by content-stable PK hash (doc_id →
+    md5 bucket), reported as per-split per-language doc and char counts.
+    Deterministic across runs, engines and partitionings — the property
+    ``rand(seed)`` does NOT have under repartitioning, which is why
+    hash-bucketing is the only defensible split rule at 100 TB."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    bucket = F.expr(_BUCKET_SPARK)
+    split = (
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "tr02_corpus_curation_stats",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(CAST(n_uniq AS DOUBLE) / n_tok), 6) AS avg_ttr
+    FROM feat
+    WHERE n_tok >= 20 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.4
+    GROUP BY lang
+    """,
+)
+def tr02_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: C4/Gopher-style keep rules (min length, min
+    lexical diversity) then the per-language sizing a training run is
+    provisioned from (docs, tokens, mean type-token ratio). Map-side
+    filter → one aggregation shuffle; the filter columns derive from
+    ``text`` in codegen, so rejected documents cost a scan, never a
+    shuffle."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    feat = d.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    ttr = F.col("n_uniq").cast("double") / F.col("n_tok")
+    return (
+        feat.filter((F.col("n_tok") >= 20) & (ttr >= 0.4))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(ttr), 6).alias("avg_ttr"),
+        )
+    )
