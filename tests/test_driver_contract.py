@@ -1,0 +1,57 @@
+"""Driver-contract smoke: the three deliverables the round driver calls
+(`entry`, `queries`/`oracle_sql`, `bench.py`) keep their shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_SMALL
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert [f.name for f in df.schema.fields] == ["n_name", "revenue"]
+
+
+def test_queries_oracle_alignment():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle is non-empty SQL; every query callable
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+    assert all(callable(fn) for fn in qs.values())
+    # rows-only set stays intentional — additions must be deliberate
+    assert set(qs) - set(oracles) == {
+        "a04_approx_count_distinct",
+        "mm02_decode_features",
+    }
+
+
+def test_bench_emits_one_json_line():
+    """bench.py at sf0.001 prints exactly one JSON object with the
+    driver's expected keys (run in a subprocess: bench builds its own
+    session; ~40 s)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_SMALL, SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, out.stdout
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec" and payload["value"] > 0
+    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert payload["sf"] == 0.001
