@@ -350,3 +350,81 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+@query(
+    "d06_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) lsh
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    walk(n, label) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.n
+        WHERE w.label < e.b
+    ),
+    cc AS (SELECT n AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY n)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           (doc_id = cluster_id) AS survivor
+    FROM cc
+    """,
+)
+def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse — the step after pair detection: LSH
+    pairs (d03) are edges; connected components give each document a
+    cluster id (min doc_id label propagation to a fixed point); the
+    cluster minimum is the canonical survivor. This is the engine's
+    iterative-algorithm pattern: a driver-side loop of joins with
+    ``localCheckpoint`` truncating lineage per round (the Pregel shape),
+    converging in O(component diameter) rounds — near-dup components
+    are tiny in practice, so 2-4 rounds. The oracle replays it as a
+    DuckDB recursive CTE — same fixed point, declaratively."""
+    pairs = (
+        d03_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # pairs feed every iteration: compute once
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(15):  # diameter bound; fixture components converge in <=3
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window as W
+
+    w_sz = W.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w_sz).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("survivor"),
+    )
