@@ -323,3 +323,56 @@ def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_table(stats, "append")
+
+
+@query(
+    "st07_incremental_mv",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def st07_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via ``foreachBatch``:
+    each microbatch APPENDS its partial aggregate (event_type, n, sum)
+    to the MV's partials log; the read side compacts partials with one
+    tiny groupBy. Append-only sidesteps the read-while-overwrite hazard
+    and is exactly the log+compaction design that scales: partials are
+    group-cardinality-sized regardless of batch size, the log compacts
+    whenever it grows past a threshold, and the final answer equals the
+    batch aggregate no matter how the stream was batched (COUNT/SUM are
+    algebraic). The oracle checks that equality."""
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(), "kt_sql_mv", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    partials = os.path.join(base, "partials")
+
+    def update_mv(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(update_mv)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.read.parquet(partials)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+        )
+    )
