@@ -113,3 +113,83 @@ def tr02_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(ttr), 6).alias("avg_ttr"),
         )
     )
+
+
+_PCT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+_PCT_BUCKET_SPARK = (
+    "pmod(conv(substring(md5(concat('s:', cast(doc_id AS STRING))), 1, 8), 16, 10), 100)"
+)
+SAMPLE_PCT = 10
+
+
+@query(
+    "tr03_stratified_sample",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT * FROM documents WHERE {_PCT_BUCKET_SQL} < {SAMPLE_PCT}
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM sampled GROUP BY lang
+    """,
+)
+def tr03_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~{SAMPLE_PCT}% sample by salted PK-hash threshold,
+    reported per language. Unlike ``TABLESAMPLE``/``df.sample`` (seeded
+    per-partition → resample under repartitioning), the hash rule gives
+    the same sample membership on any cluster layout, any engine, any
+    re-run — the property eval-set carve-outs require. The salt ('s:')
+    decorrelates this bucketing from tr01's split buckets so sampling
+    within a split stays unbiased."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sampled = d.filter(F.expr(_PCT_BUCKET_SPARK) < SAMPLE_PCT)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "tr04_token_balanced_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_tok,
+               NTILE({N_SHARDS}) OVER (ORDER BY n_tok DESC, doc_id) AS shard
+    FROM toks
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM sharded GROUP BY shard
+    """,
+)
+def tr04_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding: documents striped into {N_SHARDS}
+    shards by NTILE over descending token count (longest-first snake
+    layout ≈ equal tokens per shard) — the write-layout step before
+    ``partitionBy(shard)`` materializes training files. The report shows
+    per-shard doc and token totals, the balance a trainer's data loader
+    sees. Scale note: NTILE needs a total order — at 100 TB swap in
+    hash-striping or a range-partitioned approximate histogram; the
+    NTILE form is the exact baseline (same role d02 plays for d03)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    w = W.orderBy(F.desc("n_tok"), "doc_id")
+    sharded = toks.withColumn("shard", F.ntile(N_SHARDS).over(w))
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
