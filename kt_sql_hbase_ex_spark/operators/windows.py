@@ -205,3 +205,27 @@ def w08_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(w), 6).alias("balance_share"),
     )
+
+
+@query(
+    "w09_percent_rank_cume_dist",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal, s_suppkey), 6) AS cume
+    FROM supplier
+    """,
+)
+def w09_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST — relative-position analytics closing
+    out the Calcite 1.17 ranking family (SURVEY.md §2.3). Partitioned by
+    nation so the sort is per-group, never global."""
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -376,3 +376,28 @@ def st07_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("psum"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "st08_json_typed_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 10 AND 19
+    """,
+)
+def st08_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured → typed: ``from_json`` parses the props payload
+    into a real struct column (schema'd once, pushed through codegen),
+    then struct-field predicates filter — the pattern for landing JSON
+    event feeds as typed tables (vs st05's per-field ``get_json_object``
+    extraction). The reference had no JSON or struct support at all
+    (§1.3: nested types throw)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return parsed.filter(F.col("p.k").between(10, 19)).select(
+        "event_id", F.col("p.k").alias("k"), "event_type"
+    )
