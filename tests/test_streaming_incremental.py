@@ -1,0 +1,122 @@
+"""Multi-microbatch streaming: the incremental paths must give batch-
+identical answers when the stream is split into MANY microbatches, not
+just the single availableNow batch the fixture layout produces.
+
+Method: re-shard events into 4 parquet files in a temp source dir and
+drive the file source with ``maxFilesPerTrigger=1`` → 4 real
+microbatches updating state/MV incrementally.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+from kt_sql_hbase_ex_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def sharded_src(spark, sf_small):
+    """events split into 4 files (raw nanos schema, like the fixture)."""
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_sharded_src")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+        os.path.join(sf_small, "events.parquet")
+    )
+    raw.repartition(4).write.parquet(base)
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _stream(spark, src):
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_incremental_mv_across_batches(spark, sf_small, sharded_src):
+    """st07's log+compaction MV: 4 microbatches of partials must compact
+    to exactly the batch GROUP BY."""
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_mv_multi")
+    shutil.rmtree(base, ignore_errors=True)
+    partials = os.path.join(base, "partials")
+
+    def update_mv(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        _stream(spark, sharded_src)
+        .writeStream.foreachBatch(update_mv)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    # >1 microbatch actually happened (1 partial row set per batch)
+    n_batch_files = len(
+        [f for f in os.listdir(partials) if f.endswith(".parquet")]
+    )
+    assert n_batch_files >= 4, n_batch_files
+
+    got = {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(partials)
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("psum").alias("total"))
+        .collect()
+    }
+    expected = {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_dedup_across_batches(spark, sharded_src, sf_small):
+    """dropDuplicates state must suppress replays arriving in LATER
+    microbatches: stream unioned with itself, sharded into interleaved
+    batches — unique count must equal the batch distinct.
+
+    NO watermark here, deliberately: the shards are time-interleaved, so
+    a watermark would advance past batch 1's max ts and correctly drop
+    later batches' older events as LATE data (st04's semantics). For
+    arbitrarily-out-of-order replay the dedup state must be unbounded —
+    the classic state-size-vs-lateness-tolerance trade."""
+    s1 = _stream(spark, sharded_src)
+    s2 = _stream(spark, sharded_src)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    import uuid
+
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.table(name).count()
+    expected = load_table(spark, sf_small, "events").count()
+    assert got == expected
