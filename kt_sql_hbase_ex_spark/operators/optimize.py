@@ -149,3 +149,35 @@ def opt03_partition_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("day", "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+@query(
+    "opt04_cached_hot_table",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(AVG(s.s_acctbal), 2) AS avg_bal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def opt04_cached_hot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE — the third leg of the reference's CREATE INDEX analog
+    (SURVEY §2.4: cache / bucketing / stats; bucketing is opt02). A hot
+    dimension cached once serves every subsequent query from the
+    in-memory columnar store (``InMemoryTableScan`` replaces the file
+    scan — asserted in plan tests). At scale: cache dimensions and hot
+    aggregates, never raw facts (memory is the scarce resource; Parquet
+    + OS page cache already serve cold scans well)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("opt04_supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("opt04_nation")
+    spark.sql("CACHE TABLE opt04_supplier")
+    spark.sql("CACHE TABLE opt04_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_suppliers,
+               ROUND(AVG(s.s_acctbal), 2) AS avg_bal
+        FROM opt04_supplier s JOIN opt04_nation n
+          ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+        """
+    )

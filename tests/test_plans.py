@@ -148,3 +148,13 @@ def test_partitioned_layout_prunes(spark, sf_small):
     plan = formatted_plan(opt03_partition_pruned_layout(spark, sf_small))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "day" in pf[0] and "2024-01-05" in pf[0], plan
+
+
+def test_cached_table_scans_memory(spark, sf_small):
+    """opt04: after CACHE TABLE the plan must read InMemoryTableScan,
+    not the parquet files."""
+    from kt_sql_hbase_ex_spark.operators.optimize import opt04_cached_hot_table
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(opt04_cached_hot_table(spark, sf_small))
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
