@@ -154,3 +154,78 @@ def f04_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("bigint").alias("nationkey_big"),
         F.round(F.col("c_acctbal").cast("double") / 100.0, 4).alias("acctbal_hundreds"),
     )
+
+
+@query(
+    "f09_null_semantics",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey,
+               NULLIF(o_orderpriority, '1-URGENT') AS pri,
+               CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(pri) AS BIGINT) AS n_pri,
+           CAST(COUNT(DISTINCT pri) AS BIGINT) AS n_pri_distinct,
+           CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(SUM(price), 2) AS sum_price,
+           ROUND(AVG(price), 2) AS avg_price,
+           CAST(SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_eq
+    FROM w
+    """,
+)
+def f09_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics pinned against the oracle: COUNT(*) vs COUNT(col)
+    vs COUNT(DISTINCT col) under nulls, SUM/AVG null-skipping, and
+    null-safe equality (Spark ``<=>`` ≡ SQL ``IS NOT DISTINCT FROM``).
+    The fixtures carry no nulls, so this query *manufactures* them with
+    NULLIF/CASE — the corner where engines classically disagree and the
+    reference's row decoder simply crashed (``HBaseTable.kt:306``)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = o.select(
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pri"),
+        F.when(F.col("o_orderstatus") == "F", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return w.agg(
+        F.count("*").alias("n_rows"),
+        F.count("pri").alias("n_pri"),
+        F.countDistinct("pri").alias("n_pri_distinct"),
+        F.sum(F.when(F.col("pri").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.avg("price"), 2).alias("avg_price"),
+        F.sum(F.when(F.col("pri").eqNullSafe(F.lit(None)), 1).otherwise(0)).alias(
+            "n_nullsafe_eq"
+        ),
+    )
+
+
+@query(
+    "f10_decimal_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS gross,
+           SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+               * CAST(l_discount AS DECIMAL(5,3))) AS discount_amt,
+           CAST(MIN(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(8,2)) AS min_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f10_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL arithmetic — exact fixed-point aggregation (SURVEY §1.3:
+    the reference round-trips DECIMAL through ``Bytes.toBigDecimal``).
+    Sums over DECIMAL are exact, so this parity check needs NO float
+    rounding: any engine drift is a hard mismatch. At scale decimals
+    cost ~2× double math but are unconditionally reproducible — the
+    right choice for money columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("gross"),
+        F.sum(price * disc).alias("discount_amt"),
+        F.min(F.col("l_quantity").cast("decimal(8,2)")).alias("min_qty"),
+    )
