@@ -229,3 +229,43 @@ def f10_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * disc).alias("discount_amt"),
         F.min(F.col("l_quantity").cast("decimal(8,2)")).alias("min_qty"),
     )
+
+
+@query(
+    "f11_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY AS due_90d,
+           o_orderdate + INTERVAL '1 year 6 months' AS plus_1y6m,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER)
+               AS days_to_cutoff,
+           CAST((2002 - year(o_orderdate)) * 12 - month(o_orderdate) + 1
+                AS INTEGER) AS months_to_cutoff
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def f11_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic — the reference's §1.3 type surface carries
+    all 13 SQL INTERVAL types (year-month as int months, day-time as
+    long millis, ``HBaseTable.kt:274-286``); Spark's typed intervals
+    (``YearMonthIntervalType``/``DayTimeIntervalType``) replace them.
+    Day-time (+90 days), year-month (+1-6), and whole-unit datediffs,
+    all oracle-replayed. (Fractional ``months_between`` is deliberately
+    absent: its day-fraction convention is engine-specific.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    cutoff = F.lit("2002-01-01").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_90d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '1-6' YEAR TO MONTH")).alias(
+            "plus_1y6m"
+        ),
+        F.datediff(cutoff.cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_cutoff"
+        ),
+        (
+            (F.lit(2002) - F.year("o_orderdate")) * 12
+            - F.month("o_orderdate")
+            + 1
+        ).cast("int").alias("months_to_cutoff"),
+    )
