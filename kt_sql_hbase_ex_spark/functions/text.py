@@ -301,3 +301,32 @@ def t07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tf") >= 4)
     )
+
+
+@query(
+    "t08_text_normalization",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS n_consonant_chars,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def t08_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every ingest pipeline:
+    case-fold, trim, whitespace collapse, class-based strip, and
+    pattern extraction, all as codegen'd column expressions (zero
+    Python). Patterns stay in the ASCII-class subset where Java regex
+    (Spark) and RE2 (DuckDB oracle) agree — the portability boundary a
+    shared normalization spec must respect."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), " +", " ").alias("norm_text"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias(
+            "n_consonant_chars"
+        ),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+    )
