@@ -82,10 +82,20 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (quadratic verifier). At
     corpus scale, run it only on LSH/IVF candidate buckets — the full
     self-join here is the correctness baseline."""
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = _cosine_spark("va", "vb")
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_spark("embedding", "embedding")).alias("n"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("n").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("n").alias("nb")
+    )
+    # norms precomputed per side (see sim01): 3 dots/pair -> 1 dot/pair,
+    # bit-identical value
+    cos = _dot_spark("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= COSINE_NEARDUP_THRESHOLD)
@@ -117,14 +127,29 @@ def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vectors against the corpus (map-side scoring, no shuffle of the
     corpus), then per-query top-k via window. The exact-ANN baseline."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # norms are per-vector, not per-pair: compute sqrt(v·v) once on each
+    # side before the join (bit-identical to the inline form — same ops,
+    # same order — but 3 dot products per pair become 1)
     q = (
         e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.sqrt(_dot_spark("embedding", "embedding")).alias("qn"),
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot_spark("embedding", "embedding")).alias("vn"),
     )
     scored = (
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
-        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cosine_spark("qv", "v").alias("c"))
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_spark("qv", "v") / (F.col("qn") * F.col("vn"))).alias("c"),
+        )
     )
     from pyspark.sql import Window as W
 
