@@ -16,12 +16,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kt_sql_hbase_ex_spark import registry
-from kt_sql_hbase_ex_spark.operators.flagship import revenue_by_nation
+from kt_sql_hbase_ex_spark.operators.flagship import revenue_all_regions
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return revenue_by_nation(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The all-regions (region, nation) revenue grid: the same five-way
+    join + aggregate as the filtered flagship, but with every group
+    surviving, so even at sf0.001 the smoke check sees a multi-row
+    result with a stable schema."""
+    return revenue_all_regions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -152,6 +152,62 @@ def opt03_partition_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "opt05_runtime_bloom_filter",
+    oracle="""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+    GROUP BY p.p_brand
+    """,
+)
+def opt05_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dimension filter
+    (p_size <= 5) is turned into a bloom filter at runtime and pushed
+    into the FACT side's scan stage, so most lineitem rows die at the
+    map side instead of travelling through the shuffle
+    (``BloomFilterMightContain`` wrapping the probe side — pinned in
+    plan tests). This is Catalyst's answer to the reference's
+    server-side ``SingleColumnValueFilter`` pushdown
+    (``hbase/HBaseModifiableTable.kt:341-344``) for predicates that only
+    exist AFTER a join is considered: at 100 TB the filter removes the
+    shuffle of every non-matching fact row, which dwarfs the cost of
+    building the ~MB filter. Spark injects it only for shuffle joins
+    (broadcast joins already prune at the hash build), so the demo pins
+    the shuffle-join shape; thresholds are session defaults on a real
+    cluster — lowered here because the fixture scan is tiny."""
+    confs = {
+        # the demo must be a shuffle join: broadcast joins don't get
+        # (or need) a bloom filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+        li = load_table(spark, sf_dir, "lineitem")
+        out = (
+            li.join(part, part.p_partkey == li.l_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        # force physical planning NOW, while the demo confs are active —
+        # the QueryExecution caches the plan, so the later action runs
+        # it unchanged while the session confs are already restored
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+@query(
     "opt04_cached_hot_table",
     oracle="""
     SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,

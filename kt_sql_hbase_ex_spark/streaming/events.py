@@ -379,6 +379,66 @@ def st07_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st09_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us,
+           ROUND(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '10 minutes'
+    """,
+)
+def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the same user's
+    purchases within 10 minutes after the click, both sides live
+    streams. Watermarks on BOTH inputs plus the time-range join
+    condition are what make the state bounded — Spark buffers each side
+    keyed by user_id only until the other side's watermark passes the
+    range, then evicts (without them the join state grows with the
+    stream and the query is rejected in append mode). This is the
+    operator for joining two event feeds (impressions×conversions)
+    without landing either; the oracle replays it as the batch interval
+    join it converges to on a bounded drain."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+    return run_stream_to_table(joined, "append")
+
+
+@query(
     "st08_json_typed_struct",
     oracle="""
     SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,

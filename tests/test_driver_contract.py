@@ -18,7 +18,14 @@ def test_entry_contract(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert [f.name for f in df.schema.fields] == ["n_name", "revenue"]
+    assert [f.name for f in df.schema.fields] == [
+        "r_name",
+        "n_name",
+        "revenue",
+        "n_orders",
+    ]
+    # the all-regions grid keeps the smoke multi-row even at sf0.001
+    assert len(rows) > 1
 
 
 def test_queries_oracle_alignment():

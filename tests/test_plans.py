@@ -158,3 +158,15 @@ def test_cached_table_scans_memory(spark, sf_small):
 
     plan = formatted_plan(opt04_cached_hot_table(spark, sf_small))
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """opt05: the selective dimension predicate must be turned into a
+    runtime bloom filter probed on the fact side's scan stage
+    (BloomFilterMightContain), so non-matching fact rows die before the
+    shuffle."""
+    from kt_sql_hbase_ex_spark.operators.optimize import opt05_runtime_bloom_filter
+
+    df = opt05_runtime_bloom_filter(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloomfiltermightcontain" in plan.lower() or "bloom_filter" in plan.lower(), plan
