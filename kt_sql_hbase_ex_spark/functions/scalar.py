@@ -269,3 +269,32 @@ def f11_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("int").alias("months_to_cutoff"),
     )
+
+
+@query(
+    "f12_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 50
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey <= 50
+    """,
+)
+def f12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): ``DataFrame.unpivot`` melts N metric
+    columns into (metric, value) rows — the inverse of a09's
+    conditional-agg pivot. Value columns are cast to a common type
+    first (ANSI UNPIVOT requires it). Scale shape: unpivot is a
+    narrow map-side Expand (one input row → N output rows), no
+    shuffle; the oracle replays it as the equivalent UNION ALL."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")

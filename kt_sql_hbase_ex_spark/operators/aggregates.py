@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
@@ -268,4 +269,76 @@ def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )
+
+
+@query(
+    "a12_mode_median",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    m AS (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity ASC) AS rn
+        FROM counts
+    ),
+    med AS (
+        SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 6) AS median_qty
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT med.l_returnflag, med.median_qty, m.mode_qty
+    FROM med JOIN m ON m.l_returnflag = med.l_returnflag AND m.rn = 1
+    """,
+)
+def a12_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN (continuous-interpolated, = quantile_cont 0.5) and a
+    *deterministic* MODE per group. Engines leave mode tie-breaks
+    unspecified, so the mode here is pinned explicitly: count per value,
+    then row_number ordered by (count DESC, value ASC) — reproducible on
+    any engine and at any parallelism. Scale shape: the value-count
+    groupBy combines map-side to #distinct values per group; the window
+    then runs over that small aggregate, never over raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), F.col("l_quantity").asc())
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty")
+    )
+    return med.join(mode, "l_returnflag")
+
+
+@query(
+    "a13_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a13_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect_list →
+    array_sort → concat_ws, which pins a deterministic element order the
+    way ``WITHIN GROUP (ORDER BY …)`` does — collect_list alone is
+    assembly-order-dependent and would differ run to run under
+    parallelism. Scale note: list aggregation buffers per-group values;
+    bounded group sizes only (here: 5 nations per region)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
     )
