@@ -21,10 +21,10 @@ Scale design (100 TB):
 * n-gram Jaccard — the *quadratic baseline*: full pairwise verification.
   Correct at oracle scale; at corpus scale you never run it raw — it is
   the verifier behind LSH candidates (exactly how d03 uses it).
-* MinHash LSH — linear: shingle→hash (map), K minima per doc (one
-  groupBy), band keys (map), candidate pairs (self-join on band key —
-  shuffle proportional to collisions, not n²), Jaccard verify on
-  candidates only.
+* MinHash LSH — linear: token-hash array → combined shingle hashes →
+  K minima per doc (all one shuffle-free projection), band keys (map),
+  candidate pairs (self-join on band key — shuffle proportional to
+  collisions, not n²), Jaccard verify on candidates only.
 * SimHash — linear: token hashes → 32 weighted bit-sums per doc (one
   groupBy), near-dups by Hamming distance on the compact signature.
 """
@@ -162,16 +162,58 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Combined shingle hash: three 32-bit token hashes mixed arithmetically
+# into one 32-bit value. Hashing tokens instead of shingle *strings*
+# lets the whole signature pipeline run as a single shuffle-free
+# projection (token-hash array → indexed transform → array_min per
+# permutation) — no shingle-string concat, no explode, no groupBy.
+# Bound check: max token hash < 2^32, so th*C1 < 2^52 and the minhash
+# product max(a)*max(h) < 2^63 (asserted in tests) — no BIGINT overflow
+# in either engine.
+SHINGLE_C1 = 1000003
+SHINGLE_C2 = 8191
+HASH_SPACE = 4294967296  # 2^32
+
+_TH_SPARK = (
+    "transform(split(text, ' '),"
+    " x -> cast(conv(substring(md5(x), 1, 8), 16, 10) AS bigint))"
+)
+_TH_SQL = (
+    "list_transform(string_split(text, ' '),"
+    " x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))"
+)
+_SHH_SPARK = (
+    f"transform(sequence(1, size(th) - 2), i -> (element_at(th, i) * {SHINGLE_C1}"
+    f" + element_at(th, i + 1) * {SHINGLE_C2} + element_at(th, i + 2)) % {HASH_SPACE})"
+)
+_SHH_SQL = (
+    f"list_transform(generate_series(1, len(th) - 2), i -> (th[i] * {SHINGLE_C1}"
+    f" + th[i + 1] * {SHINGLE_C2} + th[i + 2]) % {HASH_SPACE})"
+)
+
+# doc_id → hashed-shingle list (duplicates kept; min is insensitive)
+_SHH_CTE_SQL = f"""
+    th AS (
+        SELECT doc_id, {_TH_SQL} AS th
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    ),
+    shh AS (SELECT doc_id, {_SHH_SQL} AS shh FROM th)
+"""
+
+
 def _minhash_exprs_spark() -> list:
     return [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        F.expr(f"array_min(transform(shh, h -> ({a} * h + {b}) % {MERSENNE_P}))").alias(
+            f"mh{i}"
+        )
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
 
 
 def _minhash_select_sql() -> str:
     return ",\n           ".join(
-        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS mh{i}"
+        f"list_min(list_transform(shh, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     )
 
@@ -188,44 +230,46 @@ def _band_key_sql(band: int) -> str:
     return f"(CAST({band} AS VARCHAR) || ':' || {cols})"
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → K minhash values (one groupBy over exploded shingles).
-
-    Perf: shingles are built per exploded position (``concat_ws`` of three
-    ``element_at``\\ s) instead of materializing the per-doc shingle array
-    and exploding it — the nested ``transform(…, slice(…))`` form costs
-    ~4× more (array-of-arrays allocation per doc). Duplicate shingles are
-    kept: ``min`` is duplicate-insensitive, so the signature — and hence
-    oracle parity with the distinct-shingle SQL — is unchanged."""
+def hashed_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct hashed-shingle set (docs with >=3 tokens) —
+    the 32-bit combined-hash analog of :func:`shingles_df`, computed as
+    a pure projection (no shuffle). Jaccard over these equals Jaccard
+    over shingle strings up to 32-bit collisions (~1e-7 per doc pair)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = "split(text, ' ')"
-    hashed = (
-        d.filter(F.expr(f"size({toks})") >= SHINGLE_N)
-        .select("doc_id", F.expr(toks).alias("t"))
-        .select(
-            "doc_id",
-            F.expr("explode(sequence(1, size(t) - 2))").alias("i"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            F.expr("concat_ws(' ', t[i-1], t[i], t[i+1])").alias("s"),
-        )
-        .withColumn("h", _hash32_spark(F.col("s")))
+    return (
+        d.filter(F.expr(f"size(split(text, ' ')) >= {SHINGLE_N}"))
+        .select("doc_id", F.expr(_TH_SPARK).alias("th"))
+        .select("doc_id", F.expr(f"array_distinct({_SHH_SPARK})").alias("sh"))
     )
-    return hashed.groupBy("doc_id").agg(*_minhash_exprs_spark())
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → K minhash values, computed shuffle-free.
+
+    Perf: the entire signature is one narrow projection — token-hash
+    array (md5 per *token*, not per shingle string) → combined shingle
+    hashes via an indexed ``transform`` → ``array_min`` per permutation.
+    The previous explode + groupBy formulation shuffled ~270k hashed
+    rows per 5k docs; this shuffles nothing, which is also the shape
+    that scales: signatures at 100 TB are embarrassingly parallel.
+    Duplicate shingles are kept: ``min`` is duplicate-insensitive, so
+    the signature — and hence oracle parity with the distinct-shingle
+    verification SQL — is unchanged."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        d.filter(F.expr(f"size(split(text, ' ')) >= {SHINGLE_N}"))
+        .select("doc_id", F.expr(_TH_SPARK).alias("th"))
+        .select("doc_id", F.expr(_SHH_SPARK).alias("shh"))
+        .select("doc_id", *_minhash_exprs_spark())
+    )
 
 
 _MINHASH_ORACLE = f"""
-    WITH {_SH_CTE_SQL},
-    hashed AS (
-        SELECT doc_id, {_hash32_sql("s")} AS h
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
-    ),
+    WITH {_SHH_CTE_SQL},
     sig AS (
         SELECT doc_id,
            {_minhash_select_sql()}
-        FROM hashed GROUP BY doc_id
+        FROM shh
     ),
     bands AS (
         SELECT doc_id, unnest([{", ".join(_band_key_sql(b) for b in range(N_BANDS))}]) AS band_key
@@ -235,13 +279,14 @@ _MINHASH_ORACLE = f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    ),
+    shs AS (SELECT doc_id, list_distinct(shh) AS sh FROM shh)
     SELECT doc_a, doc_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
     FROM cand
-    JOIN sh a ON a.doc_id = cand.doc_a
-    JOIN sh b ON b.doc_id = cand.doc_b
+    JOIN shs a ON a.doc_id = cand.doc_a
+    JOIN shs b ON b.doc_id = cand.doc_b
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
 """
@@ -250,7 +295,7 @@ _MINHASH_ORACLE = f"""
 @query("d03_minhash_lsh", oracle=_MINHASH_ORACLE)
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, the linear-time scale path:
-    shingle→hash32 (map) → K=12 permutation minima per doc (one groupBy)
+    shingle→hash32 (map) → K=12 permutation minima per doc (map)
     → 4 bands of 3 (map) → candidate pairs via self-join on band key
     (shuffle ∝ collisions, not n²) → exact Jaccard verification of
     candidates only. The oracle replays the identical algorithm in SQL —
@@ -274,13 +319,14 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-semi join pushes below the shingle projection (Catalyst
     # PushDownLeftSemiAntiJoin), so the expensive shingling runs over
     # |candidate docs|, not the corpus — candidates are ~collisions,
-    # orders of magnitude smaller than n at any scale
+    # orders of magnitude smaller than n at any scale. Jaccard runs over
+    # the hashed shingle sets (int array_intersect, no string compares).
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles_df(spark, sf_dir).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = hashed_shingles_df(spark, sf_dir).join(F.broadcast(cand_ids), "doc_id", "left_semi")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
