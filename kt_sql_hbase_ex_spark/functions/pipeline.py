@@ -193,3 +193,124 @@ def tr04_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+GRAM_N = 8  # contamination n-gram length: long enough that random
+#             31-word-vocab text can't collide; only real shared
+#             passages (the planted near-dups) overlap
+
+
+@query(
+    "tr05_decontamination",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_BUCKET_SQL} AS bucket, string_split(text, ' ') AS t
+        FROM documents WHERE len(string_split(text, ' ')) >= {GRAM_N}
+    ),
+    grams AS (
+        SELECT doc_id, bucket,
+               unnest(list_transform(generate_series(1, len(t) - {GRAM_N - 1}),
+                      i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+{GRAM_N - 1}], ' ')), 1, 8)) AS BIGINT))) AS g
+        FROM docs
+    ),
+    test_g AS (SELECT DISTINCT g FROM grams WHERE bucket = 9)
+    SELECT grams.doc_id, CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_shared_grams
+    FROM grams JOIN test_g USING (g)
+    WHERE grams.bucket <= 7
+    GROUP BY grams.doc_id
+    """,
+)
+def tr05_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag *train*-split documents sharing
+    any {GRAM_N}-gram with the held-out *test* split (tr01's bucket
+    rule), reporting the count of shared grams per contaminated doc —
+    the standard n-gram-overlap decontamination step before a training
+    run. Scale shape: grams are hashed 32-bit (shuffle carries longs,
+    never text); the test-split gram set is DISTINCT-reduced and
+    broadcast (benchmarks are tiny next to the corpus), so the train
+    side is a map-side semi-join — no corpus-wide shuffle at all."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    bucket = F.expr(_BUCKET_SPARK)
+    docs = (
+        d.filter(F.expr(f"size(split(text, ' ')) >= {GRAM_N}"))
+        .select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("t"))
+    )
+    gram_hash = (
+        f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
+        f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {GRAM_N}))), 1, 8), 16, 10) AS bigint))"
+    )
+    grams = docs.select(
+        "doc_id", "bucket", F.explode(F.expr(gram_hash)).alias("g")
+    )
+    test_g = grams.filter(F.col("bucket") == 9).select("g").distinct()
+    return (
+        grams.filter(F.col("bucket") <= 7)
+        .join(F.broadcast(test_g), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+_EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_PAT = "\\+1-555-[0-9]{4}-[0-9]{4}"
+
+
+@query(
+    "tr06_pii_redaction",
+    oracle=f"""
+    WITH notes AS (
+        SELECT c_custkey,
+               'user_' || CAST(CAST(('0x' || substr(md5(c_name), 1, 8)) AS BIGINT) AS VARCHAR) AS pseudonym,
+               c_name,
+               'Reach ' || c_name || ' at customer' || CAST(c_custkey AS VARCHAR)
+                 || '@example.com or +1-555-'
+                 || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-'
+                 || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') AS note
+        FROM customer
+    )
+    SELECT c_custkey, pseudonym,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(note, 'Customer#[0-9]+', pseudonym, 'g'),
+                   '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+               '{_PHONE_PAT}', '[PHONE]', 'g') AS scrubbed_note
+    FROM notes
+    """,
+)
+def tr06_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over free text: pseudonymize names (portable
+    content hash → stable 'user_NNN' token, joinable across datasets),
+    then regex-scrub emails and phone numbers — the standard scrub pass
+    before text enters a training corpus. The contact note is
+    *synthesized deterministically* from fixture columns (the corpus has
+    no real PII); the redaction chain is the real, reusable operator.
+    Scale shape: pure per-row regexp/codegen projection, zero shuffle;
+    regexes are RE2-safe (no lookaround) so they run identically on any
+    engine."""
+    c = load_table(spark, sf_dir, "customer")
+    pseudonym = F.concat(
+        F.lit("user_"),
+        F.conv(F.substring(F.md5("c_name"), 1, 8), 16, 10).cast("bigint").cast("string"),
+    )
+    note = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" at customer"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(note, "Customer#[0-9]+", "{PSEUDONYM}"),
+            _EMAIL_PAT, "[EMAIL]",
+        ),
+        _PHONE_PAT, "[PHONE]",
+    )
+    # Spark regexp_replace takes a literal replacement, not a column —
+    # splice the per-row pseudonym via replace() of the placeholder
+    return c.select(
+        "c_custkey",
+        pseudonym.alias("pseudonym"),
+        F.replace(scrubbed, F.lit("{PSEUDONYM}"), pseudonym).alias("scrubbed_note"),
+    )
