@@ -76,20 +76,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: state-shard count for the fixture streams. Stateful operators write
+#: one state-store delta per shuffle partition per microbatch, so shard
+#: count should track state-key cardinality: these streams keep a few
+#: hundred keys (windows × types / users), where 8 shards ≈ 40% less
+#: per-batch overhead than the batch default of 32. On a cluster this is
+#: the knob you size to executors × state volume — it is fixed at the
+#: first checkpoint and cannot change across restarts.
+STREAM_STATE_PARTITIONS = 8
+
+
 def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drain a streaming DataFrame through a real incremental execution
     (availableNow) into a memory sink; return the materialized table."""
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return stream_df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 @query(
