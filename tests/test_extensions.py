@@ -98,3 +98,23 @@ def test_portable_hash32_matches_python(spark):
     for r in df.collect():
         expected = int(hashlib.md5(r["s"].encode()).hexdigest()[:8], 16)
         assert r["h"] == expected
+
+
+def test_minhash_arithmetic_no_overflow():
+    """The shuffle-free signature relies on every intermediate staying
+    inside int64 in BOTH engines: token hashes < 2^32, the combined
+    shingle hash < 2^32, and the permutation product a*h < 2^63. Pin
+    the bounds so coefficient changes can't silently wrap (Spark ANSI
+    and DuckDB both *error* on BIGINT overflow — this keeps that from
+    ever triggering)."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        HASH_SPACE,
+        MINHASH_A,
+        MINHASH_B,
+        SHINGLE_C1,
+        SHINGLE_C2,
+    )
+
+    max_h = HASH_SPACE - 1
+    assert (max_h * SHINGLE_C1 + max_h * SHINGLE_C2 + max_h) < 2**63
+    assert max(MINHASH_A) * max_h + max(MINHASH_B) < 2**63
