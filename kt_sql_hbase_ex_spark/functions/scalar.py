@@ -298,3 +298,32 @@ def f12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "f13_error_safe_functions",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_type AS INTEGER)                AS bad_int,
+           TRY_CAST(substr(p_brand, 7, 2) AS INTEGER) AS brand_num,
+           ROUND(CASE WHEN p_size - 5 = 0 THEN NULL
+                      ELSE p_retailprice / (p_size - 5) END, 6) AS safe_div,
+           (string_split(p_type, ' '))[5]             AS word5
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def f13_error_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation: TRY_CAST (invalid → NULL), try_divide
+    (÷0 → NULL), try_element_at (out of bounds → NULL). Under ANSI mode
+    (Spark 4 default) the non-try forms *fail the job* — at 100 TB a
+    single malformed row must not kill a 1000-executor pipeline, so
+    hot-path casts over untrusted data use the try_ family and route
+    NULLs to a quarantine filter instead of a retry storm."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_type AS int)").alias("bad_int"),
+        F.expr("try_cast(substr(p_brand, 7, 2) AS int)").alias("brand_num"),
+        F.round(F.expr("try_divide(p_retailprice, p_size - 5)"), 6).alias("safe_div"),
+        F.expr("try_element_at(split(p_type, ' '), 5)").alias("word5"),
+    )

@@ -220,3 +220,33 @@ def j09_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE s2.s_nationkey = s.s_nationkey)
         """
     )
+
+
+@query(
+    "j10_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+               AS above_avg_by
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.8
+    """,
+)
+def j10_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in both WHERE and SELECT (the
+    j09 correlated form's simpler sibling — Calcite plans both via
+    EnumerableCorrelate/decorrelation). Catalyst executes the scalar
+    subquery ONCE as a separate tiny job and folds the result into the
+    main plan as a literal — the fact table is scanned a single time
+    with the threshold already resolved, which is exactly the 100 TB
+    shape (no per-row re-evaluation, no join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+                   AS above_avg_by
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.8
+        """
+    )
