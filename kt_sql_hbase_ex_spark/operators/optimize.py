@@ -237,3 +237,87 @@ def opt04_cached_hot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+Z_BITS = 3  # bits per dimension → 2^(2*3) = 64 z-buckets
+_BOX_PX = (2, 5)  # query box: px ∈ [2,5] × sy ∈ [3,4]
+_BOX_SY = (3, 4)
+
+
+def _z_interleave(x: int, y: int) -> int:
+    """Morton/Z-order bit interleave (Python mirror of the write-side
+    SQL expression; used driver-side to enumerate the covering bucket
+    set for a box predicate — a 2^(2*Z_BITS)-element loop, O(1))."""
+    z = 0
+    for i in range(Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _z_expr_sql(xcol: str, ycol: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"shiftleft(shiftright({xcol}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "opt06_zorder_clustered_layout",
+    oracle=f"""
+    SELECT l_partkey % 8 AS px, l_suppkey % 8 AS sy,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey % 8 BETWEEN {_BOX_PX[0]} AND {_BOX_PX[1]}
+      AND l_suppkey % 8 BETWEEN {_BOX_SY[0]} AND {_BOX_SY[1]}
+    GROUP BY 1, 2
+    """,
+)
+def opt06_zorder_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout: lineitem written once
+    partitioned by the bit-interleaved z-bucket of two filter
+    dimensions, so a 2-D *box* predicate prunes to the covering bucket
+    set (PartitionFilters, pinned by plan test) — multi-dimensional
+    locality that single-column partitioning (opt03) cannot give: either
+    dimension alone would scan a full stripe of the other. The covering
+    set is enumerated driver-side over the 64 bucket codes (O(1)); the
+    residual exact box filter stays on the scan. At 100 TB this is the
+    Delta/Iceberg Z-ORDER write pattern: one layout serves range
+    predicates on *both* dimensions, at the cost of coarser per-dim
+    clustering than a dedicated sort."""
+    import os
+    import re
+    import tempfile
+
+    slug = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.join(tempfile.gettempdir(), "kt_sql_zorder_layout", slug)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                (F.col("l_partkey") % 8).alias("px"),
+                (F.col("l_suppkey") % 8).alias("sy"),
+                "l_quantity",
+            )
+            .withColumn("zbucket", F.expr(_z_expr_sql("px", "sy")))
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(path)
+        )
+    covering = [
+        _z_interleave(x, y)
+        for x in range(_BOX_PX[0], _BOX_PX[1] + 1)
+        for y in range(_BOX_SY[0], _BOX_SY[1] + 1)
+    ]
+    li = spark.read.parquet(path)
+    return (
+        li.filter(F.col("zbucket").isin(covering))
+        .filter(
+            F.col("px").between(*_BOX_PX) & F.col("sy").between(*_BOX_SY)
+        )
+        .groupBy("px", "sy")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )

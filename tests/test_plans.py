@@ -170,3 +170,17 @@ def test_runtime_bloom_filter_injected(spark, sf_small):
     df = opt05_runtime_bloom_filter(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bloomfiltermightcontain" in plan.lower() or "bloom_filter" in plan.lower(), plan
+
+
+def test_zorder_layout_prunes(spark, sf_small):
+    """opt06: the covering z-bucket IN-set must land in PartitionFilters
+    (directory pruning on the interleaved key), with the exact box
+    residual staying as a data filter."""
+    from kt_sql_hbase_ex_spark.operators.optimize import (
+        opt06_zorder_clustered_layout,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(opt06_zorder_clustered_layout(spark, sf_small))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "zbucket" in pf[0], plan
