@@ -118,3 +118,56 @@ def test_minhash_arithmetic_no_overflow():
     max_h = HASH_SPACE - 1
     assert (max_h * SHINGLE_C1 + max_h * SHINGLE_C2 + max_h) < 2**63
     assert max(MINHASH_A) * max_h + max(MINHASH_B) < 2**63
+
+
+def test_zorder_interleave_bijective_and_covering():
+    """The Morton code must be a bijection on the 2^(2*Z_BITS) grid
+    (no two cells share a bucket → pruning can never drop a matching
+    row), and a box's covering set must have exactly box-area buckets
+    at this granularity (1 cell = 1 bucket)."""
+    from kt_sql_hbase_ex_spark.operators.optimize import Z_BITS, _z_interleave
+
+    side = 1 << Z_BITS
+    codes = {_z_interleave(x, y) for x in range(side) for y in range(side)}
+    assert len(codes) == side * side
+    assert codes == set(range(side * side))
+    box = [(x, y) for x in range(2, 6) for y in range(3, 5)]
+    assert len({_z_interleave(x, y) for x, y in box}) == len(box)
+
+
+def test_decontamination_matches_python_model(spark, sf_oracle):
+    """tr05 against an independent driver-side Python model: same
+    bucket rule, same gram hashing, computed with hashlib + set
+    algebra instead of SQL — catches split/gram off-by-ones that a
+    same-algorithm SQL oracle could share."""
+    from kt_sql_hbase_ex_spark.functions.pipeline import GRAM_N, N_BUCKETS
+    from kt_sql_hbase_ex_spark.functions.pipeline import tr05_decontamination
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text").collect()
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def grams(text: str) -> set:
+        toks = text.split(" ")
+        return {
+            h32(" ".join(toks[i : i + GRAM_N]))
+            for i in range(len(toks) - GRAM_N + 1)
+        }
+
+    bucket = {r["doc_id"]: h32(str(r["doc_id"])) % N_BUCKETS for r in docs}
+    test_grams = set().union(
+        *(grams(r["text"]) for r in docs if bucket[r["doc_id"]] == 9), set()
+    )
+    expected = {}
+    for r in docs:
+        if bucket[r["doc_id"]] <= 7:
+            shared = grams(r["text"]) & test_grams
+            if shared:
+                expected[r["doc_id"]] = len(shared)
+
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in tr05_decontamination(spark, sf_oracle).collect()
+    }
+    assert got == expected
