@@ -134,3 +134,39 @@ def ddl03_insert_into_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.write.mode("overwrite").saveAsTable(tbl)
     spark.sql(f"INSERT INTO {tbl} VALUES (99, 'ATLANTIS')")
     return spark.table(tbl)
+
+
+@query(
+    "ddl04_surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR))
+               AS stable_uid,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS seq_id
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def ddl04_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key generation — the reference auto-generates a UUID
+    rowkey for tables without a natural PK (``hbase/HBaseUtils.kt:22-24``).
+    The engine's analogs, both *deterministic*: a content-stable uid
+    (hash of the natural key — same row ⇒ same id on every run, engine,
+    and layout, which is what makes backfills and joins reproducible)
+    and a dense sequence via ROW_NUMBER over an explicit order. The
+    tempting scale shortcuts — ``uuid()`` and
+    ``monotonically_increasing_id()`` — are layout-dependent /
+    nondeterministic, so they can never be oracle-checked or safely
+    re-run; ROW_NUMBER's total order serializes at 100 TB, where the
+    fix is zipWithIndex-style per-partition offsets or just the
+    content hash."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    from pyspark.sql import Window as W
+
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"))
+        ).alias("stable_uid"),
+        F.row_number().over(W.orderBy("o_orderkey")).cast("bigint").alias("seq_id"),
+    )
