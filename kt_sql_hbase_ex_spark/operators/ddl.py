@@ -170,3 +170,32 @@ def ddl04_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stable_uid"),
         F.row_number().over(W.orderBy("o_orderkey")).cast("bigint").alias("seq_id"),
     )
+
+
+@query(
+    "ddl05_analyze_stats",
+    oracle="""
+    SELECT 'ktsql_ddl05_part_stats' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM part
+    """,
+)
+def ddl05_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS — the stats leg of the
+    reference's CREATE-INDEX replacement (cache = opt04, bucketing =
+    opt02, layout = opt03/opt06, stats = here). Collected rowCount/size
+    feed Catalyst's cost-based join reordering and broadcast decisions —
+    at 100 TB, stats are what let the planner pick broadcast vs
+    sort-merge *without* the explicit hints the fixture queries carry.
+    The checked result reads the recorded rowCount back from the catalog
+    (``DESCRIBE EXTENDED``'s Statistics row) and must equal the oracle's
+    COUNT(*)."""
+    tbl = "ktsql_ddl05_part_stats"
+    _reset_table(spark, tbl)
+    load_table(spark, sf_dir, "part").write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    desc = spark.sql(f"DESCRIBE EXTENDED {tbl}")
+    return desc.filter(F.col("col_name") == "Statistics").select(
+        F.lit(tbl).alias("table_name"),
+        F.regexp_extract("data_type", r"(\d+) rows", 1).cast("bigint").alias("n_rows"),
+    )
