@@ -150,3 +150,41 @@ def set07_values_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, F.col("r_regionkey") == F.col("r_key"))
         .select("r_key", "tier", "r_name")
     )
+
+
+@query(
+    "set08_union_schema_evolution",
+    oracle="""
+    SELECT * FROM (
+        SELECT s_suppkey AS entity_key, s_name AS entity_name,
+               ROUND(s_acctbal, 2) AS acctbal, CAST(NULL AS VARCHAR) AS mktsegment
+        FROM supplier
+        UNION ALL
+        SELECT c_custkey, c_name, NULL, c_mktsegment
+        FROM customer WHERE c_custkey <= 50
+    )
+    """,
+)
+def set08_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
+    aligns relations by *column name* and null-fills what either side
+    lacks — the ingest idiom when a feed adds or drops columns between
+    batches (positional UNION, set01, would silently mis-align instead).
+    The oracle replays it as DuckDB's name-aligned union with explicit
+    NULL padding. Map-side only: no shuffle, evolution costs nothing at
+    scale."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("entity_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    return s.unionByName(c, allowMissingColumns=True)
