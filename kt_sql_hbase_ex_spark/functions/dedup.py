@@ -26,7 +26,9 @@ Scale design (100 TB):
   candidate pairs (self-join on band key — shuffle proportional to
   collisions, not n²), Jaccard verify on candidates only.
 * SimHash — linear: token hashes → 32 weighted bit-sums per doc (one
-  groupBy), near-dups by Hamming distance on the compact signature.
+  groupBy), candidates via 4×8-bit chunk blocking (equi self-join on
+  chunk value — pigeonhole covers Hamming ≤ 1), exact Hamming verify
+  on candidates only.
 """
 
 from __future__ import annotations
@@ -49,6 +51,9 @@ N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.7  # fixture near-dups sit at >=0.9; next cluster <=0.5
 SHINGLE_N = 3
 SIMHASH_BITS = 32
+#: 4 chunks of 8 bits — pigeonhole guarantee: Hamming <= HAMMING_THRESHOLD(=1)
+#: flips bits in at most one chunk, so true pairs always share a chunk.
+SIMHASH_CHUNKS = 4
 #: ≤1 of 32 bits: the fixture's planted near-dups land at 0-1 while the
 #: random-pair distribution starts exploding at 2+ (vocab is only 31
 #: words, so the signature space is saturated — real corpora use 64/128
@@ -372,16 +377,44 @@ _SIMHASH_SIG_SQL = f"""
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit weighted-bit signature per doc
     (token tf × hash bit sign, one groupBy), then pairs within Hamming
-    distance {HAMMING_THRESHOLD}. The pairing self-join here is the
-    didactic quadratic form; at corpus scale you block on signature
-    bytes (4×8-bit chunks — any equal chunk ⇒ Hamming ≤ 24 candidate)
-    exactly like LSH banding."""
+    distance {HAMMING_THRESHOLD}, found by *chunk blocking* — the LSH
+    banding of Hamming space.
+
+    Candidate generation is linear, not quadratic: the 32-bit signature
+    splits into {SIMHASH_CHUNKS} 8-bit chunks; by pigeonhole, Hamming
+    <= {HAMMING_THRESHOLD} means at most one chunk differs, so every
+    true pair shares >= 3 identical chunks — an *equi* self-join on
+    (chunk_no, chunk_value) finds all of them with shuffle proportional
+    to chunk collisions, never an all-pairs range join. Exact Hamming
+    is then verified on the candidates only (two narrow joins back to
+    the signature table). Same answer as the quadratic form — the
+    DuckDB oracle is deliberately the brute-force pairing, so parity
+    proves the blocking loses nothing."""
     sig = simhash_signatures(spark, sf_dir)
+    chunk_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(c),
+                F.expr(f"(shiftright(simhash, {8 * c}) & 255)"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = sig.select("doc_id", F.explode(chunk_keys).alias("chunk_key"))
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), "chunk_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     hamming = F.expr("bit_count(sig_a ^ sig_b)")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, ["doc_a"])
+        .join(b, ["doc_b"])
         .filter(hamming <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
     )

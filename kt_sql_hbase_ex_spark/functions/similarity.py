@@ -2,8 +2,10 @@
 
 No reference analog — LLM-pipeline extension. Three operators:
 
-* d05 embedding-cosine near-dup: pairwise cosine ≥ threshold (the
-  quadratic verifier, like d02 for text).
+* d05 embedding-cosine near-dup: LSH-bucketed candidates (pairs sharing
+  any hash-table bucket) verified by exact cosine ≥ threshold; the
+  quadratic all-pairs form survives only as the unregistered recall
+  baseline (:func:`embedding_neardup_exact`), like d02 for text.
 * sim01 brute-force cosine top-k: the exact baseline for ANN; per query
   vector, a map-side cosine + TakeOrdered top-k — linear per query.
 * sim02 LSH-bucketed ANN: random-hyperplane signatures (deterministic,
@@ -68,20 +70,42 @@ _COSINE_SQL = (
 )
 
 
-@query(
-    "d05_embedding_neardup",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_COSINE_SQL.format(a="a.v", b="b.v")}, 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_COSINE_SQL.format(a="a.v", b="b.v")} >= {COSINE_NEARDUP_THRESHOLD}
-    """,
-)
-def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (quadratic verifier). At
-    corpus scale, run it only on LSH/IVF candidate buckets — the full
-    self-join here is the correctness baseline."""
+# --- LSH (random hyperplane, OR-construction) --------------------------------
+# Global plane g ∈ [0, N_TABLES·BITS_PER_TABLE): table t = g // B, bit
+# position p = g % B. Plane weight w(g, d) = hash32('plane:{g}:{d}') /
+# 2^31 - 1 ∈ [-1, 1); signature bit = 1 iff Σ_d w(g,d)·v[d] > 0.
+
+
+def _plane_weight_sql(g: str, d: str) -> str:
+    return (
+        f"(CAST(CAST(('0x' || substr(md5('plane:' || {g} || ':' || {d}), 1, 8)) AS BIGINT)"
+        f" AS DOUBLE) / 2147483648.0 - 1.0)"
+    )
+
+
+_SIG_SQL = f"""
+    sigbits AS (
+        SELECT vec_id, g,
+               CASE WHEN SUM({_plane_weight_sql("g", "d - 1")} * v[d]) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS g)
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+        GROUP BY vec_id, g, v
+    ),
+    sig AS (
+        SELECT vec_id, g // {BITS_PER_TABLE} AS t,
+               SUM(bit << (g % {BITS_PER_TABLE})) AS bucket
+        FROM sigbits GROUP BY vec_id, g // {BITS_PER_TABLE}
+    )
+"""
+
+
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic exact-cosine near-dup pairs — the ground-truth verifier
+    (analog of d02 for text). NOT a registered operator: the all-pairs
+    self-join cannot survive corpus scale, so it lives here only as the
+    recall baseline asserted against d05 in tests/test_extensions.py."""
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
@@ -98,6 +122,67 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot_spark("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= COSINE_NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "d05_embedding_neardup",
+    oracle=f"""
+    WITH {_SIG_SQL},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sig a JOIN sig b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(c, 6) AS cosine
+    FROM (
+        SELECT cand.vec_a, cand.vec_b,
+               {_COSINE_SQL.format(a="ea.v", b="eb.v")} AS c
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.vec_a
+        JOIN e eb ON eb.vec_id = cand.vec_b
+    ) t
+    WHERE c >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    are pairs sharing a hyperplane-LSH bucket in ANY of the {N_TABLES}
+    hash tables (equi self-join on (table, bucket) — shuffle scales
+    with bucket collisions, never n²), then exact cosine verifies each
+    candidate. This is the scale path; the quadratic ground truth
+    (:func:`embedding_neardup_exact`) stays as the recall assertion in
+    tests. The oracle replays the identical bucketing + verify in
+    DuckDB — same deterministic planes — so parity checks the
+    implementation; approximation vs the exact baseline is measured
+    separately (recall test), exactly like d03/d02."""
+    buckets = lsh_buckets(spark, sf_dir)
+    left = buckets.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    right = buckets.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        left.join(right, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_spark("embedding", "embedding")).alias("n"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("n").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot_spark("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, ["vec_a"])
+        .join(b, ["vec_b"])
         .filter(cos >= COSINE_NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
@@ -159,37 +244,6 @@ def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
     )
-
-
-# --- LSH (random hyperplane, OR-construction) --------------------------------
-# Global plane g ∈ [0, N_TABLES·BITS_PER_TABLE): table t = g // B, bit
-# position p = g % B. Plane weight w(g, d) = hash32('plane:{g}:{d}') /
-# 2^31 - 1 ∈ [-1, 1); signature bit = 1 iff Σ_d w(g,d)·v[d] > 0.
-
-
-def _plane_weight_sql(g: str, d: str) -> str:
-    return (
-        f"(CAST(CAST(('0x' || substr(md5('plane:' || {g} || ':' || {d}), 1, 8)) AS BIGINT)"
-        f" AS DOUBLE) / 2147483648.0 - 1.0)"
-    )
-
-
-_SIG_SQL = f"""
-    sigbits AS (
-        SELECT vec_id, g,
-               CASE WHEN SUM({_plane_weight_sql("g", "d - 1")} * v[d]) > 0
-                    THEN 1 ELSE 0 END AS bit
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        CROSS JOIN (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS g)
-        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
-        GROUP BY vec_id, g, v
-    ),
-    sig AS (
-        SELECT vec_id, g // {BITS_PER_TABLE} AS t,
-               SUM(bit << (g % {BITS_PER_TABLE})) AS bucket
-        FROM sigbits GROUP BY vec_id, g // {BITS_PER_TABLE}
-    )
-"""
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,8 @@ from kt_sql_hbase_ex_spark.functions.dedup import (
 )
 from kt_sql_hbase_ex_spark.functions.multimodal import mm02_decode_features
 from kt_sql_hbase_ex_spark.functions.similarity import (
+    d05_embedding_neardup,
+    embedding_neardup_exact,
     sim01_cosine_topk,
     sim02_lsh_ann,
 )
@@ -51,6 +53,26 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_oracle):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"ANN recall {recall:.2%}"
+
+
+def test_embedding_neardup_recall_and_precision(spark, sf_oracle):
+    """The registered d05 (LSH-bucketed candidates + exact-cosine verify)
+    vs the unregistered quadratic ground truth: precision must be exact
+    (every emitted pair is a true pair — verification guarantees it) and
+    recall high (8 tables × 4 bits at cos≈0.45-0.5 ⇒ ~80% expected;
+    fixture realizes ~93%)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_exact(spark, sf_oracle).collect()
+    }
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in d05_embedding_neardup(spark, sf_oracle).collect()
+    }
+    assert exact, "ground-truth near-dup set is empty — fixture changed?"
+    assert found <= exact, f"false positives: {found - exact}"
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.6, f"near-dup recall {recall:.2%}"
 
 
 def test_simhash_signature_stability(spark, sf_small):

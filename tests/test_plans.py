@@ -184,3 +184,24 @@ def test_zorder_layout_prunes(spark, sf_small):
     plan = formatted_plan(opt06_zorder_clustered_layout(spark, sf_small))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "zbucket" in pf[0], plan
+
+
+def test_simhash_blocking_is_equi_join(spark, sf_small):
+    """d04: candidate generation must be the 4×8-bit chunk-blocking equi
+    self-join — no all-pairs nested-loop/cartesian pairing anywhere in
+    the plan (the quadratic form does not survive corpus scale)."""
+    from kt_sql_hbase_ex_spark.functions.dedup import d04_simhash
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(d04_simhash(spark, sf_small))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_embedding_neardup_is_bucketed(spark, sf_small):
+    """d05: candidates come from the LSH (table, bucket) equi self-join;
+    the plan must contain no nested-loop/cartesian all-pairs join."""
+    from kt_sql_hbase_ex_spark.functions.similarity import d05_embedding_neardup
+    from kt_sql_hbase_ex_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(d05_embedding_neardup(spark, sf_small))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
