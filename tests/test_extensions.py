@@ -96,7 +96,8 @@ def test_mm02_decode_features_exact(spark, sf_small):
         b = text.encode("utf-8")
         row = feats[doc_id]
         assert row["n_bytes"] == len(b)
-        assert abs(row["mean_byte"] - sum(b) / len(b)) < 1e-9
+        # the extractor rounds to 6dp (oracle-parity contract)
+        assert abs(row["mean_byte"] - round(sum(b) / len(b), 6)) < 1e-9
         assert row["head_hex"] == b[:4].hex()
 
 
