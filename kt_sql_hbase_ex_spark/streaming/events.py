@@ -16,9 +16,11 @@ pipelines run unbounded with kafka/file sources and checkpointed sinks.
 Scale notes: all stateful queries key their state by a partitionable
 column (event_type / user_id / event_id) so state shards across
 executors; watermarks bound state size — without one, session/dedup
-state grows with the stream. st02/st03 also run the window logic in
-plain batch mode (the window functions are mode-agnostic), which is how
-backfills share code with the live stream.
+state grows with the stream. st02/st03 run through the streaming engine;
+their ``*_backfill`` twins run the identical window expressions in plain
+batch mode (the window functions are mode-agnostic), which is how
+backfills share code with the live stream — tests assert both paths
+produce the same result.
 """
 
 from __future__ import annotations
@@ -86,11 +88,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
-def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_stream_to_table(
+    stream_df: DataFrame, output_mode: str, sink_name: str | None = None
+) -> DataFrame:
     """Drain a streaming DataFrame through a real incremental execution
-    (availableNow) into a memory sink; return the materialized table."""
+    (availableNow) into a memory sink; return the materialized table.
+
+    ``sink_name`` should be a stable per-query name: the memory sink
+    holds the full materialized result in driver memory, so a fresh
+    uuid-named sink per invocation would leak one result-set per run in
+    a long-lived session. Re-using the name makes each run *replace*
+    the previous registration instead (queryName uniqueness is only
+    enforced among active queries, and the sink is stopped before we
+    return)."""
     spark = stream_df.sparkSession
-    name = f"sink_{uuid.uuid4().hex[:12]}"
+    name = sink_name or f"sink_{uuid.uuid4().hex[:12]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
@@ -139,7 +151,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_stream_to_table(agg, "complete")
+    return run_stream_to_table(agg, "complete", sink_name="sink_st01")
 
 
 @query(
@@ -158,8 +170,25 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h length, 30m slide): every event lands in two
-    windows. Batch-mode execution of the same ``window()`` expression the
-    stream uses — the backfill path; st01 demonstrates the live path."""
+    windows, executed through the streaming engine (state store +
+    watermark, complete mode so still-open windows emit on the bounded
+    drain). :func:`sliding_window_backfill` runs the identical
+    ``window()`` expression in batch mode — the backfill path sharing
+    the window logic."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_stream_to_table(agg, "complete", sink_name="sink_st02")
+
+
+def sliding_window_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of st02 — same ``window()`` expression over the batch
+    table (how backfills share code with the live stream). Asserted
+    equal to the streaming result in tests."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
@@ -196,10 +225,36 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) per user — the stateful
-    operator the reference could never express. Spark's ``session_window``
-    merges events closer than the gap; the oracle replays the classic
+    operator the reference could never express — executed through the
+    streaming engine: ``session_window`` state merges adjacent sessions
+    in the state store as events arrive, the watermark bounds how long
+    an open session is kept, and complete mode emits the final merged
+    sessions on the bounded drain. The oracle replays the classic
     gaps-and-islands formulation (LAG + running sum). session end =
-    last event + gap, matching Spark's window.end."""
+    last event + gap, matching Spark's window.end.
+    :func:`session_window_backfill` is the batch twin."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(agg, "complete", sink_name="sink_st03")
+
+
+def session_window_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of st03 — identical ``session_window`` expression over
+    the batch table. Asserted equal to the streaming result in tests."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
@@ -227,18 +282,24 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful exactly-once dedup: the stream unioned with itself (a
-    replayed/duplicated feed), ``dropDuplicates`` keyed on event_id with
-    a watermark bounding the dedup state window. The first occurrence
-    passes; replays are suppressed by the state store. Materialized, the
-    per-type unique counts must equal the batch COUNT(DISTINCT)."""
+    replayed/duplicated feed), ``dropDuplicatesWithinWatermark`` keyed
+    on event_id. The first occurrence passes; replays arriving within
+    the watermark delay are suppressed by the state store, and — unlike
+    plain ``dropDuplicates`` on a non-event-time subset, whose state
+    is NEVER evicted — each key's state is dropped once the watermark
+    passes its event time, so state stays bounded on an unbounded
+    stream (the dedup guarantee weakens to "within the watermark
+    window", which is the right trade for a replay/at-least-once feed).
+    Materialized, the per-type unique counts must equal the batch
+    COUNT(DISTINCT)."""
     s1 = events_stream(spark, sf_dir)
     s2 = events_stream(spark, sf_dir)
     deduped = (
         s1.unionByName(s2)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
-    out = run_stream_to_table(deduped, "append")
+    out = run_stream_to_table(deduped, "append", sink_name="sink_st04")
     return out.groupBy("event_type").agg(F.countDistinct("event_id").alias("n_unique"))
 
 
@@ -338,7 +399,7 @@ def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream_to_table(stats, "append")
+    return run_stream_to_table(stats, "append", sink_name="sink_st06")
 
 
 @query(
@@ -451,7 +512,7 @@ def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
         F.round("p_value", 2).alias("purchase_value"),
     )
-    return run_stream_to_table(joined, "append")
+    return run_stream_to_table(joined, "append", sink_name="sink_st09")
 
 
 @query(

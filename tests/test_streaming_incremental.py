@@ -120,3 +120,49 @@ def test_stateful_dedup_across_batches(spark, sharded_src, sf_small):
     got = spark.table(name).count()
     expected = load_table(spark, sf_small, "events").count()
     assert got == expected
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_sliding_window_stream_equals_backfill(spark, sf_small):
+    """st02 (streaming engine) and its batch backfill twin must agree —
+    the shared-window-logic contract."""
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        sliding_window_backfill,
+        st02_sliding_window,
+    )
+
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(st02_sliding_window(spark, sf_small), cols) == _rows(
+        sliding_window_backfill(spark, sf_small), cols
+    )
+
+
+def test_session_window_stream_equals_backfill(spark, sf_small):
+    """st03 (streaming engine, state-store session merge) and its batch
+    twin must produce identical sessions."""
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        session_window_backfill,
+        st03_session_window,
+    )
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _rows(st03_session_window(spark, sf_small), cols) == _rows(
+        session_window_backfill(spark, sf_small), cols
+    )
+
+
+def test_memory_sink_reuse_replaces_result(spark, sf_small):
+    """run_stream_to_table with a fixed sink name must replace the prior
+    registration, not accumulate one memory sink per run (driver-memory
+    leak in long-lived sessions)."""
+    from kt_sql_hbase_ex_spark.streaming.events import st01_tumbling_window
+
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    st01_tumbling_window(spark, sf_small)
+    st01_tumbling_window(spark, sf_small)
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    new_sinks = {n for n in after - before if n.startswith("sink_")}
+    assert new_sinks == {"sink_st01"}, new_sinks
