@@ -199,3 +199,50 @@ def ddl05_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(tbl).alias("table_name"),
         F.regexp_extract("data_type", r"(\d+) rows", 1).cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "ddl06_default_columns",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'NEW',     CAST(0.0  AS DOUBLE), 'alpha'),
+        (CAST(2 AS BIGINT), 'NEW',     CAST(0.0  AS DOUBLE), 'beta'),
+        (CAST(3 AS BIGINT), 'SHIPPED', CAST(9.75 AS DOUBLE), 'gamma')
+    ) AS t(k, status, score, label)
+    """,
+)
+def ddl06_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values — the reference persists a per-column
+    ``DEFAULT`` attribute and wires Calcite's
+    ``InitializerExpressionFactory`` / ``ColumnStrategy.DEFAULT`` so
+    inserts that omit the column get the stored default
+    (``hbase/HBaseSchema.kt:143-162``, ``hbase/HBaseTable.kt:221-229``).
+    Spark-first: ``DEFAULT`` is first-class DDL (3.4+) — declared at
+    CREATE, recorded in StructField metadata, applied by the engine at
+    INSERT time for both omitted columns and explicit ``DEFAULT``
+    keywords. The read-back checks engine-filled and explicit values
+    side by side; creation goes through the validated
+    :func:`create_table` wrapper (mandatory PK + reserved ``id``)."""
+    from kt_sql_hbase_ex_spark.sources.catalog import create_table
+
+    tbl = "ktsql_ddl06_defaults"
+    _reset_table(spark, tbl)
+    create_table(
+        spark,
+        tbl,
+        [
+            ("k", "BIGINT", None),
+            ("status", "STRING", "'NEW'"),
+            ("score", "DOUBLE", "0.0"),
+            ("label", "STRING", None),
+        ],
+        primary_key=("k",),
+        comment="ddl06 default-column demo",
+    )
+    # omitted columns -> engine fills stored defaults
+    spark.sql(f"INSERT INTO {tbl} (k, label) VALUES (1, 'alpha')")
+    # explicit DEFAULT keyword
+    spark.sql(f"INSERT INTO {tbl} VALUES (2, DEFAULT, DEFAULT, 'beta')")
+    # explicit values override the default
+    spark.sql(f"INSERT INTO {tbl} VALUES (3, 'SHIPPED', 9.75, 'gamma')")
+    return spark.table(tbl)

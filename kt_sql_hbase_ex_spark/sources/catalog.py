@@ -17,6 +17,14 @@ attribute surface the reference's catalog did, sourced from Spark.
 Scale note: table paths are directories of Parquet files; on a cluster a
 "table" here is thousands of files and the registration below is
 metadata-only (no data read happens until an action).
+
+Type-mapping note (SURVEY §1.3): the reference's SQL ``TIME`` type has
+no Spark analog — this engine's declared model is **IntegerType
+milliseconds-since-midnight** (matching Calcite's TIME physical
+representation): store as INT, render with
+``date_format(timestamp_millis(t), 'HH:mm:ss')``, compare numerically.
+No fixture column uses TIME, so the mapping is a documented convention
+rather than a code path.
 """
 
 from __future__ import annotations
@@ -131,14 +139,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 @dataclass(frozen=True)
 class ColumnInfo:
     """``column.sys`` attribute row analog (``hbase/HBaseTable.kt:221-229``):
-    DATA_TYPE, NULLABLE, POSITION surface here; DEFAULT/COMMENT live in
-    StructField metadata when present."""
+    DATA_TYPE, NULLABLE, POSITION surface here; DEFAULT comes from the
+    StructField metadata Spark records for ``DEFAULT`` columns."""
 
     table: str
     name: str
     data_type: str
     nullable: bool
     position: int
+    default: str | None = None
 
 
 def describe_columns(spark: SparkSession, name: str) -> list[ColumnInfo]:
@@ -147,19 +156,107 @@ def describe_columns(spark: SparkSession, name: str) -> list[ColumnInfo]:
     attributes, ordered by POSITION."""
     schema = spark.table(name).schema
     return [
-        ColumnInfo(name, f.name, f.dataType.simpleString(), f.nullable, i)
+        ColumnInfo(
+            name,
+            f.name,
+            f.dataType.simpleString(),
+            f.nullable,
+            i,
+            f.metadata.get("CURRENT_DEFAULT"),
+        )
         for i, f in enumerate(schema.fields)
     ]
 
 
+class PrimaryKeyMissedError(ValueError):
+    """No primary key supplied to ``create_table`` — the reference makes
+    the PK mandatory (``PrimaryKeyMissedException``,
+    ``hbase/HBaseSchema.kt:133-136``: the concatenated PK becomes the
+    HBase rowkey, so a table without one cannot exist)."""
+
+
+class IllegalColumnNameError(ValueError):
+    """A column is named ``id`` (any case) — reserved by the reference
+    (``IllegalColumnNameException``, ``hbase/HBaseSchema.kt:113-115``)
+    for its auto-generated surrogate rowkey."""
+
+
+#: TBLPROPERTIES namespace for the ``table.sys`` attribute analogs.
+_PROP_PREFIX = "ktsql."
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    columns: list[tuple[str, str, str | None]],
+    primary_key: tuple[str, ...] | list[str] | None,
+    *,
+    comment: str = "",
+    charset: str = "UTF-8",
+) -> None:
+    """Validated CREATE TABLE — the engine's analog of the reference's
+    ``createTable`` (``hbase/HBaseSchema.kt:101-178``): reject the
+    reserved ``id`` column name, require a primary key, persist the
+    ``table.sys`` attributes (PRIMARY / CHARSET / COMMENT / CREATE_TIME)
+    as TBLPROPERTIES, and declare per-column ``DEFAULT`` expressions
+    (the ``ColumnStrategy.DEFAULT`` / ``InitializerExpressionFactory``
+    wiring, ``hbase/HBaseSchema.kt:143-162``) so inserts that omit the
+    column are filled by the engine.
+
+    ``columns`` is ``[(name, sql_type, default_sql_literal | None)]``.
+    """
+    for col, _, _ in columns:
+        if col.lower() == "id":
+            raise IllegalColumnNameError("column name should not be id")
+    if not primary_key:
+        raise PrimaryKeyMissedError("no primary key")
+    declared = {c for c, _, _ in columns}
+    missing = [k for k in primary_key if k not in declared]
+    if missing:
+        raise PrimaryKeyMissedError(f"primary key columns not in schema: {missing}")
+
+    import datetime
+
+    col_ddl = ", ".join(
+        f"{c} {t}" + (f" DEFAULT {d}" if d is not None else "")
+        for c, t, d in columns
+    )
+    props = {
+        f"{_PROP_PREFIX}primary": ",".join(primary_key),
+        f"{_PROP_PREFIX}charset": charset,
+        f"{_PROP_PREFIX}comment": comment,
+        f"{_PROP_PREFIX}create_time": datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(),
+    }
+    prop_ddl = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"CREATE TABLE {name} ({col_ddl}) USING parquet TBLPROPERTIES ({prop_ddl})")
+
+
 def describe_table(spark: SparkSession, name: str) -> dict[str, object]:
-    """``table.sys`` attribute row analog (``hbase/HBaseTable.kt:209-219``).
-    OLTP-only attributes (IS_TRANSACTIONAL, LOCK_STATUS) have no analytics
-    analog and are reported as None."""
+    """``table.sys`` attribute row analog (``hbase/HBaseTable.kt:209-219``):
+    PRIMARY, CHARSET, COMMENT, CREATE_TIME surface here — from
+    TBLPROPERTIES for tables made by :func:`create_table`, from the
+    fixture conventions otherwise. OLTP-only attributes
+    (IS_TRANSACTIONAL, LOCK_STATUS) have no analytics analog and are
+    reported as None."""
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        }
+    except Exception:  # temp views / path tables carry no properties
+        props = {}
+    primary = PRIMARY_KEYS.get(name)
+    if f"{_PROP_PREFIX}primary" in props:
+        primary = tuple(props[f"{_PROP_PREFIX}primary"].split(","))
     return {
         "name": name,
-        "primary": PRIMARY_KEYS.get(name),
+        "primary": primary,
         "n_columns": len(spark.table(name).columns),
+        "charset": props.get(f"{_PROP_PREFIX}charset", "UTF-8"),
+        "comment": props.get(f"{_PROP_PREFIX}comment", ""),
+        "create_time": props.get(f"{_PROP_PREFIX}create_time"),
         "is_transactional": None,
         "lock_status": None,
         "broadcastable": name in BROADCAST_TABLES,

@@ -113,3 +113,49 @@ def test_primary_keys_unique(spark, table):
     df = spark.table(table)
     keys = list(catalog.PRIMARY_KEYS[table])
     assert df.count() == df.select(*keys).distinct().count()
+
+
+def test_create_table_rejects_missing_primary_key(spark):
+    """Reference: PrimaryKeyMissedException (hbase/HBaseSchema.kt:133-136)."""
+    with pytest.raises(catalog.PrimaryKeyMissedError):
+        catalog.create_table(spark, "ktsql_test_nopk", [("k", "BIGINT", None)], None)
+    with pytest.raises(catalog.PrimaryKeyMissedError):
+        catalog.create_table(
+            spark, "ktsql_test_badpk", [("k", "BIGINT", None)], ("missing_col",)
+        )
+    assert not spark.catalog.tableExists("ktsql_test_nopk")
+
+
+def test_create_table_rejects_reserved_id_column(spark):
+    """Reference: IllegalColumnNameException for any-case 'id'
+    (hbase/HBaseSchema.kt:113-115)."""
+    for bad in ("id", "ID", "Id"):
+        with pytest.raises(catalog.IllegalColumnNameError):
+            catalog.create_table(
+                spark, "ktsql_test_idcol", [(bad, "BIGINT", None)], (bad,)
+            )
+    assert not spark.catalog.tableExists("ktsql_test_idcol")
+
+
+def test_create_table_persists_table_attributes(spark):
+    """table.sys analog attrs (PRIMARY/CHARSET/COMMENT/CREATE_TIME) must
+    round-trip through describe_table (hbase/HBaseTable.kt:209-219)."""
+    tbl = "ktsql_test_attrs"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    catalog.create_table(
+        spark,
+        tbl,
+        [("k", "BIGINT", None), ("v", "STRING", "'x'")],
+        ("k",),
+        comment="attr roundtrip",
+    )
+    try:
+        info = catalog.describe_table(spark, tbl)
+        assert info["primary"] == ("k",)
+        assert info["charset"] == "UTF-8"
+        assert info["comment"] == "attr roundtrip"
+        assert info["create_time"]  # recorded at create
+        defaults = {c.name: c.default for c in catalog.describe_columns(spark, tbl)}
+        assert defaults == {"k": None, "v": "'x'"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
