@@ -205,3 +205,11 @@ def test_embedding_neardup_is_bucketed(spark, sf_small):
 
     plan = formatted_plan(d05_embedding_neardup(spark, sf_small))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_flagship_semi_join_reduction(spark, sf_small):
+    """The ASIA predicate must reach customer/supplier as broadcast
+    LeftSemi joins BEFORE the fact joins (semi-join reduction), so the
+    big customer shuffle carries only qualifying nations."""
+    plan = formatted_plan(revenue_by_nation(spark, sf_small))
+    assert "LeftSemi" in plan, plan
