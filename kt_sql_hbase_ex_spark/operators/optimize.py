@@ -18,9 +18,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table
+from kt_sql_hbase_ex_spark.sources.catalog import load_table, table_path
 
 N_SALTS = 16
+
+
+def _layout_slug(sf_dir: str, table: str) -> str:
+    """Cache key for derived layouts (bucketed tables, partitioned/
+    z-ordered rewrites): full resolved source path + file mtime/size.
+    Keying on the basename alone would let two data roots sharing a
+    basename — or a regenerated fixture — silently serve a stale
+    layout; the fingerprint invalidates the cache whenever the source
+    parquet changes."""
+    import hashlib
+    import os
+    import re
+
+    p = os.path.realpath(table_path(sf_dir, table))
+    st = os.stat(p)
+    fp = hashlib.sha256(
+        f"{p}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    return f"{base}_{fp}"
+
+
+def _layout_cache_root(kind: str) -> str:
+    """Per-user temp root for derived layouts (the shared /tmp must not
+    let one user's cache shadow another's)."""
+    import os
+    import tempfile
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(), f"kt_sql_{kind}_u{uid}")
 
 
 @query(
@@ -72,17 +102,16 @@ def opt02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
     ``hbase/HBaseModifiableTable.kt:337-339``). The one-time bucketed
     write is the setup; every downstream run skips the shuffle
     (asserted by plan test: no Exchange above the scans)."""
-    import os
-    import re
-
     n_buckets = 8
-    # bucketed-table cache keyed by scale factor: a table built from one
-    # sf_dir must never serve another's query
-    slug = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
     from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
 
+    # bucketed-table cache keyed by source path + fingerprint: a table
+    # built from one sf_dir (or an older copy of it) must never serve
+    # another's query
+    tbls = {}
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"ktsql_bkt_{slug}_{name}"
+        tbl = f"ktsql_bkt_{_layout_slug(sf_dir, name)}_{name}"
+        tbls[name] = tbl
         if not spark.catalog.tableExists(tbl):
             # not in this session's catalog: also clear any orphan files a
             # previous process left in the warehouse, or the write fails
@@ -94,8 +123,8 @@ def opt02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
                 .sortBy(key)
                 .saveAsTable(tbl)
             )
-    o = spark.table(f"ktsql_bkt_{slug}_orders")
-    li = spark.table(f"ktsql_bkt_{slug}_lineitem")
+    o = spark.table(tbls["orders"])
+    li = spark.table(tbls["lineitem"])
     return (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
@@ -127,13 +156,10 @@ def opt03_partition_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame
     this is the first-order design decision: time-partitioned facts make
     every time-bounded query touch days, not the archive."""
     import os
-    import re
-    import tempfile
 
     from kt_sql_hbase_ex_spark.sources.catalog import load_table as _lt
 
-    slug = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    path = os.path.join(tempfile.gettempdir(), "kt_sql_part_layout", slug)
+    path = os.path.join(_layout_cache_root("part_layout"), _layout_slug(sf_dir, "events"))
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (
@@ -288,11 +314,10 @@ def opt06_zorder_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame
     predicates on *both* dimensions, at the cost of coarser per-dim
     clustering than a dedicated sort."""
     import os
-    import re
-    import tempfile
 
-    slug = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    path = os.path.join(tempfile.gettempdir(), "kt_sql_zorder_layout", slug)
+    path = os.path.join(
+        _layout_cache_root("zorder_layout"), _layout_slug(sf_dir, "lineitem")
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (

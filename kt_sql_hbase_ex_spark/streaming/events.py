@@ -62,12 +62,15 @@ def _stream_source_dir(sf_dir: str) -> str:
     )
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, "events.parquet")
-    # lexists: a broken symlink (stale testdata path) must be replaced,
-    # not tripped over
-    if os.path.lexists(link) and not os.path.exists(link):
+    target = table_path(sf_dir, "events")
+    # replace the symlink if broken (stale testdata path) or pointing at
+    # a different data root that shares this one's basename
+    if os.path.lexists(link) and (
+        not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(target)
+    ):
         os.unlink(link)
     if not os.path.lexists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+        os.symlink(target, link)
     return base
 
 

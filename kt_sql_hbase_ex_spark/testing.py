@@ -36,8 +36,12 @@ def _norm_value(v: object) -> object:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # representation-insensitive float compare: round to 6 significant-ish
-        # decimals (engines disagree in the last ulps after reordering sums)
+        # Round to 6 *decimal places* — an absolute tolerance that mirrors
+        # the driver's gate bit-for-bit. Absolute tolerance means every
+        # float-producing query/oracle pair must ROUND on both sides:
+        # an unrounded 1e8-magnitude sum can differ across engines by more
+        # than 1e-6 from summation reordering alone. _precision_risk()
+        # enforces that convention.
         return round(v, 6)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
@@ -57,6 +61,27 @@ def _norm_value(v: object) -> object:
     return v
 
 
+def _precision_risk(v: object) -> bool:
+    """True when a cell would make the 6-decimal absolute compare flaky.
+
+    A double of magnitude >= 1e4 whose fraction extends beyond 6 decimal
+    places is an unrounded aggregate: cross-engine summation reordering
+    perturbs it by ~|v|*1e-13..1e-10, which crosses the gate's 5e-7
+    rounding boundary. Such values must be ROUNDed in BOTH the Spark
+    query and the DuckDB oracle (the repo convention: 2dp for money,
+    up to 6dp for ratios)."""
+    if isinstance(v, float):
+        return (
+            not math.isnan(v)
+            and not math.isinf(v)
+            and abs(v) >= 1e4
+            and v != round(v, 6)
+        )
+    if isinstance(v, (list, tuple)):
+        return any(_precision_risk(x) for x in v)
+    return False
+
+
 @dataclass
 class ParityResult:
     name: str
@@ -64,12 +89,15 @@ class ParityResult:
     spark_rows: int
     oracle_rows: int
     mismatches: list[str] = field(default_factory=list)
+    precision_risks: list[str] = field(default_factory=list)
 
     def __str__(self) -> str:  # pragma: no cover
         status = "OK" if self.ok else "FAIL"
         msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
         for m in self.mismatches[:5]:
             msg += f"\n    {m}"
+        for m in self.precision_risks[:5]:
+            msg += f"\n    PRECISION-RISK {m}"
         return msg
 
 
@@ -99,6 +127,14 @@ def compare(
     def oracle_key(row):
         return tuple(_norm_value(row[col_idx[c]]) for c in oracle_cols)
 
+    precision_risks: list[str] = []
+    for row in spark_rows:
+        for c in spark_cols:
+            if _precision_risk(row[c]):
+                precision_risks.append(f"unrounded large float {c}={row[c]!r}")
+        if len(precision_risks) >= 5:
+            break
+
     s_vals = sorted((spark_key(r) for r in spark_rows), key=repr)
     o_vals = sorted((oracle_key(r) for r in oracle_rows_raw), key=repr)
     if len(s_vals) != len(o_vals):
@@ -111,7 +147,12 @@ def compare(
                     break
 
     return ParityResult(
-        name, not mismatches, len(spark_rows), len(oracle_rows_raw), mismatches
+        name,
+        not mismatches,
+        len(spark_rows),
+        len(oracle_rows_raw),
+        mismatches,
+        precision_risks,
     )
 
 

@@ -29,14 +29,21 @@ def test_query_matches_oracle(name, spark, con):
     result = check_query(name, spark, SF_ORACLE, con)
     _RESULTS[name] = result
     assert result.ok, str(result)
+    # Enforce the ROUND-both-sides convention: the 6-decimal compare is an
+    # *absolute* tolerance, so unrounded large-magnitude doubles would pass
+    # here by luck and flake at the driver. Fail loudly instead.
+    assert not result.precision_risks, str(result)
 
 
 def test_no_vacuous_queries():
     """Every oracle-checked query must return >0 rows at the gate scale —
     a 0-row match proves nothing about operator semantics. (Reuses the
     results of the parametrized run above; runs after it by definition
-    order.)"""
-    assert len(_RESULTS) == len(ALL)
+    order. Under ``-k`` selection / sharding / xdist only a subset of the
+    parametrized tests runs in this process, so check whatever is
+    present instead of demanding full coverage.)"""
+    if not _RESULTS:
+        pytest.skip("no parity results in this process (deselected)")
     empty = [
         name
         for name, result in _RESULTS.items()

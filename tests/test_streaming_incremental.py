@@ -160,9 +160,17 @@ def test_memory_sink_reuse_replaces_result(spark, sf_small):
     leak in long-lived sessions)."""
     from kt_sql_hbase_ex_spark.streaming.events import st01_tumbling_window
 
-    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    def sinks():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.isTemporary and t.name.startswith("sink_")
+        }
+
     st01_tumbling_window(spark, sf_small)
+    first = sinks()
+    assert "sink_st01" in first, first
     st01_tumbling_window(spark, sf_small)
-    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
-    new_sinks = {n for n in after - before if n.startswith("sink_")}
-    assert new_sinks == {"sink_st01"}, new_sinks
+    # the rerun must replace the registration, not add a second sink
+    # (sink_st01 may predate this test — only growth is the leak signal)
+    assert sinks() == first, (sinks(), first)
