@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.functions.scalar",
     "kt_sql_hbase_ex_spark.functions.udf",
     "kt_sql_hbase_ex_spark.sources.formats",
+    "kt_sql_hbase_ex_spark.sources.kvstore",
     "kt_sql_hbase_ex_spark.functions.text",
     "kt_sql_hbase_ex_spark.functions.dedup",
     "kt_sql_hbase_ex_spark.functions.pipeline",

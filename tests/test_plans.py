@@ -213,3 +213,19 @@ def test_flagship_semi_join_reduction(spark, sf_small):
     big customer shuffle carries only qualifying nations."""
     plan = formatted_plan(revenue_by_nation(spark, sf_small))
     assert "LeftSemi" in plan, plan
+
+
+def test_kv_source_pushdown_plan(spark, sf_small):
+    """src02: pushed predicates (key range, mktsegment equality) vanish
+    from the residual Filter, the residual (c_acctbal > 0) stays, and
+    the scan's column list excludes the unrequested c_name qualifier."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import src02_kv_pushdown_scan
+
+    plan = formatted_plan(src02_kv_pushdown_scan(spark, sf_small))
+    assert "ktsql_kv" in plan, plan
+    # key range + segment equality land in the scan's PushedFilters
+    assert "GreaterThanOrEqual(c_custkey,101)" in plan, plan
+    assert "LessThanOrEqual(c_custkey,900)" in plan, plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    assert "c_name" not in plan, plan  # qualifier never decoded
+    assert "> 0.0" in plan, plan  # residual evaluated by Spark
