@@ -314,3 +314,50 @@ def tr06_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pseudonym.alias("pseudonym"),
         F.replace(scrubbed, F.lit("{PSEUDONYM}"), pseudonym).alias("scrubbed_note"),
     )
+
+
+@query(
+    "tr07_domain_mixture",
+    oracle="""
+    WITH per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_chars_total,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS actual_frac,
+           ROUND((1.0 / COUNT(*) OVER ())
+                 / (n_docs * 1.0 / SUM(n_docs) OVER ()), 6) AS mix_weight
+    FROM per_source
+    """,
+)
+def tr07_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source corpus shares and the
+    sampling weight that rebalances them to a target mixture (uniform
+    here; any target vector drops in the same way). weight > 1 means
+    the source must be upsampled/repeated, < 1 downsampled — the knob
+    training-data pipelines tune (cf. DoReMi / The Pile's mixture
+    tables). The global window runs AFTER aggregation, over one row per
+    source (~tens) — a driver-sized relation, so the single-partition
+    window is free; the only real shuffle is the groupBy(source)
+    partial-agg."""
+    from pyspark.sql import Window as W
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+    w = W.partitionBy()
+    actual = F.col("n_docs") / F.sum("n_docs").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(actual, 6).alias("actual_frac"),
+        F.round(target / actual, 6).alias("mix_weight"),
+    )

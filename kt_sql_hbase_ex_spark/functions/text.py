@@ -330,3 +330,63 @@ def t08_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
     )
+
+
+@query(
+    "t09_repetition_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+               AS dup_token_frac,
+           CASE WHEN len(toks) >= 2
+                THEN ROUND(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 4)
+                ELSE 0.0 END AS dup_bigram_frac,
+           (1.0 - len(list_distinct(toks)) * 1.0 / len(toks)) <= 0.6
+               AND (len(toks) < 2 OR
+                    1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs) <= 0.05)
+               AS keep
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]) AS bgs
+        FROM documents
+    )
+    """,
+)
+def t09_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-token and
+    duplicate-bigram fractions plus the keep verdict — the quality rule
+    that kills boilerplate/spam before training. Everything is
+    higher-order array functions on the row (split → array_distinct →
+    transform for bigrams): zero shuffles, zero Python, so at 100 TB
+    this runs at scan speed as a map-side stage of the ingest pipeline
+    (cf. t03's length/stopword scores; the two compose into one pass).
+    Reference: no analog — Lucene indexed text, it never scored it
+    (``index/lucene/HBaseDirectory.kt``)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split("text", " "))
+    d = d.withColumn(
+        "bgs",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            ),
+        ).otherwise(F.expr("array()")),
+    )
+    dup_tok = 1.0 - F.array_size(F.array_distinct("toks")) / F.array_size("toks")
+    dup_bg = F.when(
+        F.size("toks") >= 2,
+        1.0 - F.array_size(F.array_distinct("bgs")) / F.array_size("bgs"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.array_size("toks").cast("bigint").alias("n_tokens"),
+        F.round(dup_tok, 4).alias("dup_token_frac"),
+        F.round(dup_bg, 4).alias("dup_bigram_frac"),
+        ((dup_tok <= 0.6) & (dup_bg <= 0.05)).alias("keep"),
+    )
