@@ -327,3 +327,45 @@ def f13_error_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("try_divide(p_retailprice, p_size - 5)"), 6).alias("safe_div"),
         F.expr("try_element_at(split(p_type, ' '), 5)").alias("word5"),
     )
+
+
+@query(
+    "f14_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f14_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4's VARIANT type: ``parse_json``
+    once into a binary-encoded variant, then typed ``variant_get`` path
+    extraction — unlike ``get_json_object`` (re-parses the string per
+    access) the parse cost is paid once per row however many paths are
+    read, and the encoding is columnar-shreddable. ``try_variant_get``
+    on an absent path yields NULL instead of failing the job (same
+    untrusted-data rule as f13). The reference stored JSON as opaque
+    HBase qualifiers with no path access at all (SURVEY §1.3)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(pv, '$.missing', 'string')").alias("missing"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+    )

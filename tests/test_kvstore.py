@@ -103,3 +103,93 @@ def test_empty_range_yields_one_empty_partition():
     rd.pushFilters([GreaterThanOrEqual(("c_custkey",), 10**9)])
     parts = rd.partitions()
     assert len(parts) == 1 and parts[0].tuples == []
+
+
+# ---------------------------------------------------------------------------
+# Property: pushdown split correctness. For ANY conjunction of supported
+# and unsupported filters, (rows surviving the store's pushed subset)
+# ∧ (residual filters) must equal a naive full evaluation — i.e. the
+# reader may move work, never change it. Pure Python, no session.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.datasource import GreaterThan as GT
+from pyspark.sql.datasource import GreaterThanOrEqual as GTE
+from pyspark.sql.datasource import LessThan as LT
+from pyspark.sql.datasource import LessThanOrEqual as LTE
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField
+
+from kt_sql_hbase_ex_spark.sources.kvstore import KVStore
+
+_SEGS = ("A", "B", "C")
+
+
+def _mk_store(rows):
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seg", StringType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    dicts = [{"k": k, "seg": _SEGS[s % 3], "v": v} for k, s, v in rows]
+    return KVStore("prop", schema, "k", dicts, region_size=4)
+
+
+_KEY = st.integers(min_value=0, max_value=30)
+_ROWS = st.lists(
+    st.tuples(_KEY, st.integers(0, 2), st.integers(-5, 5)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+def _filter_strategy():
+    key_cmp = st.builds(
+        lambda cls, v: cls(("k",), v),
+        st.sampled_from([EqualTo, GT, GTE, LT, LTE]),
+        _KEY,
+    )
+    seg_eq = st.builds(lambda v: EqualTo(("seg",), v), st.sampled_from(_SEGS))
+    seg_in = st.builds(lambda vs: In(("seg",), tuple(vs)),
+                       st.lists(st.sampled_from(_SEGS), min_size=1, max_size=2))
+    v_gt = st.builds(lambda v: GT(("v",), v), st.integers(-5, 5))  # residual
+    return st.lists(st.one_of(key_cmp, seg_eq, seg_in, v_gt), max_size=5)
+
+
+def _naive_eval(row, f):
+    x = row[f.attribute[0]]
+    if isinstance(f, EqualTo):
+        return x == f.value
+    if isinstance(f, In):
+        return x in f.value
+    if isinstance(f, GT):
+        return x > f.value
+    if isinstance(f, GTE):
+        return x >= f.value
+    if isinstance(f, LT):
+        return x < f.value
+    if isinstance(f, LTE):
+        return x <= f.value
+    raise AssertionError(f)
+
+
+@given(rows=_ROWS, filters=_filter_strategy())
+@settings(max_examples=200, deadline=None)
+def test_pushdown_never_changes_semantics(rows, filters):
+    store = _mk_store(rows)
+    rd = KVScanReader(store, store.schema)
+    residual = list(rd.pushFilters(list(filters)))
+    cols = [f.name for f in store.schema.fields]
+    got = sorted(
+        dict(zip(cols, t))["k"]
+        for p in rd.partitions()
+        for t in p.tuples
+        if all(_naive_eval(dict(zip(cols, t)), f) for f in residual)
+    )
+    want = sorted(
+        r["k"] for r in store.rows if all(_naive_eval(r, f) for f in filters)
+    )
+    assert got == want
