@@ -464,3 +464,130 @@ def sim03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
     )
+
+
+N_PROBE_LAYOUT = 2  # narrower probe than sim03 — the layout demo reads 2/16 cells
+
+
+@query(
+    "sim04_ivf_partitioned_layout",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({{cos_ec}}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({{cos_ec}}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id IN {QUERY_VEC_IDS}) t
+        WHERE rn <= {N_PROBE_LAYOUT}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {{cos_qn}} AS c,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                   ORDER BY ROUND({{cos_qn}}, 6) DESC, cand.neighbor_id) AS rnk
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id
+    ) t
+    WHERE rnk <= {TOP_K}
+    """.format(
+        cos_ec=_COSINE_SQL.format(a="e.v", b="cent.cv"),
+        cos_qn=_COSINE_SQL.format(a="qe.v", b="ne.v"),
+    ),
+)
+def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index *as storage layout*: the cell assignment sim03
+    computes per query is written ONCE as a parquet layout partitioned
+    by cell (the Delta/Iceberg CLUSTER BY analog for vectors); the
+    probe step then joins the layout on its partition column against
+    the broadcast probe-cell set, so Catalyst's dynamic partition
+    pruning drops non-probed cells at the *scan* — the query reads
+    {N_PROBE_LAYOUT}/{N_CELLS} of the corpus with no driver-side cell
+    enumeration (pinned by plan test: dynamicpruning in
+    PartitionFilters). At 100 TB this is how ANN serving actually
+    scales: the index is the directory structure, task count ∝ probed
+    cells. Same assign/probe/rerank math as sim03 (6dp rounding before
+    every argmax), narrower probe ({N_PROBE_LAYOUT} cells)."""
+    from kt_sql_hbase_ex_spark.operators.optimize import (
+        _layout_cache_root,
+        _layout_slug,
+    )
+    import os
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    path = os.path.join(
+        _layout_cache_root("ivf_layout"), _layout_slug(sf_dir, "embeddings")
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        scored = e.join(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+        )
+        assign = scored.groupBy("vec_id").agg(
+            F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias(
+                "cell"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+        # one-time clustered write; every query after this reads probed
+        # cells only (the index build of a real ANN system)
+        assign.write.mode("overwrite").partitionBy("cell").parquet(path)
+    layout = spark.read.parquet(path)
+
+    scored_cells = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+    )
+    from pyspark.sql import Window as W
+
+    w_probe = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    probes = (
+        scored_cells.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE_LAYOUT)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        layout.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select("query_id", "neighbor_id", _cosine_spark("qv", "nv").alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("c", 6).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
+    )

@@ -229,3 +229,16 @@ def test_kv_source_pushdown_plan(spark, sf_small):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
     assert "c_name" not in plan, plan  # qualifier never decoded
     assert "> 0.0" in plan, plan  # residual evaluated by Spark
+
+
+def test_ivf_layout_dynamic_partition_pruning(spark, sf_small):
+    """sim04: the probe join must prune the cell-partitioned layout at
+    the scan via dynamic partition pruning — the query reads probed
+    cells only, with no driver-side cell enumeration."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        sim04_ivf_partitioned_layout,
+    )
+
+    df = sim04_ivf_partitioned_layout(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
