@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table, table_path
+from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table, table_path
 
 N_SALTS = 16
 
@@ -345,4 +345,69 @@ def opt06_zorder_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("px", "sy")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+HOT_KEY = "purchase"
+HOT_AMP = 12  # hot-key amplification: stands in for a production hot key
+
+
+@query(
+    "opt07_aqe_skew_join",
+    oracle=f"""
+    WITH amplified AS (
+        SELECT e.event_type, e.value
+        FROM events e,
+             unnest(generate_series(1, CASE WHEN e.event_type = '{HOT_KEY}'
+                                            THEN {HOT_AMP} ELSE 1 END)) AS t(i)
+    ),
+    means AS (
+        SELECT event_type, AVG(value) AS mean_v FROM amplified GROUP BY event_type
+    )
+    SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM amplified a JOIN means m ON m.event_type = a.event_type
+    WHERE a.value > m.mean_v
+    GROUP BY a.event_type
+    """,
+)
+def opt07_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join handling — the join-side complement of opt01's
+    aggregation salting. One join key ({HOT_KEY}) is amplified
+    {HOT_AMP}x (the fixture's types are uniform; production hot keys are
+    not), so its shuffle partition dwarfs the median and would serialize
+    the whole stage on one task. With AQE skew handling the runtime
+    splits that partition across tasks by mapper range and duplicates
+    the matching build rows — no salting rewrite, no code change, the
+    optimizer re-plans from actual shuffle statistics. The plan pin
+    (tests/test_plans.py) executes this query with the skew thresholds
+    scaled to fixture bytes (production defaults are 256 MB-scale) and
+    asserts the final adaptive plan marks the join skew=true.
+    Correctness never depends on the skew path: this oracle-checked
+    query runs green with or without it."""
+    e = fan_out(load_table(spark, sf_dir, "events")).select("event_type", "value")
+    amplified = e.withColumn(
+        "i",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.when(F.col("event_type") == HOT_KEY, HOT_AMP).otherwise(1),
+            )
+        ),
+    ).drop("i")
+    # the repartition is a materialization boundary: without it the agg's
+    # own hash partitioning satisfies the join requirement and the join
+    # child is the agg itself — AQE's OptimizeSkewedJoin only rewrites
+    # joins whose children are plain shuffle reads, so the boundary is
+    # what lets the runtime split the skewed side (4 is arbitrary: the
+    # ENSURE_REQUIREMENTS exchange above it re-partitions by key anyway)
+    means = (
+        amplified.groupBy(F.col("event_type").alias("m_type"))
+        .agg(F.avg("value").alias("mean_v"))
+        .repartition(4)
+    )
+    return (
+        amplified.join(means, F.col("event_type") == F.col("m_type"))
+        .filter(F.col("value") > F.col("mean_v"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_above"))
     )

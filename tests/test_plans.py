@@ -242,3 +242,31 @@ def test_ivf_layout_dynamic_partition_pruning(spark, sf_small):
     df = sim04_ivf_partitioned_layout(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_oracle):
+    """opt07: with skew thresholds scaled to fixture bytes (production
+    defaults are 256 MB-scale), the final adaptive plan must mark the
+    join skew=true and read the hot partition via AQEShuffleRead skewed
+    — the runtime split that un-serializes a hot-key stage."""
+    from kt_sql_hbase_ex_spark.operators.optimize import opt07_aqe_skew_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = opt07_aqe_skew_join(spark, sf_oracle)
+        df.collect()  # AQE decides from runtime shuffle stats
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
