@@ -361,3 +361,59 @@ def tr07_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(actual, 6).alias("actual_frac"),
         F.round(target / actual, 6).alias("mix_weight"),
     )
+
+
+PACK_BUDGET = 256  # tokens per training sequence (context-window budget)
+
+
+@query(
+    "tr08_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY source, pack_id
+    """,
+)
+def tr08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents are packed into {PACK_BUDGET}-token
+    training sequences by contiguous fill — a doc belongs to the pack
+    its starting offset falls in (cumulative tokens over a deterministic
+    doc_id order), so packs fill to the budget and a straddling doc
+    spills into the next. Packing runs PER SOURCE (window partitioned by
+    source, not global): that is the form that scales — each source's
+    docs pack independently on its own executor group, no total order
+    over 100 TB, and it matches how pipelines shard packing by domain or
+    file anyway. Report: docs and tokens per pack (the trainer's
+    sequence-fill profile)."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = d.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET).cast("bigint"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

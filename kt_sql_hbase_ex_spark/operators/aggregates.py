@@ -368,3 +368,65 @@ def a13_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+@query(
+    "a14_hll_sketch_union",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_regionkey, c.c_nationkey,
+               COUNT(DISTINCT c.c_custkey) AS nation_exact
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT r.r_name,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_tolerance
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a14_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes approximate
+    distinct-counting work at 100 TB: per-nation HLL sketches
+    (``hll_sketch_agg``, Apache DataSketches binary) are built once,
+    then rolled up to region level by ``hll_union_agg`` WITHOUT
+    re-touching the fact table — the two-level rollup pattern of a
+    standing pipeline (daily sketches → monthly union → quarterly
+    union), impossible with exact COUNT(DISTINCT) whose partials
+    aren't unions. Like a04, the estimate is engine-specific, so the
+    query emits the exact count + a tolerance flag on the unioned
+    estimate (HLL lgK=12 ⇒ rse ~1.6%; 5% bound) and the oracle predicts
+    exact + all-true."""
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        c.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"))
+    )
+    per_region = (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_customers"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    exact = (
+        c.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact_customers"))
+        .withColumnRenamed("n_regionkey", "e_regionkey")
+    )
+    return (
+        per_region.join(exact, F.col("n_regionkey") == F.col("e_regionkey"))
+        .select(
+            "r_name",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("within_tolerance"),
+        )
+    )
