@@ -534,3 +534,94 @@ def c10_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "c11_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def c11_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a revenue view per supplier, then
+    the supplier(s) whose revenue equals the view's max — an aggregate
+    consumed twice (as join input and inside a scalar subquery).
+    Catalyst evaluates the MAX subquery as its own tiny job over the
+    ~supplier-count aggregate and folds the result in as a literal, so
+    the fact table is scanned once; revenue is rounded to 2dp BEFORE
+    the max comparison on both engines so a last-ulp difference can't
+    flip which supplier wins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    revenue.createOrReplaceTempView("c11_revenue")
+    s = load_table(spark, sf_dir, "supplier")
+    s.createOrReplaceTempView("c11_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM c11_supplier s JOIN c11_revenue r ON r.supplier_no = s.s_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM c11_revenue)
+        """
+    )
+
+
+@query(
+    "c12_prospective_customers",
+    oracle="""
+    WITH threshold AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def c12_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with above-
+    average positive balance and no RECENT orders (every fixture
+    customer has some order, so the anti-join is anchored on the lapsed-
+    since-2000 window) — a scalar-average subquery (evaluated once,
+    folded to a literal) feeding an anti-join against the filtered
+    fact. At scale the orders side reduces to its distinct recent
+    custkey set map-side before the anti-join probes it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("c12_customer")
+    o.createOrReplaceTempView("c12_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM c12_customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM c12_customer
+                             WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM c12_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment
+        """
+    )
