@@ -41,6 +41,7 @@ from typing import Any, Iterable, Iterator, List, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -50,6 +51,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -195,10 +197,41 @@ class KVScanReader(DataSourceReader):
         return iter(partition.tuples)
 
 
+def overlay_path(options) -> str:
+    """The store's write overlay (its HBase-flush analog): committed
+    writes land in a side parquet next to the immutable base; readers
+    merge overlay-over-base by rowkey. Keyed by the base fingerprint so
+    a regenerated base orphans the old overlay."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.realpath(options["path"])
+    st = os.stat(path)
+    fp = hashlib.sha256(f"{path}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[
+        :16
+    ]
+    uid = getattr(os, "getuid", lambda: 0)()
+    root = os.path.join(tempfile.gettempdir(), f"kt_sql_kv_overlay_u{uid}")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{fp}.parquet")
+
+
+def truncate_overlay(options) -> None:
+    """Drop all committed writes, restoring the store to its base
+    (the bulk-load pattern: TRUNCATE + load)."""
+    import os
+
+    p = overlay_path(options)
+    if os.path.exists(p):
+        os.unlink(p)
+
+
 def _open_store(options) -> KVStore:
-    """Open (or reuse) the store an options bundle names. Cache key =
-    resolved path + mtime + size + column/key config, so a regenerated
-    source file is never served stale."""
+    """Open (or reuse) the store an options bundle names, merging any
+    committed write overlay over the base. Cache key = resolved path +
+    mtime + size + overlay mtime + column/key config, so neither a
+    regenerated source file nor a fresh write is ever served stale."""
     import os
 
     path = os.path.realpath(options["path"])
@@ -206,22 +239,100 @@ def _open_store(options) -> KVStore:
     columns = tuple(options["columns"].split(","))
     region_size = int(options.get("regionsize", "512"))
     st = os.stat(path)
-    cache_key = (path, st.st_mtime_ns, st.st_size, key_col, columns, region_size)
+    opath = overlay_path(options)
+    try:
+        ost = os.stat(opath)
+        overlay_sig = (ost.st_mtime_ns, ost.st_size)
+    except FileNotFoundError:
+        overlay_sig = None
+    cache_key = (
+        path, st.st_mtime_ns, st.st_size, overlay_sig, key_col, columns, region_size,
+    )
     store = _STORE_CACHE.get(cache_key)
     if store is None:
         store = load_kv_store_from_parquet(
             f"kv:{path}", path, key_col, columns, region_size=region_size
         )
+        if overlay_sig is not None:
+            import pyarrow.parquet as pq
+
+            merged = {r[key_col]: r for r in store.rows}
+            for r in pq.read_table(opath, columns=list(columns)).to_pylist():
+                merged[r[key_col]] = r
+            store = KVStore(
+                store.name, store.schema, key_col, list(merged.values()),
+                region_size=region_size,
+            )
         _STORE_CACHE[cache_key] = store
     return store
 
 
+class KVWriteMessage(WriterCommitMessage):
+    """One task's staged rows — the DSv2 two-phase write: tasks stage,
+    the driver-side commit makes ALL of them visible atomically (or none
+    on abort). Statement-sized batches only travel this path (the dml04
+    contract); a bulk load at scale writes per-partition store files
+    (HBase bulk-load HFiles) and commits their manifest instead."""
+
+    def __init__(self, rows: List[dict]):
+        self.rows = rows
+
+
+class KVUpsertWriter(DataSourceWriter):
+    """Append mode = upsert-by-rowkey (HBase Put semantics: a write to an
+    existing key replaces the row, a new key inserts). Committed rows
+    land in the store's overlay parquet via atomic rename; readers merge
+    overlay-over-base, so a torn write is never visible."""
+
+    def __init__(self, options) -> None:
+        self._options = dict(options)
+        self._key = options["keycol"]
+        self._columns = list(options["columns"].split(","))
+
+    def write(self, iterator) -> KVWriteMessage:
+        rows = []
+        for row in iterator:
+            d = row.asDict()
+            missing = [c for c in self._columns if c not in d]
+            if missing:
+                raise ValueError(f"write missing store columns: {missing}")
+            if d[self._key] is None:
+                raise ValueError("rowkey must not be null")  # HBase Put rule
+            rows.append({c: d[c] for c in self._columns})
+        return KVWriteMessage(rows)
+
+    def commit(self, messages) -> None:
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        merged: dict = {}
+        opath = overlay_path(self._options)
+        if os.path.exists(opath):  # upserts accumulate across statements
+            for r in pq.read_table(opath).to_pylist():
+                merged[r[self._key]] = r
+        for m in messages:
+            if m is not None:
+                for r in m.rows:
+                    merged[r[self._key]] = r
+        rows = sorted(merged.values(), key=lambda r: r[self._key])
+        tbl = pa.Table.from_pylist(rows) if rows else None
+        if tbl is not None:
+            tmp = opath + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, opath)  # atomic visibility
+
+    def abort(self, messages) -> None:
+        pass  # nothing staged outside the messages: free rollback
+
+
 class KVDataSource(DataSource):
-    """``spark.read.format("ktsql_kv")`` with options naming the external
-    store (``path``, ``keyCol``, ``columns``, ``regionSize``) — the
-    connector opens it itself, exactly as an HBase connector receives a
-    quorum + table name, not a live object (the DataSource runs in a
-    separate planning worker, so options are the only channel)."""
+    """``spark.read.format("ktsql_kv")`` / ``df.write.format("ktsql_kv")``
+    with options naming the external store (``path``, ``keyCol``,
+    ``columns``, ``regionSize``) — the connector opens it itself,
+    exactly as an HBase connector receives a quorum + table name, not a
+    live object (the DataSource runs in a separate planning worker, so
+    options are the only channel)."""
 
     @classmethod
     def name(cls) -> str:
@@ -232,6 +343,14 @@ class KVDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return KVScanReader(_open_store(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "overwrite is not part of the HBase write model; use "
+                "truncate_overlay() + append for bulk reload"
+            )
+        return KVUpsertWriter(self.options)
 
 
 def register_kv_source(spark) -> None:
@@ -347,4 +466,69 @@ def src02_kv_pushdown_scan(spark, sf_dir: str):
             F.count("*").alias("n_cust"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
+    )
+
+
+VIP_KEY_MAX = 50   # custkeys <= this get the VIP upsert
+NEW_KEY_BASE = 900000
+N_NEW_CUSTOMERS = 10
+
+
+@query(
+    "src03_kv_write_roundtrip",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey > {VIP_KEY_MAX}
+        UNION ALL
+        SELECT c_custkey, 'VIP', 999.99
+        FROM customer WHERE c_custkey <= {VIP_KEY_MAX}
+        UNION ALL
+        SELECT {NEW_KEY_BASE} + i, 'VIP', 100.0
+        FROM generate_series(1, {N_NEW_CUSTOMERS}) t(i)
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM store GROUP BY c_mktsegment
+    """,
+)
+def src03_kv_write_roundtrip(spark, sf_dir: str):
+    """Bulk write THROUGH the connector (the reference's modifiable-table
+    half, ``hbase/HBaseModifiableTable.kt`` toModificationRel): an
+    update batch (VIP re-segmentation of custkeys <= {VIP_KEY_MAX}, Put
+    = replace) plus an insert batch ({N_NEW_CUSTOMERS} new customers)
+    goes through the DSv2 two-phase write — executor tasks stage rows,
+    the driver commit publishes the overlay atomically — and the read
+    back through the same connector sees overlay-over-base merged by
+    rowkey. The overlay is truncated first so the statement is the
+    TRUNCATE + bulk-load pattern and re-runs are hermetic. The change
+    source reads the store WITH pushdown (the custkey range prunes
+    regions even for the update's input scan)."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    opts = customer_store_options(sf_dir)
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
+
+    base = spark.read.format(FORMAT_NAME).options(**opts).load()
+    vip = (
+        base.filter(F.col("c_custkey") <= VIP_KEY_MAX)
+        .withColumn("c_mktsegment", F.lit("VIP"))
+        .withColumn("c_acctbal", F.lit(999.99))
+    )
+    new = spark.range(1, N_NEW_CUSTOMERS + 1).select(
+        (F.lit(NEW_KEY_BASE) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("NewCustomer#"), F.col("id")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(100.0).alias("c_acctbal"),
+        F.lit("VIP").alias("c_mktsegment"),
+    )
+    changes = vip.select(*new.columns).unionByName(new)
+    changes.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )

@@ -193,3 +193,73 @@ def test_pushdown_never_changes_semantics(rows, filters):
         r["k"] for r in store.rows if all(_naive_eval(r, f) for f in filters)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Writer: two-phase commit into the overlay, merged by the reader.
+# Driver-side only (no session): the writer's write/commit protocol is
+# plain Python, and _open_store shows what a subsequent scan would see.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Row
+
+from kt_sql_hbase_ex_spark.sources.kvstore import (
+    KVUpsertWriter,
+    _open_store,
+    customer_store_options,
+    truncate_overlay,
+)
+
+
+def _opts():
+    return {k.lower(): v for k, v in customer_store_options(SF_SMALL).items()}
+
+
+def _mk_row(k, seg="VIP", bal=999.99):
+    return Row(
+        c_custkey=k, c_name=f"X#{k}", c_nationkey=0, c_acctbal=bal, c_mktsegment=seg
+    )
+
+
+def test_write_commit_visible_and_upserts_accumulate():
+    opts = _opts()
+    truncate_overlay(opts)
+    try:
+        w = KVUpsertWriter(opts)
+        m = w.write(iter([_mk_row(1), _mk_row(99001)]))
+        w.commit([m])
+        store = _open_store(opts)
+        by_key = {r["c_custkey"]: r for r in store.rows}
+        assert by_key[1]["c_mktsegment"] == "VIP"  # Put replaced
+        assert by_key[99001]["c_name"] == "X#99001"  # Put inserted
+        # a second statement accumulates (true upsert, not replace-all)
+        w2 = KVUpsertWriter(opts)
+        w2.commit([w2.write(iter([_mk_row(2, bal=1.0)]))])
+        store2 = _open_store(opts)
+        by_key2 = {r["c_custkey"]: r for r in store2.rows}
+        assert by_key2[2]["c_acctbal"] == 1.0 and by_key2[99001] is not None
+    finally:
+        truncate_overlay(opts)
+
+
+def test_uncommitted_write_never_visible():
+    opts = _opts()
+    truncate_overlay(opts)
+    try:
+        n_before = len(_open_store(opts).rows)
+        w = KVUpsertWriter(opts)
+        staged = w.write(iter([_mk_row(77001)]))  # staged, not committed
+        w.abort([staged])
+        assert len(_open_store(opts).rows) == n_before
+    finally:
+        truncate_overlay(opts)
+
+
+def test_write_rejects_null_rowkey_and_missing_columns():
+    import pytest as _pytest
+
+    w = KVUpsertWriter(_opts())
+    with _pytest.raises(ValueError, match="rowkey"):
+        w.write(iter([_mk_row(None)]))
+    with _pytest.raises(ValueError, match="missing store columns"):
+        w.write(iter([Row(c_custkey=1, c_name="x")]))
