@@ -227,11 +227,48 @@ def truncate_overlay(options) -> None:
         os.unlink(p)
 
 
+#: overlay marker column: a row with this flag true is an HBase Delete
+#: tombstone — the reader drops the key instead of upserting it
+TOMBSTONE = "__deleted"
+
+
+def delete_from_store(options, keys) -> None:
+    """HBase Delete analog: write tombstones for ``keys`` into the
+    overlay (merged with existing overlay state, atomic rename publish).
+    Deletes are writes in an LSM/HBase store — the base file is never
+    rewritten; the reader drops tombstoned keys at merge time and a
+    (real) compaction would reclaim them later."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    key_col = opts["keycol"]
+    columns = list(opts["columns"].split(","))
+    opath = overlay_path(opts)
+    merged: dict = {}
+    if os.path.exists(opath):
+        for r in pq.read_table(opath).to_pylist():
+            merged[r[key_col]] = r
+    for k in keys:
+        row = {c: None for c in columns}
+        row[key_col] = k
+        row[TOMBSTONE] = True
+        merged[k] = row
+    rows = sorted(merged.values(), key=lambda r: r[key_col])
+    for r in rows:  # normalize: upsert rows carry an explicit false flag
+        r.setdefault(TOMBSTONE, False)
+    tmp = opath + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows), tmp)
+    os.replace(tmp, opath)
+
+
 def _open_store(options) -> KVStore:
     """Open (or reuse) the store an options bundle names, merging any
-    committed write overlay over the base. Cache key = resolved path +
-    mtime + size + overlay mtime + column/key config, so neither a
-    regenerated source file nor a fresh write is ever served stale."""
+    committed write overlay over the base (tombstones drop keys). Cache
+    key = resolved path + mtime + size + overlay mtime + column/key
+    config, so neither a regenerated source file nor a fresh write is
+    ever served stale."""
     import os
 
     path = os.path.realpath(options["path"])
@@ -257,8 +294,11 @@ def _open_store(options) -> KVStore:
             import pyarrow.parquet as pq
 
             merged = {r[key_col]: r for r in store.rows}
-            for r in pq.read_table(opath, columns=list(columns)).to_pylist():
-                merged[r[key_col]] = r
+            for r in pq.read_table(opath).to_pylist():
+                if r.get(TOMBSTONE):
+                    merged.pop(r[key_col], None)
+                else:
+                    merged[r[key_col]] = {c: r[c] for c in columns}
             store = KVStore(
                 store.name, store.schema, key_col, list(merged.values()),
                 region_size=region_size,
@@ -314,8 +354,10 @@ class KVUpsertWriter(DataSourceWriter):
         for m in messages:
             if m is not None:
                 for r in m.rows:
-                    merged[r[self._key]] = r
+                    merged[r[self._key]] = r  # a Put over a tombstone revives
         rows = sorted(merged.values(), key=lambda r: r[self._key])
+        for r in rows:
+            r.setdefault(TOMBSTONE, False)
         tbl = pa.Table.from_pylist(rows) if rows else None
         if tbl is not None:
             tmp = opath + ".tmp"
@@ -449,9 +491,13 @@ def src02_kv_pushdown_scan(spark, sf_dir: str):
 
     register_kv_source(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    opts = customer_store_options(sf_dir)
+    # hermetic: this query's oracle describes the pristine base, so drop
+    # any overlay a write-path query (src03/src04) left behind
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
     df = (
         spark.read.format(FORMAT_NAME)
-        .options(**customer_store_options(sf_dir))
+        .options(**opts)
         .schema("c_custkey bigint, c_nationkey int, c_acctbal double, c_mktsegment string")
         .load()
     )
@@ -531,4 +577,40 @@ def src03_kv_write_roundtrip(spark, sf_dir: str):
     return after.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+DELETE_KEY_MAX = 100  # custkeys <= this are tombstoned by src04
+
+
+@query(
+    "src04_kv_delete_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer WHERE c_custkey > {DELETE_KEY_MAX}
+    GROUP BY c_mktsegment
+    """,
+)
+def src04_kv_delete_roundtrip(spark, sf_dir: str):
+    """Delete THROUGH the connector (the reference's Delete mutation,
+    ``hbase/HBaseModifiableTable.kt`` toModificationRel): custkeys <=
+    {DELETE_KEY_MAX} get tombstones written to the overlay — deletes
+    are writes in an LSM/HBase store, the base is never rewritten — and
+    the read back drops them at merge time (compaction's job later).
+    min_key per segment proves the tombstoned range really vanished
+    rather than the counts merely shrinking."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    opts = customer_store_options(sf_dir)
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)
+    delete_from_store(lopts, range(0, DELETE_KEY_MAX + 1))  # custkeys start at 0
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
     )

@@ -263,3 +263,24 @@ def test_write_rejects_null_rowkey_and_missing_columns():
         w.write(iter([_mk_row(None)]))
     with _pytest.raises(ValueError, match="missing store columns"):
         w.write(iter([Row(c_custkey=1, c_name="x")]))
+
+
+def test_delete_tombstones_and_put_revives():
+    from kt_sql_hbase_ex_spark.sources.kvstore import delete_from_store
+
+    opts = _opts()
+    truncate_overlay(opts)
+    try:
+        n_before = len(_open_store(opts).rows)
+        delete_from_store(opts, [3, 5])
+        store = _open_store(opts)
+        assert len(store.rows) == n_before - 2
+        assert 3 not in store.keys and 5 not in store.keys
+        # a Put over a tombstone revives the key (HBase timeline order)
+        w = KVUpsertWriter(opts)
+        w.commit([w.write(iter([_mk_row(3)]))])
+        store2 = _open_store(opts)
+        assert 3 in store2.keys and 5 not in store2.keys
+        assert len(store2.rows) == n_before - 1
+    finally:
+        truncate_overlay(opts)
