@@ -591,3 +591,95 @@ def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
     )
+
+
+K_STEP = 8  # clusters for the training-step demo
+EMB_DIM = 64
+
+
+@query(
+    "sim05_kmeans_step",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_STEP}),
+    assign0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent0.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_COSINE_SQL.format(a="e.v", b="cent0.cv")}, 6)
+                                DESC, cent0.cid) AS rn
+            FROM e CROSS JOIN cent0) t
+        WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.cid, t.i, AVG(e.v[t.i]) AS val
+        FROM assign0 a JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) t(i)
+        GROUP BY a.cid, t.i
+    ),
+    cent1 AS (SELECT cid, list(val ORDER BY i) AS nv FROM comp GROUP BY cid),
+    sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM assign0 GROUP BY cid)
+    SELECT s.cid, s.n_members,
+           ROUND(sqrt(list_dot_product(c1.nv, c1.nv)), 4) AS centroid_norm,
+           ROUND({_COSINE_SQL.format(a="c1.nv", b="c0.cv")}, 4) AS drift_cos
+    FROM sizes s JOIN cent1 c1 USING (cid) JOIN cent0 c0 USING (cid)
+    """,
+)
+def sim05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration — the k-means training step
+    sim03/sim04 freeze out of their query paths: assign every vector to
+    its nearest current centroid (broadcast centroids, map-side scoring,
+    ``max_by`` partial-agg argmax — the corpus never shuffles vectors
+    for assignment), then recompute centroids as element-wise means
+    (posexplode → (cid, dim) partial averages: the one shuffle, sized
+    K x dim, independent of corpus size). Output per cluster: member
+    count, new-centroid norm, and drift (cosine between old and new
+    centroid — the convergence signal a training loop would threshold).
+    Full training = this step iterated with ``localCheckpoint`` per
+    round (the d06 pattern); cosines round to 6dp before every argmax
+    so assignment ties can't flip across engines."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent0 = e.filter(F.col("vec_id") < K_STEP).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = e.join(F.broadcast(cent0)).select(
+        "vec_id",
+        "cid",
+        F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias("cid")
+    )
+    members = assign.join(e, "vec_id").select(
+        "cid", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = (
+        members.select("cid", F.posexplode("v").alias("i", "val"))
+        .groupBy("cid", "i")
+        .agg(F.avg("val").alias("val"))
+    )
+    cent1 = comp.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "val"))), lambda s: s["val"]
+        ).alias("nv")
+    )
+    sizes = members.groupBy("cid").agg(F.count("*").alias("n_members"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    out = (
+        sizes.join(cent1, "cid")
+        .join(F.broadcast(cent0.select("cid", F.col("cv").cast("array<double>").alias("cv"))), "cid")
+    )
+    nv, cv = F.col("nv"), F.col("cv")
+    return out.select(
+        "cid",
+        "n_members",
+        F.round(F.sqrt(_dot(nv, nv)), 4).alias("centroid_norm"),
+        F.round(
+            _dot(nv, cv) / (F.sqrt(_dot(nv, nv)) * F.sqrt(_dot(cv, cv))), 4
+        ).alias("drift_cos"),
+    )
