@@ -184,3 +184,49 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE))
         ).alias("fi"),
     ).select("media_id", F.col("fi").cast("bigint").alias("frame_idx"))
+
+
+@query(
+    "mm04_payload_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_format,
+               sha256(text) AS digest
+        FROM documents
+    ),
+    per AS (
+        SELECT media_format, digest, COUNT(*) AS c FROM d GROUP BY 1, 2
+    )
+    SELECT media_format,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+           CAST(SUM(c) AS BIGINT) AS n_payloads,
+           CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+               AS n_redundant_copies
+    FROM per GROUP BY media_format
+    """,
+)
+def mm04_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable payload dedup — d01's exact-dedup pattern
+    applied to the binary modality: payloads are identified by their
+    sha-256 digest, so only (format, 32-byte digest) pairs ever shuffle,
+    never the payload bytes — at 100 TB of media that is the difference
+    between shuffling kilobytes and shuffling the archive. The report
+    gives per-format distinct/total/redundant counts (the storage-
+    reclaim number a dedup pass is run for). Exact byte-equality is the
+    right first pass for media (re-uploads, mirrors); perceptual near-
+    dup is the mm02 feature path's job downstream."""
+    m = media_table(spark, sf_dir)
+    per = (
+        m.select("media_format", F.sha2("payload", 256).alias("digest"))
+        .groupBy("media_format", "digest")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("media_format").agg(
+        F.count("*").alias("n_distinct_payloads"),
+        F.sum("c").cast("bigint").alias("n_payloads"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_redundant_copies"),
+    )

@@ -528,6 +528,7 @@ def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kt_sql_hbase_ex_spark.operators.optimize import (
         _layout_cache_root,
         _layout_slug,
+        _prune_stale_layouts,
     )
     import os
 
@@ -535,10 +536,10 @@ def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    path = os.path.join(
-        _layout_cache_root("ivf_layout"), _layout_slug(sf_dir, "embeddings")
-    )
+    slug = _layout_slug(sf_dir, "embeddings")
+    path = os.path.join(_layout_cache_root("ivf_layout"), slug)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _prune_stale_layouts(_layout_cache_root("ivf_layout"), slug)
         scored = e.join(F.broadcast(cent)).select(
             "vec_id",
             "embedding",

@@ -373,12 +373,6 @@ def a13_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a14_hll_sketch_union",
     oracle="""
-    WITH per_nation AS (
-        SELECT n.n_regionkey, c.c_nationkey,
-               COUNT(DISTINCT c.c_custkey) AS nation_exact
-        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
-        GROUP BY n.n_regionkey, c.c_nationkey
-    )
     SELECT r.r_name,
            CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
            TRUE AS within_tolerance

@@ -320,8 +320,8 @@ TRADE_NATIONS = ("NATION_1", "NATION_2")
         WHERE n1.n_name IN {TRADE_NATIONS!r}
           AND n2.n_name IN {TRADE_NATIONS!r}
           AND n1.n_name <> n2.n_name
-          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
-                               AND TIMESTAMP '1997-12-31'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -336,7 +336,8 @@ def c07_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying suppliers survive the first join. The date predicate is
     pushed to the lineitem scan."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     o = load_table(spark, sf_dir, "orders")
     n1 = load_table(spark, sf_dir, "nation").filter(

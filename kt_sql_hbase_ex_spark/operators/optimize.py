@@ -53,6 +53,21 @@ def _layout_cache_root(kind: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"kt_sql_{kind}_u{uid}")
 
 
+def _prune_stale_layouts(root: str, slug: str) -> None:
+    """Remove sibling layouts of the same base with a DIFFERENT
+    fingerprint — each fixture regeneration mints a new slug, and
+    without pruning the orphaned copies accumulate forever."""
+    import os
+    import shutil
+
+    base_prefix = slug.rsplit("_", 1)[0] + "_"
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if d.startswith(base_prefix) and d != slug:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 @query(
     "opt01_salted_skew_agg",
     oracle="""
@@ -110,11 +125,17 @@ def opt02_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # another's query
     tbls = {}
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"ktsql_bkt_{_layout_slug(sf_dir, name)}_{name}"
+        slug = _layout_slug(sf_dir, name)
+        tbl = f"ktsql_bkt_{slug}_{name}"
         tbls[name] = tbl
         if not spark.catalog.tableExists(tbl):
-            # not in this session's catalog: also clear any orphan files a
+            # drop stale same-base tables from earlier fixture versions
+            # (different fingerprint), then clear any orphan files a
             # previous process left in the warehouse, or the write fails
+            base_prefix = "ktsql_bkt_" + slug.rsplit("_", 1)[0] + "_"
+            for t in spark.catalog.listTables():
+                if t.name.startswith(base_prefix) and t.name.endswith(f"_{name}") and t.name != tbl:
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             _reset_table(spark, tbl)
             (
                 load_table(spark, sf_dir, name)
@@ -159,9 +180,11 @@ def opt03_partition_pruned_layout(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from kt_sql_hbase_ex_spark.sources.catalog import load_table as _lt
 
-    path = os.path.join(_layout_cache_root("part_layout"), _layout_slug(sf_dir, "events"))
+    slug = _layout_slug(sf_dir, "events")
+    path = os.path.join(_layout_cache_root("part_layout"), slug)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        _prune_stale_layouts(_layout_cache_root("part_layout"), slug)
         (
             _lt(spark, sf_dir, "events")
             .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
@@ -315,11 +338,11 @@ def opt06_zorder_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame
     clustering than a dedicated sort."""
     import os
 
-    path = os.path.join(
-        _layout_cache_root("zorder_layout"), _layout_slug(sf_dir, "lineitem")
-    )
+    slug = _layout_slug(sf_dir, "lineitem")
+    path = os.path.join(_layout_cache_root("zorder_layout"), slug)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        _prune_stale_layouts(_layout_cache_root("zorder_layout"), slug)
         (
             load_table(spark, sf_dir, "lineitem")
             .select(

@@ -229,7 +229,12 @@ def create_table(
             datetime.timezone.utc
         ).isoformat(),
     }
-    prop_ddl = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    def _q(v: str) -> str:
+        # SQL-escape property values: a quote in a user comment must not
+        # break (or inject into) the generated DDL
+        return str(v).replace("'", "''")
+
+    prop_ddl = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in props.items())
     spark.sql(f"CREATE TABLE {name} ({col_ddl}) USING parquet TBLPROPERTIES ({prop_ddl})")
 
 

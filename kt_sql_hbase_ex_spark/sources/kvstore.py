@@ -57,12 +57,14 @@ from pyspark.sql.types import StructType
 
 FORMAT_NAME = "ktsql_kv"
 
-#: per-process store cache keyed by (resolved path, mtime, size, cols):
-#: the DataSource is instantiated in a separate Python planning worker,
-#: so — exactly like a real connector — it receives *connection info*
-#: (string options naming the external table), opens the store itself,
-#: and caches the handle for the process lifetime.
-_STORE_CACHE: dict[tuple, "KVStore"] = {}
+#: per-process store cache: the DataSource is instantiated in a separate
+#: Python planning worker, so — exactly like a real connector — it
+#: receives *connection info* (string options naming the external
+#: table), opens the store itself, and caches the handle. Keyed by the
+#: store CONFIG with the freshness signature stored in the entry, so a
+#: changed base/overlay REPLACES the entry (bounded memory: one entry
+#: per distinct store, however many writes happen).
+_STORE_CACHE: dict[tuple, tuple] = {}  # config key -> (signature, KVStore)
 
 
 class KVStore:
@@ -126,7 +128,9 @@ class KVScanReader(DataSourceReader):
         cols = set(self._store.schema.fieldNames())
         residual: List[Filter] = []
         for f in filters:
-            attr = f.attribute[0] if len(f.attribute) == 1 else None
+            # Not/compound filters carry no .attribute — always residual
+            fattr = getattr(f, "attribute", None)
+            attr = fattr[0] if fattr is not None and len(fattr) == 1 else None
             if attr == key and isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
                 v = f.value
                 if isinstance(f, EqualTo):
@@ -200,17 +204,23 @@ class KVScanReader(DataSourceReader):
 def overlay_path(options) -> str:
     """The store's write overlay (its HBase-flush analog): committed
     writes land in a side parquet next to the immutable base; readers
-    merge overlay-over-base by rowkey. Keyed by the base fingerprint so
-    a regenerated base orphans the old overlay."""
+    merge overlay-over-base by rowkey. Keyed by the base fingerprint
+    (a regenerated base orphans the old overlay) AND the optional
+    ``appId`` option — the demo queries pass the Spark application id
+    so two concurrent sessions (pytest-xdist workers, parallel drivers)
+    each get an isolated overlay instead of racing truncate/commit on a
+    shared file. A real store serializes writers server-side; a file
+    store must namespace them."""
     import hashlib
     import os
     import tempfile
 
     path = os.path.realpath(options["path"])
     st = os.stat(path)
-    fp = hashlib.sha256(f"{path}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[
-        :16
-    ]
+    ns = options.get("appid", "shared")
+    fp = hashlib.sha256(
+        f"{path}|{st.st_mtime_ns}|{st.st_size}|{ns}".encode()
+    ).hexdigest()[:16]
     uid = getattr(os, "getuid", lambda: 0)()
     root = os.path.join(tempfile.gettempdir(), f"kt_sql_kv_overlay_u{uid}")
     os.makedirs(root, exist_ok=True)
@@ -282,28 +292,28 @@ def _open_store(options) -> KVStore:
         overlay_sig = (ost.st_mtime_ns, ost.st_size)
     except FileNotFoundError:
         overlay_sig = None
-    cache_key = (
-        path, st.st_mtime_ns, st.st_size, overlay_sig, key_col, columns, region_size,
+    config_key = (path, opath, key_col, columns, region_size)
+    signature = (st.st_mtime_ns, st.st_size, overlay_sig)
+    cached = _STORE_CACHE.get(config_key)
+    if cached is not None and cached[0] == signature:
+        return cached[1]
+    store = load_kv_store_from_parquet(
+        f"kv:{path}", path, key_col, columns, region_size=region_size
     )
-    store = _STORE_CACHE.get(cache_key)
-    if store is None:
-        store = load_kv_store_from_parquet(
-            f"kv:{path}", path, key_col, columns, region_size=region_size
-        )
-        if overlay_sig is not None:
-            import pyarrow.parquet as pq
+    if overlay_sig is not None:
+        import pyarrow.parquet as pq
 
-            merged = {r[key_col]: r for r in store.rows}
-            for r in pq.read_table(opath).to_pylist():
-                if r.get(TOMBSTONE):
-                    merged.pop(r[key_col], None)
-                else:
-                    merged[r[key_col]] = {c: r[c] for c in columns}
-            store = KVStore(
-                store.name, store.schema, key_col, list(merged.values()),
-                region_size=region_size,
-            )
-        _STORE_CACHE[cache_key] = store
+        merged = {r[key_col]: r for r in store.rows}
+        for r in pq.read_table(opath).to_pylist():
+            if r.get(TOMBSTONE):
+                merged.pop(r[key_col], None)
+            else:
+                merged[r[key_col]] = {c: r[c] for c in columns}
+        store = KVStore(
+            store.name, store.schema, key_col, list(merged.values()),
+            region_size=region_size,
+        )
+    _STORE_CACHE[config_key] = (signature, store)
     return store
 
 
@@ -492,6 +502,7 @@ def src02_kv_pushdown_scan(spark, sf_dir: str):
     register_kv_source(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
     # hermetic: this query's oracle describes the pristine base, so drop
     # any overlay a write-path query (src03/src04) left behind
     truncate_overlay({k.lower(): v for k, v in opts.items()})
@@ -555,6 +566,9 @@ def src03_kv_write_roundtrip(spark, sf_dir: str):
     register_kv_source(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = customer_store_options(sf_dir)
+    # session-scoped overlay namespace: concurrent sessions never race
+    # each other's truncate/commit on a shared overlay file
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
     truncate_overlay({k.lower(): v for k, v in opts.items()})
 
     base = spark.read.format(FORMAT_NAME).options(**opts).load()
@@ -605,6 +619,7 @@ def src04_kv_delete_roundtrip(spark, sf_dir: str):
     register_kv_source(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
     lopts = {k.lower(): v for k, v in opts.items()}
     truncate_overlay(lopts)
     delete_from_store(lopts, range(0, DELETE_KEY_MAX + 1))  # custkeys start at 0

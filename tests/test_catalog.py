@@ -159,3 +159,24 @@ def test_create_table_persists_table_attributes(spark):
         assert defaults == {"k": None, "v": "'x'"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_create_table_escapes_quoted_comment(spark):
+    """A single quote in a user comment must neither break the generated
+    DDL nor inject extra properties (regression: raw interpolation)."""
+    from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
+
+    tbl = "ktsql_quote_comment"
+    _reset_table(spark, tbl)
+    catalog.create_table(
+        spark,
+        tbl,
+        [("k", "BIGINT", None)],
+        ("k",),
+        comment="O'Brien's table ('x'='y')",
+    )
+    try:
+        info = catalog.describe_table(spark, tbl)
+        assert info["comment"] == "O'Brien's table ('x'='y')"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -212,7 +212,13 @@ from kt_sql_hbase_ex_spark.sources.kvstore import (
 
 
 def _opts():
-    return {k.lower(): v for k, v in customer_store_options(SF_SMALL).items()}
+    import os
+
+    o = {k.lower(): v for k, v in customer_store_options(SF_SMALL).items()}
+    # per-process overlay namespace: xdist workers must not race on a
+    # shared overlay file (same isolation the src queries get via appId)
+    o["appid"] = f"test-{os.getpid()}"
+    return o
 
 
 def _mk_row(k, seg="VIP", bal=999.99):
@@ -284,3 +290,21 @@ def test_delete_tombstones_and_put_revives():
         assert len(store2.rows) == n_before - 1
     finally:
         truncate_overlay(opts)
+
+
+def test_not_filter_goes_residual():
+    """Spark wraps negations as Not(child) with no .attribute — the
+    reader must hand them back as residual, never crash (regression:
+    AttributeError on f.attribute)."""
+    from pyspark.sql.datasource import Not
+
+    store = customer_store(SF_SMALL, region_size=64)
+    rd = _reader(store)
+    residual = list(
+        rd.pushFilters(
+            [Not(EqualTo(("c_mktsegment",), "BUILDING")), EqualTo(("c_custkey",), 5)]
+        )
+    )
+    assert len(residual) == 1 and isinstance(residual[0], Not)
+    (part,) = rd.partitions()
+    assert [t[0] for t in part.tuples] == [5]
