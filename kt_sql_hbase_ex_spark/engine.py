@@ -68,3 +68,25 @@ class KtSqlEngine:
 
     def table_info(self, name: str) -> dict[str, object]:
         return cat.describe_table(self.spark, name)
+
+    # -- external KV tables (reference: the HBase adapter itself) ------
+    def register_kv_table(self, view_name: str, **store_options: str) -> None:
+        """Expose an external KV-store table to ``.sql()`` — the facade
+        step that mirrors the reference's schema registration of HBase
+        tables (``hbase/HBaseSchemaFactory.kt:22-35``): after this,
+        plain SQL over ``view_name`` scans the store through the
+        pushdown connector (``sources/kvstore.py``) — key predicates
+        become rowkey ranges, qualifier equality runs store-side.
+
+        ``store_options``: ``path``, ``keyCol``, ``columns``
+        (comma-separated), optional ``regionSize`` — the same bundle
+        ``spark.read.format("ktsql_kv")`` takes."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            FORMAT_NAME,
+            register_kv_source,
+        )
+
+        register_kv_source(self.spark)
+        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        df = self.spark.read.format(FORMAT_NAME).options(**store_options).load()
+        df.createOrReplaceTempView(view_name)

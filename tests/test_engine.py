@@ -71,3 +71,24 @@ def test_metadata_surface(eng):
     assert cols[0].name == "l_orderkey" and cols[0].position == 0
     info = eng.table_info("lineitem")
     assert info["primary"] == ("l_orderkey", "l_linenumber")
+
+
+def test_register_kv_table_sql_over_connector(eng):
+    """SQL over an external KV table through the pushdown connector —
+    the reference's core usage (register HBase table, query with SQL)."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import customer_store_options
+
+    from .conftest import SF_SMALL
+
+    eng.register_kv_table("kv_customer", **customer_store_options(SF_SMALL))
+    rows = eng.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n FROM kv_customer
+        WHERE c_custkey BETWEEN 10 AND 60 GROUP BY c_mktsegment
+        """
+    ).collect()
+    assert sum(r.n for r in rows) == 51
+    plan = eng.sql(
+        "SELECT c_custkey FROM kv_customer WHERE c_custkey = 7"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ktsql_kv" in plan
