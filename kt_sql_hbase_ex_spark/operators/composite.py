@@ -626,3 +626,287 @@ def c12_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@query(
+    "c13_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def c13_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a six-month
+    window having at least one late lineitem (shipped >80 days after
+    the order date — the fixture's l_commitdate analog), counted by
+    priority. The EXISTS is a LEFT SEMI join whose non-equi clause
+    (l_shipdate vs o_orderdate) rides on the orderkey equi-join, so it
+    stays a hash semi-join: the date window prunes orders at the scan,
+    and the semi-join short-circuits per orderkey (no lineitem
+    fan-out rows ever materialize). The reference would have run the
+    decorrelated Calcite plan row-at-a-time (SURVEY §2.3 correlated
+    subqueries, HBaseTable.kt scan loop)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "c14_forecast_revenue_change",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def c14_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the all-pushdown
+    aggregate — every predicate (date range, discount band, quantity
+    cap) reaches PushedFilters, so at 100 TB the scan reads only
+    row-groups whose min/max straddle 1997 and three columns of those;
+    the aggregate itself is a two-phase partial with a single-row
+    result. This is the query shape where scan pushdown IS the whole
+    cost model — the reference translated exactly these conjunctive
+    range forms (SURVEY §2.2, PredicateAnalyzer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "c15_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def c15_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): late 1997
+    lineitems classified by linestatus (the fixture's shipmode analog),
+    counting urgent/high- vs low-priority orders per class via
+    conditional sums — one joint pass, no per-class scans. The ship-
+    year range pushes to the lineitem scan; the lateness predicate
+    (two-column comparison) evaluates as the join residual; the final
+    aggregate has tiny cardinality so the fact shuffles once, on the
+    join key only."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "c16_small_quantity_revenue",
+    oracle="""
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+    ), part_avg AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        FROM brand_lines GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(b.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM brand_lines b JOIN part_avg a ON a.l_partkey = b.l_partkey
+    WHERE b.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def c16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is under half the per-part average, for one brand —
+    the correlated scalar-AVG-per-part subquery decorrelated into an
+    aggregate + self-join. Order of operations is the scale decision:
+    the brand filter (broadcast semi via the part dim) runs FIRST, so
+    the per-part averages aggregate ~1/25th of the fact, and the
+    avg⋈lines join is per-part (the aggregate side is tiny → AQE
+    broadcasts it). Never compute per-part stats over the unfiltered
+    fact when the correlation is brand-scoped."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    )
+    part_avg = brand_lines.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_lines.alias("b")
+        .join(part_avg.alias("a"), F.col("b.l_partkey") == F.col("a.l_partkey"))
+        .filter(F.col("b.l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("b.l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "c17_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ), per_order AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM late
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order po JOIN supplier s ON s.s_suppkey = po.l_suppkey
+    WHERE po.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def c17_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders with multiple suppliers, find the supplier who was
+    the ONLY late one — the EXISTS / NOT EXISTS pair decorrelated into
+    one orderkey-grouped pass. The (orderkey, suppkey) aggregate and
+    the per-order window both partition by l_orderkey, so the fact
+    shuffles exactly once; the two correlated subqueries of the
+    textbook form (which would re-scan lineitem twice) never run.
+    numwait counts distinct waiting orders per supplier."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    is_late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"), 1
+    ).otherwise(0)
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late).alias("is_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    per_order = late.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
+    )
+    return (
+        per_order.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "c18_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def c18_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit): profit on '%ring%' parts
+    by supplier nation and order year, with cost modeled as 60% of
+    retail price (the fixture has no partsupp.ps_supplycost). Join
+    order is the scale story: the LIKE-filtered part dim broadcast-
+    reduces lineitem FIRST (~1/8th survives), then supplier/nation
+    broadcast, and only the surviving rows shuffle for the
+    orders⋈lineitem fact-fact join — the same filtered-fact-first
+    discipline as the flagship. The infix LIKE cannot prune row-groups
+    but runs JVM-side pre-join; the profit expression folds into the
+    aggregate's partial step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ring%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
