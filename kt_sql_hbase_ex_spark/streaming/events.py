@@ -541,3 +541,150 @@ def st08_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("p.k").between(10, 19)).select(
         "event_id", F.col("p.k").alias("k"), "event_type"
     )
+
+
+def _chunked_events_dir(sf_dir: str, n_chunks: int = 4) -> str:
+    """Split the single events fixture into ``n_chunks`` source files so
+    availableNow + maxFilesPerTrigger=1 drains as a genuine multi-batch
+    stream (one fixture file would collapse to a single microbatch and
+    never exercise cross-batch state). Content-fingerprinted like the
+    KV overlay: a regenerated fixture gets a fresh chunk dir instead of
+    serving stale rows. Provisioning only — in production the landing
+    directory arrives pre-chunked (one file per flush/Kafka batch)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = os.path.realpath(table_path(sf_dir, "events"))
+    st = os.stat(src)
+    fp = hashlib.sha256(f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_chunks}".encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: 0)()
+    base = os.path.join(tempfile.gettempdir(), f"kt_sql_stream_chunks_u{uid}", fp)
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        tbl = pq.read_table(src)
+        n = tbl.num_rows
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = tbl.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(base, f"chunk_{i:02d}.parquet"))
+        with open(marker, "w"):
+            pass
+    return base
+
+
+@query(
+    "st10_stream_to_kv_sink",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into the KV serving store — the reference's
+    operational loop (stream → HBase Put → serve point reads,
+    ``hbase/HBaseModifiableTable.kt`` writes feeding
+    ``HBaseFilterableTable.kt`` reads) as Structured Streaming +
+    the ktsql_kv connector:
+
+    * the events stream drains in FOUR microbatches (chunked source,
+      maxFilesPerTrigger=1), maintaining running per-user totals in the
+      state store;
+    * ``outputMode("update")`` hands each batch only the CHANGED user
+      rows, and ``foreachBatch`` Puts them through the connector's
+      two-phase write — later totals replace earlier ones by rowkey,
+      so re-delivery of a key is idempotent-by-overwrite (HBase Put
+      semantics, no read-modify-write);
+    * the final answer is read back THROUGH the connector (overlay
+      merged over the provisioned empty base by rowkey).
+
+    Scale: bytes written per batch ∝ changed-key cardinality, never
+    stream volume; state is bounded by the user-key space; the store
+    write is the same statement-sized two-phase path as dml04. The
+    batch oracle equals the drained result because COUNT/SUM are
+    algebraic over any batching."""
+    import shutil
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        register_kv_source,
+        truncate_overlay,
+    )
+
+    register_kv_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    # --- provision the serving store (empty base, result schema) -----
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_kv_serving_u{uid}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base_dir, exist_ok=True)
+    base_path = os.path.join(base_dir, "user_stats_base.parquet")
+    if not os.path.exists(base_path):
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "total_value": pa.array([], pa.float64()),
+            }
+        )
+        pq.write_table(empty, base_path)
+    opts = {
+        "path": base_path,
+        "keyCol": "user_id",
+        "columns": "user_id,n_events,total_value",
+        "regionSize": "64",
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
+
+    # --- the stream: running per-user totals, changed rows per batch --
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_chunked_events_dir(sf_dir))
+    )
+    totals = raw.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("raw_total")
+    )
+
+    def put_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "user_id",
+                "n_events",
+                F.round(F.col("raw_total"), 2).alias("total_value"),
+            )
+            .write.format(FORMAT_NAME)
+            .options(**opts)
+            .mode("append")
+            .save()
+        )
+
+    ckpt = os.path.join(base_dir, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(put_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return spark.read.format(FORMAT_NAME).options(**opts).load()

@@ -174,3 +174,43 @@ def test_memory_sink_reuse_replaces_result(spark, sf_small):
     # the rerun must replace the registration, not add a second sink
     # (sink_st01 may predate this test — only growth is the leak signal)
     assert sinks() == first, (sinks(), first)
+
+
+def test_stream_to_kv_sink_multi_batch(spark, sf_small):
+    """st10 must drain as MULTIPLE microbatches (chunked source) and the
+    KV store's final state must equal the batch aggregate — i.e. later
+    Puts really replaced earlier running totals by rowkey."""
+    import glob
+
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        _chunked_events_dir,
+        st10_stream_to_kv_sink,
+    )
+
+    chunks = glob.glob(os.path.join(_chunked_events_dir(sf_small), "chunk_*.parquet"))
+    assert len(chunks) == 4
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in st10_stream_to_kv_sink(spark, sf_small).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+    # the checkpoint proves a real multi-batch drain: one offset file
+    # per microbatch (4 chunks -> >= 4 offsets, not one collapsed batch)
+    uid = getattr(os, "getuid", lambda: 0)()
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_kv_serving_u{uid}",
+        os.path.basename(os.path.normpath(sf_small)), "ckpt", "offsets",
+    )
+    assert len(os.listdir(ckpt)) >= 4
