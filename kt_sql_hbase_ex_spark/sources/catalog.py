@@ -83,23 +83,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True if the events fixture uses the legacy TIMESTAMP(NANOS)/int64
+    physical layout (older driver generations); False for the native
+    ``timestamp[us]`` layout. Footer-only read — no data is scanned."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    return getattr(t, "unit", None) == "ns" or str(t) == "int64"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One SQL table = one Parquet dataset (reference: one SQL table = one
     HBase table with a single column family, ``hbase/HBaseTable.kt:62-65``).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; the Spark-native path is the
-    ``nanosAsLong`` legacy conf + an explicit nanos→timestamp conversion
-    (micros precision — the fixture values carry none below that).
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    reader rejects without the ``nanosAsLong`` legacy conf + an explicit
+    nanos→timestamp conversion — and native ``timestamp[us]``. Both are
+    normalized to session-zone TimestampType (UTC session, so values are
+    identical either way).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if events_ts_is_nanos(sf_dir):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(table_path(sf_dir, name))
+            # integer division: double division would round large ns values
+            # (2^52 mantissa < 1.7e18) and drift the microsecond by ±1
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division: double division would round large ns values
-        # (2^52 mantissa < 1.7e18) and drift the microsecond by ±1
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -34,22 +34,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import load_table, table_path
+from kt_sql_hbase_ex_spark.sources.catalog import (
+    events_ts_is_nanos,
+    load_table,
+    table_path,
+)
 
 SESSION_GAP = "5 minutes"
 
-#: schema of events after the nanos→timestamp conversion (readStream
-#: needs an explicit schema; inference is a batch-only convenience)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_raw_schema(legacy_nanos: bool) -> T.StructType:
+    """Physical-layout schema of the events fixture (readStream needs an
+    explicit schema; inference is a batch-only convenience). ``ts`` is
+    raw int64 nanos in the legacy layout, naive micros otherwise."""
+    ts_type = T.LongType() if legacy_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def normalize_ts(raw: DataFrame, legacy_nanos: bool) -> DataFrame:
+    """nanos→timestamp (legacy) or NTZ→session-zone timestamp — the same
+    normalization ``load_table`` applies on the batch side."""
+    if legacy_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -76,9 +92,13 @@ def _stream_source_dir(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source over the fixture)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stream_source_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    legacy = events_ts_is_nanos(sf_dir)
+    if legacy:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(events_raw_schema(legacy)).parquet(
+        _stream_source_dir(sf_dir)
+    )
+    return normalize_ts(raw, legacy)
 
 
 #: state-shard count for the fixture streams. Stateful operators write
@@ -562,17 +582,44 @@ def _chunked_events_dir(sf_dir: str, n_chunks: int = 4) -> str:
     base = os.path.join(tempfile.gettempdir(), f"kt_sql_stream_chunks_u{uid}", fp)
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
-        os.makedirs(base, exist_ok=True)
+        # Build in a per-process staging dir, then atomically rename the
+        # whole dir into place: two processes that both miss the marker
+        # never write the same chunk paths, and a reader that sees the
+        # marker sees fully-written chunks. Rename failure = lost the
+        # race to a writer that already published — use theirs.
+        import shutil
+
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        staging = f"{base}.tmp.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
         tbl = pq.read_table(src)
         n = tbl.num_rows
         step = (n + n_chunks - 1) // n_chunks
         for i in range(n_chunks):
             chunk = tbl.slice(i * step, step)
             if chunk.num_rows:
-                pq.write_table(chunk, os.path.join(base, f"chunk_{i:02d}.parquet"))
-        with open(marker, "w"):
+                pq.write_table(chunk, os.path.join(staging, f"chunk_{i:02d}.parquet"))
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
             pass
+        try:
+            os.rename(staging, base)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     return base
+
+
+def st10_serving_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Root of st10's KV serving store (base parquet + checkpoint).
+    Namespaced by uid AND appId so concurrent sessions (xdist workers,
+    parallel drivers) never share a base file, checkpoint, or overlay —
+    the single source of truth for this layout, imported by tests."""
+    uid = getattr(os, "getuid", lambda: 0)()
+    app_id = spark.conf.get("spark.app.id", "shared")
+    return os.path.join(
+        tempfile.gettempdir(), f"kt_sql_kv_serving_u{uid}", app_id,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
 
 
 @query(
@@ -621,14 +668,16 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    uid = getattr(os, "getuid", lambda: 0)()
-    base_dir = os.path.join(
-        tempfile.gettempdir(), f"kt_sql_kv_serving_u{uid}",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    base_dir = st10_serving_dir(spark, sf_dir)
     os.makedirs(base_dir, exist_ok=True)
     base_path = os.path.join(base_dir, "user_stats_base.parquet")
     if not os.path.exists(base_path):
+        # tmp + os.replace: a crash mid-write never leaves a corrupt base
+        # behind the exists() check, and concurrent provisioners each
+        # publish a complete file (last replace wins — harmless, content
+        # is identical; base_dir is appId-namespaced anyway, so other
+        # sessions never touch this base and the overlay fingerprint
+        # keyed on its mtime stays valid for the whole run)
         empty = pa.table(
             {
                 "user_id": pa.array([], pa.int64()),
@@ -636,7 +685,9 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value": pa.array([], pa.float64()),
             }
         )
-        pq.write_table(empty, base_path)
+        staging = f"{base_path}.tmp.{os.getpid()}"
+        pq.write_table(empty, staging)
+        os.replace(staging, base_path)
     opts = {
         "path": base_path,
         "keyCol": "user_id",
@@ -647,9 +698,11 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate_overlay({k.lower(): v for k, v in opts.items()})
 
     # --- the stream: running per-user totals, changed rows per batch --
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    legacy = events_ts_is_nanos(sf_dir)
+    if legacy:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(legacy))
         .option("maxFilesPerTrigger", "1")
         .parquet(_chunked_events_dir(sf_dir))
     )

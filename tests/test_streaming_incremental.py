@@ -16,31 +16,34 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from kt_sql_hbase_ex_spark.sources.catalog import load_table
-from kt_sql_hbase_ex_spark.streaming.events import EVENTS_RAW_SCHEMA
+from kt_sql_hbase_ex_spark.sources.catalog import events_ts_is_nanos, load_table
+from kt_sql_hbase_ex_spark.streaming.events import events_raw_schema, normalize_ts
 
 
 @pytest.fixture(scope="module")
 def sharded_src(spark, sf_small):
-    """events split into 4 files (raw nanos schema, like the fixture)."""
+    """events split into 4 files (raw physical schema, like the fixture)."""
     base = os.path.join(tempfile.gettempdir(), "kt_sql_test_sharded_src")
     shutil.rmtree(base, ignore_errors=True)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+    legacy = events_ts_is_nanos(sf_small)
+    if legacy:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(events_raw_schema(legacy)).parquet(
         os.path.join(sf_small, "events.parquet")
     )
     raw.repartition(4).write.parquet(base)
-    yield base
+    yield base, legacy
     shutil.rmtree(base, ignore_errors=True)
 
 
-def _stream(spark, src):
+def _stream(spark, sharded):
+    src, legacy = sharded
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(legacy))
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw, legacy)
 
 
 def test_incremental_mv_across_batches(spark, sf_small, sharded_src):
@@ -208,9 +211,7 @@ def test_stream_to_kv_sink_multi_batch(spark, sf_small):
 
     # the checkpoint proves a real multi-batch drain: one offset file
     # per microbatch (4 chunks -> >= 4 offsets, not one collapsed batch)
-    uid = getattr(os, "getuid", lambda: 0)()
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"kt_sql_kv_serving_u{uid}",
-        os.path.basename(os.path.normpath(sf_small)), "ckpt", "offsets",
-    )
+    from kt_sql_hbase_ex_spark.streaming.events import st10_serving_dir
+
+    ckpt = os.path.join(st10_serving_dir(spark, sf_small), "ckpt", "offsets")
     assert len(os.listdir(ckpt)) >= 4
