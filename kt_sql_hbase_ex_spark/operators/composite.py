@@ -910,3 +910,239 @@ def c18_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
     )
+
+
+@query(
+    "c19_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_name, ROUND(c.unit_cost, 4) AS unit_cost
+    FROM cost c
+    JOIN best b     ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+    ORDER BY s.s_acctbal DESC, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def c19_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the supplier(s) offering the minimum unit cost — the correlated
+    MIN subquery decorrelated into a per-part aggregate + equality join
+    (the fixture has no partsupp; unit cost = min l_extendedprice /
+    l_quantity per (part, supplier) observed in lineitem). Scale: the
+    part filter broadcast-semi-reduces lineitem BEFORE the (part,
+    supplier) aggregate, so both aggregates and the best⋈cost join run
+    over the qualifying ~1/15th of the fact; all dims broadcast; the
+    final ORDER BY is a top-k (TakeOrderedAndProject), never a global
+    sort. MIN-equality on doubles is engine-safe: both sides take MIN
+    over identical IEEE division results."""
+    pq = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    li_q = li.join(
+        F.broadcast(pq.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    cost = li_q.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cost.join(
+            best.withColumnRenamed("l_partkey", "b_partkey"),
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(pq), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "c20_important_stock",
+    oracle="""
+    WITH nat AS (
+        SELECT s_suppkey FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ), val AS (
+        SELECT l_partkey, SUM(l_extendedprice) AS value
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 2) AS stock_value
+    FROM val WHERE value > 0.0012 * (SELECT SUM(value) FROM val)
+    """,
+)
+def c20_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    supplied value from one region's suppliers exceeds a fraction of
+    that region's total — the scalar-aggregate-subquery-in-HAVING form.
+    Decorrelation is the scale story: the per-part aggregate runs ONCE
+    and is reused for both the values and their grand total (one extra
+    reduce over group-cardinality rows, not a second fact scan); the
+    single-row total then broadcast-cross-joins back. The region's
+    supplier set broadcast-semi-filters lineitem before any shuffle."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nat = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    val = (
+        li.join(F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.0012 * F.col("total"))
+        .select("l_partkey", F.round("value", 2).alias("stock_value"))
+    )
+
+
+@query(
+    "c21_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def c21_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) bucket, excluding one brand, an IN
+    size-list, and a NOT IN supplier exclusion. The NOT IN becomes a
+    broadcast anti-join (null-safe here: s_suppkey is a non-null PK),
+    the brand/size predicates push into the part dim before it
+    broadcasts, and COUNT(DISTINCT) shuffles (group, suppkey) pairs
+    once — no fact self-join anywhere."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "c22_potential_part_promotion",
+    oracle="""
+    WITH ring AS (SELECT p_partkey FROM part WHERE p_name LIKE '%ring%'),
+    qty AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CASE WHEN EXTRACT(year FROM l_shipdate) >= 1999
+                        THEN l_quantity ELSE 0 END) AS q_recent,
+               SUM(l_quantity) AS q_total,
+               CAST(COUNT(*) AS BIGINT) AS n_ship
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM ring)
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM qty JOIN supplier s ON s.s_suppkey = qty.l_suppkey
+    WHERE qty.n_ship >= 3 AND qty.q_recent > 0.5 * qty.q_total
+    ORDER BY s.s_name
+    """,
+)
+def c22_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    recent shipments of a name-filtered part family dominate their
+    all-time volume for that part — the doubly-nested IN subqueries
+    decorrelated into one (supplier, part) aggregate with a conditional
+    sum. Scale: the ring-part set broadcast-semi-filters lineitem
+    first; the single grouped pass computes both the windowed and total
+    quantities (no second scan, no self-join); the supplier dim
+    broadcasts for the name lookup. Quantity sums are integer-valued
+    doubles, so the 0.5×total comparison is exact cross-engine."""
+    ring = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ring%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    recent = F.when(F.year("l_shipdate") >= 1999, F.col("l_quantity")).otherwise(0.0)
+    qty = (
+        li.join(F.broadcast(ring), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(recent).alias("q_recent"),
+            F.sum("l_quantity").alias("q_total"),
+            F.count("*").alias("n_ship"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        qty.filter((F.col("n_ship") >= 3) & (F.col("q_recent") > 0.5 * F.col("q_total")))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .distinct()
+        .orderBy("s_name")
+    )
