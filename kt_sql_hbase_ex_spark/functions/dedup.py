@@ -319,6 +319,12 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # materialize once: cand feeds BOTH the candidate-id set and the
+        # final pair join — without this the band self-join (and the
+        # signature projection under it) executes twice. Collision-sized,
+        # so the checkpoint is tiny; at 100 TB you persist the candidate
+        # set before verification for exactly the same reason.
+        .localCheckpoint()
     )
     # verification reads shingles only for candidate docs: the broadcast
     # left-semi join pushes below the shingle projection (Catalyst
@@ -331,7 +337,12 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = hashed_shingles_df(spark, sf_dir).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = (
+        hashed_shingles_df(spark, sf_dir)
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        # same double-consumption: sh is joined as both sides (a and b)
+        .localCheckpoint()
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -390,7 +401,9 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature table). Same answer as the quadratic form — the
     DuckDB oracle is deliberately the brute-force pairing, so parity
     proves the blocking loses nothing."""
-    sig = simhash_signatures(spark, sf_dir)
+    # materialize once: sig feeds the chunk explode AND both sides of
+    # the verify join — 16 bytes/doc, so the checkpoint is corpus-tiny
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
     chunk_keys = F.array(
         *[
             F.concat_ws(

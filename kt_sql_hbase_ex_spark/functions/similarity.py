@@ -159,7 +159,10 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — same deterministic planes — so parity checks the
     implementation; approximation vs the exact baseline is measured
     separately (recall test), exactly like d03/d02."""
-    buckets = lsh_buckets(spark, sf_dir)
+    # materialize the signature table once (N_TABLES rows/vector, ints
+    # only): it feeds both sides of the bucket self-join, which would
+    # otherwise recompute the plane projections twice
+    buckets = lsh_buckets(spark, sf_dir).localCheckpoint()
     left = buckets.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
     right = buckets.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
     cand = (
@@ -167,6 +170,8 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
+        # collision-sized; consumed by both the a- and b-side joins below
+        .localCheckpoint()
     )
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
