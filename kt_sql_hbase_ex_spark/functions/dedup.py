@@ -539,3 +539,93 @@ def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_sz).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("survivor"),
     )
+
+
+@query(
+    "d07_dedup_collapse_report",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) lsh
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    walk(n, label) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.n
+        WHERE w.label < e.b
+    ),
+    cc AS (SELECT n AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY n),
+    members AS (
+        SELECT d.doc_id, d.lang, d.n_chars, cc.cluster_id
+        FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+        FROM members
+    ),
+    drops AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_dropped
+        FROM ranked WHERE rn > 1 GROUP BY lang
+    ),
+    totals AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM documents GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs,
+           t.n_docs - COALESCE(d.n_dropped, 0) AS n_kept,
+           t.chars_total,
+           t.chars_total - COALESCE(d.chars_dropped, 0) AS chars_kept
+    FROM totals t LEFT JOIN drops d ON d.lang = t.lang
+    """,
+)
+def d07_dedup_collapse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering (d06): collapse each near-dup cluster
+    to its best member — keep-longest canonicalization (max n_chars,
+    doc_id tiebreak), the rule real curation pipelines apply — and
+    report the per-language corpus shrink (docs and chars, before →
+    kept). Scale shape: the survivor window runs ONLY over cluster
+    members (collision-sized, broadcast-joined to their metadata),
+    never the corpus; full-corpus work is one groupBy(lang). kept =
+    total − dropped, so singletons never enter any window. The oracle
+    replays clustering (recursive CTE) + ranking declaratively."""
+    from pyspark.sql import Window as W
+
+    clusters = (
+        d06_neardup_clusters(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()  # collision-sized; feeds the member join
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    members = docs.join(F.broadcast(clusters), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    drops = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_dropped"),
+            F.sum("n_chars").alias("chars_dropped"),
+        )
+    )
+    totals = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total")
+    )
+    return (
+        totals.join(drops, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+            "chars_total",
+            (F.col("chars_total") - F.coalesce("chars_dropped", F.lit(0))).alias(
+                "chars_kept"
+            ),
+        )
+    )

@@ -417,3 +417,70 @@ def tr08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+#: token-window chunking geometry: 64-token windows, stride 48 (16-token
+#: overlap) — the embedding/pretraining chunker's shape.
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@query(
+    "tr09_token_window_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(
+                   0,
+                   GREATEST(CAST(CEIL((n - {CHUNK_W}) / {CHUNK_S}.0) AS INT) + 1, 1) - 1
+               )) AS i
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(i * {CHUNK_S} + 1 AS INT) AS chunk_start,
+           CAST(LEAST({CHUNK_W}, n - i * {CHUNK_S}) AS INT) AS n_tokens,
+           CAST(('0x' || substr(md5(array_to_string(
+               toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + LEAST({CHUNK_W}, n - i * {CHUNK_S})],
+               ' ')), 1, 8)) AS BIGINT) AS chunk_hash
+    FROM c
+    """,
+)
+def tr09_token_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: every document split into {CHUNK_W}-token
+    windows advancing by {CHUNK_S} tokens (overlap {CHUNK_W - CHUNK_S}),
+    the shape embedding indexes and long-context pretraining use. A doc
+    shorter than one window emits exactly one (partial) chunk; the last
+    window is truncated, never padded. Entirely map-side — the window
+    arithmetic and the per-chunk content hash are one ``transform`` +
+    ``explode`` projection inside codegen, zero shuffles, so chunking
+    adds nothing to whatever pipeline consumes it at 100 TB. The chunk
+    hash (portable md5-prefix, cf. dedup.py) is what downstream
+    chunk-level dedup keys on."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = "split(text, ' ')"
+    chunks = (
+        f"transform(sequence(0, greatest(CAST(ceil((size({toks}) - {CHUNK_W}) / {CHUNK_S}.0) AS INT) + 1, 1) - 1),"
+        f" i -> named_struct("
+        f"   'chunk_id', i,"
+        f"   'chunk_start', i * {CHUNK_S} + 1,"
+        f"   'n_tokens', least({CHUNK_W}, size({toks}) - i * {CHUNK_S}),"
+        f"   'chunk_hash', CAST(conv(substring(md5(concat_ws(' ',"
+        f"       slice({toks}, i * {CHUNK_S} + 1,"
+        f"             least({CHUNK_W}, size({toks}) - i * {CHUNK_S})))), 1, 8), 16, 10) AS BIGINT)))"
+    )
+    return (
+        d.select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )

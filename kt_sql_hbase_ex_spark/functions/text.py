@@ -390,3 +390,51 @@ def t09_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_bg, 4).alias("dup_bigram_frac"),
         ((dup_tok <= 0.6) & (dup_bg <= 0.05)).alias("keep"),
     )
+
+
+@query(
+    "t10_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(log2(CAST(freq.c AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                 / COUNT(*), 4) AS bits_per_token
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def t10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring: a unigram language model is
+    fit from the corpus itself (global token frequencies) and every
+    document is scored by its average per-token surprisal in bits —
+    the cheap relational stand-in for perplexity filtering (low bits =
+    repetitive/boilerplate, high bits = rare-token noise; both tails
+    get cut in curation). Two shuffles total: the vocabulary count
+    (token-keyed, map-side combined) and the per-doc aggregate
+    (doc-keyed). The frequency table broadcasts back onto the postings
+    — vocabulary grows sublinearly (Heaps' law), so it stays
+    broadcastable far beyond 100 TB; if it ever doesn't, the same plan
+    with a shuffle join on term is the fallback. The single-row grand
+    total rides along as a broadcast cross join."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    postings = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    freq = postings.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        postings.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log2(F.col("c").cast("double") / F.col("n").cast("double")))
+                / F.count("*"),
+                4,
+            ).alias("bits_per_token"),
+        )
+    )
