@@ -6,6 +6,15 @@ module is the capability extension SURVEY.md §7 plans: windowed
 aggregation, watermark late-data policy, session windows and stateful
 dedup, expressed with Structured Streaming.
 
+Custom stateful operators use ``applyInPandasWithState`` (st06). The
+newer ``transformWithStateInPandas`` API (Spark 4 arbitrary state v2:
+typed state vars, timers, TTL) would be the next step, but its state
+protocol requires the ``google.protobuf`` Python package, absent from
+this environment — verified to fail at driver-worker init
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so the engine
+standardizes on applyInPandasWithState, which covers the same
+per-key-arbitrary-state semantics.
+
 Execution model used here: the parquet fixture is read with
 ``readStream`` and drained with ``trigger(availableNow=True)`` into an
 in-memory sink — a *real* incremental streaming execution (state store,

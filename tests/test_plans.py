@@ -270,3 +270,36 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_oracle):
             spark.conf.set(k, v)
     assert "skew=true" in plan, plan
     assert "AQEShuffleRead skewed" in plan, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_small):
+    """tr09: token-window chunking must be one map-side projection —
+    a shuffle in a chunker would serialize the whole corpus through
+    the network for row-local arithmetic. (fan_out's round-robin
+    repartition is the fixture-only parallelism shim — a no-op at
+    scale — so only key-partitioned exchanges count as shuffles.)"""
+    from kt_sql_hbase_ex_spark.functions.pipeline import tr09_token_window_chunking
+
+    plan = formatted_plan(tr09_token_window_chunking(spark, sf_small))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_min_cost_supplier_top_k(spark, sf_small):
+    """c19: the final ORDER BY ... LIMIT must plan as
+    TakeOrderedAndProject, and the part dim must broadcast."""
+    from kt_sql_hbase_ex_spark.operators.composite import c19_min_cost_supplier
+
+    df = c19_min_cost_supplier(spark, sf_small)
+    assert uses_take_ordered(df), formatted_plan(df)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_surprisal_broadcasts_vocabulary(spark, sf_small):
+    """t10: the vocabulary-frequency table joins back onto postings as
+    a broadcast — shuffling the postings by term a second time would
+    double the heaviest shuffle in the pipeline."""
+    from kt_sql_hbase_ex_spark.functions.text import t10_unigram_surprisal
+
+    plan = formatted_plan(t10_unigram_surprisal(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
