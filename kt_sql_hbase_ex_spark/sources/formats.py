@@ -63,3 +63,75 @@ def src01_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(back.select(F.lit(fmt).alias("fmt"), "n_nationkey", "n_name"))
     a, b, c = out
     return a.unionByName(b).unionByName(c)
+
+
+#: docs provisioned as loose payload files (the multimodal landing zone)
+_BINFILE_N_DOCS = 100
+
+
+def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Provision one ``{doc_id:06d}.bin`` file per document (UTF-8 text
+    bytes) for the first {_BINFILE_N_DOCS} docs — the loose-file landing
+    zone a multimodal ingest job starts from. Staged per-process and
+    atomically renamed (same discipline as the chunked stream source)."""
+    import hashlib
+    import shutil
+
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{_BINFILE_N_DOCS}".encode()
+    ).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: 0)()
+    base = os.path.join(tempfile.gettempdir(), f"kt_sql_binfiles_u{uid}", fp)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        staging = f"{base}.tmp.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            if doc_id < _BINFILE_N_DOCS:
+                with open(os.path.join(staging, f"{doc_id:06d}.bin"), "wb") as f:
+                    f.write(text.encode("utf-8"))
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
+            pass
+        try:
+            os.rename(staging, base)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return base
+
+
+@query(
+    "src05_binaryfile_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents WHERE doc_id < {_BINFILE_N_DOCS}
+    """,
+)
+def src05_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose-file binary ingest — the entry point of every multimodal
+    pipeline (images/audio/video land as files, not rows): Spark's
+    ``binaryFile`` source reads a directory into (path, modificationTime,
+    length, content BINARY) with one task per file group, the id is
+    recovered from the filename, and content integrity is a SHA-256 over
+    the payload bytes computed executor-side. At 100 TB this is the job
+    that turns an object-store prefix of a billion blobs into the typed
+    ``mm*`` binary-column table — ``pathGlobFilter`` / partition-by-prefix
+    bound each task's file set, and nothing but (id, digest, length)
+    ever shuffles. The oracle replays digest+length from the documents
+    table the files were provisioned from (payloads are UTF-8 text
+    bytes, so DuckDB's sha256 sees identical input)."""
+    files = spark.read.format("binaryFile").load(_binfile_dir(spark, sf_dir))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d{6})\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )
