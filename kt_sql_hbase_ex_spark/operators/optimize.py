@@ -434,3 +434,62 @@ def opt07_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_above"))
     )
+
+
+@query(
+    "opt08_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2)
+               AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def opt08_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the backfill idiom: rewrite exactly
+    one partition of a status-partitioned table without touching its
+    siblings. The base table is written ``partitionBy(o_orderstatus)``;
+    the correction job (here: reprice 'P' orders by +10%) writes in
+    ``overwrite`` mode with ``partitionOverwriteMode=dynamic``, which
+    replaces ONLY the partitions present in the incoming frame — under
+    the default *static* mode the same write would truncate the whole
+    table, the classic backfill footgun. At 100 TB this is how daily
+    re-statements land: job output ∝ corrected partition, untouched
+    partitions are never read or rewritten, and readers see partition-
+    level atomicity. The oracle replays the end state declaratively."""
+    import os
+    import shutil
+
+    root = _layout_cache_root("dynoverwrite")
+    slug = _layout_slug(sf_dir, "orders")
+    path = os.path.join(root, slug)
+    # rebuild the base each run: the overwrite-then-verify sequence IS
+    # the operator under test, so start from the pristine state
+    shutil.rmtree(path, ignore_errors=True)
+    _prune_stale_layouts(root, slug)
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+
+    corrected = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

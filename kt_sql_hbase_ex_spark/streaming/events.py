@@ -750,3 +750,33 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
     return spark.read.format(FORMAT_NAME).options(**opts).load()
+
+
+@query(
+    "st11_stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st11_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common streaming join: a live
+    event stream joined to a slowly-changing dimension (user → market
+    segment) that is a plain batch table. The static side broadcasts, so
+    every microbatch enriches map-side with zero stream-side shuffle and
+    no join state in the state store (unlike stream-stream, st09 — the
+    static side is simply re-planned per batch, which is also how dim
+    updates between batches become visible). The windowless running
+    aggregate then keys state by segment. The reference's analog was a
+    Calcite join of an HBase scan per lookup — here the dim ships to
+    executors once per batch."""
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = events_stream(spark, sf_dir)
+    enriched = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_stream_to_table(agg, "complete", sink_name="sink_st11")
