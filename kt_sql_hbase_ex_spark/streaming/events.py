@@ -113,11 +113,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: state-shard count for the fixture streams. Stateful operators write
 #: one state-store delta per shuffle partition per microbatch, so shard
 #: count should track state-key cardinality: these streams keep a few
-#: hundred keys (windows × types / users), where 8 shards ≈ 40% less
-#: per-batch overhead than the batch default of 32. On a cluster this is
-#: the knob you size to executors × state volume — it is fixed at the
-#: first checkpoint and cannot change across restarts.
-STREAM_STATE_PARTITIONS = 8
+#: hundred keys (windows × types / users). Measured at sf0.1 (st01,
+#: min of 3): 32 shards ≈ 2.1 s, 8 ≈ 1.3 s, 4 ≈ 0.95 s, 2 ≈ 0.82 s —
+#: 4 keeps real parallelism while shedding most per-shard fixed cost.
+#: On a cluster this is the knob you size to executors × state volume —
+#: it is fixed at the first checkpoint and cannot change across
+#: restarts.
+STREAM_STATE_PARTITIONS = 4
 
 
 def run_stream_to_table(
