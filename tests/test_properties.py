@@ -146,3 +146,73 @@ def test_minhash_lsh_finds_exact_duplicates(spark, docs):
     for i, t in enumerate(docs):
         if len([x for x in t.split(" ") if x != ""]) >= 0 and len(t.split(" ")) >= 3:
             assert (i, 100 + i) in pairs, (i, t, pairs)
+
+
+@given(docs=st.lists(st.text(alphabet="xy ", min_size=1, max_size=200), min_size=1, max_size=6))
+@_settings
+def test_chunking_covers_every_token_exactly(spark, docs):
+    """tr09 invariants vs the Python model: chunks tile each document
+    with stride CHUNK_S — every token falls in >=1 chunk, consecutive
+    chunk starts differ by exactly the stride, the last chunk reaches
+    the final token, and a short doc yields exactly one chunk."""
+    from unittest import mock
+
+    import kt_sql_hbase_ex_spark.functions.pipeline as pl
+
+    data = [(i, t, "en", "src", len(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(pl, "load_table", lambda _s, _d, _n: df):
+        rows = pl.tr09_token_window_chunking(spark, "ignored").collect()
+
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(docs):
+        n = len(t.split(" "))  # split semantics match split(text, ' ')
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        starts = [c.chunk_start for c in chunks]
+        assert starts[0] == 1
+        assert all(b - a == pl.CHUNK_S for a, b in zip(starts, starts[1:]))
+        # full coverage: last chunk ends at the last token
+        last = chunks[-1]
+        assert last.chunk_start + last.n_tokens - 1 == n, (t, chunks)
+        if n <= pl.CHUNK_W:
+            assert len(chunks) == 1 and last.n_tokens == n
+        # no chunk overruns the doc or the window size
+        assert all(0 < c.n_tokens <= pl.CHUNK_W for c in chunks)
+
+
+def test_dedup_collapse_conserves_totals(spark, sf_small):
+    """d07 conservation: per language, kept <= total, chars_kept <=
+    chars_total, and the reductions equal the sum over clusters of
+    (cluster_size - 1) members' sizes — i.e. exactly one survivor per
+    cluster is retained and it is the longest member."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        d06_neardup_clusters,
+        d07_dedup_collapse_report,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    report = {r.lang: r for r in d07_dedup_collapse_report(spark, sf_small).collect()}
+    docs = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for r in d06_neardup_clusters(spark, sf_small).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    exp_drop_n: dict[str, int] = {}
+    exp_drop_chars: dict[str, int] = {}
+    for members in clusters.values():
+        ranked = sorted(members, key=lambda d: (-docs[d][1], d))
+        for d in ranked[1:]:  # everything but the longest member drops
+            lang, chars = docs[d]
+            exp_drop_n[lang] = exp_drop_n.get(lang, 0) + 1
+            exp_drop_chars[lang] = exp_drop_chars.get(lang, 0) + chars
+    for lang, r in report.items():
+        assert r.n_kept == r.n_docs - exp_drop_n.get(lang, 0), (lang, r)
+        assert r.chars_kept == r.chars_total - exp_drop_chars.get(lang, 0), (lang, r)
