@@ -369,3 +369,47 @@ def f14_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing"),
     )
+
+
+@query(
+    "f15_map_functions",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id < 50
+    ),
+    cnt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, t)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           COALESCE(list_sort(list(t) FILTER (WHERE c >= 3)), []) AS rep_tokens,
+           CAST(COALESCE(SUM(c) FILTER (WHERE c >= 3), 0) AS BIGINT) AS rep_count
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def f15_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed columns + map higher-order functions — the last nested
+    type alongside arrays (f06), structs (st08) and VARIANT (f14); the
+    reference's type system had no nested types at all (SURVEY §1.3).
+    Per doc: build a token→count MAP in one projection
+    (``map_from_arrays`` over the distinct-token array), then
+    ``map_filter`` keeps tokens repeated >=3×, ``map_keys`` lists them,
+    and an ``aggregate`` lambda folds their counts. Everything is a
+    JVM-side codegen'd expression — no explode, no shuffle, no Python;
+    the oracle recomputes the same facts from first principles with
+    DuckDB list aggregation."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = "split(text, ' ')"
+    keys = f"array_sort(array_distinct({toks}))"
+    m = (
+        f"map_from_arrays({keys},"
+        f" transform({keys}, k -> CAST(size(filter({toks}, t -> t = k)) AS BIGINT)))"
+    )
+    rep = f"map_filter({m}, (k, v) -> v >= 3)"
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(size(map_keys({m})) AS BIGINT)").alias("n_distinct"),
+        F.expr(f"array_sort(map_keys({rep}))").alias("rep_tokens"),
+        F.expr(f"aggregate(map_values({rep}), 0L, (acc, v) -> acc + v)").alias(
+            "rep_count"
+        ),
+    )
