@@ -19,18 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
 
 @query(
     "a01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {exact_sum_sql("l_extendedprice")} AS sum_base_price,
+           {exact_sum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
            ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
            ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
            ROUND(AVG(l_discount), 4)                                    AS avg_disc,
@@ -49,9 +50,9 @@ def a01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        exact_sum(disc_price).alias("sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -224,10 +225,10 @@ def a08_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a09_conditional_agg_pivot",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS price_o,
-           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS price_f,
+           {exact_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END")} AS price_o,
+           {exact_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END")} AS price_f,
            CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -238,13 +239,11 @@ def a09_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered scans."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)),
-            2,
+        exact_sum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")).otherwise(0.0)
         ).alias("price_o"),
-        F.round(
-            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)),
-            2,
+        exact_sum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)
         ).alias("price_f"),
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
     )
@@ -252,9 +251,9 @@ def a09_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a10_having",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_spend
+           {exact_sum_sql("o_totalprice")} AS total_spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 15
@@ -267,7 +266,7 @@ def a10_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            exact_sum("o_totalprice").alias("total_spend"),
         )
         .filter(F.col("n_orders") >= 15)
     )

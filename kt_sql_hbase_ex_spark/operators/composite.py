@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_dec
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
@@ -28,7 +29,7 @@ from kt_sql_hbase_ex_spark.sources.catalog import load_table
     "c01_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -60,7 +61,7 @@ def c01_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -75,7 +76,7 @@ def c01_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT s.s_nationkey, s.s_name,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_nationkey, s.s_name
     )
@@ -100,7 +101,7 @@ def c02_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "s_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -221,7 +222,7 @@ def c04_semantic_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c05_returned_item_reporting",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -250,8 +251,8 @@ def c05_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -306,7 +307,7 @@ TRADE_NATIONS = ("NATION_1", "NATION_2")
 @query(
     "c07_nation_trade_flow",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l.l_shipdate) AS l_year,
@@ -372,8 +373,8 @@ def c07_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -387,8 +388,9 @@ SHARE_NATION = "NATION_3"
     "c08_market_share",
     oracle=f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = '{SHARE_NATION}' THEN volume
-                          ELSE 0 END) / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = '{SHARE_NATION}' THEN volume
+                          ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -444,8 +446,10 @@ def c08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                exact_sum_dec(
+                    F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(F.lit(0.0))
+                ).cast("double")
+                / exact_sum_dec(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -478,8 +482,10 @@ def c09_promo_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                * exact_sum_dec(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+                ).cast("double")
+                / exact_sum_dec(vol).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -490,7 +496,7 @@ def c09_promo_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c10_disjunctive_predicate_revenue",
     oracle="""
     SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1  AND 15
            AND l.l_quantity BETWEEN 1  AND 30)
@@ -530,8 +536,8 @@ def c10_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
     )
@@ -542,7 +548,7 @@ def c10_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -567,7 +573,7 @@ def c11_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
@@ -591,7 +597,7 @@ def c11_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_custs,
-           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
     FROM customer c, threshold t
     WHERE c.c_acctbal > t.avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -616,7 +622,7 @@ def c12_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c.c_mktsegment,
                COUNT(*) AS n_custs,
-               ROUND(SUM(c.c_acctbal), 2) AS total_bal
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
         FROM c12_customer c
         WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM c12_customer
                              WHERE c_acctbal > 0.0)
@@ -669,7 +675,7 @@ def c13_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c14_forecast_revenue_change",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -696,7 +702,7 @@ def c14_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
                 "revenue"
             ),
             F.count("*").alias("n_lines"),
@@ -757,7 +763,7 @@ def c15_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, AVG(l_quantity) AS avg_qty
         FROM brand_lines GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(b.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM brand_lines b JOIN part_avg a ON a.l_partkey = b.l_partkey
     WHERE b.l_quantity < 0.5 * a.avg_qty
@@ -792,7 +798,9 @@ def c16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part_avg.alias("a"), F.col("b.l_partkey") == F.col("a.l_partkey"))
         .filter(F.col("b.l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("b.l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                exact_sum_dec("b.l_extendedprice").cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -868,8 +876,8 @@ def c17_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -908,7 +916,7 @@ def c18_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(exact_sum(profit).alias("sum_profit"))
     )
 
 
@@ -998,7 +1006,8 @@ def c19_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON r.r_regionkey = n.n_regionkey
         WHERE r.r_name = 'ASIA'
     ), val AS (
-        SELECT l_partkey, SUM(l_extendedprice) AS value
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
         FROM lineitem
         WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
         GROUP BY l_partkey
@@ -1034,7 +1043,7 @@ def c20_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         li.join(F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(exact_sum_dec("l_extendedprice").cast("double").alias("value"))
     )
     total = val.agg(F.sum("value").alias("total"))
     return (

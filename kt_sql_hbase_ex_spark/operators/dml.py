@@ -31,6 +31,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import PRIMARY_KEYS, load_table
 
@@ -104,7 +105,7 @@ def upsert_on_key(
     "dml01_insert_append",
     oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           {exact_sum_sql("o_totalprice")} AS total
     FROM (SELECT * FROM orders UNION ALL {_NEW_ORDERS_SQL})
     GROUP BY o_orderstatus
     """,
@@ -116,16 +117,15 @@ def dml01_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         insert_rows(base, new_rows)
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), exact_sum("o_totalprice").alias("total"))
     )
 
 
 @query(
     "dml02_update_where",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'O'
-                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS total
+           {exact_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -137,7 +137,7 @@ def dml02_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, F.col("o_orderstatus") == "O", {"o_totalprice": F.col("o_totalprice") * 1.1}
     )
     return updated.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), exact_sum("o_totalprice").alias("total")
     )
 
 
@@ -185,7 +185,7 @@ def dml03_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(CASE WHEN o_orderstatus = 'X' THEN 1 END) AS BIGINT) AS n_updated,
-           ROUND(SUM(o_totalprice), 2) AS total
+           {exact_sum_sql("o_totalprice")} AS total
     FROM merged
     """,
 )
@@ -205,15 +205,15 @@ def dml04_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.agg(
         F.count("*").alias("n_rows"),
         F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("n_updated"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        exact_sum("o_totalprice").alias("total"),
     )
 
 
 @query(
     "dml05_dedup_by_pk",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           {exact_sum_sql("o_totalprice")} AS total
     FROM (SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders))
     GROUP BY o_orderstatus
     """,
@@ -230,5 +230,5 @@ def dml05_dedup_by_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = o.unionByName(o)
     deduped = doubled.dropDuplicates(list(PRIMARY_KEYS["orders"]))
     return deduped.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), exact_sum("o_totalprice").alias("total")
     )

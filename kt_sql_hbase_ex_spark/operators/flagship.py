@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
@@ -76,8 +77,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -111,17 +112,17 @@ def revenue_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
 
 
-ALL_REGIONS_ORACLE = """
+ALL_REGIONS_ORACLE = f"""
 SELECT r_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {exact_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -137,9 +138,9 @@ GROUP BY r_name, n_name
 query("flagship_revenue_all_regions", oracle=ALL_REGIONS_ORACLE)(revenue_all_regions)
 
 
-FLAGSHIP_ORACLE = """
+FLAGSHIP_ORACLE = f"""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {exact_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
