@@ -111,8 +111,13 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             {
                 "media_id": pdf["media_id"],
                 "n_bytes": payloads.map(len).astype("int64"),
+                # raw quotient, deliberately unrounded: sum and length are
+                # exact ints, so the IEEE division is bit-identical in every
+                # engine — pre-rounding here hit genuine 7-decimal ties
+                # (power-of-two byte counts), where Python rounds half-even
+                # but SQL engines round half-away
                 "mean_byte": payloads.map(
-                    lambda b: round(float(sum(b)) / len(b), 6) if len(b) else 0.0
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
                 ),
                 "head_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
                 "media_format": pdf["media_format"],
@@ -126,12 +131,11 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
-                ELSE ROUND(
-                    list_aggregate(
-                        list_transform(generate_series(1, octet_length(encode(text))),
-                            i -> CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT)),
-                        'sum')
-                    / CAST(octet_length(encode(text)) AS DOUBLE), 6)
+                ELSE list_aggregate(
+                    list_transform(generate_series(1, octet_length(encode(text))),
+                        i -> CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT)),
+                    'sum')
+                    / CAST(octet_length(encode(text)) AS DOUBLE)
            END AS mean_byte,
            lower(substr(hex(encode(text)), 1, 8)) AS head_hex,
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
