@@ -484,3 +484,72 @@ def tr09_token_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.chunk_hash").alias("chunk_hash"),
         )
     )
+
+
+@query(
+    "tr10_filter_cascade_funnel",
+    oracle="""
+    WITH flags AS (
+        SELECT n_chars BETWEEN 50 AND 5000 AS k1,
+               len(string_split(text, ' ')) >= 10 AS k2,
+               len(list_distinct(string_split(text, ' ')))
+                   >= 0.15 * len(string_split(text, ' ')) AS k3
+        FROM documents
+    )
+    SELECT stage, n_in, n_kept,
+           ROUND(CAST(n_kept AS DOUBLE) / n_in, 6) AS kept_frac
+    FROM (
+        SELECT '1_length' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM flags
+        UNION ALL
+        SELECT '2_min_tokens',
+               CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '3_repetition',
+               CAST(SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+    )
+    """,
+)
+def tr10_filter_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with attrition accounting — the funnel
+    report every curation run publishes: length gate → minimum-token
+    gate → repetition gate (distinct-token ratio), each stage reporting
+    how many docs entered and survived. One corpus pass: all stage
+    flags are computed as map-side boolean columns, then a single
+    global aggregate emits the whole funnel (conditional sums), so
+    adding a stage adds a column, never a scan. This is the composition
+    layer over the t02/t03/t09 per-doc scores; at 100 TB the same
+    flags-then-aggregate shape also writes the per-stage reject streams
+    via multi-column filters without re-reading the corpus."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    flags = d.select(
+        F.col("n_chars").between(50, 5000).alias("k1"),
+        (F.size(toks) >= 10).alias("k2"),
+        (
+            F.size(F.array_distinct(toks)) >= 0.15 * F.size(toks)
+        ).alias("k3"),
+    )
+    n = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        n(F.col("k1")).alias("n1"),
+        n(F.col("k1") & F.col("k2")).alias("n2"),
+        n(F.col("k1") & F.col("k2") & F.col("k3")).alias("n3"),
+    )
+    stages = agg.selectExpr(
+        "stack(3, '1_length', n0, n1, '2_min_tokens', n1, n2,"
+        " '3_repetition', n2, n3) AS (stage, n_in, n_kept)"
+    )
+    return stages.select(
+        "stage",
+        "n_in",
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("n_in"), 6).alias("kept_frac"),
+    )

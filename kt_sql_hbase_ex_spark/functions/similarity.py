@@ -689,3 +689,53 @@ def sim05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(nv, cv) / (F.sqrt(_dot(nv, nv)) * F.sqrt(_dot(cv, cv))), 4
         ).alias("drift_cos"),
     )
+
+
+@query(
+    "sim06_int8_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               CAST(embedding AS DOUBLE[]) AS v,
+               127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS scale
+        FROM embeddings
+    ),
+    err AS (
+        SELECT label,
+               list_max(list_transform(
+                   list_zip(v, list_transform(v, x -> round(x * scale) / scale)),
+                   p -> abs(p[1] - p[2]))) AS max_err
+        FROM q
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(max_err), 6) AS avg_max_err
+    FROM err GROUP BY label
+    """,
+)
+def sim06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store — the 4×
+    compression every 100 TB vector corpus applies before ANN serving:
+    per-vector symmetric scale (127/max|x|), elementwise round to int8,
+    and a per-label reconstruction-error report (mean of per-vector max
+    absolute dequantization error). Entirely JVM-side higher-order array
+    expressions — quantization is a map-side projection, the only
+    shuffle is the label-keyed stats aggregate. The oracle replays the
+    identical quantize→dequantize arithmetic; both engines round ties
+    away from zero and the scale/round doubles are bit-identical, so
+    the comparison is exact up to the 6dp output rounding."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = "transform(embedding, x -> cast(x AS double))"
+    scale = f"127.0D / array_max(transform({v}, x -> abs(x)))"
+    dequant = f"transform({v}, x -> round(x * ({scale})) / ({scale}))"
+    max_err = (
+        f"array_max(zip_with({v}, {dequant}, (a, b) -> abs(a - b)))"
+    )
+    return (
+        e.select("label", F.expr(max_err).alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+        )
+    )

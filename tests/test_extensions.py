@@ -96,8 +96,9 @@ def test_mm02_decode_features_exact(spark, sf_small):
         b = text.encode("utf-8")
         row = feats[doc_id]
         assert row["n_bytes"] == len(b)
-        # the extractor rounds to 6dp (oracle-parity contract)
-        assert abs(row["mean_byte"] - round(sum(b) / len(b), 6)) < 1e-9
+        # raw IEEE quotient, deliberately unrounded (cross-engine ties at
+        # 6dp — see mm02's docstring); must be bit-identical to Python's
+        assert row["mean_byte"] == sum(b) / len(b)
         assert row["head_hex"] == b[:4].hex()
 
 
