@@ -629,3 +629,77 @@ def d07_dedup_collapse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: docs below this id are the "historical corpus"; the rest are the
+#: incoming batch — the incremental-ingest split.
+INCREMENTAL_SPLIT_ID = 300
+
+
+@query(
+    "d08_incremental_dedup",
+    oracle=f"""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents
+        WHERE doc_id < {INCREMENTAL_SPLIT_ID}
+    ),
+    batch AS (
+        SELECT doc_id, lang, md5(text) AS digest FROM documents
+        WHERE doc_id >= {INCREMENTAL_SPLIT_ID}
+    ),
+    fresh AS (
+        SELECT doc_id, lang, digest,
+               ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM batch
+        WHERE digest NOT IN (SELECT digest FROM hist)
+    ),
+    adm AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_admitted
+        FROM fresh WHERE rn = 1 GROUP BY lang
+    ),
+    arr AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_arrived
+        FROM batch GROUP BY lang
+    )
+    SELECT lang, n_arrived, COALESCE(n_admitted, 0) AS n_admitted
+    FROM arr LEFT JOIN adm USING (lang)
+    """,
+)
+def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — how dedup actually runs in a standing
+    ingest pipeline: the incoming batch is checked against the
+    *historical digest index* (32-byte digests of everything ever
+    admitted — never the historical bodies), then deduped within
+    itself (first doc_id wins per digest). Per-language report: docs
+    arrived vs docs admitted. Scale: the anti-join ships only digests;
+    the historical index is digest-bucketed so the join co-locates
+    without shuffling history; batch-internal dedup is one window over
+    the (tiny) surviving batch. This is d01's steady-state form — the
+    full-corpus variant re-scans everything, this one touches only the
+    new data plus an index lookup."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    hist = (
+        d.filter(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    arrived = batch.groupBy("lang").agg(F.count("*").alias("n_arrived"))
+    fresh = batch.join(F.broadcast(hist), "digest", "left_anti")
+    admitted = (
+        fresh.withColumn(
+            "rn", F.row_number().over(W.partitionBy("digest").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_admitted"))
+    )
+    return arrived.join(admitted, "lang", "left").select(
+        "lang",
+        "n_arrived",
+        F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+    )
