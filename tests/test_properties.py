@@ -216,3 +216,33 @@ def test_dedup_collapse_conserves_totals(spark, sf_small):
     for lang, r in report.items():
         assert r.n_kept == r.n_docs - exp_drop_n.get(lang, 0), (lang, r)
         assert r.chars_kept == r.chars_total - exp_drop_chars.get(lang, 0), (lang, r)
+
+
+def test_exact_sum_invariant_under_repartitioning(spark, sf_oracle):
+    """The exact-decimal money sum must be bit-identical no matter how
+    the input is partitioned — the order-independence plain double sums
+    lack (functions/money.py). Run the a01-shape charge sum over four
+    different partitionings and require exact equality."""
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+
+    def run(df):
+        return {
+            r.l_returnflag: r.total
+            for r in df.groupBy("l_returnflag")
+            .agg(exact_sum(charge).alias("total"))
+            .collect()
+        }
+
+    baseline = run(li)
+    for n in (1, 3, 13, 64):
+        assert run(li.repartition(n)) == baseline, n
+    # and under a different (clustered) distribution
+    assert run(li.repartition("l_suppkey")) == baseline
