@@ -413,3 +413,37 @@ def f15_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_count"
         ),
     )
+
+
+@query(
+    "f16_collation_semantics",
+    oracle="""
+    SELECT lower(val) AS type_key, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+        SELECT p_type AS val FROM part
+        UNION ALL SELECT lower(p_type) FROM part
+    )
+    GROUP BY lower(val)
+    """,
+)
+def f16_collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 ``collate``): a mixed-case
+    feed (each part type plus its lowercase variant) grouped under the
+    UTF8_LCASE collation merges case variants in the comparator itself —
+    hash aggregate, joins, and ORDER BY all honor the collation, so the
+    per-expression ``lower()`` scattering a case-insensitive pipeline
+    otherwise needs disappears (and at 100 TB, collation lives in the
+    column's type, declared once at DDL time). This is the query-level
+    analog of the reference's per-table CHARSET attribute
+    (``hbase/HBaseTable.kt:209-219``, surfaced in ``describe_table``).
+    The emitted group key is normalized explicitly — which case variant
+    represents a collated group is engine-internal, the one
+    nondeterminism a portable query must not expose."""
+    p = load_table(spark, sf_dir, "part").select("p_type")
+    mixed = p.unionAll(p.select(F.lower("p_type").alias("p_type")))
+    key = F.expr("collate(p_type, 'UTF8_LCASE')")
+    return (
+        mixed.groupBy(key.alias("k"))
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lower(F.col("k").cast("string")).alias("type_key"), "n_rows")
+    )
