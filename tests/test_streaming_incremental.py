@@ -302,3 +302,52 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_small):
     }
     assert got == expected
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, sf_small):
+    """The stateful operators must run unchanged on the RocksDB state
+    store provider — the backend a 100 TB deployment uses (state spills
+    to local disk instead of living on the executor heap). Same results
+    as the batch oracle shapes; conf is read per-query, so this flips
+    the provider only for the streams started here."""
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        st01_tumbling_window,
+        st06_stateful_user_stats,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        win = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in st01_tumbling_window(spark, sf_small).collect()
+        }
+        stats = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in st06_stateful_user_stats(spark, sf_small).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+
+    exp_win = {
+        (r.ws, r.event_type): (r.n, round(r.total, 2))
+        for r in load_table(spark, sf_small, "events")
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert win == exp_win
+    exp_stats = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert stats == exp_stats
