@@ -689,7 +689,12 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.md5("text").alias("digest")
     )
     arrived = batch.groupBy("lang").agg(F.count("*").alias("n_arrived"))
-    fresh = batch.join(F.broadcast(hist), "digest", "left_anti")
+    # deliberately NO broadcast hint: the historical index grows with the
+    # corpus (it is the one side here that can NEVER be assumed small) —
+    # the scale plan is a digest-keyed shuffle join against the
+    # digest-bucketed index (no history shuffle), and AQE still picks
+    # broadcast at fixture scale on its own
+    fresh = batch.join(hist, "digest", "left_anti")
     admitted = (
         fresh.withColumn(
             "rn", F.row_number().over(W.partitionBy("digest").orderBy("doc_id"))
