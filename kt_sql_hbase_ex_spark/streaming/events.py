@@ -770,8 +770,11 @@ def st11_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     every microbatch enriches map-side with zero stream-side shuffle and
     no join state in the state store (unlike stream-stream, st09 — the
     static side is simply re-planned per batch, which is also how dim
-    updates between batches become visible). The windowless running
-    aggregate then keys state by segment. The reference's analog was a
+    updates between batches become visible). When the enrichment table
+    outgrows broadcast size (user dims can), the same stream-static
+    join runs as a per-batch shuffle join — still stateless, still this
+    exact code minus the hint. The windowless running aggregate then
+    keys state by segment. The reference's analog was a
     Calcite join of an HBase scan per lookup — here the dim ships to
     executors once per batch."""
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
