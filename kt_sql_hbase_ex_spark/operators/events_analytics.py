@@ -1,0 +1,238 @@
+"""Batch event analytics over ``events`` — sessionization, funnel
+conversion, cohort retention.
+
+No reference analog (the reference stops at SQL-over-HBase scans,
+``hbase/HBaseFilterableTable.kt:28-45``); these are the product-analytics
+operators every event warehouse layers on top of a raw event table, and
+none of them is a Spark built-in — each is expressed as the composition
+of DataFrame ops with the right shuffle profile for 100 TB of events.
+
+Scale design:
+* sessionization — the naive formulation is a self-join per event pair;
+  implemented instead as ONE shuffle on ``user_id`` + a lag/cumsum
+  window to assign session ids, and the per-session aggregate reuses the
+  window's hash partitioning (grouping keys are a superset of the
+  partition key, so EnsureRequirements inserts no second exchange).
+  Linear state, no join.
+* funnel — the textbook formulation is one aggregate+join per step
+  (K shuffles for a K-step funnel). Implemented as a single groupBy
+  that collects each user's step events into a sorted array and runs
+  the step state machine as an ``aggregate`` lambda (JVM higher-order,
+  no Python): ONE shuffle regardless of K. Greedy earliest-match is
+  exact for "did an increasing step subsequence exist" semantics. The
+  oracle replays the K-join chain — two independent formulations, one
+  answer. Per-user arrays hold only funnel-step events (bounded per
+  user); a pathological power user degrades one task, not the stage.
+* retention — DISTINCT (user, week) first (shrinks events to at most
+  users x weeks before anything joins), then the per-user cohort week
+  and the activity join both reuse the ``user_id`` hash partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+#: Inactivity gap that closes a session.
+SESSION_GAP_MINUTES = 60
+
+#: Ordered funnel steps (event_type values in the events fixture).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "ev01_sessionize",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def ev01_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session ends after
+    {SESSION_GAP_MINUTES} minutes of inactivity. lag() marks session
+    starts, a running sum over the same window numbers them, and the
+    per-session rollup groups on (user_id, session_seq) — a superset of
+    the window's user_id hash partitioning, so the whole operator is ONE
+    shuffle end to end. This is the batch twin of st03's streaming
+    session window (state-store sessions vs. window-function sessions)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_sess)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _funnel_oracle() -> str:
+    v, c, p = FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = '{v}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+        WHERE e.event_type = '{c}' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+        WHERE e.event_type = '{p}' GROUP BY e.user_id
+    ),
+    counts AS (
+                  SELECT 1 AS step_idx, '{v}' AS step, COUNT(*) AS n FROM s1
+        UNION ALL SELECT 2, '{c}', COUNT(*) FROM s2
+        UNION ALL SELECT 3, '{p}', COUNT(*) FROM s3
+    )
+    SELECT step_idx, step, CAST(n AS BIGINT) AS n_users,
+           ROUND(CAST(n AS DOUBLE)
+                 / NULLIF(MAX(CASE WHEN step_idx = 1 THEN n END) OVER (), 0),
+                 4) AS pct_of_first
+    FROM counts
+    """
+
+
+@query("ev02_funnel", oracle=_funnel_oracle())
+def ev02_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users reached
+    each step via an increasing-timestamp subsequence. One groupBy
+    collects each user's funnel events time-sorted (ties broken by step
+    rank so a same-timestamp later step still counts, matching the
+    oracle's inclusive ``>=`` chain), then an ``aggregate`` lambda runs
+    the greedy state machine — earliest match per step, which is exact
+    for subsequence-existence semantics. ONE shuffle for any number of
+    steps, vs. the oracle's aggregate+join per step; at 100 TB the
+    difference is K-1 full event shuffles."""
+    step_rank = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    rank_col = F.when(F.col("event_type") == FUNNEL_STEPS[0], 0)
+    for s, i in list(step_rank.items())[1:]:
+        rank_col = rank_col.when(F.col("event_type") == s, i)
+    per_user = e.select(
+        "user_id", F.struct(F.col("ts"), rank_col.alias("step")).alias("ev")
+    ).groupBy("user_id").agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+
+    def _advance(acc, ev):
+        out = acc
+        # innermost-first: later whens win only if earlier didn't match
+        for i in range(len(FUNNEL_STEPS)):
+            out = F.when(
+                (acc["depth"] == i) & (ev["step"] == i),
+                F.struct(F.lit(i + 1).alias("depth"), ev["ts"].alias("t")),
+            ).otherwise(out)
+        return out
+
+    depth = per_user.select(
+        "user_id",
+        F.aggregate(
+            "evs",
+            F.struct(
+                F.lit(0).alias("depth"), F.lit(None).cast("timestamp").alias("t")
+            ),
+            _advance,
+        )["depth"].alias("depth"),
+    )
+    counts = depth.agg(
+        *[
+            F.sum((F.col("depth") >= i + 1).cast("bigint")).alias(f"n{i + 1}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"n{i + 1}").alias("n_users"),
+                        F.round(F.col(f"n{i + 1}") / F.nullif(F.col("n1"), F.lit(0)), 4).alias(
+                            "pct_of_first"
+                        ),
+                    )
+                    for i, s in enumerate(FUNNEL_STEPS)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step_idx", "r.step", "r.n_users", "r.pct_of_first")
+
+
+@query(
+    "ev03_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT cohort.cohort_week,
+           CAST(date_diff('day', cohort.cohort_week, activity.week) / 7 AS INT)
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity JOIN cohort ON activity.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev03_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity week,
+    counted in each later activity week (offset in weeks). DISTINCT
+    (user, week) runs FIRST so everything downstream is at most
+    users × weeks — at 100 TB that single projection is what makes the
+    operator feasible; the cohort aggregate and the activity⋈cohort join
+    then reuse the same user_id hash partitioning (no extra exchange
+    for the join's left side)."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.operators.sort_limit",
     "kt_sql_hbase_ex_spark.operators.dml",
     "kt_sql_hbase_ex_spark.operators.timeseries",
+    "kt_sql_hbase_ex_spark.operators.events_analytics",
     "kt_sql_hbase_ex_spark.operators.ddl",
     "kt_sql_hbase_ex_spark.operators.optimize",
     "kt_sql_hbase_ex_spark.operators.flagship",

@@ -303,3 +303,28 @@ def test_surprisal_broadcasts_vocabulary(spark, sf_small):
 
     plan = formatted_plan(t10_unigram_surprisal(spark, sf_small))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark, sf_small):
+    """ev01: lag/cumsum window + per-session rollup must shuffle events
+    ONCE on user_id — the (user_id, session_seq) grouping keys are a
+    superset of the window's partitioning, so EnsureRequirements must
+    not insert a second exchange."""
+    from kt_sql_hbase_ex_spark.operators.events_analytics import ev01_sessionize
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(ev01_sessionize(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_single_event_shuffle(spark, sf_small):
+    """ev02: the K-step funnel must shuffle the event table ONCE (the
+    collect_list groupBy) — never one aggregate+join chain per step —
+    and run the step state machine JVM-side (no BatchEvalPython)."""
+    from kt_sql_hbase_ex_spark.operators.events_analytics import ev02_funnel
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(ev02_funnel(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
