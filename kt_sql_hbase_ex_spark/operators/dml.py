@@ -232,3 +232,229 @@ def dml05_dedup_by_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), exact_sum("o_totalprice").alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC — the warehouse-side mutation patterns layered on keyed rows
+
+_CUST_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+#: SCD2 change batch: updates to keys 1 and 2, one brand-new key. A
+#: fourth, attribute-identical row (key 42, selected from the snapshot
+#: itself) is appended at runtime — change detection must NOT version it.
+_SCD2_CHANGES = [
+    (1, "Customer#000000001", 19, 9999.99, "AUTOMOBILE"),
+    (2, "Customer#000000002", 7, 1667.32, "FURNITURE"),
+    (900000001, "Customer#900000001", 3, 10.0, "HOUSEHOLD"),
+]
+_SCD2_CHANGES_SQL = """
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'Customer#000000001', CAST(19 AS INT), 9999.99, 'AUTOMOBILE'),
+        (2, 'Customer#000000002', 7, 1667.32, 'FURNITURE'),
+        (900000001, 'Customer#900000001', 3, 10.0, 'HOUSEHOLD')
+    ) AS t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey = 42
+"""
+_SCD2_AFFECTED = (1, 2, 42, 900000001)
+
+
+@query(
+    "dml06_scd2_history",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM customer
+    ),
+    changes AS ({_SCD2_CHANGES_SQL}),
+    diff AS (
+        SELECT ch.* FROM changes ch LEFT JOIN base b
+          ON ch.c_custkey = b.c_custkey
+        WHERE b.c_custkey IS NULL
+           OR b.c_name      IS DISTINCT FROM ch.c_name
+           OR b.c_nationkey IS DISTINCT FROM ch.c_nationkey
+           OR b.c_acctbal   IS DISTINCT FROM ch.c_acctbal
+           OR b.c_mktsegment IS DISTINCT FROM ch.c_mktsegment
+    ),
+    closed AS (
+        SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+               b.c_mktsegment, b.valid_from,
+               TIMESTAMP '2024-06-01' AS valid_to, FALSE AS is_current
+        FROM base b JOIN diff d ON b.c_custkey = d.c_custkey
+    ),
+    opened AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+        FROM diff
+    ),
+    keep AS (
+        SELECT * FROM base
+        WHERE NOT EXISTS (SELECT 1 FROM diff WHERE diff.c_custkey = base.c_custkey)
+    ),
+    hist AS (
+        SELECT * FROM keep UNION ALL SELECT * FROM closed
+        UNION ALL SELECT * FROM opened
+    )
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
+           valid_from, valid_to, is_current
+    FROM hist WHERE c_custkey IN {_SCD2_AFFECTED}
+    """,
+)
+def dml06_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 apply: a change batch versions the customer dimension —
+    rows whose attributes actually changed (or are new keys) get their
+    current version closed (``valid_to`` = effective date) and a new
+    open version appended; attribute-identical change rows are detected
+    and dropped (no spurious versions — the batch includes one on
+    purpose). Scale: the change batch is broadcast for BOTH the diff
+    probe and the touched-key anti-join, so the dimension snapshot never
+    shuffles — MERGE-shaped, like dml04. Returns the full version
+    history of the affected keys (closed + open + untouched no-op)."""
+    eff = F.lit("2024-06-01").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(*_CUST_COLS)
+    base = cust.select(
+        "*",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = spark.createDataFrame(
+        _SCD2_CHANGES,
+        schema="c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).unionByName(cust.filter(F.col("c_custkey") == 42))
+
+    ch = changes.select([F.col(c).alias(f"ch_{c}") for c in _CUST_COLS])
+    # existing keys whose attributes differ: broadcast probe into base
+    probed = base.join(
+        F.broadcast(ch), base.c_custkey == ch.ch_c_custkey, "inner"
+    )
+    attr_diff = (
+        ~F.col("c_name").eqNullSafe(F.col("ch_c_name"))
+        | ~F.col("c_nationkey").eqNullSafe(F.col("ch_c_nationkey"))
+        | ~F.col("c_acctbal").eqNullSafe(F.col("ch_c_acctbal"))
+        | ~F.col("c_mktsegment").eqNullSafe(F.col("ch_c_mktsegment"))
+    )
+    diff_existing = probed.filter(attr_diff)
+    new_rows = ch.join(
+        base, ch.ch_c_custkey == base.c_custkey, "left_anti"
+    )
+    diff = diff_existing.select(
+        *[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS]
+    ).unionByName(new_rows.select(*[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS]))
+
+    closed = diff_existing.select(
+        *_CUST_COLS, "valid_from", eff.alias("valid_to"), F.lit(False).alias("is_current")
+    )
+    opened = diff.select(
+        "*",
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).select(*base.columns)
+    keep = base.join(
+        F.broadcast(diff.select("c_custkey")), "c_custkey", "left_anti"
+    ).select(*base.columns)
+
+    hist = keep.unionByName(closed.select(*base.columns)).unionByName(opened)
+    return hist.filter(F.col("c_custkey").isin(*_SCD2_AFFECTED)).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+#: CDC change log: (seq, op, full-row payload). Exercises every
+#: last-wins shape — repeated updates (key 1), plain delete (key 2),
+#: update-then-delete (key 3), insert-then-update of a new key, and
+#: delete-then-reinsert revival (key 4) — the same tombstone/Put
+#: ordering the KV connector enforces (src04).
+_CDC_LOG = [
+    (1, "U", 1, 1, "X", 500.0, dt.datetime(2001, 11, 1), "1-URGENT"),
+    (2, "U", 1, 1, "X", 600.0, dt.datetime(2001, 11, 2), "1-URGENT"),
+    (3, "D", 2, None, None, None, None, None),
+    (4, "U", 3, 3, "X", 700.0, dt.datetime(2001, 11, 3), "2-HIGH"),
+    (5, "D", 3, None, None, None, None, None),
+    (6, "I", 900000001, 1, "X", 111.11, dt.datetime(2001, 11, 4), "5-LOW"),
+    (7, "U", 900000001, 1, "X", 112.12, dt.datetime(2001, 11, 5), "5-LOW"),
+    (8, "D", 4, None, None, None, None, None),
+    (9, "I", 4, 4, "X", 800.0, dt.datetime(2001, 11, 6), "3-MEDIUM"),
+]
+_CDC_LOG_SQL = """
+    SELECT * FROM (VALUES
+        (1, 'U', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'X', 500.0, TIMESTAMP '2001-11-01', '1-URGENT'),
+        (2, 'U', 1, 1, 'X', 600.0, TIMESTAMP '2001-11-02', '1-URGENT'),
+        (3, 'D', 2, NULL, NULL, NULL, NULL, NULL),
+        (4, 'U', 3, 3, 'X', 700.0, TIMESTAMP '2001-11-03', '2-HIGH'),
+        (5, 'D', 3, NULL, NULL, NULL, NULL, NULL),
+        (6, 'I', 900000001, 1, 'X', 111.11, TIMESTAMP '2001-11-04', '5-LOW'),
+        (7, 'U', 900000001, 1, 'X', 112.12, TIMESTAMP '2001-11-05', '5-LOW'),
+        (8, 'D', 4, NULL, NULL, NULL, NULL, NULL),
+        (9, 'I', 4, 4, 'X', 800.0, TIMESTAMP '2001-11-06', '3-MEDIUM')
+    ) AS t(seq, op, o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority)
+"""
+
+
+@query(
+    "dml07_cdc_apply",
+    oracle=f"""
+    WITH log AS ({_CDC_LOG_SQL}),
+    latest AS (
+        SELECT * FROM log
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+    ),
+    applied AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.o_orderkey = orders.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM latest WHERE op <> 'D'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'X' THEN 1 END) AS BIGINT) AS n_changed,
+           {exact_sum_sql("o_totalprice")} AS total
+    FROM applied
+    """,
+)
+def dml07_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: an ordered I/U/D change log collapses to one winner per
+    key (ROW_NUMBER by seq DESC — the same last-wins rule a Debezium/
+    binlog compaction uses), then merges MERGE-style: delete winners
+    drop the key, insert/update winners replace-or-append. Scale: the
+    log compacts FIRST (shuffle ∝ changelog size, grouped by key), the
+    compacted key set broadcasts into the base anti-join — a 100 TB base
+    never moves; re-applying any suffix of the log is idempotent because
+    last-wins is. End state checked on count / changed-count / total."""
+    base = load_table(spark, sf_dir, "orders")
+    log = spark.createDataFrame(
+        _CDC_LOG,
+        schema="seq int, op string, o_orderkey bigint, o_custkey bigint, "
+        "o_orderstatus string, o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    )
+    latest = log.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    survivors = base.join(
+        F.broadcast(latest.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+    upserts = latest.filter(F.col("op") != "D").select(*base.columns)
+    applied = survivors.unionByName(upserts)
+    return applied.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("n_changed"),
+        exact_sum("o_totalprice").alias("total"),
+    )

@@ -328,3 +328,19 @@ def test_funnel_single_event_shuffle(spark, sf_small):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_scd2_and_cdc_never_shuffle_base(spark, sf_small):
+    """dml06/dml07: statement-sized change batches must broadcast into
+    the base (diff probe + touched-key anti-join) — a sort-merge join
+    here would shuffle the whole dimension/fact for a handful of rows."""
+    from kt_sql_hbase_ex_spark.operators.dml import (
+        dml06_scd2_history,
+        dml07_cdc_apply,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    for fn in (dml06_scd2_history, dml07_cdc_apply):
+        plan = simple_plan(fn(spark, sf_small))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
