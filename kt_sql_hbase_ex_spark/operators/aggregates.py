@@ -423,3 +423,110 @@ def a14_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tolerance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a15/a16 — sketch-adjacent statistics: histogram, heavy hitters
+
+#: Fixed, data-independent histogram bounds for o_totalprice: at scale
+#: the bounds come from stats (ddl05) or domain knowledge, never from a
+#: pre-pass min/max over the data.
+HIST_LO = 0.0
+HIST_HI = 60000.0
+HIST_BUCKETS = 12
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+#: Heavy-hitter threshold: tokens carrying >= 1% of corpus occurrences.
+HH_MIN_SHARE = 0.01
+
+
+@query(
+    "a15_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR((o_totalprice - {HIST_LO}) / {_HIST_W}) AS INT),
+                     {HIST_BUCKETS - 1}) AS bucket
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket
+    )
+    SELECT bucket,
+           ROUND({HIST_LO} + bucket * {_HIST_W}, 2) AS lo,
+           ROUND({HIST_LO} + (bucket + 1) * {_HIST_W}, 2) AS hi,
+           n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+           ROUND(CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE)
+                 / SUM(n) OVER (), 6) AS cum_share
+    FROM counts
+    """,
+)
+def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals with FIXED bounds (the
+    streaming/distributed-safe kind): bucket index is pure row-local
+    arithmetic, so the aggregate is map-side-combined down to at most
+    {HIST_BUCKETS} rows per partition before the one tiny shuffle —
+    the same profile at 60k rows or 100 TB. share/cum_share come from
+    an unpartitioned window over the {HIST_BUCKETS}-row result (driver-
+    scale, not data-scale). A data-dependent (min/max) histogram would
+    need a pre-pass; fixed bounds are what monitoring pipelines use."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - HIST_LO) / _HIST_W).cast("int"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    counts = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    w_all = W.partitionBy()
+    w_cum = W.partitionBy().orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return counts.select(
+        "bucket",
+        F.round(F.lit(HIST_LO) + F.col("bucket") * _HIST_W, 2).alias("lo"),
+        F.round(F.lit(HIST_LO) + (F.col("bucket") + 1) * _HIST_W, 2).alias("hi"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_all), 6).alias("share"),
+        F.round(
+            F.sum("n").over(w_cum).cast("double") / F.sum("n").over(w_all), 6
+        ).alias("cum_share"),
+    )
+
+
+@query(
+    "a16_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT token, n, ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM counts, tot
+    WHERE n >= {HH_MIN_SHARE} * total
+    """,
+)
+def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items: tokens with >= {HH_MIN_SHARE:.0%} of all corpus
+    occurrences — the exact form of the count-min/Misra-Gries question,
+    kept exact because the two-phase aggregate already scales: map-side
+    combine bounds the token shuffle by per-partition vocabulary (Zipf:
+    ~distinct tokens, not corpus size), the grand total is a second
+    aggregate over the (vocab-sized) counts, and the threshold filter
+    broadcasts that single total back. At adversarial vocab sizes
+    (URLs, ids) the same query runs over a hashed token space first —
+    the pre-agg shape is unchanged."""
+    from kt_sql_hbase_ex_spark.sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n") >= HH_MIN_SHARE * F.col("total"))
+        .select(
+            "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
+        )
+    )
