@@ -1,0 +1,190 @@
+"""Data-quality audit operators — constraint checking as queries.
+
+The reference *enforces* its two schema rules at create time (mandatory
+PK + reserved ``id`` column, ``hbase/HBaseSchema.kt:113-136``) and trusts
+HBase for the rest. An analytics engine over immutable files inverts
+this: constraints are *audited* by queries over the data — the
+expectation-suite pattern (null rates, key uniqueness, referential
+integrity, domain ranges) every warehouse and training-data pipeline
+runs before trusting a snapshot.
+
+Scale design: one aggregate PASS per table — all row-local checks for a
+table fold into a single map-side-combined aggregate (never one scan
+per constraint); key uniqueness is a groupBy on the key; referential
+integrity is an anti-join on the FK (broadcast when the parent is
+dimension-sized, shuffle-on-key when both sides are facts). The report
+itself is a union of one-row aggregates — driver-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.registry import query
+from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+
+def _check(name: str, n_checked, n_violations):
+    return F.struct(
+        F.lit(name).alias("check_name"),
+        n_checked.cast("bigint").alias("n_checked"),
+        n_violations.cast("bigint").alias("n_violations"),
+        (n_violations == 0).alias("ok"),
+    )
+
+
+@query(
+    "qa01_constraint_audit",
+    oracle="""
+    SELECT check_name, n_checked, n_violations, n_violations = 0 AS ok
+    FROM (
+    SELECT 'orders.o_custkey_not_null' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COALESCE(SUM(n - 1), 0) FROM
+               (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) g
+            WHERE n > 1)
+    UNION ALL
+    SELECT 'orders.o_custkey_in_customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+    UNION ALL
+    SELECT 'lineitem.l_orderkey_in_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_discount_in_0_1',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    ) checks
+    """,
+)
+def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the star schema: NOT NULL, domain range,
+    PK uniqueness, and two FK referential-integrity checks, reported as
+    (check, n_checked, n_violations, ok) rows. The three row-local
+    orders checks share ONE scan/aggregate; uniqueness piggybacks on a
+    key groupBy; RI orphans are anti-joins (customer side broadcast —
+    it is the dimension; lineitem⋈orders shuffles on the key, the
+    correct shape when both sides are facts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    # one pass: every row-local orders check in a single aggregate
+    o = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("n_null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_bad_price"),
+    )
+    o_checks = o.select(
+        F.explode(
+            F.array(
+                _check("orders.o_custkey_not_null", F.col("n"), F.col("n_null_cust")),
+                _check("orders.o_totalprice_positive", F.col("n"), F.col("n_bad_price")),
+            )
+        ).alias("c")
+    )
+
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("k"))
+        .agg(
+            F.sum("k").alias("n"),
+            F.coalesce(F.sum(F.when(F.col("k") > 1, F.col("k") - 1)), F.lit(0)).alias(
+                "extra"
+            ),
+        )
+        .select(_check("orders.o_orderkey_unique", F.col("n"), F.col("extra")).alias("c"))
+    )
+
+    orphan_orders = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orphans"))
+        .join(F.broadcast(orders.agg(F.count("*").alias("n"))))
+        .select(
+            _check("orders.o_custkey_in_customer", F.col("n"), F.col("orphans")).alias("c")
+        )
+    )
+
+    orphan_li = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orphans"))
+        .join(F.broadcast(lineitem.agg(F.count("*").alias("n"))))
+        .select(
+            _check("lineitem.l_orderkey_in_orders", F.col("n"), F.col("orphans")).alias("c")
+        )
+    )
+
+    li = lineitem.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")).alias(
+            "bad"
+        ),
+    ).select(_check("lineitem.l_discount_in_0_1", F.col("n"), F.col("bad")).alias("c"))
+
+    report = o_checks.unionByName(dup).unionByName(orphan_orders).unionByName(
+        orphan_li
+    ).unionByName(li)
+    return report.select("c.check_name", "c.n_checked", "c.n_violations", "c.ok")
+
+
+@query(
+    "qa02_event_conformance",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS n_null_user,
+           CAST(COUNT(CASE WHEN event_type NOT IN
+                ('view','click','purchase','signup','error') THEN 1 END) AS BIGINT)
+               AS n_unknown_type,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                             OR ts >= TIMESTAMP '2030-01-01' THEN 1 END) AS BIGINT)
+               AS n_ts_out_of_range,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
+               AS n_missing_prop_k
+    FROM events
+    """,
+)
+def qa02_event_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-feed conformance: null keys, unknown event types, timestamp
+    sanity range, and required-JSON-property presence — all folded into
+    ONE map-side-combined aggregate over one scan (the shape that audits
+    100 TB of landed events at scan speed). JSON presence uses the same
+    ``get_json_object`` path st05 lands data with, so the audit checks
+    what the pipeline would actually read."""
+    e = load_table(spark, sf_dir, "events")
+    known = ("view", "click", "purchase", "signup", "error")
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
+        F.count(F.when(~F.col("event_type").isin(*known), 1)).alias("n_unknown_type"),
+        F.count(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("n_ts_out_of_range"),
+        F.count(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1)
+        ).alias("n_missing_prop_k"),
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.operators.dml",
     "kt_sql_hbase_ex_spark.operators.timeseries",
     "kt_sql_hbase_ex_spark.operators.events_analytics",
+    "kt_sql_hbase_ex_spark.operators.quality",
     "kt_sql_hbase_ex_spark.operators.ddl",
     "kt_sql_hbase_ex_spark.operators.optimize",
     "kt_sql_hbase_ex_spark.operators.flagship",
