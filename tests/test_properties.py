@@ -246,3 +246,25 @@ def test_exact_sum_invariant_under_repartitioning(spark, sf_oracle):
         assert run(li.repartition(n)) == baseline, n
     # and under a different (clustered) distribution
     assert run(li.repartition("l_suppkey")) == baseline
+
+
+def test_exact_sum_wide_variant_equal(spark, sf_oracle):
+    """exact_sum (long micros) and exact_sum_wide (decimal128 micros)
+    are the same fixed-point arithmetic at different accumulator widths:
+    within the long bound they must agree bit-for-bit."""
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_wide
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_sum(charge).alias("narrow"),
+            exact_sum_wide(charge).alias("wide"),
+        )
+        .collect()
+    )
+    assert rows and all(r.narrow == r.wide for r in rows), rows
