@@ -238,3 +238,77 @@ def ts04_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value_locf"),
         )
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "ts05_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               ROUND(AVG(value), 6) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idxd AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER w - 1 AS idx,
+               FIRST_VALUE(x) OVER w AS x0
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    summed AS (
+        SELECT *, SUM(x * POWER(1.0 / (1 - {EWMA_ALPHA}), idx))
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS p
+        FROM idxd
+    )
+    SELECT event_type, day, x AS avg_value,
+           ROUND(POWER(1 - {EWMA_ALPHA}, idx)
+                 * ({EWMA_ALPHA} * (p - x0) + x0), 4) AS ewma
+    FROM summed
+    """,
+)
+def ts05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the daily per-type
+    series (α={EWMA_ALPHA}): the recursive filter e_t = αx_t + (1-α)e_(t-1)
+    evaluated as a *closed form* over ONE window pass — a scaled prefix
+    sum P_t = Σ x_j·r^(-j) gives e_t = r^t·(α(P_t - x_0) + x_0) — so no
+    per-row recursion, no UDF, one shuffle on the series key. The
+    r^(-j) scaling overflows for series beyond ~10^3 points per group
+    (r=0.7 ⇒ 1.43^j); longer series chunk the window or switch to a
+    sorted-array ``aggregate`` fold (bounded state either way). Daily
+    averages are rounded to 6dp before smoothing so both engines filter
+    identical inputs."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    w = W.partitionBy("event_type").orderBy("day")
+    w_sum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = 1 - EWMA_ALPHA
+    idx = F.row_number().over(w) - 1
+    withq = daily.select(
+        "event_type",
+        "day",
+        "x",
+        idx.alias("idx"),
+        F.first("x").over(w_sum).alias("x0"),
+        (F.col("x") * F.pow(F.lit(1.0 / r), idx)).alias("q"),
+    )
+    p = F.sum("q").over(
+        W.partitionBy("event_type").orderBy("day").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    return withq.select(
+        "event_type",
+        "day",
+        F.col("x").alias("avg_value"),
+        F.round(
+            F.pow(F.lit(r), F.col("idx"))
+            * (EWMA_ALPHA * (p - F.col("x0")) + F.col("x0")),
+            4,
+        ).alias("ewma"),
+    )
