@@ -74,13 +74,17 @@ def main() -> None:
     # Warmup: run the flagship once untimed (JVM/codegen warmup).
     _run_once(queries[HEADLINE[0]].fn(spark, sf_dir))
 
-    # Two runs per query, report the min: the steady-state plan cost.
-    # The first run pays whole-stage-codegen compilation (~1-3 s of
-    # driver-side Janino work regardless of data volume); at 100 TB that
-    # cost amortizes to nothing, so the warm number is the one that
-    # projects. Round-over-round comparisons also get less jitter.
+    # Per query: one untimed warmup run, then min of two timed runs —
+    # the steady-state plan cost. The first execution of a query pays
+    # whole-stage-codegen compilation (driver-side Janino), which for
+    # expression-heavy plans is large and noisy (measured 3-9 s on the
+    # minhash signature plan, settling to ~1.3 s once compiled); at
+    # 100 TB that one-time cost amortizes to nothing, so the warm number
+    # is the one that projects, and excluding the compile run cuts most
+    # round-over-round jitter.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        _run_once(queries[name].fn(spark, sf_dir))
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
