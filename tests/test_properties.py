@@ -268,3 +268,107 @@ def test_exact_sum_wide_variant_equal(spark, sf_oracle):
         .collect()
     )
     assert rows and all(r.narrow == r.wide for r in rows), rows
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=500), # ts (minutes)
+            VALS,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@_settings
+def test_sessionize_semantics(spark, events):
+    """ev01's lag/cumsum sessionization against a naive python model:
+    same gap rule (strictly-greater-than closes), inclusive boundary
+    event at exactly gap minutes stays in-session."""
+    import kt_sql_hbase_ex_spark.operators.events_analytics as ea
+
+    gap_min = ea.SESSION_GAP_MINUTES
+    rows = [
+        (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), float(v))
+        for i, (u, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    ).filter(F.col("event_id").isNotNull())
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_min * 60 * 1_000_000), 1
+    ).otherwise(0)
+    got = {
+        (r.user_id, r.session_seq): r.n
+        for r in df.select(
+            "user_id",
+            F.sum(new_sess)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    expected: dict[tuple[int, int], int] = {}
+    by_user: dict[int, list[tuple]] = {}
+    for i, u, t, v in rows:
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        for t, _ in evs:
+            if prev is None or (t - prev).total_seconds() > gap_min * 60:
+                seq += 1
+            prev = t
+            expected[(u, seq)] = expected.get((u, seq), 0) + 1
+    assert got == expected
+
+
+@given(
+    base=urows,
+    log=st.lists(
+        st.tuples(KEYS, st.sampled_from(["I", "U", "D"]), VALS),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@_settings
+def test_cdc_last_wins_semantics(spark, base, log):
+    """dml07's compact-then-merge against a naive sequential replay of
+    the change log: the two must agree for every I/U/D interleaving,
+    including delete-then-reinsert revivals."""
+    b = spark.createDataFrame(base or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    l = spark.createDataFrame(
+        [(i, op, k, v) for i, (k, op, v) in enumerate(log)] or [(None, None, None, None)],
+        "seq int, op string, k int, v int",
+    ).filter(F.col("seq").isNotNull())
+
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc()))
+    latest = l.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    survivors = b.join(F.broadcast(latest.select("k")), "k", "left_anti")
+    applied = survivors.unionByName(
+        latest.filter(F.col("op") != "D").select("k", "v")
+    )
+    got = {r.k: r.v for r in applied.collect()}
+
+    expected = dict(base)
+    for k, op, v in log:  # sequential replay
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    assert got == expected
