@@ -1,5 +1,5 @@
 """Batch event analytics over ``events`` — sessionization, funnel
-conversion, cohort retention.
+conversion, cohort retention, session path transitions.
 
 No reference analog (the reference stops at SQL-over-HBase scans,
 ``hbase/HBaseFilterableTable.kt:28-45``); these are the product-analytics
@@ -44,6 +44,28 @@ SESSION_GAP_MINUTES = 60
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+def session_assignments(e: DataFrame, *carry: str) -> DataFrame:
+    """(user_id, ts, session_seq, *carry) with gap-based session
+    numbering — the shared first stage of ev01/ev04: one shuffle on
+    user_id, lag() marks session starts, a running sum over the same
+    window numbers them."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        *carry,
+        F.sum(new_sess)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+
+
 @query(
     "ev01_sessionize",
     oracle=f"""
@@ -77,20 +99,7 @@ def ev01_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle end to end. This is the batch twin of st03's streaming
     session window (state-store sessions vs. window-function sessions)."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    new_sess = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
-    ).otherwise(0)
-    sess = e.select(
-        "user_id",
-        "ts",
-        "value",
-        F.sum(new_sess)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_seq"),
-    )
+    sess = session_assignments(e, "value")
     return sess.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
@@ -235,4 +244,68 @@ def ev03_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
         )
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "ev04_session_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    ),
+    steps AS (
+        SELECT event_type AS to_type,
+               lag(event_type) OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS from_type
+        FROM sess
+    ),
+    trans AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM steps WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+               AS p_transition
+    FROM trans
+    """,
+)
+def ev04_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the within-session event-type transition
+    matrix (empirical first-order Markov chain — P(next step | step),
+    the input to flow/sankey views and next-action models). Reuses
+    ev01's session assignment; the transition lag partitions by
+    (user_id, session_seq) — a superset of the session window's user_id
+    hash partitioning, so no second event shuffle, just a re-sort; the
+    final count shuffles only the |types|² transition matrix. The
+    per-from normalization windows over that matrix (driver-scale)."""
+    e = load_table(spark, sf_dir, "events")
+    sess = session_assignments(e, "event_type")
+    w2 = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    steps = sess.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w2).alias("from_type"),
+    )
+    trans = (
+        steps.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p_transition"),
     )

@@ -344,3 +344,17 @@ def test_scd2_and_cdc_never_shuffle_base(spark, sf_small):
         plan = simple_plan(fn(spark, sf_small))
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+def test_session_paths_single_event_shuffle(spark, sf_small):
+    """ev04: session assignment + transition lag must reuse the same
+    user_id hash partitioning (the lag window gets only a re-Sort, no
+    exchange) — one event-level exchange; the other two exchanges are
+    |types|²-row matrix operations (transition aggregate + per-from
+    normalization window), constant-sized at any corpus scale."""
+    from kt_sql_hbase_ex_spark.operators.events_analytics import ev04_session_paths
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(ev04_session_paths(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
