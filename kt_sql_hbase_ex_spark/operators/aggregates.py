@@ -530,3 +530,38 @@ def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
         )
     )
+
+
+@query(
+    "a17_quantile_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+               AS exact_p50,
+           TRUE AS within_tolerance
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a17_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketching — the third sketch alongside a04/a14's HLL:
+    ``percentile_approx`` (Greenwald-Khanna, mergeable fixed-size
+    summaries) is THE 100 TB quantile path — exact percentiles buffer
+    whole groups (a11's documented limit) while the sketch streams in
+    bounded memory and its partials merge map-side. Checkability follows
+    the a04 pattern: the query emits the exact per-group median plus a
+    boolean asserting the sketch landed within 2% of it, so the oracle
+    (exact median + TRUE) hash-checks the approximation contract itself.
+    The exact median rounds at 4dp: medians of 2dp inputs have <= 3dp,
+    so the round is exact and interpolation-order ulps can't flip it."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    )
+    return g.select(
+        "o_orderpriority",
+        F.round("exact", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx") - F.col("exact")) <= 0.02 * F.abs(F.col("exact"))
+        ).alias("within_tolerance"),
+    )

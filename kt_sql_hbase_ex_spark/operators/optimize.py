@@ -493,3 +493,58 @@ def opt08_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "opt09_small_file_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS total_value,
+           TRUE AS compacted
+    FROM events
+    """,
+)
+def opt09_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance operator every streaming
+    ingest needs: a landing directory fragmented into per-microbatch
+    files (simulated: 64-way write) is rewritten into size-targeted
+    files (output file count = ceil(bytes / target), metadata-only
+    planning), and the result is verified content-identical against the
+    oracle's view of the source (count + exact value parity) with the
+    file-count reduction asserted in-row. At 100 TB this runs per
+    partition as a background job: input cost one scan of the fragment
+    set, output ∝ data volume, and readers flip atomically at the
+    directory swap (cf. opt08's partition-level atomicity)."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    root = _layout_cache_root("compaction")
+    slug = _layout_slug(sf_dir, "events")
+    small = os.path.join(root, slug, "small")
+    big = os.path.join(root, slug, "compacted")
+    # the fragment-then-compact sequence IS the operator under test:
+    # rebuild from pristine state each run
+    shutil.rmtree(os.path.join(root, slug), ignore_errors=True)
+    _prune_stale_layouts(root, slug)
+
+    e = load_table(spark, sf_dir, "events")
+    e.repartition(64).write.parquet(small)
+
+    files_small = glob.glob(os.path.join(small, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files_small)
+    target_bytes = 32 * 1024 * 1024  # the small side of a 128 MB split
+    n_out = max(1, math.ceil(total_bytes / target_bytes))
+    spark.read.parquet(small).repartition(n_out).write.parquet(big)
+
+    files_big = glob.glob(os.path.join(big, "*.parquet"))
+    out = spark.read.parquet(big)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "n_rows",
+        "total_value",
+        F.lit(len(files_big) < len(files_small)).alias("compacted"),
+    )
