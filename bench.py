@@ -71,9 +71,6 @@ def main() -> None:
         print(f"bench: unknown headline queries {missing}", file=sys.stderr)
         sys.exit(2)
 
-    # Warmup: run the flagship once untimed (JVM/codegen warmup).
-    _run_once(queries[HEADLINE[0]].fn(spark, sf_dir))
-
     # Per query: one untimed warmup run, then min of two timed runs —
     # the steady-state plan cost. The first execution of a query pays
     # whole-stage-codegen compilation (driver-side Janino), which for

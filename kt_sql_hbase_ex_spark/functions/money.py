@@ -18,21 +18,29 @@ bit-for-bit). The LONG sum of micro-units is exact and
 order-independent, and it is ~3x faster than a DECIMAL(18,6) sum: the
 aggregation buffer stays a packed 64-bit long inside whole-stage
 codegen instead of a BigDecimal object per add (measured 0.5s vs 1.4s
-for the a01 triple-sum at sf0.1). The cents ROUND then happens on
-integer-valued doubles where the only ties are exact ``x.5`` values
-(representable exactly below 2^52), which both engines round
-half-away-from-zero; the final ``cents / 100`` division of identical
-doubles is identical.
+for the a01 triple-sum at sf0.1).
 
-Magnitude bound: a 64-bit micro-unit sum is exact up to 2^63 µ ≈
-$9.2e12 **per group**. That covers any per-group revenue a real
-catalog produces; for planet-scale *unfiltered* totals that could
-exceed it, :func:`exact_sum_wide` keeps the micro-unit integers but
-sums them through DECIMAL(38,0) — Spark's int128, same exactness, no
-bound that matters (1e38 µ), at the BigDecimal-buffer cost. The bench
-suite's property test pins both variants equal on the fixtures.
-Overflow is not silent either way: the sessions run with ANSI long
-arithmetic, where a long-sum overflow raises instead of wrapping.
+The micros → cents rounding never touches floating point while the
+value is still micro-scale: the per-group (not per-row) post-aggregate
+projection widens the long sum to DECIMAL, divides exactly, and rounds
+half-away-from-zero in decimal space (Spark) / runs sign-split integer
+division on the HUGEINT sum (DuckDB) — both exact integer arithmetic
+wherever the sum itself is. A double-space ``ROUND(s / 1e4)`` here
+would silently degrade past 2^53 µ ≈ $9.0e9 per group, because
+float(long) is lossy three orders of magnitude before the long
+overflows. Only the final already-rounded cents integer is emitted
+through a double divide (exact below 2^53 cents ≈ $9.0e13; the nearest
+double either way).
+
+Magnitude bound: the 64-bit micro-unit sum is exact up to 2^63 µ ≈
+$9.2e12 **per group**. That covers any per-group revenue a real catalog
+produces; for planet-scale *unfiltered* totals beyond it,
+:func:`exact_sum_wide` keeps the micro-unit integers but sums them
+through DECIMAL(38,0) (Spark's int128) at the BigDecimal-buffer cost —
+property-tested equal to the narrow variant on the fixtures. Overflow
+is not silent either way: ``session.py`` pins
+``spark.sql.ansi.enabled=true`` (also Spark 4's default), so a long
+overflow raises instead of wrapping.
 
 Spark-side and SQL-side builders live together so each query's plan and
 oracle are generated from the same recipe (the dedup.py constants
@@ -55,27 +63,31 @@ def _micros(col: Column | str) -> Column:
     return F.round(c * _UNIT).cast("bigint")
 
 
+def _emit(s: Column, scale: int) -> Column:
+    """Exact micros-sum → rounded value, as a double. Post-aggregate
+    (per GROUP, so the decimal math here costs nothing): widen to
+    DECIMAL(38,0), divide by 10^(6-scale) exactly in decimal space,
+    ROUND(…, 0) half-away-from-zero (Spark decimal HALF_UP), emit the
+    small integer through one exact double divide."""
+    q = 10 ** (6 - scale)
+    cents = F.round(s.cast("decimal(38,0)") / F.lit(q), 0)
+    return (cents / F.lit(10**scale)).cast("double")
+
+
 def exact_sum(col: Column | str, scale: int = 2) -> Column:
     """Exact money SUM, emitted as a 2dp double (schema-compatible with
-    the plain ``F.round(F.sum(...), 2)`` it replaces). Fixed-point: the
-    long micro-unit sum is exact; the ROUND to ``scale`` happens where
-    the only ties are exactly-representable ``x.5`` doubles (tie rule
-    identical cross-engine); the final divide of a small-integer double
-    is exact."""
-    s = F.sum(_micros(col))
-    return (F.round(s / F.lit(float(10 ** (6 - scale)))) / F.lit(float(10**scale))).cast(
-        "double"
-    )
+    the plain ``F.round(F.sum(...), 2)`` it replaces). Fixed point end
+    to end: long micro-unit sum, decimal-integer cents rounding, one
+    exact double emit."""
+    return _emit(F.sum(_micros(col)), scale)
 
 
 def exact_sum_wide(col: Column | str, scale: int = 2) -> Column:
-    """The beyond-$9.2e12-per-group variant: identical micro-unit
-    fixed point, summed through DECIMAL(38,0) (int128). Drop-in for
-    :func:`exact_sum` when a group's total can exceed the long bound."""
-    s = F.sum(_micros(col).cast("decimal(38,0)"))
-    return (F.round(s / F.lit(float(10 ** (6 - scale)))) / F.lit(float(10**scale))).cast(
-        "double"
-    )
+    """The beyond-$9.2e12-per-group variant: identical micro-unit fixed
+    point, summed through DECIMAL(38,0) (int128) with the same
+    decimal-integer cents rounding. Drop-in for :func:`exact_sum` when
+    a group's total can exceed the long bound."""
+    return _emit(F.sum(_micros(col).cast("decimal(38,0)")), scale)
 
 
 def exact_sum_dec(col: Column | str) -> Column:
@@ -87,11 +99,16 @@ def exact_sum_dec(col: Column | str) -> Column:
 
 
 def exact_sum_sql(expr: str, scale: int = 2) -> str:
-    """DuckDB mirror of :func:`exact_sum` (BIGINT sums are HUGEINT-safe
-    in DuckDB, so one SQL form mirrors both Spark variants)."""
+    """DuckDB mirror of :func:`exact_sum`: the BIGINT sum is HUGEINT
+    (int128) in DuckDB, the cents rounding is sign-split integer
+    division (``//`` truncates toward zero on the positive magnitude),
+    so one SQL form mirrors both Spark variants exactly."""
+    q = 10 ** (6 - scale)
+    half = q // 2
+    s = f"SUM(CAST(ROUND(({expr}) * {_UNIT}) AS BIGINT))"
     return (
-        f"CAST(ROUND(SUM(CAST(ROUND(({expr}) * {_UNIT}) AS BIGINT))"
-        f" / {10 ** (6 - scale)}.0) / {10**scale}.0 AS DOUBLE)"
+        f"CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+        f" * ((ABS({s}) + {half}) // {q}) / {10**scale}.0 AS DOUBLE)"
     )
 
 

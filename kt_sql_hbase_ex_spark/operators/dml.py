@@ -339,8 +339,13 @@ def dml06_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ~F.col("c_mktsegment").eqNullSafe(F.col("ch_c_mktsegment"))
     )
     diff_existing = probed.filter(attr_diff)
+    # new keys = change rows whose key found no base match. Anti-join
+    # against the *matched key set* (statement-sized, from the probe
+    # above) — NOT against base, which would put the whole dimension on
+    # the broadcast/build side of the anti-join at scale.
+    matched_keys = probed.select(F.col("ch_c_custkey").alias("mk"))
     new_rows = ch.join(
-        base, ch.ch_c_custkey == base.c_custkey, "left_anti"
+        F.broadcast(matched_keys), ch.ch_c_custkey == F.col("mk"), "left_anti"
     )
     diff = diff_existing.select(
         *[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS]
@@ -368,6 +373,28 @@ def dml06_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+def apply_cdc(
+    base, log, key_cols, seq_col: str = "seq", op_col: str = "op"
+):
+    """CDC apply, the production helper dml07 and the property tests
+    share: compact the I/U/D change log to one winner per key
+    (ROW_NUMBER by seq DESC — last-wins), then merge MERGE-style —
+    delete winners drop the key, insert/update winners replace-or-
+    append. The compacted key set broadcasts into the base anti-join,
+    so the base never shuffles for a statement-sized log."""
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    )
+    latest = log.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    survivors = base.join(
+        F.broadcast(latest.select(*key_cols)), key_cols, "left_anti"
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    return survivors.unionByName(upserts)
 
 
 #: CDC change log: (seq, op, full-row payload). Exercises every
@@ -442,17 +469,7 @@ def dml07_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, o_totalprice double, o_orderdate timestamp, "
         "o_orderpriority string",
     )
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
-    )
-    latest = log.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    survivors = base.join(
-        F.broadcast(latest.select("o_orderkey")), "o_orderkey", "left_anti"
-    )
-    upserts = latest.filter(F.col("op") != "D").select(*base.columns)
-    applied = survivors.unionByName(upserts)
+    applied = apply_cdc(base, log, key_cols=["o_orderkey"])
     return applied.agg(
         F.count("*").alias("n_rows"),
         F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("n_changed"),

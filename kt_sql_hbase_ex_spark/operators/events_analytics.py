@@ -70,7 +70,7 @@ def session_assignments(e: DataFrame, *carry: str) -> DataFrame:
     "ev01_sessionize",
     oracle=f"""
     WITH seq AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'
                     THEN 1 ELSE 0 END AS new_sess
@@ -79,7 +79,7 @@ def session_assignments(e: DataFrame, *carry: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM seq
     )

@@ -109,6 +109,9 @@ def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_check("orders.o_orderkey_unique", F.col("n"), F.col("extra")).alias("c"))
     )
 
+    # RI checks reuse the totals already computed by the single-pass
+    # aggregates (o above, li below) — no count-only re-scan of either
+    # table; both one-row sides join by broadcast.
     orphan_orders = (
         orders.join(
             F.broadcast(customer.select("c_custkey")),
@@ -116,10 +119,17 @@ def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .agg(F.count("*").alias("orphans"))
-        .join(F.broadcast(orders.agg(F.count("*").alias("n"))))
+        .join(F.broadcast(o.select("n")))
         .select(
             _check("orders.o_custkey_in_customer", F.col("n"), F.col("orphans")).alias("c")
         )
+    )
+
+    li = lineitem.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")).alias(
+            "bad"
+        ),
     )
 
     orphan_li = (
@@ -129,22 +139,19 @@ def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .agg(F.count("*").alias("orphans"))
-        .join(F.broadcast(lineitem.agg(F.count("*").alias("n"))))
+        .join(F.broadcast(li.select("n")))
         .select(
             _check("lineitem.l_orderkey_in_orders", F.col("n"), F.col("orphans")).alias("c")
         )
     )
 
-    li = lineitem.agg(
-        F.count("*").alias("n"),
-        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")).alias(
-            "bad"
-        ),
-    ).select(_check("lineitem.l_discount_in_0_1", F.col("n"), F.col("bad")).alias("c"))
+    li_checks = li.select(
+        _check("lineitem.l_discount_in_0_1", F.col("n"), F.col("bad")).alias("c")
+    )
 
     report = o_checks.unionByName(dup).unionByName(orphan_orders).unionByName(
         orphan_li
-    ).unionByName(li)
+    ).unionByName(li_checks)
     return report.select("c.check_name", "c.n_checked", "c.n_violations", "c.ok")
 
 
@@ -159,7 +166,9 @@ def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(CASE WHEN ts < TIMESTAMP '2020-01-01'
                              OR ts >= TIMESTAMP '2030-01-01' THEN 1 END) AS BIGINT)
                AS n_ts_out_of_range,
-           CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
+           CAST(COUNT(CASE WHEN props IS NULL OR NOT json_valid(props)
+                             OR json_extract_string(props, '$.k') IS NULL
+                           THEN 1 END) AS BIGINT)
                AS n_missing_prop_k
     FROM events
     """,

@@ -298,21 +298,9 @@ def test_sessionize_semantics(spark, events):
         "event_id long, user_id long, ts timestamp, value double",
     ).filter(F.col("event_id").isNotNull())
 
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    new_sess = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_min * 60 * 1_000_000), 1
-    ).otherwise(0)
     got = {
         (r.user_id, r.session_seq): r.n
-        for r in df.select(
-            "user_id",
-            F.sum(new_sess)
-            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .alias("session_seq"),
-        )
+        for r in ea.session_assignments(df)
         .groupBy("user_id", "session_seq")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -355,15 +343,9 @@ def test_cdc_last_wins_semantics(spark, base, log):
         "seq int, op string, k int, v int",
     ).filter(F.col("seq").isNotNull())
 
-    from pyspark.sql import Window as W
+    from kt_sql_hbase_ex_spark.operators.dml import apply_cdc
 
-    rn = F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc()))
-    latest = l.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    survivors = b.join(F.broadcast(latest.select("k")), "k", "left_anti")
-    applied = survivors.unionByName(
-        latest.filter(F.col("op") != "D").select("k", "v")
-    )
-    got = {r.k: r.v for r in applied.collect()}
+    got = {r.k: r.v for r in apply_cdc(b, l, key_cols=["k"]).collect()}
 
     expected = dict(base)
     for k, op, v in log:  # sequential replay
