@@ -273,17 +273,48 @@ def delete_from_store(options, keys) -> None:
     os.replace(tmp, opath)
 
 
+#: rowkey of a secondary-index entry: indexed value, then the base
+#: rowkey zero-padded so the string sort equals the numeric sort —
+#: the classic HBase composite index-rowkey encoding
+#: (``index/keyvalue/KVIndexTable.kt:63-80``: value-prefixed rowkeys,
+#: prefix scan + base multi-get).
+INDEX_KEY = "idx_key"
+_INDEX_PAD = 12
+
+
+def _index_rowkey(value, base_key) -> str:
+    return f"{value}|{str(base_key).zfill(_INDEX_PAD)}"
+
+
+def index_prefix_bounds(value) -> tuple[str, str]:
+    """Closed rowkey range covering every index entry for ``value``."""
+    return (
+        f"{value}|{'0' * _INDEX_PAD}",
+        f"{value}|{'9' * _INDEX_PAD}",
+    )
+
+
 def _open_store(options) -> KVStore:
     """Open (or reuse) the store an options bundle names, merging any
     committed write overlay over the base (tombstones drop keys). Cache
     key = resolved path + mtime + size + overlay mtime + column/key
     config, so neither a regenerated source file nor a fresh write is
-    ever served stale."""
+    ever served stale.
+
+    With ``indexOn=<col>`` the bundle names the base table's SECONDARY
+    INDEX instead: a derived store keyed by the composite
+    ``<value>|<zero-padded base key>`` rowkey, carrying only the base
+    key as payload. Because it derives from the overlay-MERGED base
+    rows, every committed base write (Put or Delete) is immediately and
+    atomically reflected — the index can never go stale, which is the
+    consistency the reference needed dual Puts inside a Tephra
+    transaction to approximate (``KVTransactionalIndexTable.kt``)."""
     import os
 
     path = os.path.realpath(options["path"])
     key_col = options["keycol"]
     columns = tuple(options["columns"].split(","))
+    index_on = options.get("indexon")
     region_size = int(options.get("regionsize", "512"))
     st = os.stat(path)
     opath = overlay_path(options)
@@ -292,7 +323,7 @@ def _open_store(options) -> KVStore:
         overlay_sig = (ost.st_mtime_ns, ost.st_size)
     except FileNotFoundError:
         overlay_sig = None
-    config_key = (path, opath, key_col, columns, region_size)
+    config_key = (path, opath, key_col, columns, region_size, index_on)
     signature = (st.st_mtime_ns, st.st_size, overlay_sig)
     cached = _STORE_CACHE.get(config_key)
     if cached is not None and cached[0] == signature:
@@ -311,6 +342,25 @@ def _open_store(options) -> KVStore:
                 merged[r[key_col]] = {c: r[c] for c in columns}
         store = KVStore(
             store.name, store.schema, key_col, list(merged.values()),
+            region_size=region_size,
+        )
+    if index_on:
+        from pyspark.sql.types import StringType, StructField
+
+        base_key_field = next(
+            f for f in store.schema.fields if f.name == key_col
+        )
+        idx_rows = [
+            {INDEX_KEY: _index_rowkey(r[index_on], r[key_col]), key_col: r[key_col]}
+            for r in store.rows
+        ]
+        store = KVStore(
+            f"{store.name}:idx:{index_on}",
+            StructType(
+                [StructField(INDEX_KEY, StringType(), False), base_key_field]
+            ),
+            INDEX_KEY,
+            idx_rows,
             region_size=region_size,
         )
     _STORE_CACHE[config_key] = (signature, store)
@@ -628,4 +678,66 @@ def src04_kv_delete_roundtrip(spark, sf_dir: str):
     return after.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_custs"),
         F.min("c_custkey").alias("min_key"),
+    )
+
+
+@query(
+    "src06_kv_index_lookup",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def src06_kv_index_lookup(spark, sf_dir: str):
+    """Secondary-index access path (``index/keyvalue/KVIndexTable.kt:
+    63-80``): phase 1 prefix-scans the INDEX store — the value-prefixed
+    composite rowkey turns the segment predicate into a pushed rowkey
+    RANGE, so only index regions inside it produce partitions (vs
+    src02's full-region server-side qualifier filter); phase 2 is the
+    reference's client-side multi-get re-expressed relationally — the
+    statement-sized hit list broadcast-semi-joins the base store (on a
+    live DSv2 source the same keys would ship as an In/runtime filter).
+    The index derives from the overlay-merged base, so committed Puts/
+    Deletes are visible through it immediately — the consistency the
+    reference bought with Tephra transactions (pinned in
+    tests/test_kvstore.py)."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    app = spark.conf.get("spark.app.id", "shared")
+
+    base_opts = customer_store_options(sf_dir)
+    base_opts["appId"] = app
+    # hermetic: the oracle describes the pristine base
+    truncate_overlay({k.lower(): v for k, v in base_opts.items()})
+
+    idx_opts = dict(base_opts)
+    idx_opts["columns"] = "c_custkey,c_mktsegment"
+    idx_opts["indexOn"] = "c_mktsegment"
+
+    lo, hi = index_prefix_bounds("BUILDING")
+    hits = (
+        spark.read.format(FORMAT_NAME)
+        .options(**idx_opts)
+        .schema(f"{INDEX_KEY} string, c_custkey bigint")
+        .load()
+        .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+        .select("c_custkey")
+    )
+    base = (
+        spark.read.format(FORMAT_NAME)
+        .options(**base_opts)
+        .schema("c_custkey bigint, c_nationkey int, c_acctbal double")
+        .load()
+    )
+    return (
+        base.join(F.broadcast(hits), "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
     )

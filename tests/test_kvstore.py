@@ -308,3 +308,81 @@ def test_not_filter_goes_residual():
     assert len(residual) == 1 and isinstance(residual[0], Not)
     (part,) = rd.partitions()
     assert [t[0] for t in part.tuples] == [5]
+
+
+def _idx_opts():
+    o = _opts()
+    o["columns"] = "c_custkey,c_mktsegment"
+    o["indexon"] = "c_mktsegment"
+    return o
+
+
+def test_index_prefix_scan_prunes_regions():
+    """src06's phase 1: the value-prefixed composite rowkey turns a
+    segment predicate into a pushed index-rowkey range — only index
+    regions inside the prefix produce partitions, and every hit's
+    payload is a base rowkey from that segment."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        _open_store,
+        index_prefix_bounds,
+    )
+
+    opts = _idx_opts()
+    opts["regionsize"] = "16"
+    store = _open_store(opts)
+    base = _open_store(_opts())
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in base.rows}
+
+    rd = _reader(store)
+    lo, hi = index_prefix_bounds("BUILDING")
+    residual = list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("idx_key",), lo), LessThanOrEqual(("idx_key",), hi)]
+        )
+    )
+    assert residual == []
+    parts = rd.partitions()
+    n_regions = len(store.regions())
+    assert len(parts) < n_regions, (len(parts), n_regions)
+    hits = [t for p in parts for t in p.tuples]
+    keys = sorted(t[1] for t in hits)
+    expected = sorted(k for k, s in seg_of.items() if s == "BUILDING")
+    assert keys == expected
+
+
+def test_index_reflects_committed_writes():
+    """Index maintenance: the index derives from the overlay-merged
+    base, so a committed Put that moves a key between indexed values —
+    or a Delete — is visible through the index immediately (the
+    consistency KVTransactionalIndexTable bought with transactions)."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        _open_store,
+        delete_from_store,
+        truncate_overlay,
+    )
+
+    base_opts = _opts()
+    truncate_overlay(base_opts)
+    try:
+        idx = _open_store(_idx_opts())
+        in_building = {r["c_custkey"] for r in idx.rows if r["idx_key"].startswith("BUILDING|")}
+        victim = min(in_building)
+        # move the victim out of BUILDING via a committed Put
+        w = KVUpsertWriter(base_opts)
+        row = _mk_row(victim)
+        d = row.asDict()
+        d["c_mktsegment"] = "MACHINERY"
+        from pyspark.sql import Row
+
+        w.commit([w.write(iter([Row(**d)]))])
+        idx2 = _open_store(_idx_opts())
+        now_building = {r["c_custkey"] for r in idx2.rows if r["idx_key"].startswith("BUILDING|")}
+        now_machinery = {r["c_custkey"] for r in idx2.rows if r["idx_key"].startswith("MACHINERY|")}
+        assert victim not in now_building and victim in now_machinery
+        # and a Delete removes the index entry entirely
+        delete_from_store(base_opts, [victim])
+        idx3 = _open_store(_idx_opts())
+        assert victim not in {r["c_custkey"] for r in idx3.rows}
+    finally:
+        truncate_overlay(base_opts)
