@@ -309,3 +309,68 @@ def ev04_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p_transition"),
     )
+
+
+#: trailing window (days) for the anomaly baseline, and the z threshold
+ANOMALY_BASELINE_DAYS = 7
+ANOMALY_Z = 2.0
+
+
+@query(
+    "ev05_volume_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, n,
+               AVG(n) OVER w AS mu,
+               STDDEV_SAMP(n) OVER w AS sigma,
+               COUNT(*) OVER w AS n_baseline
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {ANOMALY_BASELINE_DAYS} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           ROUND(mu, 4) AS baseline_mean,
+           CASE WHEN sigma > 0 THEN ROUND((n - mu) / sigma, 4) END AS z,
+           (n_baseline >= 3 AND sigma > 0
+            AND ABS((n - mu) / sigma) > {ANOMALY_Z}) AS is_anomaly
+    FROM scored
+    """,
+)
+def ev05_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: each day's event count per type scored
+    against the TRAILING {ANOMALY_BASELINE_DAYS}-day baseline (mean/
+    stddev over a ROWS frame ending at the PREVIOUS day — the day under
+    test never contaminates its own baseline). One shuffle to the daily
+    aggregate, one series-key window over the (types × days)-sized
+    result — monitoring 100 TB/day of events costs the daily rollup,
+    which the st07-style incremental MV already maintains. Warm-up days
+    (baseline < 3 points) and zero-variance baselines are explicitly
+    not-anomalous rather than NaN."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOMALY_BASELINE_DAYS, -1)
+    )
+    mu = F.avg("n").over(w)
+    sigma = F.stddev_samp("n").over(w)
+    n_base = F.count("*").over(w)
+    z = (F.col("n") - mu) / sigma
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mu, 4).alias("baseline_mean"),
+        F.when(sigma > 0, F.round(z, 4)).alias("z"),
+        (
+            (n_base >= 3) & sigma.isNotNull() & (sigma > 0) & (F.abs(z) > ANOMALY_Z)
+        ).alias("is_anomaly"),
+    )
