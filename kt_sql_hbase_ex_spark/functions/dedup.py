@@ -708,3 +708,68 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_arrived",
         F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
     )
+
+
+PAGERANK_DAMPING = 0.85
+
+
+@query(
+    "d09_similarity_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) lsh
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+    contrib AS (
+        SELECT e.dst AS doc_id, SUM((1.0 / n.n_nodes) / d.outdeg) AS inflow
+        FROM edges e JOIN deg d ON e.src = d.src CROSS JOIN n
+        GROUP BY e.dst
+    )
+    SELECT nodes.doc_id,
+           ROUND((1 - {PAGERANK_DAMPING}) / n.n_nodes
+                 + {PAGERANK_DAMPING} * COALESCE(contrib.inflow, 0), 8) AS rank
+    FROM nodes CROSS JOIN n
+    LEFT JOIN contrib ON contrib.doc_id = nodes.doc_id
+    """,
+)
+def d09_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-dup similarity graph: ONE exact
+    PageRank power-iteration step (uniform init, damping
+    {PAGERANK_DAMPING}) over d03's LSH pair graph — high-rank docs are
+    boilerplate hubs duplicated across many near-clusters, the ones a
+    curation pass inspects first. Pattern follows sim05's kmeans-step:
+    the per-iteration transform is verified exactly in SQL; the full
+    iterate-to-convergence loop is this step under a driver loop with
+    localCheckpoint every few rounds (d06's discipline). Scale: ranks
+    and degrees shuffle on doc_id (state ∝ nodes); contributions
+    shuffle ∝ edges — the standard Pregel profile, with the similarity
+    graph orders of magnitude smaller than the corpus."""
+    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = nodes.count()  # scalar: graph size, drives the teleport term
+    init = 1.0 / n_nodes
+    contrib = (
+        edges.join(deg, "src")
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.sum(F.lit(init) / F.col("outdeg")).alias("inflow"))
+    )
+    return nodes.join(contrib, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            (1 - PAGERANK_DAMPING) / n_nodes
+            + PAGERANK_DAMPING * F.coalesce("inflow", F.lit(0.0)),
+            8,
+        ).alias("rank"),
+    )
