@@ -374,3 +374,112 @@ def ev05_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_base >= 3) & sigma.isNotNull() & (sigma > 0) & (F.abs(z) > ANOMALY_Z)
         ).alias("is_anomaly"),
     )
+
+
+#: max gap between consecutive funnel steps for ev06 (hours)
+CONVERSION_WINDOW_HOURS = 24
+
+
+def _windowed_funnel_oracle() -> str:
+    v, c, p = FUNNEL_STEPS
+    w = CONVERSION_WINDOW_HOURS
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = '{v}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+               AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL '{w} hours'
+        WHERE e.event_type = '{c}' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+               AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL '{w} hours'
+        WHERE e.event_type = '{p}' GROUP BY e.user_id
+    ),
+    counts AS (
+                  SELECT 1 AS step_idx, '{v}' AS step, COUNT(*) AS n FROM s1
+        UNION ALL SELECT 2, '{c}', COUNT(*) FROM s2
+        UNION ALL SELECT 3, '{p}', COUNT(*) FROM s3
+    )
+    SELECT step_idx, step, CAST(n AS BIGINT) AS n_users,
+           ROUND(CAST(n AS DOUBLE)
+                 / NULLIF(MAX(CASE WHEN step_idx = 1 THEN n END) OVER (), 0),
+                 4) AS pct_of_first
+    FROM counts
+    """
+
+
+@query("ev06_funnel_windowed", oracle=_windowed_funnel_oracle())
+def ev06_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: each next step must land within
+    {CONVERSION_WINDOW_HOURS}h of the previous step's match — the form
+    product funnels actually ship (first-touch attribution: the chain
+    anchors on the user's FIRST step-1 event, matching the oracle's
+    greedy MIN chain; both sides implement the same attribution rule,
+    so the two independent formulations stay one answer). Same
+    single-shuffle sorted-array state machine as ev02, with the window
+    bound checked against the accumulator's last-match timestamp."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    rank_col = F.when(F.col("event_type") == FUNNEL_STEPS[0], 0)
+    for i, s in list(enumerate(FUNNEL_STEPS))[1:]:
+        rank_col = rank_col.when(F.col("event_type") == s, i)
+    per_user = e.select(
+        "user_id", F.struct(F.col("ts"), rank_col.alias("step")).alias("ev")
+    ).groupBy("user_id").agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+
+    win_us = CONVERSION_WINDOW_HOURS * 3600 * 1_000_000
+
+    def _advance(acc, ev):
+        out = acc
+        for i in range(len(FUNNEL_STEPS)):
+            in_window = (
+                F.lit(True)
+                if i == 0
+                else F.unix_micros(ev["ts"]) - F.unix_micros(acc["t"]) <= win_us
+            )
+            out = F.when(
+                (acc["depth"] == i) & (ev["step"] == i) & in_window,
+                F.struct(F.lit(i + 1).alias("depth"), ev["ts"].alias("t")),
+            ).otherwise(out)
+        return out
+
+    depth = per_user.select(
+        "user_id",
+        F.aggregate(
+            "evs",
+            F.struct(
+                F.lit(0).alias("depth"), F.lit(None).cast("timestamp").alias("t")
+            ),
+            _advance,
+        )["depth"].alias("depth"),
+    )
+    counts = depth.agg(
+        *[
+            F.sum((F.col("depth") >= i + 1).cast("bigint")).alias(f"n{i + 1}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"n{i + 1}").alias("n_users"),
+                        F.round(
+                            F.col(f"n{i + 1}") / F.nullif(F.col("n1"), F.lit(0)), 4
+                        ).alias("pct_of_first"),
+                    )
+                    for i, s in enumerate(FUNNEL_STEPS)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step_idx", "r.step", "r.n_users", "r.pct_of_first")

@@ -229,3 +229,36 @@ def w09_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "w10_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+    FROM events
+    """,
+)
+def w10_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed DISTINCT aggregation — the window form Spark does NOT
+    support natively (``COUNT(DISTINCT) OVER`` raises): re-expressed as
+    ``size(collect_set(...))`` over the running frame, which is exactly
+    the distinct-count semantics with set-sized state per row. Scale:
+    state per partition-key is bounded by the distinct-value cardinality
+    (event types ≪ events); for high-cardinality distincts the same
+    query switches the set for an HLL sketch column (a14's mergeable
+    states) at bounded memory. The DuckDB oracle runs the native
+    windowed DISTINCT — two different mechanisms, one semantics."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_seen"),
+    )
