@@ -548,3 +548,57 @@ def opt09_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.lit(len(files_big) < len(files_small)).alias("compacted"),
     )
+
+
+@query(
+    "opt10_schema_merge_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(COUNT(value_eur) AS BIGINT) AS n_with_eur,
+           ROUND(SUM(value_eur), 2) AS total_eur
+    FROM (
+        SELECT value, CASE WHEN event_id % 2 = 1 THEN value * 0.5 END
+                   AS value_eur
+        FROM events
+    )
+    """,
+)
+def opt10_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the SCAN (the lake reality set08's union-level
+    evolution sits above): a dataset whose newer files carry an added
+    column (``value_eur``) is read as ONE table with
+    ``mergeSchema=true`` — old files null-fill the new column, no
+    rewrite of historical data. At 100 TB this is THE way columns are
+    added (rewriting history is off the table); the footer-merge cost
+    is driver-side metadata ∝ file count, which is why the option is
+    off by default and enabled per-read here, and columnar projection
+    still prunes (each file decodes only the columns it has). The
+    oracle replays the evolved view declaratively."""
+    import os
+    import shutil
+
+    root = _layout_cache_root("schemamerge")
+    slug = _layout_slug(sf_dir, "events")
+    path = os.path.join(root, slug)
+    if not os.path.isdir(path):
+        _prune_stale_layouts(root, slug)
+        e = load_table(spark, sf_dir, "events").select("event_id", "value")
+        old = e.filter(F.col("event_id") % 2 == 0)
+        # * 0.5 is an exact binary scale — no per-row rounding, so both
+        # engines derive bit-identical values for the evolved column
+        new = e.filter(F.col("event_id") % 2 == 1).withColumn(
+            "value_eur", F.col("value") * 0.5
+        )
+        old.write.parquet(os.path.join(path, "gen=old"))
+        new.write.parquet(os.path.join(path, "gen=new"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=old"), os.path.join(path, "gen=new")
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("value_eur").alias("n_with_eur"),
+        F.round(F.sum("value_eur"), 2).alias("total_eur"),
+    )
