@@ -759,6 +759,9 @@ def d09_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n_nodes = nodes.count()  # scalar: graph size, drives the teleport term
+    if n_nodes == 0:
+        # no near-dup pairs => empty graph; the oracle's empty relation
+        return spark.createDataFrame([], "doc_id bigint, rank double")
     init = 1.0 / n_nodes
     contrib = (
         edges.join(deg, "src")

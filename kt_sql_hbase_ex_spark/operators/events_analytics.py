@@ -108,8 +108,18 @@ def ev01_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
+def _funnel_oracle(window_hours: int | None = None) -> str:
+    """Greedy MIN-chain funnel oracle; with ``window_hours`` each step
+    additionally binds to within that many hours of the previous match
+    (first-touch attribution — the same rule the Spark state machine
+    implements, so both variants generate from one recipe)."""
     v, c, p = FUNNEL_STEPS
+
+    def bound(prev: str) -> str:
+        if window_hours is None:
+            return ""
+        return f" AND e.ts <= {prev} + INTERVAL '{window_hours} hours'"
+
     return f"""
     WITH s1 AS (
         SELECT user_id, MIN(ts) AS t1 FROM events
@@ -117,12 +127,12 @@ def _funnel_oracle() -> str:
     ),
     s2 AS (
         SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1{bound("s1.t1")}
         WHERE e.event_type = '{c}' GROUP BY e.user_id
     ),
     s3 AS (
         SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2{bound("s2.t2")}
         WHERE e.event_type = '{p}' GROUP BY e.user_id
     ),
     counts AS (
@@ -138,24 +148,19 @@ def _funnel_oracle() -> str:
     """
 
 
-@query("ev02_funnel", oracle=_funnel_oracle())
-def ev02_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view → click → purchase): how many users reached
-    each step via an increasing-timestamp subsequence. One groupBy
-    collects each user's funnel events time-sorted (ties broken by step
-    rank so a same-timestamp later step still counts, matching the
-    oracle's inclusive ``>=`` chain), then an ``aggregate`` lambda runs
-    the greedy state machine — earliest match per step, which is exact
-    for subsequence-existence semantics. ONE shuffle for any number of
-    steps, vs. the oracle's aggregate+join per step; at 100 TB the
-    difference is K-1 full event shuffles."""
-    step_rank = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+def _run_funnel(spark: SparkSession, sf_dir: str, win_us: int | None = None) -> DataFrame:
+    """Shared funnel engine behind ev02/ev06: one groupBy collects each
+    user's step events time-sorted (ties broken by step rank), an
+    ``aggregate`` lambda runs the greedy state machine — with an
+    optional per-step conversion window checked against the
+    accumulator's last-match timestamp — and the counts explode into
+    the 3-row report. ONE event shuffle either way."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(*FUNNEL_STEPS)
     )
     rank_col = F.when(F.col("event_type") == FUNNEL_STEPS[0], 0)
-    for s, i in list(step_rank.items())[1:]:
-        rank_col = rank_col.when(F.col("event_type") == s, i)
+    for i, st in list(enumerate(FUNNEL_STEPS))[1:]:
+        rank_col = rank_col.when(F.col("event_type") == st, i)
     per_user = e.select(
         "user_id", F.struct(F.col("ts"), rank_col.alias("step")).alias("ev")
     ).groupBy("user_id").agg(F.sort_array(F.collect_list("ev")).alias("evs"))
@@ -164,8 +169,13 @@ def ev02_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = acc
         # innermost-first: later whens win only if earlier didn't match
         for i in range(len(FUNNEL_STEPS)):
+            in_window = (
+                F.lit(True)
+                if win_us is None or i == 0
+                else F.unix_micros(ev["ts"]) - F.unix_micros(acc["t"]) <= win_us
+            )
             out = F.when(
-                (acc["depth"] == i) & (ev["step"] == i),
+                (acc["depth"] == i) & (ev["step"] == i) & in_window,
                 F.struct(F.lit(i + 1).alias("depth"), ev["ts"].alias("t")),
             ).otherwise(out)
         return out
@@ -192,18 +202,30 @@ def ev02_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i + 1).alias("step_idx"),
-                        F.lit(s).alias("step"),
+                        F.lit(st).alias("step"),
                         F.col(f"n{i + 1}").alias("n_users"),
-                        F.round(F.col(f"n{i + 1}") / F.nullif(F.col("n1"), F.lit(0)), 4).alias(
-                            "pct_of_first"
-                        ),
+                        F.round(
+                            F.col(f"n{i + 1}") / F.nullif(F.col("n1"), F.lit(0)), 4
+                        ).alias("pct_of_first"),
                     )
-                    for i, s in enumerate(FUNNEL_STEPS)
+                    for i, st in enumerate(FUNNEL_STEPS)
                 ]
             )
         ).alias("r")
     )
     return rows.select("r.step_idx", "r.step", "r.n_users", "r.pct_of_first")
+
+
+@query("ev02_funnel", oracle=_funnel_oracle())
+def ev02_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users reached
+    each step via an increasing-timestamp subsequence. Greedy earliest-
+    match per step is exact for subsequence-existence semantics; the
+    oracle replays the K-join chain — two independent formulations, one
+    answer. ONE shuffle for any number of steps vs the oracle's
+    aggregate+join per step; at 100 TB the difference is K-1 full event
+    shuffles. Engine shared with ev06 (``_run_funnel``)."""
+    return _run_funnel(spark, sf_dir)
 
 
 @query(
@@ -380,106 +402,15 @@ def ev05_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONVERSION_WINDOW_HOURS = 24
 
 
-def _windowed_funnel_oracle() -> str:
-    v, c, p = FUNNEL_STEPS
-    w = CONVERSION_WINDOW_HOURS
-    return f"""
-    WITH s1 AS (
-        SELECT user_id, MIN(ts) AS t1 FROM events
-        WHERE event_type = '{v}' GROUP BY user_id
-    ),
-    s2 AS (
-        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-        JOIN s1 ON e.user_id = s1.user_id
-               AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL '{w} hours'
-        WHERE e.event_type = '{c}' GROUP BY e.user_id
-    ),
-    s3 AS (
-        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-        JOIN s2 ON e.user_id = s2.user_id
-               AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL '{w} hours'
-        WHERE e.event_type = '{p}' GROUP BY e.user_id
-    ),
-    counts AS (
-                  SELECT 1 AS step_idx, '{v}' AS step, COUNT(*) AS n FROM s1
-        UNION ALL SELECT 2, '{c}', COUNT(*) FROM s2
-        UNION ALL SELECT 3, '{p}', COUNT(*) FROM s3
-    )
-    SELECT step_idx, step, CAST(n AS BIGINT) AS n_users,
-           ROUND(CAST(n AS DOUBLE)
-                 / NULLIF(MAX(CASE WHEN step_idx = 1 THEN n END) OVER (), 0),
-                 4) AS pct_of_first
-    FROM counts
-    """
-
-
-@query("ev06_funnel_windowed", oracle=_windowed_funnel_oracle())
+@query("ev06_funnel_windowed", oracle=_funnel_oracle(CONVERSION_WINDOW_HOURS))
 def ev06_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bounded funnel: each next step must land within
     {CONVERSION_WINDOW_HOURS}h of the previous step's match — the form
     product funnels actually ship (first-touch attribution: the chain
     anchors on the user's FIRST step-1 event, matching the oracle's
-    greedy MIN chain; both sides implement the same attribution rule,
-    so the two independent formulations stay one answer). Same
-    single-shuffle sorted-array state machine as ev02, with the window
-    bound checked against the accumulator's last-match timestamp."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(*FUNNEL_STEPS)
+    greedy MIN chain; both sides implement the same attribution rule).
+    Same single-shuffle state machine as ev02 (``_run_funnel``), with
+    the window bound checked against the accumulator's last match."""
+    return _run_funnel(
+        spark, sf_dir, win_us=CONVERSION_WINDOW_HOURS * 3600 * 1_000_000
     )
-    rank_col = F.when(F.col("event_type") == FUNNEL_STEPS[0], 0)
-    for i, s in list(enumerate(FUNNEL_STEPS))[1:]:
-        rank_col = rank_col.when(F.col("event_type") == s, i)
-    per_user = e.select(
-        "user_id", F.struct(F.col("ts"), rank_col.alias("step")).alias("ev")
-    ).groupBy("user_id").agg(F.sort_array(F.collect_list("ev")).alias("evs"))
-
-    win_us = CONVERSION_WINDOW_HOURS * 3600 * 1_000_000
-
-    def _advance(acc, ev):
-        out = acc
-        for i in range(len(FUNNEL_STEPS)):
-            in_window = (
-                F.lit(True)
-                if i == 0
-                else F.unix_micros(ev["ts"]) - F.unix_micros(acc["t"]) <= win_us
-            )
-            out = F.when(
-                (acc["depth"] == i) & (ev["step"] == i) & in_window,
-                F.struct(F.lit(i + 1).alias("depth"), ev["ts"].alias("t")),
-            ).otherwise(out)
-        return out
-
-    depth = per_user.select(
-        "user_id",
-        F.aggregate(
-            "evs",
-            F.struct(
-                F.lit(0).alias("depth"), F.lit(None).cast("timestamp").alias("t")
-            ),
-            _advance,
-        )["depth"].alias("depth"),
-    )
-    counts = depth.agg(
-        *[
-            F.sum((F.col("depth") >= i + 1).cast("bigint")).alias(f"n{i + 1}")
-            for i in range(len(FUNNEL_STEPS))
-        ]
-    )
-    rows = counts.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i + 1).alias("step_idx"),
-                        F.lit(s).alias("step"),
-                        F.col(f"n{i + 1}").alias("n_users"),
-                        F.round(
-                            F.col(f"n{i + 1}") / F.nullif(F.col("n1"), F.lit(0)), 4
-                        ).alias("pct_of_first"),
-                    )
-                    for i, s in enumerate(FUNNEL_STEPS)
-                ]
-            )
-        ).alias("r")
-    )
-    return rows.select("r.step_idx", "r.step", "r.n_users", "r.pct_of_first")

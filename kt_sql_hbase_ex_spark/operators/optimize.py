@@ -576,12 +576,15 @@ def opt10_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     still prunes (each file decodes only the columns it has). The
     oracle replays the evolved view declaratively."""
     import os
-    import shutil
 
     root = _layout_cache_root("schemamerge")
     slug = _layout_slug(sf_dir, "events")
     path = os.path.join(root, slug)
-    if not os.path.isdir(path):
+    # completeness marker on the LAST generation written: a partial or
+    # interrupted build rebuilds (mode=overwrite) instead of wedging the
+    # cache forever behind a bare isdir() check (the opt03 discipline)
+    marker = os.path.join(path, "gen=new", "_SUCCESS")
+    if not os.path.exists(marker):
         _prune_stale_layouts(root, slug)
         e = load_table(spark, sf_dir, "events").select("event_id", "value")
         old = e.filter(F.col("event_id") % 2 == 0)
@@ -590,8 +593,8 @@ def opt10_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = e.filter(F.col("event_id") % 2 == 1).withColumn(
             "value_eur", F.col("value") * 0.5
         )
-        old.write.parquet(os.path.join(path, "gen=old"))
-        new.write.parquet(os.path.join(path, "gen=new"))
+        old.write.mode("overwrite").parquet(os.path.join(path, "gen=old"))
+        new.write.mode("overwrite").parquet(os.path.join(path, "gen=new"))
 
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(path, "gen=old"), os.path.join(path, "gen=new")

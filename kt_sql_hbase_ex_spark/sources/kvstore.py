@@ -283,7 +283,18 @@ _INDEX_PAD = 12
 
 
 def _index_rowkey(value, base_key) -> str:
-    return f"{value}|{str(base_key).zfill(_INDEX_PAD)}"
+    # enforce the key-domain assumptions the string ordering relies on,
+    # instead of silently mis-sorting: values must not contain the
+    # separator, base keys must be non-negative and fit the pad width
+    v = str(value)
+    if "|" in v:
+        raise ValueError(f"indexed value contains separator '|': {v!r}")
+    k = str(base_key)
+    if k.startswith("-") or len(k) > _INDEX_PAD:
+        raise ValueError(
+            f"base key must be a non-negative integer of <= {_INDEX_PAD} digits: {k!r}"
+        )
+    return f"{v}|{k.zfill(_INDEX_PAD)}"
 
 
 def index_prefix_bounds(value) -> tuple[str, str]:
