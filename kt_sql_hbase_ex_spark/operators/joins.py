@@ -23,9 +23,12 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
@@ -249,4 +252,63 @@ def j10_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.8
         """
+    )
+
+
+#: promotion windows for the interval-overlap join (order "activity"
+#: interval = [o_orderdate, o_orderdate + ACTIVITY_DAYS])
+ACTIVITY_DAYS = 7
+PROMO_WINDOWS = (
+    ("NEWYEAR96", "1996-01-01", "1996-01-15"),
+    ("SUMMER96", "1996-06-10", "1996-07-10"),
+    ("HOLIDAY97", "1997-12-01", "1997-12-31"),
+)
+_PROMO_SQL = ", ".join(
+    f"('{n}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for n, a, b in PROMO_WINDOWS
+)
+
+
+@query(
+    "j11_interval_overlap_join",
+    oracle=f"""
+    WITH promos(promo, p_start, p_end) AS (VALUES {_PROMO_SQL})
+    SELECT promo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           {exact_sum_sql("o_totalprice")} AS total
+    FROM promos LEFT JOIN orders
+      ON o_orderdate <= p_end
+     AND o_orderdate + INTERVAL '{ACTIVITY_DAYS} days' >= p_start
+    GROUP BY promo
+    """,
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order's activity interval
+    ([orderdate, orderdate+{ACTIVITY_DAYS}d]) matched against promotion
+    windows on the standard overlap predicate (a.start <= b.end AND
+    a.end >= b.start). The promo side is a literal dimension →
+    broadcast, so the fact never shuffles and the inequality pair is
+    evaluated map-side (BroadcastNestedLoopJoin over a 3-row build is a
+    per-row constant). When BOTH interval sets are fact-sized, this
+    becomes ts02's bucketed form — intervals bucketed to window-width
+    bins, each emitting ceil(len/width)+1 keys, equi-join on bin before
+    the exact overlap residual."""
+    promos = spark.createDataFrame(
+        [
+            (n, dt.datetime.fromisoformat(a), dt.datetime.fromisoformat(b))
+            for n, a, b in PROMO_WINDOWS
+        ],
+        "promo string, p_start timestamp, p_end timestamp",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    overlap = (F.col("o_orderdate") <= F.col("p_end")) & (
+        F.col("o_orderdate") + F.expr(f"INTERVAL {ACTIVITY_DAYS} DAYS")
+        >= F.col("p_start")
+    )
+    return (
+        F.broadcast(promos)
+        .join(orders, overlap, "left")
+        .groupBy("promo")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            exact_sum("o_totalprice").alias("total"),
+        )
     )
