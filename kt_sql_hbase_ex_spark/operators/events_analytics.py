@@ -192,7 +192,11 @@ def _run_funnel(spark: SparkSession, sf_dir: str, win_us: int | None = None) -> 
     )
     counts = depth.agg(
         *[
-            F.sum((F.col("depth") >= i + 1).cast("bigint")).alias(f"n{i + 1}")
+            # coalesce: with zero funnel users the report must say 0
+            # (the oracle's COUNT does), not a sum-over-empty NULL
+            F.coalesce(
+                F.sum((F.col("depth") >= i + 1).cast("bigint")), F.lit(0)
+            ).alias(f"n{i + 1}")
             for i in range(len(FUNNEL_STEPS))
         ]
     )

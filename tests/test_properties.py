@@ -354,3 +354,78 @@ def test_cdc_last_wins_semantics(spark, base, log):
         else:
             expected[k] = v
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=40),   # ts (hours)
+            st.integers(min_value=0, max_value=2),    # step rank
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    windowed=st.booleans(),
+)
+@_settings
+def test_funnel_state_machine_semantics(spark, events, windowed):
+    """ev02/ev06's sorted-array `aggregate` state machine against a
+    naive sequential replay of the same greedy first-touch rule —
+    including the optional per-step conversion window — on adversarial
+    orderings, duplicate timestamps, and missing steps."""
+    import kt_sql_hbase_ex_spark.operators.events_analytics as ea
+
+    win_h = ea.CONVERSION_WINDOW_HOURS if windowed else None
+    step_names = list(ea.FUNNEL_STEPS)
+    rows = [
+        (
+            i,
+            u,
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+            step_names[r],
+            0.0,
+            "{}",
+        )
+        for i, (u, h, r) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None, None, None)],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    ).filter(F.col("event_id").isNotNull())
+
+    win_us = None if win_h is None else win_h * 3600 * 1_000_000
+    # drive the production engine directly on the synthetic frame
+    import unittest.mock as mock
+
+    with mock.patch.object(ea, "load_table", lambda _s, _d, _n: df):
+        got = {
+            r.step_idx: r.n_users
+            for r in ea._run_funnel(spark, "unused", win_us=win_us).collect()
+        }
+
+    # naive replay: greedy first-touch chain per user over (ts, step)-
+    # sorted events, optional window on each step's gap
+    by_user: dict[int, list] = {}
+    for i, (u, h, r) in enumerate(events):
+        by_user.setdefault(u, []).append(
+            (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), r)
+        )
+    depths = []
+    for evs in by_user.values():
+        evs.sort()
+        depth, last_t = 0, None
+        for t, r in evs:
+            in_win = (
+                depth == 0
+                or win_h is None
+                or (t - last_t).total_seconds() <= win_h * 3600
+            )
+            if r == depth and in_win:
+                depth, last_t = depth + 1, t
+        depths.append(depth)
+    expected = {
+        i + 1: sum(1 for d in depths if d >= i + 1) for i in range(len(step_names))
+    }
+    assert got == expected
