@@ -418,3 +418,79 @@ def ev06_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_funnel(
         spark, sf_dir, win_us=CONVERSION_WINDOW_HOURS * 3600 * 1_000_000
     )
+
+
+@query(
+    "ev07_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               epoch_us(MAX(ts)) AS recency,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS monetary_c
+        FROM events GROUP BY user_id
+    ),
+    cuts AS (
+        SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY recency)   AS r1,
+               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY recency)   AS r2,
+               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY recency)   AS r3,
+               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY monetary_c) AS m1,
+               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY monetary_c) AS m2,
+               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY monetary_c) AS m3
+        FROM per_user
+    )
+    SELECT CASE WHEN recency <= r1 THEN 1 WHEN recency <= r2 THEN 2
+                WHEN recency <= r3 THEN 3 ELSE 4 END AS r_q,
+           CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_q,
+           CASE WHEN monetary_c <= m1 THEN 1 WHEN monetary_c <= m2 THEN 2
+                WHEN monetary_c <= m3 THEN 3 ELSE 4 END AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user CROSS JOIN cuts
+    GROUP BY 1, 2, 3
+    """,
+)
+def ev07_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: users quartiled on recency / frequency /
+    monetary and counted per (R,F,M) cell. Scale-right form: NOT a
+    global ntile (single-task sort over every user) — per-user metrics
+    aggregate first (one shuffle), the three quartile cut-points reduce
+    to ONE row that broadcasts back, and bucket assignment is a
+    map-side CASE. Cross-engine exactness: all three metrics are
+    INTEGERS (epoch micros, counts, exact money micros), so the interpolated
+    percentile cuts are identical bit-for-bit in both engines — no
+    borderline user can land in different cells."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("monetary_c"),
+    )
+    cuts = per_user.agg(
+        *[
+            F.percentile(m, F.lit(p)).alias(f"{m[0]}{i + 1}")
+            for m in ("recency", "frequency", "monetary_c")
+            for i, p in enumerate((0.25, 0.50, 0.75))
+        ]
+    )
+
+    def bucket(metric, c1, c2, c3):
+        return (
+            F.when(F.col(metric) <= F.col(c1), 1)
+            .when(F.col(metric) <= F.col(c2), 2)
+            .when(F.col(metric) <= F.col(c3), 3)
+            .otherwise(4)
+        )
+
+    return (
+        per_user.join(F.broadcast(cuts))
+        .groupBy(
+            bucket("recency", "r1", "r2", "r3").alias("r_q"),
+            bucket("frequency", "f1", "f2", "f3").alias("f_q"),
+            bucket("monetary_c", "m1", "m2", "m3").alias("m_q"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
