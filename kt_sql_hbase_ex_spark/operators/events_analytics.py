@@ -468,7 +468,7 @@ def ev07_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.max("ts")).alias("recency"),
         F.count("*").alias("frequency"),
         F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("monetary_c"),
-    )
+    ).localCheckpoint()  # feeds cuts AND assignment: aggregate events once
     cuts = per_user.agg(
         *[
             F.percentile(m, F.lit(p)).alias(f"{m[0]}{i + 1}")

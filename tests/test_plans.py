@@ -358,3 +358,30 @@ def test_session_paths_single_event_shuffle(spark, sf_small):
     plan = simple_plan(ev04_session_paths(spark, sf_small))
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_interval_overlap_broadcasts_promos(spark, sf_small):
+    """j11: the promo dimension must broadcast — the fact side never
+    shuffles for an interval-overlap against a statement-sized window
+    set (nested-loop over a 3-row build is a per-row constant)."""
+    from kt_sql_hbase_ex_spark.operators.joins import j11_interval_overlap_join
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(j11_interval_overlap_join(spark, sf_small))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_rfm_cuts_broadcast_and_single_user_shuffle(spark, sf_small):
+    """ev07: the quartile cut row must broadcast back onto per-user
+    metrics (no re-shuffle), and events shuffle once on user_id — the
+    no-global-ntile design the docstring claims."""
+    from kt_sql_hbase_ex_spark.operators.events_analytics import ev07_rfm_segments
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(ev07_rfm_segments(spark, sf_small))
+    # per_user is localCheckpointed (one event aggregate feeds both the
+    # cuts and the assignment), so at most its own exchange appears
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+    assert "Broadcast" in plan, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort/ntile
