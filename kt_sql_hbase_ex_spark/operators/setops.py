@@ -188,3 +188,48 @@ def set08_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.unionByName(c, allowMissingColumns=True)
+
+
+@query(
+    "set09_symmetric_difference",
+    oracle="""
+    WITH open_cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                       WHERE o_orderstatus = 'O'),
+    rich_cust AS (SELECT c_custkey AS custkey FROM customer
+                  WHERE c_acctbal > 5000),
+    sym AS (
+        (SELECT custkey FROM open_cust EXCEPT SELECT custkey FROM rich_cust)
+        UNION ALL
+        (SELECT custkey FROM rich_cust EXCEPT SELECT custkey FROM open_cust)
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM sym JOIN customer ON c_custkey = custkey
+    GROUP BY c_nationkey
+    """,
+)
+def set09_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference (the one classical set op with no single SQL
+    keyword): customers with open orders XOR high-balance customers,
+    composed as EXCEPT ∪ EXCEPT — two partially-overlapping key sets
+    that stay large and distinct at any scale factor. Both EXCEPT legs
+    distinct-reduce to key sets before combining (shuffle ∝ keys, never
+    the fact rows they came from); the name-back join and rollup reuse
+    the customer key partitioning."""
+    open_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    rich_cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    sym = open_cust.exceptAll(rich_cust).unionByName(rich_cust.exceptAll(open_cust))
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        sym.join(customer, sym.custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
