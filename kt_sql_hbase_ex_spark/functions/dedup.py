@@ -79,10 +79,6 @@ _SHINGLES_SPARK = (
     "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
     " i -> concat_ws(' ', slice({t}, i, 3))))"
 )
-_SHINGLES_SQL = (
-    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
-    " i -> array_to_string(({t})[i:i+2], ' ')))"
-)
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,16 +88,6 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.expr(f"size({toks})") >= SHINGLE_N).select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(t=toks)).alias("sh")
     )
-
-
-_SH_CTE_SQL = f"""
-    sh AS (
-        SELECT doc_id,
-               {_SHINGLES_SQL.format(t="string_split(text, ' ')")} AS sh
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
-    )
-"""
 
 
 @query(
@@ -139,23 +125,15 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d02_ngram_jaccard",
-    oracle=f"""
-    WITH {_SH_CTE_SQL}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
-    """,
-)
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (3-token shingle) Jaccard near-dup pairs — the quadratic
-    baseline / ground truth. Viable at verification scale; the linear
-    path for full corpora is d03 (LSH), which reuses exactly this
-    verifier on its candidate pairs."""
+    """Quadratic n-gram (3-token shingle) Jaccard near-dup pairs — the
+    ground-truth verifier (analog of :func:`embedding_neardup_exact`
+    for text). NOT a registered operator: the all-pairs self-join is a
+    BroadcastNestedLoopJoin over documents×documents and cannot survive
+    corpus scale, so it lives here only as the recall baseline asserted
+    against d03 (LSH) in tests/test_extensions.py. The linear path for
+    full corpora is d03, which reuses exactly this verifier on its
+    candidate pairs."""
     sh = shingles_df(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -305,7 +283,8 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle ∝ collisions, not n²) → exact Jaccard verification of
     candidates only. The oracle replays the identical algorithm in SQL —
     same hashes, same coefficients — so this checks the implementation,
-    not a lucky sample. Recall vs the d02 ground truth is asserted in
+    not a lucky sample. Recall vs the unregistered d02 ground-truth
+    verifier (:func:`d02_ngram_jaccard`) is asserted in
     tests/test_extensions.py."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(

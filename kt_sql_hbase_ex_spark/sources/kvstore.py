@@ -66,10 +66,43 @@ FORMAT_NAME = "ktsql_kv"
 #: per distinct store, however many writes happen).
 _STORE_CACHE: dict[tuple, tuple] = {}  # config key -> (signature, KVStore)
 
+#: zero-pad width for one composite-rowkey component (shared with the
+#: secondary index's value|basekey encoding below)
+_KEY_PAD = 12
+
+
+def _pad_component(v) -> str:
+    """One composite-rowkey component: zero-padded so the string sort
+    equals the numeric sort. Domain guards instead of silent mis-sort:
+    non-negative integers of <= pad-width digits only."""
+    k = str(v)
+    if not k.isdigit() or len(k) > _KEY_PAD:
+        raise ValueError(
+            f"composite key component must be a non-negative integer of "
+            f"<= {_KEY_PAD} digits: {v!r}"
+        )
+    return k.zfill(_KEY_PAD)
+
+
+def _rowkey_of(row: dict, key_cols: Sequence[str]) -> Any:
+    """A row's store rowkey: raw value (single-column PK) or the padded
+    '|'-joined concatenation (composite PK, ``HBaseSchema.kt:127-136``)."""
+    if len(key_cols) == 1:
+        return row[key_cols[0]]
+    return "|".join(_pad_component(row[c]) for c in key_cols)
+
 
 class KVStore:
     """In-process HBase-table stand-in: sorted rowkeys, dict "columns
-    families", fixed-size key-range regions."""
+    families", fixed-size key-range regions.
+
+    ``key_col`` may be a comma-separated list of columns: the store then
+    sorts by a COMPOSITE rowkey — each component zero-padded and
+    '|'-joined so the string sort equals the componentwise numeric sort,
+    the reference's multi-column-PK-concatenated-into-one-rowkey scheme
+    (``hbase/HBaseSchema.kt:127-136``; README "支持多个字段组成主键").
+    Same encoding the secondary index already uses for its value|basekey
+    rowkeys (:func:`_index_rowkey`)."""
 
     def __init__(
         self,
@@ -82,9 +115,16 @@ class KVStore:
         self.name = name
         self.schema = schema
         self.key_col = key_col
-        self.rows = sorted(rows, key=lambda r: r[key_col])
-        self.keys = [r[key_col] for r in self.rows]
+        self.key_cols: tuple[str, ...] = tuple(key_col.split(","))
+        self.composite = len(self.key_cols) > 1
+        self.rows = sorted(rows, key=self.rowkey)
+        self.keys = [self.rowkey(r) for r in self.rows]
         self.region_size = region_size
+
+    def rowkey(self, row: dict) -> Any:
+        """The row's store key: the raw value for a single-column PK,
+        the padded composite encoding for a multi-column one."""
+        return _rowkey_of(row, self.key_cols)
 
     def regions(self) -> List[Tuple[Any, Any, int, int]]:
         """(start_key, stop_key_inclusive, lo_idx, hi_idx) per region —
@@ -124,6 +164,8 @@ class KVScanReader(DataSourceReader):
 
     # -- SupportsPushDownFilters analog ---------------------------------
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        if self._store.composite:
+            return self._push_composite(filters)
         key = self._store.key_col
         cols = set(self._store.schema.fieldNames())
         residual: List[Filter] = []
@@ -161,6 +203,92 @@ class KVScanReader(DataSourceReader):
                 residual.append(f)
         return residual
 
+    def _push_composite(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Composite-PK pushdown (``HBaseSchema.kt:127-136`` rowkeys):
+        per-component closed bounds are folded into ONE rowkey range with
+        HBase leading-prefix semantics — a run of leading equality
+        components fixes the rowkey prefix, the first ranged component
+        bounds the scan, components after it pad to the full key domain
+        and their predicates (plus all strict bounds) run server-side.
+        Filter values outside the encodable domain (negative / too wide)
+        are returned to Spark as residuals rather than mis-encoded."""
+        key_cols = self._store.key_cols
+        cols = set(self._store.schema.fieldNames())
+        bounds: dict[str, list] = {c: [None, None] for c in key_cols}  # closed lo, hi
+        residual: List[Filter] = []
+        cmp_types = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        for f in filters:
+            fattr = getattr(f, "attribute", None)
+            attr = fattr[0] if fattr is not None and len(fattr) == 1 else None
+            if attr in bounds and isinstance(f, cmp_types):
+                v = f.value
+                try:
+                    _pad_component(v)  # encodable? else residual
+                except ValueError:
+                    residual.append(f)
+                    continue
+                b = bounds[attr]
+                if isinstance(f, EqualTo):
+                    self._tighten(b, v, v)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._tighten(b, v, None)
+                elif isinstance(f, GreaterThan):
+                    # closed-form bound + server-side strictness check
+                    self._tighten(b, v, None)
+                    self._eq_filters.append((attr, ("gt", v)))
+                elif isinstance(f, LessThanOrEqual):
+                    self._tighten(b, None, v)
+                else:  # LessThan
+                    self._tighten(b, None, v)
+                    self._eq_filters.append((attr, ("lt", v)))
+                self.pushed.append(f)
+            elif attr in cols and isinstance(f, EqualTo):
+                self._eq_filters.append((attr, ("eq", f.value)))
+                self.pushed.append(f)
+            elif attr in cols and isinstance(f, In):
+                self._eq_filters.append((attr, ("in", tuple(f.value))))
+                self.pushed.append(f)
+            elif attr in bounds and isinstance(f, IsNotNull):
+                self.pushed.append(f)  # rowkey components are never null: free
+            else:
+                residual.append(f)
+        # fold componentwise bounds into the rowkey range
+        lo_parts: List[str] = []
+        hi_parts: List[str] = []
+        range_open = False
+        for c in key_cols:
+            lo, hi = bounds[c]
+            if range_open:
+                # the rowkey range is already open on an earlier ranged
+                # component — later components cannot narrow it; enforce
+                # their bounds server-side instead (correctness: they
+                # were reported as pushed)
+                lo_parts.append("0" * _KEY_PAD)
+                hi_parts.append("9" * _KEY_PAD)
+                if lo is not None:
+                    self._eq_filters.append((c, ("ge", lo)))
+                if hi is not None:
+                    self._eq_filters.append((c, ("le", hi)))
+                continue
+            if lo is not None and lo == hi:  # leading equality: extend prefix
+                lo_parts.append(_pad_component(lo))
+                hi_parts.append(_pad_component(hi))
+                continue
+            range_open = True
+            lo_parts.append(_pad_component(lo) if lo is not None else "0" * _KEY_PAD)
+            hi_parts.append(_pad_component(hi) if hi is not None else "9" * _KEY_PAD)
+        if any(b != [None, None] for b in bounds.values()):
+            self._low = "|".join(lo_parts)
+            self._high = "|".join(hi_parts)
+        return residual
+
+    @staticmethod
+    def _tighten(b: list, lo: Any, hi: Any) -> None:
+        if lo is not None and (b[0] is None or lo > b[0]):
+            b[0] = lo
+        if hi is not None and (b[1] is None or hi < b[1]):
+            b[1] = hi
+
     def _narrow(self, low: Any, high: Any) -> None:
         if low is not None and (self._low is None or low > self._low):
             self._low = low
@@ -177,6 +305,10 @@ class KVScanReader(DataSourceReader):
             if op == "gt" and not (x is not None and x > v):
                 return False
             if op == "lt" and not (x is not None and x < v):
+                return False
+            if op == "ge" and not (x is not None and x >= v):
+                return False
+            if op == "le" and not (x is not None and x <= v):
                 return False
         return True
 
@@ -253,19 +385,21 @@ def delete_from_store(options, keys) -> None:
     import pyarrow.parquet as pq
 
     opts = {k.lower(): v for k, v in dict(options).items()}
-    key_col = opts["keycol"]
+    key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     opath = overlay_path(opts)
     merged: dict = {}
     if os.path.exists(opath):
         for r in pq.read_table(opath).to_pylist():
-            merged[r[key_col]] = r
-    for k in keys:
+            merged[_rowkey_of(r, key_cols)] = r
+    for k in keys:  # composite stores take key TUPLES, single stores scalars
         row = {c: None for c in columns}
-        row[key_col] = k
+        kt = k if isinstance(k, tuple) else (k,)
+        for col, v in zip(key_cols, kt):
+            row[col] = v
         row[TOMBSTONE] = True
-        merged[k] = row
-    rows = sorted(merged.values(), key=lambda r: r[key_col])
+        merged[_rowkey_of(row, key_cols)] = row
+    rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
     for r in rows:  # normalize: upsert rows carry an explicit false flag
         r.setdefault(TOMBSTONE, False)
     tmp = opath + ".tmp"
@@ -279,7 +413,7 @@ def delete_from_store(options, keys) -> None:
 #: (``index/keyvalue/KVIndexTable.kt:63-80``: value-prefixed rowkeys,
 #: prefix scan + base multi-get).
 INDEX_KEY = "idx_key"
-_INDEX_PAD = 12
+_INDEX_PAD = _KEY_PAD
 
 
 def _index_rowkey(value, base_key) -> str:
@@ -345,12 +479,13 @@ def _open_store(options) -> KVStore:
     if overlay_sig is not None:
         import pyarrow.parquet as pq
 
-        merged = {r[key_col]: r for r in store.rows}
+        key_cols = store.key_cols
+        merged = {_rowkey_of(r, key_cols): r for r in store.rows}
         for r in pq.read_table(opath).to_pylist():
             if r.get(TOMBSTONE):
-                merged.pop(r[key_col], None)
+                merged.pop(_rowkey_of(r, key_cols), None)
             else:
-                merged[r[key_col]] = {c: r[c] for c in columns}
+                merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
         store = KVStore(
             store.name, store.schema, key_col, list(merged.values()),
             region_size=region_size,
@@ -358,12 +493,21 @@ def _open_store(options) -> KVStore:
     if index_on:
         from pyspark.sql.types import StringType, StructField
 
+        if store.composite:
+            raise ValueError(
+                "secondary index over a composite-PK store is not "
+                "supported: index payloads carry a single base rowkey"
+            )
         base_key_field = next(
             f for f in store.schema.fields if f.name == key_col
         )
+        # NULL indexed values produce no index entry (HBase-style
+        # secondary indexes skip null cells — a str(None) entry would be
+        # retrievable under the real-looking key 'None')
         idx_rows = [
             {INDEX_KEY: _index_rowkey(r[index_on], r[key_col]), key_col: r[key_col]}
             for r in store.rows
+            if r[index_on] is not None
         ]
         store = KVStore(
             f"{store.name}:idx:{index_on}",
@@ -397,7 +541,7 @@ class KVUpsertWriter(DataSourceWriter):
 
     def __init__(self, options) -> None:
         self._options = dict(options)
-        self._key = options["keycol"]
+        self._key_cols = tuple(options["keycol"].split(","))
         self._columns = list(options["columns"].split(","))
 
     def write(self, iterator) -> KVWriteMessage:
@@ -407,7 +551,7 @@ class KVUpsertWriter(DataSourceWriter):
             missing = [c for c in self._columns if c not in d]
             if missing:
                 raise ValueError(f"write missing store columns: {missing}")
-            if d[self._key] is None:
+            if any(d[k] is None for k in self._key_cols):
                 raise ValueError("rowkey must not be null")  # HBase Put rule
             rows.append({c: d[c] for c in self._columns})
         return KVWriteMessage(rows)
@@ -421,12 +565,13 @@ class KVUpsertWriter(DataSourceWriter):
         opath = overlay_path(self._options)
         if os.path.exists(opath):  # upserts accumulate across statements
             for r in pq.read_table(opath).to_pylist():
-                merged[r[self._key]] = r
+                merged[_rowkey_of(r, self._key_cols)] = r
         for m in messages:
             if m is not None:
                 for r in m.rows:
-                    merged[r[self._key]] = r  # a Put over a tombstone revives
-        rows = sorted(merged.values(), key=lambda r: r[self._key])
+                    # a Put over a tombstone revives
+                    merged[_rowkey_of(r, self._key_cols)] = r
+        rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, self._key_cols))
         for r in rows:
             r.setdefault(TOMBSTONE, False)
         tbl = pa.Table.from_pylist(rows) if rows else None
@@ -750,5 +895,87 @@ def src06_kv_index_lookup(spark, sf_dir: str):
         .agg(
             F.count("*").alias("n_cust"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+EVENTS_KV_COLUMNS = "user_id,event_id,event_type,value"
+
+
+def events_kv_store_options(sf_dir: str, region_size: int = 256) -> dict:
+    """Options bundle naming the composite-PK demo store: events keyed
+    by (user_id, event_id) — the classic entity|sequence HBase rowkey
+    design, and the fixture's one composite key that is actually unique.
+    (The catalog declares lineitem's (l_orderkey, l_linenumber) PK, but
+    the synthetic generator reuses line numbers — ``sources/catalog.py``
+    documents the collision — and a rowkey store requires unique
+    rowkeys, so the registered composite demo uses events; the
+    lineitem-SHAPED (orderkey, linenumber) encode + region skipping is
+    pinned in tests/test_kvstore.py instead.)"""
+    from kt_sql_hbase_ex_spark.sources.catalog import table_path
+
+    return {
+        "path": table_path(sf_dir, "events"),
+        "keyCol": "user_id,event_id",
+        "columns": EVENTS_KV_COLUMNS,
+        "regionSize": str(region_size),
+    }
+
+
+_SRC07_USER_LO, _SRC07_USER_HI = 20, 59
+
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql  # noqa: E402
+
+
+@query(
+    "src07_kv_composite_pk_scan",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event,
+           {exact_sum_sql("value")} AS total_value
+    FROM events
+    WHERE user_id BETWEEN {_SRC07_USER_LO} AND {_SRC07_USER_HI}
+      AND event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def src07_kv_composite_pk_scan(spark, sf_dir: str):
+    """Composite-PK rowkey scan (``hbase/HBaseSchema.kt:127-136``: a
+    multi-column PK concatenates into ONE rowkey; README "支持多个字段
+    组成主键"): the store's rowkey is zero-padded
+    ``user_id|event_id`` — the same encoding the secondary index uses —
+    so the user_id BETWEEN bounds fold into a single pushed rowkey range
+    ([lo|000…, hi|999…], leading-prefix semantics) and regions outside
+    it are never scanned, while event_type = 'click' runs server-side.
+    Leading-equality + second-component-range narrowing (the
+    (l_orderkey, l_linenumber)-shaped case) is pinned in
+    tests/test_kvstore.py. Money sums are exact micro-unit fixed point
+    (functions/money.py)."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    opts = events_kv_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    # hermetic: the oracle describes the pristine base
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .options(**opts)
+        .schema("user_id bigint, event_id bigint, event_type string, value double")
+        .load()
+    )
+    return (
+        df.filter(
+            F.col("user_id").between(_SRC07_USER_LO, _SRC07_USER_HI)
+            & (F.col("event_type") == "click")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            exact_sum("value").alias("total_value"),
         )
     )

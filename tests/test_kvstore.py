@@ -386,3 +386,200 @@ def test_index_reflects_committed_writes():
         assert victim not in {r["c_custkey"] for r in idx3.rows}
     finally:
         truncate_overlay(base_opts)
+
+
+# ---------------------------------------------------------------------------
+# Composite (multi-column) primary key: the reference concatenates a
+# multi-column PK into one rowkey (hbase/HBaseSchema.kt:127-136). These
+# pin the (l_orderkey, l_linenumber)-shaped encode, leading-prefix range
+# folding, and region skipping; the fixture-backed registered query is
+# src07 over events (user_id, event_id) — see events_kv_store_options
+# for why lineitem's declared composite PK cannot back a rowkey store.
+# ---------------------------------------------------------------------------
+
+from kt_sql_hbase_ex_spark.sources.kvstore import _pad_component, _rowkey_of
+
+
+def _mk_composite_store(n_orders=40, lines_per=7, region_size=16):
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", IntegerType()),
+        ]
+    )
+    rows = [
+        {"l_orderkey": o, "l_linenumber": ln, "l_quantity": (o * 7 + ln) % 50}
+        for o in range(n_orders)
+        for ln in range(1, lines_per + 1)
+    ]
+    return KVStore(
+        "li", schema, "l_orderkey,l_linenumber", rows, region_size=region_size
+    )
+
+
+def test_composite_rowkey_string_sort_equals_numeric_sort():
+    keys = [(2, 10), (10, 2), (2, 2), (100, 1), (10, 10)]
+    enc = [_rowkey_of({"a": a, "b": b}, ("a", "b")) for a, b in keys]
+    assert [e for _, e in sorted(zip(keys, enc))] == sorted(enc)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        _pad_component(-1)
+    with _pytest.raises(ValueError, match="non-negative"):
+        _pad_component("x|y")
+
+
+def test_composite_leading_range_prunes_regions():
+    store = _mk_composite_store()  # 280 rows -> ~18 regions of 16
+    rd = KVScanReader(store, store.schema)
+    residual = list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("l_orderkey",), 5), LessThanOrEqual(("l_orderkey",), 9)]
+        )
+    )
+    assert residual == []
+    parts = rd.partitions()
+    assert 0 < len(parts) < len(store.regions())
+    rows = [t for p in parts for t in p.tuples]
+    assert rows and all(5 <= t[0] <= 9 for t in rows)
+    assert len(rows) == 5 * 7  # every line of every order in range
+
+
+def test_composite_leading_eq_second_range_narrows_rowkey():
+    store = _mk_composite_store()
+    rd = KVScanReader(store, store.schema)
+    residual = list(
+        rd.pushFilters(
+            [
+                EqualTo(("l_orderkey",), 7),
+                GreaterThanOrEqual(("l_linenumber",), 2),
+                LessThanOrEqual(("l_linenumber",), 5),
+            ]
+        )
+    )
+    assert residual == []
+    # leading equality fixes the prefix, the second component bounds the
+    # rowkey range itself: [0...7|0...2, 0...7|0...5]
+    assert rd._low == f"{_pad_component(7)}|{_pad_component(2)}"
+    assert rd._high == f"{_pad_component(7)}|{_pad_component(5)}"
+    parts = rd.partitions()
+    assert len(parts) == 1  # one order's 4 lines: a single region
+    assert sorted((t[0], t[1]) for t in parts[0].tuples) == [
+        (7, ln) for ln in (2, 3, 4, 5)
+    ]
+
+
+def test_composite_later_component_bound_enforced_server_side():
+    """When the leading component is RANGED, a second-component bound
+    cannot narrow the rowkey range — it must still be enforced (it was
+    reported as pushed), so it runs server-side."""
+    store = _mk_composite_store()
+    rd = KVScanReader(store, store.schema)
+    residual = list(
+        rd.pushFilters(
+            [
+                GreaterThanOrEqual(("l_orderkey",), 3),
+                LessThanOrEqual(("l_orderkey",), 6),
+                LessThanOrEqual(("l_linenumber",), 2),
+            ]
+        )
+    )
+    assert residual == []
+    rows = [t for p in rd.partitions() for t in p.tuples]
+    assert rows and all(3 <= t[0] <= 6 and t[1] <= 2 for t in rows)
+    assert len(rows) == 4 * 2
+
+
+def test_composite_strict_bounds():
+    store = _mk_composite_store()
+    rd = KVScanReader(store, store.schema)
+    assert list(
+        rd.pushFilters([GreaterThan(("l_orderkey",), 37), GreaterThan(("l_linenumber",), 6)])
+    ) == []
+    rows = [t for p in rd.partitions() for t in p.tuples]
+    assert sorted((t[0], t[1]) for t in rows) == [(38, 7), (39, 7)]
+
+
+def test_composite_unencodable_filter_value_goes_residual():
+    store = _mk_composite_store()
+    rd = KVScanReader(store, store.schema)
+    residual = list(rd.pushFilters([GreaterThanOrEqual(("l_orderkey",), -5)]))
+    assert len(residual) == 1  # negative can't encode: Spark keeps it
+    assert len(rd.partitions()) == len(store.regions())  # full scan
+
+
+_CKEY = st.integers(min_value=0, max_value=8)
+
+
+def _mk_comp_prop_store(pairs):
+    schema = StructType(
+        [
+            StructField("k1", LongType()),
+            StructField("k2", IntegerType()),
+            StructField("seg", StringType()),
+        ]
+    )
+    dicts = [{"k1": a, "k2": b, "seg": _SEGS[(a + b) % 3]} for a, b in pairs]
+    return KVStore("cprop", schema, "k1,k2", dicts, region_size=4)
+
+
+_CPAIRS = st.lists(
+    st.tuples(_CKEY, _CKEY), min_size=0, max_size=25, unique_by=lambda p: p
+)
+
+
+def _comp_filter_strategy():
+    cmp1 = st.builds(
+        lambda cls, v: cls(("k1",), v),
+        st.sampled_from([EqualTo, GT, GTE, LT, LTE]),
+        _CKEY,
+    )
+    cmp2 = st.builds(
+        lambda cls, v: cls(("k2",), v),
+        st.sampled_from([EqualTo, GT, GTE, LT, LTE]),
+        _CKEY,
+    )
+    seg_eq = st.builds(lambda v: EqualTo(("seg",), v), st.sampled_from(_SEGS))
+    return st.lists(st.one_of(cmp1, cmp2, seg_eq), max_size=6)
+
+
+@given(pairs=_CPAIRS, filters=_comp_filter_strategy())
+@settings(max_examples=200, deadline=None)
+def test_composite_pushdown_never_changes_semantics(pairs, filters):
+    """For ANY conjunction over both key components + a qualifier, the
+    folded rowkey range + server-side filters + residuals must equal a
+    naive full evaluation — the reader may move work, never change it."""
+    store = _mk_comp_prop_store(pairs)
+    rd = KVScanReader(store, store.schema)
+    residual = list(rd.pushFilters(list(filters)))
+    cols = [f.name for f in store.schema.fields]
+    got = sorted(
+        (dict(zip(cols, t))["k1"], dict(zip(cols, t))["k2"])
+        for p in rd.partitions()
+        for t in p.tuples
+        if all(_naive_eval(dict(zip(cols, t)), f) for f in residual)
+    )
+    want = sorted(
+        (r["k1"], r["k2"])
+        for r in store.rows
+        if all(_naive_eval(r, f) for f in filters)
+    )
+    assert got == want
+
+
+def test_index_skips_null_indexed_values(tmp_path):
+    """HBase-style secondary indexes skip null cells: a NULL indexed
+    value must produce NO index entry (previously str(None) built a
+    retrievable entry under the literal key 'None')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "base.parquet"
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "seg": ["A", None, "B"]}), str(p)
+    )
+    opts = {"path": str(p), "keycol": "k", "columns": "k,seg", "indexon": "seg"}
+    idx = _open_store(opts)
+    assert sorted(r["k"] for r in idx.rows) == [1, 3]
+    assert not any(r["idx_key"].startswith("None|") for r in idx.rows)
