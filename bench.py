@@ -71,19 +71,26 @@ def main() -> None:
         print(f"bench: unknown headline queries {missing}", file=sys.stderr)
         sys.exit(2)
 
-    # Per query: one untimed warmup run, then min of two timed runs —
+    # Per query: one untimed warmup run, then min of three timed runs —
     # the steady-state plan cost. The first execution of a query pays
     # whole-stage-codegen compilation (driver-side Janino), which for
     # expression-heavy plans is large and noisy (measured 3-9 s on the
     # minhash signature plan, settling to ~1.3 s once compiled); at
     # 100 TB that one-time cost amortizes to nothing, so the warm number
     # is the one that projects, and excluding the compile run cuts most
-    # round-over-round jitter.
+    # round-over-round jitter. A JVM GC nudge before each query's timed
+    # runs keeps the previous query's garbage from billing a collection
+    # pause to this one (round-4 note: host-shared CPU makes single runs
+    # long-tailed; min-of-3 + GC isolation cut the observed spread).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         _run_once(queries[name].fn(spark, sf_dir))
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             _run_once(queries[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - start)

@@ -59,8 +59,21 @@ _UNIT = 1_000_000
 
 
 def _micros(col: Column | str) -> Column:
+    """Per-row micro-unit integerization — the hot path, kept in pure
+    double arithmetic. ``F.round`` on a double compiles to a per-row
+    ``java.math.BigDecimal.setScale`` in Spark's codegen (allocation +
+    GC pressure measured at ~2x the whole aggregate's cost on a01);
+    since the scaled value provably sits within ~1e-9 of its integer
+    (<= 3 factors of 2dp each — see module doc), sign-aware
+    add-half-then-truncate recovers the SAME integer as ROUND in both
+    engines (no value can sit near a .5 boundary), with no per-row
+    object allocation."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * _UNIT).cast("bigint")
+    scaled = c * _UNIT
+    half = F.when(scaled >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    # CAST(double AS bigint) truncates toward zero in Spark: exact
+    # round-half-away-from-zero given the 1e-9 integer-proximity bound
+    return (scaled + half).cast("bigint")
 
 
 def _emit(s: Column, scale: int) -> Column:

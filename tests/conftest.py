@@ -14,7 +14,12 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    return get_session("kt_sql_hbase_ex_spark-tests", cpus=8)
+    # SPARK_GRAFT_CPUS lets tools/parity_shards.py split the core budget
+    # across parallel worker processes (default 8 for single-process runs)
+    return get_session(
+        "kt_sql_hbase_ex_spark-tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+    )
 
 
 @pytest.fixture(scope="session")

@@ -6,6 +6,8 @@ order-insensitive value compare) at the same scale factor (sf0.01).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from kt_sql_hbase_ex_spark import registry
@@ -14,6 +16,18 @@ from kt_sql_hbase_ex_spark.testing import check_query, duckdb_connect
 from .conftest import SF_ORACLE
 
 ALL = sorted(registry.all_queries())
+
+# Process-level sharding (pytest-xdist is not shipped in this env):
+# SPARK_GRAFT_SHARD="i/n" keeps every n-th query starting at i, so
+# ``tools/parity_shards.py`` can run n pytest processes in parallel,
+# each with its own Spark session and DuckDB connection. Round-robin
+# (not contiguous) slicing balances the expensive families across
+# shards.
+_shard = os.environ.get("SPARK_GRAFT_SHARD")
+if _shard:
+    _i, _n = (int(x) for x in _shard.split("/"))
+    ALL = [q for j, q in enumerate(ALL) if j % _n == _i]
+
 _RESULTS: dict[str, object] = {}
 
 
