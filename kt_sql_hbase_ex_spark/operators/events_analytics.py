@@ -431,15 +431,15 @@ def ev06_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     cuts AS (
-        SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY recency)   AS r1,
-               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY recency)   AS r2,
-               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY recency)   AS r3,
-               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
-               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
-               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
-               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY monetary_c) AS m1,
-               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY monetary_c) AS m2,
-               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY monetary_c) AS m3
+        SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY recency)   AS r1,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY recency)   AS r2,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY recency)   AS r3,
+               PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+               PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY monetary_c) AS m1,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY monetary_c) AS m2,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY monetary_c) AS m3
         FROM per_user
     )
     SELECT CASE WHEN recency <= r1 THEN 1 WHEN recency <= r2 THEN 2
@@ -460,18 +460,25 @@ def ev07_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate first (one shuffle), the three quartile cut-points reduce
     to ONE row that broadcasts back, and bucket assignment is a
     map-side CASE. Cross-engine exactness: all three metrics are
-    INTEGERS (epoch micros, counts, exact money micros), so the interpolated
-    percentile cuts are identical bit-for-bit in both engines — no
-    borderline user can land in different cells."""
+    INTEGERS (epoch micros, counts, exact money micros), and the cuts
+    are PERCENTILE_DISC — an actual data value, so each cut is an exact
+    integer in both engines with no interpolation formula to diverge by
+    an ulp (a CONT cut computed as lo+(hi-lo)·f vs (1-f)·lo+f·hi can
+    differ in the last bit, and an integer metric equal to a cut
+    boundary would then land in different cells per engine)."""
+    from kt_sql_hbase_ex_spark.functions.money import _micros
+
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.unix_micros(F.max("ts")).alias("recency"),
         F.count("*").alias("frequency"),
-        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("monetary_c"),
+        F.sum(_micros(F.col("value"))).alias("monetary_c"),
     ).localCheckpoint()  # feeds cuts AND assignment: aggregate events once
     cuts = per_user.agg(
         *[
-            F.percentile(m, F.lit(p)).alias(f"{m[0]}{i + 1}")
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m[0]}{i + 1}")
             for m in ("recency", "frequency", "monetary_c")
             for i, p in enumerate((0.25, 0.50, 0.75))
         ]

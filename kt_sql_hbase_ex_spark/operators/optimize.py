@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table, table_path
 
@@ -438,11 +439,10 @@ def opt07_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "opt08_dynamic_partition_overwrite",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'P'
-                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2)
+           {exact_sum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1 ELSE o_totalprice END")}
                AS total
     FROM orders GROUP BY o_orderstatus
     """,
@@ -490,16 +490,16 @@ def opt08_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            exact_sum("o_totalprice").alias("total"),
         )
     )
 
 
 @query(
     "opt09_small_file_compaction",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS total_value,
+           {exact_sum_sql("value")} AS total_value,
            TRUE AS compacted
     FROM events
     """,
@@ -507,7 +507,8 @@ def opt08_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
 def opt09_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the maintenance operator every streaming
     ingest needs: a landing directory fragmented into per-microbatch
-    files (simulated: 64-way write) is rewritten into size-targeted
+    files (simulated: a size-derived 4x-finer-than-target split) is
+    rewritten into size-targeted
     files (output file count = ceil(bytes / target), metadata-only
     planning), and the result is verified content-identical against the
     oracle's view of the source (count + exact value parity) with the
@@ -529,12 +530,30 @@ def opt09_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(os.path.join(root, slug), ignore_errors=True)
     _prune_stale_layouts(root, slug)
 
+    # Fragment count scales WITH the data: a fixed 64-way split stops
+    # being "fragmented" once the table outgrows 64 target-sized files
+    # (the compacted flag would then be legitimately false and fail the
+    # oracle's TRUE). Estimate the compacted file count from the source
+    # bytes first and fragment 4x finer, so fragments are always
+    # meaningfully smaller than the compaction target at ANY table size.
+    target_bytes = 32 * 1024 * 1024  # the small side of a 128 MB split
+    src = table_path(sf_dir, "events")
+    src_bytes = (
+        os.path.getsize(src)
+        if os.path.isfile(src)
+        else sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src)
+            for f in fs
+        )
+    )
+    n_frag = max(64, 4 * max(1, math.ceil(src_bytes / target_bytes)))
+
     e = load_table(spark, sf_dir, "events")
-    e.repartition(64).write.parquet(small)
+    e.repartition(n_frag).write.parquet(small)
 
     files_small = glob.glob(os.path.join(small, "*.parquet"))
     total_bytes = sum(os.path.getsize(f) for f in files_small)
-    target_bytes = 32 * 1024 * 1024  # the small side of a 128 MB split
     n_out = max(1, math.ceil(total_bytes / target_bytes))
     spark.read.parquet(small).repartition(n_out).write.parquet(big)
 
@@ -542,7 +561,7 @@ def opt09_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(big)
     return out.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum("value").alias("total_value"),
     ).select(
         "n_rows",
         "total_value",
@@ -552,11 +571,11 @@ def opt09_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "opt10_schema_merge_scan",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS total_value,
+           {exact_sum_sql("value")} AS total_value,
            CAST(COUNT(value_eur) AS BIGINT) AS n_with_eur,
-           ROUND(SUM(value_eur), 2) AS total_eur
+           {exact_sum_sql("value_eur")} AS total_eur
     FROM (
         SELECT value, CASE WHEN event_id % 2 = 1 THEN value * 0.5 END
                    AS value_eur
@@ -601,7 +620,7 @@ def opt10_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum("value").alias("total_value"),
         F.count("value_eur").alias("n_with_eur"),
-        F.round(F.sum("value_eur"), 2).alias("total_eur"),
+        exact_sum("value_eur").alias("total_eur"),
     )
