@@ -447,3 +447,57 @@ def f16_collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .select(F.lower(F.col("k").cast("string")).alias("type_key"), "n_rows")
     )
+
+
+@query(
+    "f17_time_type",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) - epoch_us(date_trunc('day', ts))) // 1000
+                    AS INT) AS t_ms
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_business_hours,
+           strftime(make_timestamp(CAST(MIN(t_ms) AS BIGINT) * 1000),
+                    '%H:%M:%S') AS earliest,
+           strftime(make_timestamp(CAST(MAX(t_ms) AS BIGINT) * 1000),
+                    '%H:%M:%S') AS latest,
+           CAST(MIN(t_ms) AS INT) AS earliest_ms
+    FROM t
+    WHERE t_ms BETWEEN 9 * 3600000 AND 17 * 3600000
+    GROUP BY event_type
+    """,
+)
+def f17_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TIME type via the engine's documented convention
+    (``sources/catalog.py`` module doc; reference
+    ``hbase/HBaseTable.kt:274-277`` stores TIME as its millis-of-day
+    int): encode as **IntegerType milliseconds-since-midnight**
+    (Calcite's TIME physical representation), compare NUMERICALLY
+    (business-hours range predicate on the int — sargable, pushable),
+    and render with ``date_format(timestamp_millis(t), 'HH:mm:ss')``
+    only at the output edge. The oracle derives the same millis-of-day
+    int with DuckDB epoch arithmetic and renders via strftime — both
+    engines print from the identical integer, so the strings cannot
+    diverge."""
+    e = load_table(spark, sf_dir, "events")
+    # integer division (div), not double /: a double quotient can round
+    # up across an integer boundary before the cast truncates, diverging
+    # from the oracle's exact floor-division
+    t_ms = F.expr(
+        "CAST((unix_micros(ts) - unix_micros(date_trunc('DAY', ts))) div 1000 AS INT)"
+    )
+    render = lambda c: F.date_format(F.timestamp_millis(c), "HH:mm:ss")  # noqa: E731
+    return (
+        e.select("event_type", t_ms.alias("t_ms"))
+        .filter(F.col("t_ms").between(9 * 3600000, 17 * 3600000))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_business_hours"),
+            render(F.min("t_ms")).alias("earliest"),
+            render(F.max("t_ms")).alias("latest"),
+            F.min("t_ms").cast("int").alias("earliest_ms"),
+        )
+    )

@@ -23,8 +23,9 @@ no Spark analog — this engine's declared model is **IntegerType
 milliseconds-since-midnight** (matching Calcite's TIME physical
 representation): store as INT, render with
 ``date_format(timestamp_millis(t), 'HH:mm:ss')``, compare numerically.
-No fixture column uses TIME, so the mapping is a documented convention
-rather than a code path.
+The convention is exercised end-to-end by ``f17_time_type``
+(``functions/scalar.py``): INT encode, numeric business-hours range
+predicate, HH:mm:ss rendering at the output edge, DuckDB TIME oracle.
 """
 
 from __future__ import annotations
@@ -155,7 +156,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 class ColumnInfo:
     """``column.sys`` attribute row analog (``hbase/HBaseTable.kt:221-229``):
     DATA_TYPE, NULLABLE, POSITION surface here; DEFAULT comes from the
-    StructField metadata Spark records for ``DEFAULT`` columns."""
+    StructField metadata Spark records for ``DEFAULT`` columns;
+    MAX_LENGTH (char/varchar) and PRECISION/SCALE (decimal) parse from
+    the declared Spark type — the reference stored both as explicit
+    ``column.sys`` attributes."""
 
     table: str
     name: str
@@ -163,6 +167,31 @@ class ColumnInfo:
     nullable: bool
     position: int
     default: str | None = None
+    max_length: int | None = None
+    precision: int | None = None
+    scale: int | None = None
+
+
+def _length_precision(field) -> tuple[int | None, int | None, int | None]:
+    """(max_length, precision, scale) for one StructField. Spark erases
+    char/varchar to string in the schema and keeps the declared type in
+    field metadata (``__CHAR_VARCHAR_TYPE_STRING``), so look there
+    first; decimal carries precision/scale on the type object."""
+    import re
+
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(field.dataType, DecimalType):
+        return None, field.dataType.precision, field.dataType.scale
+    declared = (
+        field.metadata.get("__CHAR_VARCHAR_TYPE_STRING")
+        if field.metadata
+        else None
+    ) or field.dataType.simpleString()
+    m = re.fullmatch(r"(?:char|varchar)\((\d+)\)", declared)
+    if m:
+        return int(m.group(1)), None, None
+    return None, None, None
 
 
 def describe_columns(spark: SparkSession, name: str) -> list[ColumnInfo]:
@@ -170,17 +199,23 @@ def describe_columns(spark: SparkSession, name: str) -> list[ColumnInfo]:
     (``hbase/HBaseTable.kt:101-118``): build the struct type from catalog
     attributes, ordered by POSITION."""
     schema = spark.table(name).schema
-    return [
-        ColumnInfo(
-            name,
-            f.name,
-            f.dataType.simpleString(),
-            f.nullable,
-            i,
-            f.metadata.get("CURRENT_DEFAULT"),
+    out = []
+    for i, f in enumerate(schema.fields):
+        max_len, prec, scale = _length_precision(f)
+        out.append(
+            ColumnInfo(
+                name,
+                f.name,
+                f.dataType.simpleString(),
+                f.nullable,
+                i,
+                f.metadata.get("CURRENT_DEFAULT"),
+                max_len,
+                prec,
+                scale,
+            )
         )
-        for i, f in enumerate(schema.fields)
-    ]
+    return out
 
 
 class PrimaryKeyMissedError(ValueError):

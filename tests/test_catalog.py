@@ -180,3 +180,34 @@ def test_create_table_escapes_quoted_comment(spark):
         assert info["comment"] == "O'Brien's table ('x'='y')"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_describe_columns_max_length_and_precision(spark):
+    """column.sys MAX_LENGTH / PRECISION attribute analogs
+    (hbase/HBaseTable.kt:221-229): char/varchar report their declared
+    length (Spark erases both to string and keeps the declared type in
+    field metadata), decimal reports precision/scale, everything else
+    reports None."""
+    tbl = "ktsql_test_lenprec"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    catalog.create_table(
+        spark,
+        tbl,
+        [
+            ("k", "BIGINT", None),
+            ("code", "CHAR(2)", None),
+            ("label", "VARCHAR(25)", None),
+            ("amount", "DECIMAL(18,6)", None),
+            ("note", "STRING", None),
+        ],
+        ("k",),
+    )
+    try:
+        by_name = {c.name: c for c in catalog.describe_columns(spark, tbl)}
+        assert by_name["code"].max_length == 2
+        assert by_name["label"].max_length == 25
+        assert (by_name["amount"].precision, by_name["amount"].scale) == (18, 6)
+        assert by_name["k"].max_length is None and by_name["k"].precision is None
+        assert by_name["note"].max_length is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
