@@ -755,3 +755,117 @@ def d09_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("rank"),
     )
+
+
+#: fixed power-iteration budget for d10 — both engines run EXACTLY this
+#: many rounds (plus an early stop Spark-side once the sup-norm delta is
+#: below PAGERANK_TOL, at which point remaining drift is < 5.7e-12 —
+#: invisible at the 6dp output rounding), so per-node ranks are
+#: engine-identical without needing convergence-rate assumptions.
+PAGERANK_ITERS = 20
+PAGERANK_TOL = 1e-12
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled K-iteration PageRank in DuckDB SQL (aggregation over the
+    recursive reference is not allowed in a recursive CTE, so the power
+    iteration is generated as K chained CTE stages). Every CTE is
+    ``AS MATERIALIZED``: DuckDB's default inlining would re-expand each
+    stage's references into the next — exponential plan growth that
+    made the un-hinted 20-stage form effectively unplannable (3 stages
+    0.9 s, 20 stages >500 s); materialized, each stage evaluates once."""
+    d = PAGERANK_DAMPING
+    stages = [
+        "r0 AS MATERIALIZED (SELECT doc_id, 1.0 / n.n_nodes AS rank"
+        " FROM nodes CROSS JOIN n)"
+    ]
+    for i in range(1, iters + 1):
+        stages.append(f"""
+    r{i} AS MATERIALIZED (
+        SELECT nodes.doc_id,
+               (1 - {d}) / n.n_nodes + {d} * COALESCE(c.inflow, 0) AS rank
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.dst AS doc_id, SUM(r.rank / dg.outdeg) AS inflow
+            FROM edges e
+            JOIN deg dg ON e.src = dg.src
+            JOIN r{i - 1} r ON r.doc_id = e.src
+            GROUP BY e.dst
+        ) c ON c.doc_id = nodes.doc_id
+    )""")
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) lsh
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+    {",".join(stages)}
+    SELECT doc_id, ROUND(rank, 6) AS rank FROM r{iters}
+    """
+
+
+@query("d10_pagerank_converged", oracle=_pagerank_oracle(PAGERANK_ITERS))
+def d10_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d09's single PageRank step iterated to the fixed point — the
+    stated pattern (d06's discipline) made real: a driver loop of
+    join + aggregate rounds, ``localCheckpoint`` truncating lineage
+    every round, sup-norm delta as the stop signal, hard cap
+    {PAGERANK_ITERS} rounds. The similarity graph has no dangling
+    nodes (edges are symmetrized), so total rank is conserved at
+    exactly 1 each round — the invariant tests/test_extensions.py
+    asserts along with the shrinking delta. Scale: per round one
+    edge-keyed shuffle (∝ edges) + one node-keyed aggregate (∝ nodes),
+    state is the rank vector only; checkpointing keeps the plan flat at
+    any iteration count. The oracle replays the identical iteration
+    count as unrolled SQL stages, so per-node ranks are bit-comparable
+    at the 6dp output rounding."""
+    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # feeds every round: compute pairs once
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "doc_id bigint, rank double")
+    # (src, dst, outdeg) is loop-invariant: materialize once
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edge_w = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edge_w.join(ranks, edge_w.src == ranks.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit((1 - PAGERANK_DAMPING) / n_nodes)
+                    + PAGERANK_DAMPING * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # flat plan at any iteration count
+        )
+        delta = (
+            new_ranks.alias("nw")
+            .join(ranks.alias("od"), "doc_id")
+            .agg(F.max(F.abs(F.col("nw.rank") - F.col("od.rank"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < PAGERANK_TOL:
+            break  # numerically at the fixed point: further rounds are no-ops
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))

@@ -195,3 +195,43 @@ def test_decontamination_matches_python_model(spark, sf_oracle):
         for r in tr05_decontamination(spark, sf_oracle).collect()
     }
     assert got == expected
+
+
+def test_pagerank_converged_invariants(spark, sf_oracle):
+    """d10's fixed-point claims, verified independently of the oracle:
+    (a) total rank is conserved at 1 (the symmetrized pair graph has no
+    dangling nodes, so each power iteration redistributes — never
+    leaks — mass); (b) the returned ranks ARE a fixed point: applying
+    one more exact power-iteration step in plain Python moves no node
+    by more than a 6dp-visible amount."""
+    from collections import defaultdict
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        PAGERANK_DAMPING,
+        d10_pagerank_converged,
+    )
+
+    ranks = {r["doc_id"]: r["rank"] for r in d10_pagerank_converged(spark, sf_oracle).collect()}
+    assert ranks, "empty similarity graph — fixture changed?"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4  # 6dp rounding slack over |V|
+
+    pairs = d03_minhash_lsh(spark, sf_oracle).select("doc_a", "doc_b").collect()
+    out = defaultdict(list)
+    for r in pairs:
+        out[r["doc_a"]].append(r["doc_b"])
+        out[r["doc_b"]].append(r["doc_a"])
+    n = len(ranks)
+    assert set(out) == set(ranks)
+    inflow = defaultdict(float)
+    for src, dsts in out.items():
+        share = ranks[src] / len(dsts)
+        for dst in dsts:
+            inflow[dst] += share
+    drift = max(
+        abs((1 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * inflow[v] - ranks[v])
+        for v in ranks
+    )
+    # one more exact step moves nothing visibly: genuinely converged,
+    # not just iteration-budget-exhausted (6dp output rounding alone
+    # contributes up to 5e-7 per node)
+    assert drift < 5e-6, f"not at fixed point: max one-step drift {drift:.2e}"
