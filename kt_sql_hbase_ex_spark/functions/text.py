@@ -438,3 +438,70 @@ def t10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+#: t11 phrase/proximity query: the exact phrase (adjacent, in order) and
+#: the proximity window (ordered co-occurrence within this many tokens).
+PHRASE_TERMS = ("customer", "join")
+NEAR_WINDOW = 3
+
+
+@query(
+    "t11_phrase_search",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, i AS pos, t[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+    ),
+    a AS (SELECT doc_id, pos FROM pos WHERE term = '{PHRASE_TERMS[0]}'),
+    b AS (SELECT doc_id, pos FROM pos WHERE term = '{PHRASE_TERMS[1]}'),
+    hits AS (
+        SELECT a.doc_id, a.pos AS apos, b.pos - a.pos AS dist
+        FROM a JOIN b ON a.doc_id = b.doc_id
+        WHERE b.pos - a.pos BETWEEN 1 AND {NEAR_WINDOW}
+    )
+    SELECT doc_id,
+           CAST(COUNT(CASE WHEN dist = 1 THEN 1 END) AS BIGINT) AS n_phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_near,
+           CAST(MIN(CASE WHEN dist = 1 THEN apos END) AS BIGINT)
+               AS first_phrase_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def t11_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase + proximity search over POSITIONAL postings — the Lucene
+    capability (``hbase/index/lucene/HBaseDirectory.kt``) t05/t06 didn't
+    cover: t06's postings carry only frequencies, so "{PHRASE_TERMS[0]}
+    {PHRASE_TERMS[1]}" as an exact phrase (adjacency) or as an ordered
+    NEAR/{NEAR_WINDOW} query needs term positions. Relational form:
+    posexplode → (doc_id, pos, term) positional postings, filter to the
+    TWO query terms before anything joins (the pushed term predicate is
+    the index lookup — postings for other terms never move), then a
+    doc-local position-arithmetic self-join: dist = 1 is the phrase,
+    1 <= dist <= {NEAR_WINDOW} the proximity hit. Scale: shuffle ∝
+    postings of the queried terms only (plan-pinned in
+    tests/test_plans.py); at 100 TB the postings table is written once,
+    partitioned by term prefix, and this join reads two partitions."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pos = d.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "term")
+    )
+    # 1-based positions to match the oracle's generate_series
+    a = pos.filter(F.col("term") == PHRASE_TERMS[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("apos")
+    )
+    b = pos.filter(F.col("term") == PHRASE_TERMS[1]).select(
+        "doc_id", (F.col("pos") + 1).alias("bpos")
+    )
+    dist = F.col("bpos") - F.col("apos")
+    hits = a.join(b, "doc_id").filter(dist.between(1, NEAR_WINDOW)).select(
+        "doc_id", "apos", dist.alias("dist")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.when(F.col("dist") == 1, 1)).alias("n_phrase"),
+        F.count("*").alias("n_near"),
+        F.min(F.when(F.col("dist") == 1, F.col("apos")))
+        .cast("bigint")
+        .alias("first_phrase_pos"),
+    )

@@ -385,3 +385,25 @@ def test_rfm_cuts_broadcast_and_single_user_shuffle(spark, sf_small):
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
     assert "Broadcast" in plan, plan
     assert "rangepartitioning" not in plan, plan  # no global sort/ntile
+
+
+def test_phrase_search_filters_terms_before_join(spark, sf_small):
+    """t11's scale contract: the positional-postings self-join must see
+    only the two query terms' postings — the term equality filters sit
+    BELOW the join (and reach the generator output), so shuffle volume
+    is ∝ matched postings, never the full postings table."""
+    from kt_sql_hbase_ex_spark.functions.text import (
+        PHRASE_TERMS,
+        t11_phrase_search,
+    )
+
+    df = t11_phrase_search(spark, sf_small)
+    plan = formatted_plan(df)
+    # each join input carries its term-equality Filter condition (the
+    # condition renders as `(term#N = customer)`) ...
+    for term in PHRASE_TERMS:
+        assert f"= {term})" in plan, plan
+    # ... below a hash join on doc_id (the term filters make the b-side
+    # postings broadcast-small; an unfiltered-postings join would have
+    # no per-term Filter conditions at all)
+    assert "BroadcastHashJoin" in plan, plan
