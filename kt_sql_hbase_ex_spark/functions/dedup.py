@@ -275,17 +275,11 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@query("d03_minhash_lsh", oracle=_MINHASH_ORACLE)
-def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection, the linear-time scale path:
-    shingle→hash32 (map) → K=12 permutation minima per doc (map)
-    → 4 bands of 3 (map) → candidate pairs via self-join on band key
-    (shuffle ∝ collisions, not n²) → exact Jaccard verification of
-    candidates only. The oracle replays the identical algorithm in SQL —
-    same hashes, same coefficients — so this checks the implementation,
-    not a lucky sample. Recall vs the unregistered d02 ground-truth
-    verifier (:func:`d02_ngram_jaccard`) is asserted in
-    tests/test_extensions.py."""
+def lsh_candidate_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, sh_a, sh_b) for every LSH candidate pair — the
+    shared candidate-generation stage behind d03 (Jaccard verify) and
+    d11 (containment classify): band-key self-join for candidates,
+    then hashed shingle sets attached for candidate docs ONLY."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -324,11 +318,24 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return cand.join(a, ["doc_a"]).join(b, ["doc_b"])
+
+
+@query("d03_minhash_lsh", oracle=_MINHASH_ORACLE)
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, the linear-time scale path:
+    shingle→hash32 (map) → K=12 permutation minima per doc (map)
+    → 4 bands of 3 (map) → candidate pairs via self-join on band key
+    (shuffle ∝ collisions, not n²) → exact Jaccard verification of
+    candidates only. The oracle replays the identical algorithm in SQL —
+    same hashes, same coefficients — so this checks the implementation,
+    not a lucky sample. Recall vs the unregistered d02 ground-truth
+    verifier (:func:`d02_ngram_jaccard`) is asserted in
+    tests/test_extensions.py."""
+    pairs = lsh_candidate_shingle_pairs(spark, sf_dir)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.join(a, ["doc_a"])
-        .join(b, ["doc_b"])
-        .filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -869,3 +876,82 @@ def d10_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         if delta is not None and delta < PAGERANK_TOL:
             break  # numerically at the fixed point: further rounds are no-ops
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
+#: d11: a pair is 'contained' when the smaller doc's shingles are
+#: (almost) a subset of the larger's — the boilerplate/snippet-inclusion
+#: case symmetric Jaccard under-scores.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "d11_containment_classify",
+    oracle=f"""
+    WITH {_SHH_CTE_SQL},
+    sig AS (
+        SELECT doc_id,
+           {_minhash_select_sql()}
+        FROM shh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_key_sql(b) for b in range(N_BANDS))}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shs AS (SELECT doc_id, list_distinct(shh) AS sh FROM shh),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS cont_a,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS cont_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        FROM cand
+        JOIN shs a ON a.doc_id = cand.doc_a
+        JOIN shs b ON b.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(jac, 6) AS jaccard,
+           ROUND(cont_a, 6) AS containment_a,
+           ROUND(cont_b, 6) AS containment_b,
+           CASE WHEN jac >= {JACCARD_THRESHOLD} THEN 'duplicate'
+                WHEN GREATEST(cont_a, cont_b) >= {CONTAINMENT_THRESHOLD}
+                    THEN 'contained'
+                ELSE 'related' END AS relation
+    FROM scored
+    """,
+)
+def d11_containment_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment classification of the LSH candidate pairs — the dedup
+    decision symmetric Jaccard alone gets wrong: a snippet fully
+    embedded in a larger document scores low Jaccard (union is big) but
+    containment |A∩B|/|A| ≈ 1, and training-data curation treats the
+    two cases differently (drop the duplicate vs keep both / strip the
+    boilerplate). Each candidate pair is labeled ``duplicate``
+    (Jaccard ≥ {JACCARD_THRESHOLD}), ``contained`` (either-direction
+    containment ≥ {CONTAINMENT_THRESHOLD}), or ``related`` (band
+    collision below both bars — the LSH false-positive band worth
+    auditing). Same scale shape as d03 — candidates ∝ band collisions,
+    shingle sets attached to candidate docs only; all three ratios come
+    from ONE array_intersect per pair. Boundary exactness: each ratio
+    is a single IEEE division of small ints, bit-identical in both
+    engines, so the CASE labels cannot diverge."""
+    pairs = lsh_candidate_shingle_pairs(spark, sf_dir)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont_a = inter / F.size("sh_a")
+    cont_b = inter / F.size("sh_b")
+    jac = inter / F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(cont_a, 6).alias("containment_a"),
+        F.round(cont_b, 6).alias("containment_b"),
+        F.when(jac >= JACCARD_THRESHOLD, "duplicate")
+        .when(F.greatest(cont_a, cont_b) >= CONTAINMENT_THRESHOLD, "contained")
+        .otherwise("related")
+        .alias("relation"),
+    )

@@ -553,3 +553,66 @@ def tr10_filter_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.round(F.col("n_kept").cast("double") / F.col("n_in"), 6).alias("kept_frac"),
     )
+
+
+@query(
+    "tr11_curriculum_bins",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    cuts AS (
+        SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY n_toks) AS q1,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY n_toks) AS q2,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_toks) AS q3
+        FROM d
+    )
+    SELECT CASE WHEN n_toks <= q1 THEN 1 WHEN n_toks <= q2 THEN 2
+                WHEN n_toks <= q3 THEN 3 ELSE 4 END AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+           CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM d CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def tr11_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: order the corpus easy → hard by a difficulty
+    proxy (token count — the standard length-curriculum heuristic) and
+    cut it into 4 training stages at the corpus quartiles. Same
+    scale-right shape as ev07's RFM: the cut-points are ONE
+    PERCENTILE_DISC row broadcast back onto the corpus (no global sort,
+    no ntile over n rows), stage assignment is a map-side CASE, and
+    the per-stage report is one aggregate. DISC cuts are actual integer
+    data values — engine-identical, no interpolation ulp (the ev07
+    lesson). At 100 TB the stage becomes a write-time partition column
+    (opt03) so each curriculum phase reads its own directory."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    cuts = d.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_toks)").alias(q)
+            for q, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
+        ]
+    )
+    stage = (
+        F.when(F.col("n_toks") <= F.col("q1"), 1)
+        .when(F.col("n_toks") <= F.col("q2"), 2)
+        .when(F.col("n_toks") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        d.join(F.broadcast(cuts))
+        .groupBy(stage.alias("stage"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("n_toks").cast("bigint").alias("min_toks"),
+            F.max("n_toks").cast("bigint").alias("max_toks"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -739,3 +739,52 @@ def sim06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("max_err"), 6).alias("avg_max_err"),
         )
     )
+
+
+_DOT_SQL = "list_dot_product({a}, {b})"
+
+
+@query(
+    "sim07_mips_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id IN {QUERY_VEC_IDS}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a="q.qv", b="e.v")} AS s
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, neighbor_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim07_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-{TOP_K} — the retrieval scoring for
+    dot-product-trained embedding models (DPR-style dense retrievers),
+    where vector NORM carries signal and cosine's normalization would
+    discard it; sim01 is the angle version of this query. Same scale
+    shape: query vectors broadcast, the corpus never shuffles for
+    scoring, per-query top-k via window over the scored rows. At
+    100 TB the IVF route (sim03/sim04) applies unchanged — MIPS just
+    swaps the cell-assignment metric for the asymmetric one."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
+    scored = corpus.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", _dot_spark("qv", "v").alias("s"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("s", 6).alias("score"), "rnk")
+    )

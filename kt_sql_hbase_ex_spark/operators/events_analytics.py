@@ -501,3 +501,68 @@ def ev07_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+#: rolling-active window (days) for ev08's WAU
+STICKINESS_WINDOW_DAYS = 7
+
+
+@query(
+    "ev08_engagement_stickiness",
+    oracle=f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, day + i * INTERVAL 1 DAY AS day
+        FROM activity,
+             LATERAL (SELECT unnest(generate_series(0, {STICKINESS_WINDOW_DAYS - 1})) AS i)
+    ),
+    wau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY day
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM activity GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def ev08_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU engagement stickiness — the product-health ratio every
+    event pipeline reports. The rolling {STICKINESS_WINDOW_DAYS}-day
+    distinct-user count is NOT a window function (COUNT(DISTINCT) over
+    a moving frame would hold per-frame user sets in window state):
+    each (user, active-day) row EXPLODES forward onto the
+    {STICKINESS_WINDOW_DAYS} days it keeps the user "weekly active" —
+    a map-side ×{STICKINESS_WINDOW_DAYS} expand of the already
+    day-deduped activity — and one distinct-aggregate per day does the
+    rest. Scale: activity is (users × days)-sized, the expand is linear
+    in it, shuffles are keyed by day; the inner join to DAU days drops
+    the phantom tail past the last observed day. The oracle replays
+    the identical expand with generate_series."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    contrib = activity.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {STICKINESS_WINDOW_DAYS - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = activity.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
