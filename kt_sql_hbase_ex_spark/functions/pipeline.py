@@ -590,8 +590,12 @@ def tr11_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     data values — engine-identical, no interpolation ulp (the ev07
     lesson). At 100 TB the stage becomes a write-time partition column
     (opt03) so each curriculum phase reads its own directory."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks"))
+        # slim (id, lang, int) projection consumed by BOTH the cuts agg
+        # and the stage assignment: materialize once (ev07 discipline)
+        .localCheckpoint()
     )
     cuts = d.agg(
         *[

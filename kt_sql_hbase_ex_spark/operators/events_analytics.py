@@ -546,9 +546,14 @@ def ev08_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the phantom tail past the last observed day. The oracle replays
     the identical expand with generate_series."""
     e = load_table(spark, sf_dir, "events")
-    activity = e.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
+    activity = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        # (users x days)-sized and consumed by BOTH dau and the wau
+        # expand: materialize once or the events scan + distinct shuffle
+        # run twice (the d03/ev07 double-consumption discipline)
+        .localCheckpoint()
+    )
     contrib = activity.select(
         "user_id",
         F.explode(

@@ -416,14 +416,20 @@ INDEX_KEY = "idx_key"
 _INDEX_PAD = _KEY_PAD
 
 
-def _index_rowkey(value, base_key) -> str:
+def _index_rowkey(value, base_row: dict, key_cols: Sequence[str]) -> str:
     # enforce the key-domain assumptions the string ordering relies on,
     # instead of silently mis-sorting: values must not contain the
-    # separator, base keys must be non-negative and fit the pad width
+    # separator, base keys must be non-negative and fit the pad width.
+    # For a composite-PK base the suffix is the already-encoded
+    # concatenated rowkey (the reference's model: every table has ONE
+    # rowkey, possibly concatenated from several columns, and the index
+    # appends it whole — ``KVIndexTable.kt:63-80``).
     v = str(value)
     if "|" in v:
         raise ValueError(f"indexed value contains separator '|': {v!r}")
-    k = str(base_key)
+    if len(key_cols) > 1:
+        return f"{v}|{_rowkey_of(base_row, key_cols)}"
+    k = str(base_row[key_cols[0]])
     if k.startswith("-") or len(k) > _INDEX_PAD:
         raise ValueError(
             f"base key must be a non-negative integer of <= {_INDEX_PAD} digits: {k!r}"
@@ -431,12 +437,13 @@ def _index_rowkey(value, base_key) -> str:
     return f"{v}|{k.zfill(_INDEX_PAD)}"
 
 
-def index_prefix_bounds(value) -> tuple[str, str]:
-    """Closed rowkey range covering every index entry for ``value``."""
-    return (
-        f"{value}|{'0' * _INDEX_PAD}",
-        f"{value}|{'9' * _INDEX_PAD}",
-    )
+def index_prefix_bounds(value, n_key_cols: int = 1) -> tuple[str, str]:
+    """Closed rowkey range covering every index entry for ``value``.
+    ``n_key_cols`` is the base store's PK width: the padded suffix is
+    one component per key column, '|'-separated."""
+    lo_suffix = "|".join("0" * _INDEX_PAD for _ in range(n_key_cols))
+    hi_suffix = "|".join("9" * _INDEX_PAD for _ in range(n_key_cols))
+    return (f"{value}|{lo_suffix}", f"{value}|{hi_suffix}")
 
 
 def _open_store(options) -> KVStore:
@@ -493,26 +500,28 @@ def _open_store(options) -> KVStore:
     if index_on:
         from pyspark.sql.types import StringType, StructField
 
-        if store.composite:
-            raise ValueError(
-                "secondary index over a composite-PK store is not "
-                "supported: index payloads carry a single base rowkey"
-            )
-        base_key_field = next(
-            f for f in store.schema.fields if f.name == key_col
-        )
+        key_cols = store.key_cols
+        base_key_fields = [
+            next(f for f in store.schema.fields if f.name == c) for c in key_cols
+        ]
         # NULL indexed values produce no index entry (HBase-style
         # secondary indexes skip null cells — a str(None) entry would be
-        # retrievable under the real-looking key 'None')
+        # retrievable under the real-looking key 'None'). Payload = the
+        # base PK column(s): the hit list re-joins the base store on them
+        # (single or composite — the index rowkey suffix is the base's
+        # whole concatenated rowkey either way).
         idx_rows = [
-            {INDEX_KEY: _index_rowkey(r[index_on], r[key_col]), key_col: r[key_col]}
+            {
+                INDEX_KEY: _index_rowkey(r[index_on], r, key_cols),
+                **{c: r[c] for c in key_cols},
+            }
             for r in store.rows
             if r[index_on] is not None
         ]
         store = KVStore(
             f"{store.name}:idx:{index_on}",
             StructType(
-                [StructField(INDEX_KEY, StringType(), False), base_key_field]
+                [StructField(INDEX_KEY, StringType(), False), *base_key_fields]
             ),
             INDEX_KEY,
             idx_rows,

@@ -583,3 +583,48 @@ def test_index_skips_null_indexed_values(tmp_path):
     idx = _open_store(opts)
     assert sorted(r["k"] for r in idx.rows) == [1, 3]
     assert not any(r["idx_key"].startswith("None|") for r in idx.rows)
+
+
+def test_index_over_composite_pk_store(tmp_path):
+    """Secondary index over a composite-PK base: the index rowkey suffix
+    is the base's whole concatenated rowkey (the reference's model —
+    every table has ONE rowkey, KVIndexTable appends it whole), the
+    payload carries all PK columns, and prefix bounds sized to the PK
+    width retrieve exactly the rows holding the indexed value."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import index_prefix_bounds
+
+    p = tmp_path / "base.parquet"
+    rows = [(o, ln, ["A", "B"][(o + ln) % 2]) for o in range(6) for ln in range(1, 4)]
+    pq.write_table(
+        pa.table(
+            {
+                "k1": [r[0] for r in rows],
+                "k2": [r[1] for r in rows],
+                "seg": [r[2] for r in rows],
+            }
+        ),
+        str(p),
+    )
+    opts = {
+        "path": str(p),
+        "keycol": "k1,k2",
+        "columns": "k1,k2,seg",
+        "indexon": "seg",
+        "regionsize": "4",
+    }
+    idx = _open_store(opts)
+    assert idx.key_col == "idx_key" and not idx.composite
+    rd = KVScanReader(idx, idx.schema)
+    lo, hi = index_prefix_bounds("A", n_key_cols=2)
+    residual = list(
+        rd.pushFilters([GTE(("idx_key",), lo), LTE(("idx_key",), hi)])
+    )
+    assert residual == []
+    parts = rd.partitions()
+    assert len(parts) < len(idx.regions())  # prefix range skips regions
+    hits = sorted((t[1], t[2]) for p_ in parts for t in p_.tuples)
+    expected = sorted((o, ln) for o, ln, s in rows if s == "A")
+    assert hits == expected
