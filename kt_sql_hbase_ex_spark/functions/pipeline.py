@@ -620,3 +620,110 @@ def tr11_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+#: tr12 quality gate: minimum tokens to survive curation
+CURATION_MIN_TOKS = 20
+
+_GRAM_HASH_SPARK = (
+    f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
+    f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {GRAM_N}))), 1, 8), 16, 10) AS bigint))"
+)
+_GRAM_HASH_SQL = (
+    f"list_transform(generate_series(1, len(t) - {GRAM_N - 1}),"
+    f" i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+{GRAM_N - 1}], ' ')), 1, 8)) AS BIGINT))"
+)
+
+
+@query(
+    "tr12_curation_pipeline",
+    oracle=f"""
+    WITH ingest AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id, lang, text FROM documents
+    ),
+    dedup AS (
+        SELECT doc_id, lang, text FROM ingest
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    tagged AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+               {_BUCKET_SQL} AS bucket, string_split(text, ' ') AS t
+        FROM dedup
+        WHERE len(string_split(text, ' ')) >= {CURATION_MIN_TOKS}
+    ),
+    grams AS (
+        SELECT doc_id, bucket, unnest({_GRAM_HASH_SQL}) AS g FROM tagged
+    ),
+    test_g AS (SELECT DISTINCT g FROM grams WHERE bucket = 9),
+    contaminated AS (
+        SELECT DISTINCT grams.doc_id FROM grams JOIN test_g USING (g)
+        WHERE bucket <= 7
+    ),
+    clean AS (
+        SELECT * FROM tagged
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY 1, 2
+    """,
+)
+def tr12_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation run, composed end to end — the chain a
+    pretraining-data job actually executes, as ONE lazy plan: simulated
+    double-ingest → exact dedup (min-doc_id survivor per content
+    digest, d01's rule) → quality gate (≥ {CURATION_MIN_TOKS} tokens)
+    → content-stable split assignment (tr01's hash-bucket rule) →
+    train-split decontamination against the held-out test split
+    (tr05's hashed {GRAM_N}-gram overlap, test grams broadcast) →
+    per-(split, lang) sizing report. Scale shape is the sum of its
+    parts: digest shuffle carries (digest, id) only, the gate and
+    bucketing are map-side, the benchmark gram set broadcasts, and the
+    contaminated-id set drops out via a broadcast anti-join — end to
+    end, document text never shuffles after the dedup stage."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    ingest = d.unionByName(d)
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    dedup = ingest.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    tagged = (
+        dedup.withColumn("n_toks", F.size(F.split("text", " ")))
+        .filter(F.col("n_toks") >= CURATION_MIN_TOKS)
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            F.expr(_BUCKET_SPARK).alias("bucket"),
+            F.split("text", " ").alias("t"),
+        )
+        # consumed by the gram explode AND the final report: materialize
+        # the post-gate corpus once (ev07/d03 discipline)
+        .localCheckpoint()
+    )
+    grams = tagged.select(
+        "doc_id", "bucket", F.explode(F.expr(_GRAM_HASH_SPARK)).alias("g")
+    )
+    test_g = grams.filter(F.col("bucket") == 9).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("bucket") <= 7)
+        .join(F.broadcast(test_g), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = tagged.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    split = (
+        F.when(F.col("bucket") <= 7, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test")
+    )
+    return clean.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )

@@ -15,10 +15,19 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
 @pytest.fixture(scope="session")
 def spark():
     # SPARK_GRAFT_CPUS lets tools/parity_shards.py split the core budget
-    # across parallel worker processes (default 8 for single-process runs)
+    # across parallel worker processes (default 8 for single-process runs).
+    # SPARK_GRAFT_TEST_CONF ("k=v;k=v") overlays session conf for the
+    # robustness sweeps (SCALE.md §11): AQE off, odd shuffle-partition
+    # counts, no-auto-broadcast — proving no answer depends on them.
+    extra = {}
+    for pair in os.environ.get("SPARK_GRAFT_TEST_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            extra[k.strip()] = v.strip()
     return get_session(
         "kt_sql_hbase_ex_spark-tests",
         cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        extra_conf=extra or None,
     )
 
 
