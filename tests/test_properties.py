@@ -429,3 +429,60 @@ def test_funnel_state_machine_semantics(spark, events, windowed):
         i + 1: sum(1 for d in depths if d >= i + 1) for i in range(len(step_names))
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Money micro-unit integerization: the add-half-truncate hot path must
+# recover EXACTLY round-half-away-from-zero for every value the money
+# domain can produce (<= 3 factors of 2 decimals each). Pure-Python
+# mirror of the JVM expression — same IEEE doubles, no session needed.
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _micros_formula(x: float) -> int:
+    """The kt_sql_hbase_ex_spark.functions.money._micros recipe:
+    scaled = x * 1e6; trunc-toward-zero of scaled ± 0.5 (Spark's
+    CAST(double AS bigint) truncates toward zero)."""
+    scaled = x * 1_000_000
+    return math.trunc(scaled + (0.5 if scaled >= 0 else -0.5))
+
+
+_cents2 = st.integers(-9_999_999, 9_999_999).map(lambda c: c / 100)  # 2dp
+_pct2 = st.integers(-99, 99).map(lambda c: c / 100)  # 2dp in [-0.99, 0.99]
+
+
+@given(x=_cents2)
+def test_micros_equals_round_single_factor(x):
+    # authoritative check: against exact decimal arithmetic
+    from decimal import ROUND_HALF_UP, Decimal
+
+    exact = int(
+        (Decimal(str(x)) * 1_000_000).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        if x >= 0
+        else -(Decimal(str(-x)) * 1_000_000).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert _micros_formula(x) == exact, x
+
+
+@given(p=_cents2, d=_pct2, t=_pct2)
+def test_micros_equals_round_three_factor_product(p, d, t):
+    """The worst money expression in the fixtures:
+    price * (1 - discount) * (1 + tax) — a product of three 2dp
+    factors, true value has <= 6 decimals. The double product sits
+    within ~1e-9 of the exact 6dp value, so add-half-truncate and exact
+    decimal HALF_UP (away from zero) agree ALWAYS."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = p * (1 - d) * (1 + t)
+    exact_dec = (
+        Decimal(str(p)) * (1 - Decimal(str(d))) * (1 + Decimal(str(t))) * 1_000_000
+    )
+    sign = 1 if exact_dec >= 0 else -1
+    exact = sign * int(
+        abs(exact_dec).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+    assert _micros_formula(x) == exact, (p, d, t)
