@@ -71,20 +71,25 @@ def main() -> None:
         print(f"bench: unknown headline queries {missing}", file=sys.stderr)
         sys.exit(2)
 
-    # Per query: one untimed warmup run, then min of three timed runs —
-    # the steady-state plan cost. The first execution of a query pays
-    # whole-stage-codegen compilation (driver-side Janino), which for
-    # expression-heavy plans is large and noisy (measured 3-9 s on the
-    # minhash signature plan, settling to ~1.3 s once compiled); at
-    # 100 TB that one-time cost amortizes to nothing, so the warm number
-    # is the one that projects, and excluding the compile run cuts most
-    # round-over-round jitter. A JVM GC nudge before each query's timed
-    # runs keeps the previous query's garbage from billing a collection
-    # pause to this one (round-4 note: host-shared CPU makes single runs
-    # long-tailed; min-of-3 + GC isolation cut the observed spread).
-    timings: dict[str, float] = {}
+    # Pass 1: one untimed warmup run of EVERY headline query, so the
+    # timed pass sees a fully JIT-warmed JVM. A query's first execution
+    # pays whole-stage-codegen compilation (driver-side Janino, measured
+    # 3-9 s on the minhash signature plan, ~1.3 s once compiled) AND the
+    # session's first few jobs pay HotSpot compiling Spark's own shuffle
+    # and scan machinery — with per-query-interleaved warmups the
+    # EARLIEST queries were still billed that global JIT cost (flagship
+    # read ~2x its steady state purely from running first). At 100 TB
+    # both costs amortize to nothing, so the warm number is the one that
+    # projects.
     for name in HEADLINE:
         _run_once(queries[name].fn(spark, sf_dir))
+
+    # Pass 2: min of three timed runs per query — the steady-state plan
+    # cost. A JVM GC nudge before each query keeps the previous query's
+    # garbage from billing a collection pause to this one; min-of-3
+    # tightens the long tail a host-shared CPU adds to single runs.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
         try:
             spark._jvm.System.gc()
         except Exception:
