@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
@@ -570,4 +571,61 @@ def ev08_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+@query(
+    "ev09_native_session_window",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {exact_sum_sql("value")} AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def ev09_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's BUILT-IN ``session_window`` — the
+    same gap sessions ev01 derives with lag/cumsum window functions,
+    expressed as one declarative aggregate Catalyst plans natively
+    (``SessionWindow`` + ``MergingSessionsExec``: sessions merge during
+    aggregation, no analytic-window pass at all). This is the batch
+    twin of st03's streaming session window, and the A/B against ev01
+    pins the two formulations' one semantic difference: the built-in
+    window is half-open, so a gap of EXACTLY {SESSION_GAP_MINUTES}
+    minutes starts a new session (>= in the oracle) where ev01's
+    strict-> keeps it. Scale: one shuffle on the session keys, sessions
+    merge map-side within partitions first; at 100 TB this is the form
+    that also runs incrementally under Structured Streaming unchanged.
+    Money totals are exact micro-unit fixed point."""
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "total_value"
+        )
     )
