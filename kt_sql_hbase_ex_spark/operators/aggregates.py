@@ -565,3 +565,41 @@ def a17_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx") - F.col("exact")) <= 0.02 * F.abs(F.col("exact"))
         ).alias("within_tolerance"),
     )
+
+
+@query(
+    "a18_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a18_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — corr / covar_samp and the SQL
+    standard linear-regression family (regr_slope / regr_intercept /
+    regr_r2), completing a08's univariate set. All are single-pass
+    mergeable moment aggregates (sums of x, y, x², y², xy): partials
+    combine map-side, state is O(1) per group — exactly the shape that
+    holds at 100 TB, unlike a fit that materializes the points. Both
+    engines compute from the same moment formulas; outputs round above
+    the float error of the moment accumulation (slope of a 2dp price
+    per unit quantity at 4dp, correlations at 6dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
