@@ -197,3 +197,81 @@ def qa02_event_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.get_json_object("props", "$.k").isNull(), 1)
         ).alias("n_missing_prop_k"),
     )
+
+
+#: qa03: header/detail totals agreeing within this many cents pass
+RECON_TOLERANCE_CENTS = 1
+
+
+@query(
+    "qa03_header_detail_reconciliation",
+    oracle=f"""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT)) AS line_micros
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+        SELECT o.o_orderstatus,
+               CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT) AS header_micros,
+               ls.line_micros
+        FROM orders o LEFT JOIN line_sums ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_micros IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_childless,
+           CAST(SUM(CASE WHEN line_micros IS NOT NULL
+                          AND ABS(header_micros - line_micros)
+                              > {RECON_TOLERANCE_CENTS} * 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(MAX(CASE WHEN line_micros IS NOT NULL
+                         THEN ABS(header_micros - line_micros) END) // 10000
+                AS BIGINT) AS max_abs_diff_cents
+    FROM joined GROUP BY o_orderstatus
+    """,
+)
+def qa03_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation — the cross-table audit every
+    finance-adjacent warehouse runs: each order's header total compared
+    against the sum of its line items, reported per status as childless
+    headers, tolerance-breaking mismatches (> {RECON_TOLERANCE_CENTS}
+    cent), and the worst absolute gap. The comparison runs entirely in
+    micro-unit integers (functions/money.py recipe), so the mismatch
+    classification is exact and engine-identical — a double-sum
+    comparison would flag phantom half-cent mismatches at scale. Scale
+    shape: lineitem pre-aggregates to order grain FIRST (the shuffle
+    carries one long per order, not line rows), then a key-partitioned
+    fact⋈fact join with the header; per-status report is driver-sized.
+    The fixture's generator does not enforce the invariant, so non-zero
+    mismatch counts are the *finding*, not an error — the audit report
+    is the operator under test."""
+    from kt_sql_hbase_ex_spark.functions.money import _micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    line_sums = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_micros(F.col("l_extendedprice"))).alias("line_micros")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _micros(F.col("o_totalprice")).alias("header_micros")
+    )
+    joined = o.join(line_sums, "o_orderkey", "left")
+    diff = F.abs(F.col("header_micros") - F.col("line_micros"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("line_micros").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_childless"),
+        F.sum(
+            F.when(
+                F.col("line_micros").isNotNull()
+                & (diff > RECON_TOLERANCE_CENTS * 10000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        (F.max(F.when(F.col("line_micros").isNotNull(), diff)) / F.lit(10000))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+    )
