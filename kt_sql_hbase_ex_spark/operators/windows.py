@@ -262,3 +262,52 @@ def w10_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_seen"),
     )
+
+
+#: w11 trailing time-range frame width
+TRAILING_WINDOW_MINUTES = 60
+
+
+@query(
+    "w11_time_range_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w AS value_micros_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '{TRAILING_WINDOW_MINUTES} minutes' PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def w11_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame — the trailing-hour rolling exposure
+    per user (rate limiting, spend caps, burst detection). Distinct
+    from w05's numeric range frame: the frame boundary here is an
+    INTERVAL on event TIME, so peers are whatever landed inside the
+    trailing {TRAILING_WINDOW_MINUTES} minutes, not a fixed row count.
+    Spark's ``rangeBetween`` takes numeric bounds only, so the frame
+    orders by ``unix_micros(ts)`` with the interval expressed in
+    microseconds — semantically identical to the oracle's
+    ``RANGE BETWEEN INTERVAL ... PRECEDING`` (DuckDB orders by the
+    timestamp directly), and the equivalence of the two encodings is
+    exactly what the parity check proves. The rolling money sum stays
+    in exact micro-unit integers: a double running sum over a sliding
+    frame re-associates constantly and WOULD drift between engines.
+    Scale: one shuffle on user_id; the frame is computed by Spark's
+    sliding-frame aggregator in O(n) per partition, state bounded by
+    the densest hour."""
+    from kt_sql_hbase_ex_spark.functions.money import _micros
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAILING_WINDOW_MINUTES * 60 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(_micros(F.col("value"))).over(w).alias("value_micros_last_hour"),
+    )
