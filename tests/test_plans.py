@@ -407,3 +407,61 @@ def test_phrase_search_filters_terms_before_join(spark, sf_small):
     # postings broadcast-small; an unfiltered-postings join would have
     # no per-term Filter conditions at all)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_native_session_window_merges_in_aggregate(spark, sf_small):
+    """ev09's contract: sessions come from MergingSessions inside a
+    two-phase aggregate (map-side partials, ONE user_id shuffle) — no
+    analytic-window pass, no join."""
+    from kt_sql_hbase_ex_spark.operators.events_analytics import (
+        ev09_native_session_window,
+    )
+
+    plan = (
+        ev09_native_session_window(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MergingSessions" in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine ran
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, plan
+
+
+def test_reconciliation_preaggregates_below_join(spark, sf_small):
+    """qa03's contract: lineitem reduces to order grain (two-phase sum)
+    BEFORE joining the header — the join input carries one long per
+    order, never line rows. The aggregate must appear on the join's
+    build/stream side, not above it."""
+    from kt_sql_hbase_ex_spark.operators.quality import (
+        qa03_header_detail_reconciliation,
+    )
+
+    plan = (
+        qa03_header_detail_reconciliation(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_at = plan.index("Join")
+    # a partial per-order sum exists below the join in the operator tree
+    assert "partial_sum" in plan[join_at:], plan
+    assert "l_orderkey" in plan[join_at:], plan
+
+
+def test_time_range_window_single_shuffle(spark, sf_small):
+    """w11's contract: one user_id exchange feeding a RangeFrame window
+    — the trailing-hour frame never becomes a self-join or a second
+    shuffle."""
+    from kt_sql_hbase_ex_spark.operators.windows import w11_time_range_window
+
+    plan = (
+        w11_time_range_window(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "RangeFrame" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
