@@ -135,3 +135,40 @@ def src05_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("digest"),
     )
+
+
+@query(
+    "src08_xml_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    """,
+)
+def src08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's BUILT-IN xml source (the
+    spark-xml package merged upstream in 4.0 — unlike Avro, whose
+    module jar is absent here, XML needs no external jar). Ingest
+    semantics mirror CSV/JSON: row-per-element with an explicit schema
+    (inference would be a second full pass), projection via schema,
+    predicates evaluated post-parse — so at scale XML is a
+    read-once-convert-to-Parquet landing format, never a re-scan
+    format. The oracle is the identity relation: the round-trip either
+    preserves every value and type or the hash breaks."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _roundtrip_dir("xml")
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(NATION_SCHEMA)
+        .load(path)
+    )
