@@ -234,3 +234,101 @@ def mm04_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redundant_copies"),
     )
+
+
+#: mm05 audio framing: bytes per analysis frame (a stand-in for the
+#: fixed sample windows an audio pipeline cuts PCM into)
+FRAME_BYTES = 64
+
+
+def _frame_energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched per-frame energy extraction — the audio analog of
+    mm02's decode: payload bytes framed into {FRAME_BYTES}-byte windows,
+    per-frame energy = Σ (byte−128)², all int64 (exact in every engine).
+    numpy vectorizes whole frames per payload; the Python boundary is
+    crossed once per Arrow batch."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "media_id": [],
+            "n_frames": [],
+            "peak_frame": [],
+            "peak_energy": [],
+            "total_energy": [],
+        }
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_full = len(b) // FRAME_BYTES
+            out["media_id"].append(mid)
+            out["n_frames"].append(n_full)
+            if n_full == 0:  # trailing partial frames are not analyzed
+                out["peak_frame"].append(None)
+                out["peak_energy"].append(None)
+                out["total_energy"].append(0)
+                continue
+            frames = b[: n_full * FRAME_BYTES].reshape(n_full, FRAME_BYTES)
+            e = ((frames - 128) ** 2).sum(axis=1)
+            peak = int(e.argmax())  # numpy argmax = first max: min-index tie rule
+            out["peak_frame"].append(peak)
+            out["peak_energy"].append(int(e[peak]))
+            out["total_energy"].append(int(e.sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm05_audio_frame_energy",
+    oracle=f"""
+    WITH audio AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    bytes AS (
+        SELECT media_id, (i - 1) // {FRAME_BYTES} AS frame,
+               CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte
+        FROM audio,
+             LATERAL (SELECT unnest(generate_series(
+                 1, (n_bytes // {FRAME_BYTES}) * {FRAME_BYTES})) AS i)
+    ),
+    energies AS (
+        SELECT media_id, frame,
+               SUM((byte - 128) * (byte - 128)) AS e
+        FROM bytes GROUP BY media_id, frame
+    ),
+    agg AS (
+        SELECT media_id,
+               CAST(frame AS BIGINT) AS peak_frame,
+               CAST(e AS BIGINT) AS peak_energy,
+               CAST(SUM(e) OVER (PARTITION BY media_id) AS BIGINT) AS total_energy
+        FROM energies
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY media_id
+                                   ORDER BY e DESC, frame) = 1
+    )
+    SELECT a.media_id,
+           CAST(a.n_bytes // {FRAME_BYTES} AS BIGINT) AS n_frames,
+           agg.peak_frame, agg.peak_energy,
+           COALESCE(agg.total_energy, 0) AS total_energy
+    FROM audio a LEFT JOIN agg ON agg.media_id = a.media_id
+    """,
+)
+def mm05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction: the payload framed into
+    {FRAME_BYTES}-byte analysis windows with per-frame energy
+    Σ (byte−128)² — the mm02 pattern applied to the audio rows of the
+    media table (a real pipeline swaps the byte arithmetic for a PCM
+    decode behind the same ``mapInPandas`` signature; schema, batching
+    and partitioning stay identical). Reported per clip: full-frame
+    count, the peak frame (first-max tie rule, matching the oracle's
+    min-index QUALIFY), its energy, and total energy — everything
+    int64, so cross-engine parity is exact with no rounding at all.
+    Scale: embarrassingly parallel map over payload bytes; only the
+    five-number summary ever leaves the executor."""
+    m = media_table(spark, sf_dir).filter(F.col("media_format") == "audio/wav")
+    return m.select("media_id", "payload").mapInPandas(
+        _frame_energies,
+        schema=(
+            "media_id bigint, n_frames bigint, peak_frame bigint, "
+            "peak_energy bigint, total_energy bigint"
+        ),
+    )
