@@ -62,3 +62,22 @@ def test_bench_emits_one_json_line():
     assert payload["unit"] == "sec" and payload["value"] > 0
     assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
     assert payload["sf"] == 0.001
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md and README.md state the registered-query count in
+    prose; keep them honest against the actual registry so doc drift
+    can't misreport the surface."""
+    import os
+    import re
+
+    from kt_sql_hbase_ex_spark import registry
+
+    n = len(registry.all_queries())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    m = re.search(r"(\d+)\nregistered queries total", cov)
+    assert m and int(m.group(1)) == n, (m and m.group(1), n)
+    readme = open(os.path.join(root, "README.md")).read()
+    m2 = re.search(r"`queries\(\)` → (\d+) named", readme)
+    assert m2 and int(m2.group(1)) == n, (m2 and m2.group(1), n)
