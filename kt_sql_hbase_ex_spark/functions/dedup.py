@@ -766,9 +766,12 @@ def d09_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: fixed power-iteration budget for d10 — both engines run EXACTLY this
 #: many rounds (plus an early stop Spark-side once the sup-norm delta is
-#: below PAGERANK_TOL, at which point remaining drift is < 5.7e-12 —
-#: invisible at the 6dp output rounding), so per-node ranks are
-#: engine-identical without needing convergence-rate assumptions.
+#: below PAGERANK_TOL, at which point remaining drift vs the oracle's
+#: full unroll is < delta·d/(1-d) ≈ 5.7e-12). The 6dp output rounding
+#: dwarfs that drift everywhere except within 5.7e-12 of an exact
+#: .xxxxxx5 half-boundary — a ~1e-5-per-node residual tie risk, same
+#: order as every rounded-double compare in this suite, accepted in
+#: exchange for a loop that genuinely stops at the fixed point.
 PAGERANK_ITERS = 20
 PAGERANK_TOL = 1e-12
 

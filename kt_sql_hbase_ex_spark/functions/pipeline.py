@@ -199,6 +199,18 @@ GRAM_N = 8  # contamination n-gram length: long enough that random
 #             31-word-vocab text can't collide; only real shared
 #             passages (the planted near-dups) overlap
 
+# One source of truth for the contamination-gram hash (tr05's rule,
+# reused verbatim by tr12's composed pipeline): {GRAM_N}-token gram ->
+# portable 32-bit hash, over a token-array column named ``t``.
+_GRAM_HASH_SPARK = (
+    f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
+    f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {GRAM_N}))), 1, 8), 16, 10) AS bigint))"
+)
+_GRAM_HASH_SQL = (
+    f"list_transform(generate_series(1, len(t) - {GRAM_N - 1}),"
+    f" i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+{GRAM_N - 1}], ' ')), 1, 8)) AS BIGINT))"
+)
+
 
 @query(
     "tr05_decontamination",
@@ -208,9 +220,7 @@ GRAM_N = 8  # contamination n-gram length: long enough that random
         FROM documents WHERE len(string_split(text, ' ')) >= {GRAM_N}
     ),
     grams AS (
-        SELECT doc_id, bucket,
-               unnest(list_transform(generate_series(1, len(t) - {GRAM_N - 1}),
-                      i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+{GRAM_N - 1}], ' ')), 1, 8)) AS BIGINT))) AS g
+        SELECT doc_id, bucket, unnest({_GRAM_HASH_SQL}) AS g
         FROM docs
     ),
     test_g AS (SELECT DISTINCT g FROM grams WHERE bucket = 9)
@@ -235,12 +245,8 @@ def tr05_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.expr(f"size(split(text, ' ')) >= {GRAM_N}"))
         .select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("t"))
     )
-    gram_hash = (
-        f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
-        f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {GRAM_N}))), 1, 8), 16, 10) AS bigint))"
-    )
     grams = docs.select(
-        "doc_id", "bucket", F.explode(F.expr(gram_hash)).alias("g")
+        "doc_id", "bucket", F.explode(F.expr(_GRAM_HASH_SPARK)).alias("g")
     )
     test_g = grams.filter(F.col("bucket") == 9).select("g").distinct()
     return (
@@ -624,15 +630,6 @@ def tr11_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: tr12 quality gate: minimum tokens to survive curation
 CURATION_MIN_TOKS = 20
-
-_GRAM_HASH_SPARK = (
-    f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
-    f" i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {GRAM_N}))), 1, 8), 16, 10) AS bigint))"
-)
-_GRAM_HASH_SQL = (
-    f"list_transform(generate_series(1, len(t) - {GRAM_N - 1}),"
-    f" i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+{GRAM_N - 1}], ' ')), 1, 8)) AS BIGINT))"
-)
 
 
 @query(

@@ -117,8 +117,12 @@ class KVStore:
         self.key_col = key_col
         self.key_cols: tuple[str, ...] = tuple(key_col.split(","))
         self.composite = len(self.key_cols) > 1
-        self.rows = sorted(rows, key=self.rowkey)
-        self.keys = [self.rowkey(r) for r in self.rows]
+        # decorate-sort-undecorate: encode each rowkey exactly once
+        # (input-order index as tiebreak keeps the sort stable and never
+        # compares the row dicts themselves)
+        decorated = sorted((self.rowkey(r), i, r) for i, r in enumerate(rows))
+        self.rows = [r for _, _, r in decorated]
+        self.keys = [k for k, _, _ in decorated]
         self.region_size = region_size
 
     def rowkey(self, row: dict) -> Any:
@@ -190,18 +194,27 @@ class KVScanReader(DataSourceReader):
                     self._narrow(None, v)
                     self._eq_filters.append((key, ("lt", v)))
                 self.pushed.append(f)
-            elif attr in cols and isinstance(f, EqualTo):
-                # server-side qualifier filter (SingleColumnValueFilter)
-                self._eq_filters.append((attr, ("eq", f.value)))
-                self.pushed.append(f)
-            elif attr in cols and isinstance(f, In):
-                self._eq_filters.append((attr, ("in", tuple(f.value))))
-                self.pushed.append(f)
+            elif self._push_qualifier(f, attr, cols):
+                pass
             elif attr == key and isinstance(f, IsNotNull):
                 self.pushed.append(f)  # rowkeys are never null: free
             else:
                 residual.append(f)
         return residual
+
+    def _push_qualifier(self, f: Filter, attr, cols) -> bool:
+        """Non-key server-side filters (SingleColumnValueFilter analog)
+        — shared by the single- and composite-PK pushdown paths so the
+        two layouts can never drift apart on qualifier semantics."""
+        if attr in cols and isinstance(f, EqualTo):
+            self._eq_filters.append((attr, ("eq", f.value)))
+            self.pushed.append(f)
+            return True
+        if attr in cols and isinstance(f, In):
+            self._eq_filters.append((attr, ("in", tuple(f.value))))
+            self.pushed.append(f)
+            return True
+        return False
 
     def _push_composite(self, filters: List[Filter]) -> Iterable[Filter]:
         """Composite-PK pushdown (``HBaseSchema.kt:127-136`` rowkeys):
@@ -242,12 +255,8 @@ class KVScanReader(DataSourceReader):
                     self._tighten(b, None, v)
                     self._eq_filters.append((attr, ("lt", v)))
                 self.pushed.append(f)
-            elif attr in cols and isinstance(f, EqualTo):
-                self._eq_filters.append((attr, ("eq", f.value)))
-                self.pushed.append(f)
-            elif attr in cols and isinstance(f, In):
-                self._eq_filters.append((attr, ("in", tuple(f.value))))
-                self.pushed.append(f)
+            elif self._push_qualifier(f, attr, cols):
+                pass
             elif attr in bounds and isinstance(f, IsNotNull):
                 self.pushed.append(f)  # rowkey components are never null: free
             else:
@@ -395,6 +404,13 @@ def delete_from_store(options, keys) -> None:
     for k in keys:  # composite stores take key TUPLES, single stores scalars
         row = {c: None for c in columns}
         kt = k if isinstance(k, tuple) else (k,)
+        if len(kt) != len(key_cols):
+            # arity mismatch must be loud: a silently-zipped prefix would
+            # tombstone a DIFFERENT row (same guard discipline as
+            # _pad_component / _index_rowkey)
+            raise ValueError(
+                f"delete key arity {len(kt)} != PK width {len(key_cols)}: {k!r}"
+            )
         for col, v in zip(key_cols, kt):
             row[col] = v
         row[TOMBSTONE] = True
