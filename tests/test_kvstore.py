@@ -628,3 +628,21 @@ def test_index_over_composite_pk_store(tmp_path):
     hits = sorted((t[1], t[2]) for p_ in parts for t in p_.tuples)
     expected = sorted((o, ln) for o, ln, s in rows if s == "A")
     assert hits == expected
+
+
+def test_delete_rejects_wrong_arity_composite_key(tmp_path):
+    """A delete key whose arity mismatches the PK width must raise, not
+    silently tombstone the zipped-prefix row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import delete_from_store
+
+    p = tmp_path / "base.parquet"
+    pq.write_table(pa.table({"k1": [1, 2], "k2": [1, 2], "v": ["a", "b"]}), str(p))
+    opts = {"path": str(p), "keycol": "k1,k2", "columns": "k1,k2,v"}
+    with _pytest.raises(ValueError, match="arity"):
+        delete_from_store(opts, [(1, 1, 99)])
+    with _pytest.raises(ValueError, match="arity"):
+        delete_from_store(opts, [7])  # scalar against a 2-wide PK
