@@ -312,3 +312,59 @@ def ts05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ewma"),
     )
+
+
+@query(
+    "ts06_ohlc_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+        FROM events
+    )
+    SELECT event_type, bar,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM keyed GROUP BY event_type, bar
+    """,
+)
+def ts06_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per series — the canonical time-series
+    downsample (open/high/low/close + volume per bar). Open/close are
+    ``min_by``/``max_by`` over a zero-padded sortable key
+    (micros‖event_id): a single-pass ORDERED-ARG aggregate — one
+    shuffle on (series, bar), no window sort, partials merge map-side —
+    and the event_id suffix makes the first/last row WELL-DEFINED under
+    timestamp ties, where a bare min_by(value, ts) would be
+    nondeterministic per run and per engine (the fixture has same-second
+    events, so ties are live, not theoretical). Values pass through
+    unrounded: 2dp doubles are exact, and open/close SELECT a stored
+    value rather than computing one. At 100 TB bars form the st07-style
+    incremental MV: per-bar aggregates append per microbatch and the
+    same arg-min/max states merge."""
+    e = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
