@@ -312,3 +312,93 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("o_totalprice").alias("total"),
         )
     )
+
+
+#: j12: the dimension re-versions mid-way through the event range, so
+#: the point-in-time join genuinely discriminates (events before the
+#: date bind to v1, after to v2).
+TEMPORAL_EFFECTIVE = "2024-01-15"
+
+
+@query(
+    "j12_temporal_dimension_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS seg,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CASE WHEN c_custkey % 10 = 3
+                    THEN TIMESTAMP '{TEMPORAL_EFFECTIVE}' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'VIP', TIMESTAMP '{TEMPORAL_EFFECTIVE}', NULL
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    j AS (
+        SELECT e.value, d.seg
+        FROM events e JOIN dim d
+          ON d.user_id = e.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {exact_sum_sql("value")} AS total_value
+    FROM j GROUP BY seg
+    """,
+)
+def j12_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — each event binds to the
+    dimension VERSION valid at its own timestamp (the SCD2-consumption
+    side of dml06; Flink calls this a temporal table join): customers
+    ending in 3 re-segment to VIP effective {TEMPORAL_EFFECTIVE}, so
+    January events split across both versions. Scale-right form: NOT an
+    interval join (an inequality join over fact×versions) — version
+    starts become timeline rows unioned with the events, ONE shuffle on
+    the entity key, and a forward-fill window (``last`` ignorenulls)
+    assigns each event the segment in force at its instant; dimension
+    rows sort before same-timestamp events so a version is effective AT
+    its boundary. This is ts01's as-of mechanics promoted to versioned
+    attributes: state per key ∝ versions, never events × versions. The
+    oracle is the declarative BETWEEN join — two formulations, one
+    answer."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit("2020-01-01").cast("timestamp").alias("t"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.lit(TEMPORAL_EFFECTIVE).cast("timestamp").alias("t"),
+            F.lit("VIP").alias("seg"),
+        )
+    )
+    dim_rows = v1.unionByName(v2).select(
+        "user_id", "t", "seg", F.lit(1).alias("is_dim"), F.lit(None).cast("double").alias("value")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(0).alias("is_dim"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", F.desc("is_dim"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = dim_rows.unionByName(ev).withColumn(
+        "seg_asof", F.last("seg", ignorenulls=True).over(w)
+    )
+    return (
+        timeline.filter(F.col("is_dim") == 0)
+        .groupBy(F.col("seg_asof").alias("seg"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
