@@ -396,6 +396,11 @@ def j12_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         timeline.filter(F.col("is_dim") == 0)
+        # events with NO applicable version (unknown entity, or ts before
+        # the first valid_from) drop, matching the oracle's INNER join —
+        # without this filter they would surface as a NULL-segment group
+        # the oracle never produces
+        .filter(F.col("seg_asof").isNotNull())
         .groupBy(F.col("seg_asof").alias("seg"))
         .agg(
             F.count("*").alias("n_events"),

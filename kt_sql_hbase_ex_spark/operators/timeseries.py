@@ -321,7 +321,7 @@ def ts05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
                value,
                lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
-                   || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+                   || lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
         FROM events
     )
     SELECT event_type, bar,
@@ -348,9 +348,13 @@ def ts06_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental MV: per-bar aggregates append per microbatch and the
     same arg-min/max states merge."""
     e = load_table(spark, sf_dir, "events")
+    # pad widths cover the full domains (epoch micros < 10^16 until
+    # year 2286, bigint ids < 10^19): lpad TRUNCATES over-long strings
+    # in both engines, which would silently re-introduce ord-key
+    # collisions at exactly the id scales the key exists to break
     ord_key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lpad(F.col("event_id").cast("string"), 19, "0"),
     )
     return (
         e.select(
