@@ -629,3 +629,85 @@ def ev09_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_start", "session_last", "n_events", "total_value"
         )
     )
+
+
+@query(
+    "ev10_cohort_ltv",
+    oracle=f"""
+    WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+               SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) AS rev_micros
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM cohort GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.week_offset, s.cohort_users,
+           CAST(SUM(w.rev_micros) OVER (PARTITION BY w.cohort_week
+                ORDER BY w.week_offset
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_micros,
+           ROUND(CAST(SUM(w.rev_micros) OVER (PARTITION BY w.cohort_week
+                ORDER BY w.week_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / 1000000 / s.cohort_users, 4) AS ltv_per_user
+    FROM weekly w JOIN sized s ON s.cohort_week = w.cohort_week
+    """,
+)
+def ev10_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — ev03's retention grid with money
+    on it: purchase revenue per (signup-week cohort × week offset),
+    accumulated into the running LTV-per-user a growth team reads off.
+    Scale shape: the per-user cohort week is ONE user_id aggregate that
+    joins back on the same key partitioning; revenue buckets to the
+    (cohorts × offsets)-sized grid BEFORE the cumulative window, so the
+    running sum and the per-user division run over a driver-scale
+    relation. Revenue accumulates in exact micro-unit integers
+    (functions/money.py) — a cumulative double window compounds
+    reordering error with every step — and only the final per-user
+    ratio is a rounded double of an exact integer."""
+    from kt_sql_hbase_ex_spark.functions.money import _micros
+
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weekly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(_micros(F.col("value"))).alias("rev_micros"))
+    )
+    sized = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w_cum = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("rev_micros").over(w_cum)
+    return weekly.join(sized, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_users",
+        cum.alias("cum_rev_micros"),
+        F.round(
+            cum.cast("double") / F.lit(1_000_000) / F.col("cohort_users"), 4
+        ).alias("ltv_per_user"),
+    )
