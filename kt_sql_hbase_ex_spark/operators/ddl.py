@@ -246,3 +246,44 @@ def ddl06_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit values override the default
     spark.sql(f"INSERT INTO {tbl} VALUES (3, 'SHIPPED', 9.75, 'gamma')")
     return spark.table(tbl)
+
+
+@query(
+    "ddl07_alter_add_column",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+           'unassigned' AS steward,
+           CASE WHEN r_regionkey = 99 THEN 'poseidon' END AS steward2
+    FROM (
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL SELECT 99, 'ATLANTIS'
+    )
+    """,
+)
+def ddl07_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the CATALOG — ``ALTER TABLE ADD
+    COLUMNS`` on a managed table (the DDL counterpart of opt10's
+    scan-level mergeSchema): adding a column is metadata-only, history
+    is never rewritten, and rows written before the change read the
+    column's DEFAULT (Spark's exists-default mechanism stamps the
+    backfill value into the column metadata at ALTER time) while a NULL
+    fills where no default was declared. The sequence: create+load →
+    ALTER ADD steward DEFAULT 'unassigned' (pre-ALTER rows read the
+    default) → ALTER ADD steward2 (no default: pre-existing rows read
+    NULL) → one post-ALTER insert supplying steward2. At 100 TB this is
+    the only sane way to add a column: O(1) catalog write, zero data
+    IO, old files null-fill/default-fill at read."""
+    tbl = "ktsql_ddl07_region_evolved"
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("bigint"), "r_name"
+    )
+    _reset_table(spark, tbl)
+    r.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(
+        f"ALTER TABLE {tbl} ADD COLUMNS (steward STRING DEFAULT 'unassigned')"
+    )
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (steward2 STRING)")
+    spark.sql(
+        f"INSERT INTO {tbl} VALUES (99, 'ATLANTIS', DEFAULT, 'poseidon')"
+    )
+    return spark.table(tbl)

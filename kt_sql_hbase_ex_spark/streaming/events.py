@@ -785,3 +785,62 @@ def st11_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_stream_to_table(agg, "complete", sink_name="sink_st11")
+
+
+@query(
+    "st12_streaming_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bar,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
+        FROM events
+    )
+    SELECT event_type, bar,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM keyed GROUP BY event_type, bar
+    """,
+)
+def st12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts06's OHLC bars maintained INCREMENTALLY — the proof of ts06's
+    'bars form an incremental MV' claim: the identical min_by/max_by-
+    over-sortable-key aggregate runs as a watermarked streaming window,
+    so each microbatch folds its events into the open bars' arg states
+    (mergeable like any other aggregate buffer) and the watermark
+    finalizes bars as event time passes them. Same operator, two
+    execution modes — the oracle is the batch replay, so parity proves
+    the incremental drain converges to the batch answer. At 100 TB/day
+    this is how candles ship: state ∝ open bars × series, never
+    events."""
+    s = events_stream(spark, sf_dir)
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 19, "0"),
+    )
+    agg = (
+        s.withColumn("ord", ord_key)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bar"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+    return run_stream_to_table(agg, "complete", sink_name="sink_st12")
