@@ -505,3 +505,104 @@ def t11_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_phrase_pos"),
     )
+
+
+#: t12 BM25: query terms + the standard Okapi parameters
+BM25_TERMS = ("customer", "join", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+@query(
+    "t12_bm25_search",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM pos GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM pos WHERE term IN {BM25_TERMS}
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * doclen.dl / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN doclen ON doclen.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                 AS rnk
+          FROM scored) t
+    WHERE rnk <= {BM25_TOP_K}
+    """,
+)
+def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking over the inverted index — the scoring function the
+    reference's Lucene subsystem (``index/lucene/``) would have served,
+    one step past t07's TF-IDF: Okapi term saturation (k1={BM25_K1})
+    and document-length normalization (b={BM25_B}), Lucene's
+    ``ln(1 + (N−df+0.5)/(df+0.5))`` IDF. Shapes: postings filter to
+    the query terms BEFORE anything aggregates (the t11 index-lookup
+    rule); doc lengths are a corpus-keyed aggregate joined back on
+    doc_id; N/avgdl reduce to one broadcast row. Ranking ties are
+    tamed by ranking on the ROUNDED score (6dp — far above the ~1-ulp
+    cross-engine ``ln`` divergence) with doc_id as the final tiebreak,
+    so the top-{BM25_TOP_K} cut is engine-identical."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pos = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    doclen = pos.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        pos.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = W.orderBy(F.round("score", 6).desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rnk")
+    )
