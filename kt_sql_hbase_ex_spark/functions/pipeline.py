@@ -165,7 +165,8 @@ N_SHARDS = 8
     ),
     sharded AS (
         SELECT doc_id, n_tok,
-               NTILE({N_SHARDS}) OVER (ORDER BY n_tok DESC, doc_id) AS shard
+               1 + (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                   % {N_SHARDS} AS shard
     FROM toks
     )
     SELECT CAST(shard AS INTEGER) AS shard,
@@ -175,20 +176,58 @@ N_SHARDS = 8
     """,
 )
 def tr04_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-balanced output sharding: documents striped into {N_SHARDS}
-    shards by NTILE over descending token count (longest-first snake
-    layout ≈ equal tokens per shard) — the write-layout step before
-    ``partitionBy(shard)`` materializes training files. The report shows
-    per-shard doc and token totals, the balance a trainer's data loader
-    sees. Scale note: NTILE needs a total order — at 100 TB swap in
-    hash-striping or a range-partitioned approximate histogram; the
-    NTILE form is the exact baseline (same role d02 plays for d03)."""
+    """Token-balanced output sharding: documents striped round-robin
+    into {N_SHARDS} shards by global rank over descending token count
+    (longest-first deal-out ≈ equal tokens per shard) — the
+    write-layout step before ``partitionBy(shard)`` materializes
+    training files. The report shows per-shard doc and token totals,
+    the balance a trainer's data loader sees.
+
+    The global rank is computed WITHOUT a global window (the r4 NTILE
+    form moved all documents through one task — the Exchange
+    SinglePartition anti-pattern, now banned sweep-wide in
+    tests/test_plans.py). Scale-safe two-pass striping instead:
+
+    1. range-repartition on the sort key — the same exchange any total
+       ORDER BY needs, every partition range-disjoint;
+    2. per-partition local rank (window partitioned by partition id) +
+       per-partition row counts (a #partitions-row aggregate) turned
+       into prefix offsets via a broadcast triangular self-join;
+    3. global rank = offset + local rank; shard = 1 + (rank-1) mod N.
+
+    The result is exact (the oracle's ROW_NUMBER) because the sort key
+    (n_tok DESC, doc_id) is a total order and range partitions are
+    ordered; it is deterministic regardless of where the sampled range
+    boundaries fall. ``localCheckpoint`` pins one materialization of
+    the partitioning so the count pass and the rank pass can never see
+    different layouts."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window as W
 
     toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    w = W.orderBy(F.desc("n_tok"), "doc_id")
-    sharded = toks.withColumn("shard", F.ntile(N_SHARDS).over(w))
+    parted = (
+        toks.repartitionByRange(F.desc("n_tok"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("pid").agg(F.count("*").alias("n"))
+    lower = counts.select(F.col("pid").alias("lpid"), F.col("n").alias("ln"))
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("lpid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("offset"))
+    )
+    lrank = F.row_number().over(
+        W.partitionBy("pid").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    )
+    sharded = (
+        parted.withColumn("lrank", lrank)
+        .join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "shard",
+            (F.lit(1) + (F.col("offset") + F.col("lrank") - 1) % N_SHARDS).cast("int"),
+        )
+    )
     return sharded.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),

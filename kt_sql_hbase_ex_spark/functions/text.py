@@ -566,7 +566,16 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id; N/avgdl reduce to one broadcast row. Ranking ties are
     tamed by ranking on the ROUNDED score (6dp — far above the ~1-ulp
     cross-engine ``ln`` divergence) with doc_id as the final tiebreak,
-    so the top-{BM25_TOP_K} cut is engine-identical."""
+    so the top-{BM25_TOP_K} cut is engine-identical.
+
+    The final ranking deliberately avoids a corpus-wide window: the
+    top-{BM25_TOP_K} cut is an ``ORDER BY … LIMIT`` (planned as
+    TakeOrderedAndProject — per-partition top-k, driver merge of K-row
+    heads), and ``rnk`` is a row_number over only the {BM25_TOP_K}
+    surviving rows. A global ROW_NUMBER over all matches would drag
+    every matching document through one task (``Exchange
+    SinglePartition`` + sort) — the anti-pattern
+    ``tests/test_plans.py`` now bans sweep-wide."""
     from pyspark.sql import Window as W
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -600,9 +609,9 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
     )
+    topk = scored.orderBy(F.round("score", 6).desc(), "doc_id").limit(BM25_TOP_K)
     w = W.orderBy(F.round("score", 6).desc(), "doc_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= BM25_TOP_K)
+        topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("doc_id", F.round("score", 6).alias("bm25"), "rnk")
     )

@@ -62,3 +62,63 @@ def uses_take_ordered(df: DataFrame) -> bool:
 def count_shuffles(df: DataFrame) -> int:
     """Number of exchange operators — the unit of 100 TB pain."""
     return formatted_plan(df).count("Exchange")
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The (possibly adaptive) physical plan tree as a string, without
+    executing the query."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_unbounded_global_window(df: DataFrame) -> bool:
+    """True if the plan contains a Window whose input is an ``Exchange
+    SinglePartition`` over an UNBOUNDED relation — the scale-killer where
+    one task must hold the whole windowed set (Spark itself warns "Moving
+    all data to a single partition").
+
+    A single-partition window is *bounded* — and therefore acceptable —
+    when a Limit/TakeOrderedAndProject sits below the exchange (the t12
+    shape: rank the K rows surviving a top-k cut). Detection walks the
+    plan tree by indentation: for each ``Exchange SinglePartition``, find
+    whether a Window node is among its ancestors with no other Exchange
+    in between, and whether any limit node appears in its subtree.
+    """
+    lines = executed_plan(df).splitlines()
+
+    def indent(s: str) -> int:
+        # tree glyphs (":", "+-", "-", spaces) form the indent prefix
+        i = 0
+        while i < len(s) and s[i] in " :+-*":
+            i += 1
+        return i
+
+    for n, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        here = indent(line)
+        # subtree below: deeper-indented lines until indent falls back
+        bounded = False
+        for sub in lines[n + 1 :]:
+            if indent(sub) <= here:
+                break
+            if any(
+                k in sub
+                for k in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+            ):
+                bounded = True
+                break
+        if bounded:
+            continue
+        # ancestors above: first shallower line chain; a Window before any
+        # other Exchange means this exchange feeds the window directly
+        cur = here
+        for up in reversed(lines[:n]):
+            ui = indent(up)
+            if ui >= cur:
+                continue
+            cur = ui
+            if "Window" in up:
+                return True
+            if "Exchange" in up or "HashAggregate" in up or "Join" in up:
+                break
+    return False

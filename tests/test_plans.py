@@ -450,6 +450,72 @@ def test_reconciliation_preaggregates_below_join(spark, sf_small):
     assert "l_orderkey" in plan[join_at:], plan
 
 
+#: Queries whose single-partition window input is PROVABLY BOUNDED by
+#: construction — the only sanctioned exception to the sweep ban below.
+#: Every entry must say why the windowed relation cannot scale with data.
+BOUNDED_WINDOW_OK = {
+    # windows over the ≤HIST_BUCKETS-row (12) post-aggregate histogram
+    "a15_histogram",
+    # windows over one row per source (~tens) after the groupBy(source)
+    "tr07_domain_mixture",
+    # global ROW_NUMBER over an input filtered to ≤100 keys beforehand
+    "ddl04_surrogate_keys",
+}
+
+
+def test_no_unbounded_single_partition_windows(spark, sf_small):
+    """Sweep-wide structural guard (round-4 verdict task #7): no
+    registered query's executed plan may contain a Window fed by an
+    ``Exchange SinglePartition`` over an unbounded relation — the
+    one-task-holds-the-corpus shape that killed t12/tr04 in round 4.
+    Bounded forms (a window above a Limit/TakeOrderedAndProject, or an
+    input bounded by construction and allowlisted above) pass.
+    Streaming queries are excluded: their returned DataFrame is a
+    memory-sink scan (the stateful plan runs inside the drain), and
+    building them here would re-run every drain for no plan signal."""
+    from kt_sql_hbase_ex_spark import registry
+    from kt_sql_hbase_ex_spark.plans.explain import has_unbounded_global_window
+
+    offenders = []
+    for name, rq in sorted(registry.all_queries().items()):
+        if name.startswith("st"):
+            continue
+        df = rq.fn(spark, sf_small)
+        if has_unbounded_global_window(df) and name not in BOUNDED_WINDOW_OK:
+            offenders.append(name)
+    assert not offenders, f"unbounded single-partition windows: {offenders}"
+
+
+def test_bm25_topk_avoids_global_window(spark, sf_small):
+    """t12's round-4 defect stays dead: the top-k cut plans as
+    TakeOrderedAndProject and the only window ranks the K surviving
+    rows (bounded), so the detector sees no unbounded global window."""
+    from kt_sql_hbase_ex_spark.functions.text import t12_bm25_search
+    from kt_sql_hbase_ex_spark.plans.explain import (
+        executed_plan,
+        has_unbounded_global_window,
+    )
+
+    df = t12_bm25_search(spark, sf_small)
+    assert "TakeOrderedAndProject" in executed_plan(df), executed_plan(df)
+    assert not has_unbounded_global_window(df), executed_plan(df)
+
+
+def test_token_shards_stripe_without_global_window(spark, sf_small):
+    """tr04's round-4 defect stays dead: the global rank comes from the
+    range exchange + pid-local windows + broadcast offsets — the plan
+    has no SinglePartition exchange at all, and the offset join
+    broadcasts."""
+    from kt_sql_hbase_ex_spark.functions.pipeline import (
+        tr04_token_balanced_shards,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(tr04_token_balanced_shards(spark, sf_small))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
 def test_time_range_window_single_shuffle(spark, sf_small):
     """w11's contract: one user_id exchange feeding a RangeFrame window
     — the trailing-hour frame never becomes a self-join or a second
