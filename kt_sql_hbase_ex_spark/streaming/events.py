@@ -42,6 +42,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kt_sql_hbase_ex_spark.functions.money import (
+    _emit,
+    _micros,
+    exact_sum,
+    exact_sum_sql,
+)
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import (
     events_ts_is_nanos,
@@ -156,11 +162,11 @@ def run_stream_to_table(
 
 @query(
     "st01_tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           {exact_sum_sql("value")} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -169,14 +175,19 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type, executed through the
     streaming engine (state store + watermark) and drained to a table.
     Complete output mode so the final (still-open) windows are emitted —
-    the watermark's job here is state cleanup, not result gating."""
+    the watermark's job here is state cleanup, not result gating.
+    Money sums run in exact micro-unit fixed point (``functions/money``)
+    — the LONG micros aggregation state merges incrementally across
+    microbatches exactly like any other algebraic agg buffer, so the
+    streaming path gets the same order-independence guarantee the batch
+    families moved to."""
     s = events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -253,7 +264,7 @@ def sliding_window_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '{SESSION_GAP}' AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           {exact_sum_sql("value")} AS total_value
     FROM sess GROUP BY user_id, sess_id
     """,
 )
@@ -273,7 +284,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .select(
             "user_id",
@@ -294,7 +305,7 @@ def session_window_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .select(
             "user_id",
@@ -363,7 +374,7 @@ def st05_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_micros", T.LongType()),  # exact money state
         T.StructField("max_ts", T.LongType()),  # micros
     ]
 )
@@ -381,24 +392,38 @@ STATS_OUTPUT_SCHEMA = T.StructType(
 def _user_stats_fn(key, pdf_iter, state):
     """Per-user running (count, sum, max ts) — arbitrary stateful logic
     the built-in windowed aggs can't express (the state here could be
-    any Python object: a sketch, a model, a session struct)."""
-    import pandas as pd  # local import: runs on executors
+    any Python object: a sketch, a model, a session struct).
+
+    Money is held as an exact micro-unit LONG in the state (the
+    ``functions/money`` fixed-point convention): per-row integerization
+    is sign-aware add-half-truncate (identical to Spark's ``_micros``),
+    and only the final already-rounded cents integer goes through a
+    double divide — so the emitted total is order- and
+    batching-independent, matching the exact-sum oracle."""
+    import numpy as np  # local imports: run on executors
+    import pandas as pd
 
     if state.exists:
-        n, total, max_ts = state.get
+        n, total_micros, max_ts = state.get
     else:
-        n, total, max_ts = 0, 0.0, 0
+        n, total_micros, max_ts = 0, 0, 0
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        scaled = pdf["value"].to_numpy() * 1e6
+        micros = np.where(
+            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        ).astype("int64")
+        total_micros += int(micros.sum())
         batch_max = int(pdf["ts"].max().value // 1000)  # ns -> micros
         max_ts = max(max_ts, batch_max)
-    state.update((n, total, max_ts))
+    state.update((n, total_micros, max_ts))
+    sign = -1 if total_micros < 0 else 1
+    cents = sign * ((abs(total_micros) + 5000) // 10000)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [cents / 100.0],
             "last_seen": [pd.Timestamp(max_ts, unit="us")],
         }
     )
@@ -406,9 +431,9 @@ def _user_stats_fn(key, pdf_iter, state):
 
 @query(
     "st06_stateful_user_stats",
-    oracle="""
+    oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value,
+           {exact_sum_sql("value")} AS total_value,
            MAX(ts) AS last_seen
     FROM events GROUP BY user_id
     """,
@@ -438,9 +463,9 @@ def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st07_incremental_mv",
-    oracle="""
+    oracle=f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           {exact_sum_sql("value")} AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -463,9 +488,11 @@ def st07_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = os.path.join(base, "partials")
 
     def update_mv(batch_df: DataFrame, batch_id: int) -> None:
+        # partials carry exact micro-unit LONG sums — partial sums of
+        # longs re-sum exactly at compaction, any batching
         (
             batch_df.groupBy("event_type")
-            .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+            .agg(F.count("*").alias("pn"), F.sum(_micros("value")).alias("psum"))
             .write.mode("append")
             .parquet(partials)
         )
@@ -484,7 +511,7 @@ def st07_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.round(F.sum("psum"), 2).alias("total_value"),
+            _emit(F.sum("psum"), 2).alias("total_value"),
         )
     )
 
@@ -635,9 +662,9 @@ def st10_serving_dir(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "st10_stream_to_kv_sink",
-    oracle="""
+    oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           {exact_sum_sql("value")} AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -717,8 +744,11 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(_chunked_events_dir(sf_dir))
     )
+    # running money state is an exact micro-unit LONG — merges across
+    # microbatches without float reordering error; only the Put emits
+    # the rounded cents double
     totals = raw.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.sum("value").alias("raw_total")
+        F.count("*").alias("n_events"), F.sum(_micros("value")).alias("raw_total")
     )
 
     def put_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -726,7 +756,7 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.select(
                 "user_id",
                 "n_events",
-                F.round(F.col("raw_total"), 2).alias("total_value"),
+                _emit(F.col("raw_total"), 2).alias("total_value"),
             )
             .write.format(FORMAT_NAME)
             .options(**opts)
@@ -756,9 +786,9 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st11_stream_static_enrichment",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(e.value), 2) AS total_value
+           {exact_sum_sql("e.value")} AS total_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_mktsegment
     """,
@@ -782,7 +812,7 @@ def st11_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     enriched = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum("value").alias("total_value"),
     )
     return run_stream_to_table(agg, "complete", sink_name="sink_st11")
 
@@ -811,12 +841,18 @@ def st12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     'bars form an incremental MV' claim: the identical min_by/max_by-
     over-sortable-key aggregate runs as a watermarked streaming window,
     so each microbatch folds its events into the open bars' arg states
-    (mergeable like any other aggregate buffer) and the watermark
-    finalizes bars as event time passes them. Same operator, two
+    (mergeable like any other aggregate buffer). Same operator, two
     execution modes — the oracle is the batch replay, so parity proves
-    the incremental drain converges to the batch answer. At 100 TB/day
-    this is how candles ship: state ∝ open bars × series, never
-    events."""
+    the incremental drain converges to the batch answer.
+
+    Output-mode note: the harness drains in COMPLETE mode so the final
+    (still-open) bars are emitted for the oracle compare; in complete
+    mode Spark keeps all windowed state regardless of the watermark.
+    The production deployment runs this identical aggregate in APPEND
+    mode, where the watermark finalizes each bar once event time
+    passes it and evicts its state — there, state ∝ open bars ×
+    series, never events. At 100 TB/day that append form is how
+    candles ship."""
     s = events_stream(spark, sf_dir)
     ord_key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),

@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import _micros, exact_sum
 from kt_sql_hbase_ex_spark.sources.catalog import events_ts_is_nanos, load_table
 from kt_sql_hbase_ex_spark.streaming.events import events_raw_schema, normalize_ts
 
@@ -55,9 +56,11 @@ def test_incremental_mv_across_batches(spark, sf_small, sharded_src):
     partials = os.path.join(base, "partials")
 
     def update_mv(batch_df, batch_id):
+        # exact micro-unit LONG partials (the st07 convention): partial
+        # long sums re-sum exactly, so the compare below needs no rounding
         (
             batch_df.groupBy("event_type")
-            .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+            .agg(F.count("*").alias("pn"), F.sum(_micros("value")).alias("psum"))
             .write.mode("append")
             .parquet(partials)
         )
@@ -79,17 +82,17 @@ def test_incremental_mv_across_batches(spark, sf_small, sharded_src):
     assert n_batch_files >= 4, n_batch_files
 
     got = {
-        r.event_type: (r.n, round(r.total, 2))
+        r.event_type: (r.n, r.total)
         for r in spark.read.parquet(partials)
         .groupBy("event_type")
         .agg(F.sum("pn").alias("n"), F.sum("psum").alias("total"))
         .collect()
     }
     expected = {
-        r.event_type: (r.n, round(r.total, 2))
+        r.event_type: (r.n, r.total)
         for r in load_table(spark, sf_small, "events")
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), F.sum(_micros("value")).alias("total"))
         .collect()
     }
     assert got == expected
@@ -204,7 +207,7 @@ def test_stream_to_kv_sink_multi_batch(spark, sf_small):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .collect()
     }
@@ -255,7 +258,7 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_small):
             .option("maxFilesPerTrigger", "1")
             .parquet(os.path.join(src, "batch_*"))
             .groupBy("event_type")
-            .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+            .agg(F.count("*").alias("pn"), F.sum(_micros("value")).alias("psum"))
             .writeStream.outputMode("update")
             .foreachBatch(
                 lambda df, _bid: df.write.mode("append").parquet(partials)
@@ -283,7 +286,7 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_small):
         assert os.path.getmtime(f) == mtime, f
 
     got = {
-        r.event_type: (r.n, round(r.total, 2))
+        r.event_type: (r.n, r.total)
         for r in spark.read.parquet(partials)
         # update-mode emits a refreshed running total per key per batch:
         # the emission with the highest count is the final state (running
@@ -294,10 +297,10 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_small):
         .collect()
     }
     expected = {
-        r.event_type: (r.n, round(r.total, 2))
+        r.event_type: (r.n, r.total)
         for r in load_table(spark, sf_small, "events")
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), F.sum(_micros("value")).alias("total"))
         .collect()
     }
     assert got == expected
@@ -334,20 +337,20 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, sf_small):
         spark.conf.set(key, old)
 
     exp_win = {
-        (r.ws, r.event_type): (r.n, round(r.total, 2))
+        (r.ws, r.event_type): (r.n, r.total)
         for r in load_table(spark, sf_small, "events")
         .groupBy(
             F.window("ts", "1 hour").start.alias("ws"), "event_type"
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), exact_sum("value").alias("total"))
         .collect()
     }
     assert win == exp_win
     exp_stats = {
-        r.user_id: (r.n, round(r.total, 2))
+        r.user_id: (r.n, r.total)
         for r in load_table(spark, sf_small, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), exact_sum("value").alias("total"))
         .collect()
     }
     assert stats == exp_stats
