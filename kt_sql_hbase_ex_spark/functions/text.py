@@ -474,19 +474,23 @@ def t11_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability (``hbase/index/lucene/HBaseDirectory.kt``) t05/t06 didn't
     cover: t06's postings carry only frequencies, so "{PHRASE_TERMS[0]}
     {PHRASE_TERMS[1]}" as an exact phrase (adjacency) or as an ordered
-    NEAR/{NEAR_WINDOW} query needs term positions. Relational form:
-    posexplode → (doc_id, pos, term) positional postings, filter to the
-    TWO query terms before anything joins (the pushed term predicate is
-    the index lookup — postings for other terms never move), then a
-    doc-local position-arithmetic self-join: dist = 1 is the phrase,
-    1 <= dist <= {NEAR_WINDOW} the proximity hit. Scale: shuffle ∝
-    postings of the queried terms only (plan-pinned in
-    tests/test_plans.py); at 100 TB the postings table is written once,
-    partitioned by term prefix, and this join reads two partitions."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    pos = d.select(
-        "doc_id", F.posexplode(tokens_col()).alias("pos", "term")
+    NEAR/{NEAR_WINDOW} query needs term positions. The postings come
+    from the PERSISTED term-prefix-partitioned index
+    (``functions/text_index.py`` — written once, maintained
+    incrementally): the query reads only the query terms' prefix
+    partitions (PartitionFilters, plan-pinned) and never scans
+    ``documents`` at query time. Then a doc-local position-arithmetic
+    self-join: dist = 1 is the phrase, 1 <= dist <= {NEAR_WINDOW} the
+    proximity hit. Scale: I/O and shuffle ∝ postings of the queried
+    terms only — at 100 TB this join reads two partitions of the index,
+    exactly the seek the reference's Lucene files served."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        ensure_text_index,
+        read_postings,
     )
+
+    idx = ensure_text_index(spark, sf_dir)
+    pos = read_postings(spark, idx, PHRASE_TERMS)
     # 1-based positions to match the oracle's generate_series
     a = pos.filter(F.col("term") == PHRASE_TERMS[0]).select(
         "doc_id", (F.col("pos") + 1).alias("apos")
@@ -562,11 +566,14 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and document-length normalization (b={BM25_B}), Lucene's
     ``ln(1 + (N−df+0.5)/(df+0.5))`` IDF. Shapes: postings filter to
     the query terms BEFORE anything aggregates (the t11 index-lookup
-    rule); doc lengths are a corpus-keyed aggregate joined back on
-    doc_id; N/avgdl reduce to one broadcast row. Ranking ties are
-    tamed by ranking on the ROUNDED score (6dp — far above the ~1-ulp
-    cross-engine ``ln`` divergence) with doc_id as the final tiebreak,
-    so the top-{BM25_TOP_K} cut is engine-identical.
+    rule — here a literal pruned read of the persisted index,
+    ``functions/text_index.py``, no ``documents`` scan at query time);
+    doc lengths come from the index's doclen table joined on doc_id;
+    N/avgdl compact from the index's stats partials to one broadcast
+    row. Ranking ties are tamed by ranking on the ROUNDED score (6dp —
+    far above the ~1-ulp cross-engine ``ln`` divergence) with doc_id as
+    the final tiebreak, so the top-{BM25_TOP_K} cut is
+    engine-identical.
 
     The final ranking deliberately avoids a corpus-wide window: the
     top-{BM25_TOP_K} cut is an ``ORDER BY … LIMIT`` (planned as
@@ -578,14 +585,20 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_plans.py`` now bans sweep-wide."""
     from pyspark.sql import Window as W
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    pos = d.select("doc_id", F.explode(tokens_col()).alias("term"))
-    doclen = pos.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    stats = doclen.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        ensure_text_index,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
     )
+
+    idx = ensure_text_index(spark, sf_dir)
+    doclen = read_doclen(spark, idx).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    stats = read_corpus_stats(spark, idx)
     tf = (
-        pos.filter(F.col("term").isin(*BM25_TERMS))
+        read_postings(spark, idx, BM25_TERMS)
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )

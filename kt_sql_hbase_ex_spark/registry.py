@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.sources.formats",
     "kt_sql_hbase_ex_spark.sources.kvstore",
     "kt_sql_hbase_ex_spark.functions.text",
+    "kt_sql_hbase_ex_spark.functions.text_index",
     "kt_sql_hbase_ex_spark.functions.dedup",
     "kt_sql_hbase_ex_spark.functions.pipeline",
     "kt_sql_hbase_ex_spark.functions.similarity",

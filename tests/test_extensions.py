@@ -235,3 +235,63 @@ def test_pagerank_converged_invariants(spark, sf_oracle):
     # not just iteration-budget-exhausted (6dp output rounding alone
     # contributes up to 5e-7 per node)
     assert drift < 5e-6, f"not at fixed point: max one-step drift {drift:.2e}"
+
+
+def test_index_streaming_maintenance_matches_batch_build(spark, sf_small):
+    """The postings index maintained by a REAL Structured Streaming
+    drain (documents landed as 2 files, maxFilesPerTrigger=1 →
+    2 microbatches, foreachBatch(upsert_index_batch)) must compact to
+    the same term statistics as a one-shot batch build — the st07
+    contract applied to the text index."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        ensure_text_index,
+        read_corpus_stats,
+        read_postings,
+        upsert_index_batch,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table, table_path
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "idx")
+    docs = load_table(spark, sf_small, "documents")
+    docs.repartition(2).write.parquet(src)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(lambda df, _id: upsert_index_batch(df, idx))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # >=2 microbatches really ran (one stats partial row each)
+    assert spark.read.parquet(os.path.join(idx, "stats")).count() >= 2
+
+    terms = ("customer", "join", "hash")
+    def term_stats(root):
+        return {
+            r["term"]: (r["df"], r["tf"])
+            for r in read_postings(spark, root, terms)
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"), F.count("*").alias("tf"))
+            .collect()
+        }
+
+    batch_root = ensure_text_index(spark, sf_small)
+    assert term_stats(idx) == term_stats(batch_root)
+    s_stream = read_corpus_stats(spark, idx).first()
+    s_batch = read_corpus_stats(spark, batch_root).first()
+    assert s_stream["n_docs"] == s_batch["n_docs"]
+    assert abs(s_stream["avgdl"] - s_batch["avgdl"]) < 1e-9
+    shutil.rmtree(base, ignore_errors=True)

@@ -409,6 +409,30 @@ def test_phrase_search_filters_terms_before_join(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_search_reads_persisted_index_with_pruning(spark, sf_small):
+    """t11/t12's Lucene-parity contract: both queries read the persisted
+    term-prefix-partitioned postings index with DIRECTORY pruning to the
+    query terms' prefixes (PartitionFilters), and scan ``documents``
+    ZERO times at query time — the index seek the reference's
+    HBase-stored Lucene files provided."""
+    from kt_sql_hbase_ex_spark.functions.text import (
+        t11_phrase_search,
+        t12_bm25_search,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    for fn, prefixes in (
+        (t11_phrase_search, "term_pfx#, IN (c,j)"),
+        (t12_bm25_search, "term_pfx#, IN (c,h,j)"),
+    ):
+        plan = executed_plan(fn(spark, sf_small))
+        assert "documents.parquet" not in plan, plan
+        pf = [l for l in plan.splitlines() if "PartitionFilters: [term_pfx" in l]
+        assert pf, plan
+        want = prefixes.split("#, ")[1]
+        assert all(want in l for l in pf), plan
+
+
 def test_native_session_window_merges_in_aggregate(spark, sf_small):
     """ev09's contract: sessions come from MergingSessions inside a
     two-phase aggregate (map-side partials, ONE user_id shuffle) — no
