@@ -32,6 +32,13 @@ from kt_sql_hbase_ex_spark.sources.catalog import default_sf_dir
 # dedup, embedding similarity, streaming window. These are the queries
 # whose shape dominates cost at 100 TB (wide shuffles, Pandas-UDF
 # stages), so they are the ones worth tracking round over round.
+# The first 16 are the round-1..4 set (kept intact for round-over-round
+# comparability); the tail adds the iterative/composed pipelines that
+# landed in rounds 4-5 — PageRank-to-convergence (driver loop +
+# checkpoints), the end-to-end training-data pipeline, cohort revenue,
+# the SCD2 point-in-time join, and BM25 over the persisted index —
+# whose regressions matter most precisely because no single-operator
+# number covers a composition.
 HEADLINE = (
     "flagship_revenue_by_nation",
     "s03_projected_filtered_scan",
@@ -49,6 +56,12 @@ HEADLINE = (
     "ts01_asof_join",
     "ts02_range_join",
     "st01_tumbling_window",
+    # round-5 additions (r4 verdict task #6)
+    "d10_pagerank_converged",
+    "tr12_curation_pipeline",
+    "ev10_cohort_ltv",
+    "j12_temporal_dimension_join",
+    "t12_bm25_search",
 )
 
 

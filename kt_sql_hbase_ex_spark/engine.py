@@ -90,3 +90,31 @@ class KtSqlEngine:
         self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         df = self.spark.read.format(FORMAT_NAME).options(**store_options).load()
         df.createOrReplaceTempView(view_name)
+
+    # -- index DDL (reference: HBaseSchema.createIndex/dropIndex,
+    # ``hbase/HBaseSchema.kt:226-263,272-288``) ------------------------
+    def create_index(
+        self, index_name: str, column: str, **store_options: str
+    ) -> dict:
+        """CREATE INDEX on an external KV table: reject-if-exists,
+        backfill from the overlay-merged base, persist the
+        value|rowkey-keyed index table, flip the INDEX_TYPE/INDEX
+        catalog attributes. Returns the options bundle that reads the
+        persisted index through the connector (pushed rowkey ranges)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import create_kv_index
+
+        return create_kv_index(self.spark, index_name, store_options, column)
+
+    def drop_index(self, index_name: str, **store_options: str) -> None:
+        """DROP INDEX: reject-if-missing, flip the attributes back,
+        delete the persisted index table."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import drop_kv_index
+
+        drop_kv_index(index_name, store_options)
+
+    def list_indexes(self, **store_options: str) -> list[dict]:
+        """table.sys read for a KV store's indexes: INDEX_TYPE / INDEX
+        attribute rows plus freshness vs the current base+overlay."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import list_kv_indexes
+
+        return list_kv_indexes(store_options)

@@ -158,8 +158,10 @@ class ColumnInfo:
     DATA_TYPE, NULLABLE, POSITION surface here; DEFAULT comes from the
     StructField metadata Spark records for ``DEFAULT`` columns;
     MAX_LENGTH (char/varchar) and PRECISION/SCALE (decimal) parse from
-    the declared Spark type — the reference stored both as explicit
-    ``column.sys`` attributes."""
+    the declared Spark type; COMMENT comes from the StructField
+    ``comment`` metadata ``CREATE TABLE … COMMENT`` records — the
+    reference stored all of these as explicit ``column.sys``
+    attributes."""
 
     table: str
     name: str
@@ -170,6 +172,7 @@ class ColumnInfo:
     max_length: int | None = None
     precision: int | None = None
     scale: int | None = None
+    comment: str | None = None
 
 
 def _length_precision(field) -> tuple[int | None, int | None, int | None]:
@@ -213,6 +216,7 @@ def describe_columns(spark: SparkSession, name: str) -> list[ColumnInfo]:
                 max_len,
                 prec,
                 scale,
+                (f.metadata or {}).get("comment"),
             )
         )
     return out
@@ -253,23 +257,32 @@ def create_table(
     wiring, ``hbase/HBaseSchema.kt:143-162``) so inserts that omit the
     column are filled by the engine.
 
-    ``columns`` is ``[(name, sql_type, default_sql_literal | None)]``.
+    ``columns`` is ``[(name, sql_type, default_sql_literal | None)]``,
+    optionally with a 4th per-column COMMENT element (the
+    ``ColumnAttribute.COMMENT`` analog — surfaced back by
+    :func:`describe_columns`, quote-escaped like the table comment).
     """
-    for col, _, _ in columns:
+    norm = [(c[0], c[1], c[2], c[3] if len(c) > 3 else None) for c in columns]
+    for col, _, _, _ in norm:
         if col.lower() == "id":
             raise IllegalColumnNameError("column name should not be id")
     if not primary_key:
         raise PrimaryKeyMissedError("no primary key")
-    declared = {c for c, _, _ in columns}
+    declared = {c for c, _, _, _ in norm}
     missing = [k for k in primary_key if k not in declared]
     if missing:
         raise PrimaryKeyMissedError(f"primary key columns not in schema: {missing}")
 
     import datetime
 
+    def _qc(v: str) -> str:
+        return str(v).replace("'", "''")
+
     col_ddl = ", ".join(
-        f"{c} {t}" + (f" DEFAULT {d}" if d is not None else "")
-        for c, t, d in columns
+        f"{c} {t}"
+        + (f" DEFAULT {d}" if d is not None else "")
+        + (f" COMMENT '{_qc(cm)}'" if cm is not None else "")
+        for c, t, d, cm in norm
     )
     props = {
         f"{_PROP_PREFIX}primary": ",".join(primary_key),

@@ -36,6 +36,8 @@ moved ∝ qualifiers requested × rows matching the server-side filters.
 from __future__ import annotations
 
 import bisect
+import os
+import tempfile
 from typing import Any, Iterable, Iterator, List, Sequence, Tuple
 
 from pyspark.sql.datasource import (
@@ -637,10 +639,13 @@ class KVDataSource(DataSource):
 
 
 def register_kv_source(spark) -> None:
-    """Idempotently register the format with the session."""
+    """Idempotently register the format with the session, and enable
+    Python-data-source filter pushdown — the connector implements
+    ``pushFilters`` and Spark refuses to plan it with the conf off."""
     if not getattr(spark, "_ktsql_kv_registered", False):
         spark.dataSource.register(KVDataSource)
         spark._ktsql_kv_registered = True
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def load_kv_store_from_parquet(
@@ -1002,5 +1007,262 @@ def src07_kv_composite_pk_scan(spark, sf_dir: str):
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
             exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+# --- persisted secondary-index lifecycle (CREATE/DROP INDEX) -----------
+#
+# The reference's explicit index DDL (``hbase/HBaseSchema.kt:226-263``
+# createIndex: reject-if-exists, create ``<table>.idx.<name>``, backfill
+# by scanning the base, flip the table.sys INDEX_TYPE/INDEX attributes;
+# ``:272-288`` dropIndex: reject-if-missing, flip attributes back,
+# delete the index table). Here the index table is a persisted KV store
+# base (parquet) whose rowkey is the same ``<value>|<padded base key>``
+# composite the derived index uses, so the SAME pushed-rowkey-range read
+# path serves it; the attribute flips land in a sidecar ``table.sys``
+# analog keyed by the base store's path.
+#
+# Maintenance trade (vs the reference): the reference dual-Puts every
+# base write into the index inside a Tephra transaction
+# (``KVTransactionalIndexTable.kt:63-152``) — the OLTP answer. This
+# engine's always-fresh answer is the DERIVED index (src06: re-derived
+# from the overlay-merged base, atomically consistent by construction).
+# The PERSISTED index is a create-time snapshot + compaction-style
+# ``refresh_kv_index`` (re-derive, atomic replace) + staleness detection
+# via the base signature — the batch-analytics trade: O(base) refresh
+# amortized over many reads, instead of O(1) per-write dual-Puts that
+# need a transaction to stay atomic.
+
+
+class IndexExistsError(ValueError):
+    """createIndex on an existing index / dropIndex on a missing one —
+    the reference's ``IndexExistsException`` (``HBaseSchema.kt:232,271``
+    uses one exception type for both directions)."""
+
+
+def _kv_index_root(base_options) -> str:
+    """Per-base-store metadata+index directory — the ``table.sys`` slice
+    for this store. Keyed by base path + appId namespace (NOT content
+    mtime: the catalog entry survives base writes; staleness is tracked
+    explicitly in each index's meta)."""
+    import hashlib
+
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    path = os.path.realpath(opts["path"])
+    ns = opts.get("appid", "shared")
+    fp = hashlib.sha256(f"{path}|{ns}".encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(), f"kt_sql_kv_index_u{uid}", fp)
+
+
+def _base_signature(base_options) -> list:
+    """Identity of the base content an index was built from: base file
+    + overlay state. Any committed write changes it."""
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    st = os.stat(os.path.realpath(opts["path"]))
+    sig = [st.st_mtime_ns, st.st_size]
+    try:
+        ost = os.stat(overlay_path(opts))
+        sig += [ost.st_mtime_ns, ost.st_size]
+    except FileNotFoundError:
+        sig += [0, 0]
+    return sig
+
+
+def _index_meta_path(base_options, index_name: str) -> str:
+    return os.path.join(_kv_index_root(base_options), f"{index_name}.meta.json")
+
+
+def _derive_index_df(spark, base_options, index_on: str):
+    """The backfill scan: the index relation derived from the
+    overlay-merged base (``HBaseSchema.kt:240-255``'s scan loop,
+    relationally). Reuses the connector's ``indexOn`` path, so the
+    backfill sees exactly what a reader would."""
+    opts = {k: v for k, v in dict(base_options).items()}
+    key_cols = opts["keyCol"].split(",") if "keyCol" in opts else opts["keycol"].split(",")
+    opts["columns"] = ",".join(dict.fromkeys(key_cols + [index_on]))
+    opts["indexOn"] = index_on
+    register_kv_source(spark)
+    key_schema = ", ".join(f"{c} bigint" for c in key_cols)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .options(**opts)
+        .schema(f"{INDEX_KEY} string, {key_schema}")
+        .load()
+    )
+
+
+def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
+    """CREATE INDEX: reject-if-exists, backfill, persist, flip catalog
+    attributes. Returns the options bundle that reads the persisted
+    index THROUGH the connector (rowkey-range pushdown and all)."""
+    import json
+    import shutil
+
+    root = _kv_index_root(base_options)
+    meta_path = _index_meta_path(base_options, index_name)
+    if os.path.exists(meta_path):
+        raise IndexExistsError(f"index {index_name!r} exists when create index")
+    os.makedirs(root, exist_ok=True)
+
+    data_dir = os.path.join(root, f"idx.{index_name}")
+    staging = f"{data_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    _derive_index_df(spark, base_options, index_on).write.parquet(staging)
+    try:
+        os.rename(staging, data_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    meta = {
+        # the table.sys attribute flips (HBaseSchema.kt:257-263)
+        "INDEX_TYPE": "KEY_VALUE",
+        "INDEX": index_on,
+        "index_name": index_name,
+        "base_path": os.path.realpath(opts["path"]),
+        "key_cols": opts["keycol"],
+        "base_signature": _base_signature(base_options),
+        "data_dir": data_dir,
+    }
+    tmp = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return persisted_index_read_options(base_options, index_name)
+
+
+def drop_kv_index(index_name: str, base_options) -> None:
+    """DROP INDEX: reject-if-missing, flip attributes back (meta file
+    removal = INDEX_TYPE->NONE), delete the index table."""
+    import shutil
+
+    meta_path = _index_meta_path(base_options, index_name)
+    if not os.path.exists(meta_path):
+        raise IndexExistsError(f"index {index_name!r} not exists when drop index")
+    import json
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    os.unlink(meta_path)
+    shutil.rmtree(meta.get("data_dir", ""), ignore_errors=True)
+
+
+def list_kv_indexes(base_options) -> list[dict]:
+    """The table.sys read: every persisted index of a base store, with
+    its attribute row (INDEX_TYPE/INDEX) and freshness."""
+    import glob
+    import json
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(_kv_index_root(base_options), "*.meta.json"))):
+        with open(p) as f:
+            meta = json.load(f)
+        meta["fresh"] = meta.get("base_signature") == _base_signature(base_options)
+        out.append(meta)
+    return out
+
+
+def persisted_index_read_options(base_options, index_name: str) -> dict:
+    """Options bundle that serves lookups FROM the persisted index — a
+    plain KV table keyed by the composite index rowkey, so value-prefix
+    predicates push down as rowkey ranges exactly like src06."""
+    import json
+
+    with open(_index_meta_path(base_options, index_name)) as f:
+        meta = json.load(f)
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    return {
+        "path": meta["data_dir"],
+        "keyCol": INDEX_KEY,
+        "columns": ",".join([INDEX_KEY] + meta["key_cols"].split(",")),
+        "regionSize": opts.get("regionsize", "512"),
+        **({"appId": opts["appid"]} if "appid" in opts else {}),
+    }
+
+
+def refresh_kv_index(spark, index_name: str, base_options) -> dict:
+    """Compaction-style maintenance: re-derive from the current
+    overlay-merged base and replace the index data + its recorded base
+    signature (see the module-section note for why this engine
+    refreshes instead of per-write dual-Puts)."""
+    import json
+
+    with open(_index_meta_path(base_options, index_name)) as f:
+        meta = json.load(f)
+    drop_kv_index(index_name, base_options)
+    return create_kv_index(spark, index_name, base_options, meta["INDEX"])
+
+
+def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
+    """Provisioning helper for demo queries: create if missing, reuse
+    if present AND fresh, rebuild if stale."""
+    meta_path = _index_meta_path(base_options, index_name)
+    if os.path.exists(meta_path):
+        fresh = any(
+            m["index_name"] == index_name and m["fresh"]
+            for m in list_kv_indexes(base_options)
+        )
+        if fresh:
+            return persisted_index_read_options(base_options, index_name)
+        drop_kv_index(index_name, base_options)
+    return create_kv_index(spark, index_name, base_options, index_on)
+
+
+_SRC09_SEGMENT = "AUTOMOBILE"
+
+
+@query(
+    "src09_kv_persisted_index_lookup",
+    oracle=f"""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {exact_sum_sql("c_acctbal")} AS total_bal
+    FROM customer WHERE c_mktsegment = '{_SRC09_SEGMENT}'
+    GROUP BY c_nationkey
+    """,
+)
+def src09_kv_persisted_index_lookup(spark, sf_dir: str):
+    """The src06 lookup through the PERSISTED index lifecycle
+    (``hbase/HBaseSchema.kt:226-263``): CREATE INDEX backfills the
+    ``<value>|<padded key>`` index table once and flips the
+    INDEX_TYPE/INDEX catalog attributes; this query then serves the
+    segment predicate as a pushed rowkey RANGE over the *persisted*
+    store — no per-query derivation — and broadcast-semi-joins the hit
+    list into the base, exactly the reference's index-scan + multi-get
+    flow. Money sums are exact micro-unit fixed point."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base_opts = customer_store_options(sf_dir)
+    base_opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    # hermetic: the oracle describes the pristine base
+    truncate_overlay({k.lower(): v for k, v in base_opts.items()})
+
+    idx_opts = ensure_kv_index(spark, "seg_idx", base_opts, "c_mktsegment")
+    lo, hi = index_prefix_bounds(_SRC09_SEGMENT)
+    hits = (
+        spark.read.format(FORMAT_NAME)
+        .options(**idx_opts)
+        .schema(f"{INDEX_KEY} string, c_custkey bigint")
+        .load()
+        .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+        .select("c_custkey")
+    )
+    base = (
+        spark.read.format(FORMAT_NAME)
+        .options(**base_opts)
+        .schema("c_custkey bigint, c_nationkey int, c_acctbal double")
+        .load()
+    )
+    return (
+        base.join(F.broadcast(hits), "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.min("c_custkey").alias("min_key"),
+            exact_sum("c_acctbal").alias("total_bal"),
         )
     )

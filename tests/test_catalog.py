@@ -211,3 +211,29 @@ def test_describe_columns_max_length_and_precision(spark):
         assert by_name["note"].max_length is None
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_describe_columns_comment(spark):
+    """column.sys COMMENT attribute analog (hbase/HBaseTable.kt:221-229):
+    a per-column comment set at create surfaces in describe_columns,
+    with quotes escaped like the table-level comment path."""
+    tbl = "ktsql_test_colcomment"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    catalog.create_table(
+        spark,
+        tbl,
+        [
+            ("k", "BIGINT", None, "the key"),
+            ("v", "STRING", "'x'", "O'Brien's column"),
+            ("w", "INT", None),  # 3-tuple form stays valid
+        ],
+        ("k",),
+    )
+    try:
+        by_name = {c.name: c for c in catalog.describe_columns(spark, tbl)}
+        assert by_name["k"].comment == "the key"
+        assert by_name["v"].comment == "O'Brien's column"
+        assert by_name["v"].default == "'x'"  # comment does not eat DEFAULT
+        assert by_name["w"].comment is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -18,8 +18,11 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from kt_sql_hbase_ex_spark.sources.kvstore import (
+    FORMAT_NAME,
     KVScanReader,
     customer_store,
+    customer_store_options,
+    truncate_overlay,
 )
 
 from .conftest import SF_SMALL
@@ -646,3 +649,120 @@ def test_delete_rejects_wrong_arity_composite_key(tmp_path):
         delete_from_store(opts, [(1, 1, 99)])
     with _pytest.raises(ValueError, match="arity"):
         delete_from_store(opts, [7])  # scalar against a 2-wide PK
+
+
+class TestPersistedIndexLifecycle:
+    """CREATE/DROP INDEX (``hbase/HBaseSchema.kt:226-263,272-288``):
+    backfill, attribute flips, reject-if-exists both ways, staleness
+    detection after a committed write, compaction-style refresh."""
+
+    def _opts(self, spark, sf_small):
+        opts = customer_store_options(sf_small)
+        opts["appId"] = spark.conf.get("spark.app.id", "shared") + "-idxlc"
+        truncate_overlay({k.lower(): v for k, v in opts.items()})
+        return opts
+
+    def test_create_backfills_and_flips_attributes(self, spark, sf_small):
+        from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            drop_kv_index,
+            index_prefix_bounds,
+        )
+
+        eng = KtSqlEngine(spark, sf_small)
+        opts = self._opts(spark, sf_small)
+        try:
+            idx_opts = eng.create_index("seg_t", "c_mktsegment", **opts)
+            metas = eng.list_indexes(**opts)
+            assert len(metas) == 1
+            m = metas[0]
+            # the table.sys attribute flips
+            assert m["INDEX_TYPE"] == "KEY_VALUE"
+            assert m["INDEX"] == "c_mktsegment"
+            assert m["fresh"] is True
+            # backfill correctness: index hit-count for one segment value
+            # equals the base predicate count
+            lo, hi = index_prefix_bounds("BUILDING")
+            from pyspark.sql import functions as F
+
+            hits = (
+                spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+                .count()
+            )
+            base = (
+                spark.read.format(FORMAT_NAME)
+                .options(**opts)
+                .schema("c_custkey bigint, c_mktsegment string")
+                .load()
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .count()
+            )
+            assert hits == base > 0
+        finally:
+            drop_kv_index("seg_t", opts)
+
+    def test_reject_if_exists_both_directions(self, spark, sf_small):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            IndexExistsError,
+            create_kv_index,
+            drop_kv_index,
+        )
+
+        opts = self._opts(spark, sf_small)
+        create_kv_index(spark, "dup_t", opts, "c_mktsegment")
+        try:
+            with pytest.raises(IndexExistsError):
+                create_kv_index(spark, "dup_t", opts, "c_mktsegment")
+        finally:
+            drop_kv_index("dup_t", opts)
+        with pytest.raises(IndexExistsError):
+            drop_kv_index("dup_t", opts)
+
+    def test_staleness_after_write_and_refresh(self, spark, sf_small):
+        from pyspark.sql import functions as F
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            create_kv_index,
+            drop_kv_index,
+            index_prefix_bounds,
+            list_kv_indexes,
+            refresh_kv_index,
+        )
+
+        opts = self._opts(spark, sf_small)
+        create_kv_index(spark, "stale_t", opts, "c_mktsegment")
+        try:
+            # a committed Put changes the base signature -> index stale
+            spark.createDataFrame(
+                [(999999, 99, "ZZTESTSEG", 0.0)],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+            ).write.format(FORMAT_NAME).options(
+                **{**opts, "columns": "c_custkey,c_nationkey,c_mktsegment,c_acctbal"}
+            ).mode("append").save()
+            assert list_kv_indexes(opts)[0]["fresh"] is False
+
+            # compaction-style refresh re-derives from the merged base:
+            # the new row's index entry becomes visible
+            idx_opts = refresh_kv_index(spark, "stale_t", opts)
+            assert list_kv_indexes(opts)[0]["fresh"] is True
+            lo, hi = index_prefix_bounds("ZZTESTSEG")
+            got = (
+                spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+                .collect()
+            )
+            assert [r["c_custkey"] for r in got] == [999999]
+        finally:
+            drop_kv_index("stale_t", opts)
+            truncate_overlay({k.lower(): v for k, v in opts.items()})
