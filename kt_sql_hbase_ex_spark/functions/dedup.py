@@ -780,6 +780,16 @@ def d09_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: engine-vs-engine parity gate cannot allow.
 PAGERANK_ITERS = 20
 
+#: checkpoint cadence for the d10 driver loop: materializing EVERY
+#: round pays one eager job per round (fixed scheduling cost dominates
+#: on the small similarity graph); never materializing nests a 20-round
+#: plan whose planning/codegen cost grows with depth. Measured at sf0.1
+#: (min of 2, warm): every round 6.6 s, every 2nd 6.1 s, every 3rd
+#: 4.3 s, every 4th 4.5 s, every 7th 5.5 s, only-final 6.5 s — a flat
+#: optimum around 3-4; the checkpoint placement cannot change the
+#: computed ranks, only when lineage is cut.
+PAGERANK_CKPT_EVERY = 3
+
 
 def _pagerank_oracle(iters: int) -> str:
     """Unrolled K-iteration PageRank in DuckDB SQL (aggregation over the
@@ -831,7 +841,8 @@ def d10_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d09's single PageRank step iterated to the fixed point — the
     stated pattern (d06's discipline) made real: a driver loop of
     join + aggregate rounds, ``localCheckpoint`` truncating lineage
-    every round, exactly {PAGERANK_ITERS} rounds (no early stop — see
+    every {PAGERANK_CKPT_EVERY} rounds (the measured optimum — see the
+    constant's note), exactly {PAGERANK_ITERS} rounds (no early stop — see
     the PAGERANK_ITERS note: a deterministic unroll is what makes the
     ranks bit-identical to the oracle's unrolled SQL stages before the
     6dp rounding, and it is also one driver action per round cheaper).
@@ -858,23 +869,22 @@ def d10_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edge_w = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(PAGERANK_ITERS):
+    for i in range(PAGERANK_ITERS):
         contrib = (
             edge_w.join(ranks, edge_w.src == ranks.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
         )
-        new_ranks = (
-            nodes.join(contrib, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit((1 - PAGERANK_DAMPING) / n_nodes)
-                    + PAGERANK_DAMPING * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)  # flat plan at any iteration count
+        new_ranks = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit((1 - PAGERANK_DAMPING) / n_nodes)
+                + PAGERANK_DAMPING * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
         )
+        # bounded-depth plan without a per-round job (PAGERANK_CKPT_EVERY)
+        if (i + 1) % PAGERANK_CKPT_EVERY == 0 or i == PAGERANK_ITERS - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 

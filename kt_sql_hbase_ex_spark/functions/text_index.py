@@ -53,7 +53,7 @@ from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table, table_path
 
 #: bump to invalidate previously-built index layouts on disk
-_LAYOUT_VERSION = 1
+_LAYOUT_VERSION = 2
 
 
 def term_prefix(term_col):
@@ -94,9 +94,14 @@ def _write_index_parts(docs: DataFrame, root: str) -> None:
     only, so plain file appends ARE the upsert; stats land as a partial
     row compacted at read (st07's log+compaction)."""
     postings = _postings_of(docs)
-    postings.write.mode("append").partitionBy("term_pfx").parquet(
-        os.path.join(root, "postings")
-    )
+    # co-locate each prefix before the partitioned write: one file per
+    # prefix partition per batch instead of (writer-partitions × prefix)
+    # small files — file count is what query-time listing and task
+    # scheduling pay for. At real scale the same shuffle keys the write
+    # to target file sizes (maxRecordsPerFile), not one-file-per-prefix.
+    postings.repartition("term_pfx").write.mode("append").partitionBy(
+        "term_pfx"
+    ).parquet(os.path.join(root, "postings"))
     doclen = postings.groupBy("doc_id").agg(F.count("*").alias("dl"))
     doclen.write.mode("append").parquet(os.path.join(root, "doclen"))
     stats = doclen.agg(
