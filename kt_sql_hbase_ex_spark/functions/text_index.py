@@ -172,6 +172,58 @@ def read_corpus_stats(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def compact_text_index(spark: SparkSession, root: str) -> None:
+    """Compaction — the other half of log+append maintenance (opt09's
+    small-file story applied to the index): every maintenance batch
+    appends one file per touched prefix partition plus doclen/stats
+    partials, so a long-lived index accretes small files that query-time
+    listing and task scheduling pay for. Compaction rewrites each layer
+    to its minimal file count without changing a single row:
+
+    * ``postings``: one shuffle keyed by ``term_pfx`` → one file per
+      prefix partition, swapped in under DYNAMIC partition overwrite so
+      only rewritten partitions are touched (readers of other prefixes
+      are never disturbed — the opt08 backfill idiom);
+    * ``doclen``: coalesced rewrite via staging + atomic rename;
+    * ``stats``: the partial rows fold to ONE row (the same compaction
+      the readers do on the fly, made durable).
+
+    At 100 TB this runs per-prefix on a size trigger (files-per-partition
+    or bytes threshold), not corpus-wide; the shuffle keys to target
+    file sizes instead of one-file-per-prefix."""
+    import shutil
+
+    postings_dir = os.path.join(root, "postings")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        compacted = spark.read.parquet(postings_dir).repartition("term_pfx")
+        # self-overwrite is safe under dynamic mode only via a staged
+        # read: localCheckpoint materializes the rows before the
+        # overwrite drops the source files
+        compacted.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).partitionBy("term_pfx").parquet(postings_dir)
+    finally:
+        spark.conf.set(mode_key, old)
+
+    for layer, ncoalesce in (("doclen", 1), ("stats", 1)):
+        src = os.path.join(root, layer)
+        staging = f"{src}.compact.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        df = spark.read.parquet(src)
+        if layer == "stats":
+            df = df.agg(
+                F.sum("pn_docs").alias("pn_docs"), F.sum("pdl_sum").alias("pdl_sum")
+            )
+        df.coalesce(ncoalesce).write.parquet(staging)
+        old_dir = f"{src}.old.{os.getpid()}"
+        os.rename(src, old_dir)
+        os.rename(staging, src)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+
 #: t13: term statistics queried from the MAINTAINED index. Bucket 9 of
 #: the tr01 split rule plays the 'newly arrived batch'.
 T13_TERMS = ("customer", "join", "hash")

@@ -295,3 +295,56 @@ def test_index_streaming_maintenance_matches_batch_build(spark, sf_small):
     assert s_stream["n_docs"] == s_batch["n_docs"]
     assert abs(s_stream["avgdl"] - s_batch["avgdl"]) < 1e-9
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_compaction_preserves_results_and_shrinks_files(spark, sf_small):
+    """compact_text_index: after several maintenance appends, compaction
+    must (a) reduce the index's file count, (b) change NO query-visible
+    row — term stats, doclen, and corpus stats identical before/after —
+    and (c) fold the stats partials to one durable row."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index,
+        read_corpus_stats,
+        read_postings,
+        upsert_index_batch,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_compact")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_small, "documents")
+    # 3 maintenance appends -> 3 files per touched prefix + 3 partials
+    for k in range(3):
+        upsert_index_batch(docs.filter(F.col("doc_id") % 3 == k), base)
+
+    def n_files():
+        return len(glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True))
+
+    terms = ("customer", "join", "hash")
+
+    def snapshot():
+        stats = read_corpus_stats(spark, base).first()
+        tf = {
+            r["term"]: (r["df"], r["tf"])
+            for r in read_postings(spark, base, terms)
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"), F.count("*").alias("tf"))
+            .collect()
+        }
+        return stats["n_docs"], round(stats["avgdl"], 9), tf
+
+    before_files, before = n_files(), snapshot()
+    compact_text_index(spark, base)
+    after_files, after = n_files(), snapshot()
+
+    assert after == before
+    assert after_files < before_files, (before_files, after_files)
+    assert spark.read.parquet(os.path.join(base, "stats")).count() == 1
+    shutil.rmtree(base, ignore_errors=True)
