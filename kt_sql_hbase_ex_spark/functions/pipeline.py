@@ -157,6 +157,44 @@ def tr03_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 8
 
 
+def striped_global_rank(df: DataFrame, sort_cols) -> DataFrame:
+    """Exact global 1-based rank over ``sort_cols`` (a total order)
+    WITHOUT a global window — the scale-safe two-pass form tr04 uses:
+
+    1. range-repartition on the sort key (the exchange any total ORDER
+       BY pays; partitions are range-disjoint and ordered);
+    2. per-partition local rank (window partitioned by partition id) +
+       per-partition counts → prefix offsets via a broadcast triangular
+       self-join (#partitions² tiny rows);
+    3. global rank = offset + local rank.
+
+    Correct for ANY sampled range boundaries because the sort key is a
+    total order; ``localCheckpoint`` pins one materialization of the
+    partitioning so the count pass and the rank pass can never see
+    different layouts. Adds a ``rank`` column; drops none."""
+    from pyspark.sql import Window as W
+
+    parted = (
+        df.repartitionByRange(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("__pid").agg(F.count("*").alias("__n"))
+    lower = counts.select(F.col("__pid").alias("__lpid"), F.col("__n").alias("__ln"))
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("__lpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__ln"), F.lit(0)).alias("__offset"))
+    )
+    lrank = F.row_number().over(W.partitionBy("__pid").orderBy(*sort_cols))
+    return (
+        parted.withColumn("__lrank", lrank)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("rank", F.col("__offset") + F.col("__lrank"))
+        .drop("__pid", "__lrank", "__offset")
+    )
+
+
 @query(
     "tr04_token_balanced_shards",
     oracle=f"""
@@ -202,31 +240,10 @@ def tr04_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partitioning so the count pass and the rank pass can never see
     different layouts."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    from pyspark.sql import Window as W
-
     toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    parted = (
-        toks.repartitionByRange(F.desc("n_tok"), F.asc("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = parted.groupBy("pid").agg(F.count("*").alias("n"))
-    lower = counts.select(F.col("pid").alias("lpid"), F.col("n").alias("ln"))
-    offsets = (
-        counts.join(F.broadcast(lower), F.col("lpid") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("offset"))
-    )
-    lrank = F.row_number().over(
-        W.partitionBy("pid").orderBy(F.desc("n_tok"), F.asc("doc_id"))
-    )
-    sharded = (
-        parted.withColumn("lrank", lrank)
-        .join(F.broadcast(offsets), "pid")
-        .withColumn(
-            "shard",
-            (F.lit(1) + (F.col("offset") + F.col("lrank") - 1) % N_SHARDS).cast("int"),
-        )
+    ranked = striped_global_rank(toks, [F.desc("n_tok"), F.asc("doc_id")])
+    sharded = ranked.withColumn(
+        "shard", (F.lit(1) + (F.col("rank") - 1) % N_SHARDS).cast("int")
     )
     return sharded.groupBy("shard").agg(
         F.count("*").alias("n_docs"),

@@ -486,3 +486,70 @@ def test_micros_equals_round_three_factor_product(p, d, t):
         abs(exact_dec).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
     )
     assert _micros_formula(x) == exact, (p, d, t)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(KEYS, VALS), min_size=0, max_size=25, unique_by=lambda r: r[0]
+    )
+)
+@_settings
+def test_striped_global_rank_matches_total_order(spark, rows):
+    """striped_global_rank (tr04's scale-safe two-pass form) must equal
+    the naive global ROW_NUMBER for any input — including duplicate
+    weights (doc-id tiebreak), empty input, and single rows — for any
+    sampled range boundaries."""
+    from kt_sql_hbase_ex_spark.functions.pipeline import striped_global_rank
+
+    df = spark.createDataFrame(rows or [(None, None)], "k int, w int").filter(
+        F.col("k").isNotNull()
+    )
+    got = {
+        r["k"]: r["rank"]
+        for r in striped_global_rank(df, [F.desc("w"), F.asc("k")]).collect()
+    }
+    expected = {
+        k: i + 1
+        for i, (k, _w) in enumerate(sorted(rows, key=lambda r: (-r[1], r[0])))
+    }
+    assert got == expected
+
+
+@given(
+    cents=st.lists(st.integers(-10**9, 10**9), min_size=0, max_size=30),
+    seed=st.integers(0, 2**16),
+)
+@_settings
+def test_stateful_micros_batching_independent(cents, seed):
+    """st06's pandas-side micro-unit integerization (np add-half-trunc)
+    must recover the exact cents*1e4 integer per row and therefore sum
+    to the same total under ANY batching split — the property that
+    makes the streaming money state equal the batch oracle."""
+    import random
+
+    import numpy as np
+
+    values = [c / 100.0 for c in cents]
+
+    def batch_micros(vs):
+        if not vs:
+            return 0
+        scaled = np.array(vs, dtype="float64") * 1e6
+        return int(
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+            .astype("int64")
+            .sum()
+        )
+
+    exact = sum(c * 10_000 for c in cents)
+    assert batch_micros(values) == exact
+
+    rng = random.Random(seed)
+    cuts = sorted(rng.randint(0, len(values)) for _ in range(3))
+    parts = [
+        values[: cuts[0]],
+        values[cuts[0] : cuts[1]],
+        values[cuts[1] : cuts[2]],
+        values[cuts[2] :],
+    ]
+    assert sum(batch_micros(p) for p in parts) == exact
