@@ -632,3 +632,136 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("doc_id", F.round("score", 6).alias("bm25"), "rnk")
     )
+
+
+#: t14: conjunctive (AND) web-search query: both terms REQUIRED, ranked
+#: by BM25 with an exact-phrase adjacency boost — the t11 (positions) +
+#: t12 (scoring) composition a real search API serves.
+T14_TERMS = ("customer", "join")
+T14_PHRASE_BOOST = 0.5
+T14_TOP_K = 15
+
+
+@query(
+    "t14_boolean_phrase_rank",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, i AS p, t[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM pos GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM pos WHERE term IN {T14_TERMS}
+        GROUP BY doc_id, term
+    ),
+    both_terms AS (
+        SELECT doc_id FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    bm25 AS (
+        SELECT tf.doc_id,
+               SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * doclen.dl / stats.avgdl))) AS base
+        FROM tf
+        JOIN both_terms USING (doc_id)
+        JOIN df USING (term)
+        JOIN doclen ON doclen.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    phrases AS (
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+        FROM (SELECT doc_id, p FROM pos WHERE term = '{T14_TERMS[0]}') a
+        JOIN (SELECT doc_id, p FROM pos WHERE term = '{T14_TERMS[1]}') b
+          ON a.doc_id = b.doc_id AND b.p - a.p = 1
+        GROUP BY a.doc_id
+    ),
+    scored AS (
+        SELECT bm25.doc_id,
+               COALESCE(phrases.n_phrase, 0) AS n_phrase,
+               bm25.base + {T14_PHRASE_BOOST} * COALESCE(phrases.n_phrase, 0) AS score
+        FROM bm25 LEFT JOIN phrases ON phrases.doc_id = bm25.doc_id
+    )
+    SELECT doc_id, n_phrase, ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= {T14_TOP_K}
+    """,
+)
+def t14_boolean_phrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-API composition over the persisted index: a
+    conjunctive (AND) query — documents must contain BOTH terms — ranked
+    by BM25 with an exact-phrase adjacency boost
+    (+{T14_PHRASE_BOOST}·n_phrase), top-{T14_TOP_K}. One pruned index
+    read serves everything: positions for the phrase join, counts for
+    tf, aggregates for df — ``documents`` is never scanned. Shapes are
+    the proven ones composed: the AND filter is a doc-keyed HAVING over
+    the two terms' postings (shuffle ∝ matched postings), the phrase
+    count is t11's position-arithmetic join, scoring is t12's broadcast
+    df/stats BM25, and the cut is TakeOrderedAndProject with rnk over
+    the {T14_TOP_K} survivors — no corpus-wide window anywhere."""
+    from pyspark.sql import Window as W
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        ensure_text_index,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+    )
+
+    idx = ensure_text_index(spark, sf_dir)
+    pos = read_postings(spark, idx, T14_TERMS).localCheckpoint()  # feeds 3 consumers
+    doclen = read_doclen(spark, idx).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    stats = read_corpus_stats(spark, idx)
+
+    tf = pos.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    both = tf.groupBy("doc_id").agg(
+        F.count_distinct("term").alias("nt")
+    ).filter(F.col("nt") == 2).select("doc_id")
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    base = (
+        tf.join(F.broadcast(both), "doc_id", "left_semi")
+        .join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("base"))
+    )
+    a = pos.filter(F.col("term") == T14_TERMS[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = pos.filter(F.col("term") == T14_TERMS[1]).select("doc_id", F.col("pos").alias("pb"))
+    phrases = (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") - F.col("pa") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_phrase"))
+    )
+    scored = base.join(phrases, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_phrase", F.lit(0)).alias("n_phrase"),
+        (F.col("base") + T14_PHRASE_BOOST * F.coalesce("n_phrase", F.lit(0))).alias(
+            "score"
+        ),
+    )
+    topk = scored.orderBy(F.round("score", 6).desc(), "doc_id").limit(T14_TOP_K)
+    w = W.partitionBy(F.lit(0)).orderBy(F.round("score", 6).desc(), "doc_id")
+    return topk.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "n_phrase", F.round("score", 6).alias("score"), "rnk"
+    )

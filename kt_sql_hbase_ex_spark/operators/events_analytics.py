@@ -711,3 +711,101 @@ def ev10_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum.cast("double") / F.lit(1_000_000) / F.col("cohort_users"), 4
         ).alias("ltv_per_user"),
     )
+
+
+#: ev11: deterministic experiment assignment — content-stable user-hash
+#: parity (the tr01 split rule at 2 buckets): stable across engines,
+#: layouts, and re-runs, which is what makes the analysis replayable.
+_AB_ARM_SQL = (
+    "CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+)
+_AB_ARM_SPARK = (
+    "pmod(conv(substring(md5(concat('ab:', cast(user_id AS STRING))), 1, 8), 16, 10), 2)"
+)
+
+
+@query(
+    "ev11_ab_test_lift",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id, {_AB_ARM_SQL} AS arm,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM assigned
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a * 1.0 / n_a, 6) AS cvr_a,
+           ROUND(conv_b * 1.0 / n_b, 6) AS cvr_b,
+           ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
+           ROUND((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM arms
+    """,
+)
+def ev11_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    two arms, per-arm conversion (more purchases than clicks — a
+    scale-invariant per-user predicate, interior at every fixture sf),
+    absolute lift, and the pooled two-proportion z-statistic — the
+    significance number an experimentation platform serves. Shapes: ONE
+    user-keyed aggregate collapses events to (user, arm, converted) —
+    two conditional counts, map-side combined — then a conditional
+    one-row rollup (the a09 pivot pattern) computes both arms without a
+    second pass or a join; the z formula is pure arithmetic on that
+    driver-sized row, with ``try_divide`` so a degenerate pool (all or
+    none converted) yields NULL in BOTH engines (DuckDB float division
+    by zero is NULL) instead of an ANSI error. At 100 TB: shuffle ∝
+    users, never events; assignment is the same content-stable hash the
+    split/sample family uses, so the experiment population is
+    reproducible anywhere (``rand()`` assignment would resample per
+    run — the classic invalid-experiment bug)."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                > F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("arm", F.expr(_AB_ARM_SPARK))
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    cvr_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    cvr_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.try_divide(
+        cvr_b - cvr_a,
+        F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))),
+    )
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(cvr_a, 6).alias("cvr_a"),
+        F.round(cvr_b, 6).alias("cvr_b"),
+        F.round(cvr_b - cvr_a, 6).alias("abs_lift"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -275,3 +275,102 @@ def qa03_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
         .cast("bigint")
         .alias("max_abs_diff_cents"),
     )
+
+
+#: qa04 drift monitor: fixed equi-width value buckets (the a15 rule —
+#: data-independent, so bucketing is pure row-local arithmetic and the
+#: two periods are bucketed identically), Laplace-smoothed shares.
+PSI_BUCKETS = 10
+PSI_LO, PSI_HI = 0.0, 500.0
+_PSI_W = (PSI_HI - PSI_LO) / PSI_BUCKETS
+_PSI_EPS = 0.5  # Laplace pseudo-count: keeps ln() finite on empty buckets
+
+
+@query(
+    "qa04_distribution_drift",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT LEAST(CAST(FLOOR((value - {PSI_LO}) / {_PSI_W}) AS INT),
+                     {PSI_BUCKETS - 1}) AS bucket,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 2 AS period
+        FROM events
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+    ),
+    shares AS (
+        SELECT bucket, n_ref, n_cur,
+               (n_ref + {_PSI_EPS}) / (t_ref + {_PSI_EPS} * {PSI_BUCKETS}) AS p_ref,
+               (n_cur + {_PSI_EPS}) / (t_cur + {_PSI_EPS} * {PSI_BUCKETS}) AS p_cur
+        FROM counts CROSS JOIN tot
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND(p_ref, 6) AS p_ref,
+           ROUND(p_cur, 6) AS p_cur,
+           ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib
+    FROM shares
+    """,
+)
+def qa04_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor — the data-quality gate
+    a training/scoring pipeline runs before trusting a new data window:
+    the event-value distribution of the CURRENT period (odd epoch-days)
+    against the REFERENCE period (even epoch-days), per fixed
+    equi-width bucket, with each bucket's PSI contribution
+    ``(p_cur − p_ref)·ln(p_cur/p_ref)`` (sum = the PSI; > 0.2 is the
+    conventional act threshold). Laplace smoothing ({_PSI_EPS}
+    pseudo-count over {PSI_BUCKETS} fixed buckets) keeps the log finite
+    when a bucket empties in one period — and a bucket empty in BOTH
+    periods contributes exactly 0, so reporting observed buckets only
+    loses nothing. Shapes: bucketing and period assignment are
+    row-local arithmetic (data-independent bounds, the a15 rule), both
+    periods fold into ONE conditional map-side-combined aggregate (one
+    corpus pass, never a scan per period), and the totals broadcast
+    back onto the {PSI_BUCKETS}-row bucket relation — every post-scan
+    operator is bucket-cardinality-sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor((F.col("value") - PSI_LO) / _PSI_W).cast("int"),
+        F.lit(PSI_BUCKETS - 1),
+    )
+    period = (F.unix_timestamp("ts") / 86400).cast("bigint") % 2
+    counts = (
+        e.select(bucket.alias("bucket"), period.alias("period"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + _PSI_EPS) / (F.col("t_ref") + _PSI_EPS * PSI_BUCKETS)).alias(
+            "p_ref"
+        ),
+        ((F.col("n_cur") + _PSI_EPS) / (F.col("t_cur") + _PSI_EPS * PSI_BUCKETS)).alias(
+            "p_cur"
+        ),
+    )
+    return shares.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_contrib"),
+    )
