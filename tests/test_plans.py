@@ -410,27 +410,40 @@ def test_phrase_search_filters_terms_before_join(spark, sf_small):
 
 
 def test_search_reads_persisted_index_with_pruning(spark, sf_small):
-    """t11/t12's Lucene-parity contract: both queries read the persisted
-    term-prefix-partitioned postings index with DIRECTORY pruning to the
-    query terms' prefixes (PartitionFilters), and scan ``documents``
-    ZERO times at query time — the index seek the reference's
-    HBase-stored Lucene files provided."""
+    """The Lucene-parity contract: the search queries read the persisted
+    term-prefix-partitioned postings index and scan ``documents`` ZERO
+    times at query time, and the index seek itself prunes at the
+    DIRECTORY level to the query terms' prefixes (PartitionFilters) —
+    the seek the reference's HBase-stored Lucene files provided. (t14's
+    postings read sits behind a localCheckpoint — one materialization
+    feeds its three consumers — so its pruning is asserted on the seek
+    helper's own plan, which is the exact subtree the checkpoint ran.)"""
     from kt_sql_hbase_ex_spark.functions.text import (
+        BM25_TERMS,
+        PHRASE_TERMS,
+        T14_TERMS,
         t11_phrase_search,
         t12_bm25_search,
+        t14_boolean_phrase_rank,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        ensure_text_index,
+        read_postings,
     )
     from kt_sql_hbase_ex_spark.plans.explain import executed_plan
 
-    for fn, prefixes in (
-        (t11_phrase_search, "term_pfx#, IN (c,j)"),
-        (t12_bm25_search, "term_pfx#, IN (c,h,j)"),
+    for fn in (t11_phrase_search, t12_bm25_search, t14_boolean_phrase_rank):
+        assert "documents.parquet" not in executed_plan(fn(spark, sf_small))
+
+    idx = ensure_text_index(spark, sf_small)
+    for terms, want in (
+        (PHRASE_TERMS, "IN (c,j)"),
+        (BM25_TERMS, "IN (c,h,j)"),
+        (T14_TERMS, "IN (c,j)"),
     ):
-        plan = executed_plan(fn(spark, sf_small))
-        assert "documents.parquet" not in plan, plan
+        plan = executed_plan(read_postings(spark, idx, terms))
         pf = [l for l in plan.splitlines() if "PartitionFilters: [term_pfx" in l]
-        assert pf, plan
-        want = prefixes.split("#, ")[1]
-        assert all(want in l for l in pf), plan
+        assert pf and all(want in l for l in pf), plan
 
 
 def test_native_session_window_merges_in_aggregate(spark, sf_small):
