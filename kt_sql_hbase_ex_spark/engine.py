@@ -38,6 +38,43 @@ class KtSqlEngine:
         self.sf_dir = sf_dir or cat.default_sf_dir()
         self.tables = cat.register_views(spark, self.sf_dir)
 
+    @classmethod
+    def from_properties(cls, spark: SparkSession, path: str) -> "KtSqlEngine":
+        """Connect via a properties file — the reference's bootstrap
+        surface (``application.properties`` → ``HBaseSchemaFactory``
+        operands ``{zkquorum, flavor}``, validated at
+        ``hbase/HBaseSchemaFactory.kt:22-35``). Operand mapping:
+
+        * ``datadir`` (required — the ``zkquorum`` analog: where the
+          storage lives; missing → ValueError like the factory's
+          reject-on-missing-operand)
+        * ``flavor`` (optional — the pushdown A/B knob,
+          ``HBaseTable.kt:198-207``: ``SCANNABLE`` turns Parquet filter
+          pushdown off, ``FILTERABLE``/``PROJECTFILTERABLE`` leave it
+          on; answers are identical either way, pinned by
+          ``test_pushdown_toggle_knob``)
+
+        Lines are ``key = value``; ``#`` comments and blanks skipped.
+        """
+        props: dict[str, str] = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                props[k.strip().lower()] = v.strip()
+        if "datadir" not in props:
+            raise ValueError("missing required operand 'datadir'")
+        flavor = props.get("flavor", "PROJECTFILTERABLE").upper()
+        if flavor not in ("SCANNABLE", "FILTERABLE", "PROJECTFILTERABLE"):
+            raise ValueError(f"unknown flavor {flavor!r}")
+        spark.conf.set(
+            "spark.sql.parquet.filterPushdown",
+            "false" if flavor == "SCANNABLE" else "true",
+        )
+        return cls(spark, props["datadir"])
+
     # -- query ---------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
         """Full Spark SQL dialect over the registered catalog."""

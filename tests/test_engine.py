@@ -92,3 +92,37 @@ def test_register_kv_table_sql_over_connector(eng):
         "SELECT c_custkey FROM kv_customer WHERE c_custkey = 7"
     )._jdf.queryExecution().executedPlan().toString()
     assert "ktsql_kv" in plan
+
+
+def test_from_properties_bootstrap(spark, sf_small, tmp_path):
+    """The reference's connect surface (application.properties ->
+    HBaseSchemaFactory operands): datadir required, flavor maps to the
+    pushdown knob, unknown flavor rejected — and the connected engine
+    answers SQL over the registered catalog."""
+    import pytest
+
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+    p = tmp_path / "app.properties"
+    p.write_text(f"# connect operands\ndatadir = {sf_small}\nflavor = FILTERABLE\n")
+    eng = KtSqlEngine.from_properties(spark, str(p))
+    assert eng.sql("SELECT COUNT(*) AS n FROM region").first()["n"] == 5
+    assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+
+    scannable = tmp_path / "scan.properties"
+    scannable.write_text(f"datadir = {sf_small}\nflavor = SCANNABLE\n")
+    try:
+        KtSqlEngine.from_properties(spark, str(scannable))
+        assert spark.conf.get("spark.sql.parquet.filterPushdown") == "false"
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+
+    bad = tmp_path / "bad.properties"
+    bad.write_text("flavor = FILTERABLE\n")  # no datadir
+    with pytest.raises(ValueError, match="datadir"):
+        KtSqlEngine.from_properties(spark, str(bad))
+
+    badflavor = tmp_path / "badflavor.properties"
+    badflavor.write_text(f"datadir = {sf_small}\nflavor = TURBO\n")
+    with pytest.raises(ValueError, match="flavor"):
+        KtSqlEngine.from_properties(spark, str(badflavor))
