@@ -623,11 +623,11 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(contrib).alias("score"))
     )
     topk = scored.orderBy(F.round("score", 6).desc(), "doc_id").limit(BM25_TOP_K)
-    # constant partition key: the window input is the K-row top-k cut,
-    # so "one partition" is the point — the explicit key just keeps
-    # WindowExec from logging its move-all-data warning on a relation
-    # that is provably K rows
-    w = W.partitionBy(F.lit(0)).orderBy(F.round("score", 6).desc(), "doc_id")
+    # WindowExec still logs its move-all-data warning here (a constant
+    # partition key would be folded away), but the windowed relation is
+    # the K-row limit result — bounded by construction, which is what
+    # the sweep guard in tests/test_plans.py checks
+    w = W.orderBy(F.round("score", 6).desc(), "doc_id")
     return (
         topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("doc_id", F.round("score", 6).alias("bm25"), "rnk")
@@ -761,7 +761,7 @@ def t14_boolean_phrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     topk = scored.orderBy(F.round("score", 6).desc(), "doc_id").limit(T14_TOP_K)
-    w = W.partitionBy(F.lit(0)).orderBy(F.round("score", 6).desc(), "doc_id")
+    w = W.orderBy(F.round("score", 6).desc(), "doc_id")  # K rows, bounded
     return topk.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "n_phrase", F.round("score", 6).alias("score"), "rnk"
     )
