@@ -124,7 +124,6 @@ class KtSqlEngine:
         )
 
         register_kv_source(self.spark)
-        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         df = self.spark.read.format(FORMAT_NAME).options(**store_options).load()
         df.createOrReplaceTempView(view_name)
 

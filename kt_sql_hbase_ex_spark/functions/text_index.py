@@ -122,18 +122,18 @@ def upsert_index_batch(batch_df: DataFrame, root: str) -> None:
     _write_index_parts(batch_df, root)
 
 
-def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once) and return the full-corpus index root for a fixture.
-    Build = one backfill over ``documents`` into staging + atomic
-    publish; every later call is a marker check."""
-    base = _index_root(sf_dir, "full")
+def _build_once(base: str, build_fn) -> str:
+    """Marker-checked build-and-atomically-publish (shared by the full
+    index and t13's split variant): run ``build_fn(staging_dir)`` in a
+    per-process staging dir, stamp ``_SUCCESS``, publish with ONE atomic
+    rename. Losing the publish race is fine — the competing build is
+    deterministic-identical, so the loser just discards its staging."""
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(os.path.dirname(base), exist_ok=True)
         staging = f"{base}.tmp.{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        _write_index_parts(docs, staging)
+        build_fn(staging)
         with open(os.path.join(staging, "_SUCCESS"), "w"):
             pass
         try:
@@ -141,6 +141,17 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
         except OSError:  # lost the publish race — the other build is identical
             shutil.rmtree(staging, ignore_errors=True)
     return base
+
+
+def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the full-corpus index root for a fixture.
+    Build = one backfill over ``documents`` into staging + atomic
+    publish; every later call is a marker check."""
+
+    def build(staging: str) -> None:
+        _write_index_parts(fan_out(load_table(spark, sf_dir, "documents")), staging)
+
+    return _build_once(_index_root(sf_dir, "full"), build)
 
 
 def read_postings(spark: SparkSession, root: str, terms: tuple[str, ...]) -> DataFrame:
@@ -227,9 +238,9 @@ def compact_text_index(spark: SparkSession, root: str) -> None:
 #: t13: term statistics queried from the MAINTAINED index. Bucket 9 of
 #: the tr01 split rule plays the 'newly arrived batch'.
 T13_TERMS = ("customer", "join", "hash")
-_T13_BUCKET_SQL = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
-)
+#: Spark-side only: the base/batch split is index-build provisioning the
+#: oracle never sees (it computes term stats over the FULL documents
+#: table — that blindness is the point: maintained index ≡ full build).
 _T13_BUCKET_SPARK = (
     "pmod(conv(substring(md5(cast(doc_id AS STRING)), 1, 8), 16, 10), 10)"
 )
@@ -268,22 +279,13 @@ def t13_incremental_index_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     style). Fixture provisioning publishes base+batch atomically; the
     batch append itself runs against the already-laid-out index tree,
     exactly as a foreachBatch call would."""
-    base = _index_root(sf_dir, "split")
-    marker = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(os.path.dirname(base), exist_ok=True)
-        staging = f"{base}.tmp.{os.getpid()}"
-        shutil.rmtree(staging, ignore_errors=True)
+    def build(staging: str) -> None:
         docs = fan_out(load_table(spark, sf_dir, "documents"))
         bucket = F.expr(_T13_BUCKET_SPARK)
         _write_index_parts(docs.filter(bucket != 9), staging)  # the backfill
         upsert_index_batch(docs.filter(bucket == 9), staging)  # the batch
-        with open(os.path.join(staging, "_SUCCESS"), "w"):
-            pass
-        try:
-            os.rename(staging, base)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+
+    base = _build_once(_index_root(sf_dir, "split"), build)
     tf = (
         read_postings(spark, base, T13_TERMS)
         .groupBy("doc_id", "term")

@@ -96,7 +96,12 @@ def has_unbounded_global_window(df: DataFrame) -> bool:
         if "Exchange SinglePartition" not in line:
             continue
         here = indent(line)
-        # subtree below: deeper-indented lines until indent falls back
+        # subtree below: deeper-indented lines until indent falls back.
+        # A limit bounds the exchange only if it sits on the exchange's
+        # single-child SPINE — a limit inside one input of a join/union
+        # does NOT bound the join's output, so stop accepting at the
+        # first multi-child node (DFS order: the join line precedes its
+        # children, so breaking there rejects limits in either input).
         bounded = False
         for sub in lines[n + 1 :]:
             if indent(sub) <= here:
@@ -106,6 +111,8 @@ def has_unbounded_global_window(df: DataFrame) -> bool:
                 for k in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
             ):
                 bounded = True
+                break
+            if any(k in sub for k in ("Join", "Union", "Cartesian")):
                 break
         if bounded:
             continue

@@ -736,7 +736,6 @@ def src02_kv_pushdown_scan(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = customer_store_options(sf_dir)
     opts["appId"] = spark.conf.get("spark.app.id", "shared")
     # hermetic: this query's oracle describes the pristine base, so drop
@@ -800,7 +799,6 @@ def src03_kv_write_roundtrip(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = customer_store_options(sf_dir)
     # session-scoped overlay namespace: concurrent sessions never race
     # each other's truncate/commit on a shared overlay file
@@ -853,7 +851,6 @@ def src04_kv_delete_roundtrip(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = customer_store_options(sf_dir)
     opts["appId"] = spark.conf.get("spark.app.id", "shared")
     lopts = {k.lower(): v for k, v in opts.items()}
@@ -892,7 +889,6 @@ def src06_kv_index_lookup(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     app = spark.conf.get("spark.app.id", "shared")
 
     base_opts = customer_store_options(sf_dir)
@@ -985,7 +981,6 @@ def src07_kv_composite_pk_scan(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     opts = events_kv_store_options(sf_dir)
     opts["appId"] = spark.conf.get("spark.app.id", "shared")
     # hermetic: the oracle describes the pristine base
@@ -1078,58 +1073,73 @@ def _derive_index_df(spark, base_options, index_on: str):
     """The backfill scan: the index relation derived from the
     overlay-merged base (``HBaseSchema.kt:240-255``'s scan loop,
     relationally). Reuses the connector's ``indexOn`` path, so the
-    backfill sees exactly what a reader would."""
+    backfill sees exactly what a reader would — including the key
+    column TYPES, which come from the source's own ``schema()``
+    (``KVDataSource.schema`` opens the derived store), not from any
+    hardcoded type mapping."""
     opts = {k: v for k, v in dict(base_options).items()}
-    key_cols = opts["keyCol"].split(",") if "keyCol" in opts else opts["keycol"].split(",")
+    key_col = opts.get("keyCol", opts.get("keycol"))
+    key_cols = key_col.split(",")
     opts["columns"] = ",".join(dict.fromkeys(key_cols + [index_on]))
     opts["indexOn"] = index_on
     register_kv_source(spark)
-    key_schema = ", ".join(f"{c} bigint" for c in key_cols)
-    return (
-        spark.read.format(FORMAT_NAME)
-        .options(**opts)
-        .schema(f"{INDEX_KEY} string, {key_schema}")
-        .load()
-    )
+    return spark.read.format(FORMAT_NAME).options(**opts).load()
+
+
+def _write_index_meta(meta_path: str, meta: dict) -> None:
+    """Atomic catalog flip: the meta file IS the index's existence, so
+    ``os.replace`` of a fully-written temp file means readers see either
+    the old attribute row or the new one, never a torn write."""
+    import json
+
+    tmp = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def _build_index_version(spark, root: str, index_name: str, base_options, index_on: str) -> str:
+    """Backfill into a fresh UNIQUELY-NAMED data dir and return its
+    path. Uniqueness (uuid suffix) means a build can never collide with
+    an orphaned dir from a crashed earlier attempt — the meta file is
+    the only pointer that makes a version live."""
+    import uuid
+
+    data_dir = os.path.join(root, f"idx.{index_name}.{uuid.uuid4().hex[:12]}")
+    _derive_index_df(spark, base_options, index_on).write.parquet(data_dir)
+    return data_dir
 
 
 def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
     """CREATE INDEX: reject-if-exists, backfill, persist, flip catalog
     attributes. Returns the options bundle that reads the persisted
-    index THROUGH the connector (rowkey-range pushdown and all)."""
-    import json
-    import shutil
+    index THROUGH the connector (rowkey-range pushdown and all).
 
+    Crash-safety model: the backfill lands in a uniquely-named version
+    dir; the atomic meta write is the publish point. A crash before the
+    meta write leaves only an unreferenced dir (garbage, never served);
+    there is no window in which meta can point at stale data."""
     root = _kv_index_root(base_options)
     meta_path = _index_meta_path(base_options, index_name)
     if os.path.exists(meta_path):
         raise IndexExistsError(f"index {index_name!r} exists when create index")
     os.makedirs(root, exist_ok=True)
 
-    data_dir = os.path.join(root, f"idx.{index_name}")
-    staging = f"{data_dir}.tmp.{os.getpid()}"
-    shutil.rmtree(staging, ignore_errors=True)
-    _derive_index_df(spark, base_options, index_on).write.parquet(staging)
-    try:
-        os.rename(staging, data_dir)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-
+    data_dir = _build_index_version(spark, root, index_name, base_options, index_on)
     opts = {k.lower(): v for k, v in dict(base_options).items()}
-    meta = {
-        # the table.sys attribute flips (HBaseSchema.kt:257-263)
-        "INDEX_TYPE": "KEY_VALUE",
-        "INDEX": index_on,
-        "index_name": index_name,
-        "base_path": os.path.realpath(opts["path"]),
-        "key_cols": opts["keycol"],
-        "base_signature": _base_signature(base_options),
-        "data_dir": data_dir,
-    }
-    tmp = f"{meta_path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    _write_index_meta(
+        meta_path,
+        {
+            # the table.sys attribute flips (HBaseSchema.kt:257-263)
+            "INDEX_TYPE": "KEY_VALUE",
+            "INDEX": index_on,
+            "index_name": index_name,
+            "base_path": os.path.realpath(opts["path"]),
+            "key_cols": opts["keycol"],
+            "base_signature": _base_signature(base_options),
+            "data_dir": data_dir,
+        },
+    )
     return persisted_index_read_options(base_options, index_name)
 
 
@@ -1184,15 +1194,29 @@ def persisted_index_read_options(base_options, index_name: str) -> dict:
 
 def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     """Compaction-style maintenance: re-derive from the current
-    overlay-merged base and replace the index data + its recorded base
-    signature (see the module-section note for why this engine
-    refreshes instead of per-write dual-Puts)."""
+    overlay-merged base into a NEW version dir, atomically repoint the
+    meta at it, then delete the old version (see the module-section
+    note for why this engine refreshes instead of per-write dual-Puts).
+    Readers are never exposed to a missing index: until the atomic meta
+    replace they serve the old version, after it the new one; a crash
+    mid-refresh leaves at worst an unreferenced version dir."""
     import json
+    import shutil
 
-    with open(_index_meta_path(base_options, index_name)) as f:
+    meta_path = _index_meta_path(base_options, index_name)
+    if not os.path.exists(meta_path):
+        raise IndexExistsError(f"index {index_name!r} not exists when refresh index")
+    with open(meta_path) as f:
         meta = json.load(f)
-    drop_kv_index(index_name, base_options)
-    return create_kv_index(spark, index_name, base_options, meta["INDEX"])
+    old_dir = meta["data_dir"]
+    new_dir = _build_index_version(
+        spark, _kv_index_root(base_options), index_name, base_options, meta["INDEX"]
+    )
+    meta["data_dir"] = new_dir
+    meta["base_signature"] = _base_signature(base_options)
+    _write_index_meta(meta_path, meta)  # the atomic flip
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return persisted_index_read_options(base_options, index_name)
 
 
 def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
@@ -1206,7 +1230,7 @@ def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
         )
         if fresh:
             return persisted_index_read_options(base_options, index_name)
-        drop_kv_index(index_name, base_options)
+        return refresh_kv_index(spark, index_name, base_options)
     return create_kv_index(spark, index_name, base_options, index_on)
 
 
@@ -1235,7 +1259,6 @@ def src09_kv_persisted_index_lookup(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     base_opts = customer_store_options(sf_dir)
     base_opts["appId"] = spark.conf.get("spark.app.id", "shared")
     # hermetic: the oracle describes the pristine base

@@ -409,7 +409,10 @@ def _user_stats_fn(key, pdf_iter, state):
         n, total_micros, max_ts = 0, 0, 0
     for pdf in pdf_iter:
         n += len(pdf)
-        scaled = pdf["value"].to_numpy() * 1e6
+        v = pdf["value"].to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]  # null money = no contribution (SUM skipna),
+        # and NaN through floor+astype would become INT64_MIN garbage
+        scaled = v * 1e6
         micros = np.where(
             scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
         ).astype("int64")
@@ -700,7 +703,6 @@ def st10_stream_to_kv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_kv_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
     # --- provision the serving store (empty base, result schema) -----
     import pyarrow as pa

@@ -523,6 +523,28 @@ def test_no_unbounded_single_partition_windows(spark, sf_small):
     assert not offenders, f"unbounded single-partition windows: {offenders}"
 
 
+def test_window_detector_rejects_limit_inside_join_input(spark, sf_small):
+    """The guard's boundedness rule is SPINE-only: a Limit inside one
+    input of a join must NOT bound the join's output — a global window
+    over `big LEFT JOIN (limited)` still scales with the big side and
+    must be flagged."""
+    from pyspark.sql import Window as W
+
+    from kt_sql_hbase_ex_spark.plans.explain import has_unbounded_global_window
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    big = load_table(spark, sf_small, "documents")
+    limited = big.orderBy("doc_id").limit(5).select("doc_id", F.col("lang").alias("l2"))
+    joined = big.join(limited, "doc_id", "left")
+    bad = joined.withColumn("r", F.row_number().over(W.orderBy("doc_id")))
+    assert has_unbounded_global_window(bad)
+    # while a limit on the SPINE (above the join) still bounds
+    good = joined.orderBy("doc_id").limit(7).withColumn(
+        "r", F.row_number().over(W.orderBy("doc_id"))
+    )
+    assert not has_unbounded_global_window(good)
+
+
 def test_bm25_topk_avoids_global_window(spark, sf_small):
     """t12's round-4 defect stays dead: the top-k cut plans as
     TakeOrderedAndProject and the only window ranks the K surviving
