@@ -340,6 +340,34 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """The persisted near-dup pair set — the 'at 100 TB you persist the
+    candidate set' that d03's docstring promises, made real with the
+    text-index provisioning discipline (fingerprinted by the documents
+    file, staging + atomic publish, built once per fixture): d03's
+    VERIFIED output (doc_a, doc_b, jaccard) written as the similarity
+    graph's edge table. The graph-analytics consumers (d06 connected
+    components, d09/d10 PageRank) read this store instead of re-running
+    the shingle→minhash→band-join→verify chain per query — exactly how
+    a production dedup pipeline runs: one candidate materialization,
+    many downstream graph jobs."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    def build(staging: str) -> None:
+        d03_minhash_lsh(spark, sf_dir).write.parquet(staging)
+
+    return _build_once(_index_root(sf_dir, "lshpairs"), build)
+
+
+def read_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) edges from the persisted pair store."""
+    root = ensure_pair_store(spark, sf_dir)
+    return spark.read.parquet(root).select("doc_a", "doc_b")
+
+
 _SIMHASH_SIG_SQL = f"""
     tok AS (
         SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -484,9 +512,8 @@ def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny in practice, so 2-4 rounds. The oracle replays it as a
     DuckDB recursive CTE — same fixed point, declaratively."""
     pairs = (
-        d03_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # pairs feed every iteration: compute once
+        read_verified_pairs(spark, sf_dir)  # persisted pair store (one build)
+        .localCheckpoint(eager=True)  # pairs feed every iteration: pin in memory
     )
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -736,7 +763,7 @@ def d09_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and degrees shuffle on doc_id (state ∝ nodes); contributions
     shuffle ∝ edges — the standard Pregel profile, with the similarity
     graph orders of magnitude smaller than the corpus."""
-    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = read_verified_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -853,13 +880,13 @@ def d10_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     one edge-keyed shuffle (∝ edges) + one node-keyed aggregate
     (∝ nodes), state is the rank vector only; checkpointing keeps the
     plan flat at any iteration count."""
-    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = read_verified_pairs(spark, sf_dir)  # persisted pair store
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)  # feeds every round: compute pairs once
+        .localCheckpoint(eager=True)  # feeds every round: pin in memory
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     n_nodes = nodes.count()
