@@ -356,10 +356,19 @@ def ensure_pair_store(spark: SparkSession, sf_dir: str) -> str:
         _index_root,
     )
 
+    # the store variant carries EVERY parameter the pair set depends on:
+    # change any LSH constant and the fingerprint changes, so a stale
+    # on-disk pair set from the old algorithm can never be served (the
+    # documents-file identity + layout version come from _index_root)
+    variant = (
+        f"lshpairs|{N_HASHES}|{BAND_ROWS}|{JACCARD_THRESHOLD}|{SHINGLE_N}"
+        f"|{SHINGLE_C1}|{SHINGLE_C2}|{MINHASH_A[0]}|{MINHASH_B[0]}"
+    )
+
     def build(staging: str) -> None:
         d03_minhash_lsh(spark, sf_dir).write.parquet(staging)
 
-    return _build_once(_index_root(sf_dir, "lshpairs"), build)
+    return _build_once(_index_root(sf_dir, variant), build)
 
 
 def read_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,7 +112,14 @@ def has_unbounded_global_window(df: DataFrame) -> bool:
             ):
                 bounded = True
                 break
-            if any(k in sub for k in ("Join", "Union", "Cartesian")):
+            # stop at multi-child nodes (a limit inside one join/union
+            # input doesn't bound the output) AND at row-expanding
+            # single-child nodes (a limit below an explode/Expand bounds
+            # input rows, not the expanded set)
+            if any(
+                k in sub
+                for k in ("Join", "Union", "Cartesian", "Generate", "Expand")
+            ):
                 break
         if bounded:
             continue

@@ -498,6 +498,12 @@ def _open_store(options) -> KVStore:
     cached = _STORE_CACHE.get(config_key)
     if cached is not None and cached[0] == signature:
         return cached[1]
+    # evict entries whose backing path no longer exists (versioned index
+    # dirs are superseded by refresh and GC'd — without this sweep each
+    # new version would ADD a cache entry and the bounded-memory
+    # invariant above would silently break)
+    for k in [k for k in _STORE_CACHE if not os.path.exists(k[0])]:
+        del _STORE_CACHE[k]
     store = load_kv_store_from_parquet(
         f"kv:{path}", path, key_col, columns, region_size=region_size
     )
@@ -1157,6 +1163,8 @@ def drop_kv_index(index_name: str, base_options) -> None:
         meta = json.load(f)
     os.unlink(meta_path)
     shutil.rmtree(meta.get("data_dir", ""), ignore_errors=True)
+    # sweep superseded versions awaiting deferred GC too
+    _gc_index_versions(_kv_index_root(base_options), index_name, keep="")
 
 
 def list_kv_indexes(base_options) -> list[dict]:
@@ -1192,43 +1200,62 @@ def persisted_index_read_options(base_options, index_name: str) -> dict:
     }
 
 
+def _gc_index_versions(root: str, index_name: str, keep: str) -> None:
+    """Deferred version GC: delete every ``idx.<name>.<uuid>`` dir that
+    is not the live one. Called at the START of the next refresh — not
+    when a version is superseded — so a reader holding options that
+    point at the just-replaced version gets a full refresh cycle to
+    finish before its files disappear (a production deployment ties
+    this to a retention window instead of a cycle count)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(root, f"idx.{index_name}.*")):
+        if d != keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     """Compaction-style maintenance: re-derive from the current
-    overlay-merged base into a NEW version dir, atomically repoint the
-    meta at it, then delete the old version (see the module-section
-    note for why this engine refreshes instead of per-write dual-Puts).
-    Readers are never exposed to a missing index: until the atomic meta
-    replace they serve the old version, after it the new one; a crash
-    mid-refresh leaves at worst an unreferenced version dir."""
+    overlay-merged base into a NEW version dir and atomically repoint
+    the meta at it (see the module-section note for why this engine
+    refreshes instead of per-write dual-Puts). Readers that re-resolve
+    through the meta always see a complete version — old before the
+    atomic replace, new after; the superseded version is not deleted
+    here but by the NEXT refresh's deferred GC, so readers already
+    holding its path get a full cycle to drain. A crash mid-refresh
+    leaves at worst an unreferenced version dir for the GC."""
     import json
-    import shutil
 
     meta_path = _index_meta_path(base_options, index_name)
     if not os.path.exists(meta_path):
         raise IndexExistsError(f"index {index_name!r} not exists when refresh index")
     with open(meta_path) as f:
         meta = json.load(f)
-    old_dir = meta["data_dir"]
-    new_dir = _build_index_version(
-        spark, _kv_index_root(base_options), index_name, base_options, meta["INDEX"]
-    )
+    root = _kv_index_root(base_options)
+    _gc_index_versions(root, index_name, keep=meta["data_dir"])
+    new_dir = _build_index_version(spark, root, index_name, base_options, meta["INDEX"])
     meta["data_dir"] = new_dir
     meta["base_signature"] = _base_signature(base_options)
     _write_index_meta(meta_path, meta)  # the atomic flip
-    shutil.rmtree(old_dir, ignore_errors=True)
     return persisted_index_read_options(base_options, index_name)
 
 
 def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
     """Provisioning helper for demo queries: create if missing, reuse
     if present AND fresh, rebuild if stale."""
+    import json
+
     meta_path = _index_meta_path(base_options, index_name)
     if os.path.exists(meta_path):
-        fresh = any(
-            m["index_name"] == index_name and m["fresh"]
-            for m in list_kv_indexes(base_options)
-        )
-        if fresh:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["INDEX"] != index_on:
+            # same name, different column: honor the caller's request —
+            # a refresh would silently rebuild the OLD column's index
+            drop_kv_index(index_name, base_options)
+            return create_kv_index(spark, index_name, base_options, index_on)
+        if meta.get("base_signature") == _base_signature(base_options):
             return persisted_index_read_options(base_options, index_name)
         return refresh_kv_index(spark, index_name, base_options)
     return create_kv_index(spark, index_name, base_options, index_on)

@@ -766,3 +766,77 @@ class TestPersistedIndexLifecycle:
         finally:
             drop_kv_index("stale_t", opts)
             truncate_overlay({k.lower(): v for k, v in opts.items()})
+
+    def test_ensure_honors_changed_index_column(self, spark, sf_small):
+        """ensure_kv_index with a DIFFERENT column for an existing stale
+        index name must rebuild on the REQUESTED column, not refresh the
+        old one (regression: refresh used meta['INDEX'])."""
+        from pyspark.sql import functions as F
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            drop_kv_index,
+            ensure_kv_index,
+            index_prefix_bounds,
+            list_kv_indexes,
+        )
+
+        opts = self._opts(spark, sf_small)
+        ensure_kv_index(spark, "flex_t", opts, "c_mktsegment")
+        try:
+            idx_opts = ensure_kv_index(spark, "flex_t", opts, "c_nationkey")
+            meta = list_kv_indexes(opts)[0]
+            assert meta["INDEX"] == "c_nationkey"
+            lo, hi = index_prefix_bounds(7)
+            got = (
+                spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+                .count()
+            )
+            exp = (
+                spark.read.format(FORMAT_NAME)
+                .options(**opts)
+                .schema("c_custkey bigint, c_nationkey int")
+                .load()
+                .filter(F.col("c_nationkey") == 7)
+                .count()
+            )
+            assert got == exp > 0
+        finally:
+            drop_kv_index("flex_t", opts)
+
+    def test_refresh_defers_old_version_gc(self, spark, sf_small):
+        """The superseded version dir survives its own refresh (in-flight
+        readers drain) and is GC'd by the NEXT refresh."""
+        import glob
+        import json
+        import os
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _index_meta_path,
+            _kv_index_root,
+            create_kv_index,
+            drop_kv_index,
+            refresh_kv_index,
+        )
+
+        opts = self._opts(spark, sf_small)
+        create_kv_index(spark, "gc_t", opts, "c_mktsegment")
+        try:
+            root = _kv_index_root(opts)
+            with open(_index_meta_path(opts, "gc_t")) as f:
+                v1 = json.load(f)["data_dir"]
+            refresh_kv_index(spark, "gc_t", opts)
+            assert os.path.exists(v1)  # deferred: old version still drains
+            refresh_kv_index(spark, "gc_t", opts)
+            assert not os.path.exists(v1)  # collected one cycle later
+            # steady state: the live version + at most the one it
+            # superseded (still draining until the next refresh)
+            live = json.load(open(_index_meta_path(opts, "gc_t")))["data_dir"]
+            vers = glob.glob(os.path.join(root, "idx.gc_t.*"))
+            assert live in vers and len(vers) == 2
+        finally:
+            drop_kv_index("gc_t", opts)

@@ -543,6 +543,18 @@ def test_window_detector_rejects_limit_inside_join_input(spark, sf_small):
         "r", F.row_number().over(W.orderBy("doc_id"))
     )
     assert not has_unbounded_global_window(good)
+    # a limit BELOW an explode bounds input rows, not the expanded set —
+    # when the expanded relation is distributed (repartition makes the
+    # SinglePartition exchange explicit in the plan), the guard must
+    # flag the collapse despite the limit further down the spine
+    exploded = (
+        big.orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .repartition(8)
+    )
+    bad2 = exploded.withColumn("r", F.row_number().over(W.orderBy("tok")))
+    assert has_unbounded_global_window(bad2)
 
 
 def test_bm25_topk_avoids_global_window(spark, sf_small):
