@@ -347,6 +347,10 @@ def qa04_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_ref"),
             F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
         )
+        # feeds BOTH the totals and the shares: materialize the
+        # bucket-cardinality relation once so the corpus is scanned
+        # once (the d03/ev07 multi-consumer discipline; plan-pinned)
+        .localCheckpoint()
     )
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")

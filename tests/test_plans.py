@@ -602,3 +602,33 @@ def test_time_range_window_single_shuffle(spark, sf_small):
     assert "RangeFrame" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ab_lift_single_user_shuffle_no_joins(spark, sf_small):
+    """ev11's contract: events collapse in ONE user-keyed aggregate and
+    both arms come from a conditional one-row rollup — no join chain,
+    no per-arm pass (the only SinglePartition exchange carries the
+    partial-agg rows of the final one-row rollup)."""
+    from kt_sql_hbase_ex_spark.operators.events_analytics import ev11_ab_test_lift
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(ev11_ab_test_lift(spark, sf_small))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_drift_monitor_one_pass_broadcast_totals(spark, sf_small):
+    """qa04's contract: both periods fold into one conditional
+    map-side-combined aggregate (never a scan per period) and the
+    period totals broadcast back onto the bucket-cardinality relation."""
+    from kt_sql_hbase_ex_spark.operators.quality import qa04_distribution_drift
+    from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+
+    plan = simple_plan(qa04_distribution_drift(spark, sf_small))
+    # the corpus is folded into the checkpointed bucket relation ONCE —
+    # both consumers (totals, shares) read the materialized RDD, so the
+    # final plan carries no parquet scan at all
+    assert plan.count("FileScan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # one-row totals
+    assert "SortMergeJoin" not in plan, plan
