@@ -423,14 +423,23 @@ def sim03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning. Cosines are rounded to 6dp *before* ranking on
     both engines so a last-ulp difference can't flip an argmax."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    # K-row centroid table: materialize once — unmaterialized, every
+    # consumer re-expands its corpus-scan lineage (round-5 multi-scan
+    # audit: 6 embeddings scans in this one query)
+    cent = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .localCheckpoint()
     )
-    scored_cells = e.select("vec_id", "embedding").join(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
-    )
+
+    def cell_scores(vectors):
+        return vectors.join(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+        )
+
+    scored_cells = cell_scores(e.select("vec_id", "embedding"))
     # nearest cell per vector: max_by over struct(cosine, -cid) == the
     # SQL row_number()=1 with (cc DESC, cid ASC) tie-break, but computed
     # with map-side partial aggregation instead of a 16x-row window
@@ -442,8 +451,15 @@ def sim03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w_probe = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    # probe cells from the QUERY vectors only: same per-row expressions,
+    # but derived from a pushed-filter point read of the query ids — not
+    # a second consumption of the corpus-x-K scored relation
     probes = (
-        scored_cells.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        cell_scores(
+            e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+                "vec_id", "embedding"
+            )
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cid")
@@ -538,8 +554,10 @@ def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    cent = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .localCheckpoint()  # K rows, multiply consumed
     )
     slug = _layout_slug(sf_dir, "embeddings")
     path = os.path.join(_layout_cache_root("ivf_layout"), slug)
@@ -562,34 +580,35 @@ def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.write.mode("overwrite").partitionBy("cell").parquet(path)
     layout = spark.read.parquet(path)
 
-    scored_cells = e.join(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
-    )
     from pyspark.sql import Window as W
 
+    # probe cells from a pushed-filter read of the query vectors only —
+    # never a second pass over the corpus-x-K scored relation
     w_probe = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
     probes = (
-        scored_cells.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", F.round(_cosine_spark("embedding", "cv"), 6).alias("cc")
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE_LAYOUT)
         .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
     )
+    # the layout stores the vectors, so the rerank reads them straight
+    # from the PRUNED cells — the base table is never rescanned for
+    # neighbors, and assignment is unique per vector so the pruned join
+    # yields each (query, neighbor) pair exactly once (no distinct)
     cand = (
         layout.join(F.broadcast(probes), ["cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
     )
     qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
-    scored = (
-        cand.join(F.broadcast(qv), ["query_id"])
-        .join(nv, ["neighbor_id"])
-        .select("query_id", "neighbor_id", _cosine_spark("qv", "nv").alias("c"))
+    scored = cand.join(F.broadcast(qv), ["query_id"]).select(
+        "query_id", "neighbor_id", _cosine_spark("qv", "nv").alias("c")
     )
     w = W.partitionBy("query_id").orderBy(F.round("c", 6).desc(), F.col("neighbor_id"))
     return (
@@ -645,8 +664,12 @@ def sim05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (the d06 pattern); cosines round to 6dp before every argmax
     so assignment ties can't flip across engines."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
-    cent0 = e.filter(F.col("vec_id") < K_STEP).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    # K-row centroid set, consumed by the scoring join AND the drift
+    # compare: materialize once (multi-scan audit discipline)
+    cent0 = (
+        e.filter(F.col("vec_id") < K_STEP)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .localCheckpoint()
     )
     scored = e.join(F.broadcast(cent0)).select(
         "vec_id",

@@ -328,10 +328,17 @@ def dml06_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(cust.filter(F.col("c_custkey") == 42))
 
     ch = changes.select([F.col(c).alias(f"ch_{c}") for c in _CUST_COLS])
-    # existing keys whose attributes differ: broadcast probe into base
+    # existing keys whose attributes differ: broadcast probe into base.
+    # The probe result is STATEMENT-sized (≤ |changes| rows) but its
+    # lineage contains a full dimension scan — and it feeds closed,
+    # matched_keys, AND (via diff) opened + keep, so unmaterialized it
+    # re-expands that scan at every reference (17 customer scans in the
+    # executed plan, caught by the round-5 multi-scan audit).
+    # localCheckpoint pins the handful of probed rows; the dimension is
+    # now scanned once here + once in the keep anti-join.
     probed = base.join(
         F.broadcast(ch), base.c_custkey == ch.ch_c_custkey, "inner"
-    )
+    ).localCheckpoint()
     attr_diff = (
         ~F.col("c_name").eqNullSafe(F.col("ch_c_name"))
         | ~F.col("c_nationkey").eqNullSafe(F.col("ch_c_nationkey"))
@@ -347,9 +354,12 @@ def dml06_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_rows = ch.join(
         F.broadcast(matched_keys), ch.ch_c_custkey == F.col("mk"), "left_anti"
     )
-    diff = diff_existing.select(
-        *[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS]
-    ).unionByName(new_rows.select(*[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS]))
+    # statement-sized and doubly consumed (opened + keep): materialize
+    diff = (
+        diff_existing.select(*[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS])
+        .unionByName(new_rows.select(*[F.col(f"ch_{c}").alias(c) for c in _CUST_COLS]))
+        .localCheckpoint()
+    )
 
     closed = diff_existing.select(
         *_CUST_COLS, "valid_from", eff.alias("valid_to"), F.lit(False).alias("is_current")

@@ -82,12 +82,15 @@ def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
-    # one pass: every row-local orders check in a single aggregate
+    # one pass: every row-local orders check in a single aggregate.
+    # The one-row result feeds o_checks AND the RI totals — materialize
+    # it so the second consumer reuses the row instead of re-expanding
+    # the full orders scan (round-5 multi-scan audit)
     o = orders.agg(
         F.count("*").alias("n"),
         F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("n_null_cust"),
         F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_bad_price"),
-    )
+    ).localCheckpoint()
     o_checks = o.select(
         F.explode(
             F.array(
@@ -130,7 +133,7 @@ def qa01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")).alias(
             "bad"
         ),
-    )
+    ).localCheckpoint()  # one row, doubly consumed (li_checks + RI total)
 
     orphan_li = (
         lineitem.join(

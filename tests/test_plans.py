@@ -500,27 +500,58 @@ BOUNDED_WINDOW_OK = {
 }
 
 
-def test_no_unbounded_single_partition_windows(spark, sf_small):
-    """Sweep-wide structural guard (round-4 verdict task #7): no
-    registered query's executed plan may contain a Window fed by an
-    ``Exchange SinglePartition`` over an unbounded relation — the
-    one-task-holds-the-corpus shape that killed t12/tr04 in round 4.
-    Bounded forms (a window above a Limit/TakeOrderedAndProject, or an
-    input bounded by construction and allowlisted above) pass.
+#: max executed-plan scans of ONE table a registered query may carry.
+#: Legitimate designs reach 3-4 (independent aggregation shapes over the
+#: same table: row-local agg + key groupBy + anti-join in qa01; assign
+#: pass + rerank fetch in the ANN family; scalar subqueries). Beyond
+#: that it is almost always the re-expansion bug this guard exists for:
+#: a small multiply-consumed intermediate whose lineage re-inlines the
+#: scan at every reference (dml06 hit SEVENTEEN customer scans before
+#: round 5 materialized its statement-sized probe).
+MAX_SAME_TABLE_SCANS = 4
+
+
+def test_sweep_plan_invariants(spark, sf_small):
+    """ONE pass over every registered batch query's executed plan, two
+    structural guards:
+
+    1. No Window fed by an ``Exchange SinglePartition`` over an
+       unbounded relation (round-4 verdict task #7) — the
+       one-task-holds-the-corpus shape that killed t12/tr04 in round 4.
+       Bounded forms (a window above a Limit/TakeOrderedAndProject, or
+       an input bounded by construction and allowlisted above) pass.
+    2. No table scanned more than MAX_SAME_TABLE_SCANS times in one
+       plan (the round-5 multi-scan audit, made standing).
+
     Streaming queries are excluded: their returned DataFrame is a
     memory-sink scan (the stateful plan runs inside the drain), and
     building them here would re-run every drain for no plan signal."""
-    from kt_sql_hbase_ex_spark import registry
-    from kt_sql_hbase_ex_spark.plans.explain import has_unbounded_global_window
+    import re
+    from collections import Counter
 
-    offenders = []
+    from kt_sql_hbase_ex_spark import registry
+    from kt_sql_hbase_ex_spark.plans.explain import (
+        executed_plan,
+        has_unbounded_global_window,
+    )
+
+    window_offenders, scan_offenders = [], []
     for name, rq in sorted(registry.all_queries().items()):
         if name.startswith("st"):
             continue
         df = rq.fn(spark, sf_small)
         if has_unbounded_global_window(df) and name not in BOUNDED_WINDOW_OK:
-            offenders.append(name)
-    assert not offenders, f"unbounded single-partition windows: {offenders}"
+            window_offenders.append(name)
+        scans = Counter(
+            re.findall(r"file:[^\]]*?/(\w+)\.parquet", executed_plan(df))
+        )
+        hot = {t: n for t, n in scans.items() if n > MAX_SAME_TABLE_SCANS}
+        if hot:
+            scan_offenders.append((name, hot))
+    assert not window_offenders, (
+        f"unbounded single-partition windows: {window_offenders}"
+    )
+    assert not scan_offenders, f"repeated-scan blowups: {scan_offenders}"
 
 
 def test_window_detector_rejects_limit_inside_join_input(spark, sf_small):
