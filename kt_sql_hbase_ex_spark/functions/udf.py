@@ -150,13 +150,15 @@ def f08_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined TABLE function (UDTF): a tokenizer expanding
     each document into (pos, tok) rows, applied per input row with
     ``LATERAL`` — the extension hook for row-expanding logic that isn't
-    a built-in generator (custom parsers, segmenters). Rows stream
-    per-partition through the Python worker; for hot paths prefer the
-    codegen'd ``explode`` (t01) — this query exists to pin the UDTF
+    a built-in generator (custom parsers, segmenters). ``useArrow``
+    makes it an ArrowEvalPythonUDTF — batched Arrow transfer like every
+    other Python path in this engine (the plan-sweep invariant bans
+    row-at-a-time BatchEvalPython outright); for hot paths still prefer
+    the codegen'd ``explode`` (t01) — this query exists to pin the UDTF
     surface itself."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos: int, tok: string")
+    @udtf(returnType="pos: int, tok: string", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
             for i, t in enumerate((text or "").split(" ")):

@@ -522,6 +522,9 @@ def test_sweep_plan_invariants(spark, sf_small):
        an input bounded by construction and allowlisted above) pass.
     2. No table scanned more than MAX_SAME_TABLE_SCANS times in one
        plan (the round-5 multi-scan audit, made standing).
+    3. No ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs are
+       banned from the engine (Arrow-batched ``ArrowEvalPython`` /
+       mapInPandas are the only Python paths).
 
     Streaming queries are excluded: their returned DataFrame is a
     memory-sink scan (the stateful plan runs inside the drain), and
@@ -535,23 +538,27 @@ def test_sweep_plan_invariants(spark, sf_small):
         has_unbounded_global_window,
     )
 
-    window_offenders, scan_offenders = [], []
+    window_offenders, scan_offenders, python_offenders = [], [], []
     for name, rq in sorted(registry.all_queries().items()):
         if name.startswith("st"):
             continue
         df = rq.fn(spark, sf_small)
+        plan = executed_plan(df)
         if has_unbounded_global_window(df) and name not in BOUNDED_WINDOW_OK:
             window_offenders.append(name)
-        scans = Counter(
-            re.findall(r"file:[^\]]*?/(\w+)\.parquet", executed_plan(df))
-        )
+        scans = Counter(re.findall(r"file:[^\]]*?/(\w+)\.parquet", plan))
         hot = {t: n for t, n in scans.items() if n > MAX_SAME_TABLE_SCANS}
         if hot:
             scan_offenders.append((name, hot))
+        if "BatchEvalPython" in plan:
+            python_offenders.append(name)
     assert not window_offenders, (
         f"unbounded single-partition windows: {window_offenders}"
     )
     assert not scan_offenders, f"repeated-scan blowups: {scan_offenders}"
+    assert not python_offenders, (
+        f"row-at-a-time Python UDFs: {python_offenders}"
+    )
 
 
 def test_window_detector_rejects_limit_inside_join_input(spark, sf_small):
