@@ -707,8 +707,12 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("digest"))
         .distinct()
     )
-    batch = d.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID).select(
-        "doc_id", "lang", F.md5("text").alias("digest")
+    batch = (
+        d.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+        .select("doc_id", "lang", F.md5("text").alias("digest"))
+        # batch-sized, consumed by the arrival count AND the anti-join:
+        # materialize once (multi-scan audit discipline)
+        .localCheckpoint()
     )
     arrived = batch.groupBy("lang").agg(F.count("*").alias("n_arrived"))
     # deliberately NO broadcast hint: the historical index grows with the

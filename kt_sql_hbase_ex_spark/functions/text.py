@@ -435,7 +435,11 @@ def t10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total rides along as a broadcast cross join."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     postings = d.select("doc_id", F.explode(tokens_col()).alias("term"))
-    freq = postings.groupBy("term").agg(F.count("*").alias("c"))
+    # vocab-sized, consumed by the grand total AND the scoring join:
+    # materialize once so the token count runs a single corpus pass
+    # (postings itself is consumed twice by design — fitting the model
+    # and scoring are separate passes, the documented two-shuffle shape)
+    freq = postings.groupBy("term").agg(F.count("*").alias("c")).localCheckpoint()
     total = freq.agg(F.sum("c").alias("n"))
     return (
         postings.join(F.broadcast(freq), "term")

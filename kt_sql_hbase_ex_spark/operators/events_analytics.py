@@ -676,8 +676,15 @@ def ev10_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kt_sql_hbase_ex_spark.functions.money import _micros
 
     e = load_table(spark, sf_dir, "events")
-    cohort = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    # (user_id, cohort_week) feeds BOTH the revenue join and the cohort
+    # sizing — materialize the user-cardinality relation once instead of
+    # re-running the corpus-wide user aggregate per consumer (multi-scan
+    # audit; at 100 TB this pins one slim row per user, far cheaper than
+    # a second pass over the events)
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .localCheckpoint()
     )
     weekly = (
         e.filter(F.col("event_type") == "purchase")
