@@ -260,6 +260,15 @@ _SCD2_CHANGES_SQL = """
 _SCD2_AFFECTED = (1, 2, 42, 900000001)
 
 
+def scd2_probe(base: DataFrame, ch: DataFrame) -> DataFrame:
+    """The SCD2 diff probe: change keys broadcast into the dimension
+    snapshot (the dimension itself never shuffles). Split out so its
+    broadcast shape stays independently plan-pinned — dml06 checkpoints
+    the statement-sized result, which hides this join from the
+    downstream plan."""
+    return base.join(F.broadcast(ch), base.c_custkey == ch.ch_c_custkey, "inner")
+
+
 @query(
     "dml06_scd2_history",
     oracle=f"""
@@ -335,10 +344,10 @@ def dml06_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expands that scan at every reference (17 customer scans in the
     # executed plan, caught by the round-5 multi-scan audit).
     # localCheckpoint pins the handful of probed rows; the dimension is
-    # now scanned once here + once in the keep anti-join.
-    probed = base.join(
-        F.broadcast(ch), base.c_custkey == ch.ch_c_custkey, "inner"
-    ).localCheckpoint()
+    # now scanned once here + once in the keep anti-join. The probe's
+    # own broadcast shape is plan-pinned via scd2_probe (the checkpoint
+    # hides it from the downstream plan).
+    probed = scd2_probe(base, ch).localCheckpoint()
     attr_diff = (
         ~F.col("c_name").eqNullSafe(F.col("ch_c_name"))
         | ~F.col("c_nationkey").eqNullSafe(F.col("ch_c_nationkey"))

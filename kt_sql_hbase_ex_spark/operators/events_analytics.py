@@ -679,8 +679,10 @@ def ev10_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (user_id, cohort_week) feeds BOTH the revenue join and the cohort
     # sizing — materialize the user-cardinality relation once instead of
     # re-running the corpus-wide user aggregate per consumer (multi-scan
-    # audit; at 100 TB this pins one slim row per user, far cheaper than
-    # a second pass over the events)
+    # audit). One slim row per user is far cheaper than a second events
+    # pass; on a lossy cluster swap localCheckpoint for a replicated
+    # persist/reliable checkpoint (SCALE.md §6 note) — localCheckpoint
+    # trades executor-loss recoverability for speed.
     cohort = (
         e.groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))

@@ -65,8 +65,11 @@ def count_shuffles(df: DataFrame) -> int:
 
 
 def executed_plan(df: DataFrame) -> str:
-    """The (possibly adaptive) physical plan tree as a string, without
-    executing the query."""
+    """The (possibly adaptive) physical plan tree as a string. Planning
+    does not run the query's own action — but queries whose CONSTRUCTION
+    eagerly materializes intermediates (``localCheckpoint``) have
+    already run those jobs by the time the DataFrame exists, so calling
+    the query fn to get a plan is not free for them."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -333,17 +333,29 @@ def test_funnel_single_event_shuffle(spark, sf_small):
 def test_scd2_and_cdc_never_shuffle_base(spark, sf_small):
     """dml06/dml07: statement-sized change batches must broadcast into
     the base (diff probe + touched-key anti-join) — a sort-merge join
-    here would shuffle the whole dimension/fact for a handful of rows."""
+    here would shuffle the whole dimension/fact for a handful of rows.
+    dml06's probe executes inside its checkpoint, so its broadcast
+    shape is pinned on the scd2_probe helper directly."""
     from kt_sql_hbase_ex_spark.operators.dml import (
         dml06_scd2_history,
         dml07_cdc_apply,
+        scd2_probe,
     )
     from kt_sql_hbase_ex_spark.plans.explain import simple_plan
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
     for fn in (dml06_scd2_history, dml07_cdc_apply):
         plan = simple_plan(fn(spark, sf_small))
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+    base = load_table(spark, sf_small, "customer")
+    ch = base.limit(3).select(
+        *[F.col(c).alias(f"ch_{c}") for c in ("c_custkey", "c_name")]
+    )
+    probe_plan = simple_plan(scd2_probe(base, ch))
+    assert "BroadcastHashJoin" in probe_plan, probe_plan
+    assert "SortMergeJoin" not in probe_plan, probe_plan
 
 
 def test_session_paths_single_event_shuffle(spark, sf_small):
@@ -512,7 +524,7 @@ MAX_SAME_TABLE_SCANS = 4
 
 
 def test_sweep_plan_invariants(spark, sf_small):
-    """ONE pass over every registered batch query's executed plan, two
+    """ONE pass over every registered batch query's executed plan, three
     structural guards:
 
     1. No Window fed by an ``Exchange SinglePartition`` over an
@@ -528,7 +540,13 @@ def test_sweep_plan_invariants(spark, sf_small):
 
     Streaming queries are excluded: their returned DataFrame is a
     memory-sink scan (the stateful plan runs inside the drain), and
-    building them here would re-run every drain for no plan signal."""
+    building them here would re-run every drain for no plan signal.
+    Scope note: the scan count covers every source the executed
+    operator TREE prints (fixture tables, derived layouts, bucketed
+    tables — keyed by the scan location's last path segment); scalar
+    subqueries execute as separate subplans that ``toString`` does not
+    include."""
+    import os
     import re
     from collections import Counter
 
@@ -538,20 +556,43 @@ def test_sweep_plan_invariants(spark, sf_small):
         has_unbounded_global_window,
     )
 
+    # Spark abbreviates scan Location metadata at maxMetadataStringLength
+    # (default 100 chars) — long checkout paths would truncate the path
+    # mid-way and silently zero the scan counts. Pin it high for the
+    # sweep and PROVE non-vacuousness below.
+    len_key = "spark.sql.maxMetadataStringLength"
+    old_len = spark.conf.get(len_key, None)
+    spark.conf.set(len_key, "4096")
     window_offenders, scan_offenders, python_offenders = [], [], []
-    for name, rq in sorted(registry.all_queries().items()):
-        if name.startswith("st"):
-            continue
-        df = rq.fn(spark, sf_small)
-        plan = executed_plan(df)
-        if has_unbounded_global_window(df) and name not in BOUNDED_WINDOW_OK:
-            window_offenders.append(name)
-        scans = Counter(re.findall(r"file:[^\]]*?/(\w+)\.parquet", plan))
-        hot = {t: n for t, n in scans.items() if n > MAX_SAME_TABLE_SCANS}
-        if hot:
-            scan_offenders.append((name, hot))
-        if "BatchEvalPython" in plan:
-            python_offenders.append(name)
+    total_scans = 0
+    try:
+        for name, rq in sorted(registry.all_queries().items()):
+            if name.startswith("st"):
+                continue
+            df = rq.fn(spark, sf_small)
+            plan = executed_plan(df)
+            if has_unbounded_global_window(df) and name not in BOUNDED_WINDOW_OK:
+                window_offenders.append(name)
+            locations = re.findall(
+                r"Location: \w+\(\d+ paths?\)\[(file:[^,\]]+)", plan
+            )
+            scans = Counter(
+                os.path.basename(loc.rstrip("/")) for loc in locations
+            )
+            total_scans += sum(scans.values())
+            hot = {t: n for t, n in scans.items() if n > MAX_SAME_TABLE_SCANS}
+            if hot:
+                scan_offenders.append((name, hot))
+            if "BatchEvalPython" in plan:
+                python_offenders.append(name)
+    finally:
+        if old_len is None:
+            spark.conf.unset(len_key)
+        else:
+            spark.conf.set(len_key, old_len)
+    # the scan counter actually counted something — a regex/metadata
+    # drift that zeroes it must fail loudly, not pass vacuously
+    assert total_scans > 100, f"scan audit went vacuous: {total_scans}"
     assert not window_offenders, (
         f"unbounded single-partition windows: {window_offenders}"
     )
