@@ -58,6 +58,15 @@ def test_no_vacuous_queries():
     present instead of demanding full coverage.)"""
     if not _RESULTS:
         pytest.skip("no parity results in this process (deselected)")
+    try:
+        sf = float(os.path.basename(SF_ORACLE.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    if sf < 0.01:
+        # below the gate scale highly-selective filters legitimately
+        # match on 0 rows (conftest documents sf0.001's 0/1-row cases);
+        # the vacuousness guard is calibrated for sf0.01+
+        pytest.skip(f"vacuousness guard runs at gate scale (sf>=0.01), got {sf}")
     empty = [
         name
         for name, result in _RESULTS.items()
