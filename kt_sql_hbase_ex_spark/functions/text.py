@@ -292,11 +292,12 @@ def t07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kt_sql_hbase_ex_spark.functions.text_index import (
         ensure_text_index,
+        read_all_postings,
         read_corpus_stats,
     )
 
     idx = ensure_text_index(spark, sf_dir)
-    postings = spark.read.parquet(f"{idx}/postings").select("doc_id", "term")
+    postings = read_all_postings(spark, idx).select("doc_id", "term")
     tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n = read_corpus_stats(spark, idx).select("n_docs")
     doc_freq = F.count("*").over(W.partitionBy("term"))

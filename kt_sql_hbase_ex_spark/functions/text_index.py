@@ -8,7 +8,7 @@ re-derived postings from ``documents`` on every call. Here the index is
 a Spark-native layout written ONCE and read by the search queries with
 partition pruning:
 
-* ``postings/`` — positional postings ``(term, doc_id, pos)``,
+* ``postings/`` — positional postings ``(term, doc_id, pos, gen)``,
   parquet **partitioned by ``term_pfx``** (term's first character —
   the opt03 layout pattern). A term lookup reads only its prefix
   partitions: the directory pruning IS the index seek, exactly the
@@ -16,35 +16,68 @@ partition pruning:
   widens (2–3 chars) so each partition stays file-system-friendly;
   hot-prefix skew is bounded by Zipf on the first character and by the
   parquet writer splitting large partitions into many files.
-* ``doclen/`` — ``(doc_id, dl)`` document lengths (BM25's length
-  normalization), a slim two-column table.
+* ``doclen/`` — ``(doc_id, dl, gen)`` document lengths (BM25's length
+  normalization), a slim table.
 * ``stats/`` — per-build/per-batch partial rows ``(pn_docs, pdl_sum)``
   — the st07 log+compaction convention: readers compact the partials
   with a one-row aggregate, so appends never rewrite published data.
+  Update/delete batches append NEGATIVE partials, so the sum stays the
+  effective corpus size.
+* ``tombstones/`` — ``(doc_id, gen)`` document tombstones: a row means
+  "every postings/doclen row of ``doc_id`` with a LOWER ``gen`` is
+  superseded". This is the delete-then-append maintenance path the
+  reference's directory layer owned (``HBaseDirectory.kt:83-123``
+  deleteFile/rename — Lucene replaces a document by writing a delete
+  marker then re-adding it); readers mask superseded rows with one
+  broadcast anti-filter, compaction folds them in physically.
+
+Every batch carries a **generation number** (``gen``): the initial
+build is gen 0, each maintenance batch takes the next integer (tracked
+by marker files under ``gens/`` — driver-side listing, no data read).
+An updated document tombstones its old rows at the batch's gen and
+re-appends its new rows AT that same gen, so the mask
+``row.gen >= max(tombstone.gen)`` keeps exactly the latest version.
 
 Incremental maintenance follows the st07 foreachBatch-upsert pattern:
-:func:`upsert_index_batch` appends one batch of new documents' postings
-/ doclens / stats partials into the layout — partial files are
-group-sized, append-only, and idempotent under the streaming
-checkpoint's exactly-once file tracking. ``t13`` proves the composition:
-an index built from 90% of the corpus, one maintenance batch appending
-the remaining 10%, and term statistics read back from the maintained
-index hash-matching the full-corpus oracle.
+:func:`upsert_index_batch` appends one batch of documents' postings /
+doclens / stats partials into the layout, tombstoning prior versions of
+the batch's doc_ids unless the caller declares the feed append-only
+(``assume_new=True`` — the corpus-growth fast path with zero tombstone
+overhead). ``t13`` proves pure growth converges to the batch build;
+``t15`` proves update+delete does.
+
+Layer publishing discipline: the mutable layers (``postings``,
+``doclen``, ``stats``, ``tombstones``) are resolved through a pointer
+file ``layers.json`` — appends land in the currently-pointed dirs
+(pointer untouched), while :func:`compact_text_index` builds fresh
+uniquely-named dirs and repoints ALL four layers with ONE atomic
+``os.replace`` (the same version-dir + meta-pointer pattern as the KV
+secondary index, ``sources/kvstore.py``). Superseded dirs are deleted
+by the NEXT compaction's deferred GC, so a reader holding a resolved
+path gets a full cycle to finish. Each reader resolves the pointer
+once per call and takes every layer it needs from that snapshot, so a
+mid-compaction read never mixes folded postings with cleared
+tombstones. Writers (maintenance vs compaction) serialize externally —
+the reference used a Redis write lock for exactly this
+(``RedisLockFactory.kt``); here the fixture builds are single-writer
+by construction.
 
 Provisioning discipline (fixture-only): the index is fingerprinted by
 the documents file's identity and built under a staging dir published
 by one atomic rename — concurrent test shards never see a half-built
 index (the ``_chunked_events_dir`` pattern). In production the build is
-a one-time backfill job and batches land live; compaction rewrites a
-prefix partition at a time under dynamic partition overwrite.
+a one-time backfill job and batches land live; compaction runs
+per-prefix on a size trigger instead of corpus-wide.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +86,10 @@ from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table, table_path
 
 #: bump to invalidate previously-built index layouts on disk
-_LAYOUT_VERSION = 2
+_LAYOUT_VERSION = 3
+
+#: the four pointer-resolved layers (see module docstring)
+_LAYERS = ("postings", "doclen", "stats", "tombstones")
 
 
 def term_prefix(term_col):
@@ -66,7 +102,8 @@ def term_prefix(term_col):
 
 def _index_root(sf_dir: str, variant: str) -> str:
     """Fingerprinted location for one fixture's index: documents file
-    identity + layout version + variant (full corpus vs t13's split)."""
+    identity + layout version + variant (full corpus vs t13's split vs
+    t15's mutated corpus)."""
     src = os.path.realpath(table_path(sf_dir, "documents"))
     st = os.stat(src)
     fp = hashlib.sha256(
@@ -76,24 +113,95 @@ def _index_root(sf_dir: str, variant: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"kt_sql_text_index_u{uid}", fp)
 
 
-def _postings_of(docs: DataFrame) -> DataFrame:
-    """(term_pfx, term, doc_id, pos) positional postings — 0-based
+# --- layer pointer (version-dir + atomic meta-pointer publishes) -------
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, "layers.json")
+
+
+def _read_pointer(root: str) -> dict:
+    """One pointer snapshot: {layer: dir-name} plus the deferred-GC
+    list. A root with no pointer file uses the plain layer names (the
+    pre-compaction layout appends create)."""
+    try:
+        with open(_pointer_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"gc": []}
+
+
+def _resolve(root: str, ptr: dict, layer: str) -> str:
+    return os.path.join(root, ptr.get(layer, layer))
+
+
+def layer_path(root: str, layer: str) -> str:
+    """Current on-disk dir of one index layer (pointer-resolved) —
+    the single resolution point tests and tools should use."""
+    return _resolve(root, _read_pointer(root), layer)
+
+
+# --- generation tracking ----------------------------------------------
+
+
+def _mark_gen(root: str, gen: int) -> None:
+    d = os.path.join(root, "gens")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{gen:08d}"), "w"):
+        pass
+
+
+def _next_gen(root: str) -> int:
+    """Next batch generation: max applied gen + 1 (driver-side listing
+    of marker files — no data read). Single-writer by contract (see
+    module docstring); a multi-writer deployment would claim the marker
+    with O_EXCL the way the KV index claims its meta."""
+    d = os.path.join(root, "gens")
+    if not os.path.isdir(d):
+        return 0
+    ns = [int(x) for x in os.listdir(d) if x.isdigit()]
+    return max(ns) + 1 if ns else 0
+
+
+# --- writers -----------------------------------------------------------
+
+
+def _postings_of(docs: DataFrame, gen: int) -> DataFrame:
+    """(term_pfx, term, doc_id, pos, gen) positional postings — 0-based
     positions, one row per token occurrence (what phrase/NEAR need;
-    frequency-only consumers aggregate)."""
-    from kt_sql_hbase_ex_spark.functions.text import tokens_col
+    frequency-only consumers aggregate). NULL text fails the build
+    loudly: the stats layer's n_docs contract is "every indexed
+    document counted exactly once", and a silently-skipped NULL doc
+    would diverge from any COUNT(*)-based oracle (coalesce upstream or
+    drop the row explicitly before indexing)."""
+    text = F.when(
+        F.col("text").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("text_index: NULL text at index build for doc_id="),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("text"))
+    pos = docs.select("doc_id", F.posexplode(F.split(text, " ")).alias("pos", "term"))
+    return pos.select(
+        term_prefix("term").alias("term_pfx"),
+        "term",
+        "doc_id",
+        "pos",
+        F.lit(gen).cast("int").alias("gen"),
+    )
 
-    pos = docs.select("doc_id", F.posexplode(tokens_col()).alias("pos", "term"))
-    return pos.select(term_prefix("term").alias("term_pfx"), "term", "doc_id", "pos")
 
-
-def _write_index_parts(docs: DataFrame, root: str) -> None:
+def _write_index_parts(docs: DataFrame, root: str, gen: int = 0) -> None:
     """Write one batch of documents into an index layout at ``root`` —
     used by both the initial build (into staging) and incremental
     maintenance (append into the live layout). Postings append as new
-    files inside their term_pfx partitions; doclen rows are new docs
-    only, so plain file appends ARE the upsert; stats land as a partial
-    row compacted at read (st07's log+compaction)."""
-    postings = _postings_of(docs)
+    files inside their term_pfx partitions; doclen rows append;
+    stats land as a partial row compacted at read (st07's
+    log+compaction)."""
+    ptr = _read_pointer(root)
+    postings = _postings_of(docs, gen)
     # co-locate each prefix before the partitioned write: one file per
     # prefix partition per batch instead of (writer-partitions × prefix)
     # small files — file count is what query-time listing and task
@@ -101,30 +209,215 @@ def _write_index_parts(docs: DataFrame, root: str) -> None:
     # to target file sizes (maxRecordsPerFile), not one-file-per-prefix.
     postings.repartition("term_pfx").write.mode("append").partitionBy(
         "term_pfx"
-    ).parquet(os.path.join(root, "postings"))
-    doclen = postings.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    doclen.write.mode("append").parquet(os.path.join(root, "doclen"))
-    stats = doclen.agg(
-        F.count("*").alias("pn_docs"), F.sum("dl").alias("pdl_sum")
+    ).parquet(_resolve(root, ptr, "postings"))
+    doclen = postings.groupBy("doc_id", "gen").agg(F.count("*").alias("dl"))
+    doclen.select("doc_id", "dl", "gen").write.mode("append").parquet(
+        _resolve(root, ptr, "doclen")
     )
-    stats.write.mode("append").parquet(os.path.join(root, "stats"))
+    stats = doclen.agg(F.count("*").alias("pn_docs"), F.sum("dl").alias("pdl_sum"))
+    stats.write.mode("append").parquet(_resolve(root, ptr, "stats"))
+    _mark_gen(root, gen)
 
 
-def upsert_index_batch(batch_df: DataFrame, root: str) -> None:
-    """The foreachBatch maintenance hook: append one microbatch of NEW
-    documents to a published index. Wire as
+def upsert_index_batch(
+    batch_df: DataFrame,
+    root: str,
+    deletes: DataFrame | None = None,
+    assume_new: bool = False,
+) -> None:
+    """The foreachBatch maintenance hook: apply one microbatch of
+    document changes to a published index — the delete-then-append
+    document replacement the reference's Lucene directory layer served
+    (``HBaseDirectory.kt:83-123``). Wire as
     ``stream.writeStream.foreachBatch(lambda df, _id:
-    upsert_index_batch(df, root))`` — the checkpoint's file tracking
-    gives exactly-once batch application, so re-delivered batches are
-    never double-appended (the st07/st10 contract). Updating an
-    EXISTING doc needs a tombstone alongside (delete-then-append);
-    append-only covers the corpus-growth case an ingest pipeline hits."""
-    _write_index_parts(batch_df, root)
+    upsert_index_batch(df, root))``.
+
+    * ``batch_df`` — new or CHANGED documents (full rows). Unless
+      ``assume_new``, each doc_id's prior rows are tombstoned at this
+      batch's generation and the new rows land at that same
+      generation, so readers see exactly the latest version.
+    * ``deletes`` — a ``doc_id`` DataFrame of documents REMOVED from
+      the corpus: tombstoned with nothing re-appended.
+    * ``assume_new=True`` — declares the feed append-only (pure corpus
+      growth): skips the tombstone write and the superseded-stats
+      lookup entirely, the zero-overhead ingest fast path (t13's
+      case).
+
+    Stats stay exact under updates/deletes: before appending, the
+    batch writes a NEGATIVE stats partial for the doc_ids it
+    supersedes (count + doclen sum of their currently-effective rows —
+    a doc-id-pruned lookup, ∝ batch size, never corpus size), so
+    ``read_corpus_stats``'s partial-sum equals the effective corpus.
+    Re-delivered batches are not double-appended under the streaming
+    checkpoint's batch tracking (the st07/st10 contract)."""
+    spark = batch_df.sparkSession
+    gen = _next_gen(root)
+    ptr = _read_pointer(root)
+    superseded = None
+    if not assume_new:
+        superseded = batch_df.select("doc_id")
+    if deletes is not None:
+        d = deletes.select("doc_id")
+        superseded = d if superseded is None else superseded.unionByName(d)
+    if superseded is not None:
+        superseded = superseded.distinct()
+        has_prior = os.path.isdir(_resolve(root, ptr, "doclen"))
+        if has_prior:
+            # negative partial for the rows this batch supersedes
+            old = read_doclen(spark, root)
+            neg = old.join(superseded, "doc_id", "left_semi").agg(
+                (-F.count("*")).alias("pn_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("pdl_sum"),
+            )
+            neg.write.mode("append").parquet(_resolve(root, ptr, "stats"))
+        superseded.withColumn("gen", F.lit(gen).cast("int")).write.mode(
+            "append"
+        ).parquet(_resolve(root, ptr, "tombstones"))
+    _write_index_parts(batch_df, root, gen)
+
+
+# --- readers -----------------------------------------------------------
+
+
+def _read_tombstones(spark: SparkSession, root: str, ptr: dict) -> DataFrame | None:
+    """Per-doc max tombstone generation, or None when the index has no
+    tombstones (pure-append indexes skip the mask join entirely, so
+    t11/t12's pinned plans are unchanged). Sized ∝ docs superseded
+    since the last compaction — broadcastable far past fixture scale;
+    a deployment with massive churn swaps the broadcast for a shuffle
+    join on doc_id, same semantics."""
+    import glob
+
+    d = _resolve(root, ptr, "tombstones")
+    if not glob.glob(os.path.join(d, "*.parquet")):
+        return None
+    return spark.read.parquet(d).groupBy("doc_id").agg(F.max("gen").alias("tgen"))
+
+
+def _mask(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop superseded rows: keep a row iff its doc has no tombstone or
+    the row's gen is >= the doc's newest tombstone gen (an update
+    re-appends at the tombstone's own gen, so its fresh rows survive)."""
+    if tomb is None:
+        return df
+    return (
+        df.join(F.broadcast(tomb), "doc_id", "left")
+        .filter(F.col("tgen").isNull() | (F.col("gen") >= F.col("tgen")))
+        .drop("tgen")
+    )
+
+
+def read_postings(spark: SparkSession, root: str, terms: tuple[str, ...]) -> DataFrame:
+    """Index seek for a term set: the ``term_pfx`` IN-filter prunes at
+    the DIRECTORY level (PartitionFilters — plan-pinned in
+    tests/test_plans.py), the term equality prunes row groups inside
+    the surviving partitions via the pushed filter. Only the queried
+    terms' postings are ever read or shuffled; superseded rows are
+    masked by the tombstone broadcast (skipped when none exist)."""
+    ptr = _read_pointer(root)
+    prefixes = sorted({(t[:1] or "_") for t in terms})
+    p = (
+        spark.read.parquet(_resolve(root, ptr, "postings"))
+        .filter(F.col("term_pfx").isin(prefixes) & F.col("term").isin(list(terms)))
+    )
+    return _mask(p, _read_tombstones(spark, root, ptr)).select("term", "doc_id", "pos")
+
+
+def read_all_postings(spark: SparkSession, root: str) -> DataFrame:
+    """Full-vocabulary postings (tombstone-masked) — the corpus-wide
+    scoring path (t07's TF-IDF) that reads every prefix partition."""
+    ptr = _read_pointer(root)
+    p = spark.read.parquet(_resolve(root, ptr, "postings"))
+    return _mask(p, _read_tombstones(spark, root, ptr)).select("term", "doc_id", "pos")
+
+
+def read_doclen(spark: SparkSession, root: str) -> DataFrame:
+    """Effective (doc_id, dl) — tombstone-masked document lengths."""
+    ptr = _read_pointer(root)
+    d = spark.read.parquet(_resolve(root, ptr, "doclen"))
+    return _mask(d, _read_tombstones(spark, root, ptr)).select("doc_id", "dl")
+
+
+def read_corpus_stats(spark: SparkSession, root: str) -> DataFrame:
+    """One-row (n_docs, avgdl) compacted from the stats partials.
+    Update/delete batches appended negative partials, so the plain sum
+    is already the effective corpus — no tombstone join needed here."""
+    ptr = _read_pointer(root)
+    return (
+        spark.read.parquet(_resolve(root, ptr, "stats"))
+        .agg(
+            F.sum("pn_docs").cast("double").alias("n_docs"),
+            (F.sum("pdl_sum") / F.sum("pn_docs")).alias("avgdl"),
+        )
+    )
+
+
+# --- compaction --------------------------------------------------------
+
+
+def compact_text_index(spark: SparkSession, root: str) -> None:
+    """Compaction — the other half of log+append maintenance (opt09's
+    small-file story applied to the index): every maintenance batch
+    appends one file per touched prefix partition plus doclen/stats/
+    tombstone partials, so a long-lived index accretes small files that
+    query-time listing, the tombstone mask join, and task scheduling
+    all pay for. Compaction rewrites the index to its minimal physical
+    form without changing a single query-visible row:
+
+    * ``postings`` / ``doclen``: only EFFECTIVE rows (tombstones folded
+      in physically) into fresh version dirs;
+    * ``stats``: the partials fold to ONE durable row;
+    * ``tombstones``: emptied — their history is now physical.
+
+    All four layers publish with ONE atomic pointer replace
+    (``layers.json`` — the KV index's version-dir + meta-pointer
+    pattern, ``sources/kvstore.py``), so readers see the old snapshot
+    or the new one, never a gap and never folded postings with live
+    tombstones. Superseded dirs are removed by the NEXT compaction's
+    deferred GC — a reader already holding a resolved path gets a full
+    cycle to drain. At 100 TB this runs per-prefix on a size trigger
+    (files-per-partition or bytes threshold), not corpus-wide, keeping
+    tombstones that still cover unrewritten prefixes."""
+    ptr = _read_pointer(root)
+    # deferred GC: dirs superseded by the PREVIOUS compaction have had a
+    # full cycle for in-flight readers to drain
+    for d in ptr.get("gc", []):
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    tomb = _read_tombstones(spark, root, ptr)
+    tag = uuid.uuid4().hex[:8]
+    new = {layer: f"{layer}.{tag}" for layer in _LAYERS}
+
+    postings = _mask(spark.read.parquet(_resolve(root, ptr, "postings")), tomb)
+    # one shuffle keyed by term_pfx → one file per prefix partition (at
+    # real scale the same shuffle keys to target file sizes instead)
+    postings.repartition("term_pfx").write.partitionBy("term_pfx").parquet(
+        os.path.join(root, new["postings"])
+    )
+    doclen = _mask(spark.read.parquet(_resolve(root, ptr, "doclen")), tomb)
+    doclen.select("doc_id", "dl", "gen").coalesce(1).write.parquet(
+        os.path.join(root, new["doclen"])
+    )
+    # fold stats from the effective doclen — equals the partial sum by
+    # construction, and re-grounds the layer in one pass
+    doclen.agg(
+        F.count("*").alias("pn_docs"), F.sum("dl").alias("pdl_sum")
+    ).coalesce(1).write.parquet(os.path.join(root, new["stats"]))
+    os.makedirs(os.path.join(root, new["tombstones"]), exist_ok=True)
+
+    new["gc"] = [ptr.get(layer, layer) for layer in _LAYERS]
+    tmp = f"{_pointer_path(root)}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new, f)
+    os.replace(tmp, _pointer_path(root))  # the atomic publish
+
+
+# --- build-once provisioning ------------------------------------------
 
 
 def _build_once(base: str, build_fn) -> str:
     """Marker-checked build-and-atomically-publish (shared by the full
-    index and t13's split variant): run ``build_fn(staging_dir)`` in a
+    index and the t13/t15 variants): run ``build_fn(staging_dir)`` in a
     per-process staging dir, stamp ``_SUCCESS``, publish with ONE atomic
     rename. Losing the publish race is fine — the competing build is
     deterministic-identical, so the loser just discards its staging."""
@@ -154,87 +447,6 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_index_root(sf_dir, "full"), build)
 
 
-def read_postings(spark: SparkSession, root: str, terms: tuple[str, ...]) -> DataFrame:
-    """Index seek for a term set: the ``term_pfx`` IN-filter prunes at
-    the DIRECTORY level (PartitionFilters — plan-pinned in
-    tests/test_plans.py), the term equality prunes row groups inside
-    the surviving partitions via the pushed filter. Only the queried
-    terms' postings are ever read or shuffled."""
-    prefixes = sorted({(t[:1] or "_") for t in terms})
-    return (
-        spark.read.parquet(os.path.join(root, "postings"))
-        .filter(F.col("term_pfx").isin(prefixes) & F.col("term").isin(list(terms)))
-        .select("term", "doc_id", "pos")
-    )
-
-
-def read_doclen(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "doclen"))
-
-
-def read_corpus_stats(spark: SparkSession, root: str) -> DataFrame:
-    """One-row (n_docs, avgdl) compacted from the stats partials."""
-    return (
-        spark.read.parquet(os.path.join(root, "stats"))
-        .agg(
-            F.sum("pn_docs").cast("double").alias("n_docs"),
-            (F.sum("pdl_sum") / F.sum("pn_docs")).alias("avgdl"),
-        )
-    )
-
-
-def compact_text_index(spark: SparkSession, root: str) -> None:
-    """Compaction — the other half of log+append maintenance (opt09's
-    small-file story applied to the index): every maintenance batch
-    appends one file per touched prefix partition plus doclen/stats
-    partials, so a long-lived index accretes small files that query-time
-    listing and task scheduling pay for. Compaction rewrites each layer
-    to its minimal file count without changing a single row:
-
-    * ``postings``: one shuffle keyed by ``term_pfx`` → one file per
-      prefix partition, swapped in under DYNAMIC partition overwrite so
-      only rewritten partitions are touched (readers of other prefixes
-      are never disturbed — the opt08 backfill idiom);
-    * ``doclen``: coalesced rewrite via staging + atomic rename;
-    * ``stats``: the partial rows fold to ONE row (the same compaction
-      the readers do on the fly, made durable).
-
-    At 100 TB this runs per-prefix on a size trigger (files-per-partition
-    or bytes threshold), not corpus-wide; the shuffle keys to target
-    file sizes instead of one-file-per-prefix."""
-    import shutil
-
-    postings_dir = os.path.join(root, "postings")
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(mode_key)
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        compacted = spark.read.parquet(postings_dir).repartition("term_pfx")
-        # self-overwrite is safe under dynamic mode only via a staged
-        # read: localCheckpoint materializes the rows before the
-        # overwrite drops the source files
-        compacted.localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).partitionBy("term_pfx").parquet(postings_dir)
-    finally:
-        spark.conf.set(mode_key, old)
-
-    for layer, ncoalesce in (("doclen", 1), ("stats", 1)):
-        src = os.path.join(root, layer)
-        staging = f"{src}.compact.{os.getpid()}"
-        shutil.rmtree(staging, ignore_errors=True)
-        df = spark.read.parquet(src)
-        if layer == "stats":
-            df = df.agg(
-                F.sum("pn_docs").alias("pn_docs"), F.sum("pdl_sum").alias("pdl_sum")
-            )
-        df.coalesce(ncoalesce).write.parquet(staging)
-        old_dir = f"{src}.old.{os.getpid()}"
-        os.rename(src, old_dir)
-        os.rename(staging, src)
-        shutil.rmtree(old_dir, ignore_errors=True)
-
-
 #: t13: term statistics queried from the MAINTAINED index. Bucket 9 of
 #: the tr01 split rule plays the 'newly arrived batch'.
 T13_TERMS = ("customer", "join", "hash")
@@ -244,6 +456,22 @@ T13_TERMS = ("customer", "join", "hash")
 _T13_BUCKET_SPARK = (
     "pmod(conv(substring(md5(cast(doc_id AS STRING)), 1, 8), 16, 10), 10)"
 )
+
+
+def _index_term_stats(spark: SparkSession, root: str, terms: tuple[str, ...]) -> DataFrame:
+    """Per-term (df, total_tf, min_doc, max_doc) read from the index
+    alone — the t13/t15 verification read."""
+    tf = (
+        read_postings(spark, root, terms)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
 
 
 @query(
@@ -269,11 +497,12 @@ def t13_incremental_index_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     """The maintained index answers like the full corpus: build the
     postings index from ~90% of ``documents`` (hash buckets 0–8), apply
     ONE :func:`upsert_index_batch` with the remaining ~10% (bucket 9 —
-    the 'new arrivals' a live ingest lands), then read per-term document
-    frequency / total term frequency / doc-id extremes for the query
-    terms from the index alone. The oracle computes the same statistics
-    straight from the full ``documents`` table, so a hash match proves
-    the incremental append converged to the batch build — the property
+    the 'new arrivals' a live ingest lands, ``assume_new`` because a
+    growth feed is append-only), then read per-term document frequency
+    / total term frequency / doc-id extremes for the query terms from
+    the index alone. The oracle computes the same statistics straight
+    from the full ``documents`` table, so a hash match proves the
+    incremental append converged to the batch build — the property
     that lets a 100 TB deployment build the index once and stream the
     rest (``HBaseDirectory.kt``'s durable-index role, log+compaction
     style). Fixture provisioning publishes base+batch atomically; the
@@ -283,17 +512,75 @@ def t13_incremental_index_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         docs = fan_out(load_table(spark, sf_dir, "documents"))
         bucket = F.expr(_T13_BUCKET_SPARK)
         _write_index_parts(docs.filter(bucket != 9), staging)  # the backfill
-        upsert_index_batch(docs.filter(bucket == 9), staging)  # the batch
+        upsert_index_batch(docs.filter(bucket == 9), staging, assume_new=True)
 
     base = _build_once(_index_root(sf_dir, "split"), build)
-    tf = (
-        read_postings(spark, base, T13_TERMS)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    return _index_term_stats(spark, base, T13_TERMS)
+
+
+#: t15: document update + delete through the index's tombstone path.
+#: Bucket 8 docs are UPDATED ('customer' → 'client'), bucket 9 docs are
+#: DELETED; term stats must reflect only the final corpus.
+T15_TERMS = ("customer", "client", "join")
+_T15_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
+)
+
+
+@query(
+    "t15_index_doc_update",
+    oracle=f"""
+    WITH eff AS (
+        SELECT doc_id,
+               CASE WHEN {_T15_BUCKET_SQL} = 8
+                    THEN replace(text, 'customer', 'client') ELSE text END AS text
+        FROM documents
+        WHERE {_T15_BUCKET_SQL} <> 9
+    ),
+    pos AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM eff
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM pos WHERE term IN {T15_TERMS}
+        GROUP BY doc_id, term
     )
-    return tf.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("total_tf"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
-    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM tf GROUP BY term
+    """,
+)
+def t15_index_doc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document UPDATE and DELETE through the persisted index — the
+    tombstone path that closes the round-5 gap (an append-only index
+    served stale postings for changed documents; the reference's
+    directory layer owned document replacement,
+    ``HBaseDirectory.kt:83-123``). The full corpus is indexed, then ONE
+    maintenance batch rewrites bucket-8 documents ('customer' →
+    'client' — an edit that moves term statistics in a way stale
+    postings cannot fake) and deletes bucket-9 documents outright:
+    tombstones at the batch generation, new rows re-appended at that
+    generation, negative stats partials for the superseded rows. The
+    query then reads per-term stats for {T15_TERMS} from the index
+    alone; the oracle computes them from the FINAL corpus directly —
+    it never sees the pre-update text, so a hash match proves no stale
+    posting leaks through the mask. ``tests/test_extensions.py``
+    additionally proves compaction folds the tombstones physically
+    with identical results. Scale: the mask is one broadcast join
+    against tombstoned doc_ids (∝ churn since last compaction, not
+    corpus); the superseded-stats lookup prunes by doc_id."""
+    def build(staging: str) -> None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        bucket = F.expr(_T13_BUCKET_SPARK)
+        _write_index_parts(docs, staging)  # full original corpus, gen 0
+        updated = docs.filter(bucket == 8).withColumn(
+            "text", F.expr("replace(text, 'customer', 'client')")
+        )
+        deletes = docs.filter(bucket == 9).select("doc_id")
+        upsert_index_batch(updated, staging, deletes=deletes)
+
+    base = _build_once(_index_root(sf_dir, "mutate"), build)
+    return _index_term_stats(spark, base, T15_TERMS)

@@ -268,7 +268,9 @@ def test_index_streaming_maintenance_matches_batch_build(spark, sf_small):
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .writeStream.foreachBatch(lambda df, _id: upsert_index_batch(df, idx))
+        .writeStream.foreachBatch(
+            lambda df, _id: upsert_index_batch(df, idx, assume_new=True)
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .start()
@@ -276,7 +278,9 @@ def test_index_streaming_maintenance_matches_batch_build(spark, sf_small):
     q.awaitTermination()
     q.stop()
     # >=2 microbatches really ran (one stats partial row each)
-    assert spark.read.parquet(os.path.join(idx, "stats")).count() >= 2
+    from kt_sql_hbase_ex_spark.functions.text_index import layer_path
+
+    assert spark.read.parquet(layer_path(idx, "stats")).count() >= 2
 
     terms = ("customer", "join", "hash")
     def term_stats(root):
@@ -317,15 +321,25 @@ def test_index_compaction_preserves_results_and_shrinks_files(spark, sf_small):
     )
     from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
+    from kt_sql_hbase_ex_spark.functions.text_index import layer_path
+
     base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_compact")
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_small, "documents")
     # 3 maintenance appends -> 3 files per touched prefix + 3 partials
     for k in range(3):
-        upsert_index_batch(docs.filter(F.col("doc_id") % 3 == k), base)
+        upsert_index_batch(
+            docs.filter(F.col("doc_id") % 3 == k), base, assume_new=True
+        )
 
-    def n_files():
-        return len(glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True))
+    def n_live_files():
+        # count only the LIVE layers (pointer-resolved): superseded
+        # version dirs linger until the next compaction's deferred GC
+        return sum(
+            len(glob.glob(os.path.join(layer_path(base, layer), "**", "*.parquet"),
+                          recursive=True))
+            for layer in ("postings", "doclen", "stats", "tombstones")
+        )
 
     terms = ("customer", "join", "hash")
 
@@ -340,11 +354,135 @@ def test_index_compaction_preserves_results_and_shrinks_files(spark, sf_small):
         }
         return stats["n_docs"], round(stats["avgdl"], 9), tf
 
-    before_files, before = n_files(), snapshot()
+    before_files, before = n_live_files(), snapshot()
     compact_text_index(spark, base)
-    after_files, after = n_files(), snapshot()
+    after_files, after = n_live_files(), snapshot()
 
     assert after == before
     assert after_files < before_files, (before_files, after_files)
-    assert spark.read.parquet(os.path.join(base, "stats")).count() == 1
+    assert spark.read.parquet(layer_path(base, "stats")).count() == 1
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_tombstones_update_delete_and_compaction_parity(spark, sf_small):
+    """The tombstone path end-to-end on a scratch index: (a) an update
+    batch replaces a document's postings (no stale term survives), (b)
+    a delete batch removes a document entirely, (c) corpus stats track
+    the effective corpus through negative partials, (d) compaction
+    folds the tombstones physically — identical query results, empty
+    tombstone layer, fewer live files — and (e) a second compaction's
+    deferred GC removes the superseded version dirs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index,
+        layer_path,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_tomb")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    upsert_index_batch(docs, base, assume_new=True)  # initial corpus
+
+    # update doc 1 (drops beta/gamma, adds epsilon), delete doc 3
+    upd = spark.createDataFrame([(1, "alpha epsilon")], "doc_id long, text string")
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    upsert_index_batch(upd, base, deletes=dels)
+
+    terms = ("alpha", "beta", "gamma", "delta", "epsilon")
+
+    def term_docs():
+        return {
+            r["term"]: sorted(r["docs"])
+            for r in read_postings(spark, base, terms)
+            .groupBy("term")
+            .agg(F.collect_set("doc_id").alias("docs"))
+            .collect()
+        }
+
+    expect = {"alpha": [1], "beta": [2], "delta": [2], "epsilon": [1]}
+    assert term_docs() == expect  # gamma gone, doc 3 gone, epsilon live
+    assert {r["doc_id"]: r["dl"] for r in read_doclen(spark, base).collect()} == {
+        1: 2, 2: 2,
+    }
+    stats = read_corpus_stats(spark, base).first()
+    assert stats["n_docs"] == 2.0 and abs(stats["avgdl"] - 2.0) < 1e-12
+
+    compact_text_index(spark, base)
+    assert term_docs() == expect  # (d) identical after folding
+    stats2 = read_corpus_stats(spark, base).first()
+    assert stats2["n_docs"] == 2.0 and abs(stats2["avgdl"] - 2.0) < 1e-12
+    assert not glob.glob(os.path.join(layer_path(base, "tombstones"), "*.parquet"))
+    # the folded postings physically lack the superseded rows
+    raw = spark.read.parquet(layer_path(base, "postings"))
+    assert raw.filter(F.col("term").isin("gamma") | (F.col("doc_id") == 3)).count() == 0
+
+    # (e) deferred GC: the pre-compaction default dirs die next cycle
+    assert os.path.isdir(os.path.join(base, "postings"))
+    compact_text_index(spark, base)
+    assert not os.path.isdir(os.path.join(base, "postings"))
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_compaction_is_atomic_for_concurrent_readers(spark, sf_small):
+    """The round-5 publish gap (two os.renames left a reader-visible
+    window with NO stats dir) is closed by the pointer publish: a
+    reader hammering corpus stats and doclen in a loop while compaction
+    runs must never error and must always see the same totals."""
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index,
+        read_corpus_stats,
+        read_doclen,
+        upsert_index_batch,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_atomic")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_small, "documents")
+    for k in range(2):
+        upsert_index_batch(docs.filter(F.col("doc_id") % 2 == k), base,
+                           assume_new=True)
+    want = read_corpus_stats(spark, base).first()
+
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                got = read_corpus_stats(spark, base).first()
+                assert got["n_docs"] == want["n_docs"], got
+                read_doclen(spark, base).count()
+        except BaseException as e:  # surface to the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(2):  # two cycles: publish AND deferred GC race
+            compact_text_index(spark, base)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
     shutil.rmtree(base, ignore_errors=True)
