@@ -372,12 +372,16 @@ def overlay_path(options) -> str:
 
 def truncate_overlay(options) -> None:
     """Drop all committed writes, restoring the store to its base
-    (the bulk-load pattern: TRUNCATE + load)."""
+    (the bulk-load pattern: TRUNCATE + load). A truncate that actually
+    removed rows changes what readers see, so it stale-flips dependent
+    persisted indexes exactly like a commit does; a no-op truncate
+    (no overlay) leaves the index catalog untouched."""
     import os
 
     p = overlay_path(options)
     if os.path.exists(p):
         os.unlink(p)
+        _invalidate_dependent_indexes(options)
 
 
 #: overlay marker column: a row with this flag true is an HBase Delete
@@ -423,6 +427,7 @@ def delete_from_store(options, keys) -> None:
     tmp = opath + ".tmp"
     pq.write_table(pa.Table.from_pylist(rows), tmp)
     os.replace(tmp, opath)
+    _invalidate_dependent_indexes(opts)
 
 
 #: rowkey of a secondary-index entry: indexed value, then the base
@@ -612,6 +617,7 @@ class KVUpsertWriter(DataSourceWriter):
             tmp = opath + ".tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, opath)  # atomic visibility
+            _invalidate_dependent_indexes(self._options)
 
     def abort(self, messages) -> None:
         pass  # nothing staged outside the messages: free rollback
@@ -1042,6 +1048,56 @@ class IndexExistsError(ValueError):
     uses one exception type for both directions)."""
 
 
+class StaleIndexError(ValueError):
+    """A persisted-index read was attempted after the base store
+    changed. The reference guaranteed index-after-write consistency by
+    dual-Putting every base write into the index inside a transaction
+    (``index/keyvalue/KVIndexTable.kt:91-119``); this engine's persisted
+    index is a snapshot, so a committed base write flips the index's
+    catalog attribute to ``KEY_VALUE_STALE`` and readers must either
+    refresh (``refresh_kv_index`` / ``ensure_kv_index``), fall back to
+    the always-fresh derived index (src06), or opt in to the stale
+    snapshot explicitly (``allow_stale=True`` — the time-travel read)."""
+
+
+def _validate_index_name(index_name: str) -> None:
+    """Index names are path components of version dirs and meta files:
+    dots would let one index's version glob match another's
+    (``idx.a.*`` matching ``idx.a.b.<uuid>``), separators would escape
+    the root. Reject both at create time."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_\-]+", index_name or ""):
+        raise ValueError(
+            f"illegal index name {index_name!r}: use letters, digits, '_', '-'"
+        )
+
+
+def _invalidate_dependent_indexes(base_options) -> None:
+    """Commit-time catalog flip: after a base write (Put / Delete /
+    truncate) publishes, every fresh persisted index of that store has
+    its INDEX_TYPE attribute flipped to ``KEY_VALUE_STALE`` — so a
+    later ``persisted_index_read_options`` refuses rather than silently
+    serving pre-write rows (the round-5 freshness hole). This is the
+    analytics-shaped half of the reference's write-through contract
+    (``KVIndexTable.kt:91-119``): detection is synchronous with the
+    commit, the O(base) re-derivation is deferred to refresh. Driver-side
+    metadata-only (one glob + atomic meta rewrites), never a data read."""
+    import glob
+    import json
+
+    root = _kv_index_root(base_options)
+    for p in glob.glob(os.path.join(root, "*.meta.json")):
+        try:
+            with open(p) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):  # racing create/drop
+            continue
+        if meta.get("INDEX_TYPE") == "KEY_VALUE":
+            meta["INDEX_TYPE"] = "KEY_VALUE_STALE"
+            _write_index_meta(p, meta)
+
+
 def _kv_index_root(base_options) -> str:
     """Per-base-store metadata+index directory — the ``table.sys`` slice
     for this store. Keyed by base path + appId namespace (NOT content
@@ -1122,30 +1178,47 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
     index THROUGH the connector (rowkey-range pushdown and all).
 
     Crash-safety model: the backfill lands in a uniquely-named version
-    dir; the atomic meta write is the publish point. A crash before the
-    meta write leaves only an unreferenced dir (garbage, never served);
+    dir; the atomic meta PUBLISH — ``os.link`` of a fully-written temp
+    file, which FAILS if the meta already exists — is also the CLAIM,
+    so two concurrent creates can both backfill but exactly one
+    publishes; the loser raises IndexExistsError (its orphaned version
+    dir is swept by the next refresh/drop GC) and ``ensure_kv_index``
+    falls back to reusing the winner's identical index. A crash before
+    the link leaves only an unreferenced dir (garbage, never served);
     there is no window in which meta can point at stale data."""
+    import json
+
+    _validate_index_name(index_name)
     root = _kv_index_root(base_options)
     meta_path = _index_meta_path(base_options, index_name)
-    if os.path.exists(meta_path):
+    if os.path.exists(meta_path):  # fast path; the link below is the true claim
         raise IndexExistsError(f"index {index_name!r} exists when create index")
     os.makedirs(root, exist_ok=True)
 
     data_dir = _build_index_version(spark, root, index_name, base_options, index_on)
     opts = {k.lower(): v for k, v in dict(base_options).items()}
-    _write_index_meta(
-        meta_path,
-        {
-            # the table.sys attribute flips (HBaseSchema.kt:257-263)
-            "INDEX_TYPE": "KEY_VALUE",
-            "INDEX": index_on,
-            "index_name": index_name,
-            "base_path": os.path.realpath(opts["path"]),
-            "key_cols": opts["keycol"],
-            "base_signature": _base_signature(base_options),
-            "data_dir": data_dir,
-        },
-    )
+    meta = {
+        # the table.sys attribute flips (HBaseSchema.kt:257-263)
+        "INDEX_TYPE": "KEY_VALUE",
+        "INDEX": index_on,
+        "index_name": index_name,
+        "base_path": os.path.realpath(opts["path"]),
+        "key_cols": opts["keycol"],
+        "base_signature": _base_signature(base_options),
+        "data_dir": data_dir,
+    }
+    tmp = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    try:
+        os.link(tmp, meta_path)  # atomic claim+publish (fails iff exists)
+    except FileExistsError:
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise IndexExistsError(f"index {index_name!r} exists when create index")
+    finally:
+        os.unlink(tmp)
     return persisted_index_read_options(base_options, index_name)
 
 
@@ -1177,19 +1250,40 @@ def list_kv_indexes(base_options) -> list[dict]:
     for p in sorted(glob.glob(os.path.join(_kv_index_root(base_options), "*.meta.json"))):
         with open(p) as f:
             meta = json.load(f)
-        meta["fresh"] = meta.get("base_signature") == _base_signature(base_options)
+        meta["fresh"] = (
+            meta.get("INDEX_TYPE") == "KEY_VALUE"
+            and meta.get("base_signature") == _base_signature(base_options)
+        )
         out.append(meta)
     return out
 
 
-def persisted_index_read_options(base_options, index_name: str) -> dict:
+def persisted_index_read_options(
+    base_options, index_name: str, allow_stale: bool = False
+) -> dict:
     """Options bundle that serves lookups FROM the persisted index — a
     plain KV table keyed by the composite index rowkey, so value-prefix
-    predicates push down as rowkey ranges exactly like src06."""
+    predicates push down as rowkey ranges exactly like src06.
+
+    Freshness gate (round-6): if the index was stale-flipped by a
+    committed base write OR its base signature no longer matches, this
+    REFUSES with :class:`StaleIndexError` instead of silently serving
+    pre-write rows — the caller refreshes (``ensure_kv_index`` does so
+    transparently), reroutes to the derived index, or passes
+    ``allow_stale=True`` for an explicit snapshot read."""
     import json
 
     with open(_index_meta_path(base_options, index_name)) as f:
         meta = json.load(f)
+    if not allow_stale and (
+        meta.get("INDEX_TYPE") != "KEY_VALUE"
+        or meta.get("base_signature") != _base_signature(base_options)
+    ):
+        raise StaleIndexError(
+            f"persisted index {index_name!r} is stale (base store changed "
+            "since backfill): refresh_kv_index / ensure_kv_index, use the "
+            "derived index, or pass allow_stale=True"
+        )
     opts = {k.lower(): v for k, v in dict(base_options).items()}
     return {
         "path": meta["data_dir"],
@@ -1206,12 +1300,17 @@ def _gc_index_versions(root: str, index_name: str, keep: str) -> None:
     when a version is superseded — so a reader holding options that
     point at the just-replaced version gets a full refresh cycle to
     finish before its files disappear (a production deployment ties
-    this to a retention window instead of a cycle count)."""
+    this to a retention window instead of a cycle count). Version dirs
+    are matched EXACTLY (``idx.<name>.<12 hex>``) — a prefix glob alone
+    would let index ``a`` collect dirs of a dotted sibling ``a.b``
+    (dotted names are also rejected at create, belt and braces)."""
     import glob
+    import re
     import shutil
 
+    pat = re.compile(rf"idx\.{re.escape(index_name)}\.[0-9a-f]{{12}}$")
     for d in glob.glob(os.path.join(root, f"idx.{index_name}.*")):
-        if d != keep:
+        if d != keep and pat.fullmatch(os.path.basename(d)):
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -1237,13 +1336,17 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     new_dir = _build_index_version(spark, root, index_name, base_options, meta["INDEX"])
     meta["data_dir"] = new_dir
     meta["base_signature"] = _base_signature(base_options)
+    meta["INDEX_TYPE"] = "KEY_VALUE"  # un-flip a commit's stale mark
     _write_index_meta(meta_path, meta)  # the atomic flip
     return persisted_index_read_options(base_options, index_name)
 
 
 def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
     """Provisioning helper for demo queries: create if missing, reuse
-    if present AND fresh, rebuild if stale."""
+    if present AND fresh, rebuild if stale (signature mismatch or a
+    commit's ``KEY_VALUE_STALE`` flip — a read through ensure therefore
+    never serves pre-write rows). Losing a concurrent-create race
+    falls back to the winner's identical index instead of failing."""
     import json
 
     meta_path = _index_meta_path(base_options, index_name)
@@ -1255,10 +1358,18 @@ def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
             # a refresh would silently rebuild the OLD column's index
             drop_kv_index(index_name, base_options)
             return create_kv_index(spark, index_name, base_options, index_on)
-        if meta.get("base_signature") == _base_signature(base_options):
+        if (
+            meta.get("INDEX_TYPE") == "KEY_VALUE"
+            and meta.get("base_signature") == _base_signature(base_options)
+        ):
             return persisted_index_read_options(base_options, index_name)
         return refresh_kv_index(spark, index_name, base_options)
-    return create_kv_index(spark, index_name, base_options, index_on)
+    try:
+        return create_kv_index(spark, index_name, base_options, index_on)
+    except IndexExistsError:
+        # lost the atomic-claim race between our exists-check and link:
+        # the winner's index is deterministic-identical — reuse it
+        return ensure_kv_index(spark, index_name, base_options, index_on)
 
 
 _SRC09_SEGMENT = "AUTOMOBILE"

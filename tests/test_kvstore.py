@@ -808,6 +808,83 @@ class TestPersistedIndexLifecycle:
         finally:
             drop_kv_index("flex_t", opts)
 
+    def test_committed_write_never_served_stale(self, spark, sf_small):
+        """The round-6 freshness contract (reference:
+        ``KVIndexTable.kt:91-119`` index-after-write consistency): a
+        committed base write flips the persisted index's INDEX_TYPE to
+        KEY_VALUE_STALE; a direct options resolve REFUSES, ensure
+        transparently refreshes and serves the NEW row, and
+        allow_stale=True is the explicit snapshot escape hatch."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            StaleIndexError,
+            create_kv_index,
+            drop_kv_index,
+            ensure_kv_index,
+            index_prefix_bounds,
+            list_kv_indexes,
+            persisted_index_read_options,
+        )
+
+        opts = self._opts(spark, sf_small)
+        create_kv_index(spark, "fresh_t", opts, "c_mktsegment")
+        try:
+            # commit a Put through the connector
+            spark.createDataFrame(
+                [(888888, 11, "ZZFRESHSEG", 1.0)],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+            ).write.format(FORMAT_NAME).options(
+                **{**opts, "columns": "c_custkey,c_nationkey,c_mktsegment,c_acctbal"}
+            ).mode("append").save()
+
+            meta = list_kv_indexes(opts)[0]
+            assert meta["INDEX_TYPE"] == "KEY_VALUE_STALE"
+            assert meta["fresh"] is False
+            with pytest.raises(StaleIndexError):
+                persisted_index_read_options(opts, "fresh_t")
+            # explicit snapshot read still possible
+            assert persisted_index_read_options(opts, "fresh_t", allow_stale=True)
+
+            # ensure refreshes and the lookup sees the committed row
+            idx_opts = ensure_kv_index(spark, "fresh_t", opts, "c_mktsegment")
+            assert list_kv_indexes(opts)[0]["INDEX_TYPE"] == "KEY_VALUE"
+            lo, hi = index_prefix_bounds("ZZFRESHSEG")
+            got = (
+                spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+                .collect()
+            )
+            assert [r["c_custkey"] for r in got] == [888888]
+
+            # a connector Delete flips it stale again
+            from kt_sql_hbase_ex_spark.sources.kvstore import delete_from_store
+
+            delete_from_store(
+                {k.lower(): v for k, v in opts.items()}, [888888]
+            )
+            assert list_kv_indexes(opts)[0]["INDEX_TYPE"] == "KEY_VALUE_STALE"
+        finally:
+            drop_kv_index("fresh_t", opts)
+            truncate_overlay({k.lower(): v for k, v in opts.items()})
+
+    def test_index_name_validation_rejects_dots(self, spark, sf_small):
+        """Dotted / separator-bearing index names would alias version
+        dirs across indexes (ADVICE round 5) — rejected at create."""
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import create_kv_index
+
+        opts = self._opts(spark, sf_small)
+        for bad in ("a.b", "a/b", "", "a b"):
+            with pytest.raises(ValueError, match="illegal index name"):
+                create_kv_index(spark, bad, opts, "c_mktsegment")
+
     def test_refresh_defers_old_version_gc(self, spark, sf_small):
         """The superseded version dir survives its own refresh (in-flight
         readers drain) and is GC'd by the NEXT refresh."""
