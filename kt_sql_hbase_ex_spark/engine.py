@@ -13,7 +13,7 @@ additionally *crashed* on OR/IN/LIKE predicates at the scan layer,
 
     eng = KtSqlEngine(spark, "/root/testdata/sf0.01")
     eng.sql("SELECT r_name, count(*) FROM region GROUP BY r_name")
-    eng.create_table("t", "k BIGINT, v STRING")       # DDL
+    eng.create_table("t", "k BIGINT, v STRING", primary_key="k")  # DDL
     eng.sql("INSERT INTO t VALUES (1, 'x')")          # DML
     eng.describe("lineitem")                          # catalog metadata
 
@@ -55,6 +55,14 @@ class KtSqlEngine:
           ``test_pushdown_toggle_knob``)
 
         Lines are ``key = value``; ``#`` comments and blanks skipped.
+
+        Scope note: the flavor knob sets a SESSION-WIDE conf —
+        ``spark.sql.parquet.filterPushdown`` stays as configured for
+        every engine/query sharing the SparkSession until another
+        bootstrap (or test) resets it. Perf-only either way (answers
+        are pinned identical by ``test_pushdown_toggle_knob``), but a
+        multi-engine session should bootstrap its SCANNABLE engine
+        last or reset the conf after use.
         """
         props: dict[str, str] = {}
         with open(path) as f:
@@ -84,11 +92,68 @@ class KtSqlEngine:
         return self.spark.table(name)
 
     # -- DDL (reference: HBaseSchema.createTable/dropTable) ------------
-    def create_table(self, name: str, schema_ddl: str) -> None:
+    @staticmethod
+    def _parse_columns(columns) -> list[tuple]:
+        """Normalize the two accepted column forms to the catalog
+        wrapper's tuples: a DDL string ``"k BIGINT, v STRING"`` (split
+        on top-level commas so ``DECIMAL(10,2)`` survives; no
+        DEFAULT/COMMENT in this form) or the full
+        ``[(name, type, default[, comment])]`` list."""
+        if not isinstance(columns, str):
+            return [tuple(c) + (None,) * (3 - len(c)) for c in columns]
+        parts, depth, cur = [], 0, []
+        for ch in columns:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        out = []
+        for p in parts:
+            p = p.strip()
+            if not p:
+                continue
+            col, _, typ = p.partition(" ")
+            out.append((col, typ.strip(), None))
+        return out
+
+    def create_table(
+        self,
+        name: str,
+        columns,
+        primary_key=None,
+        *,
+        comment: str = "",
+        charset: str = "UTF-8",
+    ) -> None:
+        """Validated CREATE TABLE — routed through the catalog wrapper
+        so the facade enforces the reference's create-time rules
+        (``hbase/HBaseSchema.kt:101-178``): the primary key is
+        MANDATORY (``PrimaryKeyMissedError`` — the concatenated PK is
+        the rowkey, a table without one cannot exist) and ``id`` is a
+        reserved column name (``IllegalColumnNameError``); the
+        ``table.sys`` attributes (PRIMARY/CHARSET/COMMENT/CREATE_TIME)
+        persist as TBLPROPERTIES and surface via :meth:`table_info`.
+        ``columns`` takes a DDL string or the catalog wrapper's
+        ``[(name, type, default[, comment])]`` list; ``primary_key`` a
+        column name or sequence of names."""
         from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
 
+        pk = (primary_key,) if isinstance(primary_key, str) else primary_key
         _reset_table(self.spark, name)
-        self.spark.sql(f"CREATE TABLE {name} ({schema_ddl}) USING parquet")
+        cat.create_table(
+            self.spark,
+            name,
+            self._parse_columns(columns),
+            tuple(pk) if pk else None,
+            comment=comment,
+            charset=charset,
+        )
 
     def drop_table(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
