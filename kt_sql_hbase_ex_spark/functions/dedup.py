@@ -1064,3 +1064,101 @@ def d12_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_custkey", F.struct("dist", "c_custkey")).alias("best_key"),
     )
     return per.select("probe", "n_candidates", "best_dist", "best_key")
+
+
+#: d13 blocking: split each name into this many segments; by pigeonhole,
+#: <= FUZZY_MAX_DIST substitutions leave at least one segment untouched,
+#: so every true match shares at least one (slot, segment) blocking key.
+FUZZY_BLOCK_SEGMENTS = FUZZY_MAX_DIST + 1
+
+
+def _blocking_keys(name_col):
+    """Array of (slot, segment) blocking keys for a name: the string cut
+    into FUZZY_BLOCK_SEGMENTS even segments, each tagged with its slot
+    so segment i only ever equi-joins segment i."""
+    c = F.col(name_col) if isinstance(name_col, str) else name_col
+    n = FUZZY_BLOCK_SEGMENTS
+    segs = []
+    for i in range(n):
+        # 1-based substring bounds of segment i for this string's length
+        start = F.floor(F.length(c) * i / n) + 1
+        end = F.floor(F.length(c) * (i + 1) / n)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("slot"),
+                c.substr(start, (end - start + 1)).alias("seg"),
+            )
+        )
+    return F.array(*segs)
+
+
+@query(
+    "d13_blocked_entity_match",
+    oracle=f"""
+    WITH probes(probe) AS (VALUES {_FUZZY_PROBES_SQL}),
+    matched AS (
+        SELECT probe, c_custkey, c_name,
+               levenshtein(c_name, probe) AS dist
+        FROM probes CROSS JOIN customer
+        WHERE levenshtein(c_name, probe) <= {FUZZY_MAX_DIST}
+    )
+    SELECT probe,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MIN(dist) AS INTEGER) AS best_dist,
+           CAST(MIN(CASE WHEN dist = (SELECT MIN(dist) FROM matched m2
+                                      WHERE m2.probe = matched.probe)
+                         THEN c_custkey END) AS BIGINT) AS best_key
+    FROM matched GROUP BY probe
+    """,
+)
+def d13_blocked_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d12's fuzzy entity matching with BLOCKED candidate generation —
+    the form a 100 TB entity-resolution run invokes (round-5 verdict
+    #7): instead of scoring every probe against the whole dimension,
+    each name emits {FUZZY_BLOCK_SEGMENTS} positional blocking keys
+    (the string cut into even segments, slot-tagged) and candidates
+    come from an EQUI-JOIN on (slot, segment) — the d03-style
+    candidate-generation stage, with d12's Levenshtein scoring as the
+    verify stage over candidates only. Recall is provable, not
+    heuristic: ≤{FUZZY_MAX_DIST} substitutions can touch at most
+    {FUZZY_MAX_DIST} of the {FUZZY_BLOCK_SEGMENTS} segments, so by
+    pigeonhole every true match shares an untouched segment's key —
+    which is why this query's oracle IS the UNBLOCKED computation: a
+    hash match per round proves blocking lost zero recall.
+    Insert/delete corruptions shift segment boundaries and need
+    shift-tolerant keys (q-gram blocks) — documented limit of the
+    positional scheme, matching the substitution-shaped corruption
+    entity identifiers actually suffer (typos, OCR confusions).
+    Scale shapes: the probe side's exploded keys broadcast
+    (probes × {FUZZY_BLOCK_SEGMENTS} rows); the dimension explodes
+    map-side and equi-joins — candidates ∝ block collisions, never
+    |probes| × |dimension|, and a hot block (the fixture's shared
+    'Customer#' prefix makes slot 0 one) only costs its own collision
+    list, which the verify filter then prunes; production adds a
+    stop-block cap (drop keys whose frequency exceeds a threshold)
+    exactly as web-scale blocking systems do. Tie rule and rollup are
+    d12's, so results are deterministic cross-engine."""
+    probes = spark.createDataFrame([(p,) for p in FUZZY_PROBES], "probe string")
+    pkeys = probes.select(
+        "probe", F.explode(_blocking_keys("probe")).alias("k")
+    ).select("probe", "k.slot", "k.seg")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ckeys = c.select(
+        "c_custkey", "c_name", F.explode(_blocking_keys("c_name")).alias("k")
+    ).select("c_custkey", "c_name", "k.slot", "k.seg")
+    # candidate generation: equi-join on the blocking key, dedup pairs
+    # matched in more than one segment
+    cand = (
+        ckeys.join(F.broadcast(pkeys), ["slot", "seg"])
+        .select("probe", "c_custkey", "c_name")
+        .distinct()
+    )
+    # verify stage: d12's exact scoring over candidates only
+    matched = cand.withColumn("dist", F.levenshtein("c_name", "probe")).filter(
+        F.col("dist") <= FUZZY_MAX_DIST
+    )
+    return matched.groupBy("probe").agg(
+        F.count("*").alias("n_candidates"),
+        F.min("dist").cast("int").alias("best_dist"),
+        F.min_by("c_custkey", F.struct("dist", "c_custkey")).alias("best_key"),
+    ).select("probe", "n_candidates", "best_dist", "best_key")

@@ -854,15 +854,25 @@ def st12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode, where the watermark finalizes each bar once event time
     passes it and evicts its state — there, state ∝ open bars ×
     series, never events. At 100 TB/day that append form is how
-    candles ship."""
+    candles ship; ``st13_append_ohlc_closed_bars`` runs it executable
+    (same aggregate via :func:`_ohlc_agg`, append drain, closed-bar
+    oracle)."""
     s = events_stream(spark, sf_dir)
+    agg = _ohlc_agg(s, watermark_delay="1 hour")
+    return run_stream_to_table(agg, "complete", sink_name="sink_st12")
+
+
+def _ohlc_agg(stream: DataFrame, watermark_delay: str) -> DataFrame:
+    """The shared OHLC windowed aggregate (st12's complete-mode drain
+    and st13's append-mode drain run the IDENTICAL plan; only output
+    mode and watermark delay differ)."""
     ord_key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
         F.lpad(F.col("event_id").cast("string"), 19, "0"),
     )
-    agg = (
-        s.withColumn("ord", ord_key)
-        .withWatermark("ts", "1 hour")
+    return (
+        stream.withColumn("ord", ord_key)
+        .withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.min_by("value", "ord").alias("open"),
@@ -881,4 +891,79 @@ def st12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
-    return run_stream_to_table(agg, "complete", sink_name="sink_st12")
+
+
+@query(
+    "st13_append_ohlc_closed_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bar,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
+        FROM events
+    )
+    SELECT event_type, bar,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM keyed
+    GROUP BY event_type, bar
+    HAVING bar + INTERVAL '1 hour' <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def st13_append_ohlc_closed_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st12's OHLC aggregate drained in APPEND mode — the production
+    deployment form, made executable (round-5 verdict #4): each bar is
+    emitted EXACTLY ONCE, when the watermark passes its end, and its
+    state is evicted — so state ∝ open bars × series, never events,
+    which is the claim st12's complete-mode drain could only document.
+    Mechanics: the events fixture lands as four source files
+    (maxFilesPerTrigger=1 → four real microbatches advancing the
+    watermark between them), a zero-delay watermark finalizes every
+    bar the stream has moved past, and the finalized bars append to a
+    parquet sink (exactly-once via the sink's commit log — the durable
+    candle feed a 100 TB/day deployment ships). The still-open bars —
+    those containing the stream's max event time — are correctly
+    withheld; the oracle is therefore the batch OHLC restricted to
+    bars whose end is at or before MAX(ts), i.e. the closed-bar subset.
+    open/close are exact element selections (min_by/max_by over the
+    total (ts, event_id) order), bit-identical cross-engine."""
+    import shutil
+
+    legacy = events_ts_is_nanos(sf_dir)
+    if legacy:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(events_raw_schema(legacy))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_chunked_events_dir(sf_dir))
+    )
+    agg = _ohlc_agg(normalize_ts(raw, legacy), watermark_delay="0 seconds")
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_append_ohlc_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)  # hermetic per invocation
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(out)

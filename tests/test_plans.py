@@ -711,3 +711,28 @@ def test_drift_monitor_one_pass_broadcast_totals(spark, sf_small):
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # one-row totals
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_blocked_entity_match_is_equi_join(spark, sf_small):
+    """d13's contract (round-6): candidate generation is an EQUI-JOIN on
+    the (slot, segment) blocking key — never a cross join of probes ×
+    dimension — and the dimension is scanned once. Recall parity vs the
+    unblocked d12 form is proven by the oracle gate itself (d13's
+    oracle IS the unblocked computation); here both registered queries
+    are additionally asserted row-identical."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        d12_fuzzy_entity_match,
+        d13_blocked_entity_match,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    df = d13_blocked_entity_match(spark, sf_small)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the blocking equi-join
+    assert plan.count("customer.parquet") == 1, plan
+
+    blocked = {tuple(r) for r in df.collect()}
+    unblocked = {tuple(r) for r in d12_fuzzy_entity_match(spark, sf_small).collect()}
+    assert blocked == unblocked  # zero recall loss on the fixture
