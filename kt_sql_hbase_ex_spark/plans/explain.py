@@ -127,15 +127,32 @@ def has_unbounded_global_window(df: DataFrame) -> bool:
         if bounded:
             continue
         # ancestors above: first shallower line chain; a Window before any
-        # other Exchange means this exchange feeds the window directly
+        # other Exchange means this exchange feeds the window directly.
+        # Node NAMES are matched (leading alpha token), not substrings:
+        # WindowGroupLimit is a top-k pre-filter, not a Window, and ANY
+        # aggregate flavor (HashAggregate / SortAggregate /
+        # ObjectHashAggregate) repartitions its output semantics, so the
+        # walk must stop there — substring "HashAggregate" alone let a
+        # SortAggregate ancestor leak an unrelated higher Window into a
+        # false positive.
         cur = here
         for up in reversed(lines[:n]):
             ui = indent(up)
             if ui >= cur:
                 continue
             cur = ui
-            if "Window" in up:
+            name = _node_name(up)
+            if name in ("Window", "WindowInPandas"):
                 return True
-            if "Exchange" in up or "HashAggregate" in up or "Join" in up:
+            if "Exchange" in name or "Aggregate" in name or "Join" in name:
                 break
     return False
+
+
+def _node_name(line: str) -> str:
+    """Leading operator name of one executed-plan tree line (indent
+    glyphs stripped) — 'Window', 'WindowGroupLimit', 'SortAggregate'…"""
+    import re
+
+    m = re.match(r"[\s:+\-*]*([A-Za-z]+)", line)
+    return m.group(1) if m else ""
