@@ -355,7 +355,9 @@ def read_corpus_stats(spark: SparkSession, root: str) -> DataFrame:
 # --- compaction --------------------------------------------------------
 
 
-def compact_text_index(spark: SparkSession, root: str) -> None:
+def compact_text_index(
+    spark: SparkSession, root: str, gc_retention_sec: float = 120.0
+) -> None:
     """Compaction — the other half of log+append maintenance (opt09's
     small-file story applied to the index): every maintenance batch
     appends one file per touched prefix partition plus doclen/stats/
@@ -373,16 +375,32 @@ def compact_text_index(spark: SparkSession, root: str) -> None:
     (``layers.json`` — the KV index's version-dir + meta-pointer
     pattern, ``sources/kvstore.py``), so readers see the old snapshot
     or the new one, never a gap and never folded postings with live
-    tombstones. Superseded dirs are removed by the NEXT compaction's
-    deferred GC — a reader already holding a resolved path gets a full
-    cycle to drain. At 100 TB this runs per-prefix on a size trigger
-    (files-per-partition or bytes threshold), not corpus-wide, keeping
-    tombstones that still cover unrewritten prefixes."""
+    tombstones. Superseded dirs are removed by a later compaction's
+    deferred GC only once they have aged past ``gc_retention_sec`` —
+    the retention window a reader holding a resolved path gets to
+    drain (a cycle count alone is NOT enough: two back-to-back
+    compactions would collapse the drain window to milliseconds, which
+    a concurrent-reader test demonstrably loses). At 100 TB this runs
+    per-prefix on a size trigger (files-per-partition or bytes
+    threshold), not corpus-wide, keeping tombstones that still cover
+    unrewritten prefixes, and retention is sized to the longest
+    query's runtime."""
+    import time
+
     ptr = _read_pointer(root)
-    # deferred GC: dirs superseded by the PREVIOUS compaction have had a
-    # full cycle for in-flight readers to drain
-    for d in ptr.get("gc", []):
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    now = time.time()
+    # deferred GC: delete superseded dirs only after the retention
+    # window; younger entries stay queued for a later compaction
+    kept_gc = []
+    for entry in ptr.get("gc", []):
+        dirs, at = (
+            (entry["dirs"], entry["at"]) if isinstance(entry, dict) else ([entry], 0.0)
+        )
+        if now - at >= gc_retention_sec:
+            for d in dirs:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        else:
+            kept_gc.append({"dirs": dirs, "at": at})
 
     tomb = _read_tombstones(spark, root, ptr)
     tag = uuid.uuid4().hex[:8]
@@ -405,7 +423,9 @@ def compact_text_index(spark: SparkSession, root: str) -> None:
     ).coalesce(1).write.parquet(os.path.join(root, new["stats"]))
     os.makedirs(os.path.join(root, new["tombstones"]), exist_ok=True)
 
-    new["gc"] = [ptr.get(layer, layer) for layer in _LAYERS]
+    new["gc"] = kept_gc + [
+        {"dirs": [ptr.get(layer, layer) for layer in _LAYERS], "at": now}
+    ]
     tmp = f"{_pointer_path(root)}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(new, f)

@@ -429,9 +429,10 @@ def test_index_tombstones_update_delete_and_compaction_parity(spark, sf_small):
     raw = spark.read.parquet(layer_path(base, "postings"))
     assert raw.filter(F.col("term").isin("gamma") | (F.col("doc_id") == 3)).count() == 0
 
-    # (e) deferred GC: the pre-compaction default dirs die next cycle
+    # (e) deferred GC: the pre-compaction default dirs die at a later
+    # cycle once past the retention window (0 here = collect now)
     assert os.path.isdir(os.path.join(base, "postings"))
-    compact_text_index(spark, base)
+    compact_text_index(spark, base, gc_retention_sec=0.0)
     assert not os.path.isdir(os.path.join(base, "postings"))
     shutil.rmtree(base, ignore_errors=True)
 
@@ -439,8 +440,11 @@ def test_index_tombstones_update_delete_and_compaction_parity(spark, sf_small):
 def test_index_compaction_is_atomic_for_concurrent_readers(spark, sf_small):
     """The round-5 publish gap (two os.renames left a reader-visible
     window with NO stats dir) is closed by the pointer publish: a
-    reader hammering corpus stats and doclen in a loop while compaction
-    runs must never error and must always see the same totals."""
+    reader hammering corpus stats and doclen in a loop while TWO
+    back-to-back compactions run must never error and must always see
+    the same totals — the second compaction exercises the GC path,
+    whose retention window (not a cycle count) is what guarantees a
+    reader's resolved paths outlive its read."""
     import os
     import shutil
     import tempfile
