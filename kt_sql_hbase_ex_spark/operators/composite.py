@@ -1007,24 +1007,35 @@ def c19_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
     ), val AS (
         SELECT l_partkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS value_dec
         FROM lineitem
         WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
         GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(value, 2) AS stock_value
-    FROM val WHERE value > 0.0012 * (SELECT SUM(value) FROM val)
+    SELECT l_partkey, ROUND(CAST(value_dec AS DOUBLE), 2) AS stock_value
+    FROM val
+    WHERE value_dec * (SELECT COUNT(*) FROM val)
+            > 2 * (SELECT SUM(value_dec) FROM val)
     """,
 )
 def c20_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): parts whose
-    supplied value from one region's suppliers exceeds a fraction of
-    that region's total — the scalar-aggregate-subquery-in-HAVING form.
-    Decorrelation is the scale story: the per-part aggregate runs ONCE
-    and is reused for both the values and their grand total (one extra
-    reduce over group-cardinality rows, not a second fact scan); the
-    single-row total then broadcast-cross-joins back. The region's
-    supplier set broadcast-semi-filters lineitem before any shuffle."""
+    supplied value from one region's suppliers exceeds a threshold
+    share of that region's total — the scalar-aggregate-subquery-in-
+    HAVING form. The threshold is RELATIVE (value above 2× the mean
+    per-part share, i.e. ``value·n_parts > 2·total``) rather than
+    Q11's fixed fraction, because the fixed fraction is itself
+    scale-dependent in TPC-H (0.0001/SF — a constant empties the
+    result as part count grows, which the sf0.1 robustness sweep
+    caught); the relative form selects a stable head at every scale.
+    The compare runs entirely in exact DECIMAL (per-part sums, grand
+    total, and the integer part count), so the boundary cannot flip on
+    cross-engine double-summation ulps. Decorrelation is the scale
+    story: the per-part aggregate runs ONCE and is reused for both the
+    values and their (total, count) summary (one extra reduce over
+    group-cardinality rows, not a second fact scan); the one-row
+    summary then broadcast-cross-joins back. The region's supplier set
+    broadcast-semi-filters lineitem before any shuffle."""
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = (
@@ -1043,13 +1054,18 @@ def c20_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         li.join(F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(exact_sum_dec("l_extendedprice").cast("double").alias("value"))
+        .agg(exact_sum_dec("l_extendedprice").alias("value_dec"))
     )
-    total = val.agg(F.sum("value").alias("total"))
+    summary = val.agg(
+        F.sum("value_dec").alias("total"), F.count("*").alias("n_parts")
+    )
     return (
-        val.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > 0.0012 * F.col("total"))
-        .select("l_partkey", F.round("value", 2).alias("stock_value"))
+        val.crossJoin(F.broadcast(summary))
+        .filter(F.col("value_dec") * F.col("n_parts") > 2 * F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec").cast("double"), 2).alias("stock_value"),
+        )
     )
 
 
