@@ -490,3 +490,101 @@ def test_index_compaction_is_atomic_for_concurrent_readers(spark, sf_small):
         t.join(timeout=120)
     assert not errors, errors
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_random_mutation_sequences_match_rebuild(spark):
+    """Property check on the tombstone path: for seeded random mutation
+    histories (update / delete / insert batches over a small corpus),
+    the MAINTAINED index must answer identically to an index rebuilt
+    from the final corpus in one shot — term posting sets, doc lengths,
+    and corpus stats — both before and after compaction. This is the
+    generalized form of t15's single-batch scenario: order, batching,
+    and repeated mutation of the same doc must all be invisible."""
+    import os
+    import random
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    vocab = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+
+    def make_df(d: dict):
+        return spark.createDataFrame(
+            sorted(d.items()), "doc_id long, text string"
+        )
+
+    def snapshot(root):
+        postings = {
+            r["term"]: tuple(sorted(r["docs"]))
+            for r in read_postings(spark, root, vocab)
+            .groupBy("term")
+            .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+            .select("term", F.sort_array("ps").alias("docs"))
+            .collect()
+        }
+        doclen = {r["doc_id"]: r["dl"] for r in read_doclen(spark, root).collect()}
+        st = read_corpus_stats(spark, root).first()
+        return postings, doclen, (st["n_docs"], st["avgdl"])
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        docs = {
+            i: " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for i in range(1, 13)
+        }
+        base = os.path.join(
+            tempfile.gettempdir(), f"kt_sql_test_idx_prop_{seed}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        upsert_index_batch(make_df(docs), base, assume_new=True)
+        next_id = 13
+        for _ in range(4):
+            ups: dict = {}
+            dels: set = set()
+            for i in list(docs):
+                r = rng.random()
+                if r < 0.2:
+                    dels.add(i)
+                    del docs[i]
+                elif r < 0.45:
+                    docs[i] = " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+                    ups[i] = docs[i]
+            for _ in range(rng.randint(0, 3)):
+                docs[next_id] = " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+                ups[next_id] = docs[next_id]
+                next_id += 1
+            if not ups and not dels:
+                continue
+            upsert_index_batch(
+                make_df(ups) if ups else make_df({}).limit(0),
+                base,
+                deletes=spark.createDataFrame(
+                    [(i,) for i in sorted(dels)], "doc_id long"
+                )
+                if dels
+                else None,
+            )
+
+        rebuilt = f"{base}_rebuilt"
+        shutil.rmtree(rebuilt, ignore_errors=True)
+        upsert_index_batch(make_df(docs), rebuilt, assume_new=True)
+
+        maintained, ref = snapshot(base), snapshot(rebuilt)
+        assert maintained[0] == ref[0], f"seed {seed}: postings diverged"
+        assert maintained[1] == ref[1], f"seed {seed}: doclen diverged"
+        assert maintained[2][0] == ref[2][0], f"seed {seed}: n_docs"
+        assert abs(maintained[2][1] - ref[2][1]) < 1e-9, f"seed {seed}: avgdl"
+
+        compact_text_index(spark, base)
+        assert snapshot(base) == maintained, f"seed {seed}: compaction changed rows"
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(rebuilt, ignore_errors=True)
