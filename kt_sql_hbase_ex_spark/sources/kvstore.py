@@ -1207,6 +1207,7 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
         "base_signature": _base_signature(base_options),
         "data_dir": data_dir,
     }
+    meta["snapshot"] = _snapshot_of(meta["base_signature"])
     tmp = f"{meta_path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -1222,6 +1223,19 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
     return persisted_index_read_options(base_options, index_name)
 
 
+def _snapshot_of(base_signature: list) -> dict:
+    """What a just-built index version physically contains: the base
+    file's identity, and whether the backfill saw a pristine base (no
+    overlay) — the precondition for O(overlay) incremental maintenance
+    (:func:`incremental_refresh_kv_index`): a pristine-base snapshot
+    plus the CURRENT overlay re-derived as index deltas is always the
+    correct index, with no history bookkeeping."""
+    return {
+        "base": base_signature[:2],
+        "overlay_free": base_signature[2:] == [0, 0],
+    }
+
+
 def drop_kv_index(index_name: str, base_options) -> None:
     """DROP INDEX: reject-if-missing, flip attributes back (meta file
     removal = INDEX_TYPE->NONE), delete the index table."""
@@ -1235,6 +1249,17 @@ def drop_kv_index(index_name: str, base_options) -> None:
     with open(meta_path) as f:
         meta = json.load(f)
     os.unlink(meta_path)
+    # the index's own write overlay (incremental maintenance deltas)
+    # dies with the index — resolve its path while data_dir still exists
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    try:
+        iov = overlay_path(
+            {"path": meta["data_dir"], **({"appid": opts["appid"]} if "appid" in opts else {})}
+        )
+        if os.path.exists(iov):
+            os.unlink(iov)
+    except (KeyError, OSError):
+        pass
     shutil.rmtree(meta.get("data_dir", ""), ignore_errors=True)
     # sweep superseded versions awaiting deferred GC too
     _gc_index_versions(_kv_index_root(base_options), index_name, keep="")
@@ -1336,8 +1361,127 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     new_dir = _build_index_version(spark, root, index_name, base_options, meta["INDEX"])
     meta["data_dir"] = new_dir
     meta["base_signature"] = _base_signature(base_options)
+    meta["snapshot"] = _snapshot_of(meta["base_signature"])
     meta["INDEX_TYPE"] = "KEY_VALUE"  # un-flip a commit's stale mark
+    meta["maintenance"] = "rebuild"
     _write_index_meta(meta_path, meta)  # the atomic flip
+    return persisted_index_read_options(base_options, index_name)
+
+
+class IncrementalRefreshIneligible(ValueError):
+    """The persisted snapshot cannot take overlay-delta maintenance —
+    either the base FILE itself changed since the backfill (bulk
+    reload: only a rebuild is correct) or the snapshot already baked an
+    overlay in (no pristine reference point). Callers fall back to
+    :func:`refresh_kv_index`."""
+
+
+def incremental_refresh_kv_index(spark, index_name: str, base_options) -> dict:
+    """O(overlay) index maintenance — the reference's per-write
+    dual-Put contract (``index/keyvalue/KVIndexTable.kt:91-119``: every
+    base Put writes the index entry, deletes remove it) applied as a
+    BATCHED delta instead of a transaction: the base store's committed
+    overlay (statement-sized by construction) is re-derived into index
+    Puts/Deletes written to the PERSISTED index's own overlay, and the
+    connector's standard overlay-over-base merge serves them. The
+    O(base) version dir is never rewritten.
+
+    Soundness needs no history: the snapshot (``meta['snapshot']``) is
+    pristine-base, so "index(base) ⊕ deltas(current overlay)" is always
+    the whole truth — each refresh recomputes the FULL index overlay
+    from the FULL base overlay (idempotent, stateless; a truncated
+    base overlay clears the index overlay). Old-entry tombstones need
+    the base's prior indexed values: fetched driver-side with a
+    row-group-pruned pyarrow read keyed by the overlay's first PK
+    component — the reference's multi-get, O(matching row groups) not
+    O(base). At 100 TB the same delta derivation runs as a Spark job
+    over the change feed with the identical semantics."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    meta_path = _index_meta_path(base_options, index_name)
+    if not os.path.exists(meta_path):
+        raise IndexExistsError(
+            f"index {index_name!r} not exists when incremental refresh"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    base_path = os.path.realpath(opts["path"])
+    st = os.stat(base_path)
+    snap = meta.get("snapshot") or {}
+    if not snap.get("overlay_free"):
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: snapshot baked an overlay in — rebuild"
+        )
+    if snap.get("base") != [st.st_mtime_ns, st.st_size]:
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: base file changed since backfill — rebuild"
+        )
+
+    key_cols = tuple(meta["key_cols"].split(","))
+    index_on = meta["INDEX"]
+    idx_opts = {
+        k.lower(): v
+        for k, v in persisted_index_read_options(
+            base_options, index_name, allow_stale=True
+        ).items()
+    }
+    iov_path = overlay_path(idx_opts)
+    opath = overlay_path(opts)
+    if not os.path.exists(opath):
+        # base overlay truncated → the pristine snapshot IS the index
+        if os.path.exists(iov_path):
+            os.unlink(iov_path)
+    else:
+        overlay_rows = pq.read_table(opath).to_pylist()
+        # prior indexed values of the touched keys (multi-get shape)
+        want = {_rowkey_of(r, key_cols) for r in overlay_rows}
+        cols = list(dict.fromkeys([*key_cols, index_on]))
+        flt = pads.field(key_cols[0]).isin(
+            sorted({r[key_cols[0]] for r in overlay_rows})
+        )
+        old = {}
+        for r in pads.dataset(base_path).to_table(columns=cols, filter=flt).to_pylist():
+            rk = _rowkey_of(r, key_cols)
+            if rk in want:
+                old[rk] = r
+        merged: dict = {}
+        for r in overlay_rows:
+            orow = old.get(_rowkey_of(r, key_cols))
+            if orow is not None and orow[index_on] is not None:
+                # Delete the entry the pristine base contributed
+                ik = _index_rowkey(orow[index_on], orow, key_cols)
+                merged[ik] = {
+                    INDEX_KEY: ik,
+                    **{c: orow[c] for c in key_cols},
+                    TOMBSTONE: True,
+                }
+            if not r.get(TOMBSTONE) and r.get(index_on) is not None:
+                # Put the entry the overlay row contributes (an
+                # unchanged indexed value revives its own tombstone —
+                # dict order makes the Put win, HBase semantics)
+                ik = _index_rowkey(r[index_on], r, key_cols)
+                merged[ik] = {
+                    INDEX_KEY: ik,
+                    **{c: r[c] for c in key_cols},
+                    TOMBSTONE: False,
+                }
+        rows = sorted(merged.values(), key=lambda x: x[INDEX_KEY])
+        if rows:
+            tmp = f"{iov_path}.tmp.{os.getpid()}"
+            pq.write_table(pa.Table.from_pylist(rows), tmp)
+            os.replace(tmp, iov_path)
+        elif os.path.exists(iov_path):
+            os.unlink(iov_path)
+
+    meta["base_signature"] = _base_signature(base_options)
+    meta["INDEX_TYPE"] = "KEY_VALUE"
+    meta["maintenance"] = "incremental"
+    _write_index_meta(meta_path, meta)
     return persisted_index_read_options(base_options, index_name)
 
 
@@ -1363,7 +1507,10 @@ def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
             and meta.get("base_signature") == _base_signature(base_options)
         ):
             return persisted_index_read_options(base_options, index_name)
-        return refresh_kv_index(spark, index_name, base_options)
+        try:  # O(overlay) delta maintenance when the snapshot allows it
+            return incremental_refresh_kv_index(spark, index_name, base_options)
+        except IncrementalRefreshIneligible:
+            return refresh_kv_index(spark, index_name, base_options)
     try:
         return create_kv_index(spark, index_name, base_options, index_on)
     except IndexExistsError:

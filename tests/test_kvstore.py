@@ -873,6 +873,114 @@ class TestPersistedIndexLifecycle:
             drop_kv_index("fresh_t", opts)
             truncate_overlay({k.lower(): v for k, v in opts.items()})
 
+    def test_incremental_refresh_applies_overlay_deltas(self, spark, sf_small):
+        """Round-6 O(overlay) maintenance — the reference's dual-write
+        (``KVIndexTable.kt:91-119``) as a batched delta: after committed
+        Puts (value change + new key) and a Delete, ensure must take the
+        INCREMENTAL path (same data_dir, meta says 'incremental') and
+        the persisted index must equal the always-fresh derived index
+        ENTRY FOR ENTRY; truncating the base overlay must restore the
+        pristine snapshot; a snapshot that baked an overlay in must
+        fall back to a full rebuild (new data_dir)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            _index_meta_path,
+            create_kv_index,
+            delete_from_store,
+            drop_kv_index,
+            ensure_kv_index,
+        )
+
+        opts = self._opts(spark, sf_small)
+        lopts = {k.lower(): v for k, v in opts.items()}
+        cols = "c_custkey,c_nationkey,c_mktsegment,c_acctbal"
+
+        def meta():
+            with open(_index_meta_path(opts, "inc_t")) as f:
+                return json.load(f)
+
+        def persisted_entries(idx_opts):
+            return {
+                (r[INDEX_KEY], r["c_custkey"])
+                for r in spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .collect()
+            }
+
+        def derived_entries():
+            d = dict(opts)
+            d["columns"] = "c_custkey,c_mktsegment"
+            d["indexOn"] = "c_mktsegment"
+            return {
+                (r[INDEX_KEY], r["c_custkey"])
+                for r in spark.read.format(FORMAT_NAME)
+                .options(**d)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .collect()
+            }
+
+        create_kv_index(spark, "inc_t", opts, "c_mktsegment")
+        v1 = meta()["data_dir"]
+        try:
+            # committed deltas: segment change, brand-new key, delete
+            spark.createDataFrame(
+                [
+                    (42, 1, "ZZINCSEG", 0.0),
+                    (777777, 2, "ZZINCSEG", 1.0),
+                ],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+            ).write.format(FORMAT_NAME).options(
+                **{**opts, "columns": cols}
+            ).mode("append").save()
+            delete_from_store(lopts, [43])
+
+            idx_opts = ensure_kv_index(spark, "inc_t", opts, "c_mktsegment")
+            m = meta()
+            assert m["maintenance"] == "incremental"
+            assert m["data_dir"] == v1  # the O(base) version was NOT rebuilt
+            assert persisted_entries(idx_opts) == derived_entries()
+
+            # truncate → pristine snapshot again, still incremental
+            truncate_overlay(lopts)
+            idx_opts = ensure_kv_index(spark, "inc_t", opts, "c_mktsegment")
+            assert meta()["data_dir"] == v1
+            assert persisted_entries(idx_opts) == derived_entries()
+        finally:
+            drop_kv_index("inc_t", opts)
+            truncate_overlay(lopts)
+
+        # ineligible snapshot (created WITH an overlay baked in) → rebuild
+        spark.createDataFrame(
+            [(42, 1, "ZZREBUILD", 0.0)],
+            "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+        ).write.format(FORMAT_NAME).options(
+            **{**opts, "columns": cols}
+        ).mode("append").save()
+        create_kv_index(spark, "inc_t", opts, "c_mktsegment")
+        v1 = meta()["data_dir"]
+        try:
+            spark.createDataFrame(
+                [(44, 1, "ZZREBUILD2", 0.0)],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+            ).write.format(FORMAT_NAME).options(
+                **{**opts, "columns": cols}
+            ).mode("append").save()
+            idx_opts = ensure_kv_index(spark, "inc_t", opts, "c_mktsegment")
+            m = meta()
+            assert m["maintenance"] == "rebuild"
+            assert m["data_dir"] != v1
+            assert persisted_entries(idx_opts) == derived_entries()
+        finally:
+            drop_kv_index("inc_t", opts)
+            truncate_overlay(lopts)
+
     def test_index_name_validation_rejects_dots(self, spark, sf_small):
         """Dotted / separator-bearing index names would alias version
         dirs across indexes (ADVICE round 5) — rejected at create."""
