@@ -780,3 +780,98 @@ def tr12_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
     )
+
+
+#: tr13 — a pretend-trained linear quality classifier (the fastText-/
+#: logistic-shaped model every modern curation run scores with). The
+#: weights are FROZEN constants: inference, not training, is the
+#: operator. Feature order is the contract — both engines compute the
+#: margin in this exact term order, so the doubles are bit-identical.
+QUALITY_WEIGHTS = {
+    "len_sat": 1.8,     # saturated length: least(n_tok/50, 1)
+    "ttr": 2.2,         # type-token ratio (lexical diversity)
+    "stop_ratio": -3.0, # stopword overload penalizes
+    "marker_ratio": 1.1,  # domain-marker density rewards
+    "avg_len": -0.7,    # very long tokens look like noise
+}
+QUALITY_BIAS = -1.9
+_QUALITY_MARKERS = ("data", "hash")
+
+
+@query(
+    "tr13_classifier_quality_filter",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS n_stop,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('data', 'hash'))) AS n_marker,
+               length(text) AS n_ch
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {QUALITY_BIAS}
+               + {QUALITY_WEIGHTS["len_sat"]} * LEAST(n_tok / 50.0, 1.0)
+               + {QUALITY_WEIGHTS["ttr"]} * (CAST(n_uniq AS DOUBLE) / n_tok)
+               + {QUALITY_WEIGHTS["stop_ratio"]} * (CAST(n_stop AS DOUBLE) / n_tok)
+               + {QUALITY_WEIGHTS["marker_ratio"]} * (CAST(n_marker AS DOUBLE) / n_tok)
+               + {QUALITY_WEIGHTS["avg_len"]} * (CAST(n_ch AS DOUBLE) / n_tok / 10.0)
+                   AS margin
+        FROM feat
+    )
+    SELECT doc_id, lang, ROUND(margin, 6) AS quality_margin, margin > 0 AS keep
+    FROM scored
+    """,
+)
+def tr13_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the CLASSIFIER stage modern
+    curation runs put beside the rule-based gates (t03/t09/tr02 are
+    hand-written rules; pretraining pipelines additionally score every
+    document with a trained quality model, fastText- or
+    logistic-regression-shaped, and keep by margin). Inference is
+    expressed as pure columnar arithmetic: the frozen weight vector is
+    a set of literals folded into ONE codegen'd projection — features
+    (saturated length, type-token ratio, stopword ratio, domain-marker
+    density, mean token length) and the linear margin all evaluate
+    map-side in a single pass, zero shuffles, composing with the scan
+    exactly like the rule gates. The keep decision thresholds the raw
+    LINEAR margin (no sigmoid: the logistic is monotone, so margin>0 ≡
+    p>0.5, and avoiding transcendentals keeps the doubles bit-identical
+    cross-engine; term order is pinned in both expressions). At 100 TB
+    the weights come from a trained model instead of constants and the
+    same projection serves; a deep scorer swaps in as an Arrow-batched
+    Pandas-UDF forward pass (mm01's extension point) with this exact
+    plan shape around it."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    feat = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).alias("n_stop"),
+        F.size(F.filter(toks, lambda x: x.isin(*_QUALITY_MARKERS))).alias(
+            "n_marker"
+        ),
+        F.length("text").alias("n_ch"),
+    )
+    w = QUALITY_WEIGHTS
+    margin = (
+        F.lit(QUALITY_BIAS)
+        + w["len_sat"] * F.least(F.col("n_tok") / 50.0, F.lit(1.0))
+        + w["ttr"] * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        + w["stop_ratio"] * (F.col("n_stop").cast("double") / F.col("n_tok"))
+        + w["marker_ratio"] * (F.col("n_marker").cast("double") / F.col("n_tok"))
+        + w["avg_len"] * (F.col("n_ch").cast("double") / F.col("n_tok") / 10.0)
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        F.round(margin, 6).alias("quality_margin"),
+        (margin > 0).alias("keep"),
+    )
