@@ -145,14 +145,14 @@ class KtSqlEngine:
         from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
 
         pk = (primary_key,) if isinstance(primary_key, str) else primary_key
+        pk = tuple(pk) if pk else None
+        cols = self._parse_columns(columns)
+        # validate BEFORE the destructive drop-if-exists: a rejected
+        # CREATE must leave an existing table (and its files) untouched
+        cat.validate_create_columns(cols, pk)
         _reset_table(self.spark, name)
         cat.create_table(
-            self.spark,
-            name,
-            self._parse_columns(columns),
-            tuple(pk) if pk else None,
-            comment=comment,
-            charset=charset,
+            self.spark, name, cols, pk, comment=comment, charset=charset
         )
 
     def drop_table(self, name: str) -> None:

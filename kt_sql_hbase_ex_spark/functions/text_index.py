@@ -245,31 +245,39 @@ def upsert_index_batch(
 
     Stats stay exact under updates/deletes: before appending, the
     batch writes a NEGATIVE stats partial for the doc_ids it
-    supersedes (count + doclen sum of their currently-effective rows —
-    a doc-id-pruned lookup, ∝ batch size, never corpus size), so
-    ``read_corpus_stats``'s partial-sum equals the effective corpus.
-    Re-delivered batches are not double-appended under the streaming
-    checkpoint's batch tracking (the st07/st10 contract)."""
+    supersedes — the batch's doc_id set semi-filters the doclen layer
+    BEFORE the tombstone mask joins, so only the touched docs' rows
+    flow through any join (at 100 TB doclen is doc-id-partitioned and
+    the semi-join prunes the scan itself — the multi-get shape). A
+    first batch into an empty layout writes NO tombstones at all
+    (nothing can be superseded), preserving the pure-append fast path
+    where readers skip the mask join entirely. Re-delivered batches
+    are not double-appended under the streaming checkpoint's batch
+    tracking (the st07/st10 contract)."""
     spark = batch_df.sparkSession
     gen = _next_gen(root)
     ptr = _read_pointer(root)
+    has_prior = os.path.isdir(_resolve(root, ptr, "doclen"))
     superseded = None
-    if not assume_new:
-        superseded = batch_df.select("doc_id")
-    if deletes is not None:
-        d = deletes.select("doc_id")
-        superseded = d if superseded is None else superseded.unionByName(d)
+    if has_prior:
+        if not assume_new:
+            superseded = batch_df.select("doc_id")
+        if deletes is not None:
+            d = deletes.select("doc_id")
+            superseded = d if superseded is None else superseded.unionByName(d)
     if superseded is not None:
         superseded = superseded.distinct()
-        has_prior = os.path.isdir(_resolve(root, ptr, "doclen"))
-        if has_prior:
-            # negative partial for the rows this batch supersedes
-            old = read_doclen(spark, root)
-            neg = old.join(superseded, "doc_id", "left_semi").agg(
-                (-F.count("*")).alias("pn_docs"),
-                (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("pdl_sum"),
-            )
-            neg.write.mode("append").parquet(_resolve(root, ptr, "stats"))
+        # negative partial for the rows this batch supersedes: filter to
+        # the batch's doc_ids FIRST, then mask — batch-proportional work
+        touched = spark.read.parquet(_resolve(root, ptr, "doclen")).join(
+            superseded, "doc_id", "left_semi"
+        )
+        old = _mask(touched, _read_tombstones(spark, root, ptr))
+        neg = old.agg(
+            (-F.count("*")).alias("pn_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("pdl_sum"),
+        )
+        neg.write.mode("append").parquet(_resolve(root, ptr, "stats"))
         superseded.withColumn("gen", F.lit(gen).cast("int")).write.mode(
             "append"
         ).parquet(_resolve(root, ptr, "tombstones"))
@@ -416,9 +424,10 @@ def compact_text_index(
     doclen.select("doc_id", "dl", "gen").coalesce(1).write.parquet(
         os.path.join(root, new["doclen"])
     )
-    # fold stats from the effective doclen — equals the partial sum by
-    # construction, and re-grounds the layer in one pass
-    doclen.agg(
+    # fold stats from the JUST-WRITTEN compacted doclen — equals the
+    # partial sum by construction, re-grounds the layer in the exact
+    # published bytes, and avoids recomputing the mask join a 2nd time
+    spark.read.parquet(os.path.join(root, new["doclen"])).agg(
         F.count("*").alias("pn_docs"), F.sum("dl").alias("pdl_sum")
     ).coalesce(1).write.parquet(os.path.join(root, new["stats"]))
     os.makedirs(os.path.join(root, new["tombstones"]), exist_ok=True)

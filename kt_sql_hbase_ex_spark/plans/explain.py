@@ -150,9 +150,13 @@ def has_unbounded_global_window(df: DataFrame) -> bool:
 
 
 def _node_name(line: str) -> str:
-    """Leading operator name of one executed-plan tree line (indent
-    glyphs stripped) — 'Window', 'WindowGroupLimit', 'SortAggregate'…"""
+    """Leading operator name of one executed-plan tree line — 'Window',
+    'WindowGroupLimit', 'SortAggregate'… Strips the tree glyphs AND the
+    whole-stage-codegen stage marker: an executed plan prints codegen'd
+    nodes as ``*(2) HashAggregate(...)``, and a matcher that stops at
+    the ``(2)`` would return '' and silently skip the node — exactly
+    the ancestor-walk break this helper exists to make precise."""
     import re
 
-    m = re.match(r"[\s:+\-*]*([A-Za-z]+)", line)
+    m = re.match(r"[\s:+\-*]*(?:\(\d+\)\s*)?([A-Za-z]+)", line)
     return m.group(1) if m else ""

@@ -239,6 +239,27 @@ class IllegalColumnNameError(ValueError):
 _PROP_PREFIX = "ktsql."
 
 
+def validate_create_columns(
+    columns, primary_key
+) -> list[tuple[str, str, str | None, str | None]]:
+    """The reference's create-time rules (``HBaseSchema.kt:113-136``) as
+    a side-effect-free check, returning the normalized 4-tuples.
+    Callers with destructive pre-steps (the engine facade drops an
+    existing table first) MUST validate before destroying — a rejected
+    CREATE must leave the world untouched."""
+    norm = [(c[0], c[1], c[2], c[3] if len(c) > 3 else None) for c in columns]
+    for col, _, _, _ in norm:
+        if col.lower() == "id":
+            raise IllegalColumnNameError("column name should not be id")
+    if not primary_key:
+        raise PrimaryKeyMissedError("no primary key")
+    declared = {c for c, _, _, _ in norm}
+    missing = [k for k in primary_key if k not in declared]
+    if missing:
+        raise PrimaryKeyMissedError(f"primary key columns not in schema: {missing}")
+    return norm
+
+
 def create_table(
     spark: SparkSession,
     name: str,
@@ -262,16 +283,7 @@ def create_table(
     ``ColumnAttribute.COMMENT`` analog — surfaced back by
     :func:`describe_columns`, quote-escaped like the table comment).
     """
-    norm = [(c[0], c[1], c[2], c[3] if len(c) > 3 else None) for c in columns]
-    for col, _, _, _ in norm:
-        if col.lower() == "id":
-            raise IllegalColumnNameError("column name should not be id")
-    if not primary_key:
-        raise PrimaryKeyMissedError("no primary key")
-    declared = {c for c, _, _, _ in norm}
-    missing = [k for k in primary_key if k not in declared]
-    if missing:
-        raise PrimaryKeyMissedError(f"primary key columns not in schema: {missing}")
+    norm = validate_create_columns(columns, primary_key)
 
     import datetime
 

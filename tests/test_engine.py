@@ -164,3 +164,18 @@ def test_from_properties_bootstrap(spark, sf_small, tmp_path):
     badflavor.write_text(f"datadir = {sf_small}\nflavor = TURBO\n")
     with pytest.raises(ValueError, match="flavor"):
         KtSqlEngine.from_properties(spark, str(badflavor))
+
+
+def test_rejected_create_leaves_existing_table_untouched(eng):
+    """A rejected CREATE must not destroy the table it would have
+    replaced (round-6 review finding: the facade dropped first and
+    validated second)."""
+    eng.create_table("ktsql_eng_keep", "k BIGINT, v STRING", primary_key="k")
+    try:
+        eng.sql("INSERT INTO ktsql_eng_keep VALUES (1, 'x')")
+        with pytest.raises(Exception):
+            eng.create_table("ktsql_eng_keep", "id BIGINT")  # reserved + no PK
+        # table and its data survived the rejected CREATE
+        assert eng.table("ktsql_eng_keep").count() == 1
+    finally:
+        eng.drop_table("ktsql_eng_keep")

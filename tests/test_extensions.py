@@ -588,3 +588,28 @@ def test_index_random_mutation_sequences_match_rebuild(spark):
         assert snapshot(base) == maintained, f"seed {seed}: compaction changed rows"
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(rebuilt, ignore_errors=True)
+
+
+def test_first_batch_never_writes_tombstones(spark):
+    """A first batch into an empty layout has nothing to supersede, so
+    even with the default assume_new=False it must write NO tombstones
+    — otherwise every later read pays a corpus-sized mask join for
+    nothing (round-6 review finding)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        layer_path,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_firstbatch")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    upsert_index_batch(docs, base)  # default flags — the docstring wiring
+    assert not glob.glob(os.path.join(layer_path(base, "tombstones"), "*.parquet"))
+    shutil.rmtree(base, ignore_errors=True)

@@ -736,3 +736,17 @@ def test_blocked_entity_match_is_equi_join(spark, sf_small):
     blocked = {tuple(r) for r in df.collect()}
     unblocked = {tuple(r) for r in d12_fuzzy_entity_match(spark, sf_small).collect()}
     assert blocked == unblocked  # zero recall loss on the fixture
+
+
+def test_node_name_strips_codegen_stage_marker():
+    """Executed plans print codegen'd nodes as '*(2) HashAggregate(...)'
+    — the ancestor-walk matcher must resolve the NAME through the stage
+    marker, or codegen'd Aggregate/Join ancestors would silently stop
+    stopping the walk (round-6 review finding)."""
+    from kt_sql_hbase_ex_spark.plans.explain import _node_name
+
+    assert _node_name("+- *(2) HashAggregate(keys=[x])") == "HashAggregate"
+    assert _node_name(":  +- *(5) SortMergeJoin [a], [b]") == "SortMergeJoin"
+    assert _node_name("   +- Window [row_number()]") == "Window"
+    assert _node_name("+- WindowGroupLimit [x]") == "WindowGroupLimit"
+    assert _node_name("*(1) Project [a]") == "Project"
