@@ -15,6 +15,8 @@ additionally *crashed* on OR/IN/LIKE predicates at the scan layer,
     eng.sql("SELECT r_name, count(*) FROM region GROUP BY r_name")
     eng.create_table("t", "k BIGINT, v STRING", primary_key="k")  # DDL
     eng.sql("INSERT INTO t VALUES (1, 'x')")          # DML
+    eng.sql("UPDATE t SET v = 'y' WHERE k = 1")       # row-level DML
+    eng.sql("DELETE FROM t WHERE k = 1")              #   (facade-executed)
     eng.describe("lineitem")                          # catalog metadata
 
 Scale note: construction registers metadata-only views (no data read);
@@ -24,9 +26,42 @@ every ``.sql`` is planned by Catalyst with the same pushdown/broadcast
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from kt_sql_hbase_ex_spark.sources import catalog as cat
+
+#: UPDATE <t> SET a = e1[, b = e2 ...] [WHERE pred]  /  DELETE FROM <t>
+#: [WHERE pred] — the two statement shapes the reference's Calcite layer
+#: routed into ``toModificationRel`` (``hbase/HBaseModifiableTable.kt``)
+#: that Spark SQL itself rejects on parquet tables.
+_UPDATE_RE = re.compile(
+    r"^\s*update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*delete\s+from\s+(\w+)(?:\s+where\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses (shared by the column-DDL
+    parser and the UPDATE SET-list parser)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 
 
 class KtSqlEngine:
@@ -85,8 +120,89 @@ class KtSqlEngine:
 
     # -- query ---------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
-        """Full Spark SQL dialect over the registered catalog."""
+        """Full Spark SQL dialect over the registered catalog — PLUS the
+        reference's row-level DML statements. Calcite routed ``UPDATE``
+        / ``DELETE`` into table modification
+        (``hbase/HBaseModifiableTable.kt`` toModificationRel); Spark
+        SQL rejects them on parquet tables, so the facade executes the
+        simple single-table forms itself as snapshot-overwrite
+        transforms (the dml02/dml03 semantics behind the reference's
+        actual SQL surface) and returns a one-row
+        ``num_affected_rows`` DataFrame, like the JDBC update count.
+        Anything else passes through to Spark SQL verbatim.
+
+        Supported DML shape = the reference's own ceiling: one target
+        table, scalar SET/WHERE expressions over its columns
+        (subqueries inside SET/WHERE are not parsed — the reference's
+        translator crashed on far less, SURVEY §2.2; use the
+        ``operators/dml.py`` transforms for join-shaped mutations)."""
+        m = _UPDATE_RE.match(statement)
+        if m:
+            return self._update(m.group(1), m.group(2), m.group(3))
+        m = _DELETE_RE.match(statement)
+        if m:
+            return self._delete(m.group(1), m.group(2))
         return self.spark.sql(statement)
+
+    def _dml_target(self, name: str):
+        """UPDATE/DELETE need a writable catalog table: the fixture temp
+        views are read-only registrations of immutable parquet files."""
+        t = self.spark.catalog.getTable(name)
+        if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
+            raise ValueError(
+                f"UPDATE/DELETE target {name!r} is a {t.tableType} view — "
+                "row-level DML needs a catalog table (see operators/dml.py "
+                "for the transform forms over read-only sources)"
+            )
+        return self.spark.table(name)
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        # materialize the new rows BEFORE overwriting the files they
+        # were derived from (read-while-overwrite is the dml04 hazard)
+        df.localCheckpoint(eager=True).write.insertInto(name, overwrite=True)
+
+    def _count_result(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], "num_affected_rows bigint")
+
+    def _update(self, name: str, set_clause: str, where: str | None) -> DataFrame:
+        """UPDATE as a transform: every SET expression evaluates against
+        the OLD row (standard SQL simultaneous assignment — ``SET a=b,
+        b=a`` swaps), non-matching rows pass through unchanged, and a
+        NULL predicate matches nothing (WHERE three-valued logic)."""
+        from pyspark.sql import functions as F
+
+        base = self._dml_target(name)
+        assigns = {}
+        for part in _split_top_level(set_clause):
+            col, eq, expr = part.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(f"malformed SET assignment: {part!r}")
+            assigns[col.strip().lower()] = expr.strip()
+        unknown = [c for c in assigns if c not in {x.lower() for x in base.columns}]
+        if unknown:
+            raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
+        cond = f"coalesce(({where}), false)" if where else "true"
+        proj = [
+            f"CASE WHEN {cond} THEN ({assigns[c.lower()]}) ELSE {c} END AS {c}"
+            if c.lower() in assigns
+            else c
+            for c in base.columns
+        ]
+        n = base.filter(F.expr(cond)).count()
+        self._overwrite(name, base.selectExpr(*proj))
+        return self._count_result(n)
+
+    def _delete(self, name: str, where: str | None) -> DataFrame:
+        """DELETE as a transform: keep rows the predicate does NOT match
+        (a NULL predicate keeps the row — WHERE semantics), overwrite
+        with the survivors (the dml03 anti-join collapsed to a filter)."""
+        from pyspark.sql import functions as F
+
+        base = self._dml_target(name)
+        cond = f"coalesce(({where}), false)" if where else "true"
+        n = base.filter(F.expr(cond)).count()
+        self._overwrite(name, base.filter(~F.expr(cond)))
+        return self._count_result(n)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
@@ -101,23 +217,8 @@ class KtSqlEngine:
         ``[(name, type, default[, comment])]`` list."""
         if not isinstance(columns, str):
             return [tuple(c) + (None,) * (3 - len(c)) for c in columns]
-        parts, depth, cur = [], 0, []
-        for ch in columns:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                parts.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        parts.append("".join(cur))
         out = []
-        for p in parts:
-            p = p.strip()
-            if not p:
-                continue
+        for p in _split_top_level(columns):
             col, _, typ = p.partition(" ")
             out.append((col, typ.strip(), None))
         return out

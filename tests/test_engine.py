@@ -179,3 +179,58 @@ def test_rejected_create_leaves_existing_table_untouched(eng):
         assert eng.table("ktsql_eng_keep").count() == 1
     finally:
         eng.drop_table("ktsql_eng_keep")
+
+
+def test_facade_executes_update_delete_sql(eng):
+    """The reference's row-level DML SQL surface (Calcite →
+    toModificationRel, ``hbase/HBaseModifiableTable.kt``) works as
+    actual SQL text through the facade: UPDATE evaluates SET against
+    the OLD row (simultaneous assignment), WHERE uses three-valued
+    logic (NULL matches nothing), DELETE keeps non-matching rows, and
+    both return the JDBC-style affected-row count."""
+    eng.create_table(
+        "ktsql_eng_dml", "k BIGINT, a BIGINT, b BIGINT, v STRING",
+        primary_key="k",
+    )
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_dml VALUES "
+            "(1, 10, 20, 'x'), (2, 30, 40, 'y'), (3, NULL, 60, 'z')"
+        )
+        # simultaneous assignment: swap a and b where k <= 2
+        n = eng.sql(
+            "UPDATE ktsql_eng_dml SET a = b, b = a WHERE k <= 2"
+        ).first()["num_affected_rows"]
+        assert n == 2
+        got = {r.k: (r.a, r.b, r.v) for r in eng.table("ktsql_eng_dml").collect()}
+        assert got == {1: (20, 10, "x"), 2: (40, 30, "y"), 3: (None, 60, "z")}
+
+        # NULL predicate (a > 25 with a NULL) matches nothing: row 3 kept
+        n = eng.sql("DELETE FROM ktsql_eng_dml WHERE a > 25").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1  # only row 2 (a=40) matches
+        assert sorted(r.k for r in eng.table("ktsql_eng_dml").collect()) == [1, 3]
+
+        # WHERE-less UPDATE touches every row; expressions see old values
+        n = eng.sql("UPDATE ktsql_eng_dml SET b = b + 1").first()[
+            "num_affected_rows"
+        ]
+        assert n == 2
+        assert {r.k: r.b for r in eng.table("ktsql_eng_dml").collect()} == {
+            1: 11, 3: 61,
+        }
+
+        # unknown SET column and malformed SET fail loudly
+        with pytest.raises(ValueError, match="unknown columns"):
+            eng.sql("UPDATE ktsql_eng_dml SET nope = 1")
+        # fixture temp views are read-only registrations
+        with pytest.raises(ValueError, match="read-only|view"):
+            eng.sql("DELETE FROM customer WHERE c_custkey = 1")
+
+        # WHERE-less DELETE empties the table
+        n = eng.sql("DELETE FROM ktsql_eng_dml").first()["num_affected_rows"]
+        assert n == 2
+        assert eng.table("ktsql_eng_dml").count() == 0
+    finally:
+        eng.drop_table("ktsql_eng_dml")
