@@ -750,3 +750,33 @@ def test_node_name_strips_codegen_stage_marker():
     assert _node_name("   +- Window [row_number()]") == "Window"
     assert _node_name("+- WindowGroupLimit [x]") == "WindowGroupLimit"
     assert _node_name("*(1) Project [a]") == "Project"
+
+
+def test_doc_update_query_reads_only_the_index(spark, sf_small):
+    """t15's contract: after the update/delete batch, term stats come
+    from the index layout alone — the executed plan scans postings (+
+    tombstones) but NEVER the documents table (the t12 zero-corpus-scan
+    rule extended to the mutation path)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import t15_index_doc_update
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(t15_index_doc_update(spark, sf_small))
+    assert "documents.parquet" not in plan, plan
+    assert "postings" in plan, plan
+    # the tombstone mask is a broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_classifier_filter_is_one_map_side_pass(spark, sf_small):
+    """tr13's contract: model inference is a single projection — no
+    aggregate/join exchange anywhere (the only allowed exchange is
+    fan_out's round-robin input widening, which disappears at scale)."""
+    from kt_sql_hbase_ex_spark.functions.pipeline import (
+        tr13_classifier_quality_filter,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(tr13_classifier_quality_filter(spark, sf_small))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
