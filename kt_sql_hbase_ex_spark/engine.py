@@ -35,33 +35,78 @@ from kt_sql_hbase_ex_spark.sources import catalog as cat
 #: UPDATE <t> SET a = e1[, b = e2 ...] [WHERE pred]  /  DELETE FROM <t>
 #: [WHERE pred] — the two statement shapes the reference's Calcite layer
 #: routed into ``toModificationRel`` (``hbase/HBaseModifiableTable.kt``)
-#: that Spark SQL itself rejects on parquet tables.
-_UPDATE_RE = re.compile(
-    r"^\s*update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+#: that Spark SQL itself rejects on parquet tables. The heads match
+#: plain, dotted (db.t) and backticked names; SET/WHERE bodies are
+#: split by the quote-and-paren-aware scanner below, never by regex.
+_UPDATE_HEAD = re.compile(
+    r"^\s*update\s+(`[^`]+`|[\w.]+)\s+set\s+", re.IGNORECASE
 )
-_DELETE_RE = re.compile(
-    r"^\s*delete\s+from\s+(\w+)(?:\s+where\s+(.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_DELETE_HEAD = re.compile(
+    r"^\s*delete\s+from\s+(`[^`]+`|[\w.]+)(?=\s|;|$)", re.IGNORECASE
 )
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas outside parentheses (shared by the column-DDL
-    parser and the UPDATE SET-list parser)."""
-    parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
+def _scan_sql(s: str):
+    """Yield (index, char, depth, in_quote) walking a SQL fragment with
+    single-quote literals (``''`` escapes) and paren depth tracked —
+    the minimum lexer honesty that keeps ``WHERE`` inside a string
+    literal or a comma inside ``concat('a,b', x)`` from being mistaken
+    for syntax."""
+    depth, in_q = 0, False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":  # escaped quote
+                    yield i, ch, depth, True
+                    i += 1
+                else:
+                    in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        yield i, ch, depth, in_q
+        i += 1
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses AND string literals (shared
+    by the column-DDL parser and the UPDATE SET-list parser)."""
+    parts, cur = [], []
+    for _, ch, depth, in_q in _scan_sql(s):
+        if ch == "," and depth == 0 and not in_q:
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _split_where(s: str) -> tuple[str, str | None]:
+    """Split a statement tail at the first TOP-LEVEL ``where`` keyword
+    (outside quotes/parens, word-bounded); returns (head, predicate)."""
+    lower = s.lower()
+    for i, ch, depth, in_q in _scan_sql(s):
+        if depth == 0 and not in_q and lower.startswith("where", i):
+            before_ok = i == 0 or not (lower[i - 1].isalnum() or lower[i - 1] == "_")
+            after = i + 5
+            after_ok = after >= len(s) or not (
+                lower[after].isalnum() or lower[after] == "_"
+            )
+            if before_ok and after_ok:
+                return s[:i].rstrip(), s[after:].strip().rstrip(";").strip() or None
+    return s.rstrip().rstrip(";").rstrip(), None
+
+
+def _bq(col: str) -> str:
+    """Backtick-quote an identifier for generated SQL (reserved words,
+    odd characters) — backticks in the name itself double-escape."""
+    return f"`{col.replace('`', '``')}`"
 
 
 class KtSqlEngine:
@@ -132,22 +177,26 @@ class KtSqlEngine:
         Anything else passes through to Spark SQL verbatim.
 
         Supported DML shape = the reference's own ceiling: one target
-        table, scalar SET/WHERE expressions over its columns
-        (subqueries inside SET/WHERE are not parsed — the reference's
-        translator crashed on far less, SURVEY §2.2; use the
-        ``operators/dml.py`` transforms for join-shaped mutations)."""
-        m = _UPDATE_RE.match(statement)
+        table, scalar SET/WHERE expressions over its columns — string
+        literals (with commas, parens, or the word ``where`` inside)
+        are lexed correctly; correlated subqueries inside SET/WHERE
+        are not parsed (the reference's translator crashed on far
+        less, SURVEY §2.2; use the ``operators/dml.py`` transforms for
+        join-shaped mutations)."""
+        m = _UPDATE_HEAD.match(statement)
         if m:
-            return self._update(m.group(1), m.group(2), m.group(3))
-        m = _DELETE_RE.match(statement)
+            set_clause, where = _split_where(statement[m.end():])
+            return self._update(m.group(1), set_clause, where)
+        m = _DELETE_HEAD.match(statement)
         if m:
-            return self._delete(m.group(1), m.group(2))
+            _, where = _split_where(statement[m.end():])
+            return self._delete(m.group(1), where)
         return self.spark.sql(statement)
 
     def _dml_target(self, name: str):
         """UPDATE/DELETE need a writable catalog table: the fixture temp
         views are read-only registrations of immutable parquet files."""
-        t = self.spark.catalog.getTable(name)
+        t = self.spark.catalog.getTable(name.strip("`"))
         if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
             raise ValueError(
                 f"UPDATE/DELETE target {name!r} is a {t.tableType} view — "
@@ -156,10 +205,23 @@ class KtSqlEngine:
             )
         return self.spark.table(name)
 
-    def _overwrite(self, name: str, df: DataFrame) -> None:
-        # materialize the new rows BEFORE overwriting the files they
-        # were derived from (read-while-overwrite is the dml04 hazard)
-        df.localCheckpoint(eager=True).write.insertInto(name, overwrite=True)
+    #: internal match-flag column for the single-pass DML execution
+    _FLAG = "__ktsql_matched"
+
+    def _flagged_snapshot(self, name: str, where: str | None) -> DataFrame:
+        """ONE scan of the target: evaluate the predicate exactly once
+        per row into a flag column and materialize (localCheckpoint) —
+        so (a) the affected count, the mutation, and the write all see
+        the SAME matched set even under a non-deterministic predicate,
+        and (b) the files being overwritten are no longer being read
+        (the dml04 read-while-overwrite hazard)."""
+        base = self._dml_target(name)
+        if self._FLAG in base.columns:
+            raise ValueError(f"column name {self._FLAG!r} is reserved")
+        cond = f"coalesce(({where}), false)" if where else "true"
+        return base.selectExpr("*", f"({cond}) AS {self._FLAG}").localCheckpoint(
+            eager=True
+        )
 
     def _count_result(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "num_affected_rows bigint")
@@ -171,25 +233,29 @@ class KtSqlEngine:
         NULL predicate matches nothing (WHERE three-valued logic)."""
         from pyspark.sql import functions as F
 
-        base = self._dml_target(name)
-        assigns = {}
+        assigns: dict[str, str] = {}
         for part in _split_top_level(set_clause):
             col, eq, expr = part.partition("=")
-            if not eq or not col.strip() or not expr.strip():
+            col = col.strip().strip("`")
+            if not eq or not col or not expr.strip():
                 raise ValueError(f"malformed SET assignment: {part!r}")
-            assigns[col.strip().lower()] = expr.strip()
-        unknown = [c for c in assigns if c not in {x.lower() for x in base.columns}]
+            if col.lower() in assigns:  # standard SQL rejects duplicates
+                raise ValueError(f"duplicate SET assignment to {col!r}")
+            assigns[col.lower()] = expr.strip()
+        snap = self._flagged_snapshot(name, where)
+        cols = [c for c in snap.columns if c != self._FLAG]
+        unknown = [c for c in assigns if c not in {x.lower() for x in cols}]
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
-        cond = f"coalesce(({where}), false)" if where else "true"
         proj = [
-            f"CASE WHEN {cond} THEN ({assigns[c.lower()]}) ELSE {c} END AS {c}"
+            f"CASE WHEN {self._FLAG} THEN ({assigns[c.lower()]}) "
+            f"ELSE {_bq(c)} END AS {_bq(c)}"
             if c.lower() in assigns
-            else c
-            for c in base.columns
+            else _bq(c)
+            for c in cols
         ]
-        n = base.filter(F.expr(cond)).count()
-        self._overwrite(name, base.selectExpr(*proj))
+        n = snap.filter(F.col(self._FLAG)).count()
+        snap.selectExpr(*proj).write.insertInto(name, overwrite=True)
         return self._count_result(n)
 
     def _delete(self, name: str, where: str | None) -> DataFrame:
@@ -198,10 +264,11 @@ class KtSqlEngine:
         with the survivors (the dml03 anti-join collapsed to a filter)."""
         from pyspark.sql import functions as F
 
-        base = self._dml_target(name)
-        cond = f"coalesce(({where}), false)" if where else "true"
-        n = base.filter(F.expr(cond)).count()
-        self._overwrite(name, base.filter(~F.expr(cond)))
+        snap = self._flagged_snapshot(name, where)
+        n = snap.filter(F.col(self._FLAG)).count()
+        snap.filter(~F.col(self._FLAG)).drop(self._FLAG).write.insertInto(
+            name, overwrite=True
+        )
         return self._count_result(n)
 
     def table(self, name: str) -> DataFrame:

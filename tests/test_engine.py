@@ -234,3 +234,55 @@ def test_facade_executes_update_delete_sql(eng):
         assert eng.table("ktsql_eng_dml").count() == 0
     finally:
         eng.drop_table("ktsql_eng_dml")
+
+
+def test_facade_dml_parser_handles_literals_and_identifiers(eng):
+    """Round-6 review repros: string literals containing 'where',
+    commas, or parens must lex correctly; qualified and reserved-word
+    identifiers must work; duplicate SET assignments must be rejected;
+    and the affected count must agree with the rows actually mutated
+    even for a non-deterministic predicate (single-pass flag)."""
+    eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_lex")
+    eng.spark.sql(
+        "CREATE TABLE ktsql_eng_lex (k BIGINT, v STRING, `order` BIGINT) "
+        "USING parquet"
+    )
+    try:
+        eng.sql("INSERT INTO ktsql_eng_lex VALUES (1, 'a', 5), (2, 'b', 6)")
+        # literal containing the word 'where' + a real WHERE clause
+        n = eng.sql(
+            "UPDATE ktsql_eng_lex SET v = 'no where here' WHERE k = 1"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        # literal with comma and paren in a multi-assignment SET list;
+        # reserved-word column backticked
+        n = eng.sql(
+            "UPDATE ktsql_eng_lex SET v = concat('x,(y', v), `order` = `order` + 1"
+        ).first()["num_affected_rows"]
+        assert n == 2
+        got = {r.k: (r.v, r["order"]) for r in eng.table("ktsql_eng_lex").collect()}
+        assert got == {1: ("x,(yno where here", 6), 2: ("x,(yb", 7)}
+        # qualified table name takes the facade path (not Spark's
+        # unsupported-UPDATE error)
+        n = eng.sql(
+            "UPDATE default.ktsql_eng_lex SET v = 'q' WHERE k = 2"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        # duplicate assignment rejected like standard SQL
+        with pytest.raises(ValueError, match="duplicate SET"):
+            eng.sql("UPDATE ktsql_eng_lex SET v = 'a', v = 'b'")
+        # nondeterministic predicate: count equals rows actually deleted
+        eng.sql("INSERT INTO ktsql_eng_lex VALUES (3,'c',1),(4,'d',1),(5,'e',1)")
+        before = eng.table("ktsql_eng_lex").count()
+        n = eng.sql("DELETE FROM ktsql_eng_lex WHERE rand() < 0.5").first()[
+            "num_affected_rows"
+        ]
+        assert eng.table("ktsql_eng_lex").count() == before - n
+        # literal 'where' inside DELETE predicate string
+        eng.sql("INSERT INTO ktsql_eng_lex VALUES (9, 'where', 0)")
+        n = eng.sql("DELETE FROM ktsql_eng_lex WHERE v = 'where'").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+    finally:
+        eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_lex")
