@@ -613,3 +613,79 @@ def test_first_batch_never_writes_tombstones(spark):
     upsert_index_batch(docs, base)  # default flags — the docstring wiring
     assert not glob.glob(os.path.join(layer_path(base, "tombstones"), "*.parquet"))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_streaming_update_maintenance_matches_rebuild(spark, sf_small):
+    """The tombstone path driven by a REAL Structured Streaming drain:
+    microbatch 1 lands an initial corpus, microbatch 2 UPDATES some of
+    those documents (same doc_ids, new text) and adds new ones, both
+    applied through foreachBatch(upsert_index_batch) with the default
+    update-capable flags. The maintained index must equal an index
+    rebuilt from the last-write-wins final corpus — the streaming
+    flavor of t15's batch scenario."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_stream_upd")
+    shutil.rmtree(base, ignore_errors=True)
+    src, idx = os.path.join(base, "src"), os.path.join(base, "idx")
+    os.makedirs(src)
+
+    chunk1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    chunk2 = spark.createDataFrame(  # updates 1+3, adds 4
+        [(1, "epsilon zeta"), (3, "alpha"), (4, "zeta zeta")],
+        "doc_id long, text string",
+    )
+    chunk1.coalesce(1).write.parquet(os.path.join(src, "c0"))
+    chunk2.coalesce(1).write.parquet(os.path.join(src, "c1"))
+
+    q = (
+        spark.readStream.schema(chunk1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "c*"))
+        .writeStream.foreachBatch(lambda df, _id: upsert_index_batch(df, idx))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    final = {1: "epsilon zeta", 2: "beta gamma", 3: "alpha", 4: "zeta zeta"}
+    rebuilt = os.path.join(base, "rebuilt")
+    upsert_index_batch(
+        spark.createDataFrame(sorted(final.items()), "doc_id long, text string"),
+        rebuilt,
+        assume_new=True,
+    )
+
+    terms = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+
+    def snap(root):
+        tf = {
+            r["term"]: tuple(sorted(r["docs"]))
+            for r in read_postings(spark, root, terms)
+            .groupBy("term")
+            .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+            .select("term", F.sort_array("ps").alias("docs"))
+            .collect()
+        }
+        dl = {r["doc_id"]: r["dl"] for r in read_doclen(spark, root).collect()}
+        st = read_corpus_stats(spark, root).first()
+        return tf, dl, st["n_docs"], round(st["avgdl"], 9)
+
+    assert snap(idx) == snap(rebuilt)
+    shutil.rmtree(base, ignore_errors=True)
