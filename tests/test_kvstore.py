@@ -981,6 +981,94 @@ class TestPersistedIndexLifecycle:
             drop_kv_index("inc_t", opts)
             truncate_overlay(lopts)
 
+    def test_incremental_refresh_over_composite_pk_base(
+        self, spark, sf_small, tmp_path
+    ):
+        """Incremental maintenance on a COMPOSITE-PK base: the delta
+        derivation must tombstone/Put using the whole concatenated
+        rowkey suffix (value|k1|k2), matching the derived index entry
+        for entry after a value change, a new composite key, and a
+        composite-key delete."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            _index_meta_path,
+            create_kv_index,
+            delete_from_store,
+            drop_kv_index,
+            ensure_kv_index,
+        )
+
+        p = tmp_path / "cbase.parquet"
+        rows = [
+            (o, ln, ["A", "B"][(o + ln) % 2], float(o))
+            for o in range(6)
+            for ln in range(1, 4)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "k1": [r[0] for r in rows],
+                    "k2": [r[1] for r in rows],
+                    "seg": [r[2] for r in rows],
+                    "val": [r[3] for r in rows],
+                }
+            ),
+            str(p),
+        )
+        opts = {
+            "path": str(p),
+            "keyCol": "k1,k2",
+            "columns": "k1,k2,seg,val",
+            "regionSize": "4",
+            "appId": spark.conf.get("spark.app.id", "shared") + "-cinc",
+        }
+        lopts = {k.lower(): v for k, v in opts.items()}
+        truncate_overlay(lopts)
+
+        def entries(o):
+            return {
+                (r[INDEX_KEY], r["k1"], r["k2"])
+                for r in spark.read.format(FORMAT_NAME)
+                .options(**o)
+                .schema(f"{INDEX_KEY} string, k1 bigint, k2 bigint")
+                .load()
+                .collect()
+            }
+
+        def derived():
+            d = dict(opts)
+            d["columns"] = "k1,k2,seg"
+            d["indexOn"] = "seg"
+            return entries(d)
+
+        create_kv_index(spark, "cseg", opts, "seg")
+        with open(_index_meta_path(opts, "cseg")) as f:
+            v1 = json.load(f)["data_dir"]
+        try:
+            # value change on (2,1), brand-new key (9,9), delete (3,2)
+            spark.createDataFrame(
+                [(2, 1, "Z", 0.0), (9, 9, "Z", 9.0)],
+                "k1 bigint, k2 bigint, seg string, val double",
+            ).write.format(FORMAT_NAME).options(**opts).mode("append").save()
+            delete_from_store(lopts, [(3, 2)])
+
+            idx_opts = ensure_kv_index(spark, "cseg", opts, "seg")
+            with open(_index_meta_path(opts, "cseg")) as f:
+                m = json.load(f)
+            assert m["maintenance"] == "incremental" and m["data_dir"] == v1
+            assert entries(idx_opts) == derived()
+            # the changed key is findable under its NEW value prefix
+            assert any(k.startswith("Z|") for k, _, _ in entries(idx_opts))
+        finally:
+            drop_kv_index("cseg", opts)
+            truncate_overlay(lopts)
+
     def test_index_name_validation_rejects_dots(self, spark, sf_small):
         """Dotted / separator-bearing index names would alias version
         dirs across indexes (ADVICE round 5) — rejected at create."""
