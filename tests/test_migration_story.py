@@ -1,0 +1,137 @@
+"""The switching user's end-to-end story, as ONE scenario.
+
+Every piece here is covered by a focused test elsewhere; this file runs
+them the way a reference (ktsql/kt-sql-hbase-ex) user actually would
+after switching — the README workflow (connect via properties, SQL over
+registered tables, composite-PK DDL, row-level DML as literal SQL,
+secondary-index lifecycle) in sequence against one engine instance, so
+an integration regression between the pieces cannot hide behind green
+unit tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+
+def test_reference_user_workflow_end_to_end(spark, sf_small, tmp_path):
+    # 1. connect the reference way: application.properties bootstrap
+    props = tmp_path / "application.properties"
+    props.write_text(f"datadir = {sf_small}\nflavor = PROJECTFILTERABLE\n")
+    eng = KtSqlEngine.from_properties(spark, str(props))
+
+    # 2. ad-hoc SQL over the registered catalog, including the
+    #    predicate forms the reference's translator crashed on
+    seg_counts = {
+        r.c_mktsegment: r.n
+        for r in eng.sql(
+            """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+               WHERE c_custkey IN (1, 2, 3) OR c_name LIKE '%44'
+               GROUP BY c_mktsegment"""
+        ).collect()
+    }
+    expected = (
+        eng.table("customer")
+        .filter("c_custkey IN (1, 2, 3) OR c_name LIKE '%44'")
+        .count()
+    )
+    assert sum(seg_counts.values()) == expected >= 4
+
+    # 3. DDL with the reference's rules: composite PK (the README's
+    #    multi-column-rowkey feature), defaults, comments
+    eng.create_table(
+        "mig_orders",
+        [
+            ("o_key", "BIGINT", None, "order id"),
+            ("o_line", "BIGINT", None),
+            ("status", "STRING", "'NEW'"),
+            ("amount", "DOUBLE", None),
+        ],
+        primary_key=("o_key", "o_line"),
+        comment="migration demo",
+    )
+    try:
+        assert eng.table_info("mig_orders")["primary"] == ("o_key", "o_line")
+        assert eng.describe("mig_orders")[0].comment == "order id"
+
+        # 4. DML — INSERT through Spark SQL, the DEFAULT column filled
+        eng.sql(
+            "INSERT INTO mig_orders (o_key, o_line, amount) VALUES "
+            "(1, 1, 10.0), (1, 2, 20.0), (2, 1, 30.0)"
+        )
+        assert {
+            r.status for r in eng.table("mig_orders").collect()
+        } == {"NEW"}
+
+        # 5. row-level DML as literal SQL (Calcite's toModificationRel
+        #    surface): UPDATE then DELETE with affected counts
+        n = eng.sql(
+            "UPDATE mig_orders SET status = 'SHIPPED' WHERE o_key = 1"
+        ).first()["num_affected_rows"]
+        assert n == 2
+        n = eng.sql("DELETE FROM mig_orders WHERE amount > 25").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+        left = {
+            (r.o_key, r.o_line): r.status for r in eng.table("mig_orders").collect()
+        }
+        assert left == {(1, 1): "SHIPPED", (1, 2): "SHIPPED"}
+
+        # 6. the external KV store: register, SQL through the pushdown
+        #    connector, CREATE INDEX, indexed lookup, freshness contract
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            FORMAT_NAME,
+            INDEX_KEY,
+            StaleIndexError,
+            customer_store_options,
+            index_prefix_bounds,
+            persisted_index_read_options,
+            truncate_overlay,
+        )
+
+        opts = customer_store_options(sf_small)
+        opts["appId"] = spark.conf.get("spark.app.id", "shared") + "-mig"
+        truncate_overlay({k.lower(): v for k, v in opts.items()})
+        eng.register_kv_table("mig_kv_customer", **opts)
+        assert (
+            eng.sql(
+                "SELECT COUNT(*) AS n FROM mig_kv_customer WHERE c_custkey BETWEEN 1 AND 10"
+            ).first()["n"]
+            == 10
+        )
+
+        idx_opts = eng.create_index("mig_seg", "c_mktsegment", **opts)
+        lo, hi = index_prefix_bounds("BUILDING")
+        from pyspark.sql import functions as F
+
+        n_idx = (
+            spark.read.format(FORMAT_NAME)
+            .options(**idx_opts)
+            .schema(f"{INDEX_KEY} string, c_custkey bigint")
+            .load()
+            .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+            .count()
+        )
+        assert n_idx > 0
+        assert eng.list_indexes(**opts)[0]["fresh"] is True
+
+        # a committed write flips the index stale; direct resolve
+        # refuses, the lifecycle refresh serves the new row
+        spark.createDataFrame(
+            [(999001, 1, "MIGSEG", 1.0)],
+            "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+        ).write.format(FORMAT_NAME).options(
+            **{**opts, "columns": "c_custkey,c_nationkey,c_mktsegment,c_acctbal"}
+        ).mode("append").save()
+        with pytest.raises(StaleIndexError):
+            persisted_index_read_options(opts, "mig_seg")
+
+        eng.drop_index("mig_seg", **opts)
+        assert eng.list_indexes(**opts) == []
+        truncate_overlay({k.lower(): v for k, v in opts.items()})
+    finally:
+        eng.drop_table("mig_orders")
+    assert "mig_orders" not in eng.list_tables()
