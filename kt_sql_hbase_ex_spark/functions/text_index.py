@@ -141,6 +141,29 @@ def layer_path(root: str, layer: str) -> str:
     return _resolve(root, _read_pointer(root), layer)
 
 
+#: declared layer schemas — the empty-layer fallback below must agree
+#: with what the writers produce (partition col last on postings reads)
+_LAYER_SCHEMAS = {
+    "postings": "term string, doc_id bigint, pos int, gen int, term_pfx string",
+    "doclen": "doc_id bigint, dl bigint, gen int",
+    "stats": "pn_docs bigint, pdl_sum bigint",
+}
+
+
+def _read_layer(spark: SparkSession, path: str, layer: str) -> DataFrame:
+    """Read one layer dir, tolerating the EMPTY case: a partitioned
+    parquet write of zero rows (an all-deletes maintenance batch, or a
+    compaction of a fully-deleted corpus) creates a dir with no data
+    files, which ``spark.read.parquet`` rejects as schemaless — so a
+    file-less layer reads as an empty DataFrame with the declared
+    schema instead of erroring."""
+    import glob
+
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame([], _LAYER_SCHEMAS[layer])
+    return spark.read.parquet(path)
+
+
 # --- generation tracking ----------------------------------------------
 
 
@@ -269,7 +292,7 @@ def upsert_index_batch(
         superseded = superseded.distinct()
         # negative partial for the rows this batch supersedes: filter to
         # the batch's doc_ids FIRST, then mask — batch-proportional work
-        touched = spark.read.parquet(_resolve(root, ptr, "doclen")).join(
+        touched = _read_layer(spark, _resolve(root, ptr, "doclen"), "doclen").join(
             superseded, "doc_id", "left_semi"
         )
         old = _mask(touched, _read_tombstones(spark, root, ptr))
@@ -325,7 +348,7 @@ def read_postings(spark: SparkSession, root: str, terms: tuple[str, ...]) -> Dat
     ptr = _read_pointer(root)
     prefixes = sorted({(t[:1] or "_") for t in terms})
     p = (
-        spark.read.parquet(_resolve(root, ptr, "postings"))
+        _read_layer(spark, _resolve(root, ptr, "postings"), "postings")
         .filter(F.col("term_pfx").isin(prefixes) & F.col("term").isin(list(terms)))
     )
     return _mask(p, _read_tombstones(spark, root, ptr)).select("term", "doc_id", "pos")
@@ -335,14 +358,14 @@ def read_all_postings(spark: SparkSession, root: str) -> DataFrame:
     """Full-vocabulary postings (tombstone-masked) — the corpus-wide
     scoring path (t07's TF-IDF) that reads every prefix partition."""
     ptr = _read_pointer(root)
-    p = spark.read.parquet(_resolve(root, ptr, "postings"))
+    p = _read_layer(spark, _resolve(root, ptr, "postings"), "postings")
     return _mask(p, _read_tombstones(spark, root, ptr)).select("term", "doc_id", "pos")
 
 
 def read_doclen(spark: SparkSession, root: str) -> DataFrame:
     """Effective (doc_id, dl) — tombstone-masked document lengths."""
     ptr = _read_pointer(root)
-    d = spark.read.parquet(_resolve(root, ptr, "doclen"))
+    d = _read_layer(spark, _resolve(root, ptr, "doclen"), "doclen")
     return _mask(d, _read_tombstones(spark, root, ptr)).select("doc_id", "dl")
 
 
@@ -352,10 +375,12 @@ def read_corpus_stats(spark: SparkSession, root: str) -> DataFrame:
     is already the effective corpus — no tombstone join needed here."""
     ptr = _read_pointer(root)
     return (
-        spark.read.parquet(_resolve(root, ptr, "stats"))
+        _read_layer(spark, _resolve(root, ptr, "stats"), "stats")
         .agg(
             F.sum("pn_docs").cast("double").alias("n_docs"),
-            (F.sum("pdl_sum") / F.sum("pn_docs")).alias("avgdl"),
+            # try_divide: an index deleted down to ZERO docs reports a
+            # NULL avgdl instead of an ANSI DIVIDE_BY_ZERO error
+            F.try_divide(F.sum("pdl_sum"), F.sum("pn_docs")).alias("avgdl"),
         )
     )
 
@@ -414,20 +439,20 @@ def compact_text_index(
     tag = uuid.uuid4().hex[:8]
     new = {layer: f"{layer}.{tag}" for layer in _LAYERS}
 
-    postings = _mask(spark.read.parquet(_resolve(root, ptr, "postings")), tomb)
+    postings = _mask(_read_layer(spark, _resolve(root, ptr, "postings"), "postings"), tomb)
     # one shuffle keyed by term_pfx → one file per prefix partition (at
     # real scale the same shuffle keys to target file sizes instead)
     postings.repartition("term_pfx").write.partitionBy("term_pfx").parquet(
         os.path.join(root, new["postings"])
     )
-    doclen = _mask(spark.read.parquet(_resolve(root, ptr, "doclen")), tomb)
+    doclen = _mask(_read_layer(spark, _resolve(root, ptr, "doclen"), "doclen"), tomb)
     doclen.select("doc_id", "dl", "gen").coalesce(1).write.parquet(
         os.path.join(root, new["doclen"])
     )
     # fold stats from the JUST-WRITTEN compacted doclen — equals the
     # partial sum by construction, re-grounds the layer in the exact
     # published bytes, and avoids recomputing the mask join a 2nd time
-    spark.read.parquet(os.path.join(root, new["doclen"])).agg(
+    _read_layer(spark, os.path.join(root, new["doclen"]), "doclen").agg(
         F.count("*").alias("pn_docs"), F.sum("dl").alias("pdl_sum")
     ).coalesce(1).write.parquet(os.path.join(root, new["stats"]))
     os.makedirs(os.path.join(root, new["tombstones"]), exist_ok=True)

@@ -689,3 +689,42 @@ def test_index_streaming_update_maintenance_matches_rebuild(spark, sf_small):
 
     assert snap(idx) == snap(rebuilt)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_delete_all_documents_yields_empty_index(spark):
+    """Delete-only maintenance down to an EMPTY corpus: postings and
+    doclen read empty, corpus stats report zero docs, and compaction
+    folds the now-total tombstones without error — the boundary where
+    negative partials exactly cancel the build."""
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_delall")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta")], "doc_id long, text string"
+    )
+    upsert_index_batch(docs, base, assume_new=True)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    upsert_index_batch(
+        empty, base, deletes=spark.createDataFrame([(1,), (2,)], "doc_id long")
+    )
+
+    assert read_postings(spark, base, ("alpha", "beta")).count() == 0
+    assert read_doclen(spark, base).count() == 0
+    st = read_corpus_stats(spark, base).first()
+    assert st["n_docs"] == 0.0
+
+    compact_text_index(spark, base)
+    assert read_postings(spark, base, ("alpha", "beta")).count() == 0
+    assert read_corpus_stats(spark, base).first()["n_docs"] == 0.0
+    shutil.rmtree(base, ignore_errors=True)
