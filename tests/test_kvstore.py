@@ -1069,6 +1069,80 @@ class TestPersistedIndexLifecycle:
             drop_kv_index("cseg", opts)
             truncate_overlay(lopts)
 
+    def test_incremental_refresh_null_unchanged_and_ghost_deltas(
+        self, spark, sf_small, tmp_path
+    ):
+        """Delta-derivation edges: a Put whose NEW indexed value is NULL
+        drops the old entry and adds none (HBase skips null cells); a
+        Put with an UNCHANGED indexed value keeps exactly one live
+        entry (tombstone-then-revive); a Delete of a key absent from
+        the base is a no-op. After all three the persisted index must
+        still equal the derived index."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            create_kv_index,
+            delete_from_store,
+            drop_kv_index,
+            ensure_kv_index,
+        )
+
+        p = tmp_path / "ebase.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [1, 2, 3],
+                    "seg": ["A", "B", "C"],
+                    "val": [1.0, 2.0, 3.0],
+                }
+            ),
+            str(p),
+        )
+        opts = {
+            "path": str(p),
+            "keyCol": "k",
+            "columns": "k,seg,val",
+            "regionSize": "2",
+            "appId": spark.conf.get("spark.app.id", "shared") + "-einc",
+        }
+        lopts = {k.lower(): v for k, v in opts.items()}
+        truncate_overlay(lopts)
+
+        def entries(o):
+            return {
+                (r[INDEX_KEY], r["k"])
+                for r in spark.read.format(FORMAT_NAME)
+                .options(**o)
+                .schema(f"{INDEX_KEY} string, k bigint")
+                .load()
+                .collect()
+            }
+
+        def derived():
+            d = dict(opts)
+            d["columns"] = "k,seg"
+            d["indexOn"] = "seg"
+            return entries(d)
+
+        create_kv_index(spark, "eseg", opts, "seg")
+        try:
+            spark.createDataFrame(
+                [(1, None, 1.0), (2, "B", 9.0)],  # null-out; unchanged value
+                "k bigint, seg string, val double",
+            ).write.format(FORMAT_NAME).options(**opts).mode("append").save()
+            delete_from_store(lopts, [42])  # ghost delete
+
+            got = entries(ensure_kv_index(spark, "eseg", opts, "seg"))
+            assert got == derived()
+            keys = {k for _, k in got}
+            assert 1 not in keys  # nulled-out entry gone
+            assert sum(1 for _, k in got if k == 2) == 1  # exactly one entry
+        finally:
+            drop_kv_index("eseg", opts)
+            truncate_overlay(lopts)
+
     def test_index_name_validation_rejects_dots(self, spark, sf_small):
         """Dotted / separator-bearing index names would alias version
         dirs across indexes (ADVICE round 5) — rejected at create."""
