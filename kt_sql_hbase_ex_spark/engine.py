@@ -48,28 +48,29 @@ _DELETE_HEAD = re.compile(
 
 def _scan_sql(s: str):
     """Yield (index, char, depth, in_quote) walking a SQL fragment with
-    single-quote literals (``''`` escapes) and paren depth tracked —
-    the minimum lexer honesty that keeps ``WHERE`` inside a string
-    literal or a comma inside ``concat('a,b', x)`` from being mistaken
-    for syntax."""
-    depth, in_q = 0, False
+    single- AND double-quoted literals (doubled-char escapes) plus
+    paren depth tracked — the minimum lexer honesty that keeps
+    ``WHERE`` inside a string literal or a comma inside
+    ``concat('a,b', x)`` from being mistaken for syntax (Spark treats
+    double-quoted text as a string literal by default too)."""
+    depth, quote = 0, None  # quote = the active quote char, if any
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
-        if in_q:
-            if ch == "'":
-                if i + 1 < n and s[i + 1] == "'":  # escaped quote
+        if quote:
+            if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:  # escaped quote
                     yield i, ch, depth, True
                     i += 1
                 else:
-                    in_q = False
-        elif ch == "'":
-            in_q = True
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
         elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        yield i, ch, depth, in_q
+        yield i, ch, depth, quote is not None
         i += 1
 
 
