@@ -361,6 +361,22 @@ class KtSqlEngine:
         df = self.spark.read.format(FORMAT_NAME).options(**store_options).load()
         df.createOrReplaceTempView(view_name)
 
+    # -- full-text search (reference: the Lucene-in-HBase subsystem,
+    # ``hbase/index/lucene/HBaseDirectory.kt`` — here the persisted
+    # postings index serves the same query surface) -------------------
+    def search(self, *terms: str, k: int = 10) -> DataFrame:
+        """BM25 top-``k`` search over the engine's persisted full-text
+        index — the user-facing entry point the reference's Lucene
+        subsystem was being built for: ``eng.search("customer",
+        "join", k=5)`` returns ``(doc_id, bm25, rnk)``. First call per
+        corpus builds the index (one backfill, atomic publish); every
+        later call is a pruned index seek (only the queried terms'
+        prefix partitions are read — ``documents`` is never scanned at
+        query time, plan-pinned for the t12 form)."""
+        from kt_sql_hbase_ex_spark.functions.text import bm25_search
+
+        return bm25_search(self.spark, self.sf_dir, tuple(terms), k=k)
+
     # -- index DDL (reference: HBaseSchema.createIndex/dropIndex,
     # ``hbase/HBaseSchema.kt:226-263,272-288``) ------------------------
     def create_index(

@@ -600,6 +600,22 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     every matching document through one task (``Exchange
     SinglePartition`` + sort) — the anti-pattern
     ``tests/test_plans.py`` now bans sweep-wide."""
+    return bm25_search(spark, sf_dir, BM25_TERMS, k=BM25_TOP_K)
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The parameterized search API behind t12 (and the facade's
+    ``KtSqlEngine.search``): Okapi BM25 over the persisted postings
+    index for an arbitrary term set, top-``k``. Same plan contract as
+    t12 — pruned index read, broadcast df/stats, TakeOrderedAndProject
+    cut, rank over only the K survivors."""
     from pyspark.sql import Window as W
 
     from kt_sql_hbase_ex_spark.functions.text_index import (
@@ -615,7 +631,7 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = read_corpus_stats(spark, idx)
     tf = (
-        read_postings(spark, idx, BM25_TERMS)
+        read_postings(spark, idx, tuple(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
@@ -626,11 +642,8 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         idf
         * F.col("tf")
-        * (BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )
     scored = (
         tf.join(F.broadcast(df), "term")
@@ -639,7 +652,7 @@ def t12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
     )
-    topk = scored.orderBy(F.round("score", 6).desc(), "doc_id").limit(BM25_TOP_K)
+    topk = scored.orderBy(F.round("score", 6).desc(), "doc_id").limit(k)
     # WindowExec still logs its move-all-data warning here (a constant
     # partition key would be folded away), but the windowed relation is
     # the K-row limit result — bounded by construction, which is what

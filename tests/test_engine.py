@@ -286,3 +286,26 @@ def test_facade_dml_parser_handles_literals_and_identifiers(eng):
         assert n == 1
     finally:
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_lex")
+
+
+def test_facade_search_api(eng, spark, sf_oracle):
+    """The parameterized search surface: eng.search(...) serves BM25
+    over the persisted index; with t12's canonical terms and K it must
+    return exactly t12's rows, and with other terms it returns a
+    ranked non-empty top-k."""
+    from kt_sql_hbase_ex_spark.functions.text import (
+        BM25_TERMS,
+        BM25_TOP_K,
+        t12_bm25_search,
+    )
+
+    got = [tuple(r) for r in eng.search(*BM25_TERMS, k=BM25_TOP_K).collect()]
+    want = [tuple(r) for r in t12_bm25_search(spark, sf_oracle).collect()]
+    assert got == want and len(got) == BM25_TOP_K
+
+    other = eng.search("window", "merge", k=5).collect()
+    assert 0 < len(other) <= 5
+    assert [r["rnk"] for r in other] == list(range(1, len(other) + 1))
+    assert all(
+        other[i]["bm25"] >= other[i + 1]["bm25"] for i in range(len(other) - 1)
+    )
