@@ -48,17 +48,23 @@ _DELETE_HEAD = re.compile(
 
 def _scan_sql(s: str):
     """Yield (index, char, depth, in_quote) walking a SQL fragment with
-    single- AND double-quoted literals (doubled-char escapes) plus
-    paren depth tracked — the minimum lexer honesty that keeps
-    ``WHERE`` inside a string literal or a comma inside
-    ``concat('a,b', x)`` from being mistaken for syntax (Spark treats
-    double-quoted text as a string literal by default too)."""
+    single- AND double-quoted literals (doubled-char AND backslash
+    escapes — Spark's default non-ANSI parser accepts both, so
+    ``'don\\'t'`` must not flip the quote tracking) plus paren depth
+    tracked — the minimum lexer honesty that keeps ``WHERE`` inside a
+    string literal or a comma inside ``concat('a,b', x)`` from being
+    mistaken for syntax (Spark treats double-quoted text as a string
+    literal by default too)."""
     depth, quote = 0, None  # quote = the active quote char, if any
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
         if quote:
-            if ch == quote:
+            if ch == "\\" and i + 1 < n:  # backslash escape: skip next
+                yield i, ch, depth, True
+                i += 1
+                ch = s[i]
+            elif ch == quote:
                 if i + 1 < n and s[i + 1] == quote:  # escaped quote
                     yield i, ch, depth, True
                     i += 1
@@ -190,7 +196,15 @@ class KtSqlEngine:
             return self._update(m.group(1), set_clause, where)
         m = _DELETE_HEAD.match(statement)
         if m:
-            _, where = _split_where(statement[m.end():])
+            head, where = _split_where(statement[m.end():])
+            if head.strip().strip(";").strip():
+                # 'DELETE FROM t x WHERE …' must not silently delete as
+                # if the alias text weren't there — unsupported syntax
+                # fails loudly instead of executing a different statement
+                raise ValueError(
+                    f"unsupported DELETE syntax after table name: "
+                    f"{head.strip()!r} (aliases/USING are not supported)"
+                )
             return self._delete(m.group(1), where)
         return self.spark.sql(statement)
 
@@ -243,6 +257,10 @@ class KtSqlEngine:
             if col.lower() in assigns:  # standard SQL rejects duplicates
                 raise ValueError(f"duplicate SET assignment to {col!r}")
             assigns[col.lower()] = expr.strip()
+        if not assigns:
+            # 'UPDATE t SET WHERE k=1' must not run as a silent no-op
+            # full-table rewrite that still reports the matched count
+            raise ValueError(f"UPDATE {name}: empty SET assignment list")
         snap = self._flagged_snapshot(name, where)
         cols = [c for c in snap.columns if c != self._FLAG]
         unknown = [c for c in assigns if c not in {x.lower() for x in cols}]

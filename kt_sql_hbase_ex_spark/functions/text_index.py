@@ -260,7 +260,9 @@ def upsert_index_batch(
       batch's generation and the new rows land at that same
       generation, so readers see exactly the latest version.
     * ``deletes`` — a ``doc_id`` DataFrame of documents REMOVED from
-      the corpus: tombstoned with nothing re-appended.
+      the corpus: tombstoned with nothing re-appended. A doc_id present
+      in BOTH ``batch_df`` and ``deletes`` is treated as deleted (the
+      delete wins — the batch rows are anti-joined out before append).
     * ``assume_new=True`` — declares the feed append-only (pure corpus
       growth): skips the tombstone write and the superseded-stats
       lookup entirely, the zero-overhead ingest fast path (t13's
@@ -278,6 +280,13 @@ def upsert_index_batch(
     are not double-appended under the streaming checkpoint's batch
     tracking (the st07/st10 contract)."""
     spark = batch_df.sparkSession
+    if deletes is not None:
+        # same-batch update+delete of one doc_id: the DELETE wins (the
+        # document is gone) — without this anti-join the re-appended
+        # rows would land at the tombstone's own generation and survive
+        # the gen >= tgen mask, silently undoing the delete
+        deletes = deletes.select("doc_id").distinct()
+        batch_df = batch_df.join(deletes, "doc_id", "left_anti")
     gen = _next_gen(root)
     ptr = _read_pointer(root)
     has_prior = os.path.isdir(_resolve(root, ptr, "doclen"))
@@ -286,8 +295,9 @@ def upsert_index_batch(
         if not assume_new:
             superseded = batch_df.select("doc_id")
         if deletes is not None:
-            d = deletes.select("doc_id")
-            superseded = d if superseded is None else superseded.unionByName(d)
+            superseded = (
+                deletes if superseded is None else superseded.unionByName(deletes)
+            )
     if superseded is not None:
         superseded = superseded.distinct()
         # negative partial for the rows this batch supersedes: filter to

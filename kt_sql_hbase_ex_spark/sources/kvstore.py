@@ -1359,6 +1359,24 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     root = _kv_index_root(base_options)
     _gc_index_versions(root, index_name, keep=meta["data_dir"])
     new_dir = _build_index_version(spark, root, index_name, base_options, meta["INDEX"])
+    # the superseded version's incremental-maintenance overlay dies with
+    # it — resolve its path NOW, while the old data_dir still exists
+    # (overlay_path fingerprints the dir's stat); once the deferred GC
+    # rmtree's the dir the path can no longer be computed and the
+    # orphaned overlay parquet would leak permanently (drop_kv_index
+    # does the same cleanup on its path)
+    _opts = {k.lower(): v for k, v in dict(base_options).items()}
+    try:
+        _iov = overlay_path(
+            {
+                "path": meta["data_dir"],
+                **({"appid": _opts["appid"]} if "appid" in _opts else {}),
+            }
+        )
+        if os.path.exists(_iov):
+            os.unlink(_iov)
+    except (KeyError, OSError):
+        pass
     meta["data_dir"] = new_dir
     meta["base_signature"] = _base_signature(base_options)
     meta["snapshot"] = _snapshot_of(meta["base_signature"])
@@ -1371,12 +1389,28 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
 class IncrementalRefreshIneligible(ValueError):
     """The persisted snapshot cannot take overlay-delta maintenance —
     either the base FILE itself changed since the backfill (bulk
-    reload: only a rebuild is correct) or the snapshot already baked an
-    overlay in (no pristine reference point). Callers fall back to
+    reload: only a rebuild is correct), the snapshot already baked an
+    overlay in (no pristine reference point), or the overlay exceeds
+    the driver-side delta budget (:data:`INCREMENTAL_MAX_OVERLAY_ROWS`
+    — a bulk load masquerading as a delta). Callers fall back to
     :func:`refresh_kv_index`."""
 
 
-def incremental_refresh_kv_index(spark, index_name: str, base_options) -> dict:
+#: Driver-side budget for the incremental path: the delta derivation
+#: materializes the base overlay on the driver (the multi-get shape),
+#: which is sound only while overlays stay statement-sized. Above this
+#: row count the refresh refuses and callers rebuild — the distributed
+#: O(base) job — so the "overlays are small by construction" contract
+#: is enforced mechanically, not assumed (round-6 review finding).
+INCREMENTAL_MAX_OVERLAY_ROWS = 100_000
+
+
+def incremental_refresh_kv_index(
+    spark,
+    index_name: str,
+    base_options,
+    max_overlay_rows: int | None = None,
+) -> dict:
     """O(overlay) index maintenance — the reference's per-write
     dual-Put contract (``index/keyvalue/KVIndexTable.kt:91-119``: every
     base Put writes the index entry, deletes remove it) applied as a
@@ -1437,6 +1471,19 @@ def incremental_refresh_kv_index(spark, index_name: str, base_options) -> dict:
         if os.path.exists(iov_path):
             os.unlink(iov_path)
     else:
+        # size guard BEFORE any data read: one parquet-footer metadata
+        # probe; an oversized overlay (bulk load) routes to rebuild
+        limit = (
+            INCREMENTAL_MAX_OVERLAY_ROWS
+            if max_overlay_rows is None
+            else max_overlay_rows
+        )
+        n_overlay = pq.ParquetFile(opath).metadata.num_rows
+        if n_overlay > limit:
+            raise IncrementalRefreshIneligible(
+                f"index {index_name!r}: overlay has {n_overlay} rows "
+                f"(> {limit}) — beyond the driver-side delta budget, rebuild"
+            )
         overlay_rows = pq.read_table(opath).to_pylist()
         # prior indexed values of the touched keys (multi-get shape)
         want = {_rowkey_of(r, key_cols) for r in overlay_rows}

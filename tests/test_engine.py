@@ -288,6 +288,44 @@ def test_facade_dml_parser_handles_literals_and_identifiers(eng):
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_lex")
 
 
+def test_facade_dml_rejects_unsupported_shapes_loudly(eng):
+    """Round-6 ADVICE: unsupported syntax must fail, not execute a
+    DIFFERENT statement — 'DELETE FROM t x' must not delete all rows
+    as if the alias weren't there, and 'UPDATE t SET WHERE k=1' must
+    not run as a silent no-op full-table rewrite. Also: backslash
+    escapes inside string literals (Spark's default non-ANSI dialect)
+    must not invert the lexer's quote tracking."""
+    eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_strict")
+    eng.spark.sql(
+        "CREATE TABLE ktsql_eng_strict (k BIGINT, v STRING) USING parquet"
+    )
+    try:
+        eng.sql("INSERT INTO ktsql_eng_strict VALUES (1, 'a'), (2, 'b')")
+        with pytest.raises(ValueError, match="alias"):
+            eng.sql("DELETE FROM ktsql_eng_strict x")
+        with pytest.raises(ValueError, match="alias"):
+            eng.sql("DELETE FROM ktsql_eng_strict t WHERE t.k = 1")
+        assert eng.table("ktsql_eng_strict").count() == 2  # nothing ran
+        with pytest.raises(ValueError, match="empty SET"):
+            eng.sql("UPDATE ktsql_eng_strict SET WHERE k = 1")
+        # backslash-escaped quote inside a literal: the WHERE after it
+        # must still be found (a naive lexer stays 'in quote' and
+        # full-table-updates); the escaped text itself round-trips
+        n = eng.sql(
+            r"UPDATE ktsql_eng_strict SET v = 'don\'t' WHERE k = 1"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        got = {r.k: r.v for r in eng.table("ktsql_eng_strict").collect()}
+        assert got == {1: "don't", 2: "b"}
+        # escaped backslash before the closing quote
+        n = eng.sql(
+            r"DELETE FROM ktsql_eng_strict WHERE v = 'don\'t'"
+        ).first()["num_affected_rows"]
+        assert n == 1
+    finally:
+        eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_strict")
+
+
 def test_facade_search_api(eng, spark, sf_oracle):
     """The parameterized search surface: eng.search(...) serves BM25
     over the persisted index; with t12's canonical terms and K it must

@@ -691,6 +691,49 @@ def test_index_streaming_update_maintenance_matches_rebuild(spark, sf_small):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_index_same_batch_update_and_delete_delete_wins(spark):
+    """Round-6 ADVICE: a doc_id present in BOTH batch_df and deletes in
+    the same upsert must come out DELETED — without the anti-join the
+    re-appended rows land at the tombstone's own generation and survive
+    the mask, silently undoing the delete."""
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_updel")
+    shutil.rmtree(base, ignore_errors=True)
+    upsert_index_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+        ),
+        base,
+        assume_new=True,
+    )
+    # doc 1 appears as an 'update' AND a delete in the same batch
+    upsert_index_batch(
+        spark.createDataFrame([(1, "delta delta")], "doc_id long, text string"),
+        base,
+        deletes=spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    assert read_postings(spark, base, ("alpha", "delta")).count() == 0
+    assert {r["doc_id"] for r in read_doclen(spark, base).collect()} == {2}
+    st = read_corpus_stats(spark, base).first()
+    assert (st["n_docs"], st["avgdl"]) == (1.0, 2.0)
+    # compaction folds to the same truth
+    compact_text_index(spark, base)
+    assert read_postings(spark, base, ("alpha", "delta")).count() == 0
+    assert read_corpus_stats(spark, base).first()["n_docs"] == 1.0
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_index_delete_all_documents_yields_empty_index(spark):
     """Delete-only maintenance down to an EMPTY corpus: postings and
     doclen read empty, corpus stats report zero docs, and compaction

@@ -1143,6 +1143,120 @@ class TestPersistedIndexLifecycle:
             drop_kv_index("eseg", opts)
             truncate_overlay(lopts)
 
+    def test_oversized_overlay_routes_to_rebuild(self, spark, sf_small):
+        """Round-7 size guard: the incremental path materializes the
+        base overlay DRIVER-side, sound only for statement-sized
+        deltas — above the row budget it must refuse (one parquet
+        footer probe, no data read) and ensure must fall back to the
+        distributed rebuild. Enforced, not assumed."""
+        import json
+
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            INDEX_KEY,
+            IncrementalRefreshIneligible,
+            _index_meta_path,
+            create_kv_index,
+            drop_kv_index,
+            incremental_refresh_kv_index,
+        )
+
+        opts = self._opts(spark, sf_small)
+        lopts = {k.lower(): v for k, v in opts.items()}
+        create_kv_index(spark, "big_t", opts, "c_mktsegment")
+
+        def meta():
+            with open(_index_meta_path(opts, "big_t")) as f:
+                return json.load(f)
+
+        v1 = meta()["data_dir"]
+        try:
+            # a 3-row committed overlay, with the budget dialed to 2:
+            # the 'bulk load' shape without bulk fixture cost
+            spark.createDataFrame(
+                [
+                    (910001, 1, "ZZBULK", 0.0),
+                    (910002, 2, "ZZBULK", 0.0),
+                    (910003, 3, "ZZBULK", 0.0),
+                ],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string, "
+                "c_acctbal double",
+            ).write.format(FORMAT_NAME).options(
+                **{**opts, "columns": "c_custkey,c_nationkey,c_mktsegment,c_acctbal"}
+            ).mode("append").save()
+
+            with pytest.raises(IncrementalRefreshIneligible, match="rebuild"):
+                incremental_refresh_kv_index(
+                    spark, "big_t", opts, max_overlay_rows=2
+                )
+            # under the default budget the same overlay is a fine delta
+            idx_opts = incremental_refresh_kv_index(spark, "big_t", opts)
+            assert meta()["maintenance"] == "incremental"
+            assert meta()["data_dir"] == v1
+            got = {
+                r["c_custkey"]
+                for r in spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .filter(f"{INDEX_KEY} like 'ZZBULK|%'")
+                .collect()
+            }
+            assert got == {910001, 910002, 910003}
+        finally:
+            drop_kv_index("big_t", opts)
+            truncate_overlay(lopts)
+
+    def test_refresh_unlinks_superseded_version_overlay(self, spark, sf_small):
+        """Round-6 ADVICE: a full refresh repoints data_dir; the OLD
+        version's incremental-maintenance overlay must be unlinked
+        while its path can still be computed, or it leaks permanently
+        once the dir is GC'd (drop already did this; refresh did not)."""
+        import json
+        import os
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _index_meta_path,
+            create_kv_index,
+            drop_kv_index,
+            ensure_kv_index,
+            overlay_path,
+            refresh_kv_index,
+        )
+
+        opts = self._opts(spark, sf_small)
+        lopts = {k.lower(): v for k, v in opts.items()}
+        create_kv_index(spark, "leak_t", opts, "c_mktsegment")
+
+        def meta():
+            with open(_index_meta_path(opts, "leak_t")) as f:
+                return json.load(f)
+
+        v1 = meta()["data_dir"]
+        try:
+            # one committed Put + incremental refresh → the index now
+            # carries its own overlay file next to version v1
+            spark.createDataFrame(
+                [(920001, 1, "ZZLEAK", 0.0)],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string, "
+                "c_acctbal double",
+            ).write.format(FORMAT_NAME).options(
+                **{**opts, "columns": "c_custkey,c_nationkey,c_mktsegment,c_acctbal"}
+            ).mode("append").save()
+            ensure_kv_index(spark, "leak_t", opts, "c_mktsegment")
+            iov = overlay_path(
+                {"path": v1, **({"appid": lopts["appid"]} if "appid" in lopts else {})}
+            )
+            assert os.path.exists(iov)
+
+            refresh_kv_index(spark, "leak_t", opts)
+            assert meta()["data_dir"] != v1
+            assert not os.path.exists(iov)  # no orphaned overlay parquet
+        finally:
+            drop_kv_index("leak_t", opts)
+            truncate_overlay(lopts)
+
     def test_index_name_validation_rejects_dots(self, spark, sf_small):
         """Dotted / separator-bearing index names would alias version
         dirs across indexes (ADVICE round 5) — rejected at create."""
