@@ -183,13 +183,17 @@ class KtSqlEngine:
         ``num_affected_rows`` DataFrame, like the JDBC update count.
         Anything else passes through to Spark SQL verbatim.
 
-        Supported DML shape = the reference's own ceiling: one target
-        table, scalar SET/WHERE expressions over its columns — string
-        literals (with commas, parens, or the word ``where`` inside)
-        are lexed correctly; correlated subqueries inside SET/WHERE
-        are not parsed (the reference's translator crashed on far
-        less, SURVEY §2.2; use the ``operators/dml.py`` transforms for
-        join-shaped mutations)."""
+        Supported DML shape: one target table; SET expressions are
+        scalar over the target's columns; the WHERE predicate is any
+        Spark-SQL boolean expression INCLUDING ``IN (SELECT …)`` /
+        ``EXISTS`` / scalar subqueries against other catalog tables
+        (the first DML a migrating user writes after literals — the
+        predicate resolves through ``spark.sql``, not selectExpr).
+        String literals with commas, parens, quotes, or the word
+        ``where`` inside are lexed correctly. The reference's
+        translator crashed on far less (SURVEY §2.2); use the
+        ``operators/dml.py`` transforms for join-shaped mutations
+        (multi-table MERGE)."""
         m = _UPDATE_HEAD.match(statement)
         if m:
             set_clause, where = _split_where(statement[m.end():])
@@ -223,20 +227,131 @@ class KtSqlEngine:
     #: internal match-flag column for the single-pass DML execution
     _FLAG = "__ktsql_matched"
 
-    def _flagged_snapshot(self, name: str, where: str | None) -> DataFrame:
-        """ONE scan of the target: evaluate the predicate exactly once
-        per row into a flag column and materialize (localCheckpoint) —
+    #: cap on matched-partition tuples collected driver-side for the
+    #: pruned copy-on-write path; past this the rewrite is
+    #: table-proportional anyway and the full-overwrite path is simpler
+    _MAX_PRUNED_PARTITIONS = 1000
+
+    def _partition_cols(self, name: str) -> list[str]:
+        return [
+            c.name
+            for c in self.spark.catalog.listColumns(name.strip("`"))
+            if c.isPartition
+        ]
+
+    def _predicate_deterministic(self, name: str, cond: str) -> bool:
+        """Whether the WHERE predicate is deterministic (Catalyst's own
+        flag on the analyzed expression). The pruned path evaluates the
+        predicate twice — partition discovery, then the authoritative
+        flagged snapshot — which is only sound when both passes agree."""
+        try:
+            jdf = self.spark.sql(f"SELECT ({cond}) AS f FROM {name}")._jdf
+            return bool(
+                jdf.queryExecution().analyzed().expressions().apply(0).deterministic()
+            )
+        except Exception:
+            return False
+
+    def _matched_partitions(self, name: str, cond: str, pcols: list[str]):
+        """Distinct partition-value tuples containing matched rows, or
+        None when they exceed the driver-side cap (→ full path)."""
+        rows = (
+            self.spark.sql(
+                f"SELECT DISTINCT {', '.join(_bq(c) for c in pcols)} "
+                f"FROM {name} WHERE ({cond})"
+            )
+            .limit(self._MAX_PRUNED_PARTITIONS + 1)
+            .collect()
+        )
+        return None if len(rows) > self._MAX_PRUNED_PARTITIONS else rows
+
+    def _dml_snapshot(
+        self, name: str, where: str | None, moving_cols: frozenset = frozenset()
+    ):
+        """ONE authoritative scan of the rewrite scope: evaluate the
+        predicate into a flag column and materialize (localCheckpoint) —
         so (a) the affected count, the mutation, and the write all see
-        the SAME matched set even under a non-deterministic predicate,
-        and (b) the files being overwritten are no longer being read
-        (the dml04 read-while-overwrite hazard)."""
+        the SAME matched set, and (b) the files being overwritten are no
+        longer being read (the dml04 read-while-overwrite hazard). The
+        flag is computed by ``spark.sql`` over the CATALOG name (not
+        selectExpr over the DataFrame) so the predicate may contain
+        IN/EXISTS/scalar subqueries against other catalog tables —
+        including the target itself, which is safe because the
+        checkpoint materializes before the overwrite.
+
+        Returns ``(snapshot, matched_partitions)``:
+
+        * ``(snap, None)`` — snapshot covers the WHOLE table; the write
+          is a full overwrite (unpartitioned targets, SET of a
+          partition column, non-deterministic predicates, or more
+          touched partitions than the driver-side cap).
+        * ``(snap, rows)`` — partition-pruned copy-on-write (round-6
+          verdict task #1): the snapshot covers ONLY the partitions
+          containing matched rows (the discovery pass's distinct
+          partition tuples, pushed as PartitionFilters so untouched
+          partitions are never read), and the write must use dynamic
+          partition overwrite. A one-row UPDATE on a 100 TB partitioned
+          table reads+rewrites one partition, not the table.
+        * ``(None, [])`` — the predicate matched nothing: there is
+          nothing to rewrite at all (affected count 0, zero writes).
+
+        The pruned path requires a deterministic predicate: discovery
+        and the authoritative flag are two evaluations, and only
+        determinism makes them agree (Catalyst's own flag decides —
+        rand()/shuffle-dependent predicates take the full path, whose
+        single checkpointed scan needs no such agreement). SET of a
+        partition column also takes the full path: a moved row could
+        land in a partition the write is not replacing."""
+        import functools
+        import operator
+
+        from pyspark.sql import functions as F
+
         base = self._dml_target(name)
         if self._FLAG in base.columns:
             raise ValueError(f"column name {self._FLAG!r} is reserved")
         cond = f"coalesce(({where}), false)" if where else "true"
-        return base.selectExpr("*", f"({cond}) AS {self._FLAG}").localCheckpoint(
-            eager=True
-        )
+        flagged = f"SELECT *, ({cond}) AS {self._FLAG} FROM {name}"
+
+        pcols = self._partition_cols(name) if where else []
+        if (
+            pcols
+            and not (moving_cols & {c.lower() for c in pcols})
+            and self._predicate_deterministic(name, cond)
+        ):
+            rows = self._matched_partitions(name, cond, pcols)
+            if rows is not None:
+                if not rows:
+                    return None, []
+                clause = lambda r: functools.reduce(  # noqa: E731
+                    operator.and_,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols],
+                )
+                pflt = functools.reduce(operator.or_, [clause(r) for r in rows])
+                snap = (
+                    self.spark.sql(flagged)
+                    .filter(pflt)
+                    .localCheckpoint(eager=True)
+                )
+                return snap, rows
+        return self.spark.sql(flagged).localCheckpoint(eager=True), None
+
+    def _write_back(self, name: str, df: DataFrame, pruned: bool) -> None:
+        """Overwrite the rewrite scope: the whole table (static mode —
+        positional insertInto truncate+write), or, on the pruned path,
+        exactly the partitions present in ``df`` (dynamic partition
+        overwrite — the opt08 idiom; untouched partitions keep their
+        files byte-for-byte)."""
+        if not pruned:
+            df.write.insertInto(name, overwrite=True)
+            return
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        old = self.spark.conf.get(conf, "STATIC")
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            df.write.insertInto(name, overwrite=True)
+        finally:
+            self.spark.conf.set(conf, old)
 
     def _count_result(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "num_affected_rows bigint")
@@ -245,7 +360,12 @@ class KtSqlEngine:
         """UPDATE as a transform: every SET expression evaluates against
         the OLD row (standard SQL simultaneous assignment — ``SET a=b,
         b=a`` swaps), non-matching rows pass through unchanged, and a
-        NULL predicate matches nothing (WHERE three-valued logic)."""
+        NULL predicate matches nothing (WHERE three-valued logic). On a
+        partitioned target with a deterministic WHERE (and no SET of a
+        partition column) only the partitions containing matched rows
+        are read and rewritten — every row of a touched partition flows
+        through (matched transformed, unmatched verbatim), so dynamic
+        overwrite replaces each touched partition completely."""
         from pyspark.sql import functions as F
 
         assigns: dict[str, str] = {}
@@ -261,7 +381,18 @@ class KtSqlEngine:
             # 'UPDATE t SET WHERE k=1' must not run as a silent no-op
             # full-table rewrite that still reports the matched count
             raise ValueError(f"UPDATE {name}: empty SET assignment list")
-        snap = self._flagged_snapshot(name, where)
+        snap, parts = self._dml_snapshot(
+            name, where, moving_cols=frozenset(assigns)
+        )
+        if snap is None:  # nothing matched: zero writes, count 0
+            # unknown-column validation must still fire on the no-op
+            known = {
+                c.name.lower() for c in self.spark.catalog.listColumns(name.strip("`"))
+            }
+            unknown = [c for c in assigns if c not in known]
+            if unknown:
+                raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
+            return self._count_result(0)
         cols = [c for c in snap.columns if c != self._FLAG]
         unknown = [c for c in assigns if c not in {x.lower() for x in cols}]
         if unknown:
@@ -274,20 +405,59 @@ class KtSqlEngine:
             for c in cols
         ]
         n = snap.filter(F.col(self._FLAG)).count()
-        snap.selectExpr(*proj).write.insertInto(name, overwrite=True)
+        self._write_back(name, snap.selectExpr(*proj), pruned=parts is not None)
         return self._count_result(n)
+
+    @staticmethod
+    def _part_literal(v) -> str:
+        """Render one partition value for an ALTER TABLE … DROP
+        PARTITION spec."""
+        import datetime
+
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return f"'{v.isoformat()}'"
+        return "'" + str(v).replace("'", "''") + "'"
 
     def _delete(self, name: str, where: str | None) -> DataFrame:
         """DELETE as a transform: keep rows the predicate does NOT match
         (a NULL predicate keeps the row — WHERE semantics), overwrite
-        with the survivors (the dml03 anti-join collapsed to a filter)."""
+        with the survivors (the dml03 anti-join collapsed to a filter).
+        On the pruned path only touched partitions are read/rewritten;
+        a touched partition whose rows ALL matched gets no survivors —
+        dynamic overwrite cannot replace an absent partition, so those
+        are dropped explicitly (``ALTER TABLE … DROP PARTITION``,
+        metadata + file removal ∝ emptied partitions). The survivor
+        write lands first, so a crash between the two steps leaves
+        extra OLD rows (a shorter delete), never lost or phantom rows."""
         from pyspark.sql import functions as F
 
-        snap = self._flagged_snapshot(name, where)
+        snap, parts = self._dml_snapshot(name, where)
+        if snap is None:  # nothing matched: zero writes, count 0
+            return self._count_result(0)
         n = snap.filter(F.col(self._FLAG)).count()
-        snap.filter(~F.col(self._FLAG)).drop(self._FLAG).write.insertInto(
-            name, overwrite=True
-        )
+        survivors = snap.filter(~F.col(self._FLAG)).drop(self._FLAG)
+        self._write_back(name, survivors, pruned=parts is not None)
+        if parts:
+            pcols = self._partition_cols(name)
+            alive = {
+                tuple(r[c] for c in pcols)
+                for r in survivors.select(*pcols).distinct().collect()
+            }
+            for r in parts:
+                key = tuple(r[c] for c in pcols)
+                if key not in alive:
+                    spec = ", ".join(
+                        f"{_bq(c)} = {self._part_literal(r[c])}" for c in pcols
+                    )
+                    self.spark.sql(
+                        f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
+                    )
         return self._count_result(n)
 
     def table(self, name: str) -> DataFrame:
@@ -317,6 +487,7 @@ class KtSqlEngine:
         *,
         comment: str = "",
         charset: str = "UTF-8",
+        partitioned_by=None,
     ) -> None:
         """Validated CREATE TABLE — routed through the catalog wrapper
         so the facade enforces the reference's create-time rules
@@ -328,18 +499,23 @@ class KtSqlEngine:
         persist as TBLPROPERTIES and surface via :meth:`table_info`.
         ``columns`` takes a DDL string or the catalog wrapper's
         ``[(name, type, default[, comment])]`` list; ``primary_key`` a
-        column name or sequence of names."""
+        column name or sequence of names; ``partitioned_by`` (a column
+        name or sequence) declares Hive-style partition columns, which
+        unlock the partition-pruned UPDATE/DELETE path."""
         from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
 
         pk = (primary_key,) if isinstance(primary_key, str) else primary_key
         pk = tuple(pk) if pk else None
+        pb = (partitioned_by,) if isinstance(partitioned_by, str) else partitioned_by
+        pb = tuple(pb) if pb else None
         cols = self._parse_columns(columns)
         # validate BEFORE the destructive drop-if-exists: a rejected
         # CREATE must leave an existing table (and its files) untouched
-        cat.validate_create_columns(cols, pk)
+        cat.validate_create_columns(cols, pk, pb)
         _reset_table(self.spark, name)
         cat.create_table(
-            self.spark, name, cols, pk, comment=comment, charset=charset
+            self.spark, name, cols, pk, comment=comment, charset=charset,
+            partitioned_by=pb,
         )
 
     def drop_table(self, name: str) -> None:

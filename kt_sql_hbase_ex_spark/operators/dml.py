@@ -494,3 +494,60 @@ def dml07_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("n_changed"),
         exact_sum("o_totalprice").alias("total"),
     )
+
+
+@query(
+    "dml08_partitioned_cow_update",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {exact_sum_sql(
+               "CASE WHEN o_orderstatus = 'P' AND o_orderpriority = '1-URGENT' "
+               "THEN o_totalprice * 1.1 ELSE o_totalprice END"
+           )} AS total
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+    GROUP BY o_orderstatus
+    """,
+)
+def dml08_partitioned_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned copy-on-write DML through the engine facade
+    (round-6 verdict task #1): a status-partitioned catalog table takes
+    a literal ``UPDATE`` whose WHERE pins one partition and a literal
+    ``DELETE`` that thins another — each rewrites ONLY the partitions
+    containing matched rows (matched-partition discovery → pruned
+    flagged snapshot → dynamic partition overwrite), never the table.
+    The reference's DML was row-scoped Puts/Deletes
+    (``hbase/HBaseModifiableTable.kt:135-246``); partition-scoped
+    copy-on-write is that contract's batch-analytics form — at 100 TB a
+    one-partition UPDATE reads and writes one partition (the 'O'/'F'
+    bulk partitions are never opened; proven file-level in
+    ``tests/test_engine.py``). The oracle replays the end state
+    declaratively over the pristine table. Money sums are exact
+    micro-unit fixed point; the update factor is applied identically
+    (same IEEE double product) in both engines."""
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+    tbl = "ktsql_dml08_orders_part"
+    eng = KtSqlEngine(spark, sf_dir)
+    eng.create_table(
+        tbl,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderpriority STRING, o_orderstatus STRING",
+        primary_key="o_orderkey",
+        partitioned_by="o_orderstatus",
+    )
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    ).write.insertInto(tbl)
+
+    eng.sql(
+        f"UPDATE {tbl} SET o_totalprice = o_totalprice * 1.1 "
+        "WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'"
+    )
+    eng.sql(f"DELETE FROM {tbl} WHERE o_orderstatus = 'F' AND o_custkey % 10 = 3")
+
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), exact_sum("o_totalprice").alias("total"))
+    )

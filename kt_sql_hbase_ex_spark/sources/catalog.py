@@ -240,7 +240,7 @@ _PROP_PREFIX = "ktsql."
 
 
 def validate_create_columns(
-    columns, primary_key
+    columns, primary_key, partitioned_by=None
 ) -> list[tuple[str, str, str | None, str | None]]:
     """The reference's create-time rules (``HBaseSchema.kt:113-136``) as
     a side-effect-free check, returning the normalized 4-tuples.
@@ -257,6 +257,11 @@ def validate_create_columns(
     missing = [k for k in primary_key if k not in declared]
     if missing:
         raise PrimaryKeyMissedError(f"primary key columns not in schema: {missing}")
+    if partitioned_by:
+        declared_lower = {c.lower() for c in declared}
+        bad = [p for p in partitioned_by if p.lower() not in declared_lower]
+        if bad:
+            raise ValueError(f"partition columns not in schema: {bad}")
     return norm
 
 
@@ -268,6 +273,7 @@ def create_table(
     *,
     comment: str = "",
     charset: str = "UTF-8",
+    partitioned_by: tuple[str, ...] | list[str] | None = None,
 ) -> None:
     """Validated CREATE TABLE — the engine's analog of the reference's
     ``createTable`` (``hbase/HBaseSchema.kt:101-178``): reject the
@@ -282,8 +288,16 @@ def create_table(
     optionally with a 4th per-column COMMENT element (the
     ``ColumnAttribute.COMMENT`` analog — surfaced back by
     :func:`describe_columns`, quote-escaped like the table comment).
+
+    ``partitioned_by`` (Spark-native, no reference analog: HBase's
+    physical layout is region-split by rowkey) declares Hive-style
+    partition columns — each must be one of the declared columns. A
+    partitioned target unlocks the engine's partition-pruned
+    copy-on-write DML path: UPDATE/DELETE on it rewrite only the
+    partitions containing matched rows.
     """
-    norm = validate_create_columns(columns, primary_key)
+    part = tuple(partitioned_by) if partitioned_by else ()
+    norm = validate_create_columns(columns, primary_key, part)
 
     import datetime
 
@@ -310,7 +324,11 @@ def create_table(
         return str(v).replace("'", "''")
 
     prop_ddl = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in props.items())
-    spark.sql(f"CREATE TABLE {name} ({col_ddl}) USING parquet TBLPROPERTIES ({prop_ddl})")
+    part_ddl = f" PARTITIONED BY ({', '.join(part)})" if part else ""
+    spark.sql(
+        f"CREATE TABLE {name} ({col_ddl}) USING parquet{part_ddl} "
+        f"TBLPROPERTIES ({prop_ddl})"
+    )
 
 
 def describe_table(spark: SparkSession, name: str) -> dict[str, object]:

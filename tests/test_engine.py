@@ -326,6 +326,172 @@ def test_facade_dml_rejects_unsupported_shapes_loudly(eng):
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_strict")
 
 
+def test_facade_dml_where_supports_subqueries(eng):
+    """Round-6 verdict task #5: IN (SELECT …) / EXISTS / scalar
+    subqueries in the facade DML WHERE — the first DML a migrating
+    user writes after literals. Affected counts must match the dml03
+    anti-join form (count of rows the subquery predicate selects)."""
+    eng.create_table("ktsql_eng_subq", "k BIGINT, v STRING", primary_key="k")
+    eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_picks")
+    eng.spark.sql("CREATE TABLE ktsql_eng_picks (k BIGINT) USING parquet")
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_subq VALUES "
+            "(1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')"
+        )
+        eng.sql("INSERT INTO ktsql_eng_picks VALUES (1), (3), (99)")
+
+        # UPDATE … WHERE k IN (SELECT …): exactly the intersection
+        n = eng.sql(
+            "UPDATE ktsql_eng_subq SET v = upper(v) "
+            "WHERE k IN (SELECT k FROM ktsql_eng_picks)"
+        ).first()["num_affected_rows"]
+        assert n == 2
+        got = {r.k: r.v for r in eng.table("ktsql_eng_subq").collect()}
+        assert got == {1: "A", 2: "b", 3: "C", 4: "d"}
+
+        # correlated EXISTS in UPDATE
+        n = eng.sql(
+            "UPDATE ktsql_eng_subq SET v = concat(v, '!') WHERE EXISTS ("
+            "SELECT 1 FROM ktsql_eng_picks p WHERE p.k = ktsql_eng_subq.k)"
+        ).first()["num_affected_rows"]
+        assert n == 2
+        assert {r.k: r.v for r in eng.table("ktsql_eng_subq").collect()} == {
+            1: "A!", 2: "b", 3: "C!", 4: "d",
+        }
+
+        # scalar subquery (may reference the target itself — snapshot
+        # semantics: the predicate is fully evaluated before the write)
+        n = eng.sql(
+            "DELETE FROM ktsql_eng_subq "
+            "WHERE k > (SELECT avg(k) FROM ktsql_eng_subq)"
+        ).first()["num_affected_rows"]
+        assert n == 2  # k=3,4 > avg 2.5
+        assert sorted(r.k for r in eng.table("ktsql_eng_subq").collect()) == [1, 2]
+
+        # NOT IN with the dml03 anti-join count: the subquery picks
+        # {1,3,99}; surviving rows are {1,2}; NOT IN deletes k=2
+        n = eng.sql(
+            "DELETE FROM ktsql_eng_subq "
+            "WHERE k NOT IN (SELECT k FROM ktsql_eng_picks)"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        assert [r.k for r in eng.table("ktsql_eng_subq").collect()] == [1]
+    finally:
+        eng.drop_table("ktsql_eng_subq")
+        eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_picks")
+
+
+def _table_location(spark, name: str) -> str:
+    loc = [
+        r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        if r.col_name == "Location"
+    ][0]
+    return loc.removeprefix("file:")
+
+
+def _partition_files(spark, name: str) -> dict[str, set]:
+    """{partition-dir: {(file, mtime_ns, size)}} under the table root."""
+    import os
+
+    root = _table_location(spark, name)
+    out: dict[str, set] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        for f in files:
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(dirpath, f))
+                out.setdefault(rel, set()).add((f, st.st_mtime_ns, st.st_size))
+    return out
+
+
+def test_facade_partitioned_dml_rewrites_only_touched_partitions(eng):
+    """Round-6 verdict task #1: on a partitioned catalog table,
+    UPDATE/DELETE rewrite ONLY the partitions containing matched rows
+    (dynamic partition overwrite) — untouched partitions keep their
+    files byte-for-byte (proven by name+mtime+size), affected counts
+    are unchanged, and a partition deleted down to zero rows is
+    dropped. SET of a partition column falls back to the full path and
+    stays correct."""
+    eng.create_table(
+        "ktsql_eng_part",
+        "k BIGINT, v STRING, p STRING",
+        primary_key="k",
+        partitioned_by="p",
+    )
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_part VALUES "
+            "(1, 'a', 'x'), (2, 'b', 'x'), (3, 'c', 'y'), (4, 'd', 'z')"
+        )
+        before = _partition_files(eng.spark, "ktsql_eng_part")
+        assert set(before) == {"p=x", "p=y", "p=z"}
+
+        # UPDATE matching only partition x: y and z files untouched
+        n = eng.sql(
+            "UPDATE ktsql_eng_part SET v = upper(v) WHERE k = 1"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        after = _partition_files(eng.spark, "ktsql_eng_part")
+        assert after["p=y"] == before["p=y"]  # byte-identical file set
+        assert after["p=z"] == before["p=z"]
+        assert after["p=x"] != before["p=x"]  # the touched one rewrote
+        got = {r.k: (r.v, r.p) for r in eng.table("ktsql_eng_part").collect()}
+        assert got == {1: ("A", "x"), 2: ("b", "x"), 3: ("c", "y"), 4: ("d", "z")}
+
+        # zero-match UPDATE writes nothing at all
+        n = eng.sql(
+            "UPDATE ktsql_eng_part SET v = 'nope' WHERE k = 999"
+        ).first()["num_affected_rows"]
+        assert n == 0
+        assert _partition_files(eng.spark, "ktsql_eng_part") == after
+
+        # DELETE pruned to partition y; partition fully emptied → dropped
+        before = after
+        n = eng.sql("DELETE FROM ktsql_eng_part WHERE k = 3").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+        after = _partition_files(eng.spark, "ktsql_eng_part")
+        assert after.get("p=x") == before["p=x"]
+        assert after.get("p=z") == before["p=z"]
+        assert "p=y" not in after
+        assert sorted(r.k for r in eng.table("ktsql_eng_part").collect()) == [1, 2, 4]
+
+        # partial DELETE within a partition: survivors stay
+        n = eng.sql("DELETE FROM ktsql_eng_part WHERE k = 2").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+        assert {r.k: r.p for r in eng.table("ktsql_eng_part").collect()} == {
+            1: "x", 4: "z",
+        }
+        assert _partition_files(eng.spark, "ktsql_eng_part").get("p=z") == before[
+            "p=z"
+        ]
+
+        # SET of the partition column: full path (rows move partitions)
+        n = eng.sql(
+            "UPDATE ktsql_eng_part SET p = 'w' WHERE k = 4"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        got = {r.k: r.p for r in eng.table("ktsql_eng_part").collect()}
+        assert got == {1: "x", 4: "w"}
+        parts = _partition_files(eng.spark, "ktsql_eng_part")
+        assert "p=z" not in parts and "p=w" in parts
+
+        # non-deterministic predicate: full path, count still consistent
+        eng.sql("INSERT INTO ktsql_eng_part VALUES (5, 'e', 'w'), (6, 'f', 'x')")
+        total = eng.table("ktsql_eng_part").count()
+        n = eng.sql("DELETE FROM ktsql_eng_part WHERE rand() < 0.5").first()[
+            "num_affected_rows"
+        ]
+        assert eng.table("ktsql_eng_part").count() == total - n
+    finally:
+        eng.drop_table("ktsql_eng_part")
+
+
 def test_facade_search_api(eng, spark, sf_oracle):
     """The parameterized search surface: eng.search(...) serves BM25
     over the persisted index; with t12's canonical terms and K it must

@@ -771,3 +771,173 @@ def test_index_delete_all_documents_yields_empty_index(spark):
     assert read_postings(spark, base, ("alpha", "beta")).count() == 0
     assert read_corpus_stats(spark, base).first()["n_docs"] == 0.0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_writer_lock_mutual_exclusion(spark):
+    """Round-6 verdict task #2: writers claim the index MECHANICALLY —
+    while one writer holds the lock, an upsert and a compaction both
+    lose LOUDLY (IndexWriterConflict) and write nothing; after release
+    they succeed. A threaded upsert-vs-compact race with retry loops
+    converges to exactly the derived truth."""
+    import os
+    import shutil
+    import tempfile
+    import threading
+    import time
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        _writer_lock,
+        break_writer_lock,
+        compact_text_index,
+        read_corpus_stats,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_lock")
+    shutil.rmtree(base, ignore_errors=True)
+    upsert_index_batch(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        base,
+        assume_new=True,
+    )
+    batch2 = spark.createDataFrame([(2, "beta gamma")], "doc_id long, text string")
+
+    # a live writer holds the lock: both writer kinds refuse, no writes
+    gens_before = sorted(os.listdir(os.path.join(base, "gens")))
+    with _writer_lock(base):
+        with pytest.raises(IndexWriterConflict, match="writer.lock"):
+            upsert_index_batch(batch2, base, assume_new=True)
+        with pytest.raises(IndexWriterConflict, match="writer.lock"):
+            compact_text_index(spark, base)
+    assert sorted(os.listdir(os.path.join(base, "gens"))) == gens_before
+
+    # a crashed writer's lock is cleared explicitly
+    open(os.path.join(base, "writer.lock"), "w").close()
+    with pytest.raises(IndexWriterConflict):
+        upsert_index_batch(batch2, base, assume_new=True)
+    break_writer_lock(base)
+
+    # threaded upsert vs compact, each retrying on conflict: both land
+    errs = []
+
+    def retrying(fn):
+        for _ in range(200):
+            try:
+                return fn()
+            except IndexWriterConflict:
+                time.sleep(0.05)
+        errs.append("never acquired the lock")
+
+    t1 = threading.Thread(
+        target=retrying, args=(lambda: upsert_index_batch(batch2, base, assume_new=True),)
+    )
+    t2 = threading.Thread(
+        target=retrying, args=(lambda: compact_text_index(spark, base),)
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = {
+        (r["term"], r["doc_id"])
+        for r in read_postings(spark, base, ("alpha", "beta", "gamma")).collect()
+    }
+    assert got == {("alpha", 1), ("beta", 1), ("beta", 2), ("gamma", 2)}
+    assert read_corpus_stats(spark, base).first()["n_docs"] == 2.0
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prefix_compaction_folds_hot_prefixes_only(spark):
+    """Round-6 verdict task #3: size-triggered per-prefix compaction —
+    only prefixes past the file-count threshold fold (tombstones
+    applied physically there), untouched prefixes carry their files
+    byte-identically (hardlinks: same name AND inode) and keep relying
+    on the KEPT tombstone layer; query-visible rows and corpus stats
+    are unchanged."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_text_index_prefixes,
+        layer_path,
+        read_corpus_stats,
+        read_doclen,
+        read_postings,
+        upsert_index_batch,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_idx_pfxcomp")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # gen 0: three prefixes (a/b/c); then 4 growth batches into 'a' only
+    upsert_index_batch(
+        spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "aa bb cc"), (3, "aa bb cc")],
+            "doc_id long, text string",
+        ),
+        base,
+        assume_new=True,
+    )
+    for i in range(4):
+        upsert_index_batch(
+            spark.createDataFrame([(10 + i, "aa")], "doc_id long, text string"),
+            base,
+            assume_new=True,
+        )
+    # one UPDATE: doc 1 loses bb/cc, gains zz → tombstone at gen 5
+    upsert_index_batch(
+        spark.createDataFrame([(1, "aa zz")], "doc_id long, text string"), base
+    )
+
+    def pfx_files(root):
+        p = layer_path(root, "postings")
+        return {
+            os.path.basename(d): {
+                (os.path.basename(f), os.stat(f).st_ino)
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            }
+            for d in glob.glob(os.path.join(p, "term_pfx=*"))
+        }
+
+    def visible(root):
+        rows = read_postings(spark, root, ("aa", "bb", "cc", "zz")).collect()
+        tf = sorted((r["term"], r["doc_id"], r["pos"]) for r in rows)
+        dl = sorted((r["doc_id"], r["dl"]) for r in read_doclen(spark, root).collect())
+        st = read_corpus_stats(spark, root).first()
+        return tf, dl, st["n_docs"], st["avgdl"]
+
+    before_files = pfx_files(base)
+    assert len(before_files["term_pfx=a"]) == 6  # gen0 + 4 growth + update
+    before = visible(base)
+
+    chosen = compact_text_index_prefixes(spark, base, max_files_per_prefix=3)
+    assert chosen == ["a"]  # only the hot prefix crossed the threshold
+
+    after_files = pfx_files(base)
+    # untouched prefixes: same file names AND inodes (hardlink carry)
+    for k in ("term_pfx=b", "term_pfx=c", "term_pfx=z"):
+        assert after_files[k] == before_files[k]
+    # the hot prefix folded to one file
+    assert len(after_files["term_pfx=a"]) == 1
+    # folded prefix holds only effective rows physically (no mask needed)
+    raw_a = spark.read.parquet(layer_path(base, "postings")).filter(
+        F.col("term_pfx") == "a"
+    )
+    assert raw_a.filter((F.col("doc_id") == 1) & (F.col("gen") == 0)).count() == 0
+    # carried prefixes still hold superseded rows physically — the KEPT
+    # tombstones mask them (doc 1's old bb/cc must stay invisible)
+    raw_b = spark.read.parquet(layer_path(base, "postings")).filter(
+        (F.col("term_pfx") == "b") & (F.col("doc_id") == 1)
+    )
+    assert raw_b.count() == 1  # physically present ...
+    assert visible(base) == before  # ... but query-visible state unchanged
+
+    # idempotent: nothing left over the threshold
+    assert compact_text_index_prefixes(spark, base, max_files_per_prefix=3) == []
+    shutil.rmtree(base, ignore_errors=True)
