@@ -80,6 +80,11 @@ HEADLINE = (
     # steady-state read path, exactly what a deployment pays per query.
     "t13_incremental_index_maintenance",
     "src09_kv_persisted_index_lookup",
+    # round-7 addition (r6 verdict task #7): the tombstone-MASKED index
+    # read (t15 serves term stats through the gen>=tgen broadcast mask
+    # over an updated+deleted corpus) — the one index configuration t13
+    # (pure append, no mask join) doesn't track round-over-round.
+    "t15_index_doc_update",
 )
 
 

@@ -27,6 +27,7 @@ every ``.sql`` is planned by Catalyst with the same pushdown/broadcast
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -184,9 +185,12 @@ class KtSqlEngine:
         Anything else passes through to Spark SQL verbatim.
 
         Supported DML shape: one target table; SET expressions are
-        scalar over the target's columns; the WHERE predicate is any
-        Spark-SQL boolean expression INCLUDING ``IN (SELECT …)`` /
-        ``EXISTS`` / scalar subqueries against other catalog tables
+        scalar over the target's OLD row and may contain scalar
+        subqueries against other catalog tables — correlated through
+        UNQUALIFIED outer column names (SET evaluates over a snapshot
+        view, so target-name qualifiers don't resolve there);
+        the WHERE predicate is any Spark-SQL boolean expression
+        INCLUDING ``IN (SELECT …)`` / ``EXISTS`` / scalar subqueries
         (the first DML a migrating user writes after literals — the
         predicate resolves through ``spark.sql``, not selectExpr).
         String literals with commas, parens, quotes, or the word
@@ -405,7 +409,18 @@ class KtSqlEngine:
             for c in cols
         ]
         n = snap.filter(F.col(self._FLAG)).count()
-        self._write_back(name, snap.selectExpr(*proj), pruned=parts is not None)
+        # the projection runs through spark.sql over a temp view of the
+        # checkpointed snapshot (not selectExpr) so SET expressions may
+        # contain scalar subqueries — including ones correlated to the
+        # target's columns; old-row semantics hold because the subquery
+        # reads other tables, the target values come from the snapshot
+        view = f"__ktsql_dml_snap_{uuid.uuid4().hex[:8]}"
+        snap.createOrReplaceTempView(view)
+        try:
+            out = self.spark.sql(f"SELECT {', '.join(proj)} FROM {view}")
+            self._write_back(name, out, pruned=parts is not None)
+        finally:
+            self.spark.catalog.dropTempView(view)
         return self._count_result(n)
 
     @staticmethod

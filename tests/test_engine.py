@@ -377,6 +377,24 @@ def test_facade_dml_where_supports_subqueries(eng):
         ).first()["num_affected_rows"]
         assert n == 1
         assert [r.k for r in eng.table("ktsql_eng_subq").collect()] == [1]
+
+        # scalar subquery in a SET expression (uncorrelated + correlated)
+        n = eng.sql(
+            "UPDATE ktsql_eng_subq "
+            "SET v = concat(v, '-', (SELECT CAST(max(k) AS STRING) "
+            "FROM ktsql_eng_picks))"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        assert [r.v for r in eng.table("ktsql_eng_subq").collect()] == ["A!-99"]
+        # correlated via the UNQUALIFIED outer column (the portable
+        # spelling — the engine evaluates SET over a snapshot view, so
+        # target-name qualifiers don't resolve inside SET subqueries)
+        n = eng.sql(
+            "UPDATE ktsql_eng_subq SET v = (SELECT CAST(count(*) AS STRING) "
+            "FROM ktsql_eng_picks p WHERE p.k >= k) WHERE k = 1"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        assert [r.v for r in eng.table("ktsql_eng_subq").collect()] == ["3"]
     finally:
         eng.drop_table("ktsql_eng_subq")
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_picks")
@@ -490,6 +508,56 @@ def test_facade_partitioned_dml_rewrites_only_touched_partitions(eng):
         assert eng.table("ktsql_eng_part").count() == total - n
     finally:
         eng.drop_table("ktsql_eng_part")
+
+
+def test_facade_partitioned_dml_null_partition_and_cap_fallback(eng):
+    """Edges of the pruned path: a NULL partition value round-trips
+    (eqNullSafe pruning; DROP PARTITION (p = null) clears the Hive
+    default partition), and when matched partitions exceed the
+    driver-side cap the write falls back to the full overwrite with
+    identical results."""
+    eng.create_table(
+        "ktsql_eng_pnull", "k BIGINT, p STRING", primary_key="k",
+        partitioned_by="p",
+    )
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_pnull VALUES "
+            "(1, 'x'), (2, NULL), (3, NULL), (4, 'y')"
+        )
+        # partial delete inside the NULL partition: survivor stays
+        n = eng.sql("DELETE FROM ktsql_eng_pnull WHERE k = 2").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+        assert {(r.k, r.p) for r in eng.table("ktsql_eng_pnull").collect()} == {
+            (1, "x"), (3, None), (4, "y"),
+        }
+        # emptying the NULL partition drops it
+        n = eng.sql("DELETE FROM ktsql_eng_pnull WHERE p IS NULL").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+        parts = [
+            r[0] for r in eng.spark.sql("SHOW PARTITIONS ktsql_eng_pnull").collect()
+        ]
+        assert sorted(parts) == ["p=x", "p=y"]
+
+        # cap fallback: more matched partitions than the driver budget
+        orig = KtSqlEngine._MAX_PRUNED_PARTITIONS
+        KtSqlEngine._MAX_PRUNED_PARTITIONS = 1
+        try:
+            n = eng.sql(
+                "UPDATE ktsql_eng_pnull SET k = k + 10 WHERE k IN (1, 4)"
+            ).first()["num_affected_rows"]
+        finally:
+            KtSqlEngine._MAX_PRUNED_PARTITIONS = orig
+        assert n == 2
+        assert {(r.k, r.p) for r in eng.table("ktsql_eng_pnull").collect()} == {
+            (11, "x"), (14, "y"),
+        }
+    finally:
+        eng.drop_table("ktsql_eng_pnull")
 
 
 def test_facade_search_api(eng, spark, sf_oracle):
