@@ -45,6 +45,9 @@ _UPDATE_HEAD = re.compile(
 _DELETE_HEAD = re.compile(
     r"^\s*delete\s+from\s+(`[^`]+`|[\w.]+)(?=\s|;|$)", re.IGNORECASE
 )
+_MERGE_HEAD = re.compile(
+    r"^\s*merge\s+into\s+(`[^`]+`|[\w.]+)", re.IGNORECASE
+)
 
 
 def _scan_sql(s: str):
@@ -111,6 +114,40 @@ def _split_where(s: str) -> tuple[str, str | None]:
     return s.rstrip().rstrip(";").rstrip(), None
 
 
+def _kw_positions(s: str, keywords: tuple[str, ...]) -> list[tuple[str, int]]:
+    """Top-level (outside quotes/parens), word-bounded positions of each
+    keyword, in text order — the scanner behind the MERGE parser."""
+    lower = s.lower()
+    out = []
+    for i, _ch, depth, in_q in _scan_sql(s):
+        if depth != 0 or in_q:
+            continue
+        for kw in keywords:
+            if lower.startswith(kw, i):
+                before_ok = i == 0 or not (
+                    lower[i - 1].isalnum() or lower[i - 1] == "_"
+                )
+                j = i + len(kw)
+                after_ok = j >= len(s) or not (
+                    lower[j].isalnum() or lower[j] == "_"
+                )
+                if before_ok and after_ok:
+                    out.append((kw, i))
+                    break
+    return out
+
+
+def _matching_paren(s: str, start: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``start`` (quote-aware)."""
+    base_depth = None
+    for i, ch, depth, in_q in _scan_sql(s[start:]):
+        if i == 0:
+            base_depth = depth  # depth AFTER consuming the opening paren
+        if not in_q and ch == ")" and depth == base_depth - 1:
+            return start + i
+    raise ValueError(f"unbalanced parentheses in: {s[start:start + 40]!r}…")
+
+
 def _bq(col: str) -> str:
     """Backtick-quote an identifier for generated SQL (reserved words,
     odd characters) — backticks in the name itself double-escape."""
@@ -173,15 +210,18 @@ class KtSqlEngine:
 
     # -- query ---------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
-        """Full Spark SQL dialect over the registered catalog — PLUS the
-        reference's row-level DML statements. Calcite routed ``UPDATE``
-        / ``DELETE`` into table modification
+        """Full Spark SQL dialect over the registered catalog — PLUS
+        row-level DML statements. Calcite routed ``UPDATE`` /
+        ``DELETE`` into table modification
         (``hbase/HBaseModifiableTable.kt`` toModificationRel); Spark
         SQL rejects them on parquet tables, so the facade executes the
         simple single-table forms itself as snapshot-overwrite
         transforms (the dml02/dml03 semantics behind the reference's
         actual SQL surface) and returns a one-row
         ``num_affected_rows`` DataFrame, like the JDBC update count.
+        ``MERGE INTO`` executes the same way with standard semantics
+        (first-match-wins WHEN clauses, cardinality violation on
+        multi-match, metrics row back — see :meth:`_merge`).
         Anything else passes through to Spark SQL verbatim.
 
         Supported DML shape: one target table; SET expressions are
@@ -202,6 +242,9 @@ class KtSqlEngine:
         if m:
             set_clause, where = _split_where(statement[m.end():])
             return self._update(m.group(1), set_clause, where)
+        m = _MERGE_HEAD.match(statement)
+        if m:
+            return self._merge(m.group(1), statement[m.end():])
         m = _DELETE_HEAD.match(statement)
         if m:
             head, where = _split_where(statement[m.end():])
@@ -474,6 +517,309 @@ class KtSqlEngine:
                         f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
                     )
         return self._count_result(n)
+
+    # -- MERGE INTO ----------------------------------------------------
+    @staticmethod
+    def _parse_merge(tail: str) -> dict:
+        """Parse the text after ``MERGE INTO <target>``:
+
+            [[AS] t_alias] USING <table | (subquery)> [[AS] s_alias]
+            ON <cond>
+            { WHEN MATCHED [AND c] THEN UPDATE SET a=e,… | DELETE }*
+            [ WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (…) ]
+
+        Clause order is preserved (first matching WHEN wins, standard
+        MERGE); WHEN NOT MATCHED BY SOURCE is not supported (use a
+        DELETE with a NOT EXISTS predicate)."""
+        import re as _re
+
+        def eat_alias(s: str, stop: str):
+            m = _re.match(
+                rf"\s*(?:as\s+)?(?!{stop}\b)(`[^`]+`|\w+)", s, _re.IGNORECASE
+            )
+            return (m.group(1).strip("`"), s[m.end():]) if m else (None, s)
+
+        t_alias, rest = eat_alias(tail, "using")
+        m = _re.match(r"\s*using\s+", rest, _re.IGNORECASE)
+        if not m:
+            raise ValueError("MERGE: expected USING after the target")
+        rest = rest[m.end():]
+        if rest.lstrip().startswith("("):
+            p0 = rest.index("(")
+            p1 = _matching_paren(rest, p0)
+            source, src_is_query = rest[p0 + 1 : p1].strip(), True
+            rest = rest[p1 + 1 :]
+        else:
+            m = _re.match(r"\s*(`[^`]+`|[\w.]+)", rest)
+            if not m:
+                raise ValueError("MERGE: malformed USING source")
+            source, src_is_query = m.group(1), False
+            rest = rest[m.end():]
+        s_alias, rest = eat_alias(rest, "on")
+        m = _re.match(r"\s*on\s+", rest, _re.IGNORECASE)
+        if not m:
+            raise ValueError("MERGE: expected ON <condition>")
+        rest = rest[m.end():]
+        whens = [i for _, i in _kw_positions(rest, ("when",))]
+        if not whens:
+            raise ValueError("MERGE: at least one WHEN clause is required")
+        cond = rest[: whens[0]].strip()
+        if not cond:
+            raise ValueError("MERGE: empty ON condition")
+
+        matched, not_matched = [], None
+        for a, b in zip(whens, whens[1:] + [len(rest)]):
+            body = rest[a + len("when") : b]
+            m = _re.match(r"\s*(not\s+)?matched\b", body, _re.IGNORECASE)
+            if not m:
+                raise ValueError(f"MERGE: malformed WHEN clause: {body.strip()!r}")
+            is_not, body = bool(m.group(1)), body[m.end():]
+            thens = [i for _, i in _kw_positions(body, ("then",))]
+            if not thens:
+                raise ValueError("MERGE: WHEN clause missing THEN")
+            head, action = body[: thens[0]].strip(), body[thens[0] + 4 :]
+            extra = None
+            if head:
+                am = _re.match(r"and\s+", head, _re.IGNORECASE)
+                if not am:
+                    raise ValueError(
+                        f"MERGE: unexpected text before THEN: {head!r}"
+                    )
+                extra = head[am.end():].strip()
+            action = action.strip().rstrip(";").strip()
+            if is_not:
+                if not_matched is not None:
+                    raise ValueError(
+                        "MERGE: only one WHEN NOT MATCHED clause is supported"
+                    )
+                if _re.fullmatch(r"insert\s*\*", action, _re.IGNORECASE):
+                    not_matched = {"extra": extra, "star": True}
+                    continue
+                im = _re.match(r"insert\s*(?=\()", action, _re.IGNORECASE)
+                if not im:
+                    raise ValueError(
+                        f"MERGE: unsupported NOT MATCHED action {action!r} "
+                        "(INSERT * or INSERT (cols) VALUES (…))"
+                    )
+                p0 = action.index("(", im.end() - 1)
+                p1 = _matching_paren(action, p0)
+                ins_cols = [
+                    c.strip().strip("`")
+                    for c in _split_top_level(action[p0 + 1 : p1])
+                ]
+                rest2 = action[p1 + 1 :]
+                vm = _re.match(r"\s*values\s*(?=\()", rest2, _re.IGNORECASE)
+                if not vm:
+                    raise ValueError("MERGE: INSERT needs VALUES (…)")
+                q0 = rest2.index("(", vm.end() - 1)
+                q1 = _matching_paren(rest2, q0)
+                vals = _split_top_level(rest2[q0 + 1 : q1])
+                if rest2[q1 + 1 :].strip(" ;"):
+                    raise ValueError("MERGE: trailing text after INSERT VALUES")
+                if len(ins_cols) != len(vals) or not ins_cols:
+                    raise ValueError("MERGE: INSERT column/value count mismatch")
+                not_matched = {
+                    "extra": extra, "star": False, "cols": ins_cols, "vals": vals,
+                }
+            elif _re.fullmatch(r"delete", action, _re.IGNORECASE):
+                matched.append({"kind": "D", "extra": extra})
+            else:
+                um = _re.match(r"update\s+set\s+", action, _re.IGNORECASE)
+                if not um:
+                    raise ValueError(
+                        f"MERGE: unsupported MATCHED action {action!r} "
+                        "(UPDATE SET … or DELETE)"
+                    )
+                assigns: dict[str, str] = {}
+                for part in _split_top_level(action[um.end():]):
+                    col, eq, expr = part.partition("=")
+                    col = col.strip().strip("`")
+                    if not eq or not col or not expr.strip():
+                        raise ValueError(f"malformed SET assignment: {part!r}")
+                    if col.lower() in assigns:
+                        raise ValueError(f"duplicate SET assignment to {col!r}")
+                    assigns[col.lower()] = expr.strip()
+                if not assigns:
+                    raise ValueError("MERGE: empty UPDATE SET list")
+                matched.append({"kind": "U", "extra": extra, "assigns": assigns})
+        return {
+            "t_alias": t_alias,
+            "source": source,
+            "src_is_query": src_is_query,
+            "s_alias": s_alias,
+            "cond": cond,
+            "matched": matched,
+            "not_matched": not_matched,
+        }
+
+    #: internal row-identity column for MERGE's matched-pair join
+    _RID = "__ktsql_rid"
+
+    def _merge(self, target: str, tail: str) -> DataFrame:
+        """MERGE INTO as a snapshot transform — the statement a
+        migrating user writes right after UPDATE/DELETE (the dml04
+        upsert, dml06 SCD2 and dml07 CDC transforms are its relational
+        forms; the reference's Calcite layer had no MERGE, so this is a
+        strict extension). Standard semantics: clauses apply
+        first-match-wins per target row, every expression sees the OLD
+        target row and the matched source row through the statement's
+        own aliases, a target row matched by MORE than one source row
+        raises the ANSI cardinality-violation error, and unmatched
+        source rows insert (missing columns NULL). Returns the Spark
+        MERGE metrics row (num_affected/updated/deleted/inserted).
+
+        Scale: the source is never assumed small (a fact-sized source
+        plans a shuffle join on the ON keys; a statement-sized one is
+        broadcast by AQE stats); the target snapshot is checkpointed
+        once; the write is the full-overwrite path — partitioned
+        targets could reuse the pruned-DML discovery, left full here
+        because MERGE's insert branch can create NEW partitions, which
+        dynamic overwrite handles but partition discovery must then
+        include (future work, documented)."""
+        from pyspark.sql import functions as F
+
+        p = self._parse_merge(tail)
+        base = self._dml_target(target)
+        if self._RID in base.columns:
+            raise ValueError(f"column name {self._RID!r} is reserved")
+        t_alias = p["t_alias"] or target.strip("`").split(".")[-1]
+        s_alias = p["s_alias"]
+        if s_alias is None:
+            if p["src_is_query"]:
+                raise ValueError("MERGE: a subquery source requires an alias")
+            s_alias = p["source"].strip("`").split(".")[-1]
+        if t_alias.lower() == s_alias.lower():
+            raise ValueError("MERGE: target and source aliases must differ")
+
+        snap = (
+            self.spark.table(target)
+            .withColumn(self._RID, F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        cols = [c for c in snap.columns if c != self._RID]
+        low2col = {c.lower(): c for c in cols}
+        for cl in p["matched"]:
+            if cl["kind"] == "U":
+                unknown = [c for c in cl["assigns"] if c not in low2col]
+                if unknown:
+                    raise ValueError(f"MERGE {target}: unknown columns {unknown}")
+
+        tview = f"__ktsql_merge_t_{uuid.uuid4().hex[:8]}"
+        sview = f"__ktsql_merge_s_{uuid.uuid4().hex[:8]}"
+        snap.createOrReplaceTempView(tview)
+        src_df = (
+            self.spark.sql(p["source"])
+            if p["src_is_query"]
+            else self.spark.table(p["source"])
+        )
+        src_df.createOrReplaceTempView(sview)
+        try:
+            ta, sa, on = _bq(t_alias), _bq(s_alias), p["cond"]
+            branches = [
+                (cl, f"coalesce(({cl['extra']}), false)" if cl["extra"] else "true")
+                for cl in p["matched"]
+            ]
+            n_upd = n_del = 0
+            if branches:
+                act = (
+                    "CASE "
+                    + " ".join(f"WHEN ({b}) THEN '{cl['kind']}'" for cl, b in branches)
+                    + " ELSE 'K' END"
+                )
+                col_exprs = []
+                for c in cols:
+                    old = f"{ta}.{_bq(c)}"
+                    chain = " ".join(
+                        f"WHEN ({b}) THEN ("
+                        + (
+                            cl["assigns"].get(c.lower(), old)
+                            if cl["kind"] == "U"
+                            else old
+                        )
+                        + ")"
+                        for cl, b in branches
+                    )
+                    col_exprs.append(
+                        f"CASE {chain} ELSE {old} END AS {_bq('__new_' + c)}"
+                    )
+                pairs = self.spark.sql(
+                    f"SELECT {ta}.{self._RID} AS {self._RID}, {act} AS __ktsql_act, "
+                    f"{', '.join(col_exprs)} "
+                    f"FROM {tview} AS {ta} JOIN {sview} AS {sa} ON ({on})"
+                ).localCheckpoint(eager=True)
+                # ANSI MERGE cardinality rule: >1 source match is an error
+                if (
+                    pairs.groupBy(self._RID).count().filter("count > 1").limit(1).count()
+                    > 0
+                ):
+                    raise ValueError(
+                        "MERGE: a target row matched multiple source rows "
+                        "(cardinality violation) — deduplicate the source "
+                        "or tighten the ON condition"
+                    )
+                n_upd = pairs.filter(F.col("__ktsql_act") == "U").count()
+                n_del = pairs.filter(F.col("__ktsql_act") == "D").count()
+                joined = snap.join(pairs, on=self._RID, how="left")
+                act_col = F.col("__ktsql_act")
+                out = joined.filter(act_col.isNull() | (act_col != "D")).select(
+                    *[
+                        F.when(act_col == "U", F.col(f"__new_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+            else:  # insert-only MERGE: matched rows pass through untouched
+                out = snap.select(*cols)
+
+            n_ins = 0
+            if p["not_matched"] is not None:
+                nm = p["not_matched"]
+                extra = f" AND ({nm['extra']})" if nm["extra"] else ""
+                if nm["star"]:
+                    src_cols = {c.lower(): c for c in src_df.columns}
+                    missing = [c for c in cols if c.lower() not in src_cols]
+                    if missing:
+                        raise ValueError(
+                            f"MERGE: INSERT * needs source columns {missing}"
+                        )
+                    proj = ", ".join(
+                        f"{sa}.{_bq(src_cols[c.lower()])} AS {_bq(c)}" for c in cols
+                    )
+                else:
+                    given = {
+                        c.lower(): v for c, v in zip(nm["cols"], nm["vals"])
+                    }
+                    unknown = [c for c in given if c not in low2col]
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE {target}: unknown INSERT columns {unknown}"
+                        )
+                    types = {
+                        f.name: f.dataType.simpleString() for f in snap.schema.fields
+                    }
+                    proj = ", ".join(
+                        f"({given[c.lower()]}) AS {_bq(c)}"
+                        if c.lower() in given
+                        else f"CAST(NULL AS {types[c]}) AS {_bq(c)}"
+                        for c in cols
+                    )
+                ins = self.spark.sql(
+                    f"SELECT {proj} FROM {sview} AS {sa} WHERE NOT EXISTS "
+                    f"(SELECT 1 FROM {tview} AS {ta} WHERE ({on})){extra}"
+                ).localCheckpoint(eager=True)
+                n_ins = ins.count()
+                out = out.unionByName(ins, allowMissingColumns=False)
+
+            self._write_back(target, out, pruned=False)
+        finally:
+            self.spark.catalog.dropTempView(tview)
+            self.spark.catalog.dropTempView(sview)
+        return self.spark.createDataFrame(
+            [(n_upd + n_del + n_ins, n_upd, n_del, n_ins)],
+            "num_affected_rows bigint, num_updated_rows bigint, "
+            "num_deleted_rows bigint, num_inserted_rows bigint",
+        )
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

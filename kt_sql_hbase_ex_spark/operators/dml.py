@@ -551,3 +551,82 @@ def dml08_partitioned_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), exact_sum("o_totalprice").alias("total"))
     )
+
+
+@query(
+    "dml09_merge_into",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_custkey % 2 = 0 THEN 'u' ELSE 'd' END AS op
+        FROM orders WHERE o_custkey % 10 = 3
+        UNION ALL SELECT 900000001, 'i'
+        UNION ALL SELECT 900000002, 'i'
+    ),
+    merged AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               CASE WHEN s.op = 'u' THEN o.o_totalprice * 1.1
+                    ELSE o.o_totalprice END AS o_totalprice,
+               o.o_orderstatus
+        FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+        WHERE s.k IS NULL OR s.op <> 'd'
+        UNION ALL
+        SELECT s.k, 0, 999.99, 'N' FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = s.k)
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {exact_sum_sql("o_totalprice")} AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def dml09_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal ``MERGE INTO`` through the engine facade (round 7): one
+    statement carries a conditional DELETE, an UPDATE over the old
+    row, and an INSERT with NULL-free literal fill — the three-way
+    merge every warehouse migration script ends up writing (the dml04
+    upsert / dml07 CDC transforms are this statement's relational
+    bodies; the reference's Calcite 1.17 layer predates MERGE, so the
+    facade extends the surface rather than porting it). Semantics
+    pinned by the oracle: first-match-wins WHEN ordering (op='d' rows
+    must delete even though the UPDATE clause would also match), every
+    SET sees the OLD target row, unmatched source rows insert. Scale:
+    the ON join shuffles both sides only if the source is fact-sized
+    (AQE broadcasts a statement-sized one); the facade raises the ANSI
+    cardinality violation instead of silently exploding duplicate
+    matches. End state verified by the status-grouped exact-money
+    aggregate over the post-merge table."""
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+    tbl = "ktsql_dml09_orders_merge"
+    eng = KtSqlEngine(spark, sf_dir)
+    eng.create_table(
+        tbl,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING",
+        primary_key="o_orderkey",
+    )
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).write.insertInto(tbl)
+
+    eng.sql(
+        f"""
+        MERGE INTO {tbl} t USING (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_custkey % 2 = 0 THEN 'u' ELSE 'd' END AS op
+            FROM orders WHERE o_custkey % 10 = 3
+            UNION ALL SELECT 900000001, 'i'
+            UNION ALL SELECT 900000002, 'i'
+        ) s ON t.o_orderkey = s.k
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * 1.1
+        WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+            VALUES (s.k, 0, 999.99, 'N')
+        """
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), exact_sum("o_totalprice").alias("total"))
+    )

@@ -581,3 +581,80 @@ def test_facade_search_api(eng, spark, sf_oracle):
     assert all(
         other[i]["bm25"] >= other[i + 1]["bm25"] for i in range(len(other) - 1)
     )
+
+
+def test_facade_merge_into(eng):
+    """MERGE INTO through the facade: standard first-match-wins WHEN
+    clauses, expressions over OLD target row + matched source row via
+    the statement's aliases, NULL fill for unlisted INSERT columns,
+    ANSI cardinality violation on multi-match, and the Spark MERGE
+    metrics row."""
+    eng.create_table(
+        "ktsql_eng_mrg", "k BIGINT, v STRING, amt BIGINT", primary_key="k"
+    )
+    eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mrg_src")
+    eng.spark.sql(
+        "CREATE TABLE ktsql_eng_mrg_src (k BIGINT, v STRING, amt BIGINT, "
+        "op STRING) USING parquet"
+    )
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_mrg VALUES "
+            "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)"
+        )
+        eng.sql(
+            "INSERT INTO ktsql_eng_mrg_src VALUES "
+            "(1, 'A', 100, 'u'), (3, 'C', 300, 'd'), (9, 'I', 900, 'u')"
+        )
+        r = eng.sql(
+            "MERGE INTO ktsql_eng_mrg t USING ktsql_eng_mrg_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.op = 'd' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v, amt = t.amt + s.amt "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, lower(s.v))"
+        ).first()
+        assert (
+            r["num_affected_rows"], r["num_updated_rows"],
+            r["num_deleted_rows"], r["num_inserted_rows"],
+        ) == (3, 1, 1, 1)
+        got = {r.k: (r.v, r.amt) for r in eng.table("ktsql_eng_mrg").collect()}
+        # k=1 updated (old amt + src amt), k=2 untouched, k=3 deleted,
+        # k=9 inserted with NULL for the unlisted amt column
+        assert got == {1: ("A", 110), 2: ("b", 20), 9: ("i", None)}
+
+        # subquery source + INSERT *; insert-only MERGE leaves matches alone
+        r = eng.sql(
+            "MERGE INTO ktsql_eng_mrg t USING ("
+            "  SELECT k + 100 AS k, upper(v) AS v, amt FROM ktsql_eng_mrg_src"
+            ") s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert (r["num_affected_rows"], r["num_inserted_rows"]) == (3, 3)
+        got = {r.k: (r.v, r.amt) for r in eng.table("ktsql_eng_mrg").collect()}
+        assert got == {
+            1: ("A", 110), 2: ("b", 20), 9: ("i", None),
+            101: ("A", 100), 103: ("C", 300), 109: ("I", 900),
+        }
+
+        # cardinality violation: two source rows match one target row
+        eng.sql("INSERT INTO ktsql_eng_mrg_src VALUES (1, 'dup', 1, 'u')")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="cardinality"):
+            eng.sql(
+                "MERGE INTO ktsql_eng_mrg t USING ktsql_eng_mrg_src s "
+                "ON t.k = s.k WHEN MATCHED THEN UPDATE SET amt = s.amt"
+            )
+        # ... and the failed MERGE left the target untouched
+        assert {r.k: (r.v, r.amt) for r in eng.table("ktsql_eng_mrg").collect()} == got
+
+        # parser rejections fail loudly
+        with _pytest.raises(ValueError, match="alias"):
+            eng.sql(
+                "MERGE INTO ktsql_eng_mrg t USING (SELECT 1 AS k) ON t.k = k "
+                "WHEN MATCHED THEN DELETE"
+            )
+        with _pytest.raises(ValueError, match="WHEN"):
+            eng.sql("MERGE INTO ktsql_eng_mrg t USING ktsql_eng_mrg_src s ON t.k = s.k")
+    finally:
+        eng.drop_table("ktsql_eng_mrg")
+        eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mrg_src")
