@@ -553,3 +553,62 @@ def test_stateful_micros_batching_independent(cents, seed):
         values[cuts[2] :],
     ]
     assert sum(batch_micros(p) for p in parts) == exact
+
+
+@given(
+    target=urows,
+    source=st.lists(
+        st.tuples(KEYS, VALS), min_size=0, max_size=12, unique_by=lambda r: r[0]
+    ),
+    d0=VALS,
+    i0=VALS,
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_facade_merge_semantics(spark, target, source, d0, i0):
+    """Facade MERGE INTO vs an independent Python model: first-match-wins
+    clause order (DELETE guard before the unconditional UPDATE), UPDATE
+    over the OLD row, conditional NOT MATCHED insert, and the metrics
+    row — across random tables and random clause thresholds."""
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+    eng = KtSqlEngine(spark)
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS ktsql_prop_merge (k INT, v INT) USING parquet"
+    )
+    spark.createDataFrame(target or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    ).write.insertInto("ktsql_prop_merge", overwrite=True)
+    spark.createDataFrame(source or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    ).createOrReplaceTempView("ktsql_prop_merge_src")
+
+    r = eng.sql(
+        f"MERGE INTO ktsql_prop_merge t USING ktsql_prop_merge_src s ON t.k = s.k "
+        f"WHEN MATCHED AND s.v < {d0} THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET v = t.v + s.v "
+        f"WHEN NOT MATCHED AND s.v >= {i0} THEN INSERT (k, v) VALUES (s.k, s.v)"
+    ).first()
+
+    exp = dict(target)
+    n_upd = n_del = n_ins = 0
+    for k, d in source:
+        if k in exp:
+            if d < d0:
+                del exp[k]
+                n_del += 1
+            else:
+                exp[k] = exp[k] + d
+                n_upd += 1
+        elif d >= i0:
+            exp[k] = d
+            n_ins += 1
+
+    got = {row.k: row.v for row in spark.table("ktsql_prop_merge").collect()}
+    assert got == exp
+    assert (
+        r["num_updated_rows"], r["num_deleted_rows"], r["num_inserted_rows"],
+    ) == (n_upd, n_del, n_ins)
