@@ -671,11 +671,20 @@ class KtSqlEngine:
         Scale: the source is never assumed small (a fact-sized source
         plans a shuffle join on the ON keys; a statement-sized one is
         broadcast by AQE stats); the target snapshot is checkpointed
-        once; the write is the full-overwrite path — partitioned
-        targets could reuse the pruned-DML discovery, left full here
-        because MERGE's insert branch can create NEW partitions, which
-        dynamic overwrite handles but partition discovery must then
-        include (future work, documented)."""
+        once. On a PARTITIONED target the write is partition-pruned
+        copy-on-write like UPDATE/DELETE: the rewrite scope is (all
+        partitions containing a matched target row) ∪ (the partitions
+        the INSERT branch lands rows in, computed from the INSERT
+        projection over unmatched source rows) — because scope includes
+        EVERY matched partition, the pruned snapshot still holds every
+        matched row, so the pairs join, the cardinality check, and the
+        NOT-EXISTS insert filter are complete; dynamic overwrite then
+        replaces exactly the scope partitions (new INSERT partitions
+        are simply created), and partitions a DELETE branch emptied are
+        dropped. Falls back to the full overwrite when the target is
+        unpartitioned, an UPDATE branch assigns a partition column, any
+        ON/AND/INSERT-partition expression is non-deterministic, or the
+        scope exceeds the driver-side cap."""
         from pyspark.sql import functions as F
 
         p = self._parse_merge(tail)
@@ -691,12 +700,7 @@ class KtSqlEngine:
         if t_alias.lower() == s_alias.lower():
             raise ValueError("MERGE: target and source aliases must differ")
 
-        snap = (
-            self.spark.table(target)
-            .withColumn(self._RID, F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
-        )
-        cols = [c for c in snap.columns if c != self._RID]
+        cols = list(base.columns)
         low2col = {c.lower(): c for c in cols}
         for cl in p["matched"]:
             if cl["kind"] == "U":
@@ -706,19 +710,81 @@ class KtSqlEngine:
 
         tview = f"__ktsql_merge_t_{uuid.uuid4().hex[:8]}"
         sview = f"__ktsql_merge_s_{uuid.uuid4().hex[:8]}"
-        snap.createOrReplaceTempView(tview)
         src_df = (
             self.spark.sql(p["source"])
             if p["src_is_query"]
             else self.spark.table(p["source"])
         )
         src_df.createOrReplaceTempView(sview)
+        snap = None
         try:
             ta, sa, on = _bq(t_alias), _bq(s_alias), p["cond"]
             branches = [
                 (cl, f"coalesce(({cl['extra']}), false)" if cl["extra"] else "true")
                 for cl in p["matched"]
             ]
+            # per-column INSERT expressions (no alias), precomputed so
+            # both the insert SELECT and partition-scope discovery can
+            # use them; None when there is no NOT MATCHED clause
+            ins_expr = None
+            nm = p["not_matched"]
+            if nm is not None:
+                if nm["star"]:
+                    src_cols = {c.lower(): c for c in src_df.columns}
+                    missing = [c for c in cols if c.lower() not in src_cols]
+                    if missing:
+                        raise ValueError(
+                            f"MERGE: INSERT * needs source columns {missing}"
+                        )
+                    ins_expr = {
+                        c: f"{sa}.{_bq(src_cols[c.lower()])}" for c in cols
+                    }
+                else:
+                    given = {c.lower(): v for c, v in zip(nm["cols"], nm["vals"])}
+                    unknown = [c for c in given if c not in low2col]
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE {target}: unknown INSERT columns {unknown}"
+                        )
+                    types = {
+                        f.name: f.dataType.simpleString()
+                        for f in base.schema.fields
+                    }
+                    ins_expr = {
+                        c: (
+                            f"({given[c.lower()]})"
+                            if c.lower() in given
+                            else f"CAST(NULL AS {types[c]})"
+                        )
+                        for c in cols
+                    }
+
+            scope = self._merge_scope(
+                target, ta, sa, sview, on, p["matched"], nm, ins_expr
+            )
+            if scope == []:  # nothing matches, nothing inserts: no-op
+                return self.spark.createDataFrame(
+                    [(0, 0, 0, 0)],
+                    "num_affected_rows bigint, num_updated_rows bigint, "
+                    "num_deleted_rows bigint, num_inserted_rows bigint",
+                )
+            tbl = self.spark.table(target)
+            if scope is not None:
+                import functools
+                import operator
+
+                pcols = self._partition_cols(target)
+                clause = lambda r: functools.reduce(  # noqa: E731
+                    operator.and_,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols],
+                )
+                tbl = tbl.filter(
+                    functools.reduce(operator.or_, [clause(r) for r in scope])
+                )
+            snap = tbl.withColumn(
+                self._RID, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            snap.createOrReplaceTempView(tview)
             n_upd = n_del = 0
             if branches:
                 act = (
@@ -773,37 +839,12 @@ class KtSqlEngine:
                 out = snap.select(*cols)
 
             n_ins = 0
-            if p["not_matched"] is not None:
-                nm = p["not_matched"]
+            if nm is not None:
                 extra = f" AND ({nm['extra']})" if nm["extra"] else ""
-                if nm["star"]:
-                    src_cols = {c.lower(): c for c in src_df.columns}
-                    missing = [c for c in cols if c.lower() not in src_cols]
-                    if missing:
-                        raise ValueError(
-                            f"MERGE: INSERT * needs source columns {missing}"
-                        )
-                    proj = ", ".join(
-                        f"{sa}.{_bq(src_cols[c.lower()])} AS {_bq(c)}" for c in cols
-                    )
-                else:
-                    given = {
-                        c.lower(): v for c, v in zip(nm["cols"], nm["vals"])
-                    }
-                    unknown = [c for c in given if c not in low2col]
-                    if unknown:
-                        raise ValueError(
-                            f"MERGE {target}: unknown INSERT columns {unknown}"
-                        )
-                    types = {
-                        f.name: f.dataType.simpleString() for f in snap.schema.fields
-                    }
-                    proj = ", ".join(
-                        f"({given[c.lower()]}) AS {_bq(c)}"
-                        if c.lower() in given
-                        else f"CAST(NULL AS {types[c]}) AS {_bq(c)}"
-                        for c in cols
-                    )
+                proj = ", ".join(f"{ins_expr[c]} AS {_bq(c)}" for c in cols)
+                # scope includes every matched partition, so the pruned
+                # tview contains every matched target row: NOT EXISTS
+                # here is equivalent to NOT EXISTS over the full table
                 ins = self.spark.sql(
                     f"SELECT {proj} FROM {sview} AS {sa} WHERE NOT EXISTS "
                     f"(SELECT 1 FROM {tview} AS {ta} WHERE ({on})){extra}"
@@ -811,7 +852,27 @@ class KtSqlEngine:
                 n_ins = ins.count()
                 out = out.unionByName(ins, allowMissingColumns=False)
 
-            self._write_back(target, out, pruned=False)
+            self._write_back(target, out, pruned=scope is not None)
+            if scope is not None and any(
+                cl["kind"] == "D" for cl in p["matched"]
+            ):
+                # a DELETE branch may have emptied a scope partition —
+                # dynamic overwrite cannot replace an absent partition,
+                # so drop those explicitly (same tail as _delete)
+                pcols = self._partition_cols(target)
+                alive = {
+                    tuple(r[c] for c in pcols)
+                    for r in out.select(*pcols).distinct().collect()
+                }
+                for r in scope:
+                    key = tuple(r[c] for c in pcols)
+                    if key not in alive:
+                        spec = ", ".join(
+                            f"{_bq(c)} = {self._part_literal(r[c])}" for c in pcols
+                        )
+                        self.spark.sql(
+                            f"ALTER TABLE {target} DROP IF EXISTS PARTITION ({spec})"
+                        )
         finally:
             self.spark.catalog.dropTempView(tview)
             self.spark.catalog.dropTempView(sview)
@@ -820,6 +881,57 @@ class KtSqlEngine:
             "num_affected_rows bigint, num_updated_rows bigint, "
             "num_deleted_rows bigint, num_inserted_rows bigint",
         )
+
+    def _merge_scope(
+        self, target, ta, sa, sview, on, matched, nm, ins_expr
+    ) -> list | None:
+        """Partition scope of a MERGE on a partitioned target: distinct
+        partition tuples of (all matched target rows) ∪ (rows the
+        INSERT branch would create). Returns None for the full path
+        (unpartitioned target, partition-column assignment, any
+        non-deterministic expression, over the cap, or a probe
+        failure), [] when the statement provably touches nothing."""
+        pcols = self._partition_cols(target)
+        if not pcols:
+            return None
+        plow = {c.lower() for c in pcols}
+        if any(
+            cl["kind"] == "U" and (set(cl["assigns"]) & plow) for cl in matched
+        ):
+            return None  # rows could move across partitions
+        exprs = [on] + [cl["extra"] for cl in matched if cl["extra"]]
+        if nm is not None:
+            if nm["extra"]:
+                exprs.append(nm["extra"])
+            exprs += [ins_expr[c] for c in pcols]
+        try:
+            probe = self.spark.sql(
+                f"SELECT {', '.join(f'({e})' for e in exprs)} "
+                f"FROM {target} AS {ta} CROSS JOIN {sview} AS {sa}"
+            )._jdf.queryExecution().analyzed().expressions()
+            if not all(
+                probe.apply(i).deterministic() for i in range(probe.size())
+            ):
+                return None
+        except Exception:
+            return None
+        sel = ", ".join(f"{ta}.{_bq(c)} AS {_bq(c)}" for c in pcols)
+        scoped = self.spark.sql(
+            f"SELECT DISTINCT {sel} FROM {target} AS {ta} "
+            f"JOIN {sview} AS {sa} ON ({on})"
+        )
+        if nm is not None:
+            extra = f" AND ({nm['extra']})" if nm["extra"] else ""
+            ins_sel = ", ".join(f"{ins_expr[c]} AS {_bq(c)}" for c in pcols)
+            scoped = scoped.unionByName(
+                self.spark.sql(
+                    f"SELECT DISTINCT {ins_sel} FROM {sview} AS {sa} "
+                    f"WHERE NOT EXISTS (SELECT 1 FROM {target} AS {ta} "
+                    f"WHERE ({on})){extra}"
+                )
+            ).distinct()
+        rows = scoped.limit(self._MAX_PRUNED_PARTITIONS + 1).collect()
+        return None if len(rows) > self._MAX_PRUNED_PARTITIONS else rows
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -593,8 +593,12 @@ def dml09_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ON join shuffles both sides only if the source is fact-sized
     (AQE broadcasts a statement-sized one); the facade raises the ANSI
     cardinality violation instead of silently exploding duplicate
-    matches. End state verified by the status-grouped exact-money
-    aggregate over the post-merge table."""
+    matches. The target is status-PARTITIONED, so the statement runs
+    the partition-pruned MERGE path end-to-end in the gate: scope =
+    matched partitions ∪ the INSERT branch's 'N' partition (created by
+    dynamic overwrite), proven file-level in ``tests/test_engine.py``.
+    End state verified by the status-grouped exact-money aggregate
+    over the post-merge table."""
     from kt_sql_hbase_ex_spark.engine import KtSqlEngine
 
     tbl = "ktsql_dml09_orders_merge"
@@ -604,6 +608,7 @@ def dml09_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
         "o_orderstatus STRING",
         primary_key="o_orderkey",
+        partitioned_by="o_orderstatus",
     )
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"

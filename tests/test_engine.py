@@ -658,3 +658,74 @@ def test_facade_merge_into(eng):
     finally:
         eng.drop_table("ktsql_eng_mrg")
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mrg_src")
+
+
+def test_facade_merge_partitioned_rewrites_only_scope(eng):
+    """Partitioned MERGE is partition-pruned like UPDATE/DELETE: the
+    rewrite scope is matched partitions ∪ insert-target partitions —
+    untouched partitions keep their files byte-identically, INSERT may
+    create brand-new partitions, and a DELETE branch that empties a
+    partition drops it."""
+    eng.create_table(
+        "ktsql_eng_mrgp", "k BIGINT, v STRING, p STRING",
+        primary_key="k", partitioned_by="p",
+    )
+    eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mrgp_src")
+    eng.spark.sql(
+        "CREATE TABLE ktsql_eng_mrgp_src (k BIGINT, v STRING, p STRING, "
+        "op STRING) USING parquet"
+    )
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_mrgp VALUES "
+            "(1, 'a', 'x'), (2, 'b', 'x'), (3, 'c', 'y'), (4, 'd', 'z')"
+        )
+        # update k=1 (partition x), delete k=3 (sole row of y), insert
+        # k=9 into the brand-new partition w — z is never matched
+        eng.sql(
+            "INSERT INTO ktsql_eng_mrgp_src VALUES "
+            "(1, 'A', 'x', 'u'), (3, 'C', 'y', 'd'), (9, 'I', 'w', 'i')"
+        )
+        before = _partition_files(eng.spark, "ktsql_eng_mrgp")
+        r = eng.sql(
+            "MERGE INTO ktsql_eng_mrgp t USING ktsql_eng_mrgp_src s "
+            "ON t.k = s.k "
+            "WHEN MATCHED AND s.op = 'd' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)"
+        ).first()
+        assert (
+            r["num_updated_rows"], r["num_deleted_rows"], r["num_inserted_rows"],
+        ) == (1, 1, 1)
+        after = _partition_files(eng.spark, "ktsql_eng_mrgp")
+        assert after.get("p=z") == before["p=z"]  # untouched, byte-identical
+        assert after["p=x"] != before["p=x"]      # rewritten (update)
+        assert "p=y" not in after                 # emptied by DELETE → dropped
+        assert "p=w" in after                     # created by INSERT
+        got = {r.k: (r.v, r.p) for r in eng.table("ktsql_eng_mrgp").collect()}
+        assert got == {
+            1: ("A", "x"), 2: ("b", "x"), 4: ("d", "z"), 9: ("I", "w"),
+        }
+
+        # SET of the partition column falls back to the full path
+        n = eng.sql(
+            "MERGE INTO ktsql_eng_mrgp t USING ktsql_eng_mrgp_src s "
+            "ON t.k = s.k AND s.op = 'u' "
+            "WHEN MATCHED THEN UPDATE SET p = 'moved'"
+        ).first()["num_updated_rows"]
+        assert n == 1
+        got = {r.k: r.p for r in eng.table("ktsql_eng_mrgp").collect()}
+        assert got == {1: "moved", 2: "x", 4: "z", 9: "w"}
+
+        # no-op MERGE (nothing matches, nothing inserts) writes nothing
+        before = _partition_files(eng.spark, "ktsql_eng_mrgp")
+        r = eng.sql(
+            "MERGE INTO ktsql_eng_mrgp t USING ktsql_eng_mrgp_src s "
+            "ON t.k = s.k + 1000 "
+            "WHEN MATCHED THEN DELETE"
+        ).first()
+        assert r["num_affected_rows"] == 0
+        assert _partition_files(eng.spark, "ktsql_eng_mrgp") == before
+    finally:
+        eng.drop_table("ktsql_eng_mrgp")
+        eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mrgp_src")

@@ -574,11 +574,13 @@ def test_facade_merge_semantics(spark, target, source, d0, i0):
     over the OLD row, conditional NOT MATCHED insert, and the metrics
     row — across random tables and random clause thresholds."""
     from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+    from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
 
     eng = KtSqlEngine(spark)
-    spark.sql(
-        "CREATE TABLE IF NOT EXISTS ktsql_prop_merge (k INT, v INT) USING parquet"
-    )
+    if not spark.catalog.tableExists("ktsql_prop_merge"):
+        # clear any orphaned warehouse location a prior process left
+        _reset_table(spark, "ktsql_prop_merge")
+        spark.sql("CREATE TABLE ktsql_prop_merge (k INT, v INT) USING parquet")
     spark.createDataFrame(target or [(None, None)], "k int, v int").filter(
         F.col("k").isNotNull()
     ).write.insertInto("ktsql_prop_merge", overwrite=True)
