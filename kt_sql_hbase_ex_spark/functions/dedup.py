@@ -213,17 +213,22 @@ def _band_key_sql(band: int) -> str:
     return f"(CAST({band} AS VARCHAR) || ':' || {cols})"
 
 
+def hashed_shingles_of(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct hashed-shingle set over an arbitrary document
+    relation (full corpus, a batch, a bucket — the caller chooses)."""
+    return (
+        docs.filter(F.expr(f"size(split(text, ' ')) >= {SHINGLE_N}"))
+        .select("doc_id", F.expr(_TH_SPARK).alias("th"))
+        .select("doc_id", F.expr(f"array_distinct({_SHH_SPARK})").alias("sh"))
+    )
+
+
 def hashed_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct hashed-shingle set (docs with >=3 tokens) —
     the 32-bit combined-hash analog of :func:`shingles_df`, computed as
     a pure projection (no shuffle). Jaccard over these equals Jaccard
     over shingle strings up to 32-bit collisions (~1e-7 per doc pair)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    return (
-        d.filter(F.expr(f"size(split(text, ' ')) >= {SHINGLE_N}"))
-        .select("doc_id", F.expr(_TH_SPARK).alias("th"))
-        .select("doc_id", F.expr(f"array_distinct({_SHH_SPARK})").alias("sh"))
-    )
+    return hashed_shingles_of(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,9 +243,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Duplicate shingles are kept: ``min`` is duplicate-insensitive, so
     the signature — and hence oracle parity with the distinct-shingle
     verification SQL — is unchanged."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return signatures_of(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def signatures_of(docs: DataFrame) -> DataFrame:
+    """MinHash signatures over an arbitrary document relation — the
+    subset form behind :func:`minhash_signatures` (full corpus) and
+    d14's batch-only probe."""
     return (
-        d.filter(F.expr(f"size(split(text, ' ')) >= {SHINGLE_N}"))
+        docs.filter(F.expr(f"size(split(text, ' ')) >= {SHINGLE_N}"))
         .select("doc_id", F.expr(_TH_SPARK).alias("th"))
         .select("doc_id", F.expr(_SHH_SPARK).alias("shh"))
         .select("doc_id", *_minhash_exprs_spark())
@@ -1162,3 +1173,136 @@ def d13_blocked_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("int").alias("best_dist"),
         F.min_by("c_custkey", F.struct("dist", "c_custkey")).alias("best_key"),
     ).select("probe", "n_candidates", "best_dist", "best_key")
+
+
+def ensure_band_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted LSH BAND INDEX of the historical corpus (doc_id <
+    INCREMENTAL_SPLIT_ID) — the near-dup analog of d08's digest index
+    and t13's postings index: ``bands/`` holds (doc_id, band_key) rows
+    for every historical document, ``shingles/`` its hashed shingle
+    sets (for candidate verification only). Built once with the
+    text-index provisioning discipline (fingerprinted by the documents
+    file + EVERY LSH parameter, staging + atomic publish); a standing
+    pipeline appends each admitted batch's bands/shingles the same way
+    the digest index grows. At 100 TB both tables are bucketed by
+    their join key (band_key / doc_id), so the batch probe and the
+    verification multi-get co-locate without shuffling history."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"lshbandstore|{N_HASHES}|{BAND_ROWS}|{SHINGLE_N}|{SHINGLE_C1}"
+        f"|{SHINGLE_C2}|{MINHASH_A[0]}|{MINHASH_B[0]}"
+        f"|split{INCREMENTAL_SPLIT_ID}"
+    )
+
+    def build(staging: str) -> None:
+        hist = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") < INCREMENTAL_SPLIT_ID
+        )
+        sig = signatures_of(hist)
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
+            ).alias("band_key"),
+        ).write.parquet(os.path.join(staging, "bands"))
+        hashed_shingles_of(hist).write.parquet(os.path.join(staging, "shingles"))
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+@query(
+    "d14_incremental_neardup",
+    oracle=f"""
+    WITH {_SHH_CTE_SQL},
+    sig AS (
+        SELECT doc_id,
+           {_minhash_select_sql()}
+        FROM shh
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_key_sql(b) for b in range(N_BANDS))}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT nw.doc_id AS doc_new, old.doc_id AS doc_old
+        FROM bands nw JOIN bands old ON nw.band_key = old.band_key
+        WHERE nw.doc_id >= {INCREMENTAL_SPLIT_ID}
+          AND old.doc_id < {INCREMENTAL_SPLIT_ID}
+    ),
+    shs AS (SELECT doc_id, list_distinct(shh) AS sh FROM shh)
+    SELECT doc_new, doc_old,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM cand
+    JOIN shs a ON a.doc_id = cand.doc_new
+    JOIN shs b ON b.doc_id = cand.doc_old
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against the PERSISTED band index
+    — d08's steady-state ingest story lifted from exact to NEAR
+    duplicates, the check every training-data pipeline runs on each
+    arriving batch ('is this new document a near-copy of anything
+    already admitted?'). Work ∝ batch + collisions, never corpus:
+    the batch's signatures/bands are a narrow projection over the
+    batch alone, the probe is one equi-join of batch bands against the
+    stored band index (at scale: bucketed by band_key — history never
+    shuffles), and verification fetches stored shingle sets ONLY for
+    collided historical docs (broadcast semi-join of the
+    collision-sized id set — the multi-get shape). The oracle replays
+    the same algorithm declaratively over the full corpus with the
+    same split, so the hash match proves the store-probe path computes
+    exactly what a from-scratch batch-vs-history LSH would. The
+    fixture split (history = doc_id < INCREMENTAL_SPLIT_ID) is
+    size-inverted vs production (tiny history, big batch) but the work
+    profile is shape-identical by construction."""
+    import os
+
+    root = ensure_band_store(spark, sf_dir)
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") >= INCREMENTAL_SPLIT_ID
+    )
+    bbands = signatures_of(batch).select(
+        F.col("doc_id").alias("doc_new"),
+        F.explode(
+            F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
+        ).alias("band_key"),
+    )
+    hist_bands = spark.read.parquet(os.path.join(root, "bands")).select(
+        F.col("doc_id").alias("doc_old"), "band_key"
+    )
+    cand = (
+        bbands.join(hist_bands, ["band_key"])
+        .select("doc_new", "doc_old")
+        .distinct()
+        # collision-sized; feeds both id-set semi-joins AND the final
+        # pair join (the d03 multi-consumer materialization discipline)
+        .localCheckpoint()
+    )
+    new_ids = cand.select(F.col("doc_new").alias("doc_id")).distinct()
+    old_ids = cand.select(F.col("doc_old").alias("doc_id")).distinct()
+    sh_new = (
+        hashed_shingles_of(batch)
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_new"))
+    )
+    sh_old = (
+        spark.read.parquet(os.path.join(root, "shingles"))
+        .join(F.broadcast(old_ids), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_old"))
+    )
+    pairs = cand.join(sh_new, ["doc_new"]).join(sh_old, ["doc_old"])
+    jac = F.size(F.array_intersect("sh_new", "sh_old")) / F.size(
+        F.array_union("sh_new", "sh_old")
+    )
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_new", "doc_old", F.round(jac, 6).alias("jaccard")
+    )

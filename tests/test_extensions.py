@@ -941,3 +941,26 @@ def test_prefix_compaction_folds_hot_prefixes_only(spark):
     # idempotent: nothing left over the threshold
     assert compact_text_index_prefixes(spark, base, max_files_per_prefix=3) == []
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_neardup_equals_cross_split_batch_lsh(spark, sf_oracle):
+    """d14 (batch probing the persisted band index) must find exactly
+    the cross-split subset of d03's full-corpus near-dup pairs — an
+    independent consistency proof on top of the oracle: the store-probe
+    path can neither miss a cross pair nor invent one."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        INCREMENTAL_SPLIT_ID,
+        d03_minhash_lsh,
+        d14_incremental_neardup,
+    )
+
+    full = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)): r.jaccard
+        for r in d03_minhash_lsh(spark, sf_oracle).collect()
+        if (r.doc_a < INCREMENTAL_SPLIT_ID) != (r.doc_b < INCREMENTAL_SPLIT_ID)
+    }
+    got = {
+        (r.doc_new, r.doc_old): r.jaccard
+        for r in d14_incremental_neardup(spark, sf_oracle).collect()
+    }
+    assert got == full and got  # identical pairs AND values; non-empty
