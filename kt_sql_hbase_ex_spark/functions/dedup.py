@@ -1187,8 +1187,6 @@ def ensure_band_store(spark: SparkSession, sf_dir: str) -> str:
     the digest index grows. At 100 TB both tables are bucketed by
     their join key (band_key / doc_id), so the batch probe and the
     verification multi-get co-locate without shuffling history."""
-    import os
-
     from kt_sql_hbase_ex_spark.functions.text_index import (
         _build_once,
         _index_root,
@@ -1204,14 +1202,7 @@ def ensure_band_store(spark: SparkSession, sf_dir: str) -> str:
         hist = fan_out(load_table(spark, sf_dir, "documents")).filter(
             F.col("doc_id") < INCREMENTAL_SPLIT_ID
         )
-        sig = signatures_of(hist)
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
-            ).alias("band_key"),
-        ).write.parquet(os.path.join(staging, "bands"))
-        hashed_shingles_of(hist).write.parquet(os.path.join(staging, "shingles"))
+        write_band_store(spark, staging, hist)
 
     return _build_once(_index_root(sf_dir, variant), build)
 
@@ -1264,13 +1255,22 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture split (history = doc_id < INCREMENTAL_SPLIT_ID) is
     size-inverted vs production (tiny history, big batch) but the work
     profile is shape-identical by construction."""
-    import os
-
     root = ensure_band_store(spark, sf_dir)
     batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") >= INCREMENTAL_SPLIT_ID
     )
-    bbands = signatures_of(batch).select(
+    return probe_band_store(spark, root, batch)
+
+
+def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> DataFrame:
+    """(doc_new, doc_old, jaccard) near-dup pairs of a batch against a
+    persisted band store — d14's probe as a reusable API: batch
+    signatures/bands (narrow projection over the batch alone), one
+    equi-join against the stored bands, Jaccard verify over stored
+    shingles fetched only for collided docs."""
+    import os
+
+    bbands = signatures_of(batch_docs).select(
         F.col("doc_id").alias("doc_new"),
         F.explode(
             F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
@@ -1290,7 +1290,7 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_ids = cand.select(F.col("doc_new").alias("doc_id")).distinct()
     old_ids = cand.select(F.col("doc_old").alias("doc_id")).distinct()
     sh_new = (
-        hashed_shingles_of(batch)
+        hashed_shingles_of(batch_docs)
         .join(F.broadcast(new_ids), "doc_id", "left_semi")
         .select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_new"))
     )
@@ -1306,3 +1306,39 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_new", "doc_old", F.round(jac, 6).alias("jaccard")
     )
+
+
+def write_band_store(spark: SparkSession, root: str, docs: DataFrame) -> None:
+    """Write (or append) one document batch's bands + shingle sets into
+    a band-store layout at ``root`` — the shared writer behind the
+    fixture provisioning (:func:`ensure_band_store`) and the standing
+    pipeline's admission path (:func:`append_band_batch`)."""
+    import os
+
+    sig = signatures_of(docs)
+    sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
+        ).alias("band_key"),
+    ).write.mode("append").parquet(os.path.join(root, "bands"))
+    hashed_shingles_of(docs).write.mode("append").parquet(
+        os.path.join(root, "shingles")
+    )
+
+
+def append_band_batch(spark: SparkSession, root: str, batch_docs: DataFrame) -> None:
+    """Admit one batch into the persisted band store — the growth path
+    that makes d14 a STANDING pipeline (the digest index's d08 role for
+    near-dups): after a batch passes its near-dup probe, its bands and
+    shingle sets append as new parquet files, so the NEXT batch's probe
+    sees it as history. Append-only by design — admitted documents are
+    immutable in a training-data corpus, so the store needs no
+    tombstones (the text index's update path exists for the mutable
+    case). Concurrent admissions serialize mechanically through the
+    same O_EXCL writer lock the text index uses; the batch-vs-rebuild
+    equivalence is pinned by ``tests/test_extensions.py``."""
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        write_band_store(spark, root, batch_docs)

@@ -964,3 +964,59 @@ def test_incremental_neardup_equals_cross_split_batch_lsh(spark, sf_oracle):
         for r in d14_incremental_neardup(spark, sf_oracle).collect()
     }
     assert got == full and got  # identical pairs AND values; non-empty
+
+
+def test_band_store_append_equals_rebuild(spark):
+    """The band store's growth path: admitting a batch via
+    append_band_batch must make the store answer probes identically to
+    a store rebuilt from the full admitted corpus — d08's standing-
+    ingest contract for near-dups. Also: a held writer lock makes a
+    concurrent admission lose loudly."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        append_band_batch,
+        probe_band_store,
+        write_band_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        _writer_lock,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_bandstore")
+    shutil.rmtree(base, ignore_errors=True)
+    grown, rebuilt = os.path.join(base, "grown"), os.path.join(base, "rebuilt")
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    hist1 = [(1, "the quick brown fox jumps over the lazy dog tonight")]
+    hist2 = [(2, "an entirely different document about spark and shuffles")]
+    probe = mk(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "an entirely different document about spark and shuffles"),
+            (12, "no relation to anything admitted so far at all"),
+        ]
+    )
+
+    write_band_store(spark, grown, mk(hist1))
+    append_band_batch(spark, grown, mk(hist2))  # the admission path
+    write_band_store(spark, rebuilt, mk(hist1 + hist2))
+
+    snap = lambda root: {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in probe_band_store(spark, root, probe).collect()
+    }
+    got = snap(grown)
+    assert got == snap(rebuilt)
+    assert {(n, o) for n, o, _ in got} == {(10, 1), (11, 2)}
+
+    # concurrent admission loses loudly while a writer holds the lock
+    with _writer_lock(grown):
+        with pytest.raises(IndexWriterConflict):
+            append_band_batch(spark, grown, mk([(3, "late batch of words")]))
+    shutil.rmtree(base, ignore_errors=True)
