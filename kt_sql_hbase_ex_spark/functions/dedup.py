@@ -1267,9 +1267,15 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
     persisted band store — d14's probe as a reusable API: batch
     signatures/bands (narrow projection over the batch alone), one
     equi-join against the stored bands, Jaccard verify over stored
-    shingles fetched only for collided docs."""
+    shingles fetched only for collided docs. An EMPTY store (nothing
+    admitted yet — a pipeline's first batch) yields no pairs."""
+    import glob
     import os
 
+    if not glob.glob(os.path.join(root, "bands", "*.parquet")):
+        return spark.createDataFrame(
+            [], "doc_new bigint, doc_old bigint, jaccard double"
+        )
     bbands = signatures_of(batch_docs).select(
         F.col("doc_id").alias("doc_new"),
         F.explode(

@@ -967,3 +967,133 @@ def st13_append_ohlc_closed_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out)
+
+
+#: st14: arrival batches by doc_id residue — batch b = docs with
+#: doc_id % N_ADMIT_BATCHES == b, drained in residue order.
+N_ADMIT_BATCHES = 4
+
+
+def _st14_oracle() -> str:
+    """Declarative replay of the admission policy with the SAME LSH
+    constants the probe uses: a doc is rejected iff it is a verified
+    near-dup of a doc in an earlier batch (lower doc_id residue)."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        _band_key_sql,
+        _minhash_select_sql,
+        _SHH_CTE_SQL,
+    )
+
+    band_list = ", ".join(_band_key_sql(b) for b in range(N_BANDS))
+    return f"""
+    WITH {_SHH_CTE_SQL},
+    sig AS (SELECT doc_id, {_minhash_select_sql()} FROM shh),
+    bands AS (
+        SELECT doc_id, unnest([{band_list}]) AS band_key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT nw.doc_id AS doc_new, old.doc_id AS doc_old
+        FROM bands nw JOIN bands old ON nw.band_key = old.band_key
+        WHERE (nw.doc_id % {N_ADMIT_BATCHES}) > (old.doc_id % {N_ADMIT_BATCHES})
+    ),
+    shs AS (SELECT doc_id, list_distinct(shh) AS sh FROM shh),
+    rej AS (
+        SELECT DISTINCT doc_new AS doc_id
+        FROM cand
+        JOIN shs a ON a.doc_id = cand.doc_new
+        JOIN shs b ON b.doc_id = cand.doc_old
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(doc_id % {N_ADMIT_BATCHES} AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+                AS BIGINT) AS n_admitted
+    FROM documents GROUP BY 1
+    """
+
+
+@query(
+    "st14_streaming_admission",
+    oracle=_st14_oracle(),
+)
+def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing corpus-admission pipeline, end to end as ONE
+    streaming drain: document batches arrive as files
+    (maxFilesPerTrigger=1 → four real microbatches), each foreachBatch
+    (1) probes the batch against the PERSISTED band store
+    (:func:`~kt_sql_hbase_ex_spark.functions.dedup.probe_band_store` —
+    empty for the first batch), (2) admits only documents that are NOT
+    near-duplicates of anything previously SEEN, and (3) appends the
+    full batch's bands/shingles to the store under the writer lock
+    (:func:`append_band_batch`), so the next batch probes a grown
+    history — d08 (digest ingest) + d14 (band-store probe) composed
+    into the loop a training-data pipeline actually runs. Admission
+    policy is dedup-against-seen (not dedup-against-admitted), which
+    keeps the semantics declarative: a document is rejected iff it is
+    a verified near-dup of a document in an EARLIER batch — exactly
+    what the oracle replays from scratch with the same LSH constants.
+    Work per batch ∝ batch + collisions; the store is the only growing
+    state and history never re-shingles. Per-batch report:
+    (batch, n_arrived, n_admitted)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        append_band_batch,
+        probe_band_store,
+    )
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_admit_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)  # hermetic per invocation
+    chunks = os.path.join(base, "chunks")
+    store = os.path.join(base, "store")
+    results = os.path.join(base, "results")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(chunks)
+
+    # provisioning: the corpus lands as one file per arrival batch
+    # (residue split, driver-side metadata-light pyarrow write)
+    tbl = pq.read_table(table_path(sf_dir, "documents"))
+    residues = tbl.column("doc_id").to_numpy() % N_ADMIT_BATCHES
+    for b in range(N_ADMIT_BATCHES):
+        part = tbl.filter(pa.array(residues == b))
+        pq.write_table(part, os.path.join(chunks, f"c{b:02d}.parquet"))
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # one stable snapshot per batch
+        n_arr = batch.count()
+        rejected = (
+            probe_band_store(spark, store, batch)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        n_adm = batch.join(rejected, "doc_id", "left_anti").count()
+        spark.createDataFrame(
+            [(int(batch_id), n_arr, n_adm)],
+            "batch bigint, n_arrived bigint, n_admitted bigint",
+        ).coalesce(1).write.mode("append").parquet(results)
+        append_band_batch(spark, store, batch)  # full batch becomes history
+
+    schema = spark.read.parquet(chunks).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(chunks, "c*"))
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(results).localCheckpoint(eager=True)
