@@ -729,3 +729,31 @@ def test_facade_merge_partitioned_rewrites_only_scope(eng):
     finally:
         eng.drop_table("ktsql_eng_mrgp")
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mrgp_src")
+
+
+def test_facade_merge_lexer_handles_keywords_in_literals(eng):
+    """MERGE parsing shares the quote-aware scanner: the words USING /
+    ON / WHEN / THEN / VALUES inside string literals must not split the
+    statement; parenthesized expressions inside VALUES survive."""
+    eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mlex")
+    eng.spark.sql(
+        "CREATE TABLE ktsql_eng_mlex (k BIGINT, v STRING) USING parquet"
+    )
+    try:
+        eng.sql("INSERT INTO ktsql_eng_mlex VALUES (1, 'a')")
+        eng.spark.createDataFrame(
+            [(1, "x"), (2, "y")], "k long, v string"
+        ).createOrReplaceTempView("ktsql_eng_mlex_src")
+        r = eng.sql(
+            "MERGE INTO ktsql_eng_mlex t USING ktsql_eng_mlex_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.v <> 'stop when on using then' THEN "
+            "UPDATE SET v = concat(s.v, ' then on when') "
+            "WHEN NOT MATCHED THEN INSERT (k, v) "
+            "VALUES (s.k, concat('values (on, when)', upper(s.v)))"
+        ).first()
+        assert (r["num_updated_rows"], r["num_inserted_rows"]) == (1, 1)
+        got = {r.k: r.v for r in eng.table("ktsql_eng_mlex").collect()}
+        assert got == {1: "x then on when", 2: "values (on, when)Y"}
+    finally:
+        eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mlex")
+        eng.spark.catalog.dropTempView("ktsql_eng_mlex_src")
