@@ -614,3 +614,143 @@ def test_facade_merge_semantics(spark, target, source, d0, i0):
     assert (
         r["num_updated_rows"], r["num_deleted_rows"], r["num_inserted_rows"],
     ) == (n_upd, n_del, n_ins)
+
+
+@given(
+    target=urows,
+    source=st.lists(
+        st.tuples(KEYS, VALS), min_size=0, max_size=12, unique_by=lambda r: r[0]
+    ),
+    d0=VALS,
+    i0=VALS,
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_facade_merge_semantics_partitioned(spark, target, source, d0, i0):
+    """The SAME merge model on a PARTITIONED target: the pruned-scope
+    MERGE path (matched ∪ insert partitions, dynamic overwrite,
+    DELETE-emptied partition drops) must be observationally identical
+    to the unpartitioned full-overwrite semantics — across random
+    tables, thresholds, and therefore random scope shapes (including
+    empty scopes, insert-only new partitions, and fully-emptied ones)."""
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+    from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
+
+    eng = KtSqlEngine(spark)
+    if not spark.catalog.tableExists("ktsql_prop_merge_p"):
+        _reset_table(spark, "ktsql_prop_merge_p")
+        spark.sql(
+            "CREATE TABLE ktsql_prop_merge_p (k INT, v INT, p INT) "
+            "USING parquet PARTITIONED BY (p)"
+        )
+    spark.createDataFrame(
+        [(k, v, k % 3) for k, v in target] or [(None, None, None)],
+        "k int, v int, p int",
+    ).filter(F.col("k").isNotNull()).write.insertInto(
+        "ktsql_prop_merge_p", overwrite=True
+    )
+    # static overwrite with no incoming rows leaves stale partitions:
+    # clear explicitly so each example starts pristine
+    if not target:
+        for r in spark.sql("SHOW PARTITIONS ktsql_prop_merge_p").collect():
+            spark.sql(
+                f"ALTER TABLE ktsql_prop_merge_p DROP IF EXISTS "
+                f"PARTITION ({r[0].replace('=', '=')})"
+            )
+    spark.createDataFrame(source or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    ).createOrReplaceTempView("ktsql_prop_merge_p_src")
+
+    r = eng.sql(
+        f"MERGE INTO ktsql_prop_merge_p t USING ktsql_prop_merge_p_src s "
+        f"ON t.k = s.k "
+        f"WHEN MATCHED AND s.v < {d0} THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET v = t.v + s.v "
+        f"WHEN NOT MATCHED AND s.v >= {i0} THEN "
+        f"INSERT (k, v, p) VALUES (s.k, s.v, s.k % 3)"
+    ).first()
+
+    exp = {k: (v, k % 3) for k, v in target}
+    n_upd = n_del = n_ins = 0
+    for k, d in source:
+        if k in exp:
+            if d < d0:
+                del exp[k]
+                n_del += 1
+            else:
+                exp[k] = (exp[k][0] + d, k % 3)
+                n_upd += 1
+        elif d >= i0:
+            exp[k] = (d, k % 3)
+            n_ins += 1
+
+    got = {
+        row.k: (row.v, row.p)
+        for row in spark.table("ktsql_prop_merge_p").collect()
+    }
+    assert got == exp
+    assert (
+        r["num_updated_rows"], r["num_deleted_rows"], r["num_inserted_rows"],
+    ) == (n_upd, n_del, n_ins)
+
+
+@given(
+    target=urows,
+    d0=VALS,
+    i0=VALS,
+    do_update=st.booleans(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_facade_partitioned_update_delete_semantics(spark, target, d0, i0, do_update):
+    """Pruned UPDATE/DELETE on a partitioned target vs the Python
+    model, across random tables and random predicates — random scope
+    shapes: zero matches, partial partitions, fully-emptied partitions
+    (DELETE must drop them), and all-partitions scopes."""
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+    from kt_sql_hbase_ex_spark.operators.ddl import _reset_table
+
+    eng = KtSqlEngine(spark)
+    if not spark.catalog.tableExists("ktsql_prop_ud_p"):
+        _reset_table(spark, "ktsql_prop_ud_p")
+        spark.sql(
+            "CREATE TABLE ktsql_prop_ud_p (k INT, v INT, p INT) "
+            "USING parquet PARTITIONED BY (p)"
+        )
+    spark.createDataFrame(
+        [(k, v, k % 3) for k, v in target] or [(None, None, None)],
+        "k int, v int, p int",
+    ).filter(F.col("k").isNotNull()).write.insertInto(
+        "ktsql_prop_ud_p", overwrite=True
+    )
+    if not target:
+        for r in spark.sql("SHOW PARTITIONS ktsql_prop_ud_p").collect():
+            spark.sql(
+                f"ALTER TABLE ktsql_prop_ud_p DROP IF EXISTS PARTITION ({r[0]})"
+            )
+
+    if do_update:
+        n = eng.sql(
+            f"UPDATE ktsql_prop_ud_p SET v = v + {i0} WHERE v < {d0}"
+        ).first()["num_affected_rows"]
+        exp = {
+            k: ((v + i0) if v < d0 else v, k % 3) for k, v in target
+        }
+        n_exp = sum(1 for _, v in target if v < d0)
+    else:
+        n = eng.sql(f"DELETE FROM ktsql_prop_ud_p WHERE v < {d0}").first()[
+            "num_affected_rows"
+        ]
+        exp = {k: (v, k % 3) for k, v in target if not v < d0}
+        n_exp = sum(1 for _, v in target if v < d0)
+
+    got = {
+        row.k: (row.v, row.p) for row in spark.table("ktsql_prop_ud_p").collect()
+    }
+    assert got == exp and n == n_exp
