@@ -811,3 +811,165 @@ def sim07_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("s", 6).alias("score"), "rnk")
     )
+
+
+#: sim08: the arriving-batch split — batch vectors are vec_id % MOD ==
+#: RES (~5%), everything else is the admitted corpus the store indexes.
+SIM08_MOD = 20
+SIM08_RES = 7
+
+
+def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted IVF index of the historical corpus — sim04's clustered
+    layout promoted to a STANDING store (the ANN analog of d14's band
+    store): ``centroids/`` freezes the coarse quantizer (the first
+    N_CELLS history vectors, the sim03 convention), ``cells/`` holds
+    every admitted vector partitioned by its nearest-centroid cell,
+    vectors stored in-cell so probes never rescan the base table.
+    Built once with the provisioning discipline (fingerprinted by the
+    embeddings file + every ANN parameter, staging + atomic publish);
+    a standing pipeline appends admitted vectors into their cell
+    partitions the same way. At 100 TB the cells ARE the directory
+    structure: a probe's task count ∝ probed cells, and re-clustering
+    (centroid drift) is a rebuild into a fresh version dir."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"ivfstore|{N_CELLS}|{N_PROBE}|{TOP_K}|mod{SIM08_MOD}r{SIM08_RES}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings"))
+        hist = e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
+        cent = (
+            hist.orderBy("vec_id")
+            .limit(N_CELLS)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+            .localCheckpoint()  # K rows, consumed by write AND scoring
+        )
+        cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
+        scored = hist.join(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+        )
+        assign = scored.groupBy("vec_id").agg(
+            F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias(
+                "cell"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+        assign.write.partitionBy("cell").parquet(os.path.join(staging, "cells"))
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+_SIM08_COS_HC = _COSINE_SQL.format(a="h.v", b="cent.cv")
+_SIM08_COS_BC = _COSINE_SQL.format(a="b.v", b="cent.cv")
+_SIM08_COS_QN = _COSINE_SQL.format(a="qe.v", b="ne.v")
+
+
+@query(
+    "sim08_incremental_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hist AS (SELECT * FROM e WHERE vec_id % {SIM08_MOD} <> {SIM08_RES}),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM hist ORDER BY vec_id LIMIT {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT h.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                       ORDER BY ROUND({_SIM08_COS_HC}, 6) DESC, cent.cid) AS rn
+            FROM hist h CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT b.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY ROUND({_SIM08_COS_BC}, 6) DESC, cent.cid) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % {SIM08_MOD} = {SIM08_RES}) b
+            CROSS JOIN cent) t
+        WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_SIM08_COS_QN} AS c,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                   ORDER BY ROUND({_SIM08_COS_QN}, 6) DESC, cand.neighbor_id) AS rnk
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id
+    ) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim08_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN against the PERSISTED IVF store — the vector
+    twin of d14: every arriving embedding batch ('which admitted
+    vectors is each new vector near?' — the near-dup / retrieval check
+    an embedding pipeline runs per batch) probes the standing index
+    instead of rebuilding sim03's assignment per query. Work ∝ batch +
+    probed cells: batch vectors score only the K frozen centroids
+    (broadcast, map-side), each probes its N_PROBE nearest cells, the
+    rerank reads vectors straight from the PRUNED cell partitions
+    (the corpus is never rescanned or reassigned), and exact cosine
+    orders the per-query top-k. The oracle replays assign/probe/rerank
+    from scratch over the same split with the same frozen-centroid
+    rule, so the hash match proves the store path computes exactly the
+    from-scratch IVF answer. Cosines round to 6dp before every argmax
+    (the sim03 cross-engine discipline). Scale: batch and probes
+    broadcast (statement-sized); the store's cell partitions are the
+    only data read, tasks ∝ probed cells."""
+    import os
+
+    root = ensure_ivf_store(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(root, "centroids")).localCheckpoint()
+    layout = spark.read.parquet(os.path.join(root, "cells"))
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    batch = (
+        e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()  # consumed by probing AND the rerank join
+    )
+    from pyspark.sql import Window as W
+
+    w_probe = W.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    probes = (
+        batch.join(F.broadcast(cent))
+        .select(
+            "query_id", "cid", F.round(_cosine_spark("qv", "cv"), 6).alias("cc")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    # assignment is unique per stored vector and (query, cell) unique
+    # per probe row, so the pruned join yields each pair exactly once
+    cand = layout.join(F.broadcast(probes), ["cell"]).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+    )
+    scored = cand.join(F.broadcast(batch), ["query_id"]).select(
+        "query_id", "neighbor_id", _cosine_spark("qv", "nv").alias("c")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("c", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
+    )
