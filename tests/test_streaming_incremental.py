@@ -410,3 +410,138 @@ def test_stream_session_isolation_and_conf_sync(spark, sf_small):
         spark.conf.set(key, old)
         stream_session(spark)  # propagate the restore to the clone too
     assert clone.conf.get(key) == old
+
+
+def _staged_restart_dirs(tag: str):
+    base = os.path.join(tempfile.gettempdir(), f"kt_sql_test_restart_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    return base, src, ckpt
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_small):
+    """Stop/restart recovery of the file source: a drain that ends, then
+    restarts against the SAME checkpoint after new files land, must
+    process exactly the new files — the source offset log is what makes
+    an availableNow drain a resumable job instead of a reprocessing one
+    (the operational contract of every checkpointed pipeline here:
+    st07/st10/st13/st14)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        _chunked_events_dir,
+        events_raw_schema,
+    )
+
+    chunks = sorted(
+        glob.glob(os.path.join(_chunked_events_dir(sf_small), "chunk_*.parquet"))
+    )
+    assert len(chunks) == 4
+    rows = {c: pq.read_metadata(c).num_rows for c in chunks}
+    legacy = events_ts_is_nanos(sf_small)
+    if legacy:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base, src, ckpt = _staged_restart_dirs("src_log")
+
+    seen: list[tuple[int, int]] = []
+
+    def account(batch_df, batch_id):
+        seen.append((int(batch_id), batch_df.count()))
+
+    def drain():
+        raw = (
+            spark.readStream.schema(events_raw_schema(legacy))
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            raw.writeStream.foreachBatch(account)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    for c in chunks[:2]:
+        shutil.copy(c, src)
+    drain()
+    phase1 = list(seen)
+    assert sum(n for _, n in phase1) == rows[chunks[0]] + rows[chunks[1]]
+
+    for c in chunks[2:]:
+        shutil.copy(c, src)
+    drain()
+    phase2 = seen[len(phase1):]
+    # only the NEW files were processed after the restart...
+    assert sum(n for _, n in phase2) == rows[chunks[2]] + rows[chunks[3]]
+    # ...and batch ids continue the offset log, never rewind
+    assert min(b for b, _ in phase2) > max(b for b, _ in phase1)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_aggregation_state_survives_restart(spark, sf_small):
+    """State-store recovery: a running per-type aggregate drained in two
+    separate runs over one checkpoint must end at the batch answer over
+    ALL data — the second run's update-mode emissions can only include
+    the first run's counts if the state store was restored from the
+    checkpoint, which is exactly how a crashed/redeployed streaming job
+    resumes on a cluster."""
+    import glob
+
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        _chunked_events_dir,
+        events_raw_schema,
+        normalize_ts,
+    )
+
+    chunks = sorted(
+        glob.glob(os.path.join(_chunked_events_dir(sf_small), "chunk_*.parquet"))
+    )
+    legacy = events_ts_is_nanos(sf_small)
+    if legacy:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base, src, ckpt = _staged_restart_dirs("state")
+
+    totals: dict[str, int] = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            totals[r["event_type"]] = r["n"]
+
+    def drain():
+        raw = spark.readStream.schema(events_raw_schema(legacy)).parquet(src)
+        agg = (
+            normalize_ts(raw, legacy)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    for c in chunks[:2]:
+        shutil.copy(c, src)
+    drain()
+    for c in chunks[2:]:
+        shutil.copy(c, src)
+    drain()
+
+    expected = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert totals == expected
+    shutil.rmtree(base, ignore_errors=True)
