@@ -1272,7 +1272,8 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
     import glob
     import os
 
-    if not glob.glob(os.path.join(root, "bands", "*.parquet")):
+    bands_dir, shingles_dir = _band_store_dirs(root)
+    if not glob.glob(os.path.join(bands_dir, "*.parquet")):
         return spark.createDataFrame(
             [], "doc_new bigint, doc_old bigint, jaccard double"
         )
@@ -1282,7 +1283,7 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
             F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
         ).alias("band_key"),
     )
-    hist_bands = spark.read.parquet(os.path.join(root, "bands")).select(
+    hist_bands = spark.read.parquet(bands_dir).select(
         F.col("doc_id").alias("doc_old"), "band_key"
     )
     cand = (
@@ -1301,7 +1302,7 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
         .select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_new"))
     )
     sh_old = (
-        spark.read.parquet(os.path.join(root, "shingles"))
+        spark.read.parquet(shingles_dir)
         .join(F.broadcast(old_ids), "doc_id", "left_semi")
         .select(F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_old"))
     )
@@ -1314,23 +1315,112 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
     )
 
 
-def write_band_store(spark: SparkSession, root: str, docs: DataFrame) -> None:
-    """Write (or append) one document batch's bands + shingle sets into
-    a band-store layout at ``root`` — the shared writer behind the
-    fixture provisioning (:func:`ensure_band_store`) and the standing
-    pipeline's admission path (:func:`append_band_batch`)."""
+def _band_store_layout(root: str) -> dict:
+    """The band store's generation pointer: ``layout.json`` names the
+    live bands/shingles directories (relative to ``root``). Absent —
+    a store that has never been compacted — the legacy fixed names
+    apply, so pre-pointer stores read and grow unchanged. ``prev``
+    lists the directories of the generation superseded by the LAST
+    compaction, retained until the next one (deferred GC: an in-flight
+    reader that resolved the old layout can finish its scan)."""
+    import json
     import os
 
+    path = os.path.join(root, "layout.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"gen": 0, "bands": "bands", "shingles": "shingles", "prev": []}
+
+
+def _band_store_dirs(root: str) -> tuple[str, str]:
+    """(bands_dir, shingles_dir) of the live generation at ``root``."""
+    import os
+
+    lay = _band_store_layout(root)
+    return os.path.join(root, lay["bands"]), os.path.join(root, lay["shingles"])
+
+
+def compact_band_store(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> dict:
+    """Fold the band store's accumulated per-batch files into
+    ``target_files`` files per relation — the sustainability path of
+    the standing admission pipeline (st14/:func:`append_band_batch`):
+    every admitted batch appends one file set, so after N batches the
+    probe's history scan opens O(N) small files; compaction restores
+    O(1) without changing a single answer.
+
+    Same discipline as the text index's compaction
+    (``text_index.py``): runs under the O_EXCL writer lock (concurrent
+    admissions lose loudly, never interleave with the swap), writes
+    the folded relations into fresh generation-numbered directories,
+    publishes them with ONE atomic ``layout.json`` replace, and defers
+    GC of the superseded directories to the NEXT compaction so a
+    reader holding the old layout finishes its scan. At 100 TB this
+    runs per band-key range on a file-count trigger; the fixture-scale
+    form folds the whole store. Returns
+    ``{"gen", "files_before", "files_after"}``."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        lay = _band_store_layout(root)
+        bands_dir = os.path.join(root, lay["bands"])
+        shingles_dir = os.path.join(root, lay["shingles"])
+        n_before = len(glob.glob(os.path.join(bands_dir, "*.parquet"))) + len(
+            glob.glob(os.path.join(shingles_dir, "*.parquet"))
+        )
+        gen = lay["gen"] + 1
+        new_bands, new_shingles = f"bands_g{gen}", f"shingles_g{gen}"
+        spark.read.parquet(bands_dir).coalesce(target_files).write.parquet(
+            os.path.join(root, new_bands)
+        )
+        spark.read.parquet(shingles_dir).coalesce(target_files).write.parquet(
+            os.path.join(root, new_shingles)
+        )
+        staging = os.path.join(root, f"layout.json.tmp.{os.getpid()}")
+        with open(staging, "w") as f:
+            json.dump(
+                {
+                    "gen": gen,
+                    "bands": new_bands,
+                    "shingles": new_shingles,
+                    "prev": [lay["bands"], lay["shingles"]],
+                },
+                f,
+            )
+        os.replace(staging, os.path.join(root, "layout.json"))
+        # deferred GC: the generation superseded by the PREVIOUS
+        # compaction is now two swaps old — no reader can still hold it
+        for d in lay.get("prev", []):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        n_after = len(
+            glob.glob(os.path.join(root, new_bands, "*.parquet"))
+        ) + len(glob.glob(os.path.join(root, new_shingles, "*.parquet")))
+    return {"gen": gen, "files_before": n_before, "files_after": n_after}
+
+
+def write_band_store(spark: SparkSession, root: str, docs: DataFrame) -> None:
+    """Write (or append) one document batch's bands + shingle sets into
+    the band store's LIVE generation at ``root`` (resolved through
+    ``layout.json``, so appends after a compaction land in the folded
+    directories) — the shared writer behind the fixture provisioning
+    (:func:`ensure_band_store`) and the standing pipeline's admission
+    path (:func:`append_band_batch`)."""
+    bands_dir, shingles_dir = _band_store_dirs(root)
     sig = signatures_of(docs)
     sig.select(
         "doc_id",
         F.explode(
             F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
         ).alias("band_key"),
-    ).write.mode("append").parquet(os.path.join(root, "bands"))
-    hashed_shingles_of(docs).write.mode("append").parquet(
-        os.path.join(root, "shingles")
-    )
+    ).write.mode("append").parquet(bands_dir)
+    hashed_shingles_of(docs).write.mode("append").parquet(shingles_dir)
 
 
 def append_band_batch(spark: SparkSession, root: str, batch_docs: DataFrame) -> None:

@@ -1020,3 +1020,86 @@ def test_band_store_append_equals_rebuild(spark):
         with pytest.raises(IndexWriterConflict):
             append_band_batch(spark, grown, mk([(3, "late batch of words")]))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_band_store_compaction_preserves_answers(spark):
+    """compact_band_store must fold N per-batch file sets into few files
+    behind one atomic layout.json swap WITHOUT changing any probe
+    answer; appends after compaction land in the live generation; the
+    generation superseded by the previous compaction is GC'd by the
+    next one (deferred, never same-swap)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        _band_store_dirs,
+        _band_store_layout,
+        append_band_batch,
+        compact_band_store,
+        probe_band_store,
+        write_band_store,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_bandstore_compact")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "store")
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        [(2, "an entirely different document about spark and shuffles")],
+        [(3, "a third admitted batch concerning parquet file layouts")],
+    ]
+    write_band_store(spark, root, mk(batches[0]))
+    for b in batches[1:]:
+        append_band_batch(spark, root, mk(b))
+
+    probe = mk(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "a third admitted batch concerning parquet file layouts"),
+            (12, "no relation to anything admitted so far at all"),
+        ]
+    )
+    snap = lambda: {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in probe_band_store(spark, root, probe).collect()
+    }
+    before = snap()
+    assert {(n, o) for n, o, _ in before} == {(10, 1), (11, 3)}
+
+    bands0, _ = _band_store_dirs(root)
+    files0 = len(glob.glob(os.path.join(bands0, "*.parquet")))
+    assert files0 >= 3, files0  # one file set per admitted batch
+
+    rep = compact_band_store(spark, root, target_files=1)
+    assert rep["gen"] == 1 and rep["files_after"] < rep["files_before"]
+    bands1, _ = _band_store_dirs(root)
+    assert bands1 != bands0  # pointer moved
+    assert len(glob.glob(os.path.join(bands1, "*.parquet"))) == 1
+    assert os.path.isdir(bands0)  # deferred GC: old gen survives one swap
+    assert snap() == before  # identical answers through the new layout
+
+    # appends land in the live generation and are probe-visible (an
+    # append emits one file per non-empty partition, so growth — not an
+    # exact count — is the signal)
+    append_band_batch(spark, root, mk([(4, "a fourth batch admitted after compaction ran")]))
+    assert len(glob.glob(os.path.join(bands1, "*.parquet"))) > 1
+    probe2 = mk([(13, "a fourth batch admitted after compaction ran")])
+    got2 = {
+        (r.doc_new, r.doc_old)
+        for r in probe_band_store(spark, root, probe2).collect()
+    }
+    assert got2 == {(13, 4)}
+
+    # the NEXT compaction GCs the generation superseded by the previous one
+    rep2 = compact_band_store(spark, root, target_files=1)
+    assert rep2["gen"] == 2
+    assert not os.path.isdir(bands0)
+    assert os.path.isdir(bands1)  # retained until compaction 3
+    assert snap() == before
+    lay = _band_store_layout(root)
+    assert lay["prev"] == [os.path.basename(bands1), "shingles_g1"]
+    shutil.rmtree(base, ignore_errors=True)
