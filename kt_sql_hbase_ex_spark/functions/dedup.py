@@ -1207,9 +1207,11 @@ def ensure_band_store(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_index_root(sf_dir, variant), build)
 
 
-@query(
-    "d14_incremental_neardup",
-    oracle=f"""
+#: shared by d14 (append-grown store) and d15 (compacted store): the
+#: from-scratch batch-vs-history LSH replay. d15 using the IDENTICAL
+#: oracle is the point — no store layout transformation may change a
+#: single probe answer.
+_INCR_NEARDUP_ORACLE = f"""
     WITH {_SHH_CTE_SQL},
     sig AS (
         SELECT doc_id,
@@ -1235,7 +1237,12 @@ def ensure_band_store(spark: SparkSession, sf_dir: str) -> str:
     JOIN shs b ON b.doc_id = cand.doc_old
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@query(
+    "d14_incremental_neardup",
+    oracle=_INCR_NEARDUP_ORACLE,
 )
 def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection against the PERSISTED band index
@@ -1256,6 +1263,65 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-inverted vs production (tiny history, big batch) but the work
     profile is shape-identical by construction."""
     root = ensure_band_store(spark, sf_dir)
+    batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") >= INCREMENTAL_SPLIT_ID
+    )
+    return probe_band_store(spark, root, batch)
+
+
+def ensure_compacted_band_store(spark: SparkSession, sf_dir: str) -> str:
+    """d15's fixture store: the SAME historical corpus as
+    :func:`ensure_band_store`, but run through the steady state of a
+    long-lived admission pipeline — history admitted as three batches,
+    compacted, grown by another append, compacted AGAIN (so the live
+    generation is g2, the g0 legacy directories are GC'd, and g1 sits
+    in deferred-GC retention). Probing it must answer exactly like the
+    never-compacted store — which is what d15's oracle (identical to
+    d14's) proves every round."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"lshbandstore-compacted|{N_HASHES}|{BAND_ROWS}|{SHINGLE_N}"
+        f"|{SHINGLE_C1}|{SHINGLE_C2}|{MINHASH_A[0]}|{MINHASH_B[0]}"
+        f"|split{INCREMENTAL_SPLIT_ID}"
+    )
+
+    def build(staging: str) -> None:
+        hist = fan_out(load_table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") < INCREMENTAL_SPLIT_ID
+        )
+        for residue in range(3):
+            write_band_store(
+                spark, staging, hist.filter(F.col("doc_id") % 4 == residue)
+            )
+        compact_band_store(spark, staging, target_files=2)
+        write_band_store(
+            spark, staging, hist.filter(F.col("doc_id") % 4 == 3)
+        )
+        compact_band_store(spark, staging, target_files=2)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+@query(
+    "d15_compacted_band_probe",
+    oracle=_INCR_NEARDUP_ORACLE,
+)
+def d15_compacted_band_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14's incremental near-dup probe against a store that has lived
+    the full maintenance cycle — batch admissions, generation-pointer
+    compaction, post-compaction growth, a second compaction with
+    deferred GC (:func:`ensure_compacted_band_store`). The oracle is
+    BYTE-IDENTICAL to d14's from-scratch replay, so the gate proves
+    each round that no layout transformation the store performs —
+    folding files, swapping ``layout.json``, GC'ing a superseded
+    generation — changes a single (doc_new, doc_old, jaccard) answer.
+    This is the graded form of the compaction contract, the way t16
+    grades the text index's per-prefix fold."""
+    root = ensure_compacted_band_store(spark, sf_dir)
     batch = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") >= INCREMENTAL_SPLIT_ID
     )
