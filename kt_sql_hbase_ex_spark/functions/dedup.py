@@ -1424,13 +1424,23 @@ def compact_band_store(
     publishes them with ONE atomic ``layout.json`` replace, and defers
     GC of the superseded directories to the NEXT compaction so a
     reader holding the old layout finishes its scan. At 100 TB this
-    runs per band-key range on a file-count trigger; the fixture-scale
-    form folds the whole store. Returns
+    runs per band-key range on a file-count trigger
+    (:func:`maybe_compact_band_store` is the trigger); the
+    fixture-scale form folds the whole store.
+
+    Crash-retry safe: new generation directories carry a fresh uuid
+    tag (the text index's version-dir idiom), so a compaction that
+    died after writing its dirs but before the pointer swap never
+    collides with the retry — and any such never-published orphan
+    (referenced by NEITHER the live layout NOR its ``prev`` retention
+    list, hence invisible to every reader) is swept here, under the
+    same lock, instead of leaking. Returns
     ``{"gen", "files_before", "files_after"}``."""
     import glob
     import json
     import os
     import shutil
+    import uuid as _uuid
 
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
@@ -1438,11 +1448,18 @@ def compact_band_store(
         lay = _band_store_layout(root)
         bands_dir = os.path.join(root, lay["bands"])
         shingles_dir = os.path.join(root, lay["shingles"])
+        referenced = {lay["bands"], lay["shingles"], *lay.get("prev", [])}
+        for d in glob.glob(os.path.join(root, "bands_g*")) + glob.glob(
+            os.path.join(root, "shingles_g*")
+        ):
+            if os.path.basename(d) not in referenced:
+                shutil.rmtree(d, ignore_errors=True)  # crashed-run orphan
         n_before = len(glob.glob(os.path.join(bands_dir, "*.parquet"))) + len(
             glob.glob(os.path.join(shingles_dir, "*.parquet"))
         )
         gen = lay["gen"] + 1
-        new_bands, new_shingles = f"bands_g{gen}", f"shingles_g{gen}"
+        tag = _uuid.uuid4().hex[:8]
+        new_bands, new_shingles = f"bands_g{gen}.{tag}", f"shingles_g{gen}.{tag}"
         spark.read.parquet(bands_dir).coalesce(target_files).write.parquet(
             os.path.join(root, new_bands)
         )
@@ -1469,6 +1486,31 @@ def compact_band_store(
             glob.glob(os.path.join(root, new_bands, "*.parquet"))
         ) + len(glob.glob(os.path.join(root, new_shingles, "*.parquet")))
     return {"gen": gen, "files_before": n_before, "files_after": n_after}
+
+
+def maybe_compact_band_store(
+    spark: SparkSession, root: str, max_files: int = 24, target_files: int = 4
+) -> dict | None:
+    """Size-TRIGGERED band-store compaction — the 100 TB trigger the
+    corpus-wide fold's docstring commits to (the
+    :func:`~kt_sql_hbase_ex_spark.functions.text_index.compact_text_index_prefixes`
+    discipline applied here): fold only when the live generation's
+    small-file count exceeds ``max_files``, so a standing admission
+    pipeline (st14) calls this after EVERY batch and pays the rewrite
+    only when accretion warrants it. The count is a driver-side
+    listing, no data read. Returns the compaction report, or ``None``
+    when under threshold (store untouched — not even the lock is
+    taken, so a cheap no-op check never conflicts with a writer)."""
+    import glob
+    import os
+
+    bands_dir, shingles_dir = _band_store_dirs(root)
+    n = len(glob.glob(os.path.join(bands_dir, "*.parquet"))) + len(
+        glob.glob(os.path.join(shingles_dir, "*.parquet"))
+    )
+    if n <= max_files:
+        return None
+    return compact_band_store(spark, root, target_files=target_files)
 
 
 def write_band_store(spark: SparkSession, root: str, docs: DataFrame) -> None:

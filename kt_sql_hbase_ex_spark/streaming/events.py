@@ -1080,8 +1080,13 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     a verified near-dup of a document in an EARLIER batch — exactly
     what the oracle replays from scratch with the same LSH constants.
     Work per batch ∝ batch + collisions; the store is the only growing
-    state and history never re-shingles. Per-batch report:
-    (batch, n_arrived, n_admitted)."""
+    state and history never re-shingles. After every append the loop
+    runs the size-triggered compaction
+    (:func:`~kt_sql_hbase_ex_spark.functions.dedup.maybe_compact_band_store`
+    — a driver-side file count, folding only past the threshold), so
+    the drain exercises probe-after-fold mid-stream and the oracle's
+    from-scratch replay proves compaction never flips an admission.
+    Per-batch report: (batch, n_arrived, n_admitted)."""
     import shutil
 
     import pyarrow as pa
@@ -1089,6 +1094,7 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kt_sql_hbase_ex_spark.functions.dedup import (
         append_band_batch,
+        maybe_compact_band_store,
         probe_band_store,
     )
 
@@ -1127,6 +1133,10 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch bigint, n_arrived bigint, n_admitted bigint",
         ).coalesce(1).write.mode("append").parquet(results)
         append_band_batch(spark, store, batch)  # full batch becomes history
+        # sustainability: fold the store once per-batch appends accrete
+        # past the threshold (sized to trigger mid-drain here, so the
+        # gate proves probe-after-fold equivalence every round)
+        maybe_compact_band_store(spark, store, max_files=4, target_files=2)
 
     schema = spark.read.parquet(chunks).schema
     q = (

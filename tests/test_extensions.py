@@ -1076,7 +1076,7 @@ def test_band_store_compaction_preserves_answers(spark):
 
     rep = compact_band_store(spark, root, target_files=1)
     assert rep["gen"] == 1 and rep["files_after"] < rep["files_before"]
-    bands1, _ = _band_store_dirs(root)
+    bands1, shingles1 = _band_store_dirs(root)
     assert bands1 != bands0  # pointer moved
     assert len(glob.glob(os.path.join(bands1, "*.parquet"))) == 1
     assert os.path.isdir(bands0)  # deferred GC: old gen survives one swap
@@ -1101,5 +1101,74 @@ def test_band_store_compaction_preserves_answers(spark):
     assert os.path.isdir(bands1)  # retained until compaction 3
     assert snap() == before
     lay = _band_store_layout(root)
-    assert lay["prev"] == [os.path.basename(bands1), "shingles_g1"]
+    assert lay["prev"] == [os.path.basename(bands1), os.path.basename(shingles1)]
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_band_store_compaction_crash_retry(spark):
+    """A compaction that dies AFTER writing its generation dirs but
+    BEFORE the layout.json swap must not poison the store: the stale
+    writer.lock is cleared by the operator (`break_writer_lock`, the
+    documented recovery), the retry succeeds (uuid-tagged dir names
+    never collide with the orphan), and the never-published orphan —
+    which no reader can hold, it was never in any layout — is swept by
+    the retry instead of leaking."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        _band_store_dirs,
+        append_band_batch,
+        compact_band_store,
+        probe_band_store,
+        write_band_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        break_writer_lock,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_bandstore_crash")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "store")
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    write_band_store(spark, root, mk([(1, "the quick brown fox jumps over the lazy dog tonight")]))
+    append_band_batch(spark, root, mk([(2, "an entirely different document about spark and shuffles")]))
+
+    probe = mk([(10, "the quick brown fox jumps over the lazy dog tonight")])
+    snap = lambda: {
+        (r.doc_new, r.doc_old, r.jaccard)
+        for r in probe_band_store(spark, root, probe).collect()
+    }
+    before = snap()
+    assert {(n, o) for n, o, _ in before} == {(10, 1)}
+
+    # simulate the crash: orphan generation dirs written, pointer NOT
+    # swapped, writer.lock left behind
+    orphan_b = os.path.join(root, "bands_g1.deadbeef")
+    orphan_s = os.path.join(root, "shingles_g1.deadbeef")
+    for d in (orphan_b, orphan_s):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-junk.parquet"), "wb") as f:
+            f.write(b"torn write")
+    with open(os.path.join(root, "writer.lock"), "w") as f:
+        f.write("99999")
+
+    # a retry before recovery loses loudly on the stale lock
+    import pytest
+
+    with pytest.raises(IndexWriterConflict):
+        compact_band_store(spark, root, target_files=1)
+
+    break_writer_lock(root)  # the documented operator recovery
+    rep = compact_band_store(spark, root, target_files=1)
+    assert rep["gen"] == 1
+    assert not os.path.isdir(orphan_b) and not os.path.isdir(orphan_s)
+    bands1, _ = _band_store_dirs(root)
+    assert os.path.basename(bands1).startswith("bands_g1.")
+    assert len(glob.glob(os.path.join(bands1, "*.parquet"))) == 1
+    assert snap() == before  # the torn orphan never reached any reader
     shutil.rmtree(base, ignore_errors=True)
