@@ -829,7 +829,8 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     Built once with the provisioning discipline (fingerprinted by the
     embeddings file + every ANN parameter, staging + atomic publish);
     a standing pipeline appends admitted vectors into their cell
-    partitions the same way. At 100 TB the cells ARE the directory
+    partitions via :func:`append_ivf_batch` (sim09 grades that cycle).
+    At 100 TB the cells ARE the directory
     structure: a probe's task count ∝ probed cells, and re-clustering
     (centroid drift) is a rebuild into a fresh version dir."""
     import os
@@ -845,27 +846,123 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
 
     def build(staging: str) -> None:
         e = fan_out(load_table(spark, sf_dir, "embeddings"))
-        hist = e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
-        cent = (
-            hist.orderBy("vec_id")
-            .limit(N_CELLS)
-            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-            .localCheckpoint()  # K rows, consumed by write AND scoring
+        write_ivf_store(
+            spark, staging, e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
         )
-        cent.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
-        scored = hist.join(F.broadcast(cent)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
-        )
-        assign = scored.groupBy("vec_id").agg(
-            F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias(
-                "cell"
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def write_ivf_store(
+    spark: SparkSession, root: str, vecs: DataFrame, n_cells: int = N_CELLS
+) -> None:
+    """Build a fresh IVF store at ``root`` from (vec_id, embedding):
+    ``centroids/`` freezes the coarse quantizer (the n_cells lowest
+    vec_ids — the deterministic seed rule every graded fixture uses, so
+    oracles can replay it), ``cells/`` holds the frozen-centroid
+    assignment partitioned by cell. The raw-root sibling of
+    :func:`~kt_sql_hbase_ex_spark.functions.dedup.write_band_store`;
+    `ensure_ivf_store` wraps it in the fingerprint/staging/atomic-
+    publish provisioning discipline."""
+    import os
+
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .localCheckpoint()  # K rows, consumed by write AND scoring
+    )
+    cent.coalesce(1).write.parquet(os.path.join(root, "centroids"))
+    _assign_cells(vecs, cent).write.partitionBy("cell").parquet(
+        os.path.join(root, "cells")
+    )
+
+
+def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, embedding): each vector's nearest frozen centroid
+    — cosine rounded to 6dp BEFORE the argmax, ties to the lower cid
+    (the sim03 cross-engine rule). Shared by the initial store build
+    and the admission path (:func:`append_ivf_batch`) so a grown store
+    is assignment-identical to a from-scratch build — the invariant
+    sim09's oracle proves every round."""
+    scored = vecs.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias(
+            "cell"
+        ),
+        F.first("embedding").alias("embedding"),
+    )
+
+
+def append_ivf_batch(spark: SparkSession, root: str, vecs: DataFrame) -> None:
+    """Admit one embedding batch (vec_id, embedding) into the standing
+    IVF store — the growth path the store's docstring commits to (the
+    :func:`~kt_sql_hbase_ex_spark.functions.dedup.append_band_batch`
+    role for vectors): batch vectors score ONLY the frozen centroids
+    (broadcast, map-side — the coarse quantizer never retrains on
+    append, exactly as the band store's LSH constants never change)
+    and land as new files inside their nearest-cell partitions. Write
+    ∝ batch; no existing cell file is touched; probes see the grown
+    corpus through the same pruned partition reads. Serializes against
+    other writers via the O_EXCL writer lock. Re-clustering on
+    centroid drift is a REBUILD into a fresh version dir, never an
+    append — appending against drifted centroids would silently
+    degrade recall, so the quantizer stays immutable per store."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        cent = spark.read.parquet(os.path.join(root, "centroids"))
+        _assign_cells(vecs, cent).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(root, "cells"))
+
+
+#: sim09: vec_id % SIM08_MOD == SIM09_RES_GROW (~5%) is admitted into
+#: the store AFTER the initial build; SIM08_RES stays the probe batch.
+SIM09_RES_GROW = 11
+
+
+def ensure_grown_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim09's fixture store: built from the base history (both the
+    probe residue AND the growth residue held out), then GROWN through
+    the admission path (:func:`append_ivf_batch`) with the growth
+    batch. Centroids are frozen from the BASE history only — the
+    appended vectors never influence the quantizer, which is what
+    makes the grown store's answers replayable declaratively."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"ivfstore-grown|{N_CELLS}|{N_PROBE}|{TOP_K}"
+        f"|mod{SIM08_MOD}g{SIM09_RES_GROW}r{SIM08_RES}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings"))
+        write_ivf_store(
+            spark,
+            staging,
+            e.filter(
+                (F.col("vec_id") % SIM08_MOD != SIM08_RES)
+                & (F.col("vec_id") % SIM08_MOD != SIM09_RES_GROW)
             ),
-            F.first("embedding").alias("embedding"),
         )
-        assign.write.partitionBy("cell").parquet(os.path.join(staging, "cells"))
+        append_ivf_batch(
+            spark,
+            staging,
+            e.filter(F.col("vec_id") % SIM08_MOD == SIM09_RES_GROW).select(
+                "vec_id", "embedding"
+            ),
+        )
 
     return _build_once(_index_root(sf_dir, variant), build)
 
@@ -932,17 +1029,27 @@ def sim08_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sim03 cross-engine discipline). Scale: batch and probes
     broadcast (statement-sized); the store's cell partitions are the
     only data read, tasks ∝ probed cells."""
+    root = ensure_ivf_store(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_ivf_store(spark, root, batch)
+
+
+def probe_ivf_store(spark: SparkSession, root: str, batch: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rnk) top-k of a query batch
+    against a persisted IVF store — sim08's probe as a reusable API
+    (the :func:`~kt_sql_hbase_ex_spark.functions.dedup.probe_band_store`
+    role for vectors): ``batch`` is (query_id, qv); queries score only
+    the frozen centroids (broadcast, map-side), probe their N_PROBE
+    nearest cells, and exact cosine reranks inside the pruned cell
+    partitions. The corpus is never rescanned."""
     import os
 
-    root = ensure_ivf_store(spark, sf_dir)
     cent = spark.read.parquet(os.path.join(root, "centroids")).localCheckpoint()
     layout = spark.read.parquet(os.path.join(root, "cells"))
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
-    batch = (
-        e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .localCheckpoint()  # consumed by probing AND the rerank join
-    )
+    batch = batch.localCheckpoint()  # consumed by probing AND the rerank join
     from pyspark.sql import Window as W
 
     w_probe = W.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cid"))
@@ -973,3 +1080,66 @@ def sim08_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cosine"), "rnk")
     )
+
+
+@query(
+    "sim09_grown_ivf_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (SELECT * FROM e WHERE vec_id % {SIM08_MOD} <> {SIM08_RES}),
+    base AS (SELECT * FROM corpus WHERE vec_id % {SIM08_MOD} <> {SIM09_RES_GROW}),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT h.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                       ORDER BY ROUND({_SIM08_COS_HC}, 6) DESC, cent.cid) AS rn
+            FROM corpus h CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT b.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY ROUND({_SIM08_COS_BC}, 6) DESC, cent.cid) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % {SIM08_MOD} = {SIM08_RES}) b
+            CROSS JOIN cent) t
+        WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_SIM08_COS_QN} AS c,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                   ORDER BY ROUND({_SIM08_COS_QN}, 6) DESC, cand.neighbor_id) AS rnk
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id
+    ) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim09_grown_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same probe batch against a GROWN IVF store — the maintenance
+    cycle sim08 only half-exercised (d15's role for vectors): the store
+    is built from the base history, then :func:`append_ivf_batch`
+    admits the growth residue through the frozen-centroid assignment
+    path (new files inside existing cell partitions, no rebuild), and
+    the sim08 probe runs unchanged over the grown layout. The oracle
+    replays assign/probe/rerank FROM SCRATCH over the grown corpus with
+    centroids frozen on the base history only, so the hash match proves
+    growth-by-append ≡ build-from-scratch — appended vectors are
+    candidates exactly when their frozen-centroid cell is probed, and
+    the rerank sees them at full precision. Scale: admission writes ∝
+    batch (appended files land inside their cell partitions; nothing is
+    rewritten), probes read only probed cells of the grown store."""
+    root = ensure_grown_ivf_store(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_ivf_store(spark, root, batch)

@@ -1172,3 +1172,76 @@ def test_band_store_compaction_crash_retry(spark):
     assert len(glob.glob(os.path.join(bands1, "*.parquet"))) == 1
     assert snap() == before  # the torn orphan never reached any reader
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ivf_store_append_equals_rebuild(spark):
+    """The IVF store's growth path (the vector twin of
+    test_band_store_append_equals_rebuild): admitting a batch via
+    append_ivf_batch must make the store answer probes identically to a
+    store rebuilt from the full corpus — centroids frozen on the base
+    in BOTH stores, so the only difference is the layout history. Also:
+    the append never touches existing cell files (write ∝ batch), and a
+    held writer lock makes a concurrent admission lose loudly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        append_ivf_batch,
+        probe_ivf_store,
+        write_ivf_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        _writer_lock,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_ivfstore")
+    shutil.rmtree(base, ignore_errors=True)
+    grown, rebuilt = os.path.join(base, "grown"), os.path.join(base, "rebuilt")
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    hist1 = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    growth = [(4, [0.9, 0.1, 0.0]), (5, [0.0, 0.2, 0.9])]
+
+    write_ivf_store(spark, grown, mk(hist1), n_cells=3)
+    cells = os.path.join(grown, "cells")
+    before_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(cells, "**", "*.parquet"), recursive=True)
+    }
+    append_ivf_batch(spark, grown, mk(growth))
+    after_files = set(
+        glob.glob(os.path.join(cells, "**", "*.parquet"), recursive=True)
+    )
+    # write ∝ batch: every pre-append file survives byte-untouched
+    assert set(before_files) < after_files
+    for p, mt in before_files.items():
+        assert os.path.getmtime(p) == mt
+
+    # rebuilt-from-scratch twin: same frozen centroids (hist1 holds the
+    # 3 lowest vec_ids, so n_cells=3 freezes the same quantizer)
+    write_ivf_store(spark, rebuilt, mk(hist1 + growth), n_cells=3)
+
+    probe = mk(
+        [(10, [0.8, 0.2, 0.0]), (11, [0.1, 0.1, 0.9]), (12, [0.5, 0.5, 0.5])]
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    snap = lambda root: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in probe_ivf_store(spark, root, probe).collect()
+    }
+    got = snap(grown)
+    assert got == snap(rebuilt)
+    # appended vectors are probe-visible through the grown layout
+    assert {n for _, n, _, _ in got} >= {4, 5}
+
+    # concurrent admission loses loudly while a writer holds the lock
+    with _writer_lock(grown):
+        with pytest.raises(IndexWriterConflict):
+            append_ivf_batch(spark, grown, mk([(6, [1.0, 1.0, 0.0])]))
+    shutil.rmtree(base, ignore_errors=True)
