@@ -653,9 +653,41 @@ class KVDataSource(DataSource):
 def register_kv_source(spark) -> None:
     """Idempotently register the format with the session, and enable
     Python-data-source filter pushdown — the connector implements
-    ``pushFilters`` and Spark refuses to plan it with the conf off."""
+    ``pushFilters`` and Spark refuses to plan it with the conf off.
+
+    Idempotence must hold across ``newSession()`` clones: Python
+    data-source registrations live in a PER-SESSION registry, but
+    Spark's pre-register existence check falls back to
+    ``DataSource.lookupDataSource``, which resolves the name through
+    the THREAD's active session. A drain clone
+    (:func:`~kt_sql_hbase_ex_spark.streaming.events.stream_session`)
+    registering after a batch connector query ran on its parent
+    therefore throws DATA_SOURCE_ALREADY_EXISTS — the parent (still
+    thread-active) owns the name — while the clone's own registry stays
+    EMPTY, and every later microbatch write on the clone dies with
+    ClassNotFoundException. The fix is not to swallow the error (that
+    leaves the registry empty) but to retry with THIS session made
+    thread-active, so the existence check consults the session actually
+    being registered into."""
     if not getattr(spark, "_ktsql_kv_registered", False):
-        spark.dataSource.register(KVDataSource)
+        if not spark._jsparkSession.sessionState().dataSourceManager().dataSourceExists(
+            FORMAT_NAME
+        ):
+            try:
+                spark.dataSource.register(KVDataSource)
+            except Exception as ex:  # AnalysisException (no error-class API here)
+                if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+                    raise
+                jss = spark._sc._jvm.org.apache.spark.sql.classic.SparkSession
+                prev = jss.getActiveSession()
+                jss.setActiveSession(spark._jsparkSession)
+                try:
+                    spark.dataSource.register(KVDataSource)
+                finally:
+                    if prev.isDefined():
+                        jss.setActiveSession(prev.get())
+                    else:
+                        jss.clearActiveSession()
         spark._ktsql_kv_registered = True
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 

@@ -1301,3 +1301,42 @@ class TestPersistedIndexLifecycle:
             assert live in vers and len(vers) == 2
         finally:
             drop_kv_index("gc_t", opts)
+
+
+def test_register_on_session_clone_after_parent(spark, tmp_path):
+    """Registering the connector on a ``newSession()`` clone AFTER the
+    parent registered must leave the CLONE's own registry populated.
+    Spark's pre-register existence check resolves the name through the
+    thread-active session (the parent), throws
+    DATA_SOURCE_ALREADY_EXISTS, and — if that error were swallowed or
+    unhandled — the clone's per-session registry would stay empty, so
+    any plan on the clone (a streaming drain's foreachBatch write, the
+    st10 shape) dies with ClassNotFoundException. register_kv_source
+    must retry with the target session made active instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        register_kv_source,
+    )
+
+    register_kv_source(spark)  # parent owns the name first
+    clone = spark.newSession()
+    register_kv_source(clone)  # must not throw AND must really register
+
+    jm = clone._jsparkSession.sessionState().dataSourceManager()
+    assert jm.dataSourceExists(FORMAT_NAME)
+
+    # the clone can actually PLAN with the connector (read an empty base)
+    base = tmp_path / "clone_base.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([10.0, 20.0])}),
+        str(base),
+    )
+    opts = {"path": str(base), "keyCol": "k", "columns": "k,v", "regionSize": "64"}
+    rows = {
+        (r.k, r.v)
+        for r in clone.read.format(FORMAT_NAME).options(**opts).load().collect()
+    }
+    assert rows == {(1, 10.0), (2, 20.0)}
