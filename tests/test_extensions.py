@@ -1245,3 +1245,158 @@ def test_ivf_store_append_equals_rebuild(spark):
         with pytest.raises(IndexWriterConflict):
             append_ivf_batch(spark, grown, mk([(6, [1.0, 1.0, 0.0])]))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ivf_store_compaction_preserves_answers(spark):
+    """compact_ivf_store must fold each cell's accumulated batch files
+    into ONE file behind an atomic layout.json swap WITHOUT changing
+    any probe answer; the cell partitioning (what probes prune on)
+    survives the fold; appends after compaction land in the live
+    generation; the generation superseded by the previous compaction is
+    GC'd by the next one (deferred, never same-swap)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _ivf_cells_dir,
+        _ivf_store_layout,
+        append_ivf_batch,
+        compact_ivf_store,
+        maybe_compact_ivf_store,
+        probe_ivf_store,
+        write_ivf_store,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_ivf_compact")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "store")
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    write_ivf_store(
+        spark,
+        root,
+        mk([(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]),
+        n_cells=3,
+    )
+    append_ivf_batch(spark, root, mk([(4, [0.9, 0.1, 0.0])]))
+    append_ivf_batch(spark, root, mk([(5, [0.0, 0.2, 0.9])]))
+
+    probe = mk(
+        [(10, [0.8, 0.2, 0.0]), (11, [0.1, 0.1, 0.9]), (12, [0.5, 0.5, 0.5])]
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    snap = lambda: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in probe_ivf_store(spark, root, probe).collect()
+    }
+    before = snap()
+    assert {n for _, n, _, _ in before} >= {4, 5}
+
+    cells0 = _ivf_cells_dir(root)
+    files = lambda d: glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    assert len(files(cells0)) > 3  # one file set per admitted batch
+
+    # under-threshold trigger is a no-op that doesn't even take the lock
+    assert maybe_compact_ivf_store(spark, root, max_files=10_000) is None
+    assert _ivf_store_layout(root)["gen"] == 0
+
+    rep = compact_ivf_store(spark, root)
+    assert rep["gen"] == 1 and rep["files_after"] < rep["files_before"]
+    cells1 = _ivf_cells_dir(root)
+    assert cells1 != cells0  # pointer moved
+    # exactly one file per non-empty cell, partition layout preserved
+    parts = glob.glob(os.path.join(cells1, "cell=*"))
+    assert parts and all(
+        len(glob.glob(os.path.join(p, "*.parquet"))) == 1 for p in parts
+    )
+    assert os.path.isdir(cells0)  # deferred GC: old gen survives one swap
+    assert snap() == before  # identical answers through the new layout
+
+    # appends land in the live generation and are probe-visible
+    append_ivf_batch(spark, root, mk([(6, [0.7, 0.7, 0.0])]))
+    assert len(files(cells1)) > len(parts)
+    got2 = {
+        (r.query_id, r.neighbor_id)
+        for r in probe_ivf_store(
+            spark,
+            root,
+            mk([(13, [0.7, 0.7, 0.05])]).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            ),
+        ).collect()
+    }
+    assert (13, 6) in got2
+
+    # the NEXT compaction GCs the generation superseded by the previous
+    rep2 = compact_ivf_store(spark, root)
+    assert rep2["gen"] == 2
+    assert not os.path.isdir(cells0)
+    assert os.path.isdir(cells1)  # retained until compaction 3
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ivf_store_compaction_crash_retry(spark):
+    """An IVF compaction that dies AFTER writing its generation dir but
+    BEFORE the layout.json swap must not poison the store: the stale
+    writer.lock is cleared by the operator (break_writer_lock), the
+    retry succeeds (uuid-tagged dir names never collide), and the
+    never-published orphan is swept by the retry instead of leaking."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _ivf_cells_dir,
+        compact_ivf_store,
+        probe_ivf_store,
+        write_ivf_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        break_writer_lock,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_ivf_crash")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "store")
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    write_ivf_store(
+        spark,
+        root,
+        mk([(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]),
+        n_cells=2,
+    )
+    probe = mk([(10, [0.9, 0.1, 0.0])]).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    snap = lambda: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in probe_ivf_store(spark, root, probe).collect()
+    }
+    before = snap()
+
+    # simulate the crash: orphan generation dir + stale writer lock
+    orphan = os.path.join(root, "cells_g1.deadbeef")
+    shutil.copytree(_ivf_cells_dir(root), orphan)
+    with open(os.path.join(root, "writer.lock"), "w") as f:
+        f.write("pid=0")
+
+    with pytest.raises(IndexWriterConflict):
+        compact_ivf_store(spark, root)
+
+    break_writer_lock(root)  # the documented operator recovery
+    rep = compact_ivf_store(spark, root)
+    assert rep["gen"] == 1
+    assert not os.path.isdir(orphan)  # swept, not leaked
+    assert os.path.basename(_ivf_cells_dir(root)).startswith("cells_g1.")
+    assert snap() == before  # the torn orphan never reached any reader
+    shutil.rmtree(base, ignore_errors=True)
