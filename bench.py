@@ -85,6 +85,15 @@ HEADLINE = (
     # over an updated+deleted corpus) — the one index configuration t13
     # (pure append, no mask join) doesn't track round-over-round.
     "t15_index_doc_update",
+    # round-7 additions: the steady-state STORE-PROBE paths this round
+    # made first-class — d14 probes the persisted LSH band store with an
+    # arriving batch (work ∝ batch + collisions), sim08 probes the
+    # persisted IVF store (frozen-centroid route + pruned cell rerank).
+    # Both provision their store on first call; the warmup pass absorbs
+    # that, so the timed number is the per-batch probe a standing
+    # admission pipeline pays — the cost that matters at 100 TB.
+    "d14_incremental_neardup",
+    "sim08_incremental_ann",
 )
 
 

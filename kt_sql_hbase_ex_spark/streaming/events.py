@@ -1151,3 +1151,201 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return spark.read.parquet(results).localCheckpoint(eager=True)
+
+
+#: st15: the embedding corpus arrives in vec_id-residue batches (the
+#: st14 arrival convention applied to vectors); the quantizer is
+#: provisioned OFFLINE from the N_CELLS lowest vec_ids (the sim03/sim08
+#: deterministic seed rule), which also form the store's pre-stream
+#: history — a standing pipeline's store is never empty when admission
+#: starts.
+N_VEC_BATCHES = 4
+
+
+def _st15_oracle() -> str:
+    """Declarative replay of the vector-admission policy with the SAME
+    IVF route the probe uses: an arriving vector is rejected iff some
+    vector SEEN earlier (the seed history or a lower-residue batch) is
+    assigned to one of its N_PROBE nearest frozen-centroid cells AND
+    verifies at cosine ≥ threshold. Replaying the route (not a
+    brute-force scan) is the point: the gate then proves the streaming
+    loop — probe, admit, append, mid-drain compaction — computes
+    exactly the declarative admission answer."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _COSINE_SQL,
+        COSINE_NEARDUP_THRESHOLD,
+        N_CELLS,
+        N_PROBE,
+    )
+
+    cos_hc = _COSINE_SQL.format(a="h.v", b="cent.cv")
+    cos_ac = _COSINE_SQL.format(a="a.v", b="cent.cv")
+    cos_qn = _COSINE_SQL.format(a="qe.v", b="ne.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {N_CELLS}),
+    arrivals AS (
+        SELECT vec_id, v, vec_id % {N_VEC_BATCHES} AS batch FROM e
+        WHERE vec_id NOT IN (SELECT cid FROM cent)
+    ),
+    hist AS (
+        SELECT vec_id, v, -1 AS rank FROM e
+        WHERE vec_id IN (SELECT cid FROM cent)
+        UNION ALL
+        SELECT vec_id, v, batch AS rank FROM arrivals
+    ),
+    assign AS (
+        SELECT vec_id, rank, cid FROM (
+            SELECT h.vec_id, h.rank, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                       ORDER BY ROUND({cos_hc}, 6) DESC, cent.cid) AS rn
+            FROM hist h CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, batch, cid FROM (
+            SELECT a.vec_id, a.batch, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY ROUND({cos_ac}, 6) DESC, cent.cid) AS rn
+            FROM arrivals a CROSS JOIN cent) t
+        WHERE rn <= {N_PROBE}
+    ),
+    rej AS (
+        SELECT DISTINCT p.query_id
+        FROM probes p
+        JOIN assign s ON s.cid = p.cid AND s.rank < p.batch
+        JOIN e qe ON qe.vec_id = p.query_id
+        JOIN e ne ON ne.vec_id = s.vec_id
+        WHERE ROUND({cos_qn}, 6) >= {COSINE_NEARDUP_THRESHOLD}
+    )
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(COUNT(*) FILTER (
+               WHERE vec_id NOT IN (SELECT query_id FROM rej)
+           ) AS BIGINT) AS n_admitted
+    FROM arrivals GROUP BY 1
+    """
+
+
+@query(
+    "st15_streaming_vector_admission",
+    oracle=_st15_oracle(),
+)
+def st15_streaming_vector_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st14's standing admission loop for VECTORS, end to end as ONE
+    streaming drain over the persisted IVF store: embedding batches
+    arrive as files (maxFilesPerTrigger=1 → four real microbatches),
+    each foreachBatch (1) probes the batch against the store
+    (:func:`~kt_sql_hbase_ex_spark.functions.similarity.probe_ivf_store`
+    — frozen-centroid route, pruned cell rerank), (2) admits only
+    vectors with no routed neighbor at cosine ≥ the d05 threshold among
+    vectors SEEN earlier, and (3) appends the full batch under the
+    writer lock (:func:`append_ivf_batch`), so the next batch probes a
+    grown history. The store is provisioned offline:
+    :func:`write_ivf_store` freezes the quantizer on the N_CELLS lowest
+    vec_ids, which double as pre-stream history (a standing store is
+    never empty when admission starts — the same reason st14's first
+    batch probes an empty BAND store but sim08's store pre-exists).
+    After every append the loop runs the size-triggered compaction
+    (:func:`maybe_compact_ivf_store`), sized to trigger mid-drain, so
+    the gate proves probe-after-fold never flips an admission — the
+    oracle replays the admission declaratively from scratch. Work per
+    batch ∝ batch + probed cells; the store is the only growing state;
+    rejection-by-routed-top-k equals rejection-by-routed-existence
+    because top-k keeps the max cosine. Per-batch report:
+    (batch, n_arrived, n_admitted)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        COSINE_NEARDUP_THRESHOLD,
+        N_CELLS,
+        append_ivf_batch,
+        maybe_compact_ivf_store,
+        probe_ivf_store,
+        write_ivf_store,
+    )
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_vec_admit_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)  # hermetic per invocation
+    chunks = os.path.join(base, "chunks")
+    store = os.path.join(base, "store")
+    results = os.path.join(base, "results")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(chunks)
+
+    # provisioning: quantizer + seed history from the N_CELLS lowest
+    # vec_ids; the REST of the corpus lands as one file per arrival
+    # batch (residue split, driver-side metadata-light pyarrow write)
+    tbl = pq.read_table(table_path(sf_dir, "embeddings"))
+    ids = tbl.column("vec_id").to_numpy()
+    seed_ids = np.sort(ids)[:N_CELLS]
+    seed_mask = np.isin(ids, seed_ids)
+    # seeds round-trip through parquet so the store's cell files keep
+    # the table's native array<float> embedding type — a createDataFrame
+    # seed would land as array<double> and split the cells schema
+    seeds_path = os.path.join(base, "seeds.parquet")
+    pq.write_table(
+        tbl.filter(pa.array(seed_mask)).select(["vec_id", "embedding"]),
+        seeds_path,
+    )
+    write_ivf_store(
+        spark, store, spark.read.parquet(seeds_path), n_cells=N_CELLS
+    )
+    rest = tbl.filter(pa.array(~seed_mask))
+    residues = rest.column("vec_id").to_numpy() % N_VEC_BATCHES
+    for b in range(N_VEC_BATCHES):
+        pq.write_table(
+            rest.filter(pa.array(residues == b)),
+            os.path.join(chunks, f"c{b:02d}.parquet"),
+        )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # one stable snapshot per batch
+        n_arr = batch.count()
+        rejected = (
+            probe_ivf_store(
+                spark,
+                store,
+                batch.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                ),
+            )
+            .filter(F.col("cosine") >= COSINE_NEARDUP_THRESHOLD)
+            .select(F.col("query_id").alias("vec_id"))
+            .distinct()
+        )
+        n_adm = batch.join(rejected, "vec_id", "left_anti").count()
+        spark.createDataFrame(
+            [(int(batch_id), n_arr, n_adm)],
+            "batch bigint, n_arrived bigint, n_admitted bigint",
+        ).coalesce(1).write.mode("append").parquet(results)
+        # full batch becomes history (admission is dedup-against-seen)
+        append_ivf_batch(spark, store, batch.select("vec_id", "embedding"))
+        # sustainability: fold once per-batch appends accrete past the
+        # threshold (sized to trigger mid-drain here, so the gate proves
+        # probe-after-fold equivalence every round)
+        maybe_compact_ivf_store(spark, store, max_files=24)
+
+    schema = spark.read.parquet(chunks).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(chunks, "c*"))
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(results).localCheckpoint(eager=True)
