@@ -1136,7 +1136,9 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sustainability: fold the store once per-batch appends accrete
         # past the threshold (sized to trigger mid-drain here, so the
         # gate proves probe-after-fold equivalence every round)
-        maybe_compact_band_store(spark, store, max_files=4, target_files=2)
+        maybe_compact_band_store(
+            spark, store, max_files=4, target_files=2, only_buckets_over=1
+        )
 
     schema = spark.read.parquet(chunks).schema
     q = (

@@ -1023,11 +1023,13 @@ def test_band_store_append_equals_rebuild(spark):
 
 
 def test_band_store_compaction_preserves_answers(spark):
-    """compact_band_store must fold N per-batch file sets into few files
-    behind one atomic layout.json swap WITHOUT changing any probe
-    answer; appends after compaction land in the live generation; the
-    generation superseded by the previous compaction is GC'd by the
-    next one (deferred, never same-swap)."""
+    """compact_band_store must fold each bucket's per-batch file sets
+    into one file behind one atomic layout.json swap WITHOUT changing
+    any probe answer; the SELECTIVE form folds only buckets over the
+    file threshold and carries cold buckets by hardlink; appends after
+    compaction land in the live generation; the generation superseded
+    by the previous compaction is GC'd by the next one (deferred,
+    never same-swap)."""
     import glob
     import os
     import shutil
@@ -1042,15 +1044,22 @@ def test_band_store_compaction_preserves_answers(spark):
         write_band_store,
     )
 
+    rcount = lambda d: len(
+        glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+
     base = os.path.join(tempfile.gettempdir(), "kt_sql_test_bandstore_compact")
     shutil.rmtree(base, ignore_errors=True)
     root = os.path.join(base, "store")
 
     mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # doc_ids 1 and 9 share dkb=1 (doc_id % 8), so the shingles bucket
+    # dkb=1 is GUARANTEED to hold two batch files pre-compaction — the
+    # fold provably shrinks the store regardless of band-hash spread
     batches = [
         [(1, "the quick brown fox jumps over the lazy dog tonight")],
         [(2, "an entirely different document about spark and shuffles")],
-        [(3, "a third admitted batch concerning parquet file layouts")],
+        [(9, "a third admitted batch concerning parquet file layouts")],
     ]
     write_band_store(spark, root, mk(batches[0]))
     for b in batches[1:]:
@@ -1068,37 +1077,64 @@ def test_band_store_compaction_preserves_answers(spark):
         for r in probe_band_store(spark, root, probe).collect()
     }
     before = snap()
-    assert {(n, o) for n, o, _ in before} == {(10, 1), (11, 3)}
+    assert {(n, o) for n, o, _ in before} == {(10, 1), (11, 9)}
 
-    bands0, _ = _band_store_dirs(root)
-    files0 = len(glob.glob(os.path.join(bands0, "*.parquet")))
-    assert files0 >= 3, files0  # one file set per admitted batch
+    bands0, shingles0 = _band_store_dirs(root)
+    assert rcount(bands0) >= 3  # one file per touched bucket per batch
+    assert rcount(os.path.join(shingles0, "dkb=1")) == 2  # docs 1 and 9
 
     rep = compact_band_store(spark, root, target_files=1)
     assert rep["gen"] == 1 and rep["files_after"] < rep["files_before"]
     bands1, shingles1 = _band_store_dirs(root)
     assert bands1 != bands0  # pointer moved
-    assert len(glob.glob(os.path.join(bands1, "*.parquet"))) == 1
+    # per-bucket fold: every bucket dir holds exactly one file
+    for rel in (bands1, shingles1):
+        bdirs = glob.glob(os.path.join(rel, "*=*"))
+        assert bdirs
+        for bd in bdirs:
+            assert len(glob.glob(os.path.join(bd, "*.parquet"))) == 1, bd
     assert os.path.isdir(bands0)  # deferred GC: old gen survives one swap
     assert snap() == before  # identical answers through the new layout
 
-    # appends land in the live generation and are probe-visible (an
-    # append emits one file per non-empty partition, so growth — not an
-    # exact count — is the signal)
-    append_band_batch(spark, root, mk([(4, "a fourth batch admitted after compaction ran")]))
-    assert len(glob.glob(os.path.join(bands1, "*.parquet"))) > 1
+    # appends land in the live generation and are probe-visible —
+    # doc 17 shares dkb=1 with docs 1/9, so that bucket provably
+    # accretes to 2 files while doc 2's dkb=2 stays untouched
+    n_live = rcount(bands1)
+    append_band_batch(spark, root, mk([(17, "a fourth batch admitted after compaction ran")]))
+    assert rcount(bands1) > n_live
+    assert len(glob.glob(os.path.join(shingles1, "dkb=1", "*.parquet"))) == 2
     probe2 = mk([(13, "a fourth batch admitted after compaction ran")])
     got2 = {
         (r.doc_new, r.doc_old)
         for r in probe_band_store(spark, root, probe2).collect()
     }
-    assert got2 == {(13, 4)}
+    assert got2 == {(13, 17)}
 
-    # the NEXT compaction GCs the generation superseded by the previous one
-    rep2 = compact_band_store(spark, root, target_files=1)
+    # the NEXT compaction: the SELECTIVE per-bucket form — buckets the
+    # post-compaction append touched (2 files) fold; untouched buckets
+    # (1 file) carry by HARDLINK (same inode, no data movement); and it
+    # GCs the generation superseded by the previous compaction
+    linked = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(shingles1, "dkb=2", "*.parquet"))
+    }
+    rep2 = compact_band_store(spark, root, target_files=1, only_buckets_over=1)
     assert rep2["gen"] == 2
     assert not os.path.isdir(bands0)
     assert os.path.isdir(bands1)  # retained until compaction 3
+    bands2, shingles2 = _band_store_dirs(root)
+    # dkb=2 was untouched by the doc-17 append → carried: same file
+    # names, same inodes, in the NEW generation dir
+    carried = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(shingles2, "dkb=2", "*.parquet"))
+    }
+    assert {os.path.basename(p) for p in carried} == {
+        os.path.basename(p) for p in linked
+    }
+    assert set(carried.values()) == set(linked.values())
+    # dkb=1 accreted to 2 files (gen-1 fold + the doc-17 append) → 1
+    assert len(glob.glob(os.path.join(shingles2, "dkb=1", "*.parquet"))) == 1
     assert snap() == before
     lay = _band_store_layout(root)
     assert lay["prev"] == [os.path.basename(bands1), os.path.basename(shingles1)]
@@ -1169,7 +1205,8 @@ def test_band_store_compaction_crash_retry(spark):
     assert not os.path.isdir(orphan_b) and not os.path.isdir(orphan_s)
     bands1, _ = _band_store_dirs(root)
     assert os.path.basename(bands1).startswith("bands_g1.")
-    assert len(glob.glob(os.path.join(bands1, "*.parquet"))) == 1
+    for bd in glob.glob(os.path.join(bands1, "*=*")):
+        assert len(glob.glob(os.path.join(bd, "*.parquet"))) == 1, bd
     assert snap() == before  # the torn orphan never reached any reader
     shutil.rmtree(base, ignore_errors=True)
 

@@ -780,3 +780,54 @@ def test_classifier_filter_is_one_map_side_pass(spark, sf_small):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_band_store_probe_prunes_bucketed_bands(spark, sf_oracle):
+    """The band store's probe join must (a) build on the broadcast
+    BATCH side — never the history — and (b) prune the bucketed
+    stored-bands scan via dynamic partition pruning, so probe cost
+    scales with touched buckets, not store size. Asserted on the
+    candidate-generation join itself (the registered query
+    materializes it behind a localCheckpoint, which hides the scan
+    from the final plan)."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        INCREMENTAL_SPLIT_ID,
+        N_BANDS,
+        _band_bucket,
+        _band_key_spark,
+        _band_store_dirs,
+        ensure_band_store,
+        fan_out,
+        signatures_of,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    root = ensure_band_store(spark, sf_oracle)
+    bands_dir, _ = _band_store_dirs(root)
+    batch = fan_out(load_table(spark, sf_oracle, "documents")).filter(
+        F.col("doc_id") >= INCREMENTAL_SPLIT_ID
+    )
+    bbands = (
+        signatures_of(batch)
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            F.explode(
+                F.array(*[_band_key_spark(b) for b in range(N_BANDS)])
+            ).alias("band_key"),
+        )
+        .withColumn("bkb", _band_bucket())
+    )
+    hist = spark.read.parquet(bands_dir).select(
+        F.col("doc_id").alias("doc_old"), "band_key", "bkb"
+    )
+    j = (
+        F.broadcast(bbands)
+        .join(hist, ["bkb", "band_key"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert "BuildLeft" in plan, plan  # the batch is the build side
