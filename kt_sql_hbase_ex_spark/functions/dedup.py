@@ -1309,7 +1309,7 @@ def ensure_compacted_band_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
     variant = (
-        f"lshbandstore-compacted|bkb{N_BAND_BUCKETS}dkb{N_DOC_BUCKETS}"
+        f"lshbandstore-compacted|bkb{N_BAND_BUCKETS}dkb{N_DOC_BUCKETS}t1"
         f"|{N_HASHES}|{BAND_ROWS}|{SHINGLE_N}"
         f"|{SHINGLE_C1}|{SHINGLE_C2}|{MINHASH_A[0]}|{MINHASH_B[0]}"
         f"|split{INCREMENTAL_SPLIT_ID}"
@@ -1328,10 +1328,10 @@ def ensure_compacted_band_store(spark: SparkSession, sf_dir: str) -> str:
             spark, staging, hist.filter(F.col("doc_id") % 4 == 3)
         )
         # second fold is the SELECTIVE per-bucket form: buckets the
-        # post-compaction append touched (2 files) fold, untouched
-        # buckets (1 file) carry by hardlink — so the graded probe
-        # covers the mixed fold+carry generation every round
-        compact_band_store(spark, staging, target_files=2, only_buckets_over=1)
+        # post-compaction append touched (2 files) fold to one file,
+        # untouched buckets (1 file) carry by hardlink — so the graded
+        # probe covers the mixed fold+carry generation every round
+        compact_band_store(spark, staging, target_files=1, only_buckets_over=1)
 
     return _build_once(_index_root(sf_dir, variant), build)
 

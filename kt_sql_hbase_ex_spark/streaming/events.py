@@ -1137,7 +1137,7 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past the threshold (sized to trigger mid-drain here, so the
         # gate proves probe-after-fold equivalence every round)
         maybe_compact_band_store(
-            spark, store, max_files=4, target_files=2, only_buckets_over=1
+            spark, store, max_files=4, target_files=1, only_buckets_over=1
         )
 
     schema = spark.read.parquet(chunks).schema
