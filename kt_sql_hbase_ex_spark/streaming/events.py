@@ -1336,7 +1336,7 @@ def st15_streaming_vector_admission(spark: SparkSession, sf_dir: str) -> DataFra
         # sustainability: fold once per-batch appends accrete past the
         # threshold (sized to trigger mid-drain here, so the gate proves
         # probe-after-fold equivalence every round)
-        maybe_compact_ivf_store(spark, store, max_files=24)
+        maybe_compact_ivf_store(spark, store, max_files=24, only_cells_over=1)
 
     schema = spark.read.parquet(chunks).schema
     q = (

@@ -1366,12 +1366,35 @@ def test_ivf_store_compaction_preserves_answers(spark):
         ).collect()
     }
     assert (13, 6) in got2
+    after_grow = snap()  # the layout invariant to hold through fold 2
 
-    # the NEXT compaction GCs the generation superseded by the previous
-    rep2 = compact_ivf_store(spark, root)
+    # the NEXT compaction: the SELECTIVE per-cell form — the cell the
+    # post-compaction append touched (2 files) folds to one, untouched
+    # cells (1 file) carry by HARDLINK (same inode, no data movement);
+    # and it GCs the generation superseded by the previous compaction.
+    # Vector 6 = [0.7, 0.7, 0.0] lands in cell 1 (cosine ties at 6dp
+    # between centroids 1 and 2 break to the lower cid), so cell=1
+    # provably accretes while cell=2 and cell=3 stay untouched
+    assert len(glob.glob(os.path.join(cells1, "cell=1", "*.parquet"))) == 2
+    linked = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(cells1, "cell=2", "*.parquet"))
+    }
+    rep2 = compact_ivf_store(spark, root, only_cells_over=1)
     assert rep2["gen"] == 2
     assert not os.path.isdir(cells0)
     assert os.path.isdir(cells1)  # retained until compaction 3
+    cells2 = _ivf_cells_dir(root)
+    carried = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(cells2, "cell=2", "*.parquet"))
+    }
+    assert {os.path.basename(p) for p in carried} == {
+        os.path.basename(p) for p in linked
+    }
+    assert set(carried.values()) == set(linked.values())
+    assert len(glob.glob(os.path.join(cells2, "cell=1", "*.parquet"))) == 1
+    assert snap() == after_grow  # mixed fold+carry generation: same answers
     shutil.rmtree(base, ignore_errors=True)
 
 
