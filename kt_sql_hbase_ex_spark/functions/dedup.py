@@ -1377,6 +1377,11 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
     import os
 
     bands_dir, shingles_dir = _band_store_dirs(root)
+    if glob.glob(os.path.join(bands_dir, "*.parquet")):
+        raise ValueError(
+            f"{bands_dir} holds un-bucketed parquet files (the "
+            "pre-bucketing layout) — rebuild the band store"
+        )
     if not glob.glob(os.path.join(bands_dir, "**", "*.parquet"), recursive=True):
         return spark.createDataFrame(
             [], "doc_new bigint, doc_old bigint, jaccard double"
@@ -1432,11 +1437,15 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
 def _band_store_layout(root: str) -> dict:
     """The band store's generation pointer: ``layout.json`` names the
     live bands/shingles directories (relative to ``root``). Absent —
-    a store that has never been compacted — the legacy fixed names
-    apply, so pre-pointer stores read and grow unchanged. ``prev``
-    lists the directories of the generation superseded by the LAST
-    compaction, retained until the next one (deferred GC: an in-flight
-    reader that resolved the old layout can finish its scan)."""
+    a store that has never been compacted — the fixed names apply.
+    The DATA layout inside those directories must be the bucketed
+    form (``bkb=``/``dkb=`` partition dirs): stores written by the
+    pre-bucketing code are rejected loudly by both the probe and the
+    compactor (a silent fold of flat files would publish an empty
+    generation) — rebuild them. ``prev`` lists the directories of the
+    generation superseded by the LAST compaction, retained until the
+    next one (deferred GC: an in-flight reader that resolved the old
+    layout can finish its scan)."""
     import json
     import os
 
@@ -1458,7 +1467,7 @@ def _band_store_dirs(root: str) -> tuple[str, str]:
 def compact_band_store(
     spark: SparkSession,
     root: str,
-    target_files: int = 4,
+    target_files: int = 1,
     only_buckets_over: int | None = None,
 ) -> dict:
     """Fold the band store's accumulated per-batch files down to
@@ -1475,95 +1484,36 @@ def compact_band_store(
     store runs: rewrite cost ∝ hot buckets, not store), carried into
     the new generation by hardlink when at or under it (the t16
     cold-prefix discipline — no data movement, same inode). The
-    default ``only_buckets_over=None`` folds every bucket.
+    default ``only_buckets_over=None`` folds every bucket; the default
+    ``target_files=1`` restores each bucket to its single-file steady
+    state, so the :func:`maybe_compact_band_store` trigger goes
+    quiescent after a fold instead of re-firing forever.
 
-    Same discipline as the text index's compaction
-    (``text_index.py``): runs under the O_EXCL writer lock (concurrent
-    admissions lose loudly, never interleave with the swap), writes
-    the folded relations into fresh generation-numbered directories,
-    publishes them with ONE atomic ``layout.json`` replace, and defers
-    GC of the superseded directories to the NEXT compaction so a
-    reader holding the old layout finishes its scan.
-
-    Crash-retry safe: new generation directories carry a fresh uuid
-    tag (the text index's version-dir idiom), so a compaction that
-    died after writing its dirs but before the pointer swap never
-    collides with the retry — and any such never-published orphan
-    (referenced by NEITHER the live layout NOR its ``prev`` retention
-    list, hence invisible to every reader) is swept here, under the
-    same lock, instead of leaking. Returns
+    The lock / orphan-sweep / fold-or-carry / atomic-publish /
+    deferred-GC machinery is the shared engine
+    (:func:`~kt_sql_hbase_ex_spark.functions.text_index.compact_partitioned_store`);
+    flat pre-bucketed stores are rejected loudly there — folding one
+    would publish an empty generation. Returns
     ``{"gen", "files_before", "files_after"}``."""
-    import glob
-    import json
-    import os
-    import shutil
-    import uuid as _uuid
-
-    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
-
-    count = lambda d: len(
-        glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_partitioned_store,
     )
-    with _writer_lock(root):
-        lay = _band_store_layout(root)
-        bands_dir = os.path.join(root, lay["bands"])
-        shingles_dir = os.path.join(root, lay["shingles"])
-        referenced = {lay["bands"], lay["shingles"], *lay.get("prev", [])}
-        for d in glob.glob(os.path.join(root, "bands_g*")) + glob.glob(
-            os.path.join(root, "shingles_g*")
-        ):
-            if os.path.basename(d) not in referenced:
-                shutil.rmtree(d, ignore_errors=True)  # crashed-run orphan
-        n_before = count(bands_dir) + count(shingles_dir)
-        gen = lay["gen"] + 1
-        tag = _uuid.uuid4().hex[:8]
-        new_bands, new_shingles = f"bands_g{gen}.{tag}", f"shingles_g{gen}.{tag}"
-        for live_dir, new_rel in (
-            (bands_dir, new_bands),
-            (shingles_dir, new_shingles),
-        ):
-            os.makedirs(os.path.join(root, new_rel), exist_ok=True)
-            for bdir in sorted(glob.glob(os.path.join(live_dir, "*=*"))):
-                files = glob.glob(os.path.join(bdir, "*.parquet"))
-                tgt = os.path.join(root, new_rel, os.path.basename(bdir))
-                if (
-                    only_buckets_over is not None
-                    and len(files) <= only_buckets_over
-                ):
-                    os.makedirs(tgt, exist_ok=True)
-                    for fpath in files:  # cold bucket: carry by hardlink
-                        os.link(fpath, os.path.join(tgt, os.path.basename(fpath)))
-                else:
-                    spark.read.parquet(bdir).coalesce(target_files).write.parquet(
-                        tgt
-                    )
-        staging = os.path.join(root, f"layout.json.tmp.{os.getpid()}")
-        with open(staging, "w") as f:
-            json.dump(
-                {
-                    "gen": gen,
-                    "bands": new_bands,
-                    "shingles": new_shingles,
-                    "prev": [lay["bands"], lay["shingles"]],
-                },
-                f,
-            )
-        os.replace(staging, os.path.join(root, "layout.json"))
-        # deferred GC: the generation superseded by the PREVIOUS
-        # compaction is now two swaps old — no reader can still hold it
-        for d in lay.get("prev", []):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        n_after = count(os.path.join(root, new_bands)) + count(
-            os.path.join(root, new_shingles)
-        )
-    return {"gen": gen, "files_before": n_before, "files_after": n_after}
+
+    return compact_partitioned_store(
+        spark,
+        root,
+        _band_store_layout(root),
+        [("bands", "bands"), ("shingles", "shingles")],
+        target_files=target_files,
+        only_units_over=only_buckets_over,
+    )
 
 
 def maybe_compact_band_store(
     spark: SparkSession,
     root: str,
     max_files: int = 24,
-    target_files: int = 4,
+    target_files: int = 1,
     only_buckets_over: int | None = None,
 ) -> dict | None:
     """Size-TRIGGERED band-store compaction (the

@@ -873,9 +873,11 @@ def write_ivf_store(
         .localCheckpoint()  # K rows, consumed by write AND scoring
     )
     cent.coalesce(1).write.parquet(os.path.join(root, "centroids"))
-    _assign_cells(vecs, cent).write.partitionBy("cell").parquet(
-        os.path.join(root, "cells")
-    )
+    # batch-sized repartition on the partition key: ≤1 file per cell
+    # per write instead of tasks×cells (the band store's discipline)
+    _assign_cells(vecs, cent).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(os.path.join(root, "cells"))
 
 
 def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
@@ -938,59 +940,26 @@ def compact_ivf_store(
     is an independent rewrite unit — folded with its own job when its
     file count exceeds ``only_cells_over`` (the selective form a
     100 TB store runs: rewrite cost ∝ hot cells, not store), carried
-    into the new generation by hardlink when at or under it (the band
-    store's cold-bucket discipline). ``only_cells_over=None`` (the
-    default) folds every cell. Same publish discipline as
-    :func:`~kt_sql_hbase_ex_spark.functions.dedup.compact_band_store`:
-    runs under the O_EXCL writer lock, writes into a fresh uuid-tagged
-    generation directory (the ``cell=`` layout probes prune on is
-    preserved), publishes with ONE atomic ``layout.json`` replace,
-    defers GC of the superseded directory to the NEXT compaction, and
-    sweeps any never-published crashed-run orphan. The frozen
+    into the new generation by hardlink when at or under it.
+    ``only_cells_over=None`` (the default) folds every cell. The
+    ``cell=`` layout probes prune on is preserved; the frozen
     centroids are untouched — compaction is a layout transformation,
-    never a re-clustering. Returns
-    ``{"gen", "files_before", "files_after"}``."""
-    import glob
-    import json
-    import os
-    import shutil
-    import uuid as _uuid
-
-    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
-
-    count = lambda d: len(
-        glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    never a re-clustering. The lock / orphan-sweep / fold-or-carry /
+    atomic-publish / deferred-GC machinery is the shared engine
+    (:func:`~kt_sql_hbase_ex_spark.functions.text_index.compact_partitioned_store`).
+    Returns ``{"gen", "files_before", "files_after"}``."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_partitioned_store,
     )
-    with _writer_lock(root):
-        lay = _ivf_store_layout(root)
-        cells_dir = os.path.join(root, lay["cells"])
-        referenced = {lay["cells"], *lay.get("prev", [])}
-        for d in glob.glob(os.path.join(root, "cells_g*")):
-            if os.path.basename(d) not in referenced:
-                shutil.rmtree(d, ignore_errors=True)  # crashed-run orphan
-        n_before = count(cells_dir)
-        gen = lay["gen"] + 1
-        new_cells = f"cells_g{gen}.{_uuid.uuid4().hex[:8]}"
-        os.makedirs(os.path.join(root, new_cells), exist_ok=True)
-        for cdir in sorted(glob.glob(os.path.join(cells_dir, "cell=*"))):
-            files = glob.glob(os.path.join(cdir, "*.parquet"))
-            tgt = os.path.join(root, new_cells, os.path.basename(cdir))
-            if only_cells_over is not None and len(files) <= only_cells_over:
-                os.makedirs(tgt, exist_ok=True)
-                for fpath in files:  # cold cell: carry by hardlink
-                    os.link(fpath, os.path.join(tgt, os.path.basename(fpath)))
-            else:
-                spark.read.parquet(cdir).coalesce(1).write.parquet(tgt)
-        staging = os.path.join(root, f"layout.json.tmp.{os.getpid()}")
-        with open(staging, "w") as f:
-            json.dump(
-                {"gen": gen, "cells": new_cells, "prev": [lay["cells"]]}, f
-            )
-        os.replace(staging, os.path.join(root, "layout.json"))
-        for d in lay.get("prev", []):  # two swaps old — no reader holds it
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        n_after = count(os.path.join(root, new_cells))
-    return {"gen": gen, "files_before": n_before, "files_after": n_after}
+
+    return compact_partitioned_store(
+        spark,
+        root,
+        _ivf_store_layout(root),
+        [("cells", "cells")],
+        target_files=1,
+        only_units_over=only_cells_over,
+    )
 
 
 def maybe_compact_ivf_store(
@@ -1038,9 +1007,10 @@ def append_ivf_batch(spark: SparkSession, root: str, vecs: DataFrame) -> None:
 
     with _writer_lock(root):
         cent = spark.read.parquet(os.path.join(root, "centroids"))
-        _assign_cells(vecs, cent).write.mode("append").partitionBy(
-            "cell"
-        ).parquet(_ivf_cells_dir(root))
+        # ≤1 file per touched cell per admitted batch (see write_ivf_store)
+        _assign_cells(vecs, cent).repartition("cell").write.mode(
+            "append"
+        ).partitionBy("cell").parquet(_ivf_cells_dir(root))
 
 
 #: sim09: vec_id % SIM08_MOD == SIM09_RES_GROW (~5%) is admitted into

@@ -221,6 +221,108 @@ def break_writer_lock(root: str) -> None:
         pass
 
 
+def compact_partitioned_store(
+    spark,
+    root: str,
+    layout: dict,
+    relations: list,
+    target_files: int = 1,
+    only_units_over: int | None = None,
+) -> dict:
+    """The shared generation-fold engine behind
+    :func:`~kt_sql_hbase_ex_spark.functions.dedup.compact_band_store`
+    and
+    :func:`~kt_sql_hbase_ex_spark.functions.similarity.compact_ivf_store`
+    — one implementation of the whole discipline (writer lock, orphan
+    and torn-staging sweep, per-partition-dir fold-or-hardlink, atomic
+    ``layout.json`` publish, deferred GC) so a fix to any step lands in
+    every store at once.
+
+    ``layout`` is the store's current generation pointer (must contain
+    ``gen``, ``prev``, and one directory name per relation key);
+    ``relations`` is a list of ``(layout_key, dir_prefix)`` pairs — the
+    folded relation ``layout_key`` is republished as
+    ``{dir_prefix}_g{gen}.{uuid}``. Each ``k=v`` partition directory is
+    an independent rewrite unit: folded to ``target_files`` files by
+    its own job when its file count exceeds ``only_units_over``,
+    carried into the new generation by hardlink (same inode, no data
+    movement) when at or under it; ``only_units_over=None`` folds every
+    unit. Flat (un-partitioned) parquet files in a live relation are
+    REJECTED loudly — a silent fold would publish an empty generation
+    and the next deferred GC would destroy the only copy.
+
+    Crash safety: never-published orphan generation dirs (referenced by
+    neither the live layout nor its ``prev`` retention list) and torn
+    ``layout.json.tmp.*`` staging files from a crashed publish are
+    swept under the lock before the fold; fresh uuid dir tags keep a
+    retry from colliding with its own orphan. Returns
+    ``{"gen", "files_before", "files_after"}``."""
+    import glob
+    import json
+    import shutil
+    import uuid as _uuid
+
+    count = lambda d: len(
+        glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+    with _writer_lock(root):
+        referenced = {layout[k] for k, _ in relations} | set(
+            layout.get("prev", [])
+        )
+        for _, prefix in relations:
+            for d in glob.glob(os.path.join(root, f"{prefix}_g*")):
+                if os.path.basename(d) not in referenced:
+                    shutil.rmtree(d, ignore_errors=True)  # crashed-run orphan
+        for f in glob.glob(os.path.join(root, "layout.json.tmp.*")):
+            try:
+                os.unlink(f)  # torn publish staging from a crashed run
+            except OSError:
+                pass
+        n_before = sum(count(os.path.join(root, layout[k])) for k, _ in relations)
+        gen = layout["gen"] + 1
+        tag = _uuid.uuid4().hex[:8]
+        new_layout = dict(layout)
+        new_layout["gen"] = gen
+        new_layout["prev"] = [layout[k] for k, _ in relations]
+        for k, prefix in relations:
+            live_dir = os.path.join(root, layout[k])
+            if glob.glob(os.path.join(live_dir, "*.parquet")):
+                raise ValueError(
+                    f"{live_dir} holds un-partitioned parquet files (the "
+                    "pre-bucketed layout); folding it would publish an "
+                    "empty generation — rebuild the store instead"
+                )
+            new_rel = f"{prefix}_g{gen}.{tag}"
+            new_layout[k] = new_rel
+            os.makedirs(os.path.join(root, new_rel), exist_ok=True)
+            for udir in sorted(glob.glob(os.path.join(live_dir, "*=*"))):
+                files = glob.glob(os.path.join(udir, "*.parquet"))
+                tgt = os.path.join(root, new_rel, os.path.basename(udir))
+                if (
+                    only_units_over is not None
+                    and len(files) <= only_units_over
+                ):
+                    os.makedirs(tgt, exist_ok=True)
+                    for fpath in files:  # cold unit: carry by hardlink
+                        os.link(fpath, os.path.join(tgt, os.path.basename(fpath)))
+                else:
+                    spark.read.parquet(udir).coalesce(target_files).write.parquet(
+                        tgt
+                    )
+        staging = os.path.join(root, f"layout.json.tmp.{os.getpid()}")
+        with open(staging, "w") as f:
+            json.dump(new_layout, f)
+        os.replace(staging, os.path.join(root, "layout.json"))
+        # deferred GC: the generation superseded by the PREVIOUS
+        # compaction is now two swaps old — no reader can still hold it
+        for d in layout.get("prev", []):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        n_after = sum(
+            count(os.path.join(root, new_layout[k])) for k, _ in relations
+        )
+    return {"gen": gen, "files_before": n_before, "files_after": n_after}
+
+
 def _mark_gen(root: str, gen: int) -> None:
     """Record a generation as applied — O_EXCL so a double-apply of the
     same generation (two writers that somehow both computed it, e.g.

@@ -668,7 +668,7 @@ def _chunked_events_dir(sf_dir: str, n_chunks: int = 4) -> str:
 
     src = os.path.realpath(table_path(sf_dir, "events"))
     st = os.stat(src)
-    fp = hashlib.sha256(f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_chunks}".encode()).hexdigest()[:16]
+    fp = hashlib.sha256(f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_chunks}|mt1".encode()).hexdigest()[:16]
     uid = getattr(os, "getuid", lambda: 0)()
     base = os.path.join(tempfile.gettempdir(), f"kt_sql_stream_chunks_u{uid}", fp)
     marker = os.path.join(base, "_SUCCESS")
@@ -690,7 +690,15 @@ def _chunked_events_dir(sf_dir: str, n_chunks: int = 4) -> str:
         for i in range(n_chunks):
             chunk = tbl.slice(i * step, step)
             if chunk.num_rows:
-                pq.write_table(chunk, os.path.join(staging, f"chunk_{i:02d}.parquet"))
+                cpath = os.path.join(staging, f"chunk_{i:02d}.parquet")
+                pq.write_table(chunk, cpath)
+                # explicit strictly-increasing mtimes: the file stream
+                # source orders candidate files by modification time,
+                # and back-to-back writes can land in the same tick —
+                # pickup order (= microbatch order, which watermark
+                # progression and admission semantics depend on) must
+                # not ride on filesystem timestamp granularity
+                os.utime(cpath, (1_600_000_000 + i, 1_600_000_000 + i))
         with open(os.path.join(staging, "_SUCCESS"), "w"):
             pass
         try:
@@ -1117,7 +1125,11 @@ def st14_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     residues = tbl.column("doc_id").to_numpy() % N_ADMIT_BATCHES
     for b in range(N_ADMIT_BATCHES):
         part = tbl.filter(pa.array(residues == b))
-        pq.write_table(part, os.path.join(chunks, f"c{b:02d}.parquet"))
+        cpath = os.path.join(chunks, f"c{b:02d}.parquet")
+        pq.write_table(part, cpath)
+        # strictly-increasing mtimes pin pickup order = residue order,
+        # which the oracle's earlier-batch admission rule replays
+        os.utime(cpath, (1_600_000_000 + b, 1_600_000_000 + b))
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint()  # one stable snapshot per batch
@@ -1305,10 +1317,11 @@ def st15_streaming_vector_admission(spark: SparkSession, sf_dir: str) -> DataFra
     rest = tbl.filter(pa.array(~seed_mask))
     residues = rest.column("vec_id").to_numpy() % N_VEC_BATCHES
     for b in range(N_VEC_BATCHES):
-        pq.write_table(
-            rest.filter(pa.array(residues == b)),
-            os.path.join(chunks, f"c{b:02d}.parquet"),
-        )
+        cpath = os.path.join(chunks, f"c{b:02d}.parquet")
+        pq.write_table(rest.filter(pa.array(residues == b)), cpath)
+        # strictly-increasing mtimes pin pickup order = residue order
+        # (see st14's chunk writer)
+        os.utime(cpath, (1_600_000_000 + b, 1_600_000_000 + b))
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint()  # one stable snapshot per batch

@@ -1183,13 +1183,16 @@ def test_band_store_compaction_crash_retry(spark):
     assert {(n, o) for n, o, _ in before} == {(10, 1)}
 
     # simulate the crash: orphan generation dirs written, pointer NOT
-    # swapped, writer.lock left behind
+    # swapped, a torn layout staging file and writer.lock left behind
     orphan_b = os.path.join(root, "bands_g1.deadbeef")
     orphan_s = os.path.join(root, "shingles_g1.deadbeef")
     for d in (orphan_b, orphan_s):
         os.makedirs(d)
         with open(os.path.join(d, "part-junk.parquet"), "wb") as f:
             f.write(b"torn write")
+    torn_staging = os.path.join(root, "layout.json.tmp.99999")
+    with open(torn_staging, "w") as f:
+        f.write("{tor")
     with open(os.path.join(root, "writer.lock"), "w") as f:
         f.write("99999")
 
@@ -1203,6 +1206,7 @@ def test_band_store_compaction_crash_retry(spark):
     rep = compact_band_store(spark, root, target_files=1)
     assert rep["gen"] == 1
     assert not os.path.isdir(orphan_b) and not os.path.isdir(orphan_s)
+    assert not os.path.exists(torn_staging)  # torn publish swept too
     bands1, _ = _band_store_dirs(root)
     assert os.path.basename(bands1).startswith("bands_g1.")
     for bd in glob.glob(os.path.join(bands1, "*=*")):
@@ -1460,3 +1464,42 @@ def test_ivf_store_compaction_crash_retry(spark):
     assert os.path.basename(_ivf_cells_dir(root)).startswith("cells_g1.")
     assert snap() == before  # the torn orphan never reached any reader
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_flat_legacy_band_store_rejected(spark, tmp_path):
+    """A band store written by the pre-bucketing code (flat *.parquet
+    directly in bands/) must be rejected LOUDLY by both the probe and
+    the compactor — a silent per-bucket fold of a flat store would
+    publish an empty generation, and the next deferred GC would destroy
+    the only copy of the data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        compact_band_store,
+        probe_band_store,
+    )
+
+    root = str(tmp_path / "legacy_store")
+    for rel in ("bands", "shingles"):
+        os.makedirs(os.path.join(root, rel))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "band_key": ["0:1:2:3"]}),
+        os.path.join(root, "bands", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "sh": [[1, 2]]}),
+        os.path.join(root, "shingles", "part-0.parquet"),
+    )
+    probe = spark.createDataFrame(
+        [(10, "the quick brown fox jumps tonight")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="un-bucketed"):
+        probe_band_store(spark, root, probe)
+    with pytest.raises(ValueError, match="un-partitioned"):
+        compact_band_store(spark, root)
+    # the failed compaction must not have swapped the pointer
+    assert not os.path.exists(os.path.join(root, "layout.json"))
