@@ -1376,12 +1376,13 @@ def probe_band_store(spark: SparkSession, root: str, batch_docs: DataFrame) -> D
     import glob
     import os
 
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        reject_flat_relation,
+    )
+
     bands_dir, shingles_dir = _band_store_dirs(root)
-    if glob.glob(os.path.join(bands_dir, "*.parquet")):
-        raise ValueError(
-            f"{bands_dir} holds un-bucketed parquet files (the "
-            "pre-bucketing layout) — rebuild the band store"
-        )
+    reject_flat_relation(bands_dir)
+    reject_flat_relation(shingles_dir)
     if not glob.glob(os.path.join(bands_dir, "**", "*.parquet"), recursive=True):
         return spark.createDataFrame(
             [], "doc_new bigint, doc_old bigint, jaccard double"
@@ -1502,7 +1503,7 @@ def compact_band_store(
     return compact_partitioned_store(
         spark,
         root,
-        _band_store_layout(root),
+        lambda: _band_store_layout(root),  # resolved UNDER the lock
         [("bands", "bands"), ("shingles", "shingles")],
         target_files=target_files,
         only_units_over=only_buckets_over,

@@ -955,7 +955,7 @@ def compact_ivf_store(
     return compact_partitioned_store(
         spark,
         root,
-        _ivf_store_layout(root),
+        lambda: _ivf_store_layout(root),  # resolved UNDER the lock
         [("cells", "cells")],
         target_files=1,
         only_units_over=only_cells_over,

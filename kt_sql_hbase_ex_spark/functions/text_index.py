@@ -221,10 +221,27 @@ def break_writer_lock(root: str) -> None:
         pass
 
 
+def reject_flat_relation(live_dir: str) -> None:
+    """One invariant, one implementation: a live store relation must
+    contain only ``k=v`` partition directories. Flat parquet files are
+    the pre-bucketing layout — a per-unit fold of such a relation would
+    publish an empty generation (and the next deferred GC would destroy
+    the only copy), and a bucketed-key join would fail mid-query with a
+    missing-column error. Both the probes and the compaction engine
+    call this so the failure is the same loud, actionable message."""
+    import glob
+
+    if glob.glob(os.path.join(live_dir, "*.parquet")):
+        raise ValueError(
+            f"{live_dir} holds un-bucketed parquet files (the "
+            "pre-bucketing layout) — rebuild the store"
+        )
+
+
 def compact_partitioned_store(
     spark,
     root: str,
-    layout: dict,
+    layout_reader,
     relations: list,
     target_files: int = 1,
     only_units_over: int | None = None,
@@ -238,8 +255,12 @@ def compact_partitioned_store(
     ``layout.json`` publish, deferred GC) so a fix to any step lands in
     every store at once.
 
-    ``layout`` is the store's current generation pointer (must contain
-    ``gen``, ``prev``, and one directory name per relation key);
+    ``layout_reader`` is a zero-arg callable returning the store's
+    current generation pointer (``gen``, ``prev``, one directory name
+    per relation key) — it is invoked UNDER the writer lock, so a
+    compaction that queued behind another writer folds the layout that
+    writer published, never a stale pre-lock snapshot (a stale snapshot
+    would make the orphan sweep destroy the live generation);
     ``relations`` is a list of ``(layout_key, dir_prefix)`` pairs — the
     folded relation ``layout_key`` is republished as
     ``{dir_prefix}_g{gen}.{uuid}``. Each ``k=v`` partition directory is
@@ -266,6 +287,7 @@ def compact_partitioned_store(
         glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
     )
     with _writer_lock(root):
+        layout = layout_reader()
         referenced = {layout[k] for k, _ in relations} | set(
             layout.get("prev", [])
         )
@@ -286,12 +308,7 @@ def compact_partitioned_store(
         new_layout["prev"] = [layout[k] for k, _ in relations]
         for k, prefix in relations:
             live_dir = os.path.join(root, layout[k])
-            if glob.glob(os.path.join(live_dir, "*.parquet")):
-                raise ValueError(
-                    f"{live_dir} holds un-partitioned parquet files (the "
-                    "pre-bucketed layout); folding it would publish an "
-                    "empty generation — rebuild the store instead"
-                )
+            reject_flat_relation(live_dir)
             new_rel = f"{prefix}_g{gen}.{tag}"
             new_layout[k] = new_rel
             os.makedirs(os.path.join(root, new_rel), exist_ok=True)

@@ -1499,7 +1499,7 @@ def test_flat_legacy_band_store_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="un-bucketed"):
         probe_band_store(spark, root, probe)
-    with pytest.raises(ValueError, match="un-partitioned"):
+    with pytest.raises(ValueError, match="un-bucketed"):
         compact_band_store(spark, root)
     # the failed compaction must not have swapped the pointer
     assert not os.path.exists(os.path.join(root, "layout.json"))
