@@ -1503,3 +1503,52 @@ def test_flat_legacy_band_store_rejected(spark, tmp_path):
         compact_band_store(spark, root)
     # the failed compaction must not have swapped the pointer
     assert not os.path.exists(os.path.join(root, "layout.json"))
+
+
+def test_compaction_engine_resolves_layout_under_lock(spark):
+    """The shared generation-fold engine must invoke its layout reader
+    UNDER the writer lock (a pre-lock snapshot lets a compaction that
+    queued behind another writer sweep the generation that writer just
+    published as an 'orphan' — silent data loss). Pinned by a reader
+    that asserts the lock file exists when it runs."""
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        _band_store_layout,
+        probe_band_store,
+        write_band_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_partitioned_store,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_lockread")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "store")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    write_band_store(spark, root, docs)
+
+    seen = {"under_lock": None}
+
+    def reader():
+        seen["under_lock"] = os.path.exists(os.path.join(root, "writer.lock"))
+        return _band_store_layout(root)
+
+    rep = compact_partitioned_store(
+        spark, root, reader, [("bands", "bands"), ("shingles", "shingles")]
+    )
+    assert seen["under_lock"] is True
+    assert rep["gen"] == 1
+    # the folded store still answers
+    probe = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_new, r.doc_old) for r in probe_band_store(spark, root, probe).collect()}
+    assert got == {(10, 1)}
+    shutil.rmtree(base, ignore_errors=True)
