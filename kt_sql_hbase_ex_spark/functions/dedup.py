@@ -1594,3 +1594,76 @@ def append_band_batch(spark: SparkSession, root: str, batch_docs: DataFrame) -> 
 
     with _writer_lock(root):
         write_band_store(spark, root, batch_docs)
+
+
+#: bounded traversal depth for d16 — the declarative-recursion grading
+#: query. Small by design: UNION ALL recursion multiplies path counts,
+#: so the cap is what keeps work ∝ Σ fanout^K instead of component!.
+REACH_HOPS = 3
+
+#: the walk CTE + final select, shared verbatim by both engines (the
+#: caller supplies the WITH RECURSIVE list head naming nodes/edges)
+_REACH_WALK = """walk(seed, node, depth) AS (
+        SELECT n, n, 0 FROM {nodes}
+        UNION ALL
+        SELECT w.seed, e.b, w.depth + 1
+        FROM walk w JOIN {edges} e ON e.a = w.node
+        WHERE w.depth < {k}
+    )
+    SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+    FROM walk GROUP BY seed, node
+"""
+
+
+@query(
+    "d16_khop_reachability",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) lsh
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    {_REACH_WALK.format(nodes="nodes", edges="edges", k=REACH_HOPS)}
+    """,
+)
+def d16_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability over the near-dup similarity graph via Spark
+    4's NATIVE ``WITH RECURSIVE`` — the declarative-recursion surface
+    (Calcite 1.17 had no recursive-query support; RepeatUnion arrived
+    experimentally in 1.20+, so this extends the reference). For every
+    document in the verified pair graph: every document within
+    {REACH_HOPS} hops and its shortest hop distance. Both engines run
+    the IDENTICAL recursion text — anchor (each node at depth 0), one
+    UNION ALL step joining the frontier to the edge table under a depth
+    cap, then MIN(depth) per (seed, node) AFTER the recursion (shortest
+    path as post-aggregation, since aggregates can't live inside the
+    recursive term).
+
+    Scale honesty: UNION ALL recursion re-visits nodes once per path,
+    so an UNBOUNDED closure over a clustered graph is exponential — the
+    depth cap is load-bearing, bounding work to Σ fanout^{REACH_HOPS}
+    over components that are tiny by construction (near-dup clusters).
+    For full components at 100 TB you run the label-propagation loop
+    (d06) — fixed state per node per round; this entry grades the
+    bounded-neighborhood form recursion IS right for (k-hop context
+    expansion around a seed set), executed by Catalyst's iterative
+    union-loop with a shuffle join per level. Edges come from the
+    persisted pair store (``ensure_pair_store``) — built once,
+    traversed many times."""
+    pairs = read_verified_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(pairs.select("doc_b", "doc_a")).distinct()
+    edges.createOrReplaceTempView("__ktsql_d16_edges")
+    edges.select(F.col("a").alias("n")).distinct().createOrReplaceTempView(
+        "__ktsql_d16_nodes"
+    )
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _REACH_WALK.format(
+            nodes="__ktsql_d16_nodes", edges="__ktsql_d16_edges", k=REACH_HOPS
+        )
+    )

@@ -875,3 +875,136 @@ def tr13_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(margin, 6).alias("quality_margin"),
         (margin > 0).alias("keep"),
     )
+
+
+#: tr14's sampling budget as a fraction of the corpus: 2/5, kept as an
+#: exact integer ratio so the allocation is integer arithmetic end to
+#: end (see the docstring's exactness argument).
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 2, 5
+
+
+@query(
+    "tr14_temperature_mixture",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS BIGINT) AS wsum
+        FROM per
+    ),
+    alloc AS (
+        SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w,
+               CAST(({MIX_BUDGET_NUM}*total
+                     - ({MIX_BUDGET_NUM}*total) % {MIX_BUDGET_DEN})
+                    / {MIX_BUDGET_DEN} AS BIGINT) AS budget,
+               wsum
+        FROM per, tot
+    ),
+    base AS (
+        SELECT source, n, budget,
+               CAST((budget*w - (budget*w) % wsum) / wsum AS BIGINT) AS base,
+               (budget*w) % wsum AS rem
+        FROM alloc
+    ),
+    quota AS (
+        SELECT source, n,
+               base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                                 <= budget - SUM(base) OVER ()
+                       THEN 1 ELSE 0 END) AS q
+        FROM base
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.source, CAST(LEAST(q.q, q.n) AS BIGINT) AS quota, r.doc_id
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rn <= LEAST(q.q, q.n)
+    """,
+)
+def tr14_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture SAMPLING — the step after tr07's
+    weight table: actually draw the per-domain sample that realizes a
+    temperature-flattened mixture (UniMax/mT5-style τ≈0.5: domain
+    share ∝ n_d^τ, so small domains are upweighted without repeating
+    them past one epoch). Budget = {MIX_BUDGET_NUM}/{MIX_BUDGET_DEN} of
+    the corpus; per-domain quotas by LARGEST-REMAINDER apportionment
+    (exact: Σ quotas = budget before the epoch cap); within a domain,
+    documents are picked by md5-hash order — a deterministic uniform
+    draw both engines replay bit-for-bit.
+
+    Exactness: τ=0.5 is realized as w_d = floor(sqrt(n_d)) — IEEE sqrt
+    is correctly rounded in BOTH engines and floor(sqrt(int)) can never
+    straddle a rounding boundary (sqrt of a perfect square is exact; of
+    a non-square, never an integer) — so weights, the weight sum, the
+    budget, base quotas (modulo-subtraction division, no engine
+    integer-division semantics involved), remainders, and the
+    largest-remainder top-up are ALL exact integer arithmetic: no
+    cross-engine double drift can flip an allocation, unlike a pow(n,τ)
+    formulation whose libm differs in the last ulp between JVM and C.
+
+    Scale: quota math runs over one row per domain (~tens — the
+    allowlisted tiny-relation window, tr07's shape); the per-document
+    hash rank uses the striped two-pass global rank (tr04's primitive)
+    over (source, hash) — range-partitioned, NO per-source
+    single-partition window, so one dominant domain cannot hot-spot a
+    task; per-source rank = global rank − the domain's broadcast
+    min-rank. Selection is then a broadcast quota join + filter —
+    map-side, shuffle-free past the rank."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy("source").agg(F.count("*").alias("n"))
+    w_all = W.partitionBy()
+    BN, BD = MIX_BUDGET_NUM, MIX_BUDGET_DEN
+    alloc = per.select(
+        "source",
+        "n",
+        F.floor(F.sqrt("n")).cast("bigint").alias("w"),
+        F.sum("n").over(w_all).alias("total"),
+        F.sum(F.floor(F.sqrt("n")).cast("bigint")).over(w_all).alias("wsum"),
+    ).withColumn(
+        "budget",
+        ((BN * F.col("total") - (BN * F.col("total")) % BD) / BD).cast("bigint"),
+    )
+    num = F.col("budget") * F.col("w")
+    base = alloc.select(
+        "source",
+        "n",
+        "budget",
+        ((num - num % F.col("wsum")) / F.col("wsum")).cast("bigint").alias("base"),
+        (num % F.col("wsum")).alias("rem"),
+    )
+    rrank = F.row_number().over(w_all.orderBy(F.desc("rem"), F.asc("source")))
+    leftover = F.col("budget") - F.sum("base").over(w_all)
+    quota = base.select(
+        "source",
+        "n",
+        (
+            F.col("base")
+            + F.when(rrank <= leftover, F.lit(1)).otherwise(F.lit(0))
+        ).alias("q"),
+    ).select(
+        "source", F.least(F.col("q"), F.col("n")).cast("bigint").alias("quota")
+    )
+    ranked = striped_global_rank(
+        d.select("source", "doc_id").withColumn(
+            "__h", F.md5(F.col("doc_id").cast("string"))
+        ),
+        ["source", "__h", "doc_id"],
+    )
+    src_min = ranked.groupBy("source").agg(F.min("rank").alias("__min_rank"))
+    return (
+        ranked.join(F.broadcast(src_min), "source")
+        .withColumn("rn", F.col("rank") - F.col("__min_rank") + 1)
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("source", "quota", "doc_id")
+    )

@@ -603,3 +603,58 @@ def a18_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "a19_native_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS open_cnt,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS filled_cnt,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS partial_cnt,
+           {exact_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS open_rev,
+           {exact_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS filled_rev,
+           {exact_sum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS partial_rev
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a19_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``PIVOT`` syntax (Spark 4 relation-level PIVOT) — the
+    rotate-rows-to-columns surface a09 builds manually from conditional
+    aggregates, here as the declarative form Catalyst compiles to the
+    SAME single hash-aggregate (one shuffle on the group key, pivot
+    columns materialized map-side — no per-status scan). The money
+    cells run the exact micro-unit fixed point (functions/money.py):
+    the pivot aggregates LONG micros, the post-pivot projection does
+    the decimal cents rounding per GROUP — so cells match the oracle's
+    conditional-aggregation form bit-for-bit. The IN-list is explicit
+    ('O','F','P' — the fixture's status domain), which is what makes
+    PIVOT plannable without a pre-scan; the oracle mirrors it with the
+    same three CASE arms. Calcite 1.17 had no PIVOT (added in 1.21+),
+    so this extends the reference surface."""
+    from kt_sql_hbase_ex_spark.functions.money import _emit
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    piv = spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice * 1000000 +
+                        (CASE WHEN o_totalprice >= 0 THEN 0.5D ELSE -0.5D END)
+                        AS BIGINT) AS micros
+            FROM orders
+        ) PIVOT (
+            SUM(micros) AS s, COUNT(micros) AS n
+            FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+        )
+        """
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("o_n").alias("open_cnt"),
+        F.col("f_n").alias("filled_cnt"),
+        F.col("p_n").alias("partial_cnt"),
+        _emit(F.col("o_s"), 2).alias("open_rev"),
+        _emit(F.col("f_s"), 2).alias("filled_rev"),
+        _emit(F.col("p_s"), 2).alias("partial_rev"),
+    )

@@ -407,3 +407,43 @@ def j12_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").alias("total_value"),
         )
     )
+
+
+@query(
+    "j13_lateral_topn_per_group",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def j13_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-group top-N written as the
+    SQL standard's lateral join (Spark 4 syntax; DuckDB runs the SAME
+    text as the oracle): for each nation, its two highest-balance
+    customers, deterministic under ties (c_custkey tiebreak). Calcite
+    1.17 parsed LATERAL but the reference's adapter had no join
+    push-in, so every lateral probe re-scanned HBase client-side
+    (``hbase/HBaseTable.kt:226-233`` materializes the full scanner per
+    enumerate); here Catalyst DECORRELATES the subquery — the plan is
+    one ranked window over ``customer`` partitioned by the correlation
+    key joined back to ``nation``, never a per-row rescan. Scale: the
+    window partitions by c_nationkey (parallel across keys, no global
+    sort), and the LIMIT prunes inside each partition before the join;
+    w01 pins the equivalent explicit-window form — this entry grades
+    the *syntax surface* decorrelating to the same scalable plan."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

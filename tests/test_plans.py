@@ -507,6 +507,10 @@ BOUNDED_WINDOW_OK = {
     "a15_histogram",
     # windows over one row per source (~tens) after the groupBy(source)
     "tr07_domain_mixture",
+    # quota apportionment windows over the same one-row-per-source
+    # post-aggregate (~tens); the per-DOCUMENT rank is striped, not
+    # windowed — only the tiny allocation relation is
+    "tr14_temperature_mixture",
     # global ROW_NUMBER over an input filtered to ≤100 keys beforehand
     "ddl04_surrogate_keys",
 }
