@@ -53,11 +53,14 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "ktsql_kv"
+#: streaming change-feed over the same store (see KVChangesDataSource)
+CHANGES_FORMAT_NAME = "ktsql_kv_changes"
 
 #: per-process store cache: the DataSource is instantiated in a separate
 #: Python planning worker, so — exactly like a real connector — it
@@ -378,15 +381,88 @@ def truncate_overlay(options) -> None:
     (no overlay) leaves the index catalog untouched."""
     import os
 
+    import shutil
+
     p = overlay_path(options)
     if os.path.exists(p):
         os.unlink(p)
         _invalidate_dependent_indexes(options)
+    # HBase TRUNCATE drops the table's WAL with it: a bulk reload resets
+    # the change feed's history too (subscribers re-baseline from the
+    # new base, they do not replay pre-truncate mutations)
+    shutil.rmtree(changelog_dir(options), ignore_errors=True)
 
 
 #: overlay marker column: a row with this flag true is an HBase Delete
 #: tombstone — the reader drops the key instead of upserting it
 TOMBSTONE = "__deleted"
+
+#: change-feed ordering column: every committed mutation batch gets the
+#: next sequence number; one number ≙ one atomic commit (one WAL entry)
+SEQ_COL = "__seq"
+
+
+def changelog_dir(options) -> str:
+    """The store's commit log — the WAL/replication-feed analog: every
+    committed mutation batch (Put set or Delete set) appends ONE
+    numbered parquet here, in commit order. Keyed exactly like the
+    overlay (base fingerprint + appId namespace), so a regenerated base
+    orphans the old feed and concurrent sessions never interleave
+    logs."""
+    return overlay_path(options)[: -len(".parquet")] + ".log"
+
+
+def _append_changelog(options, rows: list, key_cols) -> None:
+    """Append one commit's mutations as the next numbered log file.
+
+    ``rows`` are the batch's PER-KEY FINAL mutations (same-batch
+    overwrites already collapsed — what the overlay merge made visible),
+    each carrying an explicit ``TOMBSTONE`` flag. The file's schema is
+    pinned from the BASE parquet (columns in store order + flag + seq):
+    tombstone rows are all-NULL outside the key, and letting pyarrow
+    infer per-file types would give delete-only commits unreadable
+    null-typed columns. Sequence claim is an O_EXCL hardlink — the same
+    loud-loser discipline as the index claims: two racing commits can
+    never share a number or overwrite each other's entry."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    columns = list(opts["columns"].split(","))
+    base = pq.read_schema(os.path.realpath(opts["path"]))
+    schema = pa.schema(
+        [pa.field(c, base.field(c).type) for c in columns]
+        + [pa.field(TOMBSTONE, pa.bool_()), pa.field(SEQ_COL, pa.int64())]
+    )
+    log_dir = changelog_dir(opts)
+    os.makedirs(log_dir, exist_ok=True)
+    existing = [
+        int(f[: -len(".parquet")])
+        for f in os.listdir(log_dir)
+        if f.endswith(".parquet")
+    ]
+    seq = max(existing, default=0) + 1
+    out = sorted(rows, key=lambda r: _rowkey_of(r, key_cols))
+    tmp = os.path.join(log_dir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    try:
+        while True:
+            tbl = pa.Table.from_pylist(
+                [{**{c: r.get(c) for c in columns},
+                  TOMBSTONE: bool(r.get(TOMBSTONE)), SEQ_COL: seq}
+                 for r in out],
+                schema=schema,
+            )
+            pq.write_table(tbl, tmp)
+            try:
+                os.link(tmp, os.path.join(log_dir, f"{seq:08d}.parquet"))
+                return
+            except FileExistsError:
+                seq += 1  # lost the claim race: take the next number
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def delete_from_store(options, keys) -> None:
@@ -407,6 +483,7 @@ def delete_from_store(options, keys) -> None:
     if os.path.exists(opath):
         for r in pq.read_table(opath).to_pylist():
             merged[_rowkey_of(r, key_cols)] = r
+    batch: dict = {}  # this statement's own tombstones, for the feed
     for k in keys:  # composite stores take key TUPLES, single stores scalars
         row = {c: None for c in columns}
         kt = k if isinstance(k, tuple) else (k,)
@@ -421,12 +498,15 @@ def delete_from_store(options, keys) -> None:
             row[col] = v
         row[TOMBSTONE] = True
         merged[_rowkey_of(row, key_cols)] = row
+        batch[_rowkey_of(row, key_cols)] = row
     rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
     for r in rows:  # normalize: upsert rows carry an explicit false flag
         r.setdefault(TOMBSTONE, False)
     tmp = opath + ".tmp"
     pq.write_table(pa.Table.from_pylist(rows), tmp)
     os.replace(tmp, opath)
+    if batch:  # an empty delete set commits no WAL entry
+        _append_changelog(opts, list(batch.values()), key_cols)
     _invalidate_dependent_indexes(opts)
 
 
@@ -600,6 +680,7 @@ class KVUpsertWriter(DataSourceWriter):
         import pyarrow.parquet as pq
 
         merged: dict = {}
+        batch: dict = {}  # this commit's per-key FINAL puts, for the feed
         opath = overlay_path(self._options)
         if os.path.exists(opath):  # upserts accumulate across statements
             for r in pq.read_table(opath).to_pylist():
@@ -609,6 +690,7 @@ class KVUpsertWriter(DataSourceWriter):
                 for r in m.rows:
                     # a Put over a tombstone revives
                     merged[_rowkey_of(r, self._key_cols)] = r
+                    batch[_rowkey_of(r, self._key_cols)] = r
         rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, self._key_cols))
         for r in rows:
             r.setdefault(TOMBSTONE, False)
@@ -617,6 +699,10 @@ class KVUpsertWriter(DataSourceWriter):
             tmp = opath + ".tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, opath)  # atomic visibility
+            if batch:  # an empty statement commits no WAL entry
+                _append_changelog(
+                    self._options, list(batch.values()), self._key_cols
+                )
             _invalidate_dependent_indexes(self._options)
 
     def abort(self, messages) -> None:
@@ -650,6 +736,86 @@ class KVDataSource(DataSource):
         return KVUpsertWriter(self.options)
 
 
+class KVChangesStreamReader(SimpleDataSourceStreamReader):
+    """Microbatch reader over the store's commit log: offset = the last
+    consumed sequence number; each ``read`` serves EXACTLY ONE commit
+    (the next numbered file), so microbatch boundaries equal commit
+    boundaries — the property a CDC consumer's exactly-once apply logic
+    keys on (one WAL entry ≙ one transactional unit downstream).
+    ``readBetweenOffsets`` replays any committed span verbatim for
+    recovery, straight from the numbered files — the log, not the
+    reader, is the source of truth. The simple-reader API reads on the
+    driver, which fits the feed's shape: commits are statement-sized
+    mutation batches (the overlay discipline), never table scans."""
+
+    def __init__(self, options) -> None:
+        self._options = {k.lower(): v for k, v in dict(options).items()}
+        self._columns = list(self._options["columns"].split(","))
+        self._log_dir = changelog_dir(self._options)
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _emit(self, seqs) -> Iterator[tuple]:
+        # a LIST iterator, not a generator: the simple-reader wrapper
+        # calls next() on caught-up results, copy.copy()s cached
+        # iterators, and PICKLES them to ship driver-prefetched rows —
+        # list iterators support all three, generators none
+        import pyarrow.parquet as pq
+
+        out = []
+        for seq in seqs:
+            path = os.path.join(self._log_dir, f"{seq:08d}.parquet")
+            for r in pq.read_table(path).to_pylist():
+                out.append(
+                    tuple(r[c] for c in self._columns)
+                    + (bool(r[TOMBSTONE]), r[SEQ_COL])
+                )
+        return iter(out)
+
+    def read(self, start: dict):
+        nxt = int(start["seq"]) + 1
+        if not os.path.exists(os.path.join(self._log_dir, f"{nxt:08d}.parquet")):
+            return iter(()), start  # caught up: no progress, same offset
+        return self._emit([nxt]), {"seq": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._emit(range(int(start["seq"]) + 1, int(end["seq"]) + 1))
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the store's policy; the feed never self-GCs
+
+
+class KVChangesDataSource(DataSource):
+    """``spark.readStream.format("ktsql_kv_changes")`` with the SAME
+    options bundle as the batch connector: the store's change feed as a
+    Structured Streaming source — the HBase WAL/replication-stream
+    analog (a reference deployment tails the WAL for CDC; here every
+    committed Put/Delete batch is one numbered log entry). Schema =
+    the store's columns + ``__deleted`` (Delete marker; non-key columns
+    NULL) + ``__seq`` (commit order). Delivery is in commit order,
+    one commit per microbatch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return CHANGES_FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import BooleanType, LongType, StructField
+
+        base = _open_store(self.options).schema
+        return StructType(
+            list(base.fields)
+            + [
+                StructField(TOMBSTONE, BooleanType(), False),
+                StructField(SEQ_COL, LongType(), False),
+            ]
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> KVChangesStreamReader:
+        return KVChangesStreamReader(self.options)
+
+
 def register_kv_source(spark) -> None:
     """Idempotently register the format with the session, and enable
     Python-data-source filter pushdown — the connector implements
@@ -669,25 +835,30 @@ def register_kv_source(spark) -> None:
     leaves the registry empty) but to retry with THIS session made
     thread-active, so the existence check consults the session actually
     being registered into."""
-    if not getattr(spark, "_ktsql_kv_registered", False):
-        if not spark._jsparkSession.sessionState().dataSourceManager().dataSourceExists(
-            FORMAT_NAME
+    def register_one(cls) -> None:
+        if spark._jsparkSession.sessionState().dataSourceManager().dataSourceExists(
+            cls.name()
         ):
+            return
+        try:
+            spark.dataSource.register(cls)
+        except Exception as ex:  # AnalysisException (no error-class API here)
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+                raise
+            jss = spark._sc._jvm.org.apache.spark.sql.classic.SparkSession
+            prev = jss.getActiveSession()
+            jss.setActiveSession(spark._jsparkSession)
             try:
-                spark.dataSource.register(KVDataSource)
-            except Exception as ex:  # AnalysisException (no error-class API here)
-                if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
-                    raise
-                jss = spark._sc._jvm.org.apache.spark.sql.classic.SparkSession
-                prev = jss.getActiveSession()
-                jss.setActiveSession(spark._jsparkSession)
-                try:
-                    spark.dataSource.register(KVDataSource)
-                finally:
-                    if prev.isDefined():
-                        jss.setActiveSession(prev.get())
-                    else:
-                        jss.clearActiveSession()
+                spark.dataSource.register(cls)
+            finally:
+                if prev.isDefined():
+                    jss.setActiveSession(prev.get())
+                else:
+                    jss.clearActiveSession()
+
+    if not getattr(spark, "_ktsql_kv_registered", False):
+        register_one(KVDataSource)
+        register_one(KVChangesDataSource)
         spark._ktsql_kv_registered = True
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 

@@ -1364,3 +1364,185 @@ def st15_streaming_vector_admission(spark: SparkSession, sf_dir: str) -> DataFra
     q.awaitTermination()
     q.stop()
     return spark.read.parquet(results).localCheckpoint(eager=True)
+
+
+def _st16_oracle() -> str:
+    """Declarative replay of st16's four deterministic mutation batches
+    straight from the customer fixture: the feed is complete and in
+    commit order iff per-seq counts and exact put-value sums match."""
+    return f"""
+    SELECT CAST(1 AS BIGINT) AS seq, CAST(COUNT(*) AS BIGINT) AS n_puts,
+           CAST(0 AS BIGINT) AS n_deletes,
+           {exact_sum_sql("c_acctbal")} AS total_value
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           {exact_sum_sql("c_acctbal + 1000")}
+    FROM customer WHERE c_custkey % 3 = 1
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           {exact_sum_sql("c_acctbal - 500")}
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey % 7 = 0
+    """
+
+
+@query(
+    "st16_kv_change_feed",
+    oracle=_st16_oracle(),
+)
+def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KV store's CHANGE FEED as a streaming source — the HBase
+    WAL/replication-stream analog (a reference deployment tails the WAL
+    for CDC; the reference itself shipped every mutation through
+    ``HBaseModifiableTable``'s Put/Delete, ``hbase/
+    HBaseModifiableTable.kt:135-246`` — this is those mutations as a
+    subscribable stream): every committed Put/Delete batch lands as one
+    numbered commit-log entry (``sources/kvstore.py`` — O_EXCL-claimed
+    sequence, schema pinned from the base), and
+    ``readStream.format("ktsql_kv_changes")`` serves them in commit
+    order, EXACTLY ONE COMMIT PER MICROBATCH (the self-paced simple
+    stream reader), so a consumer's per-batch apply is transactional
+    per store commit.
+
+    The drain is genuinely online: four deterministic mutation batches
+    (three Put sets, one Delete set — all residue slices of customer)
+    COMMIT WHILE THE STREAM RUNS, each acknowledged by its per-seq
+    summary row before the next commits. Summary = (seq, n_puts,
+    n_deletes, exact put-value sum); the oracle replays the batch
+    definitions declaratively, so a hash match proves completeness,
+    commit-order delivery, and batch-boundary integrity end to end.
+
+    Scale: bytes per microbatch ∝ ONE commit's mutation set (the
+    overlay discipline keeps commits statement-sized — the simple
+    reader's driver prefetch is sized to that, the same contract as the
+    incremental KV refresh); the feed never rescans the store, and
+    offsets are plain sequence numbers, replayable after restart from
+    any committed span (``readBetweenOffsets``)."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        SEQ_COL,
+        TOMBSTONE,
+        delete_from_store,
+        register_kv_source,
+        truncate_overlay,
+    )
+
+    # register on the PARENT as well as the drain clone: the batch
+    # writes below run on the MAIN thread while the stream occupies the
+    # gateway, and lookupDataSource resolves Python sources through the
+    # serving JVM thread's active-else-default session — which can be
+    # either session depending on thread history. Registering both makes
+    # every resolution path find the source (st10 never hit this: its
+    # store writes run INSIDE foreachBatch, where the stream's own
+    # session is always the active one).
+    register_kv_source(spark)
+    spark = stream_session(spark)
+    register_kv_source(spark)
+
+    # --- provision: stable empty base (st10's pattern), fresh feed ----
+    uid = getattr(os, "getuid", lambda: 0)()
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_kv_cdc_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base_dir, exist_ok=True)
+    base_path = os.path.join(base_dir, "accounts_base.parquet")
+    if not os.path.exists(base_path):
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_acctbal": pa.array([], pa.float64()),
+            }
+        )
+        staging = f"{base_path}.tmp.{os.getpid()}"
+        pq.write_table(empty, staging)
+        os.replace(staging, base_path)
+    opts = {
+        "path": base_path,
+        "keyCol": "c_custkey",
+        "columns": "c_custkey,c_acctbal",
+        "regionSize": "1024",
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # resets overlay AND the commit log
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    put_batches = [
+        cust.filter(k % 3 == 0).select("c_custkey", "c_acctbal"),
+        cust.filter(k % 3 == 1).select(
+            "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+        ),
+        cust.filter(k % 5 == 0).select(
+            "c_custkey", (F.col("c_acctbal") - 500).alias("c_acctbal")
+        ),
+    ]
+    delete_keys = sorted(
+        r["c_custkey"] for r in cust.filter(k % 7 == 0).select("c_custkey").collect()
+    )
+
+    # --- the drain: consume summaries while commits happen live ------
+    summaries: list = []  # foreachBatch runs driver-side: plain closure
+
+    def summarize(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(F.col(SEQ_COL).alias("seq"))
+            .agg(
+                F.count(F.when(~F.col(TOMBSTONE), 1)).alias("n_puts"),
+                F.count(F.when(F.col(TOMBSTONE), 1)).alias("n_deletes"),
+                _emit(
+                    F.sum(F.when(~F.col(TOMBSTONE), _micros(F.col("c_acctbal")))),
+                    2,
+                ).alias("total_value"),
+            )
+            .collect()
+        )
+        summaries.extend(rows)
+
+    ckpt = os.path.join(base_dir, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    feed = spark.readStream.format(CHANGES_FORMAT_NAME).options(**opts).load()
+    q = (
+        feed.writeStream.foreachBatch(summarize)
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def await_summaries(n: int, deadline_s: float = 120.0) -> None:
+        t0 = time.monotonic()
+        while len(summaries) < n:
+            if q.exception() is not None:
+                raise q.exception()
+            if time.monotonic() - t0 > deadline_s:
+                raise TimeoutError(
+                    f"change feed delivered {len(summaries)}/{n} summaries"
+                )
+            time.sleep(0.05)
+
+    try:
+        for i, b in enumerate(put_batches):
+            b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+            await_summaries(i + 1)  # ack before the next commit: live CDC
+        delete_from_store(lopts, delete_keys)
+        await_summaries(len(put_batches) + 1)
+    finally:
+        q.stop()
+
+    return spark.createDataFrame(
+        summaries,
+        "seq bigint, n_puts bigint, n_deletes bigint, total_value double",
+    )

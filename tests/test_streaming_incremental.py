@@ -545,3 +545,174 @@ def test_stateful_aggregation_state_survives_restart(spark, sf_small):
     }
     assert totals == expected
     shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# the KV change feed (st16's source): WAL-replay equivalence, microbatch
+# boundaries, checkpoint restart, truncate semantics
+# ---------------------------------------------------------------------------
+
+
+def _cdc_store(spark, tmp_path):
+    """Fresh empty two-column store + lowercased options bundle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        register_kv_source,
+        truncate_overlay,
+    )
+
+    register_kv_source(spark)
+    base = os.path.join(str(tmp_path), "base.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}),
+        base,
+    )
+    opts = {
+        "path": base,
+        "keyCol": "k",
+        "columns": "k,v",
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    lopts = {kk.lower(): vv for kk, vv in opts.items()}
+    truncate_overlay(lopts)
+    return opts, lopts
+
+
+def _commit_batches(spark, opts, lopts):
+    """Three puts commits + one delete commit; returns the expected
+    final state dict."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        delete_from_store,
+    )
+
+    puts = [
+        [(1, 10.0), (2, 20.0), (3, 30.0)],
+        [(2, 25.0), (4, 40.0)],
+        [(5, 50.0)],
+    ]
+    for rows in puts:
+        spark.createDataFrame(rows, "k bigint, v double").write.format(
+            FORMAT_NAME
+        ).options(**opts).mode("append").save()
+    delete_from_store(lopts, [1, 4, 99])  # 99: delete of an absent key logs too
+    return {2: 25.0, 3: 30.0, 5: 50.0}
+
+
+def test_change_feed_replay_reconstructs_store(spark, tmp_path):
+    """Applying the feed's mutations in sequence order (readBetweenOffsets
+    over the full committed span — the recovery path) reconstructs
+    exactly the state the connector serves: the log IS a WAL."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        KVChangesStreamReader,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    expected = _commit_batches(spark, opts, lopts)
+
+    reader = KVChangesStreamReader(lopts)
+    state: dict = {}
+    last_seq = 0
+    for k, v, deleted, seq in reader.readBetweenOffsets({"seq": 0}, {"seq": 4}):
+        assert seq >= last_seq, "replay must be in commit order"
+        last_seq = seq
+        if deleted:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert state == expected
+    served = {
+        r["k"]: r["v"]
+        for r in spark.read.format(FORMAT_NAME).options(**opts).load().collect()
+    }
+    assert served == expected
+    # caught-up read(): no progress, empty payload
+    rows, off = reader.read({"seq": 4})
+    assert off == {"seq": 4} and list(rows) == []
+
+
+def test_change_feed_microbatch_boundaries_and_restart(spark, tmp_path):
+    """Drained as a stream: one commit per microbatch, in order; a
+    restart from the checkpoint delivers ONLY commits made after the
+    first drain stopped (offset durability)."""
+    import time
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    _commit_batches(spark, opts, lopts)
+
+    seen: list = []
+
+    def drain(expect: int) -> None:
+        batches: list = []
+
+        def sink(df, _bid):
+            rows = df.collect()
+            if rows:
+                batches.append(rows)
+
+        q = (
+            spark.readStream.format(CHANGES_FORMAT_NAME)
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+            .start()
+        )
+        try:
+            t0 = time.monotonic()
+            while sum(len(b) and 1 for b in batches) < expect:
+                if q.exception() is not None:
+                    raise q.exception()
+                assert time.monotonic() - t0 < 120, batches
+                time.sleep(0.05)
+        finally:
+            q.stop()
+        seen.extend(batches)
+
+    drain(4)
+    assert len(seen) == 4
+    for i, b in enumerate(seen):
+        assert {r["__seq"] for r in b} == {i + 1}, "one commit per microbatch"
+    assert all(not r["__deleted"] for b in seen[:3] for r in b)
+    assert all(r["__deleted"] for r in seen[3])
+
+    # new commit after the drain: restart serves exactly it
+    spark.createDataFrame([(6, 60.0)], "k bigint, v double").write.format(
+        FORMAT_NAME
+    ).options(**opts).mode("append").save()
+    seen.clear()
+    drain(1)
+    assert len(seen) == 1 and {r["__seq"] for r in seen[0]} == {5}
+    assert [(r["k"], r["v"]) for r in seen[0]] == [(6, 60.0)]
+
+
+def test_truncate_overlay_drops_change_log(spark, tmp_path):
+    """TRUNCATE resets the feed's history with the overlay (the
+    HBase truncate-drops-WAL analog): after truncate the log dir is
+    gone and the next commit starts the sequence over at 1."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        changelog_dir,
+        truncate_overlay,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    _commit_batches(spark, opts, lopts)
+    assert sorted(os.listdir(changelog_dir(lopts))) == [
+        f"{i:08d}.parquet" for i in range(1, 5)
+    ]
+    truncate_overlay(lopts)
+    assert not os.path.exists(changelog_dir(lopts))
+    spark.createDataFrame([(7, 70.0)], "k bigint, v double").write.format(
+        FORMAT_NAME
+    ).options(**opts).mode("append").save()
+    assert sorted(os.listdir(changelog_dir(lopts))) == ["00000001.parquet"]
