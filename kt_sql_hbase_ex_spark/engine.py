@@ -209,7 +209,7 @@ class KtSqlEngine:
         return cls(spark, props["datadir"])
 
     # -- query ---------------------------------------------------------
-    def sql(self, statement: str) -> DataFrame:
+    def sql(self, statement: str, args=None) -> DataFrame:
         """Full Spark SQL dialect over the registered catalog — PLUS
         row-level DML statements. Calcite routed ``UPDATE`` /
         ``DELETE`` into table modification
@@ -237,7 +237,25 @@ class KtSqlEngine:
         ``where`` inside are lexed correctly. The reference's
         translator crashed on far less (SURVEY §2.2); use the
         ``operators/dml.py`` transforms for join-shaped mutations
-        (multi-table MERGE)."""
+        (multi-table MERGE).
+
+        ``args`` binds parameters (named ``:name`` dict or positional
+        ``?`` list) — the PreparedStatement surface the reference's
+        Calcite-JDBC consumers used; bindings become typed literals in
+        the analyzed plan (no string splicing). Supported on the
+        pass-through path only: the facade-executed UPDATE / DELETE /
+        MERGE forms reject bindings loudly rather than mis-parse a
+        marker as SQL text."""
+        if args:
+            for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD):
+                if head.match(statement):
+                    raise ValueError(
+                        "parameter binding is not supported for facade-"
+                        "executed UPDATE/DELETE/MERGE statements — inline "
+                        "the values (the lexer handles quoting) or use "
+                        "the operators/dml.py transforms"
+                    )
+            return self.spark.sql(statement, args=args)
         m = _UPDATE_HEAD.match(statement)
         if m:
             set_clause, where = _split_where(statement[m.end():])

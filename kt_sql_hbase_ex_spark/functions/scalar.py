@@ -501,3 +501,52 @@ def f17_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t_ms").cast("int").alias("earliest_ms"),
         )
     )
+
+
+#: f18's bound parameter values — shared by the Spark call (as real
+#: bindings) and the oracle (as inlined literals), so the parity check
+#: proves binding ≡ inlining
+F18_SEGMENT = "BUILDING"
+F18_MIN_BAL = 1000.0
+F18_TOP_NATIONS = 5
+
+
+@query(
+    "f18_parameterized_sql",
+    oracle=f"""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_mktsegment = '{F18_SEGMENT}' AND c_acctbal > {F18_MIN_BAL}
+    GROUP BY c_nationkey
+    ORDER BY total_bal DESC, c_nationkey
+    LIMIT {F18_TOP_NATIONS}
+    """,
+)
+def f18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the PreparedStatement surface. The reference
+    was consumed through Calcite-JDBC (``HBaseSchemaFactory`` wired
+    into a JDBC connection, SURVEY §0), where applications bind
+    parameters instead of splicing literals; Spark's analog is
+    ``spark.sql(text, args=...)`` — NAMED (``:seg``) markers here, with
+    positional ``?`` equally supported — which binds values as typed
+    literal expressions in the ANALYZED plan: no string interpolation,
+    no injection surface, and Catalyst constant-folds the bound values
+    so pushdown/pruning see them exactly like inline literals (same
+    plan, same PushedFilters). The oracle runs the literal-inlined
+    text, so the hash match proves binding ≡ inlining. The engine
+    facade forwards bindings the same way (``KtSqlEngine.sql(stmt,
+    args=...)``)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_mktsegment = :seg AND c_acctbal > :minbal
+        GROUP BY c_nationkey
+        ORDER BY total_bal DESC, c_nationkey
+        LIMIT :topn
+        """,
+        args={"seg": F18_SEGMENT, "minbal": F18_MIN_BAL, "topn": F18_TOP_NATIONS},
+    )

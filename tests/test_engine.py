@@ -757,3 +757,34 @@ def test_facade_merge_lexer_handles_keywords_in_literals(eng):
     finally:
         eng.spark.sql("DROP TABLE IF EXISTS ktsql_eng_mlex")
         eng.spark.catalog.dropTempView("ktsql_eng_mlex_src")
+
+
+def test_facade_parameterized_sql(eng):
+    """The PreparedStatement surface: named and positional bindings
+    through the facade equal the literal-inlined statement; binding on
+    the facade-executed DML forms is rejected loudly."""
+    lit = eng.sql(
+        "SELECT count(*) AS n FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0"
+    ).collect()
+    named = eng.sql(
+        "SELECT count(*) AS n FROM customer "
+        "WHERE c_mktsegment = :seg AND c_acctbal > :minbal",
+        args={"seg": "BUILDING", "minbal": 1000.0},
+    ).collect()
+    pos = eng.sql(
+        "SELECT count(*) AS n FROM customer "
+        "WHERE c_mktsegment = ? AND c_acctbal > ?",
+        args=["BUILDING", 1000.0],
+    ).collect()
+    assert named == lit == pos and lit[0]["n"] > 0
+    # a bound value is a typed literal, not spliced text: quoting is inert
+    inj = eng.sql(
+        "SELECT count(*) AS n FROM customer WHERE c_mktsegment = :seg",
+        args={"seg": "BUILDING' OR '1'='1"},
+    ).collect()
+    assert inj[0]["n"] == 0
+    with pytest.raises(ValueError, match="parameter binding"):
+        eng.sql("UPDATE t SET v = :v WHERE k = 1", args={"v": 1})
+    with pytest.raises(ValueError, match="parameter binding"):
+        eng.sql("DELETE FROM t WHERE k = :k", args={"k": 1})

@@ -716,3 +716,39 @@ def test_truncate_overlay_drops_change_log(spark, tmp_path):
         FORMAT_NAME
     ).options(**opts).mode("append").save()
     assert sorted(os.listdir(changelog_dir(lopts))) == ["00000001.parquet"]
+
+
+def test_changelog_concurrent_commits_get_distinct_seqs(spark, tmp_path):
+    """Two racing commits to the same store must claim DISTINCT
+    sequence numbers (the O_EXCL hardlink claim) — neither entry lost,
+    both replayable."""
+    import threading
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVChangesStreamReader,
+        _append_changelog,
+        changelog_dir,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    errs: list = []
+
+    def commit(k: int) -> None:
+        try:
+            _append_changelog(
+                lopts, [{"k": k, "v": float(k), "__deleted": False}], ("k",)
+            )
+        except Exception as ex:  # pragma: no cover - surfaced by assert
+            errs.append(ex)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(1, 9)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    files = sorted(os.listdir(changelog_dir(lopts)))
+    assert files == [f"{i:08d}.parquet" for i in range(1, 9)]
+    reader = KVChangesStreamReader(lopts)
+    rows = list(reader.readBetweenOffsets({"seq": 0}, {"seq": 8}))
+    assert sorted(r[0] for r in rows) == list(range(1, 9))  # none lost
