@@ -773,17 +773,99 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
                 )
         return iter(out)
 
+    def _available(self) -> List[int]:
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(f[: -len(".parquet")]) for f in names if f.endswith(".parquet")
+        )
+
+    def _check_not_pruned(self, nxt: int) -> None:
+        # a missing number with LATER numbers present can only mean
+        # retention pruned it (the O_EXCL claim is the finished file —
+        # numbers never exist half-written, and claim collisions bump
+        # forward leaving no gaps); the durable floor marker catches the
+        # everything-pruned case where no later file remains to prove
+        # the gap: a consumer that missed its window must fail loudly,
+        # never silently skip history
+        later = [s for s in self._available() if s > nxt]
+        floor = changelog_floor(self._options)
+        if later or nxt <= floor:
+            earliest = later[0] if later else floor + 1
+            raise ValueError(
+                f"change-feed commit {nxt} has been pruned by retention; "
+                f"earliest still available is {earliest} — re-baseline the "
+                "consumer from the store instead of replaying"
+            )
+
     def read(self, start: dict):
         nxt = int(start["seq"]) + 1
         if not os.path.exists(os.path.join(self._log_dir, f"{nxt:08d}.parquet")):
+            self._check_not_pruned(nxt)
             return iter(()), start  # caught up: no progress, same offset
         return self._emit([nxt]), {"seq": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for seq in range(int(start["seq"]) + 1, int(end["seq"]) + 1):
+            if not os.path.exists(os.path.join(self._log_dir, f"{seq:08d}.parquet")):
+                self._check_not_pruned(seq)
         return self._emit(range(int(start["seq"]) + 1, int(end["seq"]) + 1))
 
     def commit(self, end: dict) -> None:
         pass  # retention is the store's policy; the feed never self-GCs
+
+
+def changelog_floor(options) -> int:
+    """Highest sequence number retention has pruned (0 = nothing): the
+    offset a re-baselining consumer resumes from after reading the
+    store's current state."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    try:
+        with open(os.path.join(changelog_dir(opts), "_floor")) as f:
+            return int(f.read().strip() or "0")
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def prune_changelog(options, upto_seq: int) -> int:
+    """WAL retention: remove commit-log entries with seq <= ``upto_seq``
+    (they are folded into the overlay/base state anyway — the log is
+    for SUBSCRIBERS, not recovery of the store itself). Returns the
+    number of entries removed. Consumers must have consumed past the
+    pruned span: a reader whose offset falls inside it fails loudly
+    (``_check_not_pruned``) and must re-baseline from the store — the
+    Kafka earliest-offset / HBase WAL-retention contract. Pruning is
+    per-file unlink of immutable already-published entries, so it is
+    safe against concurrent readers (an in-flight _emit of a pruned
+    seq raises; nothing is ever half-visible)."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    log_dir = changelog_dir(opts)
+    removed = 0
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return 0
+    pruned = [
+        int(f[: -len(".parquet")])
+        for f in names
+        if f.endswith(".parquet") and int(f[: -len(".parquet")]) <= upto_seq
+    ]
+    if pruned:
+        # publish the floor FIRST (atomic replace): if we crash between
+        # floor and unlinks, readers over-refuse (floor says pruned but
+        # the file still exists) — safe; the reverse order could let a
+        # stale consumer silently skip the everything-pruned window
+        floor = max(max(pruned), changelog_floor(opts))
+        tmp = os.path.join(log_dir, f"._floor.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(str(floor))
+        os.replace(tmp, os.path.join(log_dir, "_floor"))
+    for s in pruned:
+        os.unlink(os.path.join(log_dir, f"{s:08d}.parquet"))
+        removed += 1
+    return removed
 
 
 class KVChangesDataSource(DataSource):

@@ -752,3 +752,47 @@ def test_changelog_concurrent_commits_get_distinct_seqs(spark, tmp_path):
     reader = KVChangesStreamReader(lopts)
     rows = list(reader.readBetweenOffsets({"seq": 0}, {"seq": 8}))
     assert sorted(r[0] for r in rows) == list(range(1, 9))  # none lost
+
+
+def test_changelog_retention_prunes_and_fails_loudly(spark, tmp_path):
+    """WAL retention: pruned entries disappear, a consumer inside the
+    pruned span fails loudly (never silently skips history), a consumer
+    past it is unaffected, and the pruned-floor read error names the
+    earliest available commit."""
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVChangesStreamReader,
+        changelog_dir,
+        prune_changelog,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    _commit_batches(spark, opts, lopts)  # seqs 1..4
+    assert prune_changelog(lopts, 2) == 2
+    assert sorted(
+        f for f in os.listdir(changelog_dir(lopts)) if f.endswith(".parquet")
+    ) == ["00000003.parquet", "00000004.parquet"]
+    reader = KVChangesStreamReader(lopts)
+    with _pytest.raises(ValueError, match="pruned.*earliest still available is 3"):
+        reader.read({"seq": 0})
+    with _pytest.raises(ValueError, match="pruned"):
+        reader.readBetweenOffsets({"seq": 0}, {"seq": 4})
+    # a consumer past the pruned span replays and advances normally
+    assert [r[3] for r in reader.readBetweenOffsets({"seq": 2}, {"seq": 4})]
+    rows, off = reader.read({"seq": 2})
+    assert off == {"seq": 3} and list(rows)
+    # caught-up at the head stays a clean no-progress read
+    rows, off = reader.read({"seq": 4})
+    assert off == {"seq": 4} and list(rows) == []
+    # pruning EVERYTHING: the durable floor still catches a stale
+    # consumer (no later file left to prove the gap), while a consumer
+    # at the floor reads on cleanly
+    from kt_sql_hbase_ex_spark.sources.kvstore import changelog_floor
+
+    assert prune_changelog(lopts, 10) == 2
+    assert changelog_floor(lopts) == 4
+    with _pytest.raises(ValueError, match="earliest still available is 5"):
+        reader.read({"seq": 2})
+    rows, off = reader.read({"seq": 4})
+    assert off == {"seq": 4} and list(rows) == []
