@@ -115,25 +115,42 @@ def _split_where(s: str) -> tuple[str, str | None]:
 
 
 def _kw_positions(s: str, keywords: tuple[str, ...]) -> list[tuple[str, int]]:
-    """Top-level (outside quotes/parens), word-bounded positions of each
-    keyword, in text order — the scanner behind the MERGE parser."""
+    """Top-level (outside quotes/parens AND outside CASE…END), word-
+    bounded positions of each keyword, in text order — the scanner
+    behind the MERGE parser. CASE expressions have their own WHEN/THEN
+    arms, so an unparenthesized ``SET v = CASE WHEN … THEN … END`` must
+    not be mistaken for a MERGE clause boundary; the scanner tracks
+    CASE nesting like paren depth (an identifier literally named
+    ``end`` outside any CASE clamps at zero rather than corrupting the
+    depth)."""
     lower = s.lower()
+
+    def word_at(kw: str, i: int) -> bool:
+        if not lower.startswith(kw, i):
+            return False
+        before_ok = i == 0 or not (lower[i - 1].isalnum() or lower[i - 1] == "_")
+        j = i + len(kw)
+        return before_ok and (
+            j >= len(s) or not (lower[j].isalnum() or lower[j] == "_")
+        )
+
     out = []
+    case_depth = 0
     for i, _ch, depth, in_q in _scan_sql(s):
         if depth != 0 or in_q:
             continue
+        if word_at("case", i):
+            case_depth += 1
+            continue
+        if word_at("end", i):
+            case_depth = max(0, case_depth - 1)
+            continue
+        if case_depth:
+            continue
         for kw in keywords:
-            if lower.startswith(kw, i):
-                before_ok = i == 0 or not (
-                    lower[i - 1].isalnum() or lower[i - 1] == "_"
-                )
-                j = i + len(kw)
-                after_ok = j >= len(s) or not (
-                    lower[j].isalnum() or lower[j] == "_"
-                )
-                if before_ok and after_ok:
-                    out.append((kw, i))
-                    break
+            if word_at(kw, i):
+                out.append((kw, i))
+                break
     return out
 
 
@@ -407,12 +424,14 @@ class KtSqlEngine:
         exactly the partitions present in ``df`` (dynamic partition
         overwrite — the opt08 idiom; untouched partitions keep their
         files byte-for-byte)."""
-        if not pruned:
-            df.write.insertInto(name, overwrite=True)
-            return
         conf = "spark.sql.sources.partitionOverwriteMode"
         old = self.spark.conf.get(conf, "STATIC")
-        self.spark.conf.set(conf, "dynamic")
+        # BOTH branches pin the mode: the full path must truncate the
+        # whole table (a session configured dynamic would otherwise keep
+        # partitions absent from df — resurrecting rows a DELETE
+        # reported deleted), the pruned path must replace exactly df's
+        # partitions
+        self.spark.conf.set(conf, "dynamic" if pruned else "static")
         try:
             df.write.insertInto(name, overwrite=True)
         finally:
@@ -733,6 +752,14 @@ class KtSqlEngine:
             if p["src_is_query"]
             else self.spark.table(p["source"])
         )
+        # ONE materialization of the source: the statement evaluates the
+        # source plan in up to four places (scope discovery, the pairs
+        # join, the cardinality check, the insert NOT-EXISTS) — without
+        # pinning, a non-deterministic source subquery (rand() filter, a
+        # LIMIT without ORDER) could show each evaluation DIFFERENT rows,
+        # letting one key be both updated and inserted. The target
+        # snapshot gets the same treatment below.
+        src_df = src_df.localCheckpoint(eager=True)
         src_df.createOrReplaceTempView(sview)
         snap = None
         try:
@@ -860,12 +887,15 @@ class KtSqlEngine:
             if nm is not None:
                 extra = f" AND ({nm['extra']})" if nm["extra"] else ""
                 proj = ", ".join(f"{ins_expr[c]} AS {_bq(c)}" for c in cols)
-                # scope includes every matched partition, so the pruned
-                # tview contains every matched target row: NOT EXISTS
-                # here is equivalent to NOT EXISTS over the full table
+                # NOT EXISTS probes the FULL catalog table, not the
+                # pruned snapshot — this is what lets an insert-only
+                # MERGE scope skip matched partitions entirely (they are
+                # read here, never rewritten); the eager checkpoint
+                # materializes the probe before any write touches the
+                # table, so the read-then-overwrite is race-free
                 ins = self.spark.sql(
                     f"SELECT {proj} FROM {sview} AS {sa} WHERE NOT EXISTS "
-                    f"(SELECT 1 FROM {tview} AS {ta} WHERE ({on})){extra}"
+                    f"(SELECT 1 FROM {target} AS {ta} WHERE ({on})){extra}"
                 ).localCheckpoint(eager=True)
                 n_ins = ins.count()
                 out = out.unionByName(ins, allowMissingColumns=False)
@@ -934,20 +964,34 @@ class KtSqlEngine:
         except Exception:
             return None
         sel = ", ".join(f"{ta}.{_bq(c)} AS {_bq(c)}" for c in pcols)
-        scoped = self.spark.sql(
-            f"SELECT DISTINCT {sel} FROM {target} AS {ta} "
-            f"JOIN {sview} AS {sa} ON ({on})"
-        )
+        parts = []
+        if matched:
+            # partitions holding matched target rows — needed only when
+            # a WHEN MATCHED branch can mutate them. An insert-only
+            # MERGE leaves matched rows untouched, so those partitions
+            # stay out of scope entirely (never read, never rewritten —
+            # the NOT-EXISTS insert probe reads the full table by name,
+            # independent of scope): the common append-upsert stays
+            # O(inserted), not O(matched partitions).
+            parts.append(
+                self.spark.sql(
+                    f"SELECT DISTINCT {sel} FROM {target} AS {ta} "
+                    f"JOIN {sview} AS {sa} ON ({on})"
+                )
+            )
         if nm is not None:
             extra = f" AND ({nm['extra']})" if nm["extra"] else ""
             ins_sel = ", ".join(f"{ins_expr[c]} AS {_bq(c)}" for c in pcols)
-            scoped = scoped.unionByName(
+            parts.append(
                 self.spark.sql(
                     f"SELECT DISTINCT {ins_sel} FROM {sview} AS {sa} "
                     f"WHERE NOT EXISTS (SELECT 1 FROM {target} AS {ta} "
                     f"WHERE ({on})){extra}"
                 )
-            ).distinct()
+            )
+        scoped = parts[0]
+        for p in parts[1:]:
+            scoped = scoped.unionByName(p).distinct()
         rows = scoped.limit(self._MAX_PRUNED_PARTITIONS + 1).collect()
         return None if len(rows) > self._MAX_PRUNED_PARTITIONS else rows
 

@@ -511,11 +511,14 @@ F18_MIN_BAL = 1000.0
 F18_TOP_NATIONS = 5
 
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
+
+
 @query(
     "f18_parameterized_sql",
     oracle=f"""
     SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
-           ROUND(SUM(c_acctbal), 2) AS total_bal
+           {exact_sum_sql("c_acctbal")} AS total_bal
     FROM customer
     WHERE c_mktsegment = '{F18_SEGMENT}' AND c_acctbal > {F18_MIN_BAL}
     GROUP BY c_nationkey
@@ -537,16 +540,31 @@ def f18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, so the hash match proves binding ≡ inlining. The engine
     facade forwards bindings the same way (``KtSqlEngine.sql(stmt,
     args=...)``)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # the exact micro-unit money recipe (functions/money.py) rides along:
+    # an order-dependent double SUM could flip a cent across engines AND,
+    # under the total_bal ORDER BY ... LIMIT, swap which nations appear
+    df = load_table(spark, sf_dir, "customer")
+    df.createOrReplaceTempView("customer")
+    agg = (
+        spark.sql(
+            """
+            SELECT c_nationkey, c_acctbal FROM customer
+            WHERE c_mktsegment = :seg AND c_acctbal > :minbal
+            """,
+            args={"seg": F18_SEGMENT, "minbal": F18_MIN_BAL},
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            exact_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+    agg.createOrReplaceTempView("__ktsql_f18_agg")
     return spark.sql(
         """
-        SELECT c_nationkey, COUNT(*) AS n_cust,
-               ROUND(SUM(c_acctbal), 2) AS total_bal
-        FROM customer
-        WHERE c_mktsegment = :seg AND c_acctbal > :minbal
-        GROUP BY c_nationkey
+        SELECT c_nationkey, n_cust, total_bal FROM __ktsql_f18_agg
         ORDER BY total_bal DESC, c_nationkey
         LIMIT :topn
         """,
-        args={"seg": F18_SEGMENT, "minbal": F18_MIN_BAL, "topn": F18_TOP_NATIONS},
+        args={"topn": F18_TOP_NATIONS},
     )

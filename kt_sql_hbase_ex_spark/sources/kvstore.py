@@ -381,16 +381,31 @@ def truncate_overlay(options) -> None:
     (no overlay) leaves the index catalog untouched."""
     import os
 
-    import shutil
-
     p = overlay_path(options)
     if os.path.exists(p):
         os.unlink(p)
         _invalidate_dependent_indexes(options)
     # HBase TRUNCATE drops the table's WAL with it: a bulk reload resets
-    # the change feed's history too (subscribers re-baseline from the
-    # new base, they do not replay pre-truncate mutations)
-    shutil.rmtree(changelog_dir(options), ignore_errors=True)
+    # the change feed's history (subscribers re-baseline from the new
+    # base, they do not replay pre-truncate mutations). Retention
+    # semantics, not rmtree: the floor marker survives at the last
+    # pre-truncate number, so post-truncate commits RESUME the sequence
+    # (no number reuse) and a consumer parked inside the dropped span
+    # fails loudly instead of stalling. A consumer that was fully
+    # caught up cannot detect the truncate from the feed alone — like
+    # an HBase truncate under live replication, coordinate it (stop
+    # subscribers, truncate, re-baseline, resubscribe).
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    log_dir = changelog_dir(opts)
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return
+    seqs = [
+        int(f[: -len(".parquet")]) for f in names if f.endswith(".parquet")
+    ]
+    if seqs:
+        prune_changelog(opts, max(seqs))
 
 
 #: overlay marker column: a row with this flag true is an HBase Delete
@@ -443,7 +458,11 @@ def _append_changelog(options, rows: list, key_cols) -> None:
         for f in os.listdir(log_dir)
         if f.endswith(".parquet")
     ]
-    seq = max(existing, default=0) + 1
+    # the floor participates in the max: after retention pruned (or a
+    # truncate cleared) every entry, numbering must RESUME, not restart —
+    # reusing a pruned number would serve post-prune data under a
+    # pre-prune offset and strand caught-up consumers forever
+    seq = max(max(existing, default=0), changelog_floor(opts)) + 1
     out = sorted(rows, key=lambda r: _rowkey_of(r, key_cols))
     tmp = os.path.join(log_dir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     try:
@@ -790,6 +809,12 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
         # everything-pruned case where no later file remains to prove
         # the gap: a consumer that missed its window must fail loudly,
         # never silently skip history
+        if os.path.exists(os.path.join(self._log_dir, f"{nxt:08d}.parquet")):
+            # TOCTOU guard: the caller saw nxt missing, but a racing
+            # writer may have landed nxt (and nxt+1) since — present
+            # now means NOT pruned; report caught-up and let the next
+            # poll serve it
+            return
         later = [s for s in self._available() if s > nxt]
         floor = changelog_floor(self._options)
         if later or nxt <= floor:

@@ -1459,16 +1459,20 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(base_dir, exist_ok=True)
     base_path = os.path.join(base_dir, "accounts_base.parquet")
-    if not os.path.exists(base_path):
-        empty = pa.table(
-            {
-                "c_custkey": pa.array([], pa.int64()),
-                "c_acctbal": pa.array([], pa.float64()),
-            }
-        )
-        staging = f"{base_path}.tmp.{os.getpid()}"
-        pq.write_table(empty, staging)
-        os.replace(staging, base_path)
+    # ALWAYS rewrite the base (fresh mtime): the overlay AND commit log
+    # are keyed by the base fingerprint, so this gives every invocation
+    # a hermetic feed whose sequence starts at 1 — the WAL floor
+    # survives a truncate by design (numbering resumes), so truncate
+    # alone would NOT reset the numbers the oracle pins
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_acctbal": pa.array([], pa.float64()),
+        }
+    )
+    staging = f"{base_path}.tmp.{os.getpid()}"
+    pq.write_table(empty, staging)
+    os.replace(staging, base_path)
     opts = {
         "path": base_path,
         "keyCol": "c_custkey",

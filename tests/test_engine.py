@@ -788,3 +788,64 @@ def test_facade_parameterized_sql(eng):
         eng.sql("UPDATE t SET v = :v WHERE k = 1", args={"v": 1})
     with pytest.raises(ValueError, match="parameter binding"):
         eng.sql("DELETE FROM t WHERE k = :k", args={"k": 1})
+
+
+def test_facade_merge_case_when_in_set_expression(eng):
+    """An unparenthesized CASE WHEN inside UPDATE SET (or an AND guard)
+    must not be mistaken for a MERGE clause boundary — the lexer tracks
+    CASE…END nesting like paren depth."""
+    eng.create_table("ktsql_eng_mcase", "k BIGINT, v BIGINT", primary_key="k")
+    try:
+        eng.sql("INSERT INTO ktsql_eng_mcase VALUES (1, 10), (2, -5)")
+        m = eng.sql(
+            "MERGE INTO ktsql_eng_mcase t USING "
+            "(SELECT 1 AS k UNION ALL SELECT 2) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET "
+            "v = CASE WHEN t.v > 0 THEN t.v * 2 ELSE 0 END"
+        ).first()
+        assert m["num_updated_rows"] == 2
+        assert {(r.k, r.v) for r in eng.table("ktsql_eng_mcase").collect()} == {
+            (1, 20), (2, 0),
+        }
+        # CASE in the AND guard too
+        m = eng.sql(
+            "MERGE INTO ktsql_eng_mcase t USING (SELECT 1 AS k) s ON t.k = s.k "
+            "WHEN MATCHED AND CASE WHEN t.v = 20 THEN true ELSE false END "
+            "THEN DELETE"
+        ).first()
+        assert m["num_deleted_rows"] == 1
+    finally:
+        eng.drop_table("ktsql_eng_mcase")
+
+
+def test_facade_insert_only_merge_skips_matched_partitions(eng):
+    """Insert-only MERGE (the append-upsert) on a partitioned target
+    must not rewrite partitions that merely CONTAIN matched rows: only
+    partitions the INSERT lands rows in change on disk."""
+    eng.create_table(
+        "ktsql_eng_mio", "k BIGINT, p STRING", primary_key="k",
+        partitioned_by="p",
+    )
+    try:
+        eng.sql(
+            "INSERT INTO ktsql_eng_mio VALUES (1, 'x'), (2, 'x'), (3, 'y')"
+        )
+        before = _partition_files(eng.spark, "ktsql_eng_mio")
+        m = eng.sql(
+            "MERGE INTO ktsql_eng_mio t USING ("
+            "  SELECT 1 AS k, 'x' AS p"          # matches: no-op
+            "  UNION ALL SELECT 9, 'z'"           # inserts into new part
+            "  UNION ALL SELECT 8, 'y'"           # inserts into existing
+            ") s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.p)"
+        ).first()
+        assert m["num_inserted_rows"] == 2 and m["num_updated_rows"] == 0
+        after = _partition_files(eng.spark, "ktsql_eng_mio")
+        assert before["p=x"] == after["p=x"], "matched partition rewritten"
+        assert before["p=y"] != after["p=y"]  # insert landed here
+        assert "p=z" in after  # new partition created
+        assert {(r.k, r.p) for r in eng.table("ktsql_eng_mio").collect()} == {
+            (1, "x"), (2, "x"), (3, "y"), (8, "y"), (9, "z"),
+        }
+    finally:
+        eng.drop_table("ktsql_eng_mio")

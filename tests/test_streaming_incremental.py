@@ -696,26 +696,44 @@ def test_change_feed_microbatch_boundaries_and_restart(spark, tmp_path):
 
 
 def test_truncate_overlay_drops_change_log(spark, tmp_path):
-    """TRUNCATE resets the feed's history with the overlay (the
-    HBase truncate-drops-WAL analog): after truncate the log dir is
-    gone and the next commit starts the sequence over at 1."""
+    """TRUNCATE resets the feed's history with the overlay (the HBase
+    truncate-drops-WAL analog) — with RETENTION semantics, not
+    deletion: entries vanish, the floor survives at the last dropped
+    number, the next commit RESUMES the sequence (no number reuse), a
+    consumer parked inside the dropped span fails loudly, and a
+    caught-up consumer reads the post-truncate commit under its new
+    number."""
+    import pytest as _pytest
+
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         FORMAT_NAME,
+        KVChangesStreamReader,
         changelog_dir,
+        changelog_floor,
         truncate_overlay,
     )
 
     opts, lopts = _cdc_store(spark, tmp_path)
     _commit_batches(spark, opts, lopts)
-    assert sorted(os.listdir(changelog_dir(lopts))) == [
-        f"{i:08d}.parquet" for i in range(1, 5)
-    ]
+    assert sorted(
+        f for f in os.listdir(changelog_dir(lopts)) if f.endswith(".parquet")
+    ) == [f"{i:08d}.parquet" for i in range(1, 5)]
     truncate_overlay(lopts)
-    assert not os.path.exists(changelog_dir(lopts))
+    assert not [
+        f for f in os.listdir(changelog_dir(lopts)) if f.endswith(".parquet")
+    ]
+    assert changelog_floor(lopts) == 4
     spark.createDataFrame([(7, 70.0)], "k bigint, v double").write.format(
         FORMAT_NAME
     ).options(**opts).mode("append").save()
-    assert sorted(os.listdir(changelog_dir(lopts))) == ["00000001.parquet"]
+    assert sorted(
+        f for f in os.listdir(changelog_dir(lopts)) if f.endswith(".parquet")
+    ) == ["00000005.parquet"]
+    reader = KVChangesStreamReader(lopts)
+    with _pytest.raises(ValueError, match="pruned"):
+        reader.read({"seq": 1})  # parked inside the dropped span: loud
+    rows, off = reader.read({"seq": 4})  # caught-up consumer reads on
+    assert off == {"seq": 5} and [(r[0], r[1]) for r in rows] == [(7, 70.0)]
 
 
 def test_changelog_concurrent_commits_get_distinct_seqs(spark, tmp_path):
