@@ -94,6 +94,15 @@ HEADLINE = (
     # admission pipeline pays — the cost that matters at 100 TB.
     "d14_incremental_neardup",
     "sim08_incremental_ann",
+    # late round-7 additions: the two new EXECUTION SHAPES this round
+    # introduced — d16 runs Catalyst's native recursive-CTE loop (one
+    # shuffle join per level over the persisted pair graph; tracks the
+    # UnionLoop operator's cost round-over-round), tr14 composes the
+    # striped two-pass global rank with broadcast quota joins (the
+    # temperature-mixture draw; tracks the range-repartition + rank
+    # path tr04 shares).
+    "d16_khop_reachability",
+    "tr14_temperature_mixture",
 )
 
 

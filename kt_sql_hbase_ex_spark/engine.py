@@ -707,8 +707,12 @@ class KtSqlEngine:
 
         Scale: the source is never assumed small (a fact-sized source
         plans a shuffle join on the ON keys; a statement-sized one is
-        broadcast by AQE stats); the target snapshot is checkpointed
-        once. On a PARTITIONED target the write is partition-pruned
+        broadcast by AQE stats); both the source and the target
+        snapshot are checkpointed exactly once — the statement
+        evaluates each in several places (scope discovery, the pairs
+        join, the cardinality check, the insert probe), and one pinned
+        materialization is what makes those evaluations agree even for
+        a non-deterministic source subquery. On a PARTITIONED target the write is partition-pruned
         copy-on-write like UPDATE/DELETE: the rewrite scope is (all
         partitions containing a matched target row) ∪ (the partitions
         the INSERT branch lands rows in, computed from the INSERT
