@@ -814,3 +814,54 @@ def test_changelog_retention_prunes_and_fails_loudly(spark, tmp_path):
         reader.read({"seq": 2})
     rows, off = reader.read({"seq": 4})
     assert off == {"seq": 4} and list(rows) == []
+
+
+def test_changelog_prune_crash_after_floor_is_safe_and_retryable(spark, tmp_path):
+    """Retention publishes the floor BEFORE unlinking: a crash between
+    the two leaves entries both floored and present. Readers still
+    serve what exists (existence wins over the floor — the TOCTOU
+    guard), numbering still resumes past the floor, and a prune retry
+    completes the cleanup."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        KVChangesStreamReader,
+        changelog_dir,
+        changelog_floor,
+        prune_changelog,
+    )
+    import kt_sql_hbase_ex_spark.sources.kvstore as kv
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    _commit_batches(spark, opts, lopts)  # seqs 1..4
+
+    real_unlink = os.unlink
+    calls = {"n": 0}
+
+    def crashing_unlink(path):
+        if path.endswith(".parquet") and "0000000" in os.path.basename(path):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise OSError("simulated crash mid-prune")
+        real_unlink(path)
+
+    os.unlink = crashing_unlink
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            prune_changelog(lopts, 2)
+    finally:
+        os.unlink = real_unlink
+    # floor says 2, but entry 2 survived the crash — readers serve it
+    assert changelog_floor(lopts) == 2
+    reader = KVChangesStreamReader(lopts)
+    rows, off = reader.read({"seq": 1})
+    assert off == {"seq": 2} and list(rows)
+    # numbering resumes past the floor even in the torn state
+    spark.createDataFrame([(8, 80.0)], "k bigint, v double").write.format(
+        FORMAT_NAME
+    ).options(**opts).mode("append").save()
+    assert "00000005.parquet" in os.listdir(changelog_dir(lopts))
+    # retry completes the cleanup; the feed past the floor is intact
+    assert prune_changelog(lopts, 2) == 1
+    assert sorted(
+        f for f in os.listdir(changelog_dir(lopts)) if f.endswith(".parquet")
+    ) == ["00000003.parquet", "00000004.parquet", "00000005.parquet"]
