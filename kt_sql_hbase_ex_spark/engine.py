@@ -165,6 +165,56 @@ def _matching_paren(s: str, start: int) -> int:
     raise ValueError(f"unbalanced parentheses in: {s[start:start + 40]!r}…")
 
 
+def _split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on top-level semicolons — quote-
+    aware (both escape styles, like ``_scan_sql``) and comment-aware
+    (``--`` to end of line, ``/* … */``; comments are dropped). The
+    flat splitter behind :meth:`KtSqlEngine.run_script`."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(script)
+    quote = None
+    while i < n:
+        ch = script[i]
+        if quote:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < n:
+                i += 1
+                cur.append(script[i])
+            elif ch == quote:
+                if i + 1 < n and script[i + 1] == quote:
+                    i += 1
+                    cur.append(script[i])
+                else:
+                    quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if script.startswith("--", i):
+            j = script.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        if script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            if j == -1:
+                raise ValueError("unterminated /* comment in script")
+            i = j + 2
+            continue
+        if ch == ";":
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
 def _bq(col: str) -> str:
     """Backtick-quote an identifier for generated SQL (reserved words,
     odd characters) — backticks in the name itself double-escape."""
@@ -998,6 +1048,30 @@ class KtSqlEngine:
             scoped = scoped.unionByName(p).distinct()
         rows = scoped.limit(self._MAX_PRUNED_PARTITIONS + 1).collect()
         return None if len(rows) > self._MAX_PRUNED_PARTITIONS else rows
+
+    def run_script(self, script: str) -> DataFrame | None:
+        """Execute a flat multi-statement SQL script — the ``.sql``-file
+        migration surface: statements split on top-level semicolons
+        (string literals and ``--`` / ``/* */`` comments handled), each
+        routed through :meth:`sql` in order, so facade-executed
+        UPDATE/DELETE/MERGE work mid-script exactly like standalone.
+        Returns the LAST statement's DataFrame (None for an all-comment
+        script). Procedural ``BEGIN … END`` blocks are rejected here —
+        their internal semicolons are block syntax, not statement
+        boundaries — and belong in :meth:`sql` directly, which passes
+        them to Spark's native SQL scripting (see f19)."""
+        import re as _re
+
+        result: DataFrame | None = None
+        for stmt in _split_statements(script):
+            if _re.match(r"^\s*begin\b", stmt, _re.IGNORECASE):
+                raise ValueError(
+                    "run_script executes flat statement sequences; pass "
+                    "BEGIN … END scripting blocks to .sql() whole (native "
+                    "SQL scripting handles their internal semicolons)"
+                )
+            result = self.sql(stmt)
+        return result
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -568,3 +568,51 @@ def f18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"topn": F18_TOP_NATIONS},
     )
+
+
+@query(
+    "f19_sql_scripting",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           t.total // 100 AS threshold,
+           CAST(POWER(2, FLOOR(LOG2(t.total)) + 1) AS BIGINT) AS pow2_above
+    FROM orders o, t
+    GROUP BY o.o_orderpriority, t.total
+    HAVING COUNT(*) > t.total // 100
+    """,
+)
+def f19_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN … END`` blocks): DECLARE'd
+    session variables, SET from a scalar subquery, a WHILE loop, and a
+    final statement parameterized by the variables — the procedural
+    surface a migrating JDBC user reaches for after prepared
+    statements (Calcite 1.17 had no scripting at all). Everything the
+    script computes is EXACT integer arithmetic (COUNT, integer DIV,
+    doubling), so the oracle can replay it in closed form: the WHILE
+    loop's doubling fixpoint is 2^(floor(log2(total))+1) — equal for
+    every total because log2 of a non-power-of-two is never an
+    integer and log2 of a power of two is IEEE-exact. Scale: the
+    script's statements each plan independently through Catalyst
+    (variables fold as literals); the loop runs ~log2(n) driver-side
+    iterations of pure variable arithmetic, no data pass."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT;
+          DECLARE pow2 BIGINT DEFAULT 1;
+          SET total = (SELECT COUNT(*) FROM orders);
+          WHILE pow2 <= total DO
+            SET pow2 = pow2 * 2;
+          END WHILE;
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 total DIV 100 AS threshold,
+                 pow2 AS pow2_above
+          FROM orders
+          GROUP BY o_orderpriority
+          HAVING COUNT(*) > total DIV 100;
+        END
+        """
+    )

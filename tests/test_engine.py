@@ -849,3 +849,39 @@ def test_facade_insert_only_merge_skips_matched_partitions(eng):
         }
     finally:
         eng.drop_table("ktsql_eng_mio")
+
+
+def test_facade_run_script_flat_statements(eng):
+    """run_script: DDL + INSERT (semicolons and comment markers inside
+    string literals survive) + facade-executed UPDATE + final SELECT,
+    comments stripped; returns the last statement's result. BEGIN
+    blocks route to .sql(), not the splitter."""
+    eng.drop_table("ktsql_eng_script")
+    try:
+        out = eng.run_script(
+            """
+            -- a migration-style flat script; this comment vanishes
+            CREATE TABLE ktsql_eng_script (k BIGINT, v STRING)
+              TBLPROPERTIES ('ktsql.primary' = 'k');
+            /* block comment; with a semicolon inside */
+            INSERT INTO ktsql_eng_script VALUES
+              (1, 'a;b -- not a comment'), (2, 'plain');
+            UPDATE ktsql_eng_script SET v = 'x' WHERE k = 2;
+            SELECT k, v FROM ktsql_eng_script ORDER BY k;
+            """
+        )
+        assert [(r.k, r.v) for r in out.collect()] == [
+            (1, "a;b -- not a comment"), (2, "x"),
+        ]
+        assert eng.run_script("-- nothing but a comment") is None
+        with pytest.raises(ValueError, match="BEGIN"):
+            eng.run_script("BEGIN SELECT 1; SELECT 2; END")
+        # the native scripting path still works through .sql() whole
+        eng.spark.conf.set("spark.sql.scripting.enabled", "true")
+        row = eng.sql(
+            "BEGIN DECLARE x INT DEFAULT 20; SET x = x + 2; "
+            "SELECT x AS out; END"
+        ).first()
+        assert row["out"] == 22
+    finally:
+        eng.drop_table("ktsql_eng_script")
