@@ -1654,9 +1654,17 @@ def d16_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted pair store (``ensure_pair_store``) — built once,
     traversed many times."""
     pairs = read_verified_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).union(pairs.select("doc_b", "doc_a")).distinct()
+    # pin ONE materialization of the edge relation: the recursive step
+    # references it once per level, and without the checkpoint each
+    # level re-reads the pair parquet AND re-runs the symmetrize+
+    # distinct shuffle — loop-invariant work belongs outside the loop
+    # (the d06/d10 iteration discipline applied to native recursion)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select("doc_b", "doc_a"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges.createOrReplaceTempView("__ktsql_d16_edges")
     edges.select(F.col("a").alias("n")).distinct().createOrReplaceTempView(
         "__ktsql_d16_nodes"
