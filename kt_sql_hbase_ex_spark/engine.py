@@ -51,21 +51,27 @@ _MERGE_HEAD = re.compile(
 
 
 def _scan_sql(s: str):
-    """Yield (index, char, depth, in_quote) walking a SQL fragment with
-    single- AND double-quoted literals (doubled-char AND backslash
-    escapes — Spark's default non-ANSI parser accepts both, so
-    ``'don\\'t'`` must not flip the quote tracking) plus paren depth
-    tracked — the minimum lexer honesty that keeps ``WHERE`` inside a
-    string literal or a comma inside ``concat('a,b', x)`` from being
-    mistaken for syntax (Spark treats double-quoted text as a string
-    literal by default too)."""
+    """Yield (index, char, depth, masked) walking a SQL fragment.
+    ``masked`` is True for every character that is NOT syntax to a
+    splitter: inside single/double-quoted literals (doubled-char AND
+    backslash escapes — Spark's default non-ANSI parser accepts both,
+    so ``'don\\'t'`` must not flip the quote tracking), inside
+    BACKTICK-quoted identifiers (doubled-backtick escape only — ``;``
+    or ``--`` inside a legal ```a;b``` name is identifier text), and
+    inside ``--`` line or ``/* */`` block comments (comment text may
+    contain quotes, keywords, commas, semicolons — none of it is
+    syntax; the characters are still YIELDED so consumers preserve
+    comments — including ``/*+ … */`` hints — verbatim). Paren depth
+    is tracked alongside. This is the ONE lexer every statement
+    splitter in the facade consumes — quote handling must never fork
+    (a round-6 escape fix had to land in two copies; never again)."""
     depth, quote = 0, None  # quote = the active quote char, if any
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
         if quote:
-            if ch == "\\" and i + 1 < n:  # backslash escape: skip next
-                yield i, ch, depth, True
+            if ch == "\\" and quote in ("'", '"') and i + 1 < n:
+                yield i, ch, depth, True  # backslash escape: skip next
                 i += 1
                 ch = s[i]
             elif ch == quote:
@@ -74,13 +80,35 @@ def _scan_sql(s: str):
                     i += 1
                 else:
                     quote = None
-        elif ch in ("'", '"'):
+            yield i, ch, depth, True
+            i += 1
+            continue
+        if s.startswith("--", i):  # line comment: masked through \n
+            j = s.find("\n", i)
+            j = n if j == -1 else j
+            while i < j:
+                yield i, s[i], depth, True
+                i += 1
+            continue  # the newline itself yields as ordinary text
+        if s.startswith("/*", i):  # block comment (incl. /*+ hints)
+            j = s.find("*/", i + 2)
+            if j == -1:
+                raise ValueError(f"unterminated /* comment in: {s[i:i + 40]!r}…")
+            j += 2
+            while i < j:
+                yield i, s[i], depth, True
+                i += 1
+            continue
+        if ch in ("'", '"', "`"):
             quote = ch
-        elif ch == "(":
+            yield i, ch, depth, True
+            i += 1
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        yield i, ch, depth, quote is not None
+        yield i, ch, depth, False
         i += 1
 
 
@@ -166,53 +194,45 @@ def _matching_paren(s: str, start: int) -> int:
 
 
 def _split_statements(script: str) -> list[str]:
-    """Split a multi-statement script on top-level semicolons — quote-
-    aware (both escape styles, like ``_scan_sql``) and comment-aware
-    (``--`` to end of line, ``/* … */``; comments are dropped). The
-    flat splitter behind :meth:`KtSqlEngine.run_script`."""
-    out: list[str] = []
+    """Split a multi-statement script on top-level semicolons, driven
+    entirely by :func:`_scan_sql` (ONE lexer: quotes with both escape
+    styles, backticked identifiers, ``--`` and ``/* */`` comments).
+    Comments are PRESERVED inside their statement — Spark parses them,
+    and ``/*+ … */`` optimizer hints must survive verbatim — but a
+    fragment that is nothing but comments/whitespace is dropped rather
+    than sent to the parser as an empty statement. The flat splitter
+    behind :meth:`KtSqlEngine.run_script`."""
+    out: list[tuple[str, bool]] = []
     cur: list[str] = []
-    i, n = 0, len(script)
-    quote = None
-    while i < n:
-        ch = script[i]
-        if quote:
-            cur.append(ch)
-            if ch == "\\" and i + 1 < n:
-                i += 1
-                cur.append(script[i])
-            elif ch == quote:
-                if i + 1 < n and script[i + 1] == quote:
-                    i += 1
-                    cur.append(script[i])
-                else:
-                    quote = None
-            i += 1
-            continue
-        if ch in ("'", '"'):
-            quote = ch
-            cur.append(ch)
-            i += 1
-            continue
-        if script.startswith("--", i):
-            j = script.find("\n", i)
-            i = n if j == -1 else j
-            continue
-        if script.startswith("/*", i):
-            j = script.find("*/", i + 2)
-            if j == -1:
-                raise ValueError("unterminated /* comment in script")
-            i = j + 2
-            continue
-        if ch == ";":
-            out.append("".join(cur))
-            cur = []
-            i += 1
+    has_content = False
+    for _i, ch, depth, masked in _scan_sql(script):
+        if ch == ";" and depth == 0 and not masked:
+            out.append(("".join(cur), has_content))
+            cur, has_content = [], False
             continue
         cur.append(ch)
-        i += 1
-    out.append("".join(cur))
-    return [s.strip() for s in out if s.strip()]
+        if not masked and not ch.isspace():
+            has_content = True
+    out.append(("".join(cur), has_content))
+    return [s.strip() for s, content in out if content and s.strip()]
+
+
+def _first_token(stmt: str) -> str:
+    """First unmasked word of a statement (comments/whitespace skipped)
+    — what run_script's BEGIN pre-check keys on."""
+    word: list[str] = []
+    for _i, ch, _depth, masked in _scan_sql(stmt):
+        if masked:
+            if word:
+                break
+            continue
+        if ch.isalpha() or ch == "_":
+            word.append(ch)
+        elif word:
+            break
+        elif not ch.isspace():
+            break  # statement starts with punctuation: not a keyword
+    return "".join(word).lower()
 
 
 def _bq(col: str) -> str:
@@ -1059,17 +1079,20 @@ class KtSqlEngine:
         script). Procedural ``BEGIN … END`` blocks are rejected here —
         their internal semicolons are block syntax, not statement
         boundaries — and belong in :meth:`sql` directly, which passes
-        them to Spark's native SQL scripting (see f19)."""
-        import re as _re
-
-        result: DataFrame | None = None
-        for stmt in _split_statements(script):
-            if _re.match(r"^\s*begin\b", stmt, _re.IGNORECASE):
+        them to Spark's native SQL scripting (see f19). The rejection
+        is a PRE-check over the whole split: a mid-script BEGIN fails
+        the script before ANY statement runs, instead of erroring with
+        half the side effects committed."""
+        statements = _split_statements(script)
+        for stmt in statements:
+            if _first_token(stmt) == "begin":
                 raise ValueError(
                     "run_script executes flat statement sequences; pass "
                     "BEGIN … END scripting blocks to .sql() whole (native "
                     "SQL scripting handles their internal semicolons)"
                 )
+        result: DataFrame | None = None
+        for stmt in statements:
             result = self.sql(stmt)
         return result
 

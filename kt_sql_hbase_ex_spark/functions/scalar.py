@@ -573,12 +573,17 @@ def f18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f19_sql_scripting",
     oracle="""
-    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    WITH RECURSIVE t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+    p(v) AS (
+        SELECT CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT p.v * 2 FROM p, t WHERE p.v <= t.total
+    ),
+    m AS (SELECT MAX(v) AS pow2_above FROM p)
     SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           t.total // 100 AS threshold,
-           CAST(POWER(2, FLOOR(LOG2(t.total)) + 1) AS BIGINT) AS pow2_above
-    FROM orders o, t
-    GROUP BY o.o_orderpriority, t.total
+           t.total // 100 AS threshold, m.pow2_above
+    FROM orders o, t, m
+    GROUP BY o.o_orderpriority, t.total, m.pow2_above
     HAVING COUNT(*) > t.total // 100
     """,
 )
@@ -589,10 +594,10 @@ def f19_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface a migrating JDBC user reaches for after prepared
     statements (Calcite 1.17 had no scripting at all). Everything the
     script computes is EXACT integer arithmetic (COUNT, integer DIV,
-    doubling), so the oracle can replay it in closed form: the WHILE
-    loop's doubling fixpoint is 2^(floor(log2(total))+1) — equal for
-    every total because log2 of a non-power-of-two is never an
-    integer and log2 of a power of two is IEEE-exact. Scale: the
+    doubling), and the oracle replays the WHILE loop as the SAME exact
+    doubling — a recursive CTE, not a float log2 closed form, whose
+    rounding would diverge from the integer loop near totals of 2^47
+    (the true log2 of 2^k − 1 rounds up to exactly k there). Scale: the
     script's statements each plan independently through Catalyst
     (variables fold as literals); the loop runs ~log2(n) driver-side
     iterations of pure variable arithmetic, no data pass."""

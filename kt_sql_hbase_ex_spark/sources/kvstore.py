@@ -887,7 +887,9 @@ def prune_changelog(options, upto_seq: int) -> int:
         with open(tmp, "w") as f:
             f.write(str(floor))
         os.replace(tmp, os.path.join(log_dir, "_floor"))
-    for s in pruned:
+    # ascending order: a crash mid-loop leaves a contiguous SUFFIX of
+    # the log (a hole would strand readers between surviving entries)
+    for s in sorted(pruned):
         os.unlink(os.path.join(log_dir, f"{s:08d}.parquet"))
         removed += 1
     return removed

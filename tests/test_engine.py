@@ -885,3 +885,46 @@ def test_facade_run_script_flat_statements(eng):
         assert row["out"] == 22
     finally:
         eng.drop_table("ktsql_eng_script")
+
+
+def test_facade_script_splitter_edges(eng):
+    """The unified lexer behind run_script: block comments and optimizer
+    hints survive VERBATIM inside statements (no token gluing, no hint
+    stripping), backticked identifiers may contain ';' and '--', a
+    mid-script BEGIN fails BEFORE any statement executes, and
+    comment-only fragments are dropped."""
+    from kt_sql_hbase_ex_spark.engine import _split_statements
+
+    # no gluing: the comment stays, tokens stay separated
+    assert _split_statements("SELECT a/*c*/FROM t; SELECT 1") == [
+        "SELECT a/*c*/FROM t", "SELECT 1",
+    ]
+    # hints survive for Spark to read
+    assert _split_statements("SELECT /*+ BROADCAST(d) */ * FROM t") == [
+        "SELECT /*+ BROADCAST(d) */ * FROM t",
+    ]
+    # backticked names are identifier text, not syntax
+    assert _split_statements("SELECT `a;b` FROM t; SELECT `x--y` FROM t") == [
+        "SELECT `a;b` FROM t", "SELECT `x--y` FROM t",
+    ]
+    # semicolons/quotes inside comments are not syntax either
+    assert _split_statements("SELECT 1 -- don't; split\n+ 1; SELECT 2") == [
+        "SELECT 1 -- don't; split\n+ 1", "SELECT 2",
+    ]
+    assert _split_statements("/* only; a comment */ \n-- more") == []
+    # a hint really reaches Catalyst through run_script
+    row = eng.run_script(
+        "SELECT /*+ REPARTITION(3) */ count(*) AS n FROM region"
+    ).first()
+    assert row["n"] > 0
+    # mid-script BEGIN: rejected before ANY statement runs
+    eng.drop_table("ktsql_eng_prescan")
+    try:
+        with pytest.raises(ValueError, match="BEGIN"):
+            eng.run_script(
+                "CREATE TABLE ktsql_eng_prescan (k BIGINT); "
+                "BEGIN SELECT 1; END"
+            )
+        assert "ktsql_eng_prescan" not in eng.list_tables()
+    finally:
+        eng.drop_table("ktsql_eng_prescan")
