@@ -90,11 +90,22 @@ def _scan_sql(s: str):
                 yield i, s[i], depth, True
                 i += 1
             continue  # the newline itself yields as ordinary text
-        if s.startswith("/*", i):  # block comment (incl. /*+ hints)
-            j = s.find("*/", i + 2)
-            if j == -1:
+        if s.startswith("/*", i):  # block comment (incl. /*+ hints);
+            # Spark parses bracketed comments NESTED, so the lexer must
+            # too — closing at the first */ would leave the outer tail
+            # live and let a ';' inside it split a statement
+            j, cdepth = i + 2, 1
+            while j < n and cdepth:
+                if s.startswith("/*", j):
+                    cdepth += 1
+                    j += 2
+                elif s.startswith("*/", j):
+                    cdepth -= 1
+                    j += 2
+                else:
+                    j += 1
+            if cdepth:
                 raise ValueError(f"unterminated /* comment in: {s[i:i + 40]!r}…")
-            j += 2
             while i < j:
                 yield i, s[i], depth, True
                 i += 1
@@ -217,6 +228,17 @@ def _split_statements(script: str) -> list[str]:
     return [s.strip() for s, content in out if content and s.strip()]
 
 
+def _strip_leading_comments(s: str) -> str:
+    """The statement from its first un-masked non-whitespace character
+    on — what the DML head regexes must anchor at (a leading ``--`` or
+    ``/* */`` comment must not silently reroute an UPDATE to the Spark
+    parser, which rejects it on parquet tables)."""
+    for i, ch, _depth, masked in _scan_sql(s):
+        if not masked and not ch.isspace():
+            return s[i:]
+    return ""
+
+
 def _first_token(stmt: str) -> str:
     """First unmasked word of a statement (comments/whitespace skipped)
     — what run_script's BEGIN pre-check keys on."""
@@ -333,9 +355,14 @@ class KtSqlEngine:
         pass-through path only: the facade-executed UPDATE / DELETE /
         MERGE forms reject bindings loudly rather than mis-parse a
         marker as SQL text."""
+        # head routing anchors past any leading comments — a statement
+        # opening with '-- note\nUPDATE …' is still facade DML (the
+        # splitter preserves comments by design, so run_script feeds
+        # such statements here)
+        core = _strip_leading_comments(statement)
         if args:
             for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD):
-                if head.match(statement):
+                if head.match(core):
                     raise ValueError(
                         "parameter binding is not supported for facade-"
                         "executed UPDATE/DELETE/MERGE statements — inline "
@@ -343,17 +370,19 @@ class KtSqlEngine:
                         "the operators/dml.py transforms"
                     )
             return self.spark.sql(statement, args=args)
-        m = _UPDATE_HEAD.match(statement)
+        m = _UPDATE_HEAD.match(core)
         if m:
-            set_clause, where = _split_where(statement[m.end():])
+            set_clause, where = _split_where(core[m.end():])
             return self._update(m.group(1), set_clause, where)
-        m = _MERGE_HEAD.match(statement)
+        m = _MERGE_HEAD.match(core)
         if m:
-            return self._merge(m.group(1), statement[m.end():])
-        m = _DELETE_HEAD.match(statement)
+            return self._merge(m.group(1), core[m.end():])
+        m = _DELETE_HEAD.match(core)
         if m:
-            head, where = _split_where(statement[m.end():])
-            if head.strip().strip(";").strip():
+            head, where = _split_where(core[m.end():])
+            # a comment between the table name and WHERE is not alias
+            # text — strip it before the unsupported-syntax check
+            if _strip_leading_comments(head).strip().strip(";").strip():
                 # 'DELETE FROM t x WHERE …' must not silently delete as
                 # if the alias text weren't there — unsupported syntax
                 # fails loudly instead of executing a different statement
@@ -403,6 +432,44 @@ class KtSqlEngine:
             )
         except Exception:
             return False
+
+    @staticmethod
+    def _partition_filter(pcols: list[str], rows):
+        """OR-of-ANDs null-safe partition predicate for a list of
+        partition-value tuples — pushed as PartitionFilters so a pruned
+        snapshot never reads untouched partitions. ONE implementation:
+        UPDATE/DELETE and MERGE both scope with it."""
+        import functools
+        import operator
+
+        from pyspark.sql import functions as F
+
+        def clause(r):
+            return functools.reduce(
+                operator.and_,
+                [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols],
+            )
+
+        return functools.reduce(operator.or_, [clause(r) for r in rows])
+
+    def _drop_emptied_partitions(self, name: str, scope_rows, out_df, pcols):
+        """Drop scope partitions the rewrite left EMPTY: dynamic
+        overwrite cannot replace an absent partition, so a partition
+        whose rows all matched a DELETE (or a deleting MERGE branch)
+        is removed explicitly — metadata + file removal ∝ emptied
+        partitions. Shared by DELETE and MERGE."""
+        alive = {
+            tuple(r[c] for c in pcols)
+            for r in out_df.select(*pcols).distinct().collect()
+        }
+        for r in scope_rows:
+            if tuple(r[c] for c in pcols) not in alive:
+                spec = ", ".join(
+                    f"{_bq(c)} = {self._part_literal(r[c])}" for c in pcols
+                )
+                self.spark.sql(
+                    f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
+                )
 
     def _matched_partitions(self, name: str, cond: str, pcols: list[str]):
         """Distinct partition-value tuples containing matched rows, or
@@ -454,11 +521,6 @@ class KtSqlEngine:
         single checkpointed scan needs no such agreement). SET of a
         partition column also takes the full path: a moved row could
         land in a partition the write is not replacing."""
-        import functools
-        import operator
-
-        from pyspark.sql import functions as F
-
         base = self._dml_target(name)
         if self._FLAG in base.columns:
             raise ValueError(f"column name {self._FLAG!r} is reserved")
@@ -475,14 +537,9 @@ class KtSqlEngine:
             if rows is not None:
                 if not rows:
                     return None, []
-                clause = lambda r: functools.reduce(  # noqa: E731
-                    operator.and_,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols],
-                )
-                pflt = functools.reduce(operator.or_, [clause(r) for r in rows])
                 snap = (
                     self.spark.sql(flagged)
-                    .filter(pflt)
+                    .filter(self._partition_filter(pcols, rows))
                     .localCheckpoint(eager=True)
                 )
                 return snap, rows
@@ -494,13 +551,21 @@ class KtSqlEngine:
         exactly the partitions present in ``df`` (dynamic partition
         overwrite — the opt08 idiom; untouched partitions keep their
         files byte-for-byte)."""
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        old = self.spark.conf.get(conf, "STATIC")
         # BOTH branches pin the mode: the full path must truncate the
         # whole table (a session configured dynamic would otherwise keep
         # partitions absent from df — resurrecting rows a DELETE
         # reported deleted), the pruned path must replace exactly df's
-        # partitions
+        # partitions. Set/restore of the SESSION conf is deliberate —
+        # the per-write `.option("partitionOverwriteMode", …)` is NOT
+        # honored by catalog-table insertInto (verified: the pruned
+        # write truncated sibling partitions under it), so the toggle is
+        # the only correct mechanism; its known cost is that a
+        # concurrent insertInto in the SAME session during this write
+        # would plan under this statement's mode (the facade, like a
+        # JDBC connection, is single-statement-at-a-time per session —
+        # use separate sessions for concurrent writers).
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        old = self.spark.conf.get(conf, "STATIC")
         self.spark.conf.set(conf, "dynamic" if pruned else "static")
         try:
             df.write.insertInto(name, overwrite=True)
@@ -567,7 +632,15 @@ class KtSqlEngine:
         view = f"__ktsql_dml_snap_{uuid.uuid4().hex[:8]}"
         snap.createOrReplaceTempView(view)
         try:
-            out = self.spark.sql(f"SELECT {', '.join(proj)} FROM {view}")
+            # the projection is MATERIALIZED before the overwrite: a SET
+            # scalar subquery may reference the TARGET table itself, and
+            # a lazy `out` would re-read files the overwrite has already
+            # deleted (FileNotFound mid-write = a truncated table). The
+            # eager checkpoint evaluates every SET expression — target
+            # self-references included — while the old files still exist.
+            out = self.spark.sql(
+                f"SELECT {', '.join(proj)} FROM {view}"
+            ).localCheckpoint(eager=True)
             self._write_back(name, out, pruned=parts is not None)
         finally:
             self.spark.catalog.dropTempView(view)
@@ -609,20 +682,9 @@ class KtSqlEngine:
         survivors = snap.filter(~F.col(self._FLAG)).drop(self._FLAG)
         self._write_back(name, survivors, pruned=parts is not None)
         if parts:
-            pcols = self._partition_cols(name)
-            alive = {
-                tuple(r[c] for c in pcols)
-                for r in survivors.select(*pcols).distinct().collect()
-            }
-            for r in parts:
-                key = tuple(r[c] for c in pcols)
-                if key not in alive:
-                    spec = ", ".join(
-                        f"{_bq(c)} = {self._part_literal(r[c])}" for c in pcols
-                    )
-                    self.spark.sql(
-                        f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
-                    )
+            self._drop_emptied_partitions(
+                name, parts, survivors, self._partition_cols(name)
+            )
         return self._count_result(n)
 
     # -- MERGE INTO ----------------------------------------------------
@@ -889,16 +951,8 @@ class KtSqlEngine:
                 )
             tbl = self.spark.table(target)
             if scope is not None:
-                import functools
-                import operator
-
-                pcols = self._partition_cols(target)
-                clause = lambda r: functools.reduce(  # noqa: E731
-                    operator.and_,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols],
-                )
                 tbl = tbl.filter(
-                    functools.reduce(operator.or_, [clause(r) for r in scope])
+                    self._partition_filter(self._partition_cols(target), scope)
                 )
             snap = tbl.withColumn(
                 self._RID, F.monotonically_increasing_id()
@@ -932,19 +986,35 @@ class KtSqlEngine:
                     f"{', '.join(col_exprs)} "
                     f"FROM {tview} AS {ta} JOIN {sview} AS {sa} ON ({on})"
                 ).localCheckpoint(eager=True)
-                # ANSI MERGE cardinality rule: >1 source match is an error
+                # ANSI MERGE cardinality rule: an error when a target row
+                # would be UPDATED or DELETED by more than one source
+                # match — matches that fall through every WHEN condition
+                # to the no-op 'K' do not modify the row and do not
+                # count (Delta/Spark semantics; an all-K multi-match
+                # completes fine)
                 if (
-                    pairs.groupBy(self._RID).count().filter("count > 1").limit(1).count()
+                    pairs.filter(F.col("__ktsql_act") != "K")
+                    .groupBy(self._RID)
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .count()
                     > 0
                 ):
                     raise ValueError(
-                        "MERGE: a target row matched multiple source rows "
-                        "(cardinality violation) — deduplicate the source "
-                        "or tighten the ON condition"
+                        "MERGE: a target row is modified by multiple "
+                        "source rows (cardinality violation) — "
+                        "deduplicate the source or tighten the ON "
+                        "condition"
                     )
-                n_upd = pairs.filter(F.col("__ktsql_act") == "U").count()
-                n_del = pairs.filter(F.col("__ktsql_act") == "D").count()
-                joined = snap.join(pairs, on=self._RID, how="left")
+                # only MODIFYING matches join back (≤1 per target row by
+                # the check above): K matches are no-ops, and joining
+                # them would duplicate a target row that several source
+                # rows matched without modifying
+                pairs_mod = pairs.filter(F.col("__ktsql_act") != "K")
+                n_upd = pairs_mod.filter(F.col("__ktsql_act") == "U").count()
+                n_del = pairs_mod.filter(F.col("__ktsql_act") == "D").count()
+                joined = snap.join(pairs_mod, on=self._RID, how="left")
                 act_col = F.col("__ktsql_act")
                 out = joined.filter(act_col.isNull() | (act_col != "D")).select(
                     *[
@@ -980,21 +1050,10 @@ class KtSqlEngine:
             ):
                 # a DELETE branch may have emptied a scope partition —
                 # dynamic overwrite cannot replace an absent partition,
-                # so drop those explicitly (same tail as _delete)
-                pcols = self._partition_cols(target)
-                alive = {
-                    tuple(r[c] for c in pcols)
-                    for r in out.select(*pcols).distinct().collect()
-                }
-                for r in scope:
-                    key = tuple(r[c] for c in pcols)
-                    if key not in alive:
-                        spec = ", ".join(
-                            f"{_bq(c)} = {self._part_literal(r[c])}" for c in pcols
-                        )
-                        self.spark.sql(
-                            f"ALTER TABLE {target} DROP IF EXISTS PARTITION ({spec})"
-                        )
+                # so drop those explicitly (the shared _delete tail)
+                self._drop_emptied_partitions(
+                    target, scope, out, self._partition_cols(target)
+                )
         finally:
             self.spark.catalog.dropTempView(tview)
             self.spark.catalog.dropTempView(sview)

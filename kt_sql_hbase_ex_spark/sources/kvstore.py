@@ -396,16 +396,9 @@ def truncate_overlay(options) -> None:
     # an HBase truncate under live replication, coordinate it (stop
     # subscribers, truncate, re-baseline, resubscribe).
     opts = {k.lower(): v for k, v in dict(options).items()}
-    log_dir = changelog_dir(opts)
-    try:
-        names = os.listdir(log_dir)
-    except FileNotFoundError:
-        return
-    seqs = [
-        int(f[: -len(".parquet")]) for f in names if f.endswith(".parquet")
-    ]
+    seqs = _log_seqs(changelog_dir(opts))
     if seqs:
-        prune_changelog(opts, max(seqs))
+        prune_changelog(opts, seqs[-1])
 
 
 #: overlay marker column: a row with this flag true is an HBase Delete
@@ -425,6 +418,19 @@ def changelog_dir(options) -> str:
     orphans the old feed and concurrent sessions never interleave
     logs."""
     return overlay_path(options)[: -len(".parquet")] + ".log"
+
+
+def _log_seqs(log_dir: str) -> List[int]:
+    """Sorted sequence numbers present in a commit-log dir ([] if the
+    dir doesn't exist) — the ONE place the log-file naming scheme is
+    parsed (floor/claim/prune/read all consume this)."""
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(f[: -len(".parquet")]) for f in names if f.endswith(".parquet")
+    )
 
 
 def _append_changelog(options, rows: list, key_cols) -> None:
@@ -453,16 +459,12 @@ def _append_changelog(options, rows: list, key_cols) -> None:
     )
     log_dir = changelog_dir(opts)
     os.makedirs(log_dir, exist_ok=True)
-    existing = [
-        int(f[: -len(".parquet")])
-        for f in os.listdir(log_dir)
-        if f.endswith(".parquet")
-    ]
+    existing = _log_seqs(log_dir)
     # the floor participates in the max: after retention pruned (or a
     # truncate cleared) every entry, numbering must RESUME, not restart —
     # reusing a pruned number would serve post-prune data under a
     # pre-prune offset and strand caught-up consumers forever
-    seq = max(max(existing, default=0), changelog_floor(opts)) + 1
+    seq = max(existing[-1] if existing else 0, changelog_floor(opts)) + 1
     out = sorted(rows, key=lambda r: _rowkey_of(r, key_cols))
     tmp = os.path.join(log_dir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     try:
@@ -523,9 +525,15 @@ def delete_from_store(options, keys) -> None:
         r.setdefault(TOMBSTONE, False)
     tmp = opath + ".tmp"
     pq.write_table(pa.Table.from_pylist(rows), tmp)
-    os.replace(tmp, opath)
     if batch:  # an empty delete set commits no WAL entry
+        # WRITE-AHEAD: the log entry lands BEFORE the overlay publish
+        # (HBase appends the WAL before the memstore apply). A crash
+        # between the two leaves a logged-but-unapplied commit — the
+        # store's true state is reconstructible by replaying the log
+        # (pinned by the WAL-replay test); the reverse order would be a
+        # SILENT feed gap no replay could ever detect.
         _append_changelog(opts, list(batch.values()), key_cols)
+    os.replace(tmp, opath)
     _invalidate_dependent_indexes(opts)
 
 
@@ -717,11 +725,14 @@ class KVUpsertWriter(DataSourceWriter):
         if tbl is not None:
             tmp = opath + ".tmp"
             pq.write_table(tbl, tmp)
-            os.replace(tmp, opath)  # atomic visibility
             if batch:  # an empty statement commits no WAL entry
+                # WRITE-AHEAD ordering — see delete_from_store: the log
+                # entry must exist before the overlay becomes visible,
+                # or a crash creates a silent feed gap
                 _append_changelog(
                     self._options, list(batch.values()), self._key_cols
                 )
+            os.replace(tmp, opath)  # atomic visibility
             _invalidate_dependent_indexes(self._options)
 
     def abort(self, messages) -> None:
@@ -773,7 +784,12 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
         self._log_dir = changelog_dir(self._options)
 
     def initialOffset(self) -> dict:
-        return {"seq": 0}
+        # a NEW subscriber starts at the retention floor, not 0: after a
+        # prune (or truncate) the pre-floor span no longer exists, and
+        # starting below it would fail every poll forever. Baseline
+        # semantics: read the store's current state, then consume the
+        # feed from here — exactly what changelog_floor documents.
+        return {"seq": changelog_floor(self._options)}
 
     def _emit(self, seqs) -> Iterator[tuple]:
         # a LIST iterator, not a generator: the simple-reader wrapper
@@ -793,13 +809,7 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
         return iter(out)
 
     def _available(self) -> List[int]:
-        try:
-            names = os.listdir(self._log_dir)
-        except FileNotFoundError:
-            return []
-        return sorted(
-            int(f[: -len(".parquet")]) for f in names if f.endswith(".parquet")
-        )
+        return _log_seqs(self._log_dir)
 
     def _check_not_pruned(self, nxt: int) -> None:
         # a missing number with LATER numbers present can only mean
@@ -868,15 +878,7 @@ def prune_changelog(options, upto_seq: int) -> int:
     opts = {k.lower(): v for k, v in dict(options).items()}
     log_dir = changelog_dir(opts)
     removed = 0
-    try:
-        names = os.listdir(log_dir)
-    except FileNotFoundError:
-        return 0
-    pruned = [
-        int(f[: -len(".parquet")])
-        for f in names
-        if f.endswith(".parquet") and int(f[: -len(".parquet")]) <= upto_seq
-    ]
+    pruned = [s for s in _log_seqs(log_dir) if s <= upto_seq]
     if pruned:
         # publish the floor FIRST (atomic replace): if we crash between
         # floor and unlinks, readers over-refuse (floor says pruned but

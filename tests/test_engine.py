@@ -928,3 +928,87 @@ def test_facade_script_splitter_edges(eng):
         assert "ktsql_eng_prescan" not in eng.list_tables()
     finally:
         eng.drop_table("ktsql_eng_prescan")
+
+
+def test_facade_dml_with_leading_comments_and_target_subquery(eng):
+    """Two review regressions: (1) a statement OPENING with a comment
+    still routes to the facade DML executor (run_script preserves
+    comments, so this shape is routine); (2) an UPDATE whose SET scalar
+    subquery references the TARGET table itself evaluates against the
+    pre-update snapshot — never a mid-overwrite re-read of deleted
+    files (the data-loss shape)."""
+    eng.create_table("ktsql_eng_cmt", "k BIGINT, v BIGINT", primary_key="k")
+    try:
+        eng.sql("INSERT INTO ktsql_eng_cmt VALUES (1, 10), (2, 20), (3, 30)")
+        n = eng.run_script(
+            "-- bump row two\n"
+            "/* block */ UPDATE ktsql_eng_cmt SET v = 99 WHERE k = 2;"
+        ).first()["num_affected_rows"]
+        assert n == 1
+        # comment-led DELETE routes too (would otherwise hit the Spark
+        # parser's unsupported-on-parquet error)
+        n = eng.sql("-- rm\nDELETE FROM ktsql_eng_cmt WHERE k = 3").first()[
+            "num_affected_rows"
+        ]
+        assert n == 1
+        # SET subquery over the TARGET: old-row semantics, no data loss
+        n = eng.sql(
+            "UPDATE ktsql_eng_cmt SET v = (SELECT max(v) FROM ktsql_eng_cmt)"
+        ).first()["num_affected_rows"]
+        assert n == 2
+        assert {(r.k, r.v) for r in eng.table("ktsql_eng_cmt").collect()} == {
+            (1, 99), (2, 99),
+        }
+    finally:
+        eng.drop_table("ktsql_eng_cmt")
+
+
+def test_facade_merge_cardinality_ignores_noop_matches(eng):
+    """ANSI/Delta cardinality semantics: multiple source matches raise
+    ONLY when a target row would be modified more than once — all-no-op
+    multi-matches complete (and do not duplicate the row), one
+    modifying match among no-ops completes, two modifying matches
+    raise."""
+    eng.create_table("ktsql_eng_mcard", "k BIGINT, v BIGINT", primary_key="k")
+    try:
+        eng.sql("INSERT INTO ktsql_eng_mcard VALUES (1, 10), (2, 20)")
+        # two matches for k=1, BOTH fall through to no-op: fine
+        m = eng.sql(
+            "MERGE INTO ktsql_eng_mcard t USING "
+            "(SELECT 1 AS k, 0 AS op UNION ALL SELECT 1, 0) s ON t.k = s.k "
+            "WHEN MATCHED AND s.op = 1 THEN UPDATE SET v = 0"
+        ).first()
+        assert m["num_updated_rows"] == 0
+        rows = eng.table("ktsql_eng_mcard").collect()
+        assert sorted((r.k, r.v) for r in rows) == [(1, 10), (2, 20)], (
+            "all-no-op multi-match must not duplicate the row"
+        )
+        # two matches, exactly ONE modifies: fine, modifies once
+        m = eng.sql(
+            "MERGE INTO ktsql_eng_mcard t USING "
+            "(SELECT 1 AS k, 0 AS op UNION ALL SELECT 1, 1) s ON t.k = s.k "
+            "WHEN MATCHED AND s.op = 1 THEN UPDATE SET v = 11"
+        ).first()
+        assert m["num_updated_rows"] == 1
+        assert sorted(
+            (r.k, r.v) for r in eng.table("ktsql_eng_mcard").collect()
+        ) == [(1, 11), (2, 20)]
+        # two MODIFYING matches: cardinality violation
+        with pytest.raises(ValueError, match="cardinality"):
+            eng.sql(
+                "MERGE INTO ktsql_eng_mcard t USING "
+                "(SELECT 1 AS k, 1 AS op UNION ALL SELECT 1, 1) s ON t.k = s.k "
+                "WHEN MATCHED AND s.op = 1 THEN UPDATE SET v = 0"
+            )
+    finally:
+        eng.drop_table("ktsql_eng_mcard")
+
+
+def test_script_splitter_nested_block_comments():
+    """Spark parses bracketed comments nested; the lexer must too — a
+    ';' inside the outer comment's tail is not a statement boundary."""
+    from kt_sql_hbase_ex_spark.engine import _split_statements
+
+    assert _split_statements(
+        "SELECT 1 /* note /* inner */ ; still comment */; SELECT 2"
+    ) == ["SELECT 1 /* note /* inner */ ; still comment */", "SELECT 2"]

@@ -865,3 +865,49 @@ def test_changelog_prune_crash_after_floor_is_safe_and_retryable(spark, tmp_path
     assert sorted(
         f for f in os.listdir(changelog_dir(lopts)) if f.endswith(".parquet")
     ) == ["00000003.parquet", "00000004.parquet", "00000005.parquet"]
+
+
+def test_change_feed_new_consumer_starts_at_floor(spark, tmp_path):
+    """After retention pruned entries, a BRAND-NEW streaming consumer
+    must start at the floor (baseline-from-store semantics) instead of
+    failing forever at seq 0 — and must receive exactly the post-floor
+    commits."""
+    import time
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        KVChangesStreamReader,
+        prune_changelog,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    _commit_batches(spark, opts, lopts)  # seqs 1..4
+    assert prune_changelog(lopts, 2) == 2
+    assert KVChangesStreamReader(lopts).initialOffset() == {"seq": 2}
+
+    batches: list = []
+
+    def sink(df, _bid):
+        rows = df.collect()
+        if rows:
+            batches.append(rows)
+
+    q = (
+        spark.readStream.format(CHANGES_FORMAT_NAME)
+        .options(**opts)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_new"))
+        .start()
+    )
+    try:
+        t0 = time.monotonic()
+        while len(batches) < 2:
+            if q.exception() is not None:
+                raise q.exception()
+            assert time.monotonic() - t0 < 120, batches
+            time.sleep(0.05)
+    finally:
+        q.stop()
+    assert [sorted({r["__seq"] for r in b}) for b in batches[:2]] == [[3], [4]]
