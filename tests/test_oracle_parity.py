@@ -40,6 +40,14 @@ def con():
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(name, spark, con):
+    if os.environ.get("SPARK_GRAFT_DOUBLE_RUN"):
+        # invocation-idempotence axis: run the query a FIRST time in the
+        # same session and require it green, then grade the SECOND run —
+        # catches works-only-once bugs (stale temp views, store
+        # provisioning that breaks on re-entry, non-hermetic feeds) that
+        # per-process axes can never see. Opt-in: it doubles the sweep.
+        first = check_query(name, spark, SF_ORACLE, con)
+        assert first.ok, f"first invocation: {first}"
     result = check_query(name, spark, SF_ORACLE, con)
     _RESULTS[name] = result
     assert result.ok, str(result)
