@@ -71,23 +71,23 @@ def _scan_sql(s: str):
         ch = s[i]
         if quote:
             if ch == "\\" and quote in ("'", '"') and i + 1 < n:
-                yield i, ch, depth, True  # backslash escape: skip next
+                yield i, ch, depth, "q"  # backslash escape: skip next
                 i += 1
                 ch = s[i]
             elif ch == quote:
                 if i + 1 < n and s[i + 1] == quote:  # escaped quote
-                    yield i, ch, depth, True
+                    yield i, ch, depth, "q"
                     i += 1
                 else:
                     quote = None
-            yield i, ch, depth, True
+            yield i, ch, depth, "q"
             i += 1
             continue
         if s.startswith("--", i):  # line comment: masked through \n
             j = s.find("\n", i)
             j = n if j == -1 else j
             while i < j:
-                yield i, s[i], depth, True
+                yield i, s[i], depth, "c"
                 i += 1
             continue  # the newline itself yields as ordinary text
         if s.startswith("/*", i):  # block comment (incl. /*+ hints);
@@ -107,19 +107,19 @@ def _scan_sql(s: str):
             if cdepth:
                 raise ValueError(f"unterminated /* comment in: {s[i:i + 40]!r}…")
             while i < j:
-                yield i, s[i], depth, True
+                yield i, s[i], depth, "c"
                 i += 1
             continue
         if ch in ("'", '"', "`"):
             quote = ch
-            yield i, ch, depth, True
+            yield i, ch, depth, "q"
             i += 1
             continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        yield i, ch, depth, False
+        yield i, ch, depth, ""
         i += 1
 
 
@@ -228,15 +228,27 @@ def _split_statements(script: str) -> list[str]:
     return [s.strip() for s, content in out if content and s.strip()]
 
 
-def _strip_leading_comments(s: str) -> str:
-    """The statement from its first un-masked non-whitespace character
-    on — what the DML head regexes must anchor at (a leading ``--`` or
-    ``/* */`` comment must not silently reroute an UPDATE to the Spark
-    parser, which rejects it on parquet tables)."""
-    for i, ch, _depth, masked in _scan_sql(s):
-        if not masked and not ch.isspace():
-            return s[i:]
-    return ""
+def _strip_comments(s: str) -> str:
+    """The statement with every comment replaced by ONE space (quoted
+    text untouched; the space prevents token gluing). Facade-PARSED
+    statements (UPDATE/DELETE/MERGE) are routed and parsed on this form
+    so comments anywhere — leading, between head tokens, trailing a
+    WHERE — can neither reroute a statement to the Spark parser nor
+    splice a ``--`` tail into generated one-line SQL and comment out
+    its closing parens. Pass-through statements keep their ORIGINAL
+    text (hints included); the facade regenerates DML SQL from parsed
+    fragments anyway, so dropping comments there loses nothing."""
+    out: list[str] = []
+    prev_comment = False
+    for _i, ch, _depth, kind in _scan_sql(s):
+        if kind == "c":
+            if not prev_comment:
+                out.append(" ")
+            prev_comment = True
+            continue
+        prev_comment = False
+        out.append(ch)
+    return "".join(out).strip()
 
 
 def _first_token(stmt: str) -> str:
@@ -355,11 +367,13 @@ class KtSqlEngine:
         pass-through path only: the facade-executed UPDATE / DELETE /
         MERGE forms reject bindings loudly rather than mis-parse a
         marker as SQL text."""
-        # head routing anchors past any leading comments — a statement
-        # opening with '-- note\nUPDATE …' is still facade DML (the
-        # splitter preserves comments by design, so run_script feeds
-        # such statements here)
-        core = _strip_leading_comments(statement)
+        # facade-parsed forms route and parse on the COMMENT-STRIPPED
+        # text: a statement opening with '-- note\nUPDATE …' is still
+        # facade DML (the splitter preserves comments by design, so
+        # run_script feeds such statements here), a comment between
+        # head tokens can't break the head match, and a trailing '--'
+        # on a WHERE can't comment out generated one-line SQL
+        core = _strip_comments(statement)
         if args:
             for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD):
                 if head.match(core):
@@ -380,9 +394,7 @@ class KtSqlEngine:
         m = _DELETE_HEAD.match(core)
         if m:
             head, where = _split_where(core[m.end():])
-            # a comment between the table name and WHERE is not alias
-            # text — strip it before the unsupported-syntax check
-            if _strip_leading_comments(head).strip().strip(";").strip():
+            if head.strip().strip(";").strip():
                 # 'DELETE FROM t x WHERE …' must not silently delete as
                 # if the alias text weren't there — unsupported syntax
                 # fails loudly instead of executing a different statement
@@ -632,19 +644,40 @@ class KtSqlEngine:
         view = f"__ktsql_dml_snap_{uuid.uuid4().hex[:8]}"
         snap.createOrReplaceTempView(view)
         try:
-            # the projection is MATERIALIZED before the overwrite: a SET
-            # scalar subquery may reference the TARGET table itself, and
-            # a lazy `out` would re-read files the overwrite has already
-            # deleted (FileNotFound mid-write = a truncated table). The
-            # eager checkpoint evaluates every SET expression — target
-            # self-references included — while the old files still exist.
-            out = self.spark.sql(
-                f"SELECT {', '.join(proj)} FROM {view}"
-            ).localCheckpoint(eager=True)
+            out = self.spark.sql(f"SELECT {', '.join(proj)} FROM {view}")
+            # a SET expression containing a SUBQUERY may reference the
+            # TARGET table itself; lazy, it would re-read files the
+            # overwrite has already deleted (FileNotFound mid-write = a
+            # truncated table), so the projection is MATERIALIZED before
+            # the write while the old files still exist. Plain
+            # expressions read only the checkpointed snapshot — the
+            # common literal-assignment UPDATE stays single-pass, no
+            # second materialization.
+            if any(self._has_subquery(e) for e in assigns.values()):
+                out = out.localCheckpoint(eager=True)
             self._write_back(name, out, pruned=parts is not None)
         finally:
             self.spark.catalog.dropTempView(view)
         return self._count_result(n)
+
+    @staticmethod
+    def _has_subquery(expr: str) -> bool:
+        """Whether a SQL expression contains a (sub)query — a word-
+        bounded, unmasked SELECT anywhere (subqueries are the only legal
+        position for one inside a scalar expression)."""
+        lower = expr.lower()
+        for i, _ch, _depth, masked in _scan_sql(expr):
+            if masked or not lower.startswith("select", i):
+                continue
+            before_ok = i == 0 or not (
+                lower[i - 1].isalnum() or lower[i - 1] == "_"
+            )
+            j = i + 6
+            if before_ok and (
+                j >= len(expr) or not (lower[j].isalnum() or lower[j] == "_")
+            ):
+                return True
+        return False
 
     @staticmethod
     def _part_literal(v) -> str:
@@ -986,6 +1019,10 @@ class KtSqlEngine:
                     f"{', '.join(col_exprs)} "
                     f"FROM {tview} AS {ta} JOIN {sview} AS {sa} ON ({on})"
                 ).localCheckpoint(eager=True)
+                # the MODIFYING matches — ONE definition feeds both the
+                # cardinality check and the join-back, so they can never
+                # disagree on which matches count
+                pairs_mod = pairs.filter(F.col("__ktsql_act") != "K")
                 # ANSI MERGE cardinality rule: an error when a target row
                 # would be UPDATED or DELETED by more than one source
                 # match — matches that fall through every WHEN condition
@@ -993,8 +1030,7 @@ class KtSqlEngine:
                 # count (Delta/Spark semantics; an all-K multi-match
                 # completes fine)
                 if (
-                    pairs.filter(F.col("__ktsql_act") != "K")
-                    .groupBy(self._RID)
+                    pairs_mod.groupBy(self._RID)
                     .count()
                     .filter("count > 1")
                     .limit(1)
@@ -1011,7 +1047,6 @@ class KtSqlEngine:
                 # the check above): K matches are no-ops, and joining
                 # them would duplicate a target row that several source
                 # rows matched without modifying
-                pairs_mod = pairs.filter(F.col("__ktsql_act") != "K")
                 n_upd = pairs_mod.filter(F.col("__ktsql_act") == "U").count()
                 n_del = pairs_mod.filter(F.col("__ktsql_act") == "D").count()
                 joined = snap.join(pairs_mod, on=self._RID, how="left")

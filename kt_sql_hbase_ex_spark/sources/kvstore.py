@@ -433,7 +433,7 @@ def _log_seqs(log_dir: str) -> List[int]:
     )
 
 
-def _append_changelog(options, rows: list, key_cols) -> None:
+def _append_changelog(options, rows: list, key_cols) -> int:
     """Append one commit's mutations as the next numbered log file.
 
     ``rows`` are the batch's PER-KEY FINAL mutations (same-batch
@@ -444,7 +444,8 @@ def _append_changelog(options, rows: list, key_cols) -> None:
     infer per-file types would give delete-only commits unreadable
     null-typed columns. Sequence claim is an O_EXCL hardlink — the same
     loud-loser discipline as the index claims: two racing commits can
-    never share a number or overwrite each other's entry."""
+    never share a number or overwrite each other's entry. Returns the
+    claimed sequence number (the overlay records it as applied_seq)."""
     import uuid
 
     import pyarrow as pa
@@ -478,7 +479,7 @@ def _append_changelog(options, rows: list, key_cols) -> None:
             pq.write_table(tbl, tmp)
             try:
                 os.link(tmp, os.path.join(log_dir, f"{seq:08d}.parquet"))
-                return
+                return seq
             except FileExistsError:
                 seq += 1  # lost the claim race: take the next number
     finally:
@@ -497,6 +498,7 @@ def delete_from_store(options, keys) -> None:
     import pyarrow.parquet as pq
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    recover_overlay(opts)  # WAL recovery before reading the overlay
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     opath = overlay_path(opts)
@@ -523,16 +525,18 @@ def delete_from_store(options, keys) -> None:
     rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
     for r in rows:  # normalize: upsert rows carry an explicit false flag
         r.setdefault(TOMBSTONE, False)
-    tmp = opath + ".tmp"
-    pq.write_table(pa.Table.from_pylist(rows), tmp)
     if batch:  # an empty delete set commits no WAL entry
         # WRITE-AHEAD: the log entry lands BEFORE the overlay publish
         # (HBase appends the WAL before the memstore apply). A crash
-        # between the two leaves a logged-but-unapplied commit — the
-        # store's true state is reconstructible by replaying the log
-        # (pinned by the WAL-replay test); the reverse order would be a
-        # SILENT feed gap no replay could ever detect.
-        _append_changelog(opts, list(batch.values()), key_cols)
+        # between the two leaves a logged-but-unapplied commit, which
+        # recover_overlay REPLAYS on the next open/commit — the reverse
+        # order would be a SILENT feed gap no replay could ever detect.
+        applied = _append_changelog(opts, list(batch.values()), key_cols)
+    else:
+        seqs = _log_seqs(changelog_dir(opts))
+        applied = seqs[-1] if seqs else changelog_floor(opts)
+    tmp = opath + ".tmp"
+    pq.write_table(_stamp_applied(pa.Table.from_pylist(rows), applied), tmp)
     os.replace(tmp, opath)
     _invalidate_dependent_indexes(opts)
 
@@ -599,6 +603,7 @@ def _open_store(options) -> KVStore:
     index_on = options.get("indexon")
     region_size = int(options.get("regionsize", "512"))
     st = os.stat(path)
+    recover_overlay(options)  # serve WAL-recovered state, never torn
     opath = overlay_path(options)
     try:
         ost = os.stat(opath)
@@ -706,6 +711,7 @@ class KVUpsertWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        recover_overlay(self._options)  # WAL recovery before the read
         merged: dict = {}
         batch: dict = {}  # this commit's per-key FINAL puts, for the feed
         opath = overlay_path(self._options)
@@ -723,15 +729,19 @@ class KVUpsertWriter(DataSourceWriter):
             r.setdefault(TOMBSTONE, False)
         tbl = pa.Table.from_pylist(rows) if rows else None
         if tbl is not None:
-            tmp = opath + ".tmp"
-            pq.write_table(tbl, tmp)
+            opts = {k.lower(): v for k, v in dict(self._options).items()}
             if batch:  # an empty statement commits no WAL entry
                 # WRITE-AHEAD ordering — see delete_from_store: the log
                 # entry must exist before the overlay becomes visible,
-                # or a crash creates a silent feed gap
-                _append_changelog(
-                    self._options, list(batch.values()), self._key_cols
+                # and recover_overlay replays the crash window
+                applied = _append_changelog(
+                    opts, list(batch.values()), self._key_cols
                 )
+            else:
+                seqs = _log_seqs(changelog_dir(opts))
+                applied = seqs[-1] if seqs else changelog_floor(opts)
+            tmp = opath + ".tmp"
+            pq.write_table(_stamp_applied(tbl, applied), tmp)
             os.replace(tmp, opath)  # atomic visibility
             _invalidate_dependent_indexes(self._options)
 
@@ -895,6 +905,82 @@ def prune_changelog(options, upto_seq: int) -> int:
         os.unlink(os.path.join(log_dir, f"{s:08d}.parquet"))
         removed += 1
     return removed
+
+
+#: overlay footer key recording the highest commit-log sequence whose
+#: mutations the overlay contains — the WAL recovery watermark
+_APPLIED_KEY = b"ktsql_applied_seq"
+
+
+def _overlay_applied_seq(opath: str):
+    """applied_seq from an overlay's parquet footer; None when the
+    overlay is absent or predates the watermark (legacy)."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.read_schema(opath).metadata or {}
+    except FileNotFoundError:
+        return None
+    v = meta.get(_APPLIED_KEY)
+    return int(v) if v is not None else None
+
+
+def _stamp_applied(tbl, seq: int):
+    """Attach the applied-seq watermark to an overlay table."""
+    meta = dict(tbl.schema.metadata or {})
+    meta[_APPLIED_KEY] = str(seq).encode()
+    return tbl.replace_schema_metadata(meta)
+
+
+def recover_overlay(options) -> int:
+    """WAL recovery: replay any logged-but-unapplied commits into the
+    overlay. The write path appends the commit-log entry BEFORE
+    publishing the overlay (write-ahead), so a crash in between leaves
+    the log AHEAD of the store; every store open and every new commit
+    runs this first, replaying entries past the overlay's applied_seq
+    watermark in sequence order (puts upsert, tombstones delete —
+    exactly the overlay merge semantics) and republishing the overlay
+    at the log head. Returns the number of commits replayed (0 on the
+    crash-free path: one listdir + at most one footer read). Overlays
+    predating the watermark are taken as consistent at the current
+    head (no spurious replay; the watermark ships with every write
+    from now on)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    seqs = _log_seqs(changelog_dir(opts))
+    if not seqs:
+        return 0
+    head = seqs[-1]
+    opath = overlay_path(opts)
+    applied = _overlay_applied_seq(opath)
+    if applied is None:
+        # absent overlay: nothing applied since the floor; legacy
+        # overlay (pre-watermark): assume consistent at head
+        applied = changelog_floor(opts) if not os.path.exists(opath) else head
+    todo = [q for q in seqs if q > applied]
+    if not todo:
+        return 0
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    merged: dict = {}
+    if os.path.exists(opath):
+        for r in pq.read_table(opath).to_pylist():
+            merged[_rowkey_of(r, key_cols)] = r
+    log_dir = changelog_dir(opts)
+    for q in todo:
+        for r in pq.read_table(os.path.join(log_dir, f"{q:08d}.parquet")).to_pylist():
+            row = {c: r[c] for c in columns}
+            row[TOMBSTONE] = bool(r[TOMBSTONE])
+            merged[_rowkey_of(row, key_cols)] = row
+    rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+    tbl = _stamp_applied(pa.Table.from_pylist(rows), head)
+    tmp = opath + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, opath)
+    _invalidate_dependent_indexes(opts)
+    return len(todo)
 
 
 class KVChangesDataSource(DataSource):

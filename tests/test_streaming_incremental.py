@@ -911,3 +911,46 @@ def test_change_feed_new_consumer_starts_at_floor(spark, tmp_path):
     finally:
         q.stop()
     assert [sorted({r["__seq"] for r in b}) for b in batches[:2]] == [[3], [4]]
+
+
+def test_wal_recovery_replays_unapplied_commits(spark, tmp_path):
+    """Write-ahead recovery: a crash between the commit-log append and
+    the overlay publish leaves the log AHEAD of the store; the next
+    open or commit replays the unapplied entries, so the connector
+    serves exactly the feed's state — the divergence the write-ahead
+    ordering makes recoverable (the reverse order would be a silent
+    feed gap)."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        _append_changelog,
+        _overlay_applied_seq,
+        overlay_path,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    expected = _commit_batches(spark, opts, lopts)  # seqs 1..4 applied
+
+    # simulated crash: two commits reach the LOG but never the overlay
+    _append_changelog(lopts, [{"k": 100, "v": 1.5, "__deleted": False}], ("k",))
+    _append_changelog(lopts, [{"k": 2, "v": None, "__deleted": True}], ("k",))
+
+    served = {
+        r["k"]: r["v"]
+        for r in spark.read.format(FORMAT_NAME).options(**opts).load().collect()
+    }
+    expected[100] = 1.5
+    expected.pop(2)
+    assert served == expected, "open must replay the unapplied commits"
+    assert _overlay_applied_seq(overlay_path(lopts)) == 6
+
+    # a NEW commit on the recovered store applies on top, not instead
+    spark.createDataFrame([(7, 70.0)], "k bigint, v double").write.format(
+        FORMAT_NAME
+    ).options(**opts).mode("append").save()
+    served = {
+        r["k"]: r["v"]
+        for r in spark.read.format(FORMAT_NAME).options(**opts).load().collect()
+    }
+    expected[7] = 70.0
+    assert served == expected
+    assert _overlay_applied_seq(overlay_path(lopts)) == 7
