@@ -754,3 +754,77 @@ def test_facade_partitioned_update_delete_semantics(spark, target, d0, i0, do_up
         row.k: (row.v, row.p) for row in spark.table("ktsql_prop_ud_p").collect()
     }
     assert got == exp and n == n_exp
+
+
+# ---------------------------------------------------------------------------
+# the facade's SQL lexer: generative round-trip over composed scripts
+# ---------------------------------------------------------------------------
+
+#: statement bodies whose text exercises every masking class the lexer
+#: tracks: plain syntax, both quote styles with both escape styles,
+#: backticked identifiers containing separators, and parens
+_BODIES = st.sampled_from(
+    [
+        "SELECT 1",
+        "SELECT 'a;b'",
+        "SELECT 'don\\'t; stop'",
+        "SELECT 'it''s; fine'",
+        'SELECT "x;--y"',
+        "SELECT `a;b` FROM t",
+        "SELECT `x--y`, f(1, 2) FROM t",
+        "UPDATE t SET v = 'w; -- here' WHERE k = 1",
+        "SELECT concat('a,b', ';') FROM t",
+    ]
+)
+
+#: inter-statement noise: whitespace and both comment forms, including
+#: quotes/semicolons INSIDE comments and nested block comments
+_NOISE = st.lists(
+    st.sampled_from(
+        [
+            " ",
+            "\n",
+            "\t",
+            "-- don't; split\n",
+            "--;;\n",
+            "/* a; 'b' */",
+            "/* outer /* inner; */ tail; */",
+        ]
+    ),
+    max_size=3,
+).map("".join)
+
+
+@given(st.lists(st.tuples(_NOISE, _BODIES, _NOISE), min_size=1, max_size=5))
+@_settings
+def test_statement_splitter_roundtrip(parts):
+    """Composing N known statements with ';' and arbitrary comment/
+    whitespace noise, the splitter returns exactly those N statements —
+    no mis-split inside any quote/comment form, no statement lost, no
+    noise-only phantom statements — and each returned statement still
+    CONTAINS its body (comments inside are preserved, not glued)."""
+    from kt_sql_hbase_ex_spark.engine import _split_statements
+
+    script = ";".join(f"{pre}{body}{post}" for pre, body, post in parts)
+    got = _split_statements(script)
+    assert len(got) == len(parts), (script, got)
+    for stmt, (_pre, body, _post) in zip(got, parts):
+        assert body in stmt, (script, stmt, body)
+
+
+@given(st.lists(st.tuples(_NOISE, _BODIES), min_size=1, max_size=4))
+@_settings
+def test_strip_comments_preserves_unmasked_text(parts):
+    """_strip_comments removes every comment and ONLY comments: the
+    result contains each body verbatim (quoted text with comment
+    markers inside is untouched) and none of the comment noise."""
+    from kt_sql_hbase_ex_spark.engine import _strip_comments
+
+    text = " ".join(f"{noise} {body}" for noise, body in parts)
+    out = _strip_comments(text)
+    for _noise, body in parts:
+        assert body in out, (text, out)
+    assert "/*" not in out and "*/" not in out
+    # '--' may survive ONLY inside quotes/backticks — never as a comment
+    # opener; verify by checking the stripped text round-trips stably
+    assert _strip_comments(out) == out
