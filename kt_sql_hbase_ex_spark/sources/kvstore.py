@@ -983,15 +983,55 @@ def recover_overlay(options) -> int:
     return len(todo)
 
 
+class KVChangesPartition(InputPartition):
+    """One commit-log entry = one batch-read partition (tasks
+    parallelize across commits; each reads exactly one immutable file)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+class KVChangesBatchReader(DataSourceReader):
+    """BATCH read of the change feed — the audit/backfill path beside
+    the streaming subscriber: ``spark.read.format("ktsql_kv_changes")``
+    returns every retained commit's mutations with their sequence
+    numbers, one task per commit file (work parallelizes across
+    commits; each file is immutable once its O_EXCL claim succeeded, so
+    the scan needs no locking). Retention applies as-is: the batch view
+    is the retained suffix of the WAL, floor-truncated like any
+    re-baselining consumer's view."""
+
+    def __init__(self, options) -> None:
+        opts = {k.lower(): v for k, v in dict(options).items()}
+        self._columns = list(opts["columns"].split(","))
+        self._log_dir = changelog_dir(opts)
+
+    def partitions(self) -> List[InputPartition]:
+        return [
+            KVChangesPartition(os.path.join(self._log_dir, f"{s:08d}.parquet"))
+            for s in _log_seqs(self._log_dir)
+        ]
+
+    def read(self, partition: KVChangesPartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        for r in pq.read_table(partition.path).to_pylist():
+            yield tuple(r[c] for c in self._columns) + (
+                bool(r[TOMBSTONE]),
+                r[SEQ_COL],
+            )
+
+
 class KVChangesDataSource(DataSource):
-    """``spark.readStream.format("ktsql_kv_changes")`` with the SAME
-    options bundle as the batch connector: the store's change feed as a
-    Structured Streaming source — the HBase WAL/replication-stream
-    analog (a reference deployment tails the WAL for CDC; here every
-    committed Put/Delete batch is one numbered log entry). Schema =
-    the store's columns + ``__deleted`` (Delete marker; non-key columns
-    NULL) + ``__seq`` (commit order). Delivery is in commit order,
-    one commit per microbatch."""
+    """``spark.readStream.format("ktsql_kv_changes")`` (subscriber) and
+    ``spark.read.format("ktsql_kv_changes")`` (audit/backfill) with the
+    SAME options bundle as the batch connector: the store's change feed
+    — the HBase WAL/replication-stream analog (a reference deployment
+    tails the WAL for CDC; here every committed Put/Delete batch is one
+    numbered log entry). Schema = the store's columns + ``__deleted``
+    (Delete marker; non-key columns NULL) + ``__seq`` (commit order).
+    Streaming delivery is in commit order, one commit per microbatch;
+    the batch read parallelizes one task per retained commit."""
 
     @classmethod
     def name(cls) -> str:
@@ -1008,6 +1048,9 @@ class KVChangesDataSource(DataSource):
                 StructField(SEQ_COL, LongType(), False),
             ]
         )
+
+    def reader(self, schema: StructType) -> KVChangesBatchReader:
+        return KVChangesBatchReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> KVChangesStreamReader:
         return KVChangesStreamReader(self.options)

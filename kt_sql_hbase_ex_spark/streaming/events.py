@@ -1366,6 +1366,68 @@ def st15_streaming_vector_admission(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(results).localCheckpoint(eager=True)
 
 
+def _cdc_provision(spark: SparkSession, sf_dir: str, base_name: str) -> dict:
+    """Fresh-identity CDC store base (st10's layout pattern): ALWAYS
+    rewrite the base (fresh mtime) — the overlay AND commit log are
+    keyed by the base fingerprint, so every invocation gets a hermetic
+    feed whose sequence starts at 1 (the WAL floor survives a truncate
+    by design — numbering resumes — so truncate alone would NOT reset
+    the numbers an oracle pins). Returns the connector options bundle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_kv_cdc_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base_dir, exist_ok=True)
+    base_path = os.path.join(base_dir, f"{base_name}.parquet")
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_acctbal": pa.array([], pa.float64()),
+        }
+    )
+    staging = f"{base_path}.tmp.{os.getpid()}"
+    pq.write_table(empty, staging)
+    os.replace(staging, base_path)
+    opts = {
+        "path": base_path,
+        "keyCol": "c_custkey",
+        "columns": "c_custkey,c_acctbal",
+        "regionSize": "1024",
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
+    return opts
+
+
+def _cdc_mutation_batches(spark: SparkSession, sf_dir: str):
+    """The four deterministic mutation batches st16/src10 commit and
+    their oracle (:func:`_st16_oracle`) replays: three Put slices of
+    customer and one Delete slice. Returns (put_batches, delete_keys)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    put_batches = [
+        cust.filter(k % 3 == 0).select("c_custkey", "c_acctbal"),
+        cust.filter(k % 3 == 1).select(
+            "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+        ),
+        cust.filter(k % 5 == 0).select(
+            "c_custkey", (F.col("c_acctbal") - 500).alias("c_acctbal")
+        ),
+    ]
+    delete_keys = sorted(
+        r["c_custkey"]
+        for r in cust.filter(k % 7 == 0).select("c_custkey").collect()
+    )
+    return put_batches, delete_keys
+
+
 def _st16_oracle() -> str:
     """Declarative replay of st16's four deterministic mutation batches
     straight from the customer fixture: the feed is complete and in
@@ -1425,9 +1487,6 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         CHANGES_FORMAT_NAME,
         FORMAT_NAME,
@@ -1435,7 +1494,6 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOMBSTONE,
         delete_from_store,
         register_kv_source,
-        truncate_overlay,
     )
 
     # register on the PARENT as well as the drain clone: the batch
@@ -1450,53 +1508,10 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = stream_session(spark)
     register_kv_source(spark)
 
-    # --- provision: stable empty base (st10's pattern), fresh feed ----
-    uid = getattr(os, "getuid", lambda: 0)()
-    base_dir = os.path.join(
-        tempfile.gettempdir(), f"kt_sql_kv_cdc_u{uid}",
-        spark.conf.get("spark.app.id", "shared"),
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    os.makedirs(base_dir, exist_ok=True)
-    base_path = os.path.join(base_dir, "accounts_base.parquet")
-    # ALWAYS rewrite the base (fresh mtime): the overlay AND commit log
-    # are keyed by the base fingerprint, so this gives every invocation
-    # a hermetic feed whose sequence starts at 1 — the WAL floor
-    # survives a truncate by design (numbering resumes), so truncate
-    # alone would NOT reset the numbers the oracle pins
-    empty = pa.table(
-        {
-            "c_custkey": pa.array([], pa.int64()),
-            "c_acctbal": pa.array([], pa.float64()),
-        }
-    )
-    staging = f"{base_path}.tmp.{os.getpid()}"
-    pq.write_table(empty, staging)
-    os.replace(staging, base_path)
-    opts = {
-        "path": base_path,
-        "keyCol": "c_custkey",
-        "columns": "c_custkey,c_acctbal",
-        "regionSize": "1024",
-        "appId": spark.conf.get("spark.app.id", "shared"),
-    }
+    # --- provision fresh-identity base + the four mutation batches ----
+    opts = _cdc_provision(spark, sf_dir, "accounts_base")
     lopts = {k.lower(): v for k, v in opts.items()}
-    truncate_overlay(lopts)  # resets overlay AND the commit log
-
-    cust = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    put_batches = [
-        cust.filter(k % 3 == 0).select("c_custkey", "c_acctbal"),
-        cust.filter(k % 3 == 1).select(
-            "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
-        ),
-        cust.filter(k % 5 == 0).select(
-            "c_custkey", (F.col("c_acctbal") - 500).alias("c_acctbal")
-        ),
-    ]
-    delete_keys = sorted(
-        r["c_custkey"] for r in cust.filter(k % 7 == 0).select("c_custkey").collect()
-    )
+    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
 
     # --- the drain: consume summaries while commits happen live ------
     summaries: list = []  # foreachBatch runs driver-side: plain closure
@@ -1516,7 +1531,7 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         summaries.extend(rows)
 
-    ckpt = os.path.join(base_dir, "ckpt")
+    ckpt = os.path.join(os.path.dirname(opts["path"]), "ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
     feed = spark.readStream.format(CHANGES_FORMAT_NAME).options(**opts).load()
     q = (
@@ -1549,4 +1564,49 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         summaries,
         "seq bigint, n_puts bigint, n_deletes bigint, total_value double",
+    )
+
+
+@query(
+    "src10_change_feed_batch_audit",
+    oracle=_st16_oracle(),
+)
+def src10_change_feed_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH read of the change feed — the audit/backfill consumer
+    beside st16's streaming subscriber, through the SAME source name:
+    ``spark.read.format("ktsql_kv_changes")`` returns every retained
+    commit's mutations with sequence numbers, ONE TASK PER COMMIT FILE
+    (the scan parallelizes across commits; entries are immutable once
+    their O_EXCL claim landed, so no locking). Here the four
+    deterministic mutation batches commit FIRST (the backfill shape:
+    history already on disk), then one batch read aggregates the whole
+    feed per commit — the same summary st16 builds incrementally, so
+    the two queries share one oracle text and the gate proves
+    batch-read ≡ streaming-drain ≡ declarative replay, Spark's unified
+    batch/stream contract made checkable. Scale: bytes per task ∝ one
+    commit's statement-sized mutation set; the aggregation is one
+    JVM-side hash aggregate over the feed scan."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        SEQ_COL,
+        TOMBSTONE,
+        delete_from_store,
+        register_kv_source,
+    )
+
+    register_kv_source(spark)
+    opts = _cdc_provision(spark, sf_dir, "audit_base")
+    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+    for b in put_batches:
+        b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    delete_from_store({k.lower(): v for k, v in opts.items()}, delete_keys)
+
+    feed = spark.read.format(CHANGES_FORMAT_NAME).options(**opts).load()
+    return feed.groupBy(F.col(SEQ_COL).alias("seq")).agg(
+        F.count(F.when(~F.col(TOMBSTONE), 1)).alias("n_puts"),
+        F.count(F.when(F.col(TOMBSTONE), 1)).alias("n_deletes"),
+        _emit(
+            F.sum(F.when(~F.col(TOMBSTONE), _micros(F.col("c_acctbal")))), 2
+        ).alias("total_value"),
     )
