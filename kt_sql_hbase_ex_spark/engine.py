@@ -374,7 +374,13 @@ class KtSqlEngine:
         # head tokens can't break the head match, and a trailing '--'
         # on a WHERE can't comment out generated one-line SQL
         core = _strip_comments(statement)
-        if args:
+        # `is not None`, not truthiness: an explicitly passed EMPTY
+        # bundle (args={} / args=[]) must still route through the
+        # parameterized path — a :name/? marker then fails with
+        # spark.sql's own unbound-parameter error (or the facade-DML
+        # rejection below), not a confusing parse error from treating
+        # the marker as SQL text (round-7 review finding)
+        if args is not None:
             for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD):
                 if head.match(core):
                     raise ValueError(

@@ -601,23 +601,32 @@ def f19_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     script's statements each plan independently through Catalyst
     (variables fold as literals); the loop runs ~log2(n) driver-side
     iterations of pure variable arithmetic, no data pass."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE total BIGINT;
-          DECLARE pow2 BIGINT DEFAULT 1;
-          SET total = (SELECT COUNT(*) FROM orders);
-          WHILE pow2 <= total DO
-            SET pow2 = pow2 * 2;
-          END WHILE;
-          SELECT o_orderpriority, COUNT(*) AS n,
-                 total DIV 100 AS threshold,
-                 pow2 AS pow2_above
-          FROM orders
-          GROUP BY o_orderpriority
-          HAVING COUNT(*) > total DIV 100;
-        END
-        """
-    )
+    # set/restore discipline (the _write_back pattern): the scripting
+    # switch must not leak into every later query on the shared session
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE total BIGINT;
+              DECLARE pow2 BIGINT DEFAULT 1;
+              SET total = (SELECT COUNT(*) FROM orders);
+              WHILE pow2 <= total DO
+                SET pow2 = pow2 * 2;
+              END WHILE;
+              SELECT o_orderpriority, COUNT(*) AS n,
+                     total DIV 100 AS threshold,
+                     pow2 AS pow2_above
+              FROM orders
+              GROUP BY o_orderpriority
+              HAVING COUNT(*) > total DIV 100;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -36,8 +36,10 @@ moved ∝ qualifiers requested × rows matching the server-side filters.
 from __future__ import annotations
 
 import bisect
+import contextlib
 import os
 import tempfile
+import time
 from typing import Any, Iterable, Iterator, List, Sequence, Tuple
 
 from pyspark.sql.datasource import (
@@ -373,32 +375,100 @@ def overlay_path(options) -> str:
     return os.path.join(root, f"{fp}.parquet")
 
 
+class OverlayWriterConflict(RuntimeError):
+    """A writer could not acquire the store's overlay lock within the
+    timeout. Another writer is live (retry) or crashed holding the lock
+    (verify, then :func:`break_overlay_lock`)."""
+
+
+@contextlib.contextmanager
+def _overlay_lock(options, timeout_s: float = 30.0):
+    """Serialize the overlay's read-merge-publish cycle (round-7 review
+    finding): WITHOUT this, two concurrent commits on the same store
+    identity both read the pre-commit overlay, each claims a log seq,
+    and the LAST overlay publish wins stamped at the log head — the
+    loser's commit is in the WAL but marked applied, so
+    ``recover_overlay`` never replays it (silent lost update). The
+    O_EXCL lock makes commit = claim seq + merge + publish one atomic
+    unit; the seq claim alone was already race-free, now the merge is
+    too. Writers BLOCK briefly rather than fail (commits are
+    statement-sized — the overlay contract — so the hold time is one
+    small parquet rewrite); past the timeout the conflict surfaces
+    loudly instead of deadlocking. A crashed holder leaves the lock:
+    deliberately NOT auto-stolen on age (stealing under a slow live
+    writer recreates the lost update) — operators verify and
+    :func:`break_overlay_lock`, same discipline as the text index's
+    ``writer.lock`` (the reference's Redis write-lock slot,
+    ``RedisLockFactory.kt:16-41``)."""
+    path = overlay_path(options) + ".lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise OverlayWriterConflict(
+                    f"kv store overlay {path}: another writer holds the "
+                    "lock — retry after it finishes (break_overlay_lock "
+                    "clears a crashed one)"
+                ) from None
+            time.sleep(0.01)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def break_overlay_lock(options) -> None:
+    """Clear a crashed writer's overlay lock. Only safe once no writer
+    process is alive — the operator's judgement call, exactly like
+    releasing the reference's Redis lock."""
+    try:
+        os.unlink(overlay_path(options) + ".lock")
+    except FileNotFoundError:
+        pass
+
+
 def truncate_overlay(options) -> None:
     """Drop all committed writes, restoring the store to its base
     (the bulk-load pattern: TRUNCATE + load). A truncate that actually
     removed rows changes what readers see, so it stale-flips dependent
     persisted indexes exactly like a commit does; a no-op truncate
     (no overlay) leaves the index catalog untouched."""
-    import os
-
-    p = overlay_path(options)
-    if os.path.exists(p):
-        os.unlink(p)
-        _invalidate_dependent_indexes(options)
-    # HBase TRUNCATE drops the table's WAL with it: a bulk reload resets
-    # the change feed's history (subscribers re-baseline from the new
-    # base, they do not replay pre-truncate mutations). Retention
-    # semantics, not rmtree: the floor marker survives at the last
-    # pre-truncate number, so post-truncate commits RESUME the sequence
-    # (no number reuse) and a consumer parked inside the dropped span
-    # fails loudly instead of stalling. A consumer that was fully
-    # caught up cannot detect the truncate from the feed alone — like
-    # an HBase truncate under live replication, coordinate it (stop
-    # subscribers, truncate, re-baseline, resubscribe).
     opts = {k.lower(): v for k, v in dict(options).items()}
-    seqs = _log_seqs(changelog_dir(opts))
-    if seqs:
-        prune_changelog(opts, seqs[-1])
+    with _overlay_lock(opts):
+        # HBase TRUNCATE drops the table's WAL with it: a bulk reload
+        # resets the change feed's history (subscribers re-baseline from
+        # the new base, they do not replay pre-truncate mutations).
+        # Retention semantics, not rmtree: the floor marker survives at
+        # the last pre-truncate number, so post-truncate commits RESUME
+        # the sequence (no number reuse) and a consumer parked inside
+        # the dropped span fails loudly instead of stalling. A consumer
+        # that was fully caught up cannot detect the truncate from the
+        # feed alone — like an HBase truncate under live replication,
+        # coordinate it (stop subscribers, truncate, re-baseline,
+        # resubscribe).
+        #
+        # ORDER: prune the changelog (publishing the floor) BEFORE
+        # unlinking the overlay (round-7 review finding) — a crash
+        # between the two then leaves an UN-truncated store with an
+        # advanced floor (the truncate is simply retryable), whereas
+        # the reverse order left the full WAL with no overlay, which
+        # the next recover_overlay would replay wholesale, silently
+        # resurrecting the truncated state.
+        seqs = _log_seqs(changelog_dir(opts))
+        if seqs:
+            prune_changelog(opts, seqs[-1])
+        p = overlay_path(opts)
+        if os.path.exists(p):
+            os.unlink(p)
+            _invalidate_dependent_indexes(opts)
 
 
 #: overlay marker column: a row with this flag true is an HBase Delete
@@ -498,47 +568,52 @@ def delete_from_store(options, keys) -> None:
     import pyarrow.parquet as pq
 
     opts = {k.lower(): v for k, v in dict(options).items()}
-    recover_overlay(opts)  # WAL recovery before reading the overlay
-    key_cols = tuple(opts["keycol"].split(","))
-    columns = list(opts["columns"].split(","))
-    opath = overlay_path(opts)
-    merged: dict = {}
-    if os.path.exists(opath):
-        for r in pq.read_table(opath).to_pylist():
-            merged[_rowkey_of(r, key_cols)] = r
-    batch: dict = {}  # this statement's own tombstones, for the feed
-    for k in keys:  # composite stores take key TUPLES, single stores scalars
-        row = {c: None for c in columns}
-        kt = k if isinstance(k, tuple) else (k,)
-        if len(kt) != len(key_cols):
-            # arity mismatch must be loud: a silently-zipped prefix would
-            # tombstone a DIFFERENT row (same guard discipline as
-            # _pad_component / _index_rowkey)
-            raise ValueError(
-                f"delete key arity {len(kt)} != PK width {len(key_cols)}: {k!r}"
-            )
-        for col, v in zip(key_cols, kt):
-            row[col] = v
-        row[TOMBSTONE] = True
-        merged[_rowkey_of(row, key_cols)] = row
-        batch[_rowkey_of(row, key_cols)] = row
-    rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
-    for r in rows:  # normalize: upsert rows carry an explicit false flag
-        r.setdefault(TOMBSTONE, False)
-    if batch:  # an empty delete set commits no WAL entry
-        # WRITE-AHEAD: the log entry lands BEFORE the overlay publish
-        # (HBase appends the WAL before the memstore apply). A crash
-        # between the two leaves a logged-but-unapplied commit, which
-        # recover_overlay REPLAYS on the next open/commit — the reverse
-        # order would be a SILENT feed gap no replay could ever detect.
-        applied = _append_changelog(opts, list(batch.values()), key_cols)
-    else:
-        seqs = _log_seqs(changelog_dir(opts))
-        applied = seqs[-1] if seqs else changelog_floor(opts)
-    tmp = opath + ".tmp"
-    pq.write_table(_stamp_applied(pa.Table.from_pylist(rows), applied), tmp)
-    os.replace(tmp, opath)
-    _invalidate_dependent_indexes(opts)
+    # the whole read-merge-publish cycle runs under the overlay lock:
+    # concurrent writers serialize, so the applied-seq watermark always
+    # reflects exactly the commits the published overlay contains
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)  # WAL recovery before the read
+        key_cols = tuple(opts["keycol"].split(","))
+        columns = list(opts["columns"].split(","))
+        opath = overlay_path(opts)
+        merged: dict = {}
+        if os.path.exists(opath):
+            for r in pq.read_table(opath).to_pylist():
+                merged[_rowkey_of(r, key_cols)] = r
+        batch: dict = {}  # this statement's own tombstones, for the feed
+        for k in keys:  # composite stores take key TUPLES, single stores scalars
+            row = {c: None for c in columns}
+            kt = k if isinstance(k, tuple) else (k,)
+            if len(kt) != len(key_cols):
+                # arity mismatch must be loud: a silently-zipped prefix
+                # would tombstone a DIFFERENT row (same guard discipline
+                # as _pad_component / _index_rowkey)
+                raise ValueError(
+                    f"delete key arity {len(kt)} != PK width {len(key_cols)}: {k!r}"
+                )
+            for col, v in zip(key_cols, kt):
+                row[col] = v
+            row[TOMBSTONE] = True
+            merged[_rowkey_of(row, key_cols)] = row
+            batch[_rowkey_of(row, key_cols)] = row
+        rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+        for r in rows:  # normalize: upsert rows carry an explicit false flag
+            r.setdefault(TOMBSTONE, False)
+        if batch:  # an empty delete set commits no WAL entry
+            # WRITE-AHEAD: the log entry lands BEFORE the overlay publish
+            # (HBase appends the WAL before the memstore apply). A crash
+            # between the two leaves a logged-but-unapplied commit, which
+            # recover_overlay REPLAYS on the next open/commit — the
+            # reverse order would be a SILENT feed gap no replay could
+            # ever detect.
+            applied = _append_changelog(opts, list(batch.values()), key_cols)
+        else:
+            seqs = _log_seqs(changelog_dir(opts))
+            applied = seqs[-1] if seqs else changelog_floor(opts)
+        tmp = opath + ".tmp"
+        pq.write_table(_stamp_applied(pa.Table.from_pylist(rows), applied), tmp)
+        os.replace(tmp, opath)
+        _invalidate_dependent_indexes(opts)
 
 
 #: rowkey of a secondary-index entry: indexed value, then the base
@@ -711,39 +786,43 @@ class KVUpsertWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        recover_overlay(self._options)  # WAL recovery before the read
-        merged: dict = {}
-        batch: dict = {}  # this commit's per-key FINAL puts, for the feed
-        opath = overlay_path(self._options)
-        if os.path.exists(opath):  # upserts accumulate across statements
-            for r in pq.read_table(opath).to_pylist():
-                merged[_rowkey_of(r, self._key_cols)] = r
-        for m in messages:
-            if m is not None:
-                for r in m.rows:
-                    # a Put over a tombstone revives
+        opts = {k.lower(): v for k, v in dict(self._options).items()}
+        # read-merge-publish under the overlay lock — see
+        # delete_from_store: serialized writers keep the applied-seq
+        # watermark exact under concurrency (round-7 review finding)
+        with _overlay_lock(opts):
+            _recover_overlay_locked(opts)  # WAL recovery before the read
+            merged: dict = {}
+            batch: dict = {}  # this commit's per-key FINAL puts, for the feed
+            opath = overlay_path(opts)
+            if os.path.exists(opath):  # upserts accumulate across statements
+                for r in pq.read_table(opath).to_pylist():
                     merged[_rowkey_of(r, self._key_cols)] = r
-                    batch[_rowkey_of(r, self._key_cols)] = r
-        rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, self._key_cols))
-        for r in rows:
-            r.setdefault(TOMBSTONE, False)
-        tbl = pa.Table.from_pylist(rows) if rows else None
-        if tbl is not None:
-            opts = {k.lower(): v for k, v in dict(self._options).items()}
-            if batch:  # an empty statement commits no WAL entry
-                # WRITE-AHEAD ordering — see delete_from_store: the log
-                # entry must exist before the overlay becomes visible,
-                # and recover_overlay replays the crash window
-                applied = _append_changelog(
-                    opts, list(batch.values()), self._key_cols
-                )
-            else:
-                seqs = _log_seqs(changelog_dir(opts))
-                applied = seqs[-1] if seqs else changelog_floor(opts)
-            tmp = opath + ".tmp"
-            pq.write_table(_stamp_applied(tbl, applied), tmp)
-            os.replace(tmp, opath)  # atomic visibility
-            _invalidate_dependent_indexes(self._options)
+            for m in messages:
+                if m is not None:
+                    for r in m.rows:
+                        # a Put over a tombstone revives
+                        merged[_rowkey_of(r, self._key_cols)] = r
+                        batch[_rowkey_of(r, self._key_cols)] = r
+            rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, self._key_cols))
+            for r in rows:
+                r.setdefault(TOMBSTONE, False)
+            tbl = pa.Table.from_pylist(rows) if rows else None
+            if tbl is not None:
+                if batch:  # an empty statement commits no WAL entry
+                    # WRITE-AHEAD ordering — see delete_from_store: the
+                    # log entry must exist before the overlay becomes
+                    # visible; recover_overlay replays the crash window
+                    applied = _append_changelog(
+                        opts, list(batch.values()), self._key_cols
+                    )
+                else:
+                    seqs = _log_seqs(changelog_dir(opts))
+                    applied = seqs[-1] if seqs else changelog_floor(opts)
+                tmp = opath + ".tmp"
+                pq.write_table(_stamp_applied(tbl, applied), tmp)
+                os.replace(tmp, opath)  # atomic visibility
+                _invalidate_dependent_indexes(opts)
 
     def abort(self, messages) -> None:
         pass  # nothing staged outside the messages: free rollback
@@ -945,23 +1024,43 @@ def recover_overlay(options) -> int:
     predating the watermark are taken as consistent at the current
     head (no spurious replay; the watermark ships with every write
     from now on)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     opts = {k.lower(): v for k, v in dict(options).items()}
+    # lock-free fast path: the crash-free open (every read) costs one
+    # listdir + footer probe, no lock traffic. The race is benign: a
+    # concurrent writer holding the lock replays/publishes itself.
+    if not _unapplied_seqs(opts):
+        return 0
+    with _overlay_lock(opts):
+        return _recover_overlay_locked(opts)
+
+
+def _unapplied_seqs(opts) -> List[int]:
+    """Commit-log entries past the overlay's applied watermark."""
     seqs = _log_seqs(changelog_dir(opts))
     if not seqs:
-        return 0
-    head = seqs[-1]
+        return []
     opath = overlay_path(opts)
     applied = _overlay_applied_seq(opath)
     if applied is None:
         # absent overlay: nothing applied since the floor; legacy
         # overlay (pre-watermark): assume consistent at head
-        applied = changelog_floor(opts) if not os.path.exists(opath) else head
-    todo = [q for q in seqs if q > applied]
+        applied = changelog_floor(opts) if not os.path.exists(opath) else seqs[-1]
+    return [q for q in seqs if q > applied]
+
+
+def _recover_overlay_locked(opts) -> int:
+    """Replay body of :func:`recover_overlay`; caller holds the
+    overlay lock (writers call this directly at the top of their own
+    locked read-merge-publish cycle, so recovery and the new commit
+    are one atomic unit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    todo = _unapplied_seqs(opts)  # re-derived under the lock
     if not todo:
         return 0
+    head = todo[-1]  # replay through the last unapplied entry
+    opath = overlay_path(opts)
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     merged: dict = {}

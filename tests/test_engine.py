@@ -788,6 +788,19 @@ def test_facade_parameterized_sql(eng):
         eng.sql("UPDATE t SET v = :v WHERE k = 1", args={"v": 1})
     with pytest.raises(ValueError, match="parameter binding"):
         eng.sql("DELETE FROM t WHERE k = :k", args={"k": 1})
+    # an explicitly passed EMPTY bundle still routes through the
+    # parameterized path: markers fail with the binder's own loud
+    # unbound-parameter error, not a confusing parse/analysis one, and
+    # facade DML still rejects (round-7 review finding)
+    with pytest.raises(Exception, match="(?i)parameter|UNBOUND"):
+        eng.sql(
+            "SELECT count(*) AS n FROM customer WHERE c_mktsegment = :seg",
+            args={},
+        ).collect()
+    with pytest.raises(ValueError, match="parameter binding"):
+        eng.sql("DELETE FROM t WHERE k = :k", args={})
+    # and a markerless statement with an empty bundle just runs
+    assert eng.sql("SELECT 1 AS one", args={}).first()["one"] == 1
 
 
 def test_facade_merge_case_when_in_set_expression(eng):
@@ -877,11 +890,19 @@ def test_facade_run_script_flat_statements(eng):
         with pytest.raises(ValueError, match="BEGIN"):
             eng.run_script("BEGIN SELECT 1; SELECT 2; END")
         # the native scripting path still works through .sql() whole
+        # (set/restore: the switch must not leak into later tests)
+        prev = eng.spark.conf.get("spark.sql.scripting.enabled", None)
         eng.spark.conf.set("spark.sql.scripting.enabled", "true")
-        row = eng.sql(
-            "BEGIN DECLARE x INT DEFAULT 20; SET x = x + 2; "
-            "SELECT x AS out; END"
-        ).first()
+        try:
+            row = eng.sql(
+                "BEGIN DECLARE x INT DEFAULT 20; SET x = x + 2; "
+                "SELECT x AS out; END"
+            ).first()
+        finally:
+            if prev is None:
+                eng.spark.conf.unset("spark.sql.scripting.enabled")
+            else:
+                eng.spark.conf.set("spark.sql.scripting.enabled", prev)
         assert row["out"] == 22
     finally:
         eng.drop_table("ktsql_eng_script")

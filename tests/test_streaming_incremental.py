@@ -674,6 +674,12 @@ def test_change_feed_microbatch_boundaries_and_restart(spark, tmp_path):
                     raise q.exception()
                 assert time.monotonic() - t0 < 120, batches
                 time.sleep(0.05)
+            # the sink has SEEN the last batch, but its offset may not
+            # be checkpoint-committed yet — stopping in that window
+            # makes the restart replay it (at-least-once). Wait for the
+            # engine to finish committing before stopping so the
+            # restart assertion really tests offset durability.
+            q.processAllAvailable()
         finally:
             q.stop()
         seen.extend(batches)
@@ -770,6 +776,62 @@ def test_changelog_concurrent_commits_get_distinct_seqs(spark, tmp_path):
     reader = KVChangesStreamReader(lopts)
     rows = list(reader.readBetweenOffsets({"seq": 0}, {"seq": 8}))
     assert sorted(r[0] for r in rows) == list(range(1, 9))  # none lost
+
+
+def test_concurrent_commits_never_lose_updates(spark, tmp_path):
+    """The overlay lock serializes the read-merge-publish cycle
+    (round-7 review finding): without it, racing commits both read the
+    pre-commit overlay and the last publish wins stamped at the log
+    head, so the loser's logged commit is marked applied but its rows
+    are absent — a silent lost update recover_overlay can never see.
+    Under the lock, every committed row must be in the final overlay,
+    the applied watermark must equal the log head, and recovery must
+    find nothing to replay."""
+    import threading
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        _log_seqs,
+        _open_store,
+        _overlay_applied_seq,
+        changelog_dir,
+        delete_from_store,
+        overlay_path,
+        recover_overlay,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    errs: list = []
+
+    def put(k: int) -> None:
+        try:
+            w = KVUpsertWriter(lopts)
+            w.commit([KVWriteMessage([{"k": k, "v": float(k)}])])
+        except Exception as ex:  # pragma: no cover - surfaced by assert
+            errs.append(ex)
+
+    def drop(k: int) -> None:
+        try:
+            delete_from_store(lopts, [k])
+        except Exception as ex:  # pragma: no cover - surfaced by assert
+            errs.append(ex)
+
+    threads = [threading.Thread(target=put, args=(i,)) for i in range(1, 9)]
+    threads += [threading.Thread(target=drop, args=(i,)) for i in (100, 101)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # every commit applied: 8 puts live, 2 tombstones recorded
+    store = _open_store(lopts)
+    assert sorted(r["k"] for r in store.rows) == list(range(1, 9))
+    # the watermark is exact: applied == log head, nothing to replay
+    head = _log_seqs(changelog_dir(lopts))[-1]
+    assert head == 10
+    assert _overlay_applied_seq(overlay_path(lopts)) == head
+    assert recover_overlay(lopts) == 0
 
 
 def test_changelog_retention_prunes_and_fails_loudly(spark, tmp_path):
