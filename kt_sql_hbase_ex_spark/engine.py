@@ -1334,3 +1334,17 @@ class KtSqlEngine:
         from kt_sql_hbase_ex_spark.sources.kvstore import list_kv_indexes
 
         return list_kv_indexes(store_options)
+
+    def compact_kv_table(self, **store_options: str) -> dict:
+        """Fold a KV store's committed overlay into a new base
+        generation (the HBase memstore-flush / major-compaction the
+        reference's substrate ran underneath it): region-pruned
+        rewrite, cold regions carried by hardlink, tombstones
+        physically dropped, atomic pointer publish. Returns the fold's
+        stats dict (``compacted``, ``regions_rewritten`` /
+        ``regions_carried``, ``tombstones_dropped``, ``applied_seq`` —
+        after which ``prune_changelog(opts, applied_seq)`` is safe for
+        WAL retention)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import compact_store
+
+        return compact_store(store_options)

@@ -466,8 +466,22 @@ def truncate_overlay(options) -> None:
         if seqs:
             prune_changelog(opts, seqs[-1])
         p = overlay_path(opts)
+        changed = False
         if os.path.exists(p):
             os.unlink(p)
+            changed = True
+        # compacted generations hold committed writes too: TRUNCATE
+        # restores the PRISTINE base, so the pointer and its dirs go
+        # with the overlay. Not crash-atomic (an interrupted truncate
+        # can briefly serve partial state) — like an HBase truncate,
+        # coordinate it and retry on failure; every step is idempotent.
+        root = _gen_root(opts)
+        ptr = os.path.join(root, GEN_POINTER)
+        if os.path.exists(ptr):
+            os.unlink(ptr)
+            changed = True
+        _gc_generations(root, keep=None)
+        if changed:
             _invalidate_dependent_indexes(opts)
 
 
@@ -686,7 +700,9 @@ def _open_store(options) -> KVStore:
     except FileNotFoundError:
         overlay_sig = None
     config_key = (path, opath, key_col, columns, region_size, index_on)
-    signature = (st.st_mtime_ns, st.st_size, overlay_sig)
+    # the generation pointer is part of the store's content identity:
+    # a fold replaces the base the reader must scan
+    signature = (st.st_mtime_ns, st.st_size, overlay_sig, tuple(_gen_signature(options)))
     cached = _STORE_CACHE.get(config_key)
     if cached is not None and cached[0] == signature:
         return cached[1]
@@ -697,7 +713,8 @@ def _open_store(options) -> KVStore:
     for k in [k for k in _STORE_CACHE if not os.path.exists(k[0])]:
         del _STORE_CACHE[k]
     store = load_kv_store_from_parquet(
-        f"kv:{path}", path, key_col, columns, region_size=region_size
+        f"kv:{path}", _resolve_base_path(options), key_col, columns,
+        region_size=region_size,
     )
     if overlay_sig is not None:
         import pyarrow.parquet as pq
@@ -1042,9 +1059,19 @@ def _unapplied_seqs(opts) -> List[int]:
     opath = overlay_path(opts)
     applied = _overlay_applied_seq(opath)
     if applied is None:
-        # absent overlay: nothing applied since the floor; legacy
-        # overlay (pre-watermark): assume consistent at head
-        applied = changelog_floor(opts) if not os.path.exists(opath) else seqs[-1]
+        if not os.path.exists(opath):
+            # absent overlay: nothing applied since the floor — or,
+            # after a compaction folded the overlay away, since the
+            # generation's carried watermark (replaying the folded span
+            # would be harmless but would regrow the overlay the fold
+            # just retired)
+            gen = _resolve_generation(opts)
+            applied = max(
+                changelog_floor(opts), gen["applied_seq"] if gen else 0
+            )
+        else:
+            # legacy overlay (pre-watermark): assume consistent at head
+            applied = seqs[-1]
     return [q for q in seqs if q > applied]
 
 
@@ -1080,6 +1107,296 @@ def _recover_overlay_locked(opts) -> int:
     os.replace(tmp, opath)
     _invalidate_dependent_indexes(opts)
     return len(todo)
+
+
+# --- overlay→base compaction (HBase memstore-flush / major-compact) ----
+#
+# The reference's substrate did this for free: HBase flushes the
+# memstore into HFiles and major compaction folds them, physically
+# dropping tombstones. Without an analog, this store's overlay grows
+# with every committed statement FOREVER and every scan pays the
+# overlay-over-base merge — the one store in the engine still missing
+# its maintenance cycle (the band/IVF/text stores all run one).
+#
+# Model: a compaction folds overlay-over-base into a NEW "generation" —
+# a directory of per-region parquet files — published by atomically
+# replacing a POINTER file (the same generation-pointer discipline as
+# functions/text_index.py:940 and functions/similarity.py:931). Readers
+# resolve the pointer at open: base = the live generation's region
+# files (or the pristine fixture if none), overlay = whatever committed
+# AFTER the fold. Region-pruned: only regions the overlay's keys touch
+# are rewritten; cold regions carry into the new generation by
+# HARDLINK (no data copied). Tombstones are physically dropped. The
+# overlay's applied-seq watermark moves into the pointer, so WAL
+# recovery after a fold replays exactly the post-fold commits — and
+# ``prune_changelog(opts, pointer.applied_seq)`` is then safe for
+# retention (recovery no longer needs the folded span; subscribers
+# keep their own pace). Superseded generations are deleted by the NEXT
+# compaction's deferred GC (one full cycle for in-flight readers),
+# which also sweeps dirs orphaned by a crash mid-fold.
+#
+# Scale: at 100 TB the same shape is a distributed job — each touched
+# region rewrites independently (region locality, no shuffle), cold
+# regions are metadata-only carries, and the pointer flip is one
+# atomic metadata operation. Work ∝ touched regions + overlay, never
+# corpus.
+
+#: generation pointer file name inside the store's generation root
+GEN_POINTER = "POINTER"
+
+#: a rewritten region holding more than this many × region_size rows
+#: is split into region_size chunks (the HBase region-split analog),
+#: so region files stay bounded across compaction cycles
+_REGION_SPLIT_FACTOR = 2
+
+
+def _gen_root(options) -> str:
+    """Per-store generation directory — keyed like the index root
+    (base path + appId namespace, NOT content mtime: the generation
+    chain survives base-content changes it itself causes)."""
+    import hashlib
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    path = os.path.realpath(opts["path"])
+    ns = opts.get("appid", "shared")
+    fp = hashlib.sha256(f"{path}|{ns}".encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(), f"kt_sql_kv_gen_u{uid}", fp)
+
+
+def _resolve_generation(options) -> dict | None:
+    """The live generation (pointer contents) or None when the store
+    still serves the pristine fixture base."""
+    import json
+
+    try:
+        with open(os.path.join(_gen_root(options), GEN_POINTER)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _gen_signature(options) -> list:
+    """Identity of the live generation for cache/staleness keys:
+    pointer stat, or [0, 0] when no generation exists."""
+    try:
+        st = os.stat(os.path.join(_gen_root(options), GEN_POINTER))
+        return [st.st_mtime_ns, st.st_size]
+    except FileNotFoundError:
+        return [0, 0]
+
+
+def _resolve_base_path(options) -> str:
+    """What readers scan as the store's base: the live generation's
+    region-file dir, or the pristine fixture parquet."""
+    gen = _resolve_generation(options)
+    if gen is not None:
+        return gen["dir"]
+    return os.path.realpath(
+        {k.lower(): v for k, v in dict(options).items()}["path"]
+    )
+
+
+def _gc_generations(root: str, keep) -> None:
+    """Deferred generation GC: delete every ``gen.*`` dir except the
+    live one — run at the START of the next compaction (not at
+    supersede time), so readers holding the just-replaced generation
+    get a full cycle to finish; crash-orphaned dirs (fold died before
+    the pointer flip) are swept by the same pass."""
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(root, "gen.*")):
+        if d != keep and os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _region_chunks(rows: list, region_size: int) -> list:
+    """Split sorted rows into region files of ``region_size`` rows."""
+    return [rows[i: i + region_size] for i in range(0, len(rows), region_size)]
+
+
+def compact_store(options) -> dict:
+    """Fold the committed overlay into a new base generation (HBase
+    memstore flush + major compaction in one step — the write path the
+    reference's region servers ran underneath it). No-op when there is
+    nothing to fold. Runs under the overlay writer lock: a fold is a
+    writer like any commit.
+
+    Crash-safety: region files land in a uniquely-named dir; the
+    pointer replace is the single publish point. A crash BEFORE it
+    leaves an unreferenced dir (swept by the next fold's GC); a crash
+    AFTER it but before the overlay unlink leaves the folded overlay
+    in place — re-applying it over the new generation is idempotent
+    (same keys, same values, tombstones of keys the fold already
+    dropped are no-ops), and the next fold (or open) retires it.
+
+    Returns stats: ``regions_rewritten`` / ``regions_carried`` (the
+    region-pruning proof), ``rows`` (live rows in the new generation),
+    ``tombstones_dropped``, ``applied_seq`` (carried watermark —
+    ``prune_changelog(opts, applied_seq)`` is safe afterwards), and
+    ``compacted`` (False for the no-op path)."""
+    import json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)  # fold WAL-recovered state, never torn
+        opath = overlay_path(opts)
+        if not os.path.exists(opath):
+            return {"compacted": False, "reason": "no overlay to fold"}
+        key_cols = tuple(opts["keycol"].split(","))
+        columns = list(opts["columns"].split(","))
+        region_size = int(opts.get("regionsize", "512"))
+        root = _gen_root(opts)
+        os.makedirs(root, exist_ok=True)
+        cur = _resolve_generation(opts)
+        # deferred GC: sweep superseded + crash-orphaned generations now
+        _gc_generations(root, keep=cur["dir"] if cur else None)
+
+        overlay_rows = pq.read_table(opath).to_pylist()
+        applied = _overlay_applied_seq(opath)
+        if applied is None:  # legacy overlay: consistent at the log head
+            seqs = _log_seqs(changelog_dir(opts))
+            applied = seqs[-1] if seqs else changelog_floor(opts)
+        n_tombstones = sum(1 for r in overlay_rows if r.get(TOMBSTONE))
+
+        # region-file schema pinned from the fixture base (same
+        # discipline as _append_changelog): per-file inference over
+        # delete-heavy regions would drift column types
+        fixture = os.path.realpath(opts["path"])
+        base_sch = pq.read_schema(fixture)
+        schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
+
+        new_dir = os.path.join(root, f"gen.{uuid.uuid4().hex[:12]}")
+        os.makedirs(new_dir)
+        new_regions: list = []
+        rewritten = carried = live_rows = 0
+
+        def write_region(rows: list) -> None:
+            nonlocal rewritten, live_rows
+            for chunk in _region_chunks(rows, region_size) or []:
+                name = f"region-{len(new_regions):05d}.parquet"
+                pq.write_table(
+                    pa.Table.from_pylist(
+                        [{c: r[c] for c in columns} for r in chunk], schema=schema
+                    ),
+                    os.path.join(new_dir, name),
+                )
+                new_regions.append(
+                    {"file": name, "start": _rowkey_of(chunk[0], key_cols)}
+                )
+                rewritten += 1
+                live_rows += len(chunk)
+
+        def carry_region(region: dict) -> None:
+            nonlocal carried, live_rows
+            name = f"region-{len(new_regions):05d}.parquet"
+            src = os.path.join(cur["dir"], region["file"])
+            os.link(src, os.path.join(new_dir, name))  # cold: no copy
+            new_regions.append({"file": name, "start": region["start"]})
+            carried += 1
+            live_rows += region["rows"]
+
+        if cur is None or not cur.get("regions"):
+            # first fold (or a fully-emptied predecessor): one pass over
+            # fixture base ⊕ overlay, split into fresh regions
+            merged: dict = {}
+            if cur is None:
+                for r in pq.read_table(fixture, columns=columns).to_pylist():
+                    merged[_rowkey_of(r, key_cols)] = r
+            for r in overlay_rows:
+                if r.get(TOMBSTONE):
+                    merged.pop(_rowkey_of(r, key_cols), None)
+                else:
+                    merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+            write_region(
+                sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+            )
+        else:
+            # region-pruned fold: assign each overlay key to the region
+            # covering it (HBase semantics: region i covers
+            # [start_i, start_{i+1}); keys below the first start belong
+            # to region 0), rewrite ONLY touched regions, hardlink the
+            # rest
+            regions = cur["regions"]
+            starts = [r["start"] for r in regions]
+            by_region: dict[int, list] = {}
+            for r in overlay_rows:
+                idx = max(0, bisect.bisect_right(starts, _rowkey_of(r, key_cols)) - 1)
+                by_region.setdefault(idx, []).append(r)
+            for i, region in enumerate(regions):
+                if i not in by_region:
+                    carry_region(region)
+                    continue
+                merged = {}
+                for r in pq.read_table(
+                    os.path.join(cur["dir"], region["file"])
+                ).to_pylist():
+                    merged[_rowkey_of(r, key_cols)] = r
+                for r in by_region[i]:
+                    if r.get(TOMBSTONE):
+                        merged.pop(_rowkey_of(r, key_cols), None)
+                    else:
+                        merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+                # a fully-emptied region is DROPPED (the facade's
+                # emptied-partition discipline), not written as a
+                # zero-row file
+                write_region(
+                    sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+                )
+
+        if not new_regions:
+            # fully-emptied store: one zero-row schema-pinned file keeps
+            # the generation readable (readers infer types from it);
+            # excluded from the regions list, so the next fold treats
+            # the generation as an empty base
+            pq.write_table(
+                pa.Table.from_pylist([], schema=schema),
+                os.path.join(new_dir, "region-empty.parquet"),
+            )
+        # single publish point: pointer replace makes the fold visible
+        pointer = {
+            "dir": new_dir,
+            "applied_seq": applied,
+            "gen": (cur["gen"] + 1) if cur else 1,
+            "regions": [
+                {**rg, "rows": _region_rows(new_dir, rg["file"])}
+                for rg in new_regions
+            ],
+        }
+        ptr_path = os.path.join(root, GEN_POINTER)
+        tmp = f"{ptr_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(pointer, f)
+        os.replace(tmp, ptr_path)
+        # the folded overlay retires AFTER the publish: a crash between
+        # the two re-applies it over the new generation — idempotent
+        os.unlink(opath)
+        # a fold changes the base identity dependent indexes were built
+        # against — stale-flip exactly like a commit (content is
+        # read-identical, but the conservative flip keeps one freshness
+        # mechanism instead of two)
+        _invalidate_dependent_indexes(opts)
+        return {
+            "compacted": True,
+            "generation": pointer["gen"],
+            "regions_rewritten": rewritten,
+            "regions_carried": carried,
+            "rows": live_rows,
+            "tombstones_dropped": n_tombstones,
+            "applied_seq": applied,
+        }
+
+
+def _region_rows(gen_dir: str, name: str) -> int:
+    """Row count of one region file (parquet footer, no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(gen_dir, name)).metadata.num_rows
 
 
 class KVChangesPartition(InputPartition):
@@ -1218,7 +1535,6 @@ def load_kv_store_from_parquet(
         StructField,
     )
 
-    tbl = pq.read_table(parquet_path, columns=list(columns))
     type_map = {
         "int32": IntegerType(),
         "int64": LongType(),
@@ -1227,13 +1543,15 @@ def load_kv_store_from_parquet(
         "string": StringType(),
         "large_string": StringType(),
     }
+    tbl = pq.read_table(parquet_path, columns=list(columns))
+    arrow = tbl.schema
+    rows = tbl.to_pylist()
     schema = StructType(
         [
-            StructField(c, type_map[str(tbl.schema.field(c).type)], True)
+            StructField(c, type_map[str(arrow.field(c).type)], True)
             for c in columns
         ]
     )
-    rows = tbl.to_pylist()
     return KVStore(name, schema, key_col, rows, region_size=region_size)
 
 
@@ -1657,7 +1975,9 @@ def _kv_index_root(base_options) -> str:
 
 def _base_signature(base_options) -> list:
     """Identity of the base content an index was built from: base file
-    + overlay state. Any committed write changes it."""
+    + overlay state + live generation (a compaction replaces the base
+    a reader scans, so it changes the signature exactly like a commit).
+    Any committed write or fold changes it."""
     opts = {k.lower(): v for k, v in dict(base_options).items()}
     st = os.stat(os.path.realpath(opts["path"]))
     sig = [st.st_mtime_ns, st.st_size]
@@ -1666,7 +1986,7 @@ def _base_signature(base_options) -> list:
         sig += [ost.st_mtime_ns, ost.st_size]
     except FileNotFoundError:
         sig += [0, 0]
-    return sig
+    return sig + _gen_signature(opts)
 
 
 def _index_meta_path(base_options, index_name: str) -> str:
@@ -1774,7 +2094,11 @@ def _snapshot_of(base_signature: list) -> dict:
     correct index, with no history bookkeeping."""
     return {
         "base": base_signature[:2],
-        "overlay_free": base_signature[2:] == [0, 0],
+        "overlay_free": base_signature[2:4] == [0, 0],
+        # the generation the backfill read through: delta maintenance
+        # is sound only while the SAME generation is live (a fold
+        # changes the reference point the deltas apply against)
+        "gen": base_signature[4:6],
     }
 
 
@@ -1997,6 +2321,14 @@ def incremental_refresh_kv_index(
         raise IncrementalRefreshIneligible(
             f"index {index_name!r}: base file changed since backfill — rebuild"
         )
+    if snap.get("gen", [0, 0]) != _gen_signature(opts):
+        # a fold replaced the base the snapshot's deltas apply against;
+        # "pristine reference ⊕ current overlay" no longer reconstructs
+        # the store — only a rebuild is correct
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: compaction changed the base "
+            "generation since backfill — rebuild"
+        )
 
     key_cols = tuple(meta["key_cols"].split(","))
     index_on = meta["INDEX"]
@@ -2034,7 +2366,9 @@ def incremental_refresh_kv_index(
             sorted({r[key_cols[0]] for r in overlay_rows})
         )
         old = {}
-        for r in pads.dataset(base_path).to_table(columns=cols, filter=flt).to_pylist():
+        # the snapshot's reference point: the generation live at
+        # backfill (gen equality checked above), or the pristine fixture
+        for r in pads.dataset(_resolve_base_path(opts)).to_table(columns=cols, filter=flt).to_pylist():
             rk = _rowkey_of(r, key_cols)
             if rk in want:
                 old[rk] = r
@@ -2162,4 +2496,81 @@ def src09_kv_persisted_index_lookup(spark, sf_dir: str):
             F.min("c_custkey").alias("min_key"),
             exact_sum("c_acctbal").alias("total_bal"),
         )
+    )
+
+
+_SRC11_VIP_MAX = 50        # custkeys <= this get the VIP upsert
+_SRC11_DEL_LO, _SRC11_DEL_HI = 51, 100  # custkeys in this range are deleted
+_SRC11_NEW_BASE = 950000
+_SRC11_N_NEW = 10
+
+
+@query(
+    "src11_kv_compacted_scan",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE c_custkey > {_SRC11_DEL_HI}
+        UNION ALL
+        SELECT c_custkey, 'VIP', 999.99
+        FROM customer WHERE c_custkey <= {_SRC11_VIP_MAX}
+        UNION ALL
+        SELECT {_SRC11_NEW_BASE} + i, 'VIP', 250.0
+        FROM generate_series(1, {_SRC11_N_NEW}) t(i)
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {exact_sum_sql("c_acctbal")} AS total_bal
+    FROM store GROUP BY c_mktsegment
+    """,
+)
+def src11_kv_compacted_scan(spark, sf_dir: str):
+    """Scan a COMPACTED store (the HBase memstore-flush + major-compact
+    analog the reference's substrate ran underneath it): a put batch
+    (VIP re-segmentation of custkeys <= {_SRC11_VIP_MAX} plus
+    {_SRC11_N_NEW} inserts) and a delete batch (custkeys
+    {_SRC11_DEL_LO}..{_SRC11_DEL_HI} tombstoned) commit through the
+    connector, then :func:`compact_store` folds overlay-over-base into
+    a new region-file generation behind an atomic pointer — tombstones
+    physically dropped, the applied-seq watermark carried so WAL
+    recovery replays nothing — and the read back serves the GENERATION
+    with no overlay merge at all. The oracle replays the same mutations
+    relationally from scratch, so a fold that lost, resurrected, or
+    duplicated a single row hash-mismatches (the sim10/d15
+    answer-preservation pattern). min_key per segment proves the
+    tombstoned range vanished physically, not just logically."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base, no generations
+
+    base = spark.read.format(FORMAT_NAME).options(**opts).load()
+    vip = (
+        base.filter(F.col("c_custkey") <= _SRC11_VIP_MAX)
+        .withColumn("c_mktsegment", F.lit("VIP"))
+        .withColumn("c_acctbal", F.lit(999.99))
+    )
+    new = spark.range(1, _SRC11_N_NEW + 1).select(
+        (F.lit(_SRC11_NEW_BASE) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("CompactedCustomer#"), F.col("id")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(250.0).alias("c_acctbal"),
+        F.lit("VIP").alias("c_mktsegment"),
+    )
+    changes = vip.select(*new.columns).unionByName(new)
+    changes.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    delete_from_store(lopts, range(_SRC11_DEL_LO, _SRC11_DEL_HI + 1))
+
+    stats = compact_store(lopts)
+    assert stats["compacted"] and stats["tombstones_dropped"] > 0, stats
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
     )

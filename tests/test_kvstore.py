@@ -6,6 +6,8 @@ residual handoff.)"""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
@@ -1340,3 +1342,342 @@ def test_register_on_session_clone_after_parent(spark, tmp_path):
         for r in clone.read.format(FORMAT_NAME).options(**opts).load().collect()
     }
     assert rows == {(1, 10.0), (2, 20.0)}
+
+
+class TestCompaction:
+    """Overlay→base compaction (the HBase memstore-flush + major-compact
+    analog, round-8): fold answers are read-identical, tombstones drop
+    physically, cold regions carry by hardlink, the applied-seq
+    watermark keeps WAL recovery and retention correct, dependent
+    indexes stale-flip like a commit, and crash windows are idempotent."""
+
+    def _store(self, tmp_path, ns, n=100, region_size=16):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+        base = os.path.join(str(tmp_path), "base.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(range(n), pa.int64()),
+                    "v": pa.array([float(i) for i in range(n)], pa.float64()),
+                }
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keycol": "k",
+            "columns": "k,v",
+            "regionsize": str(region_size),
+            "appid": ns,
+        }
+        truncate_overlay(opts)
+        return opts
+
+    @staticmethod
+    def _state(opts) -> dict:
+        from kt_sql_hbase_ex_spark.sources.kvstore import _open_store
+
+        return {r["k"]: r["v"] for r in _open_store(opts).rows}
+
+    @staticmethod
+    def _put(opts, rows) -> None:
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            KVUpsertWriter,
+            KVWriteMessage,
+        )
+
+        KVUpsertWriter(opts).commit(
+            [KVWriteMessage([{"k": k, "v": v} for k, v in rows])]
+        )
+
+    def test_fold_preserves_answers_and_drops_tombstones(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+            delete_from_store,
+            overlay_path,
+        )
+
+        opts = self._store(tmp_path, "fold1")
+        self._put(opts, [(5, 555.0), (200, 2.0)])
+        delete_from_store(opts, [10, 11, 12])
+        before = self._state(opts)
+        stats = compact_store(opts)
+        assert stats["compacted"] and stats["tombstones_dropped"] == 3
+        assert self._state(opts) == before  # fold ≡ read
+        assert not os.path.exists(overlay_path(opts))  # overlay retired
+        gen = _resolve_generation(opts)
+        assert gen["gen"] == 1 and gen["applied_seq"] == stats["applied_seq"]
+        # tombstoned keys are PHYSICALLY absent from the region files
+        physical = set()
+        for rg in gen["regions"]:
+            physical |= {
+                r["k"]
+                for r in pq.read_table(
+                    os.path.join(gen["dir"], rg["file"])
+                ).to_pylist()
+            }
+        assert physical == set(before)
+        assert {10, 11, 12}.isdisjoint(physical)
+        # idempotence: a second fold with nothing to do is a no-op
+        again = compact_store(opts)
+        assert again["compacted"] is False
+        assert _resolve_generation(opts)["dir"] == gen["dir"]
+
+    def test_region_pruned_fold_hardlinks_cold_regions(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "fold2")
+        self._put(opts, [(1, 10.0)])
+        compact_store(opts)  # gen 1: 100 rows / 16 per region = 7 regions
+        self._put(opts, [(50, 5050.0)])
+        stats = compact_store(opts)
+        # ONE region holds key 50; the other six carry without a copy
+        assert stats["regions_rewritten"] == 1
+        assert stats["regions_carried"] == 6
+        gen = _resolve_generation(opts)
+        nlinks = sorted(
+            os.stat(os.path.join(gen["dir"], rg["file"])).st_nlink
+            for rg in gen["regions"]
+        )
+        assert nlinks == [1, 2, 2, 2, 2, 2, 2]  # carried files share inodes
+        state = self._state(opts)
+        assert state[50] == 5050.0 and state[1] == 10.0 and len(state) == 100
+
+    def test_insert_below_first_region_start_lands_in_region_zero(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import compact_store
+
+        opts = self._store(tmp_path, "fold3")
+        self._put(opts, [(2, 20.0)])
+        compact_store(opts)
+        self._put(opts, [(-1, -1.0)])  # below every region start
+        stats = compact_store(opts)
+        assert stats["regions_rewritten"] >= 1
+        state = self._state(opts)
+        assert state[-1] == -1.0 and len(state) == 101
+
+    def test_crash_between_publish_and_overlay_unlink_is_idempotent(
+        self, tmp_path
+    ):
+        import shutil
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            compact_store,
+            overlay_path,
+            recover_overlay,
+        )
+
+        opts = self._store(tmp_path, "fold4")
+        self._put(opts, [(5, 555.0)])
+        saved = os.path.join(str(tmp_path), "overlay.sav")
+        shutil.copy(overlay_path(opts), saved)
+        before = self._state(opts)
+        compact_store(opts)
+        # simulate the crash window: pointer published, overlay unlink
+        # never happened — the folded overlay is still on disk
+        shutil.copy(saved, overlay_path(opts))
+        assert self._state(opts) == before  # re-apply is idempotent
+        assert recover_overlay(opts) == 0  # watermark intact, no replay
+        # the next fold retires it for good
+        stats = compact_store(opts)
+        assert stats["compacted"] is True
+        assert not os.path.exists(overlay_path(opts))
+        assert self._state(opts) == before
+
+    def test_wal_recovery_after_fold_replays_only_new_commits(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _append_changelog,
+            compact_store,
+            recover_overlay,
+        )
+
+        opts = self._store(tmp_path, "fold5")
+        self._put(opts, [(5, 555.0)])
+        compact_store(opts)
+        assert recover_overlay(opts) == 0  # folded span never replays
+        # a logged-but-unapplied commit (crash before overlay publish)
+        _append_changelog(opts, [{"k": 7, "v": 777.0, "__deleted": False}], ("k",))
+        assert recover_overlay(opts) == 1  # exactly the new commit
+        state = self._state(opts)
+        assert state[7] == 777.0 and state[5] == 555.0
+
+    def test_fold_watermark_makes_retention_safe(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            KVChangesStreamReader,
+            changelog_floor,
+            compact_store,
+            prune_changelog,
+            recover_overlay,
+        )
+
+        opts = self._store(tmp_path, "fold6")
+        self._put(opts, [(5, 555.0)])
+        self._put(opts, [(6, 666.0)])
+        stats = compact_store(opts)
+        before = self._state(opts)
+        assert prune_changelog(opts, stats["applied_seq"]) == 2
+        assert recover_overlay(opts) == 0
+        assert self._state(opts) == before  # nothing resurrected or lost
+        # a NEW subscriber baselines at the floor, past the folded span
+        assert KVChangesStreamReader(opts).initialOffset() == {
+            "seq": changelog_floor(opts)
+        }
+
+    def test_fold_stale_flips_indexes_and_ensure_rebuilds(self, spark, sf_small):
+        import pytest
+
+        from pyspark.sql import functions as F
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            FORMAT_NAME,
+            INDEX_KEY,
+            StaleIndexError,
+            compact_store,
+            customer_store_options,
+            drop_kv_index,
+            ensure_kv_index,
+            incremental_refresh_kv_index,
+            IncrementalRefreshIneligible,
+            index_prefix_bounds,
+            persisted_index_read_options,
+            truncate_overlay,
+        )
+
+        opts = customer_store_options(sf_small)
+        opts["appId"] = spark.conf.get("spark.app.id", "shared") + "-foldidx"
+        lopts = {k.lower(): v for k, v in opts.items()}
+        truncate_overlay(lopts)
+        try:
+            ensure_kv_index(spark, "seg_fold", lopts, "c_mktsegment")
+            # a committed write, then a fold: both flip staleness; the
+            # fold also changes the generation, so the O(overlay)
+            # incremental path must refuse (its reference point is gone)
+            spark.createDataFrame(
+                [(999901, "X", 0, 1.0, "BUILDING")],
+                "c_custkey bigint, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string",
+            ).write.format(FORMAT_NAME).options(**opts).mode("append").save()
+            assert compact_store(lopts)["compacted"]
+            with pytest.raises(StaleIndexError):
+                persisted_index_read_options(lopts, "seg_fold")
+            with pytest.raises(IncrementalRefreshIneligible, match="generation"):
+                incremental_refresh_kv_index(spark, "seg_fold", lopts)
+            # ensure reroutes to rebuild and the index serves the
+            # post-fold truth (the new row included)
+            idx_opts = ensure_kv_index(spark, "seg_fold", lopts, "c_mktsegment")
+            lo, hi = index_prefix_bounds("BUILDING")
+            hits = (
+                spark.read.format(FORMAT_NAME)
+                .options(**idx_opts)
+                .schema(f"{INDEX_KEY} string, c_custkey bigint")
+                .load()
+                .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+            )
+            keys = {r.c_custkey for r in hits.collect()}
+            assert 999901 in keys
+            base_n = (
+                spark.read.format(FORMAT_NAME)
+                .options(**opts)
+                .schema("c_custkey bigint, c_mktsegment string")
+                .load()
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .count()
+            )
+            assert len(keys) == base_n
+        finally:
+            drop_kv_index("seg_fold", lopts)
+            truncate_overlay(lopts)
+
+    def test_fold_to_empty_store_and_refill(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            compact_store,
+            delete_from_store,
+        )
+
+        opts = self._store(tmp_path, "fold7", n=10, region_size=4)
+        delete_from_store(opts, list(range(10)))
+        stats = compact_store(opts)
+        assert stats["rows"] == 0 and stats["tombstones_dropped"] == 10
+        assert self._state(opts) == {}
+        # the emptied generation still accepts writes and a second fold
+        self._put(opts, [(3, 33.0)])
+        assert self._state(opts) == {3: 33.0}
+        stats2 = compact_store(opts)
+        assert stats2["rows"] == 1
+        assert self._state(opts) == {3: 33.0}
+
+    def test_truncate_after_fold_restores_pristine(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+            truncate_overlay,
+        )
+
+        opts = self._store(tmp_path, "fold8", n=20, region_size=8)
+        self._put(opts, [(0, 999.0), (50, 1.0)])
+        compact_store(opts)
+        truncate_overlay(opts)
+        assert _resolve_generation(opts) is None
+        state = self._state(opts)
+        assert len(state) == 20 and state[0] == 0.0 and 50 not in state
+
+    def test_fold_over_composite_pk_store(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            KVUpsertWriter,
+            KVWriteMessage,
+            _open_store,
+            compact_store,
+            delete_from_store,
+            truncate_overlay,
+        )
+
+        base = os.path.join(str(tmp_path), "events.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "u": pa.array([i // 4 for i in range(40)], pa.int64()),
+                    "e": pa.array([i % 4 for i in range(40)], pa.int64()),
+                    "v": pa.array([float(i) for i in range(40)], pa.float64()),
+                }
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keycol": "u,e",
+            "columns": "u,e,v",
+            "regionsize": "8",
+            "appid": "fold9",
+        }
+        truncate_overlay(opts)
+        KVUpsertWriter(opts).commit(
+            [KVWriteMessage([{"u": 2, "e": 1, "v": 900.0}])]
+        )
+        delete_from_store(opts, [(3, 0), (3, 1)])
+        before = {(r["u"], r["e"]): r["v"] for r in _open_store(opts).rows}
+        stats = compact_store(opts)
+        assert stats["compacted"] and stats["tombstones_dropped"] == 2
+        after = {(r["u"], r["e"]): r["v"] for r in _open_store(opts).rows}
+        assert after == before
+        assert after[(2, 1)] == 900.0 and (3, 0) not in after
+        # second fold stays region-pruned on the composite encoding
+        KVUpsertWriter(opts).commit(
+            [KVWriteMessage([{"u": 0, "e": 0, "v": -1.0}])]
+        )
+        stats2 = compact_store(opts)
+        assert stats2["regions_carried"] >= 1
+        assert {(r["u"], r["e"]): r["v"] for r in _open_store(opts).rows}[
+            (0, 0)
+        ] == -1.0
