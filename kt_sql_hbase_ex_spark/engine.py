@@ -48,6 +48,25 @@ _DELETE_HEAD = re.compile(
 _MERGE_HEAD = re.compile(
     r"^\s*merge\s+into\s+(`[^`]+`|[\w.]+)", re.IGNORECASE
 )
+#: CREATE INDEX <name> ON <kv_table> (<column>)  /  DROP INDEX <name>
+#: ON <kv_table> — the reference's literal index DDL surface
+#: (calcite-server statements routed into ``HBaseSchema.createIndex``/
+#: ``dropIndex``, ``hbase/HBaseSchema.kt:226-263,272-288``); Spark SQL
+#: has no CREATE INDEX, so the facade executes these itself against
+#: registered KV tables. The full statement is matched (no free tail):
+#: unsupported decorations (UNIQUE, USING, multi-column lists) fail
+#: loudly below rather than silently creating a different index.
+_CREATE_INDEX_STMT = re.compile(
+    r"^\s*create\s+index\s+(`[^`]+`|\w+)\s+on\s+(`[^`]+`|[\w.]+)\s*"
+    r"\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_STMT = re.compile(
+    r"^\s*drop\s+index\s+(`[^`]+`|\w+)\s+on\s+(`[^`]+`|[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: loose heads, used only to bounce bindings / malformed forms loudly
+_INDEX_DDL_HEAD = re.compile(r"^\s*(create|drop)\s+index\b", re.IGNORECASE)
 
 
 def _scan_sql(s: str):
@@ -283,6 +302,10 @@ class KtSqlEngine:
         self.spark = spark
         self.sf_dir = sf_dir or cat.default_sf_dir()
         self.tables = cat.register_views(spark, self.sf_dir)
+        #: view name (lowercased) → KV store options, filled by
+        #: register_kv_table — the catalog slice literal CREATE/DROP
+        #: INDEX statements resolve their target through
+        self._kv_tables: dict[str, dict] = {}
 
     @classmethod
     def from_properties(cls, spark: SparkSession, path: str) -> "KtSqlEngine":
@@ -381,15 +404,17 @@ class KtSqlEngine:
         # rejection below), not a confusing parse error from treating
         # the marker as SQL text (round-7 review finding)
         if args is not None:
-            for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD):
+            for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD, _INDEX_DDL_HEAD):
                 if head.match(core):
                     raise ValueError(
                         "parameter binding is not supported for facade-"
-                        "executed UPDATE/DELETE/MERGE statements — inline "
-                        "the values (the lexer handles quoting) or use "
-                        "the operators/dml.py transforms"
+                        "executed UPDATE/DELETE/MERGE/index-DDL statements "
+                        "— inline the values (the lexer handles quoting) "
+                        "or use the operators/dml.py transforms"
                     )
             return self.spark.sql(statement, args=args)
+        if _INDEX_DDL_HEAD.match(core):
+            return self._index_ddl(core)
         m = _UPDATE_HEAD.match(core)
         if m:
             set_clause, where = _split_where(core[m.end():])
@@ -410,6 +435,63 @@ class KtSqlEngine:
                 )
             return self._delete(m.group(1), where)
         return self.spark.sql(statement)
+
+    def _index_ddl(self, core: str) -> DataFrame:
+        """Execute a literal ``CREATE INDEX <name> ON <t> (<col>)`` or
+        ``DROP INDEX <name> ON <t>`` — the statement surface the
+        reference's calcite-server consumers wrote index DDL through
+        (``HBaseSchema.kt:226-263,272-288``; the repo has had the API
+        form since round 5, this is the migrating user's SQL-string
+        route). ``<t>`` must be a KV table registered via
+        :meth:`register_kv_table` (the catalog slice that knows the
+        store's options bundle); for Parquet analytics tables the
+        answer remains bucketing / partitioning / ANALYZE (COVERAGE.md
+        CREATE/DROP INDEX row). Returns a one-row result like the DML
+        forms (the JDBC update-count shape)."""
+        m = _CREATE_INDEX_STMT.match(core)
+        if m:
+            index_name, table, col_list = m.groups()
+            cols = [c.strip().strip("`") for c in col_list.split(",") if c.strip()]
+            if len(cols) != 1:
+                # the KV index rowkey is <value>|<base key>: one indexed
+                # column (the reference concatenated multi-key values
+                # into one prefix, but its query path never consumed
+                # that form — reject rather than guess an encoding)
+                raise ValueError(
+                    f"CREATE INDEX takes exactly one column, got {cols!r}"
+                )
+            opts = self._kv_table_options(table)
+            self.create_index(index_name.strip("`"), cols[0], **opts)
+            return self.spark.createDataFrame(
+                [(index_name.strip("`"), table.strip("`"), cols[0], "CREATED")],
+                "index_name string, table_name string, column string, status string",
+            )
+        m = _DROP_INDEX_STMT.match(core)
+        if m:
+            index_name, table = m.groups()
+            opts = self._kv_table_options(table)
+            self.drop_index(index_name.strip("`"), **opts)
+            return self.spark.createDataFrame(
+                [(index_name.strip("`"), table.strip("`"), "DROPPED")],
+                "index_name string, table_name string, status string",
+            )
+        # matched the head but not a full supported form: loud, never
+        # a silent pass-through into Spark's unsupported-DDL error
+        raise ValueError(
+            "unsupported index DDL — supported forms: "
+            "CREATE INDEX <name> ON <kv_table> (<column>) and "
+            "DROP INDEX <name> ON <kv_table>"
+        )
+
+    def _kv_table_options(self, table: str) -> dict:
+        opts = self._kv_tables.get(table.strip("`").lower())
+        if opts is None:
+            raise ValueError(
+                f"index DDL target {table!r} is not a registered KV table "
+                "(register_kv_table exposes one); Parquet analytics tables "
+                "take bucketing/partitioning/ANALYZE instead of indexes"
+            )
+        return opts
 
     def _dml_target(self, name: str):
         """UPDATE/DELETE need a writable catalog table: the fixture temp
@@ -1290,6 +1372,10 @@ class KtSqlEngine:
         register_kv_source(self.spark)
         df = self.spark.read.format(FORMAT_NAME).options(**store_options).load()
         df.createOrReplaceTempView(view_name)
+        # remembered so literal CREATE/DROP INDEX statements can name
+        # the view — the reference's consumers wrote index DDL against
+        # the table name, not an options bundle
+        self._kv_tables[view_name.strip("`").lower()] = dict(store_options)
 
     # -- full-text search (reference: the Lucene-in-HBase subsystem,
     # ``hbase/index/lucene/HBaseDirectory.kt`` — here the persisted

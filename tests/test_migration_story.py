@@ -135,3 +135,86 @@ def test_reference_user_workflow_end_to_end(spark, sf_small, tmp_path):
     finally:
         eng.drop_table("mig_orders")
     assert "mig_orders" not in eng.list_tables()
+
+
+def test_literal_index_ddl_through_sql_script(spark, sf_small):
+    """The reference's consumers wrote index DDL as SQL strings through
+    calcite-server (``README.md:4-8``, ``HBaseSchema.kt:226-288``); the
+    facade executes the same statements: a ``.sql`` script creates the
+    index, the indexed lookup runs (the src09 shape), and DROP INDEX
+    tears it down — plus the loud-rejection edges (unregistered target,
+    multi-column list, malformed tail, bindings)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        INDEX_KEY,
+        customer_store_options,
+        index_prefix_bounds,
+        persisted_index_read_options,
+        truncate_overlay,
+    )
+
+    eng = KtSqlEngine(spark, sf_small)
+    opts = customer_store_options(sf_small)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared") + "-sqlidx"
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
+    eng.register_kv_table("sqlidx_customer", **opts)
+
+    # the migrating user's .sql file: create, then the last statement's
+    # result comes back (run_script returns it like a JDBC script tail)
+    out = eng.run_script(
+        """
+        -- index DDL exactly as written against the reference
+        CREATE INDEX sqlidx_seg ON sqlidx_customer (c_mktsegment);
+        SELECT COUNT(*) AS n FROM sqlidx_customer;
+        """
+    )
+    assert out.first()["n"] > 0
+    metas = eng.list_indexes(**opts)
+    assert len(metas) == 1 and metas[0]["INDEX"] == "c_mktsegment"
+    assert metas[0]["index_name"] == "sqlidx_seg"
+
+    # the src09 shape through the SQL-created index
+    idx_opts = persisted_index_read_options(opts, "sqlidx_seg")
+    lo, hi = index_prefix_bounds("BUILDING")
+    hits = (
+        spark.read.format(FORMAT_NAME)
+        .options(**idx_opts)
+        .schema(f"{INDEX_KEY} string, c_custkey bigint")
+        .load()
+        .filter((F.col(INDEX_KEY) >= lo) & (F.col(INDEX_KEY) <= hi))
+        .count()
+    )
+    base = (
+        spark.read.format(FORMAT_NAME)
+        .options(**opts)
+        .schema("c_custkey bigint, c_mktsegment string")
+        .load()
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .count()
+    )
+    assert hits == base > 0
+
+    # reject-if-exists surfaces through the statement form too
+    from kt_sql_hbase_ex_spark.sources.kvstore import IndexExistsError
+
+    with pytest.raises(IndexExistsError):
+        eng.sql("CREATE INDEX sqlidx_seg ON sqlidx_customer (c_mktsegment)")
+
+    # loud edges: unregistered target, multi-column, malformed, bindings
+    with pytest.raises(ValueError, match="not a registered KV table"):
+        eng.sql("CREATE INDEX i2 ON customer (c_mktsegment)")
+    with pytest.raises(ValueError, match="exactly one column"):
+        eng.sql("CREATE INDEX i3 ON sqlidx_customer (c_mktsegment, c_name)")
+    with pytest.raises(ValueError, match="unsupported index DDL"):
+        eng.sql("CREATE INDEX i4 ON sqlidx_customer (c_mktsegment) USING btree")
+    with pytest.raises(ValueError, match="parameter binding"):
+        eng.sql("DROP INDEX sqlidx_seg ON sqlidx_customer", args={"x": 1})
+
+    row = eng.sql("DROP INDEX sqlidx_seg ON sqlidx_customer").first()
+    assert row["status"] == "DROPPED"
+    assert eng.list_indexes(**opts) == []
+    with pytest.raises(IndexExistsError):
+        eng.sql("DROP INDEX sqlidx_seg ON sqlidx_customer")
