@@ -1610,3 +1610,171 @@ def src10_change_feed_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.when(~F.col(TOMBSTONE), _micros(F.col("c_acctbal")))), 2
         ).alias("total_value"),
     )
+
+
+def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
+    """Apply one change-feed microbatch to a downstream KV replica —
+    the HBase WAL-shipping replication apply (a reference deployment's
+    replica cluster receives the source's WAL entries as Put/Delete):
+    collapse the batch per key LAST-WINS by sequence (a normal
+    microbatch is one commit, so per-key finality already holds; a
+    checkpoint-recovery replay spans several commits, where the
+    collapse is load-bearing), then ship puts through the connector's
+    two-phase write and tombstones through ``delete_from_store``.
+
+    Idempotent by construction: Put is upsert-by-rowkey and Delete is
+    tombstone-by-rowkey, so the at-least-once delivery a foreachBatch
+    restart can produce re-applies to the same state — the idempotent
+    consumer the feed's one-commit-per-microbatch contract is designed
+    for. Work ∝ batch mutations; the replica is never scanned."""
+    from pyspark.sql import Window
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        SEQ_COL,
+        TOMBSTONE,
+        delete_from_store,
+    )
+
+    key_cols = replica_opts["keyCol"].split(",")
+    columns = replica_opts["columns"].split(",")
+    # per-key last-wins across the batch's commits (bounded: partitioned
+    # by key, each partition holds at most one row per commit in batch)
+    latest = (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(F.col(SEQ_COL).desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    puts = latest.filter(~F.col(TOMBSTONE)).select(*columns)
+    if puts.limit(1).count():
+        puts.write.format(FORMAT_NAME).options(**replica_opts).mode(
+            "append"
+        ).save()
+    # tombstoned keys ship driver-side: commits are statement-sized by
+    # the overlay contract (same bound the simple stream reader's
+    # driver prefetch already relies on)
+    del_rows = latest.filter(F.col(TOMBSTONE)).select(*key_cols).collect()
+    if del_rows:
+        lopts = {k.lower(): v for k, v in replica_opts.items()}
+        keys = [
+            tuple(r[c] for c in key_cols) if len(key_cols) > 1 else r[key_cols[0]]
+            for r in del_rows
+        ]
+        delete_from_store(lopts, keys)
+
+
+def _st17_oracle() -> str:
+    """Declarative final state of the replica after st16's four
+    mutation batches apply in commit order: last write wins per key
+    (commit 3's −500 overrides commits 1/2 where slices overlap), the
+    delete slice removes %7 keys, keys never put never exist."""
+    return f"""
+    WITH final AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 500
+                    WHEN c_custkey % 3 = 1 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS bal
+        FROM customer
+        WHERE (c_custkey % 3 IN (0, 1) OR c_custkey % 5 = 0)
+          AND c_custkey % 7 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           {exact_sum_sql("bal")} AS total_bal
+    FROM final
+    """
+
+
+@query(
+    "st17_cdc_replica",
+    oracle=_st17_oracle(),
+)
+def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A change-feed-driven DOWNSTREAM REPLICA — the production consumer
+    of a WAL feed (the reference's HBase replication use-case: the
+    replica cluster applies the source's WAL entries as Put/Delete):
+    st16's four mutation batches commit to the SOURCE store WHILE a
+    streaming drain consumes ``ktsql_kv_changes`` and applies each
+    commit to a second KV store through :func:`apply_cdc_batch` —
+    last-wins per key, puts through the connector's two-phase write,
+    tombstones through the delete path, acknowledged commit-by-commit
+    (live CDC, not a post-hoc batch). The returned summary aggregates
+    the REPLICA read back through the connector; the oracle states the
+    final replicated state declaratively, so a hash match proves the
+    apply preserved every mutation, their commit order, and the
+    delete semantics end to end. The replica apply is idempotent
+    (upsert/tombstone by rowkey), which is what makes the feed's
+    at-least-once restart delivery exactly-once in effect — pinned
+    with a checkpoint-restart + span-replay test in
+    ``tests/test_streaming_incremental.py``.
+
+    Scale: work per microbatch ∝ one commit's statement-sized mutation
+    set; neither store is ever rescanned; the replica's own overlay
+    folds via ``compact_store`` like any KV table."""
+    import shutil
+    import time
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        delete_from_store,
+        register_kv_source,
+    )
+
+    register_kv_source(spark)
+    spark = stream_session(spark)
+    register_kv_source(spark)
+
+    src_opts = _cdc_provision(spark, sf_dir, "replica_src")
+    dst_opts = _cdc_provision(spark, sf_dir, "replica_dst")
+    src_lopts = {k.lower(): v for k, v in src_opts.items()}
+    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+
+    applied: list = []  # acked commit counts, foreachBatch is driver-side
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count():
+            apply_cdc_batch(batch_df, dst_opts)
+            applied.append(batch_id)
+
+    ckpt = os.path.join(os.path.dirname(src_opts["path"]), "replica_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    feed = spark.readStream.format(CHANGES_FORMAT_NAME).options(**src_opts).load()
+    q = (
+        feed.writeStream.foreachBatch(apply)
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def await_applied(n: int, deadline_s: float = 120.0) -> None:
+        t0 = time.monotonic()
+        while len(applied) < n:
+            if q.exception() is not None:
+                raise q.exception()
+            if time.monotonic() - t0 > deadline_s:
+                raise TimeoutError(f"replica applied {len(applied)}/{n} commits")
+            time.sleep(0.05)
+
+    try:
+        for i, b in enumerate(put_batches):
+            b.write.format(FORMAT_NAME).options(**src_opts).mode("append").save()
+            await_applied(i + 1)  # replica acks before the next commit
+        delete_from_store(src_lopts, delete_keys)
+        await_applied(len(put_batches) + 1)
+    finally:
+        q.stop()
+
+    replica = spark.read.format(FORMAT_NAME).options(**dst_opts).load()
+    return replica.agg(
+        F.count("*").alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        _emit(F.sum(_micros(F.col("c_acctbal"))), 2).alias("total_bal"),
+    )

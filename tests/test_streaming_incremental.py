@@ -1016,3 +1016,119 @@ def test_wal_recovery_replays_unapplied_commits(spark, tmp_path):
     expected[7] = 70.0
     assert served == expected
     assert _overlay_applied_seq(overlay_path(lopts)) == 7
+
+
+def test_cdc_replica_restart_and_span_replay_idempotent(spark, tmp_path):
+    """The st17 consumer under failure: a checkpointed drain stops
+    mid-feed, MORE commits land, the restarted drain applies exactly
+    the remainder (offset durability), and the final replica equals
+    the source's overlay-merged state; then a full-span
+    readBetweenOffsets replay re-applies every commit through the same
+    apply — the replica must not change (the idempotent-consumer
+    property the at-least-once restart contract relies on)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        KVChangesStreamReader,
+        _log_seqs,
+        _open_store,
+        changelog_dir,
+        delete_from_store,
+        register_kv_source,
+        truncate_overlay,
+    )
+    from kt_sql_hbase_ex_spark.streaming.events import apply_cdc_batch
+
+    register_kv_source(spark)
+
+    def mk_store(name):
+        base = os.path.join(str(tmp_path), f"{name}.parquet")
+        pq.write_table(
+            pa.table(
+                {"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keyCol": "k",
+            "columns": "k,v",
+            "appId": spark.conf.get("spark.app.id", "shared"),
+        }
+        truncate_overlay({kk.lower(): vv for kk, vv in opts.items()})
+        return opts
+
+    src, dst = mk_store("rep_src"), mk_store("rep_dst")
+    src_l = {k.lower(): v for k, v in src.items()}
+
+    def put(rows):
+        spark.createDataFrame(rows, "k bigint, v double").write.format(
+            FORMAT_NAME
+        ).options(**src).mode("append").save()
+
+    applied: list = []
+
+    def drain(expect_total: int) -> None:
+        def apply(df, bid):
+            if df.limit(1).count():
+                apply_cdc_batch(df, dst)
+                applied.append(bid)
+
+        q = (
+            spark.readStream.format(CHANGES_FORMAT_NAME)
+            .options(**src)
+            .load()
+            .writeStream.foreachBatch(apply)
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "rckpt"))
+            .start()
+        )
+        try:
+            t0 = time.monotonic()
+            while len(applied) < expect_total:
+                if q.exception() is not None:
+                    raise q.exception()
+                assert time.monotonic() - t0 < 120, applied
+                time.sleep(0.05)
+            q.processAllAvailable()  # commit the offsets before stopping
+        finally:
+            q.stop()
+
+    def state(opts):
+        return {
+            r["k"]: r["v"]
+            for r in _open_store({k.lower(): v for k, v in opts.items()}).rows
+        }
+
+    # phase 1: two commits, drained and checkpointed
+    put([(1, 10.0), (2, 20.0)])
+    put([(2, 25.0), (3, 30.0)])
+    drain(2)
+    assert state(dst) == {1: 10.0, 2: 25.0, 3: 30.0}
+
+    # phase 2: the drain is DOWN while more commits land; the restart
+    # applies exactly the remainder
+    put([(4, 40.0)])
+    delete_from_store(src_l, [1])
+    drain(4)
+    assert state(dst) == state(src) == {2: 25.0, 3: 30.0, 4: 40.0}
+
+    # full-span replay (the recovery path) through the same apply:
+    # last-wins collapse across commits + upsert/tombstone idempotence
+    # leave the replica byte-identical
+    head = _log_seqs(changelog_dir(src_l))[-1]
+    rows = list(
+        KVChangesStreamReader(src_l).readBetweenOffsets(
+            {"seq": 0}, {"seq": head}
+        )
+    )
+    replay = spark.createDataFrame(
+        rows, "k bigint, v double, __deleted boolean, __seq bigint"
+    )
+    apply_cdc_batch(replay, dst)
+    assert state(dst) == {2: 25.0, 3: 30.0, 4: 40.0}
