@@ -2034,6 +2034,20 @@ def _build_index_version(spark, root: str, index_name: str, base_options, index_
     return data_dir
 
 
+def _store_applied_seq(opts) -> int:
+    """The store's current applied watermark: the overlay footer when
+    an overlay exists, else the max of the retention floor and the
+    live generation's carried watermark — the commit coordinate a
+    just-built index snapshot corresponds to (captured BEFORE the
+    backfill derives, so it can only be conservative-low; the feed
+    replay is idempotent per entry, making a low watermark safe)."""
+    applied = _overlay_applied_seq(overlay_path(opts))
+    if applied is not None:
+        return applied
+    gen = _resolve_generation(opts)
+    return max(changelog_floor(opts), gen["applied_seq"] if gen else 0)
+
+
 def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict:
     """CREATE INDEX: reject-if-exists, backfill, persist, flip catalog
     attributes. Returns the options bundle that reads the persisted
@@ -2057,8 +2071,11 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
         raise IndexExistsError(f"index {index_name!r} exists when create index")
     os.makedirs(root, exist_ok=True)
 
-    data_dir = _build_index_version(spark, root, index_name, base_options, index_on)
     opts = {k.lower(): v for k, v in dict(base_options).items()}
+    # the feed-refresh resume point: captured BEFORE the backfill scan
+    # (conservative-low is safe — replay is idempotent; high would skip)
+    applied_at = _store_applied_seq(opts)
+    data_dir = _build_index_version(spark, root, index_name, base_options, index_on)
     meta = {
         # the table.sys attribute flips (HBaseSchema.kt:257-263)
         "INDEX_TYPE": "KEY_VALUE",
@@ -2068,6 +2085,7 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
         "key_cols": opts["keycol"],
         "base_signature": _base_signature(base_options),
         "data_dir": data_dir,
+        "applied_seq": applied_at,
     }
     meta["snapshot"] = _snapshot_of(meta["base_signature"])
     tmp = f"{meta_path}.tmp.{os.getpid()}"
@@ -2224,6 +2242,9 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
         meta = json.load(f)
     root = _kv_index_root(base_options)
     _gc_index_versions(root, index_name, keep=meta["data_dir"])
+    applied_at = _store_applied_seq(
+        {k.lower(): v for k, v in dict(base_options).items()}
+    )
     new_dir = _build_index_version(spark, root, index_name, base_options, meta["INDEX"])
     # the superseded version's incremental-maintenance overlay dies with
     # it — resolve its path NOW, while the old data_dir still exists
@@ -2248,6 +2269,7 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     meta["snapshot"] = _snapshot_of(meta["base_signature"])
     meta["INDEX_TYPE"] = "KEY_VALUE"  # un-flip a commit's stale mark
     meta["maintenance"] = "rebuild"
+    meta["applied_seq"] = applied_at  # feed-refresh resume point
     _write_index_meta(meta_path, meta)  # the atomic flip
     return persisted_index_read_options(base_options, index_name)
 
@@ -2404,6 +2426,219 @@ def incremental_refresh_kv_index(
     meta["base_signature"] = _base_signature(base_options)
     meta["INDEX_TYPE"] = "KEY_VALUE"
     meta["maintenance"] = "incremental"
+    # this path recomputes the FULL index overlay from the FULL base
+    # overlay, so the index now reflects the store's whole applied
+    # state — the feed resume point moves to the store watermark
+    meta["applied_seq"] = _store_applied_seq(opts)
+    _write_index_meta(meta_path, meta)
+    return persisted_index_read_options(base_options, index_name)
+
+
+def feed_refresh_kv_index(
+    spark,
+    index_name: str,
+    base_options,
+    max_span_rows: int | None = None,
+) -> dict:
+    """O(delta) index maintenance DRIVEN BY THE CHANGE FEED (round-8):
+    the WAL records exactly the per-key final mutations each commit
+    made, with sequence numbers — so instead of re-deriving the whole
+    base overlay (the snapshot-eligibility dance of
+    :func:`incremental_refresh_kv_index`), this replays ONLY the span
+    ``(index.applied_seq, store.applied_seq]`` from the commit log into
+    index Puts/Deletes, with the index meta's ``applied_seq`` as a
+    mechanical resume point. Work ∝ mutations since the last refresh,
+    however many refreshes ago that was.
+
+    Invariant maintained: "pristine index version dir ⊕ index overlay
+    = correct index of the base state at ``meta['applied_seq']``".
+    Replaying one WAL row (key K → V_new / tombstone) needs K's
+    indexed value AT the resume point — resolved from the index's own
+    overlay first (the current entry for K, if any refresh has touched
+    it) and the pristine base via a row-group-pruned multi-get
+    otherwise. Replay is idempotent per entry (re-applying K→V
+    tombstones and re-puts the same rowkey, put wins), which is what
+    makes the conservative-low watermark stamping safe.
+
+    Raises :class:`IncrementalRefreshIneligible` when the span was
+    pruned by WAL retention (the mechanical resume point is gone —
+    rebuild), when the snapshot cannot serve as the pristine reference
+    (overlay baked in / base file replaced / generation changed), when
+    the meta predates the watermark, or when the span exceeds the
+    driver-side budget; callers fall back exactly like the
+    overlay-snapshot path. A truncated store (no overlay, no
+    generation) restores the pristine snapshot directly."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    meta_path = _index_meta_path(base_options, index_name)
+    if not os.path.exists(meta_path):
+        raise IndexExistsError(
+            f"index {index_name!r} not exists when feed refresh"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    opts = {k.lower(): v for k, v in dict(base_options).items()}
+    st = os.stat(os.path.realpath(opts["path"]))
+    snap = meta.get("snapshot") or {}
+    if not snap.get("overlay_free"):
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: snapshot baked an overlay in — rebuild"
+        )
+    if snap.get("base") != [st.st_mtime_ns, st.st_size]:
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: base file changed since backfill — rebuild"
+        )
+    if snap.get("gen", [0, 0]) != _gen_signature(opts):
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: compaction changed the base "
+            "generation since backfill — rebuild"
+        )
+    if "applied_seq" not in meta:
+        raise IncrementalRefreshIneligible(
+            f"index {index_name!r}: meta predates the feed watermark — "
+            "one rebuild records it"
+        )
+
+    key_cols = tuple(meta["key_cols"].split(","))
+    index_on = meta["INDEX"]
+    idx_opts = {
+        k.lower(): v
+        for k, v in persisted_index_read_options(
+            base_options, index_name, allow_stale=True
+        ).items()
+    }
+    iov_path = overlay_path(idx_opts)
+    opath = overlay_path(opts)
+
+    if not os.path.exists(opath):
+        # gen check passed (no generation), overlay gone: the store was
+        # TRUNCATED back to the pristine base — which is exactly the
+        # snapshot; drop the index deltas and resume at the floor
+        if os.path.exists(iov_path):
+            os.unlink(iov_path)
+        meta["applied_seq"] = changelog_floor(opts)
+    else:
+        target = _overlay_applied_seq(opath)
+        if target is None:
+            raise IncrementalRefreshIneligible(
+                f"index {index_name!r}: overlay predates the applied "
+                "watermark — rebuild"
+            )
+        resume = int(meta["applied_seq"])
+        span = list(range(resume + 1, target + 1))
+        if span:
+            log_dir = changelog_dir(opts)
+            missing = [
+                q
+                for q in span
+                if not os.path.exists(os.path.join(log_dir, f"{q:08d}.parquet"))
+            ]
+            if missing:
+                raise IncrementalRefreshIneligible(
+                    f"index {index_name!r}: feed span {missing[0]}.."
+                    f"{missing[-1]} was pruned by WAL retention — the "
+                    "resume point is gone, rebuild"
+                )
+            # budget BEFORE any data read: footer row counts only
+            limit = (
+                INCREMENTAL_MAX_OVERLAY_ROWS
+                if max_span_rows is None
+                else max_span_rows
+            )
+            n_span = sum(
+                pq.ParquetFile(
+                    os.path.join(log_dir, f"{q:08d}.parquet")
+                ).metadata.num_rows
+                for q in span
+            )
+            if n_span > limit:
+                raise IncrementalRefreshIneligible(
+                    f"index {index_name!r}: feed span has {n_span} rows "
+                    f"(> {limit}) — beyond the driver-side delta budget, "
+                    "rebuild"
+                )
+            # current index deltas (the state at the resume point)
+            iov: dict = {}
+            if os.path.exists(iov_path):
+                for r in pq.read_table(iov_path).to_pylist():
+                    iov[r[INDEX_KEY]] = r
+            # span rows in commit order
+            span_rows: list = []
+            for q in span:
+                span_rows.extend(
+                    pq.read_table(
+                        os.path.join(log_dir, f"{q:08d}.parquet")
+                    ).to_pylist()
+                )
+            # indexed value per touched key AT the resume point:
+            # index-overlay entry wins; else the pristine reference
+            # (generation or fixture) via a row-group-pruned multi-get
+            touched = {_rowkey_of(r, key_cols) for r in span_rows}
+            cur: dict = {}
+            cols = list(dict.fromkeys([*key_cols, index_on]))
+            flt = pads.field(key_cols[0]).isin(
+                sorted({r[key_cols[0]] for r in span_rows})
+            )
+            for r in (
+                pads.dataset(_resolve_base_path(opts))
+                .to_table(columns=cols, filter=flt)
+                .to_pylist()
+            ):
+                rk = _rowkey_of(r, key_cols)
+                if rk in touched:
+                    cur[rk] = r[index_on]
+            # a key's entry in the index overlay overrides the pristine
+            # reference: a put row IS the current value (values never
+            # contain '|', so the index rowkey's first segment is the
+            # value, string form — _index_rowkey stringifies at encode
+            # time); a tombstone row with no put row means "no entry"
+            put_keys: set = set()
+            for r in iov.values():
+                rk = _rowkey_of(r, key_cols)
+                if rk in touched and not r.get(TOMBSTONE):
+                    put_keys.add(rk)
+                    cur[rk] = r[INDEX_KEY].split("|", 1)[0]
+            for r in iov.values():
+                rk = _rowkey_of(r, key_cols)
+                if rk in touched and r.get(TOMBSTONE) and rk not in put_keys:
+                    cur[rk] = None
+            # replay: tombstone the old entry, put the new one
+            for r in span_rows:
+                rk = _rowkey_of(r, key_cols)
+                v_old = cur.get(rk)
+                if v_old is not None:
+                    ik = _index_rowkey(v_old, r, key_cols)
+                    iov[ik] = {
+                        INDEX_KEY: ik,
+                        **{c: r[c] for c in key_cols},
+                        TOMBSTONE: True,
+                    }
+                if r.get(TOMBSTONE) or r.get(index_on) is None:
+                    cur[rk] = None
+                else:
+                    ik = _index_rowkey(r[index_on], r, key_cols)
+                    iov[ik] = {
+                        INDEX_KEY: ik,
+                        **{c: r[c] for c in key_cols},
+                        TOMBSTONE: False,
+                    }
+                    cur[rk] = str(r[index_on])
+            rows = sorted(iov.values(), key=lambda x: x[INDEX_KEY])
+            if rows:
+                tmp = f"{iov_path}.tmp.{os.getpid()}"
+                pq.write_table(pa.Table.from_pylist(rows), tmp)
+                os.replace(tmp, iov_path)
+            elif os.path.exists(iov_path):
+                os.unlink(iov_path)
+        meta["applied_seq"] = target
+
+    meta["base_signature"] = _base_signature(base_options)
+    meta["INDEX_TYPE"] = "KEY_VALUE"
+    meta["maintenance"] = "feed"
     _write_index_meta(meta_path, meta)
     return persisted_index_read_options(base_options, index_name)
 
@@ -2430,7 +2665,11 @@ def ensure_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
             and meta.get("base_signature") == _base_signature(base_options)
         ):
             return persisted_index_read_options(base_options, index_name)
-        try:  # O(overlay) delta maintenance when the snapshot allows it
+        try:  # O(span) feed replay from the mechanical resume point
+            return feed_refresh_kv_index(spark, index_name, base_options)
+        except IncrementalRefreshIneligible:
+            pass
+        try:  # O(overlay) snapshot-delta maintenance as the fallback
             return incremental_refresh_kv_index(spark, index_name, base_options)
         except IncrementalRefreshIneligible:
             return refresh_kv_index(spark, index_name, base_options)

@@ -945,7 +945,8 @@ class TestPersistedIndexLifecycle:
 
             idx_opts = ensure_kv_index(spark, "inc_t", opts, "c_mktsegment")
             m = meta()
-            assert m["maintenance"] == "incremental"
+            # round 8: ensure prefers the feed-driven O(span) replay
+            assert m["maintenance"] == "feed"
             assert m["data_dir"] == v1  # the O(base) version was NOT rebuilt
             assert persisted_entries(idx_opts) == derived_entries()
 
@@ -1063,7 +1064,8 @@ class TestPersistedIndexLifecycle:
             idx_opts = ensure_kv_index(spark, "cseg", opts, "seg")
             with open(_index_meta_path(opts, "cseg")) as f:
                 m = json.load(f)
-            assert m["maintenance"] == "incremental" and m["data_dir"] == v1
+            # round 8: ensure prefers the feed-driven O(span) replay
+            assert m["maintenance"] == "feed" and m["data_dir"] == v1
             assert entries(idx_opts) == derived()
             # the changed key is findable under its NEW value prefix
             assert any(k.startswith("Z|") for k, _, _ in entries(idx_opts))
@@ -1681,3 +1683,210 @@ class TestCompaction:
         assert {(r["u"], r["e"]): r["v"] for r in _open_store(opts).rows}[
             (0, 0)
         ] == -1.0
+
+
+class TestFeedDrivenRefresh:
+    """Round-8 feed-driven index maintenance: the WAL already records
+    each commit's per-key final mutations, so refresh replays exactly
+    ``(index.applied_seq, store.applied_seq]`` — a mechanical resume
+    point instead of the overlay-snapshot eligibility dance — and falls
+    back to rebuild loudly when retention pruned the span."""
+
+    def _store(self, tmp_path, ns):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+        base = os.path.join(str(tmp_path), "fbase.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(range(10), pa.int64()),
+                    "seg": pa.array([f"S{i % 3}" for i in range(10)]),
+                    "val": pa.array([float(i) for i in range(10)], pa.float64()),
+                }
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keyCol": "k",
+            "columns": "k,seg,val",
+            "appId": ns,
+        }
+        truncate_overlay({kk.lower(): vv for kk, vv in opts.items()})
+        return opts
+
+    @staticmethod
+    def _put(spark, opts, rows):
+        from kt_sql_hbase_ex_spark.sources.kvstore import FORMAT_NAME
+
+        spark.createDataFrame(rows, "k bigint, seg string, val double").write.format(
+            FORMAT_NAME
+        ).options(**opts).mode("append").save()
+
+    @staticmethod
+    def _entries(spark, o):
+        from kt_sql_hbase_ex_spark.sources.kvstore import FORMAT_NAME, INDEX_KEY
+
+        return {
+            (r[INDEX_KEY], r["k"])
+            for r in spark.read.format(FORMAT_NAME)
+            .options(**o)
+            .schema(f"{INDEX_KEY} string, k bigint")
+            .load()
+            .collect()
+        }
+
+    def _derived(self, spark, opts):
+        d = dict(opts)
+        d["indexOn"] = "seg"
+        d["columns"] = "k,seg"
+        return self._entries(spark, d)
+
+    def _meta(self, opts, name):
+        import json
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import _index_meta_path
+
+        with open(_index_meta_path(
+            {k.lower(): v for k, v in opts.items()}, name
+        )) as f:
+            return json.load(f)
+
+    def test_feed_refresh_resumes_from_watermark(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            create_kv_index,
+            delete_from_store,
+            drop_kv_index,
+            feed_refresh_kv_index,
+            register_kv_source,
+        )
+
+        register_kv_source(spark)
+        opts = self._store(tmp_path, "feed1")
+        lopts = {k.lower(): v for k, v in opts.items()}
+        create_kv_index(spark, "fseg", lopts, "seg")
+        m0 = self._meta(opts, "fseg")
+        v1, seq0 = m0["data_dir"], m0["applied_seq"]
+        try:
+            # span 1: value change + new key + delete
+            self._put(spark, opts, [(0, "ZX", 0.0), (55, "ZX", 5.0)])
+            delete_from_store(lopts, [1])
+            idx = feed_refresh_kv_index(spark, "fseg", lopts)
+            m1 = self._meta(opts, "fseg")
+            assert m1["maintenance"] == "feed" and m1["data_dir"] == v1
+            assert m1["applied_seq"] == seq0 + 2  # two commits replayed
+            assert self._entries(spark, idx) == self._derived(spark, opts)
+            # span 2: the SAME key changes again — its old value must
+            # come from the index overlay (span 1's put), not the base
+            self._put(spark, opts, [(0, "ZY", 0.0)])
+            idx = feed_refresh_kv_index(spark, "fseg", lopts)
+            m2 = self._meta(opts, "fseg")
+            assert m2["applied_seq"] == seq0 + 3 and m2["data_dir"] == v1
+            got = self._entries(spark, idx)
+            assert got == self._derived(spark, opts)
+            assert any(k.startswith("ZY|") for k, _ in got)
+            assert not any(k.startswith("ZX|") and b == 0 for k, b in got)
+            # idempotence: an immediate re-refresh replays nothing and
+            # changes nothing
+            again = feed_refresh_kv_index(spark, "fseg", lopts)
+            assert self._entries(spark, again) == got
+            assert self._meta(opts, "fseg")["applied_seq"] == seq0 + 3
+        finally:
+            drop_kv_index("fseg", lopts)
+
+    def test_pruned_span_fails_loudly_and_ensure_rebuilds(self, spark, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            IncrementalRefreshIneligible,
+            _log_seqs,
+            changelog_dir,
+            create_kv_index,
+            drop_kv_index,
+            ensure_kv_index,
+            feed_refresh_kv_index,
+            prune_changelog,
+            register_kv_source,
+        )
+
+        register_kv_source(spark)
+        opts = self._store(tmp_path, "feed2")
+        lopts = {k.lower(): v for k, v in opts.items()}
+        create_kv_index(spark, "fseg2", lopts, "seg")
+        v1 = self._meta(opts, "fseg2")["data_dir"]
+        try:
+            self._put(spark, opts, [(0, "ZP", 0.0)])
+            # WAL retention prunes the span the index would replay
+            prune_changelog(lopts, _log_seqs(changelog_dir(lopts))[-1])
+            with pytest.raises(IncrementalRefreshIneligible, match="pruned"):
+                feed_refresh_kv_index(spark, "fseg2", lopts)
+            # ensure falls back: the overlay-snapshot path still serves
+            # this shape (pristine snapshot + full overlay), so the
+            # index stays DELTA-maintained and correct
+            idx = ensure_kv_index(spark, "fseg2", lopts, "seg")
+            assert self._entries(spark, idx) == self._derived(spark, opts)
+            m = self._meta(opts, "fseg2")
+            assert m["maintenance"] in ("incremental", "rebuild")
+            # the resume point was re-recorded, so the NEXT span goes
+            # back through the feed path
+            self._put(spark, opts, [(2, "ZQ", 0.0)])
+            idx = ensure_kv_index(spark, "fseg2", lopts, "seg")
+            assert self._meta(opts, "fseg2")["maintenance"] == "feed"
+            assert self._meta(opts, "fseg2")["data_dir"] == v1
+            assert self._entries(spark, idx) == self._derived(spark, opts)
+        finally:
+            drop_kv_index("fseg2", lopts)
+
+    def test_span_budget_routes_to_rebuild(self, spark, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            IncrementalRefreshIneligible,
+            create_kv_index,
+            drop_kv_index,
+            feed_refresh_kv_index,
+            register_kv_source,
+        )
+
+        register_kv_source(spark)
+        opts = self._store(tmp_path, "feed3")
+        lopts = {k.lower(): v for k, v in opts.items()}
+        create_kv_index(spark, "fseg3", lopts, "seg")
+        try:
+            self._put(spark, opts, [(0, "ZA", 0.0), (1, "ZB", 1.0), (2, "ZC", 2.0)])
+            with pytest.raises(IncrementalRefreshIneligible, match="budget"):
+                feed_refresh_kv_index(spark, "fseg3", lopts, max_span_rows=2)
+            # under the default budget the same span is a fine delta
+            idx = feed_refresh_kv_index(spark, "fseg3", lopts)
+            assert self._entries(spark, idx) == self._derived(spark, opts)
+        finally:
+            drop_kv_index("fseg3", lopts)
+
+    def test_truncate_restores_pristine_snapshot(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            create_kv_index,
+            drop_kv_index,
+            feed_refresh_kv_index,
+            register_kv_source,
+            truncate_overlay,
+        )
+
+        register_kv_source(spark)
+        opts = self._store(tmp_path, "feed4")
+        lopts = {k.lower(): v for k, v in opts.items()}
+        create_kv_index(spark, "fseg4", lopts, "seg")
+        pristine = None
+        try:
+            self._put(spark, opts, [(0, "ZT", 0.0)])
+            idx = feed_refresh_kv_index(spark, "fseg4", lopts)
+            pristine = self._derived(spark, opts)  # post-write truth
+            truncate_overlay(lopts)
+            idx = feed_refresh_kv_index(spark, "fseg4", lopts)
+            got = self._entries(spark, idx)
+            assert got == self._derived(spark, opts)
+            assert not any(k.startswith("ZT|") for k, _ in got)
+        finally:
+            drop_kv_index("fseg4", lopts)
