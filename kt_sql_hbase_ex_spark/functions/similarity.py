@@ -928,6 +928,17 @@ def _ivf_cells_dir(root: str) -> str:
     return os.path.join(root, _ivf_store_layout(root)["cells"])
 
 
+def _ivf_centroids_dir(root: str) -> str:
+    """The live generation's coarse quantizer at ``root``. Fixed at
+    ``centroids/`` for the store's whole life under append/compact
+    (the quantizer never moves) — until a RETRAIN
+    (:func:`retrain_ivf_store`) publishes a re-clustered generation,
+    after which ``layout.json`` carries the live centroid dir too."""
+    import os
+
+    return os.path.join(root, _ivf_store_layout(root).get("centroids", "centroids"))
+
+
 def compact_ivf_store(
     spark: SparkSession, root: str, only_cells_over: int | None = None
 ) -> dict:
@@ -1006,7 +1017,11 @@ def append_ivf_batch(spark: SparkSession, root: str, vecs: DataFrame) -> None:
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
     with _writer_lock(root):
-        cent = spark.read.parquet(os.path.join(root, "centroids"))
+        # the LIVE quantizer: fixed for the store's life under
+        # append/compact, rotated by retrain — admitting against the
+        # layout-resolved centroids is what makes append-after-retrain
+        # ≡ rebuild (pinned in tests/test_extensions.py)
+        cent = spark.read.parquet(_ivf_centroids_dir(root))
         # ≤1 file per touched cell per admitted batch (see write_ivf_store)
         _assign_cells(vecs, cent).repartition("cell").write.mode(
             "append"
@@ -1136,7 +1151,7 @@ def probe_ivf_store(spark: SparkSession, root: str, batch: DataFrame) -> DataFra
     partitions. The corpus is never rescanned."""
     import os
 
-    cent = spark.read.parquet(os.path.join(root, "centroids")).localCheckpoint()
+    cent = spark.read.parquet(_ivf_centroids_dir(root)).localCheckpoint()
     layout = spark.read.parquet(_ivf_cells_dir(root))
     batch = batch.localCheckpoint()  # consumed by probing AND the rerank join
     from pyspark.sql import Window as W
@@ -1313,6 +1328,235 @@ def sim10_compacted_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged — the folded layout keeps the exact cell partitioning the
     pruned reads rely on, now at one file per probed cell."""
     root = ensure_compacted_ivf_store(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_ivf_store(spark, root, batch)
+
+
+def retrain_ivf_store(spark: SparkSession, root: str) -> dict:
+    """RE-CLUSTER the store's coarse quantizer from the current corpus —
+    the drift remedy :func:`append_ivf_batch` explicitly refuses to be:
+    admission against frozen centroids is what keeps growth replayable,
+    but a corpus that drifts away from the centroids it was seeded with
+    degrades recall with no remedy short of a manual rebuild. Retrain
+    runs ONE Lloyd step (the sim05 training step, applied to the
+    store): each cell's new centroid is the element-wise mean of its
+    CURRENT members (the stored assignment — no reassignment scan
+    first), empty cells carry their old centroid, then the whole corpus
+    re-assigns to the new quantizer and both relations publish behind
+    the store's existing generation pointer (``layout.json`` gains a
+    ``centroids`` key; append/probe resolve the quantizer through it,
+    so append-after-retrain ≡ rebuild — test-pinned).
+
+    ANSWERS CHANGE, legitimately: unlike compaction (a layout
+    transformation graded answer-preserving), retrain MOVES vectors
+    between cells, so probes prune differently afterwards — that is
+    the point. Nothing stale-flips; sim11's oracle replays from
+    scratch over the SAME retrained quantizer instead.
+
+    Cross-engine exactness: the mean is computed in fixed point —
+    per-component micro-unit integers (round-half-away, the money.py
+    discipline), an order-independent LONG sum, then ONE deterministic
+    double sequence ``floor(sum·1000 / n) / 1e9`` — so DuckDB replays
+    the retrained centroids bit-for-bit and every downstream rounded
+    argmax agrees. Scale: the mean is one partial-aggregated shuffle
+    sized cells × dim (corpus never shuffles), the re-assignment is
+    the same broadcast map-side scoring as the initial build, and the
+    publish is one atomic pointer swap with the deferred-GC retention
+    compaction already uses."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        layout = _ivf_store_layout(root)
+        gen = layout["gen"] + 1
+        tag = _uuid.uuid4().hex[:8]
+        cells_rel = layout["cells"]
+        cent_rel = layout.get("centroids", "centroids")
+        corpus = spark.read.parquet(os.path.join(root, cells_rel)).localCheckpoint()
+        old_cent = spark.read.parquet(os.path.join(root, cent_rel))
+
+        val = F.col("val")
+        micros = ((val * F.lit(1e6)) + F.when(val >= 0, 0.5).otherwise(-0.5)).cast(
+            "bigint"
+        )
+        comp = (
+            corpus.select(
+                F.col("cell").alias("cid"),
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "i", "val"
+                ),
+            )
+            .select("cid", "i", micros.alias("m"))
+            .groupBy("cid", "i")
+            .agg(F.sum("m").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cid",
+                "i",
+                (
+                    F.floor(
+                        F.col("s").cast("double") * F.lit(1000.0)
+                        / F.col("n").cast("double")
+                    )
+                    / F.lit(1e9)
+                ).alias("val"),
+            )
+        )
+        cent1 = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "val"))),
+                lambda s: s["val"],
+            ).alias("nv")
+        )
+        new_cent = old_cent.join(cent1, "cid", "left").select(
+            "cid",
+            F.coalesce("nv", F.col("cv").cast("array<double>")).alias("cv"),
+        )
+        new_cent_rel = f"centroids_g{gen}.{tag}"
+        new_cells_rel = f"cells_g{gen}.{tag}"
+        new_cent.coalesce(1).write.parquet(os.path.join(root, new_cent_rel))
+        cent_b = spark.read.parquet(os.path.join(root, new_cent_rel))
+        _assign_cells(
+            corpus.select("vec_id", "embedding"), cent_b
+        ).repartition("cell").write.partitionBy("cell").parquet(
+            os.path.join(root, new_cells_rel)
+        )
+
+        new_layout = dict(layout)
+        new_layout.update(
+            gen=gen,
+            cells=new_cells_rel,
+            centroids=new_cent_rel,
+            prev=[cells_rel, cent_rel],
+        )
+        staging = os.path.join(root, f"layout.json.tmp.{os.getpid()}")
+        with open(staging, "w") as f:
+            json.dump(new_layout, f)
+        os.replace(staging, os.path.join(root, "layout.json"))
+        # deferred GC: the generation superseded by the PREVIOUS swap is
+        # now two swaps old — no reader can still hold it (compaction's
+        # retention rule, shared verbatim)
+        for d in layout.get("prev", []):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return {"gen": gen, "n_cells": new_cent.count()}
+
+
+def ensure_retrained_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim11's fixture store: the sim08 base store (history minus the
+    probe residue, quantizer frozen on the n_cells lowest vec_ids) run
+    through ONE :func:`retrain_ivf_store` cycle — so the live
+    generation's centroids are the fixed-point Lloyd means of the
+    original assignment and the cells are the corpus re-assigned to
+    them."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"ivfstore-retrained|{N_CELLS}|{N_PROBE}|{TOP_K}"
+        f"|mod{SIM08_MOD}r{SIM08_RES}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings"))
+        write_ivf_store(
+            spark, staging, e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
+        )
+        retrain_ivf_store(spark, staging)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+#: sim11 oracle: the exact fixed-point mean both engines replay
+#: bit-for-bit — micro-unit integers (round-half-away), order-free
+#: HUGEINT/LONG sum, floor(sum·1000/n)/1e9 (one deterministic double
+#: sequence; see retrain_ivf_store's docstring)
+_RETRAIN_MEAN_SQL = (
+    "FLOOR(CAST(SUM(CAST(ROUND(e.v[t.i] * 1000000) AS BIGINT)) AS DOUBLE)"
+    " * 1000.0 / CAST(COUNT(*) AS DOUBLE)) / 1e9"
+)
+
+
+@query(
+    "sim11_retrained_ivf_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hist AS (SELECT * FROM e WHERE vec_id % {SIM08_MOD} <> {SIM08_RES}),
+    cent0 AS (SELECT vec_id AS cid, v AS cv FROM hist ORDER BY vec_id LIMIT {N_CELLS}),
+    assign0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT h.vec_id, cent0.cid,
+                   ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                       ORDER BY ROUND({_COSINE_SQL.format(a="h.v", b="cent0.cv")}, 6)
+                                DESC, cent0.cid) AS rn
+            FROM hist h CROSS JOIN cent0) t
+        WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.cid, t.i, {_RETRAIN_MEAN_SQL} AS val
+        FROM assign0 a JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) t(i)
+        GROUP BY a.cid, t.i
+    ),
+    cent1m AS (SELECT cid, list(val ORDER BY i) AS cv FROM comp GROUP BY cid),
+    cent AS (SELECT c0.cid, COALESCE(c1.cv, c0.cv) AS cv
+             FROM cent0 c0 LEFT JOIN cent1m c1 USING (cid)),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT h.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                       ORDER BY ROUND({_SIM08_COS_HC}, 6) DESC, cent.cid) AS rn
+            FROM hist h CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT b.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY ROUND({_SIM08_COS_BC}, 6) DESC, cent.cid) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % {SIM08_MOD} = {SIM08_RES}) b
+            CROSS JOIN cent) t
+        WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_SIM08_COS_QN} AS c,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                   ORDER BY ROUND({_SIM08_COS_QN}, 6) DESC, cand.neighbor_id) AS rnk
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id
+    ) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim11_retrained_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim08's probe against a RETRAINED IVF store — the drift remedy
+    the frozen-quantizer admission path deliberately lacks
+    (:func:`retrain_ivf_store`: one fixed-point Lloyd step over the
+    stored assignment, corpus re-assigned, generation-pointer publish).
+    Unlike sim10 (layout transformations graded answer-PRESERVING),
+    retrain legitimately CHANGES answers — vectors move cells, probes
+    prune differently — so the oracle replays assign/mean/re-assign/
+    probe/rerank from scratch over the SAME retrained quantizer: the
+    hash match proves the store's new centroids are exactly the
+    declared Lloyd means (bit-for-bit, via the fixed-point mean) and
+    the probe serves exactly the re-clustered IVF answer. Scale:
+    retrain is one cells×dim partial-agg shuffle + one broadcast
+    re-assignment pass; the probe path is unchanged — pruned cell
+    reads against the new generation."""
+    root = ensure_retrained_ivf_store(spark, sf_dir)
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

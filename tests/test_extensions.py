@@ -1672,3 +1672,98 @@ def test_temperature_mixture_allocation_invariants(spark, sf_small):
         assert quota[a] * n_by_source[b] >= (quota[b] - 1) * n_by_source[a], (
             a, b, quota[a], quota[b], n_by_source[a], n_by_source[b],
         )
+
+
+def test_ivf_retrain_then_append_equals_rebuild(spark):
+    """retrain_ivf_store (the drift remedy): after the one-step Lloyd
+    re-clustering publishes behind the generation pointer, (1) the
+    store's quantizer really moved (layout carries a centroids dir and
+    the centroid vectors are the fixed-point member means), (2) probes
+    serve the re-clustered answer — identical to a store built from
+    scratch around the SAME retrained centroids, (3) appends admit
+    against the RETRAINED quantizer, so append-after-retrain ≡
+    rebuild-with-retrained-centroids, and (4) a second retrain GC's the
+    generation two swaps old (deferred retention) while the probe keeps
+    answering."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _assign_cells,
+        _ivf_cells_dir,
+        _ivf_centroids_dir,
+        _ivf_store_layout,
+        append_ivf_batch,
+        probe_ivf_store,
+        retrain_ivf_store,
+        write_ivf_store,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_ivfretrain")
+    shutil.rmtree(base, ignore_errors=True)
+    store, twin = os.path.join(base, "store"), os.path.join(base, "twin")
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # seeds 1..2 define the frozen quantizer; 3..6 pull the means away
+    hist = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.8, 0.6, 0.0]),
+        (4, [0.9, 0.45, 0.0]),
+        (5, [0.1, 0.9, 0.4]),
+        (6, [0.0, 0.8, 0.6]),
+    ]
+    write_ivf_store(spark, store, mk(hist), n_cells=2)
+    old_cells = _ivf_cells_dir(store)
+    stats = retrain_ivf_store(spark, store)
+    assert stats["gen"] == 1 and stats["n_cells"] == 2
+    layout = _ivf_store_layout(store)
+    assert layout["centroids"].startswith("centroids_g1.")
+    assert layout["cells"].startswith("cells_g1.")
+    # the quantizer really moved: retrained centroids ≠ the seeds
+    cent = {
+        r.cid: [round(x, 9) for x in r.cv]
+        for r in spark.read.parquet(_ivf_centroids_dir(store)).collect()
+    }
+    assert cent[1] != [1.0, 0.0, 0.0] and cent[2] != [0.0, 1.0, 0.0]
+
+    # probes serve the re-clustered answer: identical to a from-scratch
+    # twin assigned around the SAME retrained centroids
+    os.makedirs(twin)
+    spark.read.parquet(_ivf_centroids_dir(store)).coalesce(1).write.parquet(
+        os.path.join(twin, "centroids")
+    )
+    cent_df = spark.read.parquet(os.path.join(twin, "centroids"))
+    _assign_cells(mk(hist), cent_df).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(os.path.join(twin, "cells"))
+    probe = mk(
+        [(10, [0.9, 0.3, 0.0]), (11, [0.0, 0.7, 0.7])]
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    snap = lambda root: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in probe_ivf_store(spark, root, probe).collect()
+    }
+    assert snap(store) == snap(twin)
+
+    # append admits against the RETRAINED quantizer
+    growth = [(7, [0.95, 0.4, 0.0]), (8, [0.05, 0.85, 0.5])]
+    append_ivf_batch(spark, store, mk(growth))
+    _assign_cells(mk(growth), cent_df).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(twin, "cells"))
+    got = snap(store)
+    assert got == snap(twin)
+    assert {n for _, n, _, _ in got} >= {7, 8}
+
+    # deferred GC: a second retrain removes the pre-retrain generation
+    # (two swaps old) and the store keeps answering
+    retrain_ivf_store(spark, store)
+    assert not os.path.exists(old_cells)
+    assert _ivf_store_layout(store)["gen"] == 2
+    assert len(snap(store)) > 0
+    shutil.rmtree(base, ignore_errors=True)
