@@ -103,6 +103,14 @@ HEADLINE = (
     # path tr04 shares).
     "d16_khop_reachability",
     "tr14_temperature_mixture",
+    # round-8 additions (r7 verdict task #6 + this round's store
+    # maintenance): src10 is the WAL read path (batch change-feed scan,
+    # one task per retained commit — the only round-7 surface bench
+    # didn't track); src11 times the full compaction CYCLE (truncate →
+    # mutate → fold → generation scan) each run, the src09 pattern of
+    # timing the lifecycle rather than one cached read.
+    "src10_change_feed_batch_audit",
+    "src11_kv_compacted_scan",
 )
 
 
