@@ -1399,6 +1399,28 @@ def _region_rows(gen_dir: str, name: str) -> int:
     return pq.ParquetFile(os.path.join(gen_dir, name)).metadata.num_rows
 
 
+def maybe_compact_store(options, max_overlay_rows: int = 10_000) -> dict | None:
+    """Size-TRIGGERED compaction — the HBase memstore-flush threshold:
+    fold only when the overlay holds more than ``max_overlay_rows``
+    rows, so a standing write pipeline calls this after every commit
+    and pays the rewrite only when accretion warrants it (the
+    :func:`~kt_sql_hbase_ex_spark.functions.similarity.maybe_compact_ivf_store`
+    trigger, applied to the KV overlay). One parquet-footer probe under
+    the threshold — no data read, no lock taken. Returns the fold's
+    stats, or None when under threshold."""
+    import pyarrow.parquet as pq
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    opath = overlay_path(opts)
+    try:
+        n = pq.ParquetFile(opath).metadata.num_rows
+    except FileNotFoundError:
+        return None
+    if n <= max_overlay_rows:
+        return None
+    return compact_store(opts)
+
+
 class KVChangesPartition(InputPartition):
     """One commit-log entry = one batch-read partition (tasks
     parallelize across commits; each reads exactly one immutable file)."""

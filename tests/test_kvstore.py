@@ -1890,3 +1890,40 @@ class TestFeedDrivenRefresh:
             assert not any(k.startswith("ZT|") for k, _ in got)
         finally:
             drop_kv_index("fseg4", lopts)
+
+
+def test_maybe_compact_store_trigger(tmp_path):
+    """The size-triggered fold: under the row threshold nothing happens
+    (no lock, no rewrite — the pointer stays absent); over it the fold
+    runs and the overlay retires."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        _resolve_generation,
+        maybe_compact_store,
+        overlay_path,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "trig.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(20), pa.int64()),
+                  "v": pa.array([float(i) for i in range(20)], pa.float64())}),
+        base,
+    )
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": "trig"}
+    truncate_overlay(opts)
+    assert maybe_compact_store(opts) is None  # no overlay at all
+    KVUpsertWriter(opts).commit(
+        [KVWriteMessage([{"k": i, "v": -1.0} for i in range(3)])]
+    )
+    assert maybe_compact_store(opts, max_overlay_rows=10) is None
+    assert _resolve_generation(opts) is None  # under threshold: untouched
+    stats = maybe_compact_store(opts, max_overlay_rows=2)
+    assert stats and stats["compacted"]
+    assert not os.path.exists(overlay_path(opts))
+    assert _resolve_generation(opts)["gen"] == 1
+    truncate_overlay(opts)
