@@ -1363,7 +1363,14 @@ class KtSqlEngine:
 
         ``store_options``: ``path``, ``keyCol``, ``columns``
         (comma-separated), optional ``regionSize`` — the same bundle
-        ``spark.read.format("ktsql_kv")`` takes."""
+        ``spark.read.format("ktsql_kv")`` takes.
+
+        Snapshot semantics: the view pins the store state at
+        registration (the Python data source plans its partitions when
+        the relation is created, measured in tests) — after committed
+        writes or a ``compact_kv_table`` fold, re-register to serve the
+        new state. A fresh ``spark.read`` per query (what the demo
+        queries do) always sees the current state."""
         from kt_sql_hbase_ex_spark.sources.kvstore import (
             FORMAT_NAME,
             register_kv_source,

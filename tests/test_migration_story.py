@@ -218,3 +218,68 @@ def test_literal_index_ddl_through_sql_script(spark, sf_small):
     assert eng.list_indexes(**opts) == []
     with pytest.raises(IndexExistsError):
         eng.sql("DROP INDEX sqlidx_seg ON sqlidx_customer")
+
+
+def test_store_maintenance_workflow(spark, sf_small):
+    """The operator's steady-state story, in sequence against one
+    engine: mutate through the connector, watch the WAL, compact when
+    the trigger fires, prune retention behind the fold's watermark,
+    and keep reading the same answers throughout — every piece covered
+    by a focused test elsewhere, run here the way a deployment
+    actually sequences them."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        customer_store_options,
+        delete_from_store,
+        maybe_compact_store,
+        prune_changelog,
+        truncate_overlay,
+    )
+
+    eng = KtSqlEngine(spark, sf_small)
+    opts = customer_store_options(sf_small)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared") + "-maint"
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)
+    eng.register_kv_table("maint_customer", **opts)
+
+    # two mutation commits
+    spark.createDataFrame(
+        [(999101, "M1", 0, 10.0, "MAINT"), (999102, "M2", 0, 20.0, "MAINT")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    delete_from_store(lopts, [1])
+
+    def answer():
+        return eng.sql(
+            "SELECT COUNT(*) AS n, SUM(CASE WHEN c_mktsegment = 'MAINT' "
+            "THEN 1 ELSE 0 END) AS m FROM maint_customer"
+        ).first()
+
+    before = answer()
+    assert before["m"] == 2
+
+    # the WAL saw both commits
+    feed = spark.read.format(CHANGES_FORMAT_NAME).options(**opts).load()
+    seqs = sorted(r["__seq"] for r in feed.select("__seq").distinct().collect())
+    assert seqs == [1, 2]
+
+    # the size trigger fires, the facade fold runs, answers hold
+    assert maybe_compact_store(lopts, max_overlay_rows=1_000_000) is None
+    stats = eng.compact_kv_table(**opts)
+    assert stats["compacted"] and stats["tombstones_dropped"] == 1
+    # the view re-resolves through the generation (re-register: the
+    # temp view pinned the pre-fold snapshot relation)
+    eng.register_kv_table("maint_customer", **opts)
+    after = answer()
+    assert (after["n"], after["m"]) == (before["n"], before["m"])
+
+    # retention can prune the folded span; the store still answers
+    assert prune_changelog(lopts, stats["applied_seq"]) == 2
+    assert answer()["m"] == 2
+    truncate_overlay(lopts)
