@@ -1927,3 +1927,53 @@ def test_maybe_compact_store_trigger(tmp_path):
     assert not os.path.exists(overlay_path(opts))
     assert _resolve_generation(opts)["gen"] == 1
     truncate_overlay(opts)
+
+
+def test_compacted_store_still_prunes_regions(tmp_path):
+    """The pushdown invariant survives the fold: a compacted generation
+    reopens as a normal sorted-rowkey store (regions rebuilt from the
+    folded rows), so a pushed key range still skips regions and a point
+    lookup still hits exactly one — the read path a 100 TB store serves
+    AFTER its overlay retired must prune exactly like before."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThanOrEqual
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        _open_store,
+        _resolve_generation,
+        compact_store,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "prune.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(160), pa.int64()),
+                  "v": pa.array([float(i) for i in range(160)], pa.float64())}),
+        base,
+    )
+    opts = {"path": base, "keycol": "k", "columns": "k,v",
+            "regionsize": "16", "appid": "prune"}
+    truncate_overlay(opts)
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 5, "v": -5.0}])])
+    compact_store(opts)
+    assert _resolve_generation(opts) is not None  # reading the fold
+
+    store = _open_store(opts)
+    assert len(store.regions()) == 10
+    rd = _reader(store)
+    assert list(rd.pushFilters(
+        [GreaterThanOrEqual(("k",), 1), LessThanOrEqual(("k",), 32)]
+    )) == []
+    parts = rd.partitions()
+    assert 0 < len(parts) < len(store.regions())
+    keys = [t[0] for p in parts for t in p.tuples]
+    assert keys == sorted(keys) and min(keys) >= 1 and max(keys) <= 32
+
+    rd2 = _reader(store)
+    assert list(rd2.pushFilters([EqualTo(("k",), 5)])) == []
+    parts2 = rd2.partitions()
+    assert len(parts2) == 1 and [t for t in parts2[0].tuples] == [(5, -5.0)]
+    truncate_overlay(opts)
