@@ -67,6 +67,22 @@ _DROP_INDEX_STMT = re.compile(
 )
 #: loose heads, used only to bounce bindings / malformed forms loudly
 _INDEX_DDL_HEAD = re.compile(r"^\s*(create|drop)\s+index\b", re.IGNORECASE)
+#: CREATE TABLE <name> ( <cols incl. PRIMARY KEY (...)> ) — the
+#: calcite-server literal form the reference's createTable was driven
+#: by (``HBaseSchema.kt:101-135``: RelDataType columns + keyConstraint,
+#: mandatory PK). Spark SQL rejects the PRIMARY KEY constraint outright
+#: ([UNSUPPORTED_FEATURE.TABLE_OPERATION]), so the facade executes the
+#: constraint-carrying form itself; constraint-free CREATE TABLE text
+#: (Spark-native: USING/TBLPROPERTIES/CTAS/partitioned) passes through
+#: untouched.
+_CREATE_TABLE_HEAD = re.compile(
+    r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?(`[^`]+`|[\w.]+)\s*\(",
+    re.IGNORECASE,
+)
+_PK_ITEM = re.compile(
+    r"^(?:constraint\s+(?:`[^`]+`|\w+)\s+)?primary\s+key\s*\(([^)]*)\)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _scan_sql(s: str):
@@ -154,6 +170,22 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first TOP-LEVEL, word-bounded occurrence of ``kw``
+    (outside quotes/parens/comments), or -1 — the _split_where scan,
+    generalized for the DDL column parser."""
+    lower = s.lower()
+    n = len(kw)
+    for i, ch, depth, in_q in _scan_sql(s):
+        if depth == 0 and not in_q and lower.startswith(kw, i):
+            before = i == 0 or not (lower[i - 1].isalnum() or lower[i - 1] == "_")
+            j = i + n
+            after = j >= len(s) or not (lower[j].isalnum() or lower[j] == "_")
+            if before and after:
+                return i
+    return -1
 
 
 def _split_where(s: str) -> tuple[str, str | None]:
@@ -415,6 +447,11 @@ class KtSqlEngine:
             return self.spark.sql(statement, args=args)
         if _INDEX_DDL_HEAD.match(core):
             return self._index_ddl(core)
+        mct = _CREATE_TABLE_HEAD.match(core)
+        if mct:
+            parts = self._create_table_parts(core, mct)
+            if parts is not None:  # PK-constraint form: facade-executed
+                return self._create_table_stmt(mct, parts)
         m = _UPDATE_HEAD.match(core)
         if m:
             set_clause, where = _split_where(core[m.end():])
@@ -1296,6 +1333,103 @@ class KtSqlEngine:
             col, _, typ = p.partition(" ")
             out.append((col, typ.strip(), None))
         return out
+
+    @staticmethod
+    def _matching_paren(core: str, open_idx: int) -> int:
+        """Index of the ``)`` matching the ``(`` at ``open_idx``
+        (lexer-aware: parens inside string literals / backticked
+        identifiers / comments don't count)."""
+        level = 0
+        for i, ch, _depth, in_q in _scan_sql(core):
+            if in_q or i < open_idx:
+                continue
+            if ch == "(":
+                level += 1
+            elif ch == ")":
+                level -= 1
+                if level == 0:
+                    return i
+        raise ValueError("unbalanced parentheses in CREATE TABLE statement")
+
+    def _create_table_parts(self, core: str, m) -> tuple | None:
+        """Parse a literal CREATE TABLE statement's parenthesized body.
+        Returns ``(cols, pk, table_comment, tail_ok)`` when the body
+        carries a top-level PRIMARY KEY constraint — the calcite-server
+        form the reference's createTable consumed
+        (``HBaseSchema.kt:101-135``) that Spark SQL rejects — or None
+        when it doesn't (Spark-native CREATE TABLE text: USING /
+        TBLPROPERTIES / CTAS / partitioned — passes through verbatim)."""
+        open_idx = m.end() - 1
+        close_idx = self._matching_paren(core, open_idx)
+        items = _split_top_level(core[open_idx + 1: close_idx])
+        if not any(_PK_ITEM.match(it) for it in items):
+            return None
+        cols: list[tuple] = []
+        pk: tuple | None = None
+        for it in items:
+            pkm = _PK_ITEM.match(it)
+            if pkm:
+                if pk is not None:
+                    raise ValueError("multiple PRIMARY KEY constraints")
+                pk = tuple(
+                    c.strip().strip("`") for c in pkm.group(1).split(",") if c.strip()
+                )
+                continue
+            head = it.split(None, 1)[0].lower()
+            if head in ("constraint", "unique", "foreign", "check", "key"):
+                # the reference's surface had exactly one constraint
+                # kind (the PK rowkey); anything else must fail loudly,
+                # never silently become a column named CONSTRAINT
+                raise ValueError(
+                    f"unsupported table constraint in CREATE TABLE: {it!r}"
+                )
+            cm = re.match(r"^(`[^`]+`|\w+)\s+(.+)$", it, re.S)
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {it!r}")
+            cname, rest = cm.group(1).strip("`"), cm.group(2).strip()
+            comment = None
+            ci = _find_top_keyword(rest, "comment")
+            if ci >= 0:
+                comment = rest[ci + len("comment"):].strip().strip(";").strip()
+                comment = comment[1:-1] if comment[:1] in "'\"" else comment
+                rest = rest[:ci].strip()
+            default = None
+            di = _find_top_keyword(rest, "default")
+            if di >= 0:
+                default = rest[di + len("default"):].strip()
+                rest = rest[:di].strip()
+            cols.append((cname, rest, default, comment))
+        # statement tail: optionally COMMENT '<table comment>'
+        tail = core[close_idx + 1:].strip().strip(";").strip()
+        table_comment = ""
+        if tail:
+            ti = _find_top_keyword(tail, "comment")
+            if ti != 0:
+                raise ValueError(
+                    f"unsupported CREATE TABLE tail: {tail!r} (only a "
+                    "table COMMENT may follow the column list)"
+                )
+            tc = tail[len("comment"):].strip()
+            table_comment = tc[1:-1] if tc[:1] in "'\"" else tc
+        return (cols, pk, table_comment, True)
+
+    def _create_table_stmt(self, m, parts: tuple) -> DataFrame:
+        """Execute the PK-constraint CREATE TABLE form through the
+        validated facade path (mandatory PK, reserved ``id``, table.sys
+        attributes), returning a one-row result like the other
+        facade-executed statements. ``IF NOT EXISTS`` is honored as a
+        no-op on an existing table (the validated path otherwise
+        recreates, matching :meth:`create_table`'s reset semantics)."""
+        if_not_exists, name = m.group(1), m.group(2).strip("`")
+        cols, pk, table_comment, _ = parts
+        if if_not_exists and self.spark.catalog.tableExists(name):
+            return self.spark.createDataFrame(
+                [(name, "EXISTS")], "table_name string, status string"
+            )
+        self.create_table(name, cols, pk, comment=table_comment)
+        return self.spark.createDataFrame(
+            [(name, "CREATED")], "table_name string, status string"
+        )
 
     def create_table(
         self,

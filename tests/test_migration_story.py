@@ -283,3 +283,65 @@ def test_store_maintenance_workflow(spark, sf_small):
     assert prune_changelog(lopts, stats["applied_seq"]) == 2
     assert answer()["m"] == 2
     truncate_overlay(lopts)
+
+
+def test_literal_create_table_with_primary_key(spark, sf_small):
+    """The calcite-server literal DDL the reference's createTable was
+    driven by (``HBaseSchema.kt:101-135``): Spark SQL rejects PRIMARY
+    KEY constraints outright, so the facade executes the
+    constraint-carrying form through its validated path — mandatory PK
+    honored, reserved ``id`` rejected, DEFAULT/COMMENT columns parsed,
+    IF NOT EXISTS a no-op, Spark-native (constraint-free) CREATE TABLE
+    text untouched."""
+    import pytest
+
+    eng = KtSqlEngine(spark, sf_small)
+    try:
+        row = eng.run_script(
+            """
+            -- straight from a reference user's .sql file
+            CREATE TABLE mig_lit_pk (
+                k BIGINT COMMENT 'the key',
+                line BIGINT,
+                status STRING DEFAULT 'NEW',
+                amount DOUBLE,
+                PRIMARY KEY (k, line)
+            ) COMMENT 'literal ddl demo';
+            """
+        ).first()
+        assert (row["table_name"], row["status"]) == ("mig_lit_pk", "CREATED")
+        info = eng.table_info("mig_lit_pk")
+        assert info["primary"] == ("k", "line")
+        assert info["comment"] == "literal ddl demo"
+        assert eng.describe("mig_lit_pk")[0].comment == "the key"
+        # the DEFAULT column fills on insert
+        eng.sql("INSERT INTO mig_lit_pk (k, line, amount) VALUES (1, 1, 5.0)")
+        assert eng.sql("SELECT status FROM mig_lit_pk").first()["status"] == "NEW"
+        # IF NOT EXISTS: no-op on the existing table, data intact
+        r2 = eng.sql(
+            "CREATE TABLE IF NOT EXISTS mig_lit_pk (x BIGINT, PRIMARY KEY (x))"
+        ).first()
+        assert r2["status"] == "EXISTS"
+        assert eng.sql("SELECT COUNT(*) AS n FROM mig_lit_pk").first()["n"] == 1
+        # the reference's create-time rules apply to the literal form
+        with pytest.raises(Exception, match="id"):
+            eng.sql("CREATE TABLE mig_lit_bad (id BIGINT, PRIMARY KEY (id))")
+        with pytest.raises(ValueError, match="unsupported table constraint"):
+            eng.sql(
+                "CREATE TABLE mig_lit_bad2 (k BIGINT, UNIQUE (k), PRIMARY KEY (k))"
+            )
+        # constraint-free text passes through to Spark verbatim
+        eng.sql(
+            "CREATE TABLE mig_lit_plain (k BIGINT, v STRING) "
+            "TBLPROPERTIES ('ktsql.primary' = 'k')"
+        )
+        assert spark.catalog.tableExists("mig_lit_plain")
+        # a paren inside a string DEFAULT must not break the item split
+        eng.sql(
+            "CREATE TABLE mig_lit_q (k BIGINT, v STRING DEFAULT 'a,(b)', "
+            "PRIMARY KEY (k))"
+        )
+        assert [c.name for c in eng.describe("mig_lit_q")][:2] == ["k", "v"]
+    finally:
+        for t in ("mig_lit_pk", "mig_lit_plain", "mig_lit_q"):
+            eng.drop_table(t)
