@@ -1351,7 +1351,8 @@ class KtSqlEngine:
                     return i
         raise ValueError("unbalanced parentheses in CREATE TABLE statement")
 
-    def _create_table_parts(self, core: str, m) -> tuple | None:
+    @staticmethod
+    def _create_table_parts(core: str, m) -> tuple | None:
         """Parse a literal CREATE TABLE statement's parenthesized body.
         Returns ``(cols, pk, table_comment, tail_ok)`` when the body
         carries a top-level PRIMARY KEY constraint — the calcite-server
@@ -1360,7 +1361,7 @@ class KtSqlEngine:
         when it doesn't (Spark-native CREATE TABLE text: USING /
         TBLPROPERTIES / CTAS / partitioned — passes through verbatim)."""
         open_idx = m.end() - 1
-        close_idx = self._matching_paren(core, open_idx)
+        close_idx = KtSqlEngine._matching_paren(core, open_idx)
         items = _split_top_level(core[open_idx + 1: close_idx])
         if not any(_PK_ITEM.match(it) for it in items):
             return None

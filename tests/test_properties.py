@@ -828,3 +828,84 @@ def test_strip_comments_preserves_unmasked_text(parts):
     # '--' may survive ONLY inside quotes/backticks — never as a comment
     # opener; verify by checking the stripped text round-trips stably
     assert _strip_comments(out) == out
+
+
+#: column building blocks for the literal CREATE TABLE parser: names,
+#: types (incl. a parenthesized-precision one), DEFAULT expressions
+#: whose text exercises the masking classes (commas, parens, quotes,
+#: the words DEFAULT/COMMENT/PRIMARY KEY inside string literals), and
+#: per-column comments with separators inside
+_CT_NAMES = st.sampled_from(["k", "v2", "a_b", "x9"])
+_CT_TYPES = st.sampled_from(["BIGINT", "STRING", "DOUBLE", "DECIMAL(10,2)"])
+_CT_DEFAULTS = st.sampled_from(
+    [
+        None,
+        "0",
+        "'NEW'",
+        "'a,(b)'",
+        "'default comment primary key'",
+        "concat('x', 'y')",
+        "'it''s'",
+    ]
+)
+_CT_COMMENTS = st.sampled_from(
+    [None, "plain", "with, comma", "semi;colon", "paren (inside)"]
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_CT_NAMES, _CT_TYPES, _CT_DEFAULTS, _CT_COMMENTS),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda c: c[0],
+    ),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([None, "table note", "note, with (stuff)"]),
+)
+@_settings
+def test_create_table_parser_roundtrip(cols, n_pk, table_comment):
+    """Generative round-trip for the literal CREATE TABLE parser
+    (`_create_table_parts`): composing arbitrary column defs — types
+    with parenthesized precision, DEFAULT expressions containing
+    commas/parens/quotes/keywords, quoted comments with separators —
+    plus a composite PRIMARY KEY item and an optional table COMMENT
+    tail, the parser must return exactly the declared tuples, the
+    declared PK, and the table comment; with the PK item REMOVED the
+    same text must parse to None (Spark passthrough)."""
+    from kt_sql_hbase_ex_spark.engine import (
+        _CREATE_TABLE_HEAD,
+        KtSqlEngine,
+    )
+
+    pk = tuple(c[0] for c in cols[:n_pk])
+    items = []
+    for name, typ, default, comment in cols:
+        it = f"{name} {typ}"
+        if default is not None:
+            it += f" DEFAULT {default}"
+        if comment is not None:
+            it += f" COMMENT '{comment}'"
+        items.append(it)
+    body = ", ".join(items + [f"PRIMARY KEY ({', '.join(pk)})"])
+    tail = f" COMMENT '{table_comment}'" if table_comment is not None else ""
+    stmt = f"CREATE TABLE ct_prop ({body}){tail};"
+
+    m = _CREATE_TABLE_HEAD.match(stmt)
+    assert m is not None
+    got = KtSqlEngine._create_table_parts(stmt, m)
+    assert got is not None
+    gcols, gpk, gcomment, _ = got
+    assert gpk == pk
+    assert gcomment == (table_comment or "")
+    assert [c[0] for c in gcols] == [c[0] for c in cols]
+    for (name, typ, default, comment), g in zip(cols, gcols):
+        assert g[1] == typ, (stmt, g)
+        assert g[2] == default, (stmt, g)
+        assert g[3] == comment, (stmt, g)
+
+    # without the PK item the SAME text is Spark's, not the facade's
+    no_pk = f"CREATE TABLE ct_prop ({', '.join(items)}){tail}"
+    m2 = _CREATE_TABLE_HEAD.match(no_pk)
+    assert m2 is not None
+    assert KtSqlEngine._create_table_parts(no_pk, m2) is None
