@@ -1231,6 +1231,19 @@ def compact_store(options) -> dict:
     (same keys, same values, tombstones of keys the fold already
     dropped are no-ops), and the next fold (or open) retires it.
 
+    Driver-side bound: the fold reads the overlay plus each touched
+    region file through pyarrow on the driver — O(overlay + touched ×
+    region_size) rows — the SAME bound the overlay subsystem has
+    carried since it existed (every commit merges the overlay
+    driver-side; ``KVWriteMessage`` documents that bulk loads go
+    through truncate + bulk-load, never a giant overlay), and
+    :func:`maybe_compact_store`'s row trigger keeps individual folds
+    amortized. At cluster scale the identical fold shape distributes:
+    one task per hot region (regions are independent rewrite units,
+    exactly like the band/IVF/text stores' per-unit folds), hardlink
+    carries become metadata operations, and the pointer flip stays one
+    atomic publish.
+
     Returns stats: ``regions_rewritten`` / ``regions_carried`` (the
     region-pruning proof), ``rows`` (live rows in the new generation),
     ``tombstones_dropped``, ``applied_seq`` (carried watermark —

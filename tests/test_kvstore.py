@@ -1977,3 +1977,83 @@ def test_compacted_store_still_prunes_regions(tmp_path):
     parts2 = rd2.partitions()
     assert len(parts2) == 1 and [t for t in parts2[0].tuples] == [(5, -5.0)]
     truncate_overlay(opts)
+
+
+def test_overlay_lock_primitive_and_concurrent_fold(tmp_path):
+    """The overlay writer lock itself: a held lock makes a second
+    acquirer time out LOUDLY (OverlayWriterConflict), break_overlay_lock
+    clears a crashed holder, and a commit racing a fold serializes —
+    whichever order the lock grants, the final state contains both the
+    folded history and the racing commit."""
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        OverlayWriterConflict,
+        _open_store,
+        _overlay_lock,
+        break_overlay_lock,
+        compact_store,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "lk.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(8), pa.int64()),
+                  "v": pa.array([float(i) for i in range(8)], pa.float64())}),
+        base,
+    )
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": "lk"}
+    truncate_overlay(opts)
+
+    with _overlay_lock(opts):
+        with pytest.raises(OverlayWriterConflict, match="break_overlay_lock"):
+            with _overlay_lock(opts, timeout_s=0.05):
+                pass  # pragma: no cover
+    # crashed holder: the lock file survives; the operator clears it
+    fd_path = None
+    with _overlay_lock(opts):
+        import kt_sql_hbase_ex_spark.sources.kvstore as kv
+
+        fd_path = kv.overlay_path(opts) + ".lock"
+        # simulate the crash by re-creating the lock after release
+    open(fd_path, "w").write("99999")
+    with pytest.raises(OverlayWriterConflict):
+        with _overlay_lock(opts, timeout_s=0.05):
+            pass  # pragma: no cover
+    break_overlay_lock(opts)
+    with _overlay_lock(opts, timeout_s=0.05):
+        pass  # acquirable again
+
+    # fold racing a commit: serialized by the lock, both effects land
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 100, "v": 1.0}])])
+    errs: list = []
+
+    def fold():
+        try:
+            compact_store(opts)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    def commit():
+        try:
+            KVUpsertWriter(opts).commit(
+                [KVWriteMessage([{"k": 200, "v": 2.0}])]
+            )
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=fold), threading.Thread(target=commit)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    state = {r["k"]: r["v"] for r in _open_store(opts).rows}
+    assert state[100] == 1.0 and state[200] == 2.0 and len(state) == 10
+    truncate_overlay(opts)
