@@ -436,14 +436,23 @@ class KtSqlEngine:
         # rejection below), not a confusing parse error from treating
         # the marker as SQL text (round-7 review finding)
         if args is not None:
-            for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD, _INDEX_DDL_HEAD):
-                if head.match(core):
-                    raise ValueError(
-                        "parameter binding is not supported for facade-"
-                        "executed UPDATE/DELETE/MERGE/index-DDL statements "
-                        "— inline the values (the lexer handles quoting) "
-                        "or use the operators/dml.py transforms"
-                    )
+            facade_form = any(
+                head.match(core)
+                for head in (_UPDATE_HEAD, _DELETE_HEAD, _MERGE_HEAD, _INDEX_DDL_HEAD)
+            )
+            if not facade_form:
+                mct = _CREATE_TABLE_HEAD.match(core)
+                facade_form = (
+                    mct is not None
+                    and self._create_table_parts(core, mct) is not None
+                )
+            if facade_form:
+                raise ValueError(
+                    "parameter binding is not supported for facade-"
+                    "executed UPDATE/DELETE/MERGE/DDL statements "
+                    "— inline the values (the lexer handles quoting) "
+                    "or use the operators/dml.py transforms"
+                )
             return self.spark.sql(statement, args=args)
         if _INDEX_DDL_HEAD.match(core):
             return self._index_ddl(core)
@@ -1388,18 +1397,27 @@ class KtSqlEngine:
             if not cm:
                 raise ValueError(f"cannot parse column definition: {it!r}")
             cname, rest = cm.group(1).strip("`"), cm.group(2).strip()
-            comment = None
-            ci = _find_top_keyword(rest, "comment")
-            if ci >= 0:
-                comment = rest[ci + len("comment"):].strip().strip(";").strip()
-                comment = comment[1:-1] if comment[:1] in "'\"" else comment
-                rest = rest[:ci].strip()
-            default = None
-            di = _find_top_keyword(rest, "default")
-            if di >= 0:
-                default = rest[di + len("default"):].strip()
-                rest = rest[:di].strip()
-            cols.append((cname, rest, default, comment))
+            # DEFAULT and COMMENT may appear in EITHER order (MySQL
+            # accepts both); position-aware slicing — a naive
+            # strip-COMMENT-then-DEFAULT would silently drop a DEFAULT
+            # written after the COMMENT and corrupt the comment text
+            # (round-8 review finding)
+            marks = []
+            for kw in ("comment", "default"):
+                pos = _find_top_keyword(rest, kw)
+                if pos >= 0:
+                    marks.append((pos, kw, pos + len(kw)))
+            marks.sort()
+            comment = default = None
+            typ = rest[: marks[0][0]].strip() if marks else rest
+            for idx, (_pos, kind, vstart) in enumerate(marks):
+                vend = marks[idx + 1][0] if idx + 1 < len(marks) else len(rest)
+                val = rest[vstart:vend].strip()
+                if kind == "comment":
+                    comment = val[1:-1] if val[:1] in "'\"" else val
+                else:
+                    default = val
+            cols.append((cname, typ, default, comment))
         # statement tail: optionally COMMENT '<table comment>'
         tail = core[close_idx + 1:].strip().strip(";").strip()
         table_comment = ""

@@ -1373,12 +1373,24 @@ def retrain_ivf_store(spark: SparkSession, root: str) -> dict:
 
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
+    import glob as _glob
+
     with _writer_lock(root):
         layout = _ivf_store_layout(root)
         gen = layout["gen"] + 1
         tag = _uuid.uuid4().hex[:8]
         cells_rel = layout["cells"]
         cent_rel = layout.get("centroids", "centroids")
+        # orphan sweep (the compact_partitioned_store discipline, but
+        # covering BOTH prefixes retrain writes): a retrain that
+        # crashed before its layout publish left centroids_g*/cells_g*
+        # dirs referenced by nothing — swept here, under the lock,
+        # before this attempt writes its own uniquely-tagged dirs
+        referenced = {cells_rel, cent_rel} | set(layout.get("prev", []))
+        for prefix in ("cells_g", "centroids_g"):
+            for d in _glob.glob(os.path.join(root, f"{prefix}*")):
+                if os.path.basename(d) not in referenced:
+                    shutil.rmtree(d, ignore_errors=True)
         corpus = spark.read.parquet(os.path.join(root, cells_rel)).localCheckpoint()
         old_cent = spark.read.parquet(os.path.join(root, cent_rel))
 
@@ -1444,7 +1456,10 @@ def retrain_ivf_store(spark: SparkSession, root: str) -> dict:
         # retention rule, shared verbatim)
         for d in layout.get("prev", []):
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        return {"gen": gen, "n_cells": new_cent.count()}
+        # count the WRITTEN quantizer (K-row parquet read), not the
+        # unmaterialized plan — new_cent.count() would re-run the whole
+        # explode/groupBy Lloyd aggregation a second time
+        return {"gen": gen, "n_cells": cent_b.count()}
 
 
 def ensure_retrained_ivf_store(spark: SparkSession, sf_dir: str) -> str:

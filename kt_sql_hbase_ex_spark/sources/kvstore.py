@@ -392,9 +392,16 @@ def _overlay_lock(options, timeout_s: float = 30.0):
     O_EXCL lock makes commit = claim seq + merge + publish one atomic
     unit; the seq claim alone was already race-free, now the merge is
     too. Writers BLOCK briefly rather than fail (commits are
-    statement-sized — the overlay contract — so the hold time is one
-    small parquet rewrite); past the timeout the conflict surfaces
-    loudly instead of deadlocking. A crashed holder leaves the lock:
+    statement-sized — the overlay contract — so a COMMIT's hold time
+    is one small parquet rewrite); past the timeout the conflict
+    surfaces loudly instead of deadlocking. One holder class can
+    legitimately outlast the 30s writer patience: a MAINTENANCE fold
+    (:func:`compact_store`) holds the lock for its whole rewrite, so a
+    commit racing a long fold (the first fold of a large store) fails
+    with this conflict and must RETRY after the fold — loud and
+    retryable, never lost; steady-state folds stay short because
+    :func:`maybe_compact_store`'s trigger keeps them amortized and
+    region-pruned. A crashed holder leaves the lock:
     deliberately NOT auto-stolen on age (stealing under a slow live
     writer recreates the lost update) — operators verify and
     :func:`break_overlay_lock`, same discipline as the text index's
@@ -1144,22 +1151,25 @@ def _recover_overlay_locked(opts) -> int:
 #: generation pointer file name inside the store's generation root
 GEN_POINTER = "POINTER"
 
-#: a rewritten region holding more than this many × region_size rows
-#: is split into region_size chunks (the HBase region-split analog),
-#: so region files stay bounded across compaction cycles
-_REGION_SPLIT_FACTOR = 2
-
-
 def _gen_root(options) -> str:
-    """Per-store generation directory — keyed like the index root
-    (base path + appId namespace, NOT content mtime: the generation
-    chain survives base-content changes it itself causes)."""
+    """Per-store generation directory — keyed by the base FINGERPRINT
+    (path + mtime + size + appId), exactly like :func:`overlay_path`:
+    a REGENERATED base file must orphan the old generation chain along
+    with the overlay and the feed, or readers would keep serving the
+    stale pre-regeneration fold forever (round-8 review finding). A
+    fold itself never touches the fixture file, so the fingerprint is
+    stable across the generation chain it creates; orphaned gen dirs
+    from a regenerated base age out with the tempdir, like orphaned
+    overlays."""
     import hashlib
 
     opts = {k.lower(): v for k, v in dict(options).items()}
     path = os.path.realpath(opts["path"])
+    st = os.stat(path)
     ns = opts.get("appid", "shared")
-    fp = hashlib.sha256(f"{path}|{ns}".encode()).hexdigest()[:16]
+    fp = hashlib.sha256(
+        f"{path}|{st.st_mtime_ns}|{st.st_size}|{ns}".encode()
+    ).hexdigest()[:16]
     uid = getattr(os, "getuid", lambda: 0)()
     return os.path.join(tempfile.gettempdir(), f"kt_sql_kv_gen_u{uid}", fp)
 
@@ -1222,6 +1232,13 @@ def compact_store(options) -> dict:
     reference's region servers ran underneath it). No-op when there is
     nothing to fold. Runs under the overlay writer lock: a fold is a
     writer like any commit.
+
+    The fold holds the overlay writer lock end to end (it IS a
+    writer): commits racing a long fold time out loudly with
+    :class:`OverlayWriterConflict` and retry — so run the FIRST fold
+    of a large store (the one whole-base rewrite) before opening it to
+    writers; steady-state folds are short (region-pruned, trigger-
+    amortized).
 
     Crash-safety: region files land in a uniquely-named dir; the
     pointer replace is the single publish point. A crash BEFORE it

@@ -1649,6 +1649,10 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
         )
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # materialize ONCE: the collapsed set feeds three consumers
+        # (emptiness probe, connector write, tombstone collect) — each
+        # would otherwise re-run the per-key window shuffle
+        .localCheckpoint(eager=True)
     )
     puts = latest.filter(~F.col(TOMBSTONE)).select(*columns)
     if puts.limit(1).count():

@@ -2057,3 +2057,44 @@ def test_overlay_lock_primitive_and_concurrent_fold(tmp_path):
     state = {r["k"]: r["v"] for r in _open_store(opts).rows}
     assert state[100] == 1.0 and state[200] == 2.0 and len(state) == 10
     truncate_overlay(opts)
+
+
+def test_regenerated_base_orphans_generation(tmp_path):
+    """A REGENERATED base file must orphan the generation chain along
+    with the overlay and the feed (round-8 review finding): after a
+    fold, rewriting the base parquet gives readers the NEW base content
+    — never the stale pre-regeneration generation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        _open_store,
+        _resolve_generation,
+        compact_store,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "regen.parquet")
+
+    def write_base(keys):
+        tmp = base + ".tmp"
+        pq.write_table(
+            pa.table({"k": pa.array(keys, pa.int64()),
+                      "v": pa.array([float(k) for k in keys], pa.float64())}),
+            tmp,
+        )
+        os.replace(tmp, base)
+
+    write_base([1, 2])
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": "regen"}
+    truncate_overlay(opts)
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 3, "v": 30.0}])])
+    compact_store(opts)
+    assert _resolve_generation(opts) is not None
+    # bulk reload: the base file is REGENERATED out-of-band
+    write_base([100, 200, 300])
+    assert _resolve_generation(opts) is None  # old chain orphaned
+    state = {r["k"]: r["v"] for r in _open_store(opts).rows}
+    assert state == {100: 100.0, 200: 200.0, 300: 300.0}

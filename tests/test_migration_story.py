@@ -345,3 +345,25 @@ def test_literal_create_table_with_primary_key(spark, sf_small):
     finally:
         for t in ("mig_lit_pk", "mig_lit_plain", "mig_lit_q"):
             eng.drop_table(t)
+
+
+def test_literal_create_table_attribute_order(spark, sf_small):
+    """DEFAULT and COMMENT parse in EITHER order (round-8 review
+    finding): 'COMMENT … DEFAULT …' must not silently drop the DEFAULT
+    or corrupt the comment."""
+    eng = KtSqlEngine(spark, sf_small)
+    try:
+        eng.sql(
+            "CREATE TABLE mig_lit_ord ("
+            "k BIGINT, "
+            "a STRING COMMENT 'note a' DEFAULT 'DA', "
+            "b STRING DEFAULT 'DB' COMMENT 'note b', "
+            "PRIMARY KEY (k))"
+        )
+        cols = {c.name: c for c in eng.describe("mig_lit_ord")}
+        assert cols["a"].comment == "note a" and cols["b"].comment == "note b"
+        eng.sql("INSERT INTO mig_lit_ord (k) VALUES (1)")
+        row = eng.sql("SELECT a, b FROM mig_lit_ord").first()
+        assert (row["a"], row["b"]) == ("DA", "DB")
+    finally:
+        eng.drop_table("mig_lit_ord")
