@@ -1675,3 +1675,103 @@ def d16_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes="__ktsql_d16_nodes", edges="__ktsql_d16_edges", k=REACH_HOPS
         )
     )
+
+
+# --- span-level (substring) dedup ---------------------------------------
+#
+# Document-level dedup (d01/d03/d04/d11) misses the other duplication
+# mode a web corpus carries: the SAME span (boilerplate, license text,
+# quoted passages) repeated inside otherwise-distinct documents —
+# training on it memorizes the span (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better": substring dedup at 50
+# BPE tokens). The exact suffix-array construction doesn't map to a
+# relational engine; the standard distributed approximation is
+# FIXED-LENGTH TOKEN WINDOWS: every W-token window hashes, a window
+# hash seen in >=2 distinct documents marks a duplicated span, and the
+# scrub drops the covered token positions. One linear explode per pass
+# (rows ∝ corpus tokens), ONE shuffle (group by window hash, partial
+# map-side agg), and the duplicated-window set is statement-sized so
+# the scrub joins it back by BROADCAST — the 100 TB shape.
+
+#: window width in whitespace tokens (the BPE-token analog this
+#: fixture's plain-text documents support)
+SPAN_W = 8
+
+#: shared tokenizer text — Spark and the DuckDB oracle must tokenize
+#: IDENTICALLY for window hashes to agree: lower, trim, split on \s+
+_SPAN_TOKENS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_SPAN_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _span_windows(df: DataFrame) -> DataFrame:
+    """(doc_id, i, gram_hash) — every W-token window of every document,
+    1-based start position, md5 of the space-rejoined window. The CASE
+    guard matters: Spark's ``sequence(1, 0)`` DESCENDS instead of
+    returning empty, so short documents must short-circuit."""
+    toks = df.select(
+        "doc_id", F.expr(_SPAN_TOKENS_SPARK).alias("t")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(t) >= {SPAN_W} THEN "
+                f"transform(sequence(1, size(t) - {SPAN_W - 1}), "
+                f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_W})))) "
+                f"ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("pos0", "gram_hash"),
+    )
+    return wins.select(
+        "doc_id", (F.col("pos0") + 1).alias("i"), "gram_hash"
+    )
+
+
+#: oracle CTE shared by d17 and tr15: windows per document, DuckDB
+#: form (generate_series(1, 0) is empty there, so no guard needed;
+#: unnest-with-carried-columns replicates doc_id per window)
+_SPAN_WINDOWS_SQL = f"""
+    toks AS (SELECT doc_id, source, {_SPAN_TOKENS_SQL} AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0))) AS i
+            FROM toks),
+    w AS (SELECT doc_id, i,
+                 md5(array_to_string(t[i:i + {SPAN_W - 1}], ' ')) AS gram_hash
+          FROM idx)
+"""
+
+
+@query(
+    "d17_repeated_span_detection",
+    oracle=f"""
+    WITH {_SPAN_WINDOWS_SQL}
+    SELECT gram_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM w
+    GROUP BY gram_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def d17_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: every {SPAN_W}-token window
+    hashed, windows whose hash occurs in >=2 DISTINCT documents
+    reported with their document and occurrence counts — the detection
+    half of substring-level dedup (the duplication mode document-level
+    MinHash/SimHash can't see; see the section note above). Plan: one
+    linear tokenize+explode pass (no UDFs — split/slice/concat_ws/md5
+    are all codegen'd), ONE shuffle on the window hash with map-side
+    partial aggregation, HAVING applied post-aggregate. At 100 TB the
+    explode is embarrassingly parallel and the shuffle carries (hash,
+    partial counts) pairs, never window text — the md5 happens BEFORE
+    the exchange for exactly that reason."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        _span_windows(docs)
+        .groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
