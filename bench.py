@@ -111,6 +111,10 @@ HEADLINE = (
     # timing the lifecycle rather than one cached read.
     "src10_change_feed_batch_audit",
     "src11_kv_compacted_scan",
+    # round-8 addition: the substring-dedup window pass — a NEW
+    # execution shape (corpus-linear tokenize+window explode into one
+    # md5-keyed hash shuffle) no other headline entry exercises.
+    "d17_repeated_span_detection",
 )
 
 
