@@ -2865,3 +2865,114 @@ def src11_kv_compacted_scan(spark, sf_dir: str):
         F.min("c_custkey").alias("min_key"),
         exact_sum("c_acctbal").alias("total_bal"),
     )
+
+
+def read_store_asof(spark, options, seq: int):
+    """TIME-TRAVEL read: the store's state as of commit ``seq`` —
+    the relational analog of an HBase time-range scan (every cell
+    carries a timestamp; a Scan bounded by it serves the historical
+    state), reconstructed from the WAL instead of cell versions:
+    ``state(seq) = pristine base ⊕ commits 1..seq``, computed as ONE
+    DataFrame plan — base rows enter at sequence 0, the change feed's
+    batch read supplies the mutation rows, a per-key row_number over
+    descending sequence picks each key's LAST write at-or-before
+    ``seq``, and surviving tombstones drop. Fully distributed: the
+    feed scan parallelizes one task per commit, the base scan by
+    region, and the only shuffle is the per-key window (keys
+    partition; no skew beyond key hotness).
+
+    Bounds are mechanical, never silent: retention must still hold the
+    FULL prefix ``1..seq`` (a pruned prefix means the folded/pruned
+    span can't replay — the error names the floor), and a compacted
+    generation doesn't help here (its fold point is whatever
+    ``applied_seq`` it carried, not ``seq``), so reconstruction always
+    starts from the PRISTINE base: the fixture file itself, which a
+    fold never rewrites. Reads of ``seq`` beyond the log head serve
+    the head state (the feed is append-only)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    floor = changelog_floor(opts)
+    if floor > 0:
+        raise ValueError(
+            f"as-of read needs the full WAL prefix 1..{seq}, but "
+            f"retention pruned through {floor} — historical "
+            "reconstruction is only available inside the retained span"
+        )
+    key_cols = opts["keycol"].split(",")
+    columns = opts["columns"].split(",")
+    register_kv_source(spark)
+    base = (
+        spark.read.parquet(os.path.realpath(opts["path"]))
+        .select(*columns)
+        .withColumn(TOMBSTONE, F.lit(False))
+        .withColumn(SEQ_COL, F.lit(0).cast("long"))
+    )
+    changes = (
+        spark.read.format(CHANGES_FORMAT_NAME)
+        .options(**options)
+        .load()
+        .filter(F.col(SEQ_COL) <= seq)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(SEQ_COL).desc())
+    return (
+        base.unionByName(changes)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & ~F.col(TOMBSTONE))
+        .select(*columns)
+    )
+
+
+_SRC12_ASOF_SEQ = 2  # read back the state after the SECOND commit
+
+
+@query(
+    "src12_kv_timetravel",
+    oracle=f"""
+    WITH state AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 1 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS bal
+        FROM customer
+        WHERE c_custkey % 3 IN (0, 1)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {exact_sum_sql("bal")} AS total_bal
+    FROM state
+    """,
+)
+def src12_kv_timetravel(spark, sf_dir: str):
+    """Time-travel THROUGH the WAL: four mutation batches commit (the
+    st16 fixtures — three Put slices then a Delete slice), and the
+    as-of read reconstructs the state AFTER COMMIT {_SRC12_ASOF_SEQ} —
+    before the third batch's −500 adjustments and before any deletes —
+    as one distributed plan over pristine-base ∪ feed rows with a
+    per-key last-write-wins window (:func:`read_store_asof`). The
+    oracle replays only the first two batch definitions declaratively,
+    so the hash match proves the reconstruction honors commit
+    boundaries exactly (one commit too many or too few flips counts
+    AND the exact fixed-point balance sum)."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        _cdc_mutation_batches,
+        _cdc_provision,
+    )
+
+    register_kv_source(spark)
+    opts = _cdc_provision(spark, sf_dir, "timetravel_base")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+    for b in put_batches:
+        b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    delete_from_store(lopts, delete_keys)
+
+    asof = read_store_asof(spark, opts, _SRC12_ASOF_SEQ)
+    return asof.agg(
+        F.count("*").alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )

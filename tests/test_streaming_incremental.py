@@ -1132,3 +1132,35 @@ def test_cdc_replica_restart_and_span_replay_idempotent(spark, tmp_path):
     )
     apply_cdc_batch(replay, dst)
     assert state(dst) == {2: 25.0, 3: 30.0, 4: 40.0}
+
+
+def test_asof_read_reconstructs_every_commit_point(spark, tmp_path):
+    """read_store_asof at every sequence point equals the state a
+    consumer replaying commits 1..N would hold: 0 = pristine (empty
+    here), each put batch layers last-wins, the delete batch drops,
+    beyond-head serves head, and a pruned prefix fails loudly naming
+    the floor."""
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        prune_changelog,
+        read_store_asof,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    expected_final = _commit_batches(spark, opts, lopts)  # seqs 1..4
+
+    def state(seq):
+        return {
+            r["k"]: r["v"] for r in read_store_asof(spark, opts, seq).collect()
+        }
+
+    assert state(0) == {}
+    assert state(1) == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert state(2) == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0}
+    assert state(3) == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0, 5: 50.0}
+    assert state(4) == expected_final
+    assert state(99) == expected_final  # beyond head: head state
+    prune_changelog(lopts, 2)
+    with _pytest.raises(ValueError, match="pruned through 2"):
+        read_store_asof(spark, opts, 3)
