@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kt_sql_hbase_ex_spark.functions.dedup import SPAN_W
+from kt_sql_hbase_ex_spark.functions.dedup import (
+    SPAN_W,
+    _SPAN_TOKENS_SPARK,
+    _SPAN_WINDOWS_SQL,
+)
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import fan_out, load_table
 
@@ -1014,15 +1018,7 @@ def tr14_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tr15_span_scrub",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, source,
-                         string_split_regex(lower(trim(text)), '\\s+') AS t
-                  FROM documents),
-    idx AS (SELECT doc_id, t,
-                   unnest(generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0))) AS i
-            FROM toks),
-    w AS (SELECT doc_id, i,
-                 md5(array_to_string(t[i:i + {SPAN_W - 1}], ' ')) AS gram_hash
-          FROM idx),
+    WITH {_SPAN_WINDOWS_SQL},
     dup AS (SELECT gram_hash FROM w GROUP BY gram_hash
             HAVING COUNT(DISTINCT doc_id) >= 2),
     cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS removed
@@ -1063,21 +1059,27 @@ def tr15_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", "text"
     )
+    # one row per DOCUMENT (not per token): the ledger's denominator,
+    # tokenized by the SAME shared expression the window pass uses
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(F.expr("split(lower(trim(text)), '\\\\s+')")).alias("n_tok"),
-    ).localCheckpoint(eager=True)  # consumed by the ledger join below
-
-    wins = _span_windows(docs).localCheckpoint(eager=True)  # two consumers
+        F.size(F.expr(_SPAN_TOKENS_SPARK)).alias("n_tok"),
+    )
+    # two linear window passes, NOT a corpus-sized checkpoint: the
+    # exploded window set is ∝ corpus tokens, so materializing it would
+    # contradict the stage's documented shape — recomputing the
+    # codegen'd projection for the second consumer is the cheap form
     dup = (
-        wins.groupBy("gram_hash")
+        _span_windows(docs)
+        .groupBy("gram_hash")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("gram_hash")
     )
     covered = (
-        wins.join(F.broadcast(dup), "gram_hash")
+        _span_windows(docs)
+        .join(F.broadcast(dup), "gram_hash")
         .select(
             "doc_id",
             F.explode(

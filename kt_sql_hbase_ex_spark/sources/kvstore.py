@@ -1473,16 +1473,53 @@ class KVChangesBatchReader(DataSourceReader):
         opts = {k.lower(): v for k, v in dict(options).items()}
         self._columns = list(opts["columns"].split(","))
         self._log_dir = changelog_dir(opts)
+        #: optional upper bound: only commits <= maxSeq are scanned —
+        #: the file list prunes BEFORE any task reads (an as-of read
+        #: at seq=2 over 10k retained commits opens 2 files, not 10k)
+        self._max_seq = int(opts["maxseq"]) if "maxseq" in opts else None
+        #: optional contract: the FULL prefix 1..min(maxSeq, head) must
+        #: be present, enforced AT READ TIME (partitions() runs per
+        #: query execution) — a retention prune between plan
+        #: construction and execution fails loudly instead of silently
+        #: serving a history with its head cut off (round-8 review
+        #: finding; the batch-read analog of the streaming reader's
+        #: _check_not_pruned)
+        self._require_prefix = (
+            opts.get("requirefullprefix", "").lower() == "true"
+        )
 
     def partitions(self) -> List[InputPartition]:
-        return [
+        all_seqs = _log_seqs(self._log_dir)
+        seqs = (
+            [s for s in all_seqs if s <= self._max_seq]
+            if self._max_seq is not None
+            else all_seqs
+        )
+        if self._require_prefix:
+            head = all_seqs[-1] if all_seqs else 0
+            hi = min(self._max_seq, head) if self._max_seq is not None else head
+            expect = list(range(1, hi + 1))
+            if seqs != expect:
+                raise ValueError(
+                    f"change-feed prefix 1..{hi} is incomplete (have "
+                    f"{seqs[:3]}..{seqs[-3:] if seqs else []}): retention "
+                    "or a truncate dropped part of the requested span — "
+                    "historical reconstruction is only available inside "
+                    "the fully-retained prefix"
+                )
+        parts = [
             KVChangesPartition(os.path.join(self._log_dir, f"{s:08d}.parquet"))
-            for s in _log_seqs(self._log_dir)
+            for s in seqs
         ]
+        # Spark requires >=1 partition even for an empty result (an
+        # as-of read at seq=0, or an empty log)
+        return parts or [KVChangesPartition(None)]
 
     def read(self, partition: KVChangesPartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
+        if partition.path is None:  # the empty-result sentinel
+            return
         for r in pq.read_table(partition.path).to_pylist():
             yield tuple(r[c] for c in self._columns) + (
                 bool(r[TOMBSTONE]),
@@ -2893,12 +2930,19 @@ def read_store_asof(spark, options, seq: int):
     from pyspark.sql import functions as F
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    # fast-feedback guard only — the AUTHORITATIVE check runs at read
+    # time inside the batch reader (requireFullPrefix below), so a
+    # prune racing the lazy plan still fails loudly, never silently.
+    # seq=0 is the pristine base and needs no WAL at all (a truncated
+    # store — floor parked at the pre-truncate head — can still
+    # time-travel to 0).
     floor = changelog_floor(opts)
-    if floor > 0:
+    if seq > 0 and floor > 0:
         raise ValueError(
             f"as-of read needs the full WAL prefix 1..{seq}, but "
-            f"retention pruned through {floor} — historical "
-            "reconstruction is only available inside the retained span"
+            f"retention (or a truncate) dropped through {floor} — "
+            "historical reconstruction is only available inside the "
+            "fully-retained prefix"
         )
     key_cols = opts["keycol"].split(",")
     columns = opts["columns"].split(",")
@@ -2912,8 +2956,12 @@ def read_store_asof(spark, options, seq: int):
     changes = (
         spark.read.format(CHANGES_FORMAT_NAME)
         .options(**options)
+        # the reader prunes its file list to <= seq AND enforces the
+        # full-prefix contract per execution (no silent history skip)
+        .option("maxSeq", str(seq))
+        .option("requireFullPrefix", "true")
         .load()
-        .filter(F.col(SEQ_COL) <= seq)
+        .filter(F.col(SEQ_COL) <= seq)  # defensive row-level bound
     )
     w = Window.partitionBy(*key_cols).orderBy(F.col(SEQ_COL).desc())
     return (

@@ -1161,6 +1161,16 @@ def test_asof_read_reconstructs_every_commit_point(spark, tmp_path):
     assert state(3) == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0, 5: 50.0}
     assert state(4) == expected_final
     assert state(99) == expected_final  # beyond head: head state
+    # the race the eager guard can't see: the PLAN is built while the
+    # prefix is intact, retention prunes it, THEN the read executes —
+    # the reader's per-execution full-prefix check must fail loudly
+    # instead of silently serving a history with its head cut off
+    lazy = read_store_asof(spark, opts, 3)
     prune_changelog(lopts, 2)
-    with _pytest.raises(ValueError, match="pruned through 2"):
+    with _pytest.raises(Exception, match="incomplete|retention"):
+        lazy.collect()
+    # and fresh construction fails fast with the eager guard
+    with _pytest.raises(ValueError, match="dropped through 2"):
         read_store_asof(spark, opts, 3)
+    # seq=0 needs no WAL: still served after the prune
+    assert state(0) == {}
