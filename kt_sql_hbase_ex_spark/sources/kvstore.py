@@ -40,7 +40,7 @@ import contextlib
 import os
 import tempfile
 import time
-from typing import Any, Iterable, Iterator, List, Sequence, Tuple
+from typing import Any, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -422,8 +422,14 @@ def _overlay_lock(options, timeout_s: float = 30.0):
                 ) from None
             time.sleep(0.01)
     try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+        # write/close INSIDE the try: if either raises (ENOSPC, EIO) the
+        # finally still unlinks the lock AND the fd is closed on every
+        # path — an open fd leaked past the unlink would pin the inode
+        # and (on some platforms) block a later O_EXCL recreate.
+        try:
+            os.write(fd, str(os.getpid()).encode())
+        finally:
+            os.close(fd)
         yield
     finally:
         try:
@@ -432,12 +438,49 @@ def _overlay_lock(options, timeout_s: float = 30.0):
             pass
 
 
-def break_overlay_lock(options) -> None:
+def _lock_holder_alive(path: str) -> Optional[int]:
+    """Best-effort liveness probe of the pid recorded in a lock file.
+    Returns the pid if that process still exists on THIS host, else
+    None (missing file, unparseable content, or dead pid). Same-host
+    only — a lock written by another machine reads as 'not alive',
+    which keeps break_overlay_lock an operator judgement call there."""
+    try:
+        with open(path, "rb") as f:
+            pid = int(f.read().strip() or b"0")
+    except (OSError, ValueError):
+        return None
+    if pid <= 0:
+        return None
+    try:
+        os.kill(pid, 0)  # signal 0: existence check, no signal sent
+    except ProcessLookupError:
+        return None
+    except PermissionError:
+        return pid  # exists, owned by someone else
+    return pid
+
+
+def break_overlay_lock(options, force: bool = False) -> None:
     """Clear a crashed writer's overlay lock. Only safe once no writer
     process is alive — the operator's judgement call, exactly like
-    releasing the reference's Redis lock."""
+    releasing the reference's Redis lock. As a guard rail the recorded
+    pid is probed first: if that process is STILL ALIVE on this host
+    the break is refused (pass ``force=True`` to override after
+    verifying the pid is a coincidental reuse) — breaking under a live
+    writer recreates exactly the lost-update race the lock exists to
+    close."""
+    path = overlay_path(options) + ".lock"
+    if not force:
+        pid = _lock_holder_alive(path)
+        if pid is not None:
+            raise OverlayWriterConflict(
+                f"kv store overlay lock {path}: recorded holder pid "
+                f"{pid} is still alive on this host — refusing to break "
+                "a live writer's lock (verify it is a stale pid reuse, "
+                "then pass force=True)"
+            )
     try:
-        os.unlink(overlay_path(options) + ".lock")
+        os.unlink(path)
     except FileNotFoundError:
         pass
 
@@ -478,16 +521,20 @@ def truncate_overlay(options) -> None:
             os.unlink(p)
             changed = True
         # compacted generations hold committed writes too: TRUNCATE
-        # restores the PRISTINE base, so the pointer and its dirs go
-        # with the overlay. Not crash-atomic (an interrupted truncate
-        # can briefly serve partial state) — like an HBase truncate,
-        # coordinate it and retry on failure; every step is idempotent.
+        # restores the PRISTINE base, so the pointer goes with the
+        # overlay. The generation DIRS are left orphaned for the NEXT
+        # fold's deferred GC (round-8 review finding) — rmtree-ing them
+        # here would yank region files out from under an in-flight scan
+        # holding the just-unlinked generation; compaction's one-cycle
+        # retention rule applies to truncate's readers too. Not
+        # crash-atomic (an interrupted truncate can briefly serve
+        # partial state) — like an HBase truncate, coordinate it and
+        # retry on failure; every step is idempotent.
         root = _gen_root(opts)
         ptr = os.path.join(root, GEN_POINTER)
         if os.path.exists(ptr):
             os.unlink(ptr)
             changed = True
-        _gc_generations(root, keep=None)
         if changed:
             _invalidate_dependent_indexes(opts)
 
@@ -1477,8 +1524,13 @@ class KVChangesBatchReader(DataSourceReader):
         #: the file list prunes BEFORE any task reads (an as-of read
         #: at seq=2 over 10k retained commits opens 2 files, not 10k)
         self._max_seq = int(opts["maxseq"]) if "maxseq" in opts else None
-        #: optional contract: the FULL prefix 1..min(maxSeq, head) must
-        #: be present, enforced AT READ TIME (partitions() runs per
+        #: optional lower bound (exclusive): only commits > minSeq are
+        #: scanned — the snapshot-anchored as-of read replays just the
+        #: span above its generation anchor, so replay cost is bounded
+        #: by the span, never by total history (round-9)
+        self._min_seq = int(opts["minseq"]) if "minseq" in opts else 0
+        #: optional contract: the FULL span minSeq+1..min(maxSeq, head)
+        #: must be present, enforced AT READ TIME (partitions() runs per
         #: query execution) — a retention prune between plan
         #: construction and execution fails loudly instead of silently
         #: serving a history with its head cut off (round-8 review
@@ -1490,22 +1542,24 @@ class KVChangesBatchReader(DataSourceReader):
 
     def partitions(self) -> List[InputPartition]:
         all_seqs = _log_seqs(self._log_dir)
-        seqs = (
-            [s for s in all_seqs if s <= self._max_seq]
-            if self._max_seq is not None
-            else all_seqs
-        )
+        seqs = [
+            s
+            for s in all_seqs
+            if s > self._min_seq
+            and (self._max_seq is None or s <= self._max_seq)
+        ]
         if self._require_prefix:
             head = all_seqs[-1] if all_seqs else 0
             hi = min(self._max_seq, head) if self._max_seq is not None else head
-            expect = list(range(1, hi + 1))
+            expect = list(range(self._min_seq + 1, hi + 1))
             if seqs != expect:
+                lo = self._min_seq + 1
                 raise ValueError(
-                    f"change-feed prefix 1..{hi} is incomplete (have "
+                    f"change-feed span {lo}..{hi} is incomplete (have "
                     f"{seqs[:3]}..{seqs[-3:] if seqs else []}): retention "
                     "or a truncate dropped part of the requested span — "
                     "historical reconstruction is only available inside "
-                    "the fully-retained prefix"
+                    "the fully-retained span above the anchor"
                 )
         parts = [
             KVChangesPartition(os.path.join(self._log_dir, f"{s:08d}.parquet"))
@@ -2161,8 +2215,14 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
     os.makedirs(root, exist_ok=True)
 
     opts = {k.lower(): v for k, v in dict(base_options).items()}
-    # the feed-refresh resume point: captured BEFORE the backfill scan
-    # (conservative-low is safe — replay is idempotent; high would skip)
+    # signature + feed-refresh resume point: BOTH captured BEFORE the
+    # backfill scan and the PRE-captured values stamped (round-8 review
+    # finding, same discipline as feed_refresh_kv_index): a commit
+    # landing mid-backfill then yields a signature mismatch and a loud
+    # idempotent re-refresh, never a fresh-looking index missing it.
+    # Conservative-low applied_at is safe — replay is idempotent; high
+    # would skip.
+    sig_before = _base_signature(base_options)
     applied_at = _store_applied_seq(opts)
     data_dir = _build_index_version(spark, root, index_name, base_options, index_on)
     meta = {
@@ -2172,7 +2232,7 @@ def create_kv_index(spark, index_name: str, base_options, index_on: str) -> dict
         "index_name": index_name,
         "base_path": os.path.realpath(opts["path"]),
         "key_cols": opts["keycol"],
-        "base_signature": _base_signature(base_options),
+        "base_signature": sig_before,
         "data_dir": data_dir,
         "applied_seq": applied_at,
     }
@@ -2331,6 +2391,11 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
         meta = json.load(f)
     root = _kv_index_root(base_options)
     _gc_index_versions(root, index_name, keep=meta["data_dir"])
+    # signature + resume point captured BEFORE the rebuild scan; the
+    # PRE-captured values are stamped (round-8 review finding) so a
+    # commit landing mid-rebuild surfaces as a signature mismatch →
+    # loud idempotent re-refresh, never a fresh-looking stale index
+    sig_before = _base_signature(base_options)
     applied_at = _store_applied_seq(
         {k.lower(): v for k, v in dict(base_options).items()}
     )
@@ -2354,7 +2419,7 @@ def refresh_kv_index(spark, index_name: str, base_options) -> dict:
     except (KeyError, OSError):
         pass
     meta["data_dir"] = new_dir
-    meta["base_signature"] = _base_signature(base_options)
+    meta["base_signature"] = sig_before
     meta["snapshot"] = _snapshot_of(meta["base_signature"])
     meta["INDEX_TYPE"] = "KEY_VALUE"  # un-flip a commit's stale mark
     meta["maintenance"] = "rebuild"
@@ -2441,6 +2506,12 @@ def incremental_refresh_kv_index(
             "generation since backfill — rebuild"
         )
 
+    # signature + resume point captured BEFORE reading the overlay; the
+    # PRE-captured values are stamped (round-8 review finding) so a
+    # commit landing mid-derivation surfaces as a signature mismatch →
+    # loud idempotent re-refresh, never a fresh-looking stale index
+    sig_before = _base_signature(base_options)
+    applied_before = _store_applied_seq(opts)
     key_cols = tuple(meta["key_cols"].split(","))
     index_on = meta["INDEX"]
     idx_opts = {
@@ -2512,13 +2583,15 @@ def incremental_refresh_kv_index(
         elif os.path.exists(iov_path):
             os.unlink(iov_path)
 
-    meta["base_signature"] = _base_signature(base_options)
+    meta["base_signature"] = sig_before
     meta["INDEX_TYPE"] = "KEY_VALUE"
     meta["maintenance"] = "incremental"
     # this path recomputes the FULL index overlay from the FULL base
     # overlay, so the index now reflects the store's whole applied
-    # state — the feed resume point moves to the store watermark
-    meta["applied_seq"] = _store_applied_seq(opts)
+    # state — the feed resume point moves to the store watermark as
+    # captured BEFORE the derivation (conservative-low: a commit
+    # landing mid-derivation is replayed idempotently, never skipped)
+    meta["applied_seq"] = applied_before
     _write_index_meta(meta_path, meta)
     return persisted_index_read_options(base_options, index_name)
 
@@ -2571,6 +2644,21 @@ def feed_refresh_kv_index(
     with open(meta_path) as f:
         meta = json.load(f)
     opts = {k.lower(): v for k, v in dict(base_options).items()}
+    # Capture the base signature BEFORE reading ANY replay input (the
+    # overlay watermark included) and stamp THIS value at the end
+    # (round-8 review finding): the refresh runs without the overlay
+    # writer lock, so a commit can land mid-replay — stamping the
+    # post-replay LIVE signature would then claim coverage of a commit
+    # the replayed span never saw (and the final meta write would
+    # clobber that commit's KEY_VALUE_STALE flip), silently serving an
+    # index missing it. With the PRE-captured signature the racing
+    # commit yields a signature mismatch on the next ensure_kv_index,
+    # which loudly re-runs the (idempotent) feed replay over the missed
+    # span. Capture order matters: signature strictly before the
+    # watermark — a commit between the two leaves a pre-commit
+    # signature with a post-commit watermark (one redundant refresh),
+    # never the reverse (a silently missing commit).
+    sig_before = _base_signature(base_options)
     st = os.stat(os.path.realpath(opts["path"]))
     snap = meta.get("snapshot") or {}
     if not snap.get("overlay_free"):
@@ -2725,7 +2813,7 @@ def feed_refresh_kv_index(
                 os.unlink(iov_path)
         meta["applied_seq"] = target
 
-    meta["base_signature"] = _base_signature(base_options)
+    meta["base_signature"] = sig_before
     meta["INDEX_TYPE"] = "KEY_VALUE"
     meta["maintenance"] = "feed"
     _write_index_meta(meta_path, meta)
@@ -2908,56 +2996,105 @@ def read_store_asof(spark, options, seq: int):
     """TIME-TRAVEL read: the store's state as of commit ``seq`` —
     the relational analog of an HBase time-range scan (every cell
     carries a timestamp; a Scan bounded by it serves the historical
-    state), reconstructed from the WAL instead of cell versions:
-    ``state(seq) = pristine base ⊕ commits 1..seq``, computed as ONE
-    DataFrame plan — base rows enter at sequence 0, the change feed's
-    batch read supplies the mutation rows, a per-key row_number over
-    descending sequence picks each key's LAST write at-or-before
-    ``seq``, and surviving tombstones drop. Fully distributed: the
-    feed scan parallelizes one task per commit, the base scan by
-    region, and the only shuffle is the per-key window (keys
-    partition; no skew beyond key hotness).
+    state), reconstructed from a SNAPSHOT plus the WAL span above it:
+    ``state(seq) = anchor ⊕ commits (anchor_seq, seq]``, computed as
+    ONE DataFrame plan — anchor rows enter at the anchor's sequence,
+    the change feed's batch read supplies the span's mutation rows, a
+    per-key row_number over descending sequence picks each key's LAST
+    write at-or-before ``seq``, and surviving tombstones drop. Fully
+    distributed: the feed scan parallelizes one task per commit in the
+    span, the anchor scan by region, and the only shuffle is the
+    per-key window (keys partition; no skew beyond key hotness).
 
-    Bounds are mechanical, never silent: retention must still hold the
-    FULL prefix ``1..seq`` (a pruned prefix means the folded/pruned
-    span can't replay — the error names the floor), and a compacted
-    generation doesn't help here (its fold point is whatever
-    ``applied_seq`` it carried, not ``seq``), so reconstruction always
-    starts from the PRISTINE base: the fixture file itself, which a
-    fold never rewrites. Reads of ``seq`` beyond the log head serve
-    the head state (the feed is append-only)."""
+    ANCHOR SELECTION (round-9, exactly how the reference's substrate
+    serves time-range scans — HBase reads compacted HFiles + the
+    recent WAL, never the WAL from genesis): the live compacted
+    generation carries the watermark ``applied_seq`` of the last
+    commit it folded (``compact_store`` publishes it in the pointer),
+    and a generation is BY CONSTRUCTION the pristine base ⊕ commits
+    ``1..applied_seq`` with last-write-wins collapse and tombstones
+    physically dropped — so whenever ``applied_seq <= seq`` the read
+    anchors there and replays only ``(applied_seq, seq]``. This makes
+    time travel (a) survive retention pruning up to the fold point —
+    compaction + ``prune_changelog(applied_seq)`` no longer disables
+    history at-or-above the anchor — and (b) cost ∝ span, not total
+    history. With no eligible anchor (no generation, or the fold
+    already covered PAST the requested seq) the read falls back to the
+    pristine base + the full prefix ``1..seq``, which requires that
+    prefix fully retained.
+
+    Bounds are mechanical, never silent: the batch reader enforces the
+    span contract per execution, and the driver-side guard names the
+    earliest reachable commit when retention already dropped part of
+    the needed span. Reads of ``seq`` beyond the log head serve the
+    head state (the feed is append-only)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    key_cols = opts["keycol"].split(",")
+    columns = opts["columns"].split(",")
+    # anchor resolution: the live generation, iff its fold point is
+    # at-or-below the requested seq. seq=0 is the pristine base and
+    # needs no WAL at all (a truncated store — floor parked at the
+    # pre-truncate head — can still time-travel to 0).
+    gen = _resolve_generation(opts) if seq > 0 else None
+    anchor = None
+    if gen is not None and int(gen.get("applied_seq", 0)) <= seq:
+        anchor = int(gen["applied_seq"])
     # fast-feedback guard only — the AUTHORITATIVE check runs at read
     # time inside the batch reader (requireFullPrefix below), so a
     # prune racing the lazy plan still fails loudly, never silently.
-    # seq=0 is the pristine base and needs no WAL at all (a truncated
-    # store — floor parked at the pre-truncate head — can still
-    # time-travel to 0).
     floor = changelog_floor(opts)
-    if seq > 0 and floor > 0:
-        raise ValueError(
-            f"as-of read needs the full WAL prefix 1..{seq}, but "
-            f"retention (or a truncate) dropped through {floor} — "
-            "historical reconstruction is only available inside the "
-            "fully-retained prefix"
-        )
-    key_cols = opts["keycol"].split(",")
-    columns = opts["columns"].split(",")
+    if seq > 0:
+        if anchor is None and floor > 0:
+            reachable = (
+                f"the earliest reachable historical commit is "
+                f"{int(gen['applied_seq'])} (the live generation's fold "
+                "point)"
+                if gen is not None
+                else "no historical commit is reachable until a "
+                "compaction records an anchor"
+            )
+            raise ValueError(
+                f"as-of read at seq={seq} needs the full WAL prefix "
+                f"1..{seq}, but retention (or a truncate) dropped "
+                f"through {floor} and no compacted generation anchors "
+                f"at-or-below {seq} — {reachable}; seq=0 (the pristine "
+                "base) always works"
+            )
+        if anchor is not None and seq > anchor and floor > anchor:
+            raise ValueError(
+                f"as-of read at seq={seq} anchors at the generation's "
+                f"fold point {anchor}, but retention dropped the WAL "
+                f"through {floor} — commits ({anchor}, {floor}] in the "
+                f"replay span are gone; the earliest reachable "
+                f"historical commits are {anchor} (the anchor itself) "
+                "and anything a future fold covers"
+            )
     register_kv_source(spark)
-    base = (
-        spark.read.parquet(os.path.realpath(opts["path"]))
-        .select(*columns)
-        .withColumn(TOMBSTONE, F.lit(False))
-        .withColumn(SEQ_COL, F.lit(0).cast("long"))
-    )
+    if anchor is not None:
+        # the generation dir IS the snapshot: region files are schema-
+        # pinned parquet, already last-wins-collapsed and tombstone-free
+        base = (
+            spark.read.parquet(gen["dir"])
+            .select(*columns)
+            .withColumn(TOMBSTONE, F.lit(False))
+            .withColumn(SEQ_COL, F.lit(anchor).cast("long"))
+        )
+    else:
+        base = (
+            spark.read.parquet(os.path.realpath(opts["path"]))
+            .select(*columns)
+            .withColumn(TOMBSTONE, F.lit(False))
+            .withColumn(SEQ_COL, F.lit(0).cast("long"))
+        )
     changes = (
         spark.read.format(CHANGES_FORMAT_NAME)
         .options(**options)
-        # the reader prunes its file list to <= seq AND enforces the
-        # full-prefix contract per execution (no silent history skip)
+        # the reader prunes its file list to (anchor, seq] AND enforces
+        # the span contract per execution (no silent history skip)
+        .option("minSeq", str(anchor or 0))
         .option("maxSeq", str(seq))
         .option("requireFullPrefix", "true")
         .load()

@@ -2098,3 +2098,91 @@ def test_regenerated_base_orphans_generation(tmp_path):
     assert _resolve_generation(opts) is None  # old chain orphaned
     state = {r["k"]: r["v"] for r in _open_store(opts).rows}
     assert state == {100: 100.0, 200: 200.0, 300: 300.0}
+
+
+def test_break_overlay_lock_refuses_live_holder(tmp_path):
+    """break_overlay_lock probes the recorded pid first (round-9):
+    breaking while the holder process is ALIVE recreates exactly the
+    lost-update race the lock closes, so it refuses loudly unless
+    forced; a dead holder's lock clears without force."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        OverlayWriterConflict,
+        break_overlay_lock,
+        overlay_path,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "lk2.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), base)
+    opts = {"path": base, "keycol": "k", "columns": "k", "appid": "lk2"}
+    truncate_overlay(opts)
+    lock = overlay_path(opts) + ".lock"
+
+    # live holder (this very process): refuse without force
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(OverlayWriterConflict, match="still alive"):
+        break_overlay_lock(opts)
+    assert os.path.exists(lock)
+    break_overlay_lock(opts, force=True)  # operator override
+    assert not os.path.exists(lock)
+
+    # dead holder: clears without force (pid max on Linux is < 2^22 by
+    # default; 2**22 + 1 cannot be a live pid here)
+    with open(lock, "w") as f:
+        f.write(str(2**22 + 1))
+    break_overlay_lock(opts)
+    assert not os.path.exists(lock)
+    # unparseable/garbage content never blocks the break
+    with open(lock, "w") as f:
+        f.write("not-a-pid")
+    break_overlay_lock(opts)
+    assert not os.path.exists(lock)
+
+
+def test_truncate_defers_generation_gc_to_next_fold(tmp_path):
+    """TRUNCATE unlinks the generation pointer but leaves the region
+    dirs for the NEXT fold's deferred GC (round-9): an in-flight scan
+    holding the just-live generation gets a full cycle to drain, the
+    same retention rule compaction applies to superseded generations."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        _gen_root,
+        _resolve_generation,
+        compact_store,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "tg.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(4), pa.int64()),
+                  "v": pa.array([float(i) for i in range(4)], pa.float64())}),
+        base,
+    )
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": "tg"}
+    truncate_overlay(opts)
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 9, "v": 9.0}])])
+    compact_store(opts)
+    gen_dir = _resolve_generation(opts)["dir"]
+
+    truncate_overlay(opts)
+    assert _resolve_generation(opts) is None  # pointer gone: pristine
+    assert os.path.isdir(gen_dir)  # dir survives for in-flight readers
+
+    # the next fold's opening GC sweeps the orphan
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 7, "v": 7.0}])])
+    compact_store(opts)
+    assert not os.path.isdir(gen_dir)
+    live = _resolve_generation(opts)["dir"]
+    assert set(glob.glob(os.path.join(_gen_root(opts), "gen.*"))) == {live}
+    truncate_overlay(opts)

@@ -1174,3 +1174,124 @@ def test_asof_read_reconstructs_every_commit_point(spark, tmp_path):
         read_store_asof(spark, opts, 3)
     # seq=0 needs no WAL: still served after the prune
     assert state(0) == {}
+
+
+def test_asof_anchored_at_compacted_generation(spark, tmp_path):
+    """Snapshot-anchored time travel (round-9): after a fold records its
+    applied_seq watermark in the generation pointer, as-of reads at-or-
+    above the fold point anchor THERE and replay only the WAL span above
+    it — so retention pruning up to the fold point no longer disables
+    history (compaction + prune_changelog used to exclude time travel
+    entirely), reads below the anchor refuse loudly naming the earliest
+    reachable commit, and replay cost is ∝ span (file-count pinned),
+    never total history. Exactly HBase's time-range scan shape:
+    compacted HFiles + recent WAL, not the WAL from genesis."""
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        KVChangesBatchReader,
+        compact_store,
+        delete_from_store,
+        prune_changelog,
+        read_store_asof,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+
+    def put(rows):
+        spark.createDataFrame(rows, "k bigint, v double").write.format(
+            FORMAT_NAME
+        ).options(**opts).mode("append").save()
+
+    def state(seq):
+        return {
+            r["k"]: r["v"] for r in read_store_asof(spark, opts, seq).collect()
+        }
+
+    expected = {
+        0: {},
+        1: {1: 10.0, 2: 20.0, 3: 30.0},
+        2: {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0},
+        3: {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0, 5: 50.0},
+        4: {2: 25.0, 3: 30.0, 5: 50.0},
+    }
+    put([(1, 10.0), (2, 20.0), (3, 30.0)])  # seq 1
+    put([(2, 25.0), (4, 40.0)])  # seq 2
+    stats = compact_store(lopts)  # anchor: applied_seq = 2
+    assert stats["compacted"] and stats["applied_seq"] == 2
+    put([(5, 50.0)])  # seq 3
+    delete_from_store(lopts, [1, 4])  # seq 4
+
+    # pre-prune sanity: anchored (seq>=2) and full-prefix (seq<2) reads
+    # both reconstruct every commit point
+    for seq, want in expected.items():
+        assert state(seq) == want, f"pre-prune seq={seq}"
+
+    # retention prunes THROUGH the fold point: history at-or-above the
+    # anchor must survive, below it must refuse loudly naming the anchor
+    prune_changelog(lopts, 2)
+    for seq in (2, 3, 4):
+        assert state(seq) == expected[seq], f"post-prune seq={seq}"
+    assert state(99) == expected[4]  # beyond head: head state
+    assert state(0) == {}  # pristine base never needs the WAL
+    with _pytest.raises(ValueError, match="earliest reachable.*2"):
+        read_store_asof(spark, opts, 1)
+
+    # replay cost ∝ span, not total history: the anchored feed scan
+    # opens exactly the files in (anchor, seq] — one task per commit
+    n_parts = len(
+        KVChangesBatchReader(
+            {**lopts, "minseq": "2", "maxseq": "3", "requirefullprefix": "true"}
+        ).partitions()
+    )
+    assert n_parts == 1  # span (2,3] = one commit file, not 3
+    n_parts_full = len(
+        KVChangesBatchReader(
+            {**lopts, "minseq": "2", "requirefullprefix": "true"}
+        ).partitions()
+    )
+    assert n_parts_full == 2  # span (2,head=4]
+
+    # over-pruning PAST the anchor: the span (anchor, seq] has holes —
+    # refuse loudly; the anchor point itself (empty span) still serves
+    prune_changelog(lopts, 3)
+    assert state(2) == expected[2]  # seq == anchor: no replay needed
+    with _pytest.raises(ValueError, match="retention dropped the WAL"):
+        read_store_asof(spark, opts, 4)
+
+
+def test_asof_anchor_above_requested_seq_falls_back(spark, tmp_path):
+    """A fold that already covered PAST the requested seq can't anchor
+    it: with the full prefix retained the read falls back to pristine-
+    base reconstruction (answers unchanged); once retention prunes, the
+    error names the generation's fold point as the earliest reachable
+    historical commit."""
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        compact_store,
+        prune_changelog,
+        read_store_asof,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+    _commit_batches(spark, opts, lopts)  # seqs 1..4
+    stats = compact_store(lopts)  # anchor at head: applied_seq = 4
+    assert stats["applied_seq"] == 4
+
+    def state(seq):
+        return {
+            r["k"]: r["v"] for r in read_store_asof(spark, opts, seq).collect()
+        }
+
+    # full prefix retained: seq below the fold point still reconstructs
+    # from the pristine base
+    assert state(2) == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0}
+    assert state(4) == {2: 25.0, 3: 30.0, 5: 50.0}
+    prune_changelog(lopts, 4)
+    # anchored at the fold point: head state survives total WAL loss
+    assert state(4) == {2: 25.0, 3: 30.0, 5: 50.0}
+    assert state(99) == {2: 25.0, 3: 30.0, 5: 50.0}
+    with _pytest.raises(ValueError, match="earliest reachable.*4"):
+        read_store_asof(spark, opts, 2)
