@@ -394,20 +394,29 @@ def _overlay_lock(options, timeout_s: float = 30.0):
     too. Writers BLOCK briefly rather than fail (commits are
     statement-sized — the overlay contract — so a COMMIT's hold time
     is one small parquet rewrite); past the timeout the conflict
-    surfaces loudly instead of deadlocking. One holder class can
-    legitimately outlast the 30s writer patience: a MAINTENANCE fold
-    (:func:`compact_store`) holds the lock for its whole rewrite, so a
-    commit racing a long fold (the first fold of a large store) fails
-    with this conflict and must RETRY after the fold — loud and
-    retryable, never lost; steady-state folds stay short because
-    :func:`maybe_compact_store`'s trigger keeps them amortized and
-    region-pruned. A crashed holder leaves the lock:
+    surfaces loudly instead of deadlocking. A MAINTENANCE fold
+    (:func:`compact_store`) takes this lock only for its short
+    snapshot and publish phases (round-9: the rewrite itself runs
+    LOCK-FREE — the new generation is invisible until the pointer
+    flip — so commits never stall behind a long fold; folds exclude
+    each other via the separate :func:`_fold_lock`). A crashed holder
+    leaves the lock:
     deliberately NOT auto-stolen on age (stealing under a slow live
     writer recreates the lost update) — operators verify and
     :func:`break_overlay_lock`, same discipline as the text index's
     ``writer.lock`` (the reference's Redis write-lock slot,
     ``RedisLockFactory.kt:16-41``)."""
     path = overlay_path(options) + ".lock"
+    with _excl_lock(path, timeout_s, "kv store overlay"):
+        yield
+
+
+@contextlib.contextmanager
+def _excl_lock(path: str, timeout_s: float, what: str):
+    """O_EXCL file-lock primitive shared by the overlay writer lock and
+    the fold lock: block-with-timeout acquire, pid recorded for the
+    liveness probe, loud :class:`OverlayWriterConflict` past the
+    deadline, unlink on every exit path."""
     deadline = time.monotonic() + timeout_s
     while True:
         try:
@@ -416,7 +425,7 @@ def _overlay_lock(options, timeout_s: float = 30.0):
         except FileExistsError:
             if time.monotonic() >= deadline:
                 raise OverlayWriterConflict(
-                    f"kv store overlay {path}: another writer holds the "
+                    f"{what} {path}: another writer holds the "
                     "lock — retry after it finishes (break_overlay_lock "
                     "clears a crashed one)"
                 ) from None
@@ -1273,19 +1282,82 @@ def _region_chunks(rows: list, region_size: int) -> list:
     return [rows[i: i + region_size] for i in range(0, len(rows), region_size)]
 
 
-def compact_store(options) -> dict:
+@contextlib.contextmanager
+def _fold_lock(options, timeout_s: float = 600.0):
+    """Serialize FOLDS against each other (round-9): the rewrite phase
+    runs without the overlay writer lock, so without this a second
+    fold's opening deferred-GC pass could sweep the first fold's
+    in-progress build dir out from under its pointer publish. Folds are
+    maintenance operations — one at a time per store is the semantic —
+    while commits keep flowing under their own (short) overlay lock.
+    The generous timeout matches fold duration, not commit duration; a
+    crashed holder clears with :func:`break_fold_lock` under the same
+    verify-then-break discipline as the overlay lock."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    root = _gen_root(opts)
+    os.makedirs(root, exist_ok=True)
+    with _excl_lock(os.path.join(root, "fold.lock"), timeout_s, "kv store fold"):
+        yield
+
+
+def break_fold_lock(options, force: bool = False) -> None:
+    """Clear a crashed fold's lock — same pid-liveness guard rail as
+    :func:`break_overlay_lock`."""
+    path = os.path.join(_gen_root(options), "fold.lock")
+    if not force:
+        pid = _lock_holder_alive(path)
+        if pid is not None:
+            raise OverlayWriterConflict(
+                f"kv store fold lock {path}: recorded holder pid {pid} "
+                "is still alive on this host — refusing to break a live "
+                "fold's lock (verify, then pass force=True)"
+            )
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+
+
+#: sentinel reason for a lock-free build that lost its race: the
+#: overlay (or the pointer) changed between snapshot and publish
+_FOLD_CONFLICT = "overlay changed during the lock-free build — retry"
+
+
+def compact_store(options, spark=None, lock_free_attempts: int = 2) -> dict:
     """Fold the committed overlay into a new base generation (HBase
     memstore flush + major compaction in one step — the write path the
     reference's region servers ran underneath it). No-op when there is
-    nothing to fold. Runs under the overlay writer lock: a fold is a
-    writer like any commit.
+    nothing to fold.
 
-    The fold holds the overlay writer lock end to end (it IS a
-    writer): commits racing a long fold time out loudly with
-    :class:`OverlayWriterConflict` and retry — so run the FIRST fold
-    of a large store (the one whole-base rewrite) before opening it to
-    writers; steady-state folds are short (region-pruned, trigger-
-    amortized).
+    LOCK DISCIPLINE (round-9): the fold takes the overlay writer lock
+    only for two SHORT phases — (1) snapshot: WAL-recover, read the
+    overlay rows + watermark, resolve the live generation, run the
+    deferred GC; (2) publish: verify the overlay and pointer are still
+    exactly the snapshot, then pointer-flip + overlay unlink. The
+    REWRITE between them runs lock-free (the new generation's region
+    files are invisible until the flip), so commits never stall behind
+    a long fold. A commit that lands mid-build makes the publish-phase
+    verification fail: the orphaned build dir is removed, and the fold
+    retries from a fresh snapshot (``lock_free_attempts`` times) before
+    falling back to one fully-locked cycle — guaranteed progress under
+    a continuous commit stream, at the old stall-the-writers cost only
+    in that last resort. Folds exclude EACH OTHER via
+    :func:`_fold_lock` for the whole cycle (a second fold's opening GC
+    must never sweep the first's in-progress build dir).
+
+    EXECUTION (round-9): with ``spark`` given, the rewrite distributes —
+    the region-pruned fold runs ONE TASK PER TOUCHED REGION (each task
+    reads its region file ∪ its overlay slice, last-wins merges, and
+    writes the replacement region chunks; the driver does only hardlink
+    carries and the pointer publish), and the FIRST fold (whole-base
+    rewrite) runs as a DataFrame job — base ∖ overlay-keys ∪ puts,
+    range-partitioned on the rowkey, each partition writing its sorted
+    region files. Without ``spark`` the identical fold shape runs
+    driver-side through pyarrow — O(overlay + touched × region_size)
+    rows, the bound the overlay subsystem has always carried, amortized
+    by :func:`maybe_compact_store`'s trigger. At cluster scale the
+    generation root must live on shared storage (here: the local
+    tempdir, honest single-host bound of the whole KV fixture).
 
     Crash-safety: region files land in a uniquely-named dir; the
     pointer replace is the single publish point. A crash BEFORE it
@@ -1295,178 +1367,458 @@ def compact_store(options) -> dict:
     (same keys, same values, tombstones of keys the fold already
     dropped are no-ops), and the next fold (or open) retires it.
 
-    Driver-side bound: the fold reads the overlay plus each touched
-    region file through pyarrow on the driver — O(overlay + touched ×
-    region_size) rows — the SAME bound the overlay subsystem has
-    carried since it existed (every commit merges the overlay
-    driver-side; ``KVWriteMessage`` documents that bulk loads go
-    through truncate + bulk-load, never a giant overlay), and
-    :func:`maybe_compact_store`'s row trigger keeps individual folds
-    amortized. At cluster scale the identical fold shape distributes:
-    one task per hot region (regions are independent rewrite units,
-    exactly like the band/IVF/text stores' per-unit folds), hardlink
-    carries become metadata operations, and the pointer flip stays one
-    atomic publish.
-
     Returns stats: ``regions_rewritten`` / ``regions_carried`` (the
     region-pruning proof), ``rows`` (live rows in the new generation),
     ``tombstones_dropped``, ``applied_seq`` (carried watermark —
-    ``prune_changelog(opts, applied_seq)`` is safe afterwards), and
+    ``prune_changelog(opts, applied_seq)`` is safe afterwards),
+    ``distributed`` (True when the rewrite ran as a Spark job), and
     ``compacted`` (False for the no-op path)."""
-    import json
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    with _fold_lock(opts):
+        for _ in range(max(0, lock_free_attempts)):
+            out = _compact_once(opts, spark, locked_build=False)
+            if out.get("reason") != _FOLD_CONFLICT:
+                return out
+        # guaranteed progress: one cycle with the overlay lock held
+        # throughout (commits queue behind it, the pre-round-9 behavior)
+        return _compact_once(opts, spark, locked_build=True)
+
+
+def _compact_once(opts, spark, locked_build: bool) -> dict:
+    """One snapshot → build → publish cycle; caller holds the fold
+    lock. ``locked_build`` keeps the overlay writer lock across the
+    build (conflict-free by construction); otherwise the build runs
+    lock-free and the publish phase verifies the snapshot still holds."""
+    if locked_build:
+        with _overlay_lock(opts):
+            snap = _fold_snapshot(opts)
+            if snap is None:
+                return {"compacted": False, "reason": "no overlay to fold"}
+            built = _build_generation(opts, spark, snap)
+            return _publish_generation(opts, snap, built, verify=False)
+    with _overlay_lock(opts):
+        snap = _fold_snapshot(opts)
+    if snap is None:
+        return {"compacted": False, "reason": "no overlay to fold"}
+    built = _build_generation(opts, spark, snap)  # lock-free rewrite
+    with _overlay_lock(opts):
+        return _publish_generation(opts, snap, built, verify=True)
+
+
+def _fold_snapshot(opts) -> dict | None:
+    """Snapshot phase (under the overlay lock): WAL-recover so the
+    overlay reflects every committed mutation, read the fold inputs,
+    and record the identity (overlay inode/stat + pointer) the publish
+    phase must re-verify. Returns None when there is nothing to fold.
+    Also runs the deferred generation GC — superseded and
+    crash-orphaned dirs from previous cycles get swept exactly one
+    fold later, giving in-flight readers a full cycle to drain."""
+    import pyarrow.parquet as pq
+
+    _recover_overlay_locked(opts)
+    opath = overlay_path(opts)
+    if not os.path.exists(opath):
+        return None
+    root = _gen_root(opts)
+    os.makedirs(root, exist_ok=True)
+    cur = _resolve_generation(opts)
+    # deferred GC: sweep superseded + crash-orphaned generations now
+    _gc_generations(root, keep=cur["dir"] if cur else None)
+
+    overlay_rows = pq.read_table(opath).to_pylist()
+    applied = _overlay_applied_seq(opath)
+    if applied is None:  # legacy overlay: consistent at the log head
+        seqs = _log_seqs(changelog_dir(opts))
+        applied = seqs[-1] if seqs else changelog_floor(opts)
+    ost = os.stat(opath)
+    return {
+        "overlay_rows": overlay_rows,
+        "applied": applied,
+        "overlay_ident": [ost.st_ino, ost.st_mtime_ns, ost.st_size],
+        "cur": cur,
+        "root": root,
+        "key_cols": tuple(opts["keycol"].split(",")),
+        "columns": list(opts["columns"].split(",")),
+        "region_size": int(opts.get("regionsize", "512")),
+        "fixture": os.path.realpath(opts["path"]),
+        "n_tombstones": sum(
+            1 for r in overlay_rows if r.get(TOMBSTONE)
+        ),
+    }
+
+
+def _build_generation(opts, spark, snap) -> dict:
+    """Rewrite phase (no overlay lock needed): materialize the new
+    generation's region files in a uniquely-named dir — invisible to
+    every reader until the pointer flip — and return the region
+    metadata for the pointer. Dispatches between the driver-side
+    pyarrow fold and the distributed Spark forms."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    opts = {k.lower(): v for k, v in dict(options).items()}
-    with _overlay_lock(opts):
-        _recover_overlay_locked(opts)  # fold WAL-recovered state, never torn
-        opath = overlay_path(opts)
-        if not os.path.exists(opath):
-            return {"compacted": False, "reason": "no overlay to fold"}
-        key_cols = tuple(opts["keycol"].split(","))
-        columns = list(opts["columns"].split(","))
-        region_size = int(opts.get("regionsize", "512"))
-        root = _gen_root(opts)
-        os.makedirs(root, exist_ok=True)
-        cur = _resolve_generation(opts)
-        # deferred GC: sweep superseded + crash-orphaned generations now
-        _gc_generations(root, keep=cur["dir"] if cur else None)
+    cur = snap["cur"]
+    columns = snap["columns"]
+    key_cols = snap["key_cols"]
+    region_size = snap["region_size"]
+    overlay_rows = snap["overlay_rows"]
 
-        overlay_rows = pq.read_table(opath).to_pylist()
-        applied = _overlay_applied_seq(opath)
-        if applied is None:  # legacy overlay: consistent at the log head
-            seqs = _log_seqs(changelog_dir(opts))
-            applied = seqs[-1] if seqs else changelog_floor(opts)
-        n_tombstones = sum(1 for r in overlay_rows if r.get(TOMBSTONE))
+    # region-file schema pinned from the fixture base (same discipline
+    # as _append_changelog): per-file inference over delete-heavy
+    # regions would drift column types
+    base_sch = pq.read_schema(snap["fixture"])
+    schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
 
-        # region-file schema pinned from the fixture base (same
-        # discipline as _append_changelog): per-file inference over
-        # delete-heavy regions would drift column types
-        fixture = os.path.realpath(opts["path"])
-        base_sch = pq.read_schema(fixture)
-        schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
+    new_dir = os.path.join(snap["root"], f"gen.{uuid.uuid4().hex[:12]}")
+    os.makedirs(new_dir)
+    regions_meta: list = []
+    rewritten = carried = 0
+    distributed = False
 
-        new_dir = os.path.join(root, f"gen.{uuid.uuid4().hex[:12]}")
-        os.makedirs(new_dir)
-        new_regions: list = []
-        rewritten = carried = live_rows = 0
-
-        def write_region(rows: list) -> None:
-            nonlocal rewritten, live_rows
-            for chunk in _region_chunks(rows, region_size) or []:
-                name = f"region-{len(new_regions):05d}.parquet"
-                pq.write_table(
-                    pa.Table.from_pylist(
-                        [{c: r[c] for c in columns} for r in chunk], schema=schema
-                    ),
+    incremental = cur is not None and bool(cur.get("regions"))
+    if incremental:
+        # region-pruned fold: assign each overlay key to the region
+        # covering it (HBase semantics: region i covers
+        # [start_i, start_{i+1}); keys below the first start belong to
+        # region 0), rewrite ONLY touched regions, hardlink the rest
+        regions = cur["regions"]
+        starts = [r["start"] for r in regions]
+        by_region: dict[int, list] = {}
+        for r in overlay_rows:
+            idx = max(0, bisect.bisect_right(starts, _rowkey_of(r, key_cols)) - 1)
+            by_region.setdefault(idx, []).append(r)
+        payloads = []
+        for i, region in enumerate(regions):
+            if i not in by_region:
+                # cold region: hardlink carry, no data copied
+                name = f"region-c{i:05d}.parquet"
+                os.link(
+                    os.path.join(cur["dir"], region["file"]),
                     os.path.join(new_dir, name),
                 )
-                new_regions.append(
-                    {"file": name, "start": _rowkey_of(chunk[0], key_cols)}
+                regions_meta.append(
+                    {"file": name, "start": region["start"], "rows": region["rows"]}
                 )
-                rewritten += 1
-                live_rows += len(chunk)
-
-        def carry_region(region: dict) -> None:
-            nonlocal carried, live_rows
-            name = f"region-{len(new_regions):05d}.parquet"
-            src = os.path.join(cur["dir"], region["file"])
-            os.link(src, os.path.join(new_dir, name))  # cold: no copy
-            new_regions.append({"file": name, "start": region["start"]})
-            carried += 1
-            live_rows += region["rows"]
-
-        if cur is None or not cur.get("regions"):
-            # first fold (or a fully-emptied predecessor): one pass over
-            # fixture base ⊕ overlay, split into fresh regions
+                carried += 1
+                continue
+            payloads.append(
+                {
+                    "task": i,
+                    "region_file": os.path.join(cur["dir"], region["file"]),
+                    "overlay_rows": by_region[i],
+                    "columns": columns,
+                    "key_cols": list(key_cols),
+                    "region_size": region_size,
+                    "new_dir": new_dir,
+                    "schema_from": snap["fixture"],
+                }
+            )
+            rewritten += 1
+        if payloads:
+            if spark is not None:
+                # ONE TASK PER TOUCHED REGION: regions are independent
+                # rewrite units (disjoint key ranges), so the fold
+                # parallelizes with no shuffle at all — each task reads
+                # its region file ∪ its overlay slice and writes the
+                # replacement chunks; only chunk METADATA returns
+                distributed = True
+                metas = (
+                    spark.sparkContext.parallelize(payloads, len(payloads))
+                    .map(_fold_region_task)
+                    .collect()
+                )
+                for m in metas:
+                    regions_meta.extend(m)
+            else:
+                for p in payloads:
+                    regions_meta.extend(_fold_region_task(p))
+    else:
+        # first fold (or a fully-emptied predecessor): base ∖
+        # overlay-keys ∪ puts, globally sorted, split into fresh regions
+        if spark is not None:
+            distributed = True
+            regions_meta.extend(
+                _distributed_first_fold(
+                    opts, spark, snap, schema, new_dir
+                )
+            )
+        else:
             merged: dict = {}
             if cur is None:
-                for r in pq.read_table(fixture, columns=columns).to_pylist():
+                for r in pq.read_table(
+                    snap["fixture"], columns=columns
+                ).to_pylist():
                     merged[_rowkey_of(r, key_cols)] = r
             for r in overlay_rows:
                 if r.get(TOMBSTONE):
                     merged.pop(_rowkey_of(r, key_cols), None)
                 else:
                     merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
-            write_region(
-                sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
-            )
-        else:
-            # region-pruned fold: assign each overlay key to the region
-            # covering it (HBase semantics: region i covers
-            # [start_i, start_{i+1}); keys below the first start belong
-            # to region 0), rewrite ONLY touched regions, hardlink the
-            # rest
-            regions = cur["regions"]
-            starts = [r["start"] for r in regions]
-            by_region: dict[int, list] = {}
-            for r in overlay_rows:
-                idx = max(0, bisect.bisect_right(starts, _rowkey_of(r, key_cols)) - 1)
-                by_region.setdefault(idx, []).append(r)
-            for i, region in enumerate(regions):
-                if i not in by_region:
-                    carry_region(region)
-                    continue
-                merged = {}
-                for r in pq.read_table(
-                    os.path.join(cur["dir"], region["file"])
-                ).to_pylist():
-                    merged[_rowkey_of(r, key_cols)] = r
-                for r in by_region[i]:
-                    if r.get(TOMBSTONE):
-                        merged.pop(_rowkey_of(r, key_cols), None)
-                    else:
-                        merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
-                # a fully-emptied region is DROPPED (the facade's
-                # emptied-partition discipline), not written as a
-                # zero-row file
-                write_region(
-                    sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+            rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+            for j, chunk in enumerate(_region_chunks(rows, region_size)):
+                name = f"region-{j:05d}.parquet"
+                pq.write_table(
+                    pa.Table.from_pylist(
+                        [{c: r[c] for c in columns} for r in chunk],
+                        schema=schema,
+                    ),
+                    os.path.join(new_dir, name),
                 )
+                regions_meta.append(
+                    {
+                        "file": name,
+                        "start": _rowkey_of(chunk[0], key_cols),
+                        "rows": len(chunk),
+                    }
+                )
+        rewritten = len(regions_meta)
 
-        if not new_regions:
-            # fully-emptied store: one zero-row schema-pinned file keeps
-            # the generation readable (readers infer types from it);
-            # excluded from the regions list, so the next fold treats
-            # the generation as an empty base
-            pq.write_table(
-                pa.Table.from_pylist([], schema=schema),
-                os.path.join(new_dir, "region-empty.parquet"),
+    if not regions_meta:
+        # fully-emptied store: one zero-row schema-pinned file keeps
+        # the generation readable (readers infer types from it);
+        # excluded from the regions list, so the next fold treats the
+        # generation as an empty base
+        pq.write_table(
+            pa.Table.from_pylist([], schema=schema),
+            os.path.join(new_dir, "region-empty.parquet"),
+        )
+    regions_meta.sort(key=lambda m: m["start"])
+    return {
+        "dir": new_dir,
+        "regions": regions_meta,
+        "rewritten": rewritten,
+        "carried": carried,
+        "distributed": distributed,
+    }
+
+
+def _fold_region_task(payload: dict) -> list:
+    """One fold task — driver-side loop body AND executor map function
+    (the identical fold shape, proven distributable): last-wins-merge
+    ONE region file with its overlay slice, write the replacement
+    chunk(s) into the build dir, return their metadata. Task-retry
+    safe: file names derive from the region index, so a re-executed
+    task overwrites its own output byte-identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key_cols = tuple(payload["key_cols"])
+    columns = list(payload["columns"])
+    base_sch = pq.read_schema(payload["schema_from"])
+    schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
+    merged: dict = {}
+    for r in pq.read_table(payload["region_file"]).to_pylist():
+        merged[_rowkey_of(r, key_cols)] = r
+    for r in payload["overlay_rows"]:
+        if r.get(TOMBSTONE):
+            merged.pop(_rowkey_of(r, key_cols), None)
+        else:
+            merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+    rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+    out = []
+    for j, chunk in enumerate(_region_chunks(rows, payload["region_size"])):
+        name = f"region-t{payload['task']:05d}-{j:03d}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{c: r[c] for c in columns} for r in chunk], schema=schema
+            ),
+            os.path.join(payload["new_dir"], name),
+        )
+        out.append(
+            {
+                "file": name,
+                "start": _rowkey_of(chunk[0], key_cols),
+                "rows": len(chunk),
+            }
+        )
+    return out
+
+
+def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
+    """The whole-base rewrite as a Spark job (round-9 — the fold shape
+    the driver-side path asserts distributes, made executable): base
+    rows whose key the overlay touched drop via a broadcast anti-join,
+    overlay puts union in, the result range-partitions on the rowkey
+    (non-overlapping sorted ranges → globally sorted regions), and
+    each partition writes its own region chunks via mapInArrow —
+    Arrow-batched end to end, no pandas type round-trip, no
+    driver-side data. Only chunk metadata (file, start, rows) comes
+    back. Region starts ship JSON-encoded so one return schema carries
+    both numeric single-PK and string composite rowkeys."""
+    import json as _json
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    columns = snap["columns"]
+    key_cols = list(snap["key_cols"])
+    region_size = snap["region_size"]
+    overlay_rows = snap["overlay_rows"]
+
+    base_df = spark.read.parquet(snap["fixture"]).select(*columns)
+    if snap["cur"] is not None:
+        # fully-emptied predecessor generation: the base is EMPTY (its
+        # zero-row sentinel file), never the pristine fixture — only
+        # the schema comes from the fixture read above
+        base_df = base_df.limit(0)
+    touched = spark.createDataFrame(
+        [tuple(r[c] for c in key_cols) for r in overlay_rows],
+        base_df.select(*key_cols).schema,
+    )
+    puts = spark.createDataFrame(
+        [tuple(r[c] for c in columns) for r in overlay_rows if not r.get(TOMBSTONE)],
+        base_df.schema,
+    )
+    from pyspark.sql.functions import broadcast
+
+    merged = base_df.join(broadcast(touched), on=key_cols, how="left_anti").unionByName(puts)
+    if len(key_cols) == 1:
+        rk = F.col(key_cols[0])
+    else:
+        # the composite encoding of _pad_component/_rowkey_of as a
+        # codegen'd expression, with the same domain guard (assert_true
+        # raises where the driver path raises, never mis-sorts)
+        comps = []
+        for c in key_cols:
+            s = F.col(c).cast("string")
+            guard = F.assert_true(
+                s.rlike(f"^[0-9]{{1,{_KEY_PAD}}}$"),
+                F.concat(
+                    F.lit(
+                        "composite key component must be a non-negative "
+                        f"integer of <= {_KEY_PAD} digits: "
+                    ),
+                    s,
+                ),
             )
-        # single publish point: pointer replace makes the fold visible
-        pointer = {
-            "dir": new_dir,
-            "applied_seq": applied,
-            "gen": (cur["gen"] + 1) if cur else 1,
-            "regions": [
-                {**rg, "rows": _region_rows(new_dir, rg["file"])}
-                for rg in new_regions
-            ],
-        }
-        ptr_path = os.path.join(root, GEN_POINTER)
-        tmp = f"{ptr_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(pointer, f)
-        os.replace(tmp, ptr_path)
-        # the folded overlay retires AFTER the publish: a crash between
-        # the two re-applies it over the new generation — idempotent
-        os.unlink(opath)
-        # a fold changes the base identity dependent indexes were built
-        # against — stale-flip exactly like a commit (content is
-        # read-identical, but the conservative flip keeps one freshness
-        # mechanism instead of two)
-        _invalidate_dependent_indexes(opts)
-        return {
-            "compacted": True,
-            "generation": pointer["gen"],
-            "regions_rewritten": rewritten,
-            "regions_carried": carried,
-            "rows": live_rows,
-            "tombstones_dropped": n_tombstones,
-            "applied_seq": applied,
-        }
+            comps.append(F.when(guard.isNull(), F.lpad(s, _KEY_PAD, "0")))
+        rk = F.concat_ws("|", *comps)
+    n_base = (
+        0
+        if snap["cur"] is not None
+        else pq.ParquetFile(snap["fixture"]).metadata.num_rows
+    )
+    n_part = max(1, math.ceil((n_base + len(overlay_rows)) / region_size))
+    shaped = (
+        merged.withColumn("__rk", rk)
+        .repartitionByRange(n_part, "__rk")
+        .sortWithinPartitions("__rk")
+    )
+
+    col_order = columns  # close over plain lists, not the snap dict
+
+    def write_partition(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        if tbl.num_rows == 0:
+            return
+        pid = TaskContext.get().partitionId()
+        rks = tbl.column("__rk").to_pylist()
+        data = tbl.select(col_order).cast(schema)
+        metas = []
+        for j, lo in enumerate(range(0, tbl.num_rows, region_size)):
+            chunk = data.slice(lo, region_size)
+            name = f"region-p{pid:05d}-{j:03d}.parquet"
+            _pq.write_table(chunk, os.path.join(new_dir, name))
+            metas.append(
+                {
+                    "file": name,
+                    "start": _json.dumps(rks[lo]),
+                    "rows": chunk.num_rows,
+                }
+            )
+        import pandas as pd
+
+        yield pa.RecordBatch.from_pandas(
+            pd.DataFrame(metas),
+            schema=pa.schema(
+                [
+                    pa.field("file", pa.string()),
+                    pa.field("start", pa.string()),
+                    pa.field("rows", pa.int64()),
+                ]
+            ),
+        )
+
+    metas = shaped.mapInArrow(
+        write_partition, "file string, start string, rows long"
+    ).collect()
+    return [
+        {"file": m["file"], "start": _json.loads(m["start"]), "rows": m["rows"]}
+        for m in metas
+    ]
+
+
+def _publish_generation(opts, snap, built, verify: bool) -> dict:
+    """Publish phase (under the overlay lock): with ``verify``, first
+    re-check that the overlay is byte-identical to the snapshot (inode
+    + mtime_ns + size — every commit os.replace's a new inode) AND the
+    pointer still names the snapshot's generation — a racing commit or
+    truncate otherwise made the build stale, so it is removed unseen
+    and the caller retries. Then one atomic pointer replace makes the
+    fold visible, the folded overlay retires, and dependent indexes
+    stale-flip exactly like a commit. NOTE: deliberately no WAL
+    recovery here — a torn commit (logged, not yet applied) leaves the
+    overlay stat unchanged, the publish proceeds, and the next
+    open/commit replays that entry against the NEW generation's
+    carried watermark (``_unapplied_seqs`` anchors at
+    ``gen.applied_seq`` when the overlay is absent)."""
+    import json
+    import shutil
+
+    if verify:
+        conflict = False
+        try:
+            ost = os.stat(overlay_path(opts))
+            ident = [ost.st_ino, ost.st_mtime_ns, ost.st_size]
+            conflict = ident != snap["overlay_ident"]
+        except FileNotFoundError:  # truncate raced the build
+            conflict = True
+        live = _resolve_generation(opts)
+        if (live or {}).get("dir") != ((snap["cur"] or {}).get("dir")):
+            conflict = True
+        if conflict:
+            shutil.rmtree(built["dir"], ignore_errors=True)  # never published
+            return {"compacted": False, "reason": _FOLD_CONFLICT}
+
+    pointer = {
+        "dir": built["dir"],
+        "applied_seq": snap["applied"],
+        "gen": (snap["cur"]["gen"] + 1) if snap["cur"] else 1,
+        "regions": built["regions"],
+    }
+    root = snap["root"]
+    ptr_path = os.path.join(root, GEN_POINTER)
+    tmp = f"{ptr_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(pointer, f)
+    os.replace(tmp, ptr_path)
+    # the folded overlay retires AFTER the publish: a crash between
+    # the two re-applies it over the new generation — idempotent
+    os.unlink(overlay_path(opts))
+    # a fold changes the base identity dependent indexes were built
+    # against — stale-flip exactly like a commit (content is
+    # read-identical, but the conservative flip keeps one freshness
+    # mechanism instead of two)
+    _invalidate_dependent_indexes(opts)
+    return {
+        "compacted": True,
+        "generation": pointer["gen"],
+        "regions_rewritten": built["rewritten"],
+        "regions_carried": built["carried"],
+        "rows": sum(m["rows"] for m in built["regions"]),
+        "tombstones_dropped": snap["n_tombstones"],
+        "applied_seq": snap["applied"],
+        "distributed": built["distributed"],
+    }
 
 
 def _region_rows(gen_dir: str, name: str) -> int:
@@ -1476,15 +1828,18 @@ def _region_rows(gen_dir: str, name: str) -> int:
     return pq.ParquetFile(os.path.join(gen_dir, name)).metadata.num_rows
 
 
-def maybe_compact_store(options, max_overlay_rows: int = 10_000) -> dict | None:
+def maybe_compact_store(
+    options, max_overlay_rows: int = 10_000, spark=None
+) -> dict | None:
     """Size-TRIGGERED compaction — the HBase memstore-flush threshold:
     fold only when the overlay holds more than ``max_overlay_rows``
     rows, so a standing write pipeline calls this after every commit
     and pays the rewrite only when accretion warrants it (the
     :func:`~kt_sql_hbase_ex_spark.functions.similarity.maybe_compact_ivf_store`
     trigger, applied to the KV overlay). One parquet-footer probe under
-    the threshold — no data read, no lock taken. Returns the fold's
-    stats, or None when under threshold."""
+    the threshold — no data read, no lock taken. ``spark`` passes
+    through to :func:`compact_store` for the distributed rewrite.
+    Returns the fold's stats, or None when under threshold."""
     import pyarrow.parquet as pq
 
     opts = {k.lower(): v for k, v in dict(options).items()}
@@ -1495,7 +1850,7 @@ def maybe_compact_store(options, max_overlay_rows: int = 10_000) -> dict | None:
         return None
     if n <= max_overlay_rows:
         return None
-    return compact_store(opts)
+    return compact_store(opts, spark=spark)
 
 
 class KVChangesPartition(InputPartition):
@@ -2981,8 +3336,12 @@ def src11_kv_compacted_scan(spark, sf_dir: str):
     changes.write.format(FORMAT_NAME).options(**opts).mode("append").save()
     delete_from_store(lopts, range(_SRC11_DEL_LO, _SRC11_DEL_HI + 1))
 
-    stats = compact_store(lopts)
+    # the DISTRIBUTED rewrite (round-9): this is a first fold — the
+    # whole-base rewrite runs as a range-partitioned Spark job, the
+    # exact case where the driver-side bound would hurt at scale
+    stats = compact_store(lopts, spark=spark)
     assert stats["compacted"] and stats["tombstones_dropped"] > 0, stats
+    assert stats["distributed"] is True, stats
 
     after = spark.read.format(FORMAT_NAME).options(**opts).load()
     return after.groupBy("c_mktsegment").agg(

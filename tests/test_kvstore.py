@@ -2186,3 +2186,246 @@ def test_truncate_defers_generation_gc_to_next_fold(tmp_path):
     live = _resolve_generation(opts)["dir"]
     assert set(glob.glob(os.path.join(_gen_root(opts), "gen.*"))) == {live}
     truncate_overlay(opts)
+
+
+class TestDistributedFold:
+    """Round-9: the fold's rewrite phase as a Spark job — one task per
+    touched region for the incremental fold, a range-partitioned
+    DataFrame job for the whole-base first fold — plus the lock-free
+    build's conflict detection (the overlay writer lock is held only
+    for snapshot + publish; a racing commit makes the publish verify
+    fail and the fold retry from a fresh snapshot)."""
+
+    def _store(self, tmp_path, ns, n=100, region_size=16, composite=False):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+        base = os.path.join(str(tmp_path), f"base_{ns}.parquet")
+        if composite:
+            tbl = pa.table(
+                {
+                    "a": pa.array([i // 10 for i in range(n)], pa.int64()),
+                    "b": pa.array([i % 10 for i in range(n)], pa.int64()),
+                    "v": pa.array([float(i) for i in range(n)], pa.float64()),
+                }
+            )
+            opts = {
+                "path": base,
+                "keycol": "a,b",
+                "columns": "a,b,v",
+                "regionsize": str(region_size),
+                "appid": ns,
+            }
+        else:
+            tbl = pa.table(
+                {
+                    "k": pa.array(range(n), pa.int64()),
+                    "v": pa.array([float(i) for i in range(n)], pa.float64()),
+                }
+            )
+            opts = {
+                "path": base,
+                "keycol": "k",
+                "columns": "k,v",
+                "regionsize": str(region_size),
+                "appid": ns,
+            }
+        pq.write_table(tbl, base)
+        truncate_overlay(opts)
+        return opts
+
+    @staticmethod
+    def _state(opts) -> dict:
+        from kt_sql_hbase_ex_spark.sources.kvstore import _open_store, _rowkey_of
+
+        key_cols = tuple(opts["keycol"].split(","))
+        return {
+            _rowkey_of(r, key_cols): r["v"] for r in _open_store(opts).rows
+        }
+
+    @staticmethod
+    def _put(opts, rows) -> None:
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            KVUpsertWriter,
+            KVWriteMessage,
+        )
+
+        KVUpsertWriter(opts).commit([KVWriteMessage(rows)])
+
+    def test_distributed_first_fold_matches_driver_fold(self, spark, tmp_path):
+        """The whole-base rewrite as a DataFrame job produces the exact
+        state the driver-side fold produces, with globally sorted,
+        size-bounded regions the next (pruned) fold can bisect."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+            delete_from_store,
+        )
+
+        mut_puts = [{"k": 5, "v": 555.0}, {"k": 200, "v": 2.0}]
+        mut_dels = [10, 11, 12]
+        opts_d = self._store(tmp_path, "dff_driver")
+        opts_s = self._store(tmp_path, "dff_spark")
+        for opts in (opts_d, opts_s):
+            self._put(opts, mut_puts)
+            delete_from_store(opts, mut_dels)
+        st_driver = compact_store(opts_d)
+        st_spark = compact_store(opts_s, spark=spark)
+        assert st_driver["distributed"] is False
+        assert st_spark["distributed"] is True
+        assert st_spark["compacted"] and st_spark["tombstones_dropped"] == 3
+        assert st_spark["rows"] == st_driver["rows"]
+        assert self._state(opts_s) == self._state(opts_d)
+        gen = _resolve_generation(opts_s)
+        starts = [rg["start"] for rg in gen["regions"]]
+        assert starts == sorted(starts)  # globally sorted regions
+        assert all(rg["rows"] <= 16 for rg in gen["regions"])
+        # the NEXT fold region-prunes against the distributed layout
+        self._put(opts_s, [{"k": 50, "v": 5050.0}])
+        st2 = compact_store(opts_s, spark=spark)
+        assert st2["regions_rewritten"] == 1
+        assert st2["regions_carried"] == len(gen["regions"]) - 1
+        assert self._state(opts_s)[50] == 5050.0
+
+    def test_distributed_incremental_fold_one_task_per_region(
+        self, spark, tmp_path
+    ):
+        """One task per touched region, mechanically pinned: rewritten
+        chunk files carry their source region's task index; cold
+        regions hardlink-carry with no Spark task at all."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "dif")
+        self._put(opts, [{"k": 1, "v": 10.0}])
+        compact_store(opts)  # gen 1: 100 rows / 16 = 7 regions
+        # touch exactly two far-apart regions
+        self._put(opts, [{"k": 3, "v": 33.0}, {"k": 90, "v": 909.0}])
+        stats = compact_store(opts, spark=spark)
+        assert stats["distributed"] is True
+        assert stats["regions_rewritten"] == 2
+        assert stats["regions_carried"] == 5
+        gen = _resolve_generation(opts)
+        task_ids = {
+            rg["file"].split("-")[1]
+            for rg in gen["regions"]
+            if rg["file"].startswith("region-t")
+        }
+        assert len(task_ids) == 2  # exactly one task per rewritten region
+        # carried files share inodes with the predecessor (no copy)
+        carried = [
+            rg["file"] for rg in gen["regions"] if rg["file"].startswith("region-c")
+        ]
+        assert len(carried) == 5
+        assert all(
+            os.stat(os.path.join(gen["dir"], f)).st_nlink == 2 for f in carried
+        )
+        state = self._state(opts)
+        assert state[3] == 33.0 and state[90] == 909.0 and len(state) == 100
+
+    def test_distributed_fold_composite_pk(self, spark, tmp_path):
+        """Composite rowkeys distribute too: the padded-concat encoding
+        runs as a codegen'd expression with the driver path's domain
+        guard, and the fold's answers match the driver fold."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            compact_store,
+            delete_from_store,
+        )
+
+        opts_d = self._store(tmp_path, "cmp_d", n=60, region_size=8, composite=True)
+        opts_s = self._store(tmp_path, "cmp_s", n=60, region_size=8, composite=True)
+        for opts in (opts_d, opts_s):
+            self._put(opts, [{"a": 2, "b": 3, "v": 777.0}, {"a": 9, "b": 9, "v": 1.5}])
+            delete_from_store(opts, [(0, 0), (5, 5)])
+        st_d = compact_store(opts_d)
+        st_s = compact_store(opts_s, spark=spark)
+        assert st_s["distributed"] and st_s["rows"] == st_d["rows"]
+        assert self._state(opts_s) == self._state(opts_d)
+
+    def test_lock_free_build_conflict_retries_and_lands_both(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A commit racing the lock-free rewrite: the publish-phase
+        verify detects the changed overlay, the stale build dir is
+        removed unseen, and the retry folds BOTH the original history
+        and the racing commit — nothing lost, no stall, no garbage."""
+        import glob
+
+        import kt_sql_hbase_ex_spark.sources.kvstore as kv
+
+        opts = self._store(tmp_path, "race")
+        self._put(opts, [{"k": 7, "v": 70.0}])
+
+        real_build = kv._build_generation
+        raced = {"n": 0}
+
+        def build_and_race(o, sp, snap):
+            built = real_build(o, sp, snap)
+            if raced["n"] == 0:  # inject exactly one racing commit
+                raced["n"] += 1
+                self._put(opts, [{"k": 500, "v": 5.0}])
+            return built
+
+        monkeypatch.setattr(kv, "_build_generation", build_and_race)
+        stats = kv.compact_store(opts)
+        assert stats["compacted"] is True
+        monkeypatch.undo()
+
+        state = self._state(opts)
+        assert state[7] == 70.0 and state[500] == 5.0 and len(state) == 101
+        # the conflicted attempt's build dir was removed: only the live
+        # generation remains
+        root = kv._gen_root(opts)
+        live = kv._resolve_generation(opts)["dir"]
+        assert set(glob.glob(os.path.join(root, "gen.*"))) == {live}
+        # the racing commit survived the fold cycle in the WAL too
+        assert kv._log_seqs(kv.changelog_dir(opts))[-1] >= 2
+
+    def test_truncate_racing_lock_free_build_aborts_publish(
+        self, tmp_path, monkeypatch
+    ):
+        """A TRUNCATE racing the rewrite must never be resurrected by
+        the fold's publish: the verify phase sees the overlay gone and
+        aborts; with the store re-truncated every attempt, the fold
+        reports the no-op path, and the store stays pristine."""
+        import kt_sql_hbase_ex_spark.sources.kvstore as kv
+
+        opts = self._store(tmp_path, "trrace", n=20, region_size=8)
+        self._put(opts, [{"k": 3, "v": 33.0}])
+
+        real_build = kv._build_generation
+
+        def build_then_truncate(o, sp, snap):
+            built = real_build(o, sp, snap)
+            kv.truncate_overlay(opts)
+            return built
+
+        monkeypatch.setattr(kv, "_build_generation", build_then_truncate)
+        stats = kv.compact_store(opts)
+        monkeypatch.undo()
+        # every lock-free attempt conflicted; the locked fallback found
+        # no overlay left to fold — the truncate WON, nothing resurrected
+        assert stats["compacted"] is False
+        assert self._state(opts)[3] == 3.0 and len(self._state(opts)) == 20
+
+    def test_distributed_fold_to_empty_and_refill(self, spark, tmp_path):
+        """Tombstoning every live row through the distributed path
+        leaves a readable empty generation; a refill folds on top."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            compact_store,
+            delete_from_store,
+        )
+
+        opts = self._store(tmp_path, "dempty", n=10, region_size=4)
+        delete_from_store(opts, list(range(10)))
+        stats = compact_store(opts, spark=spark)
+        assert stats["compacted"] and stats["rows"] == 0
+        assert self._state(opts) == {}
+        self._put(opts, [{"k": 2, "v": 22.0}])
+        stats2 = compact_store(opts, spark=spark)
+        assert stats2["compacted"] and stats2["rows"] == 1
+        assert self._state(opts) == {2: 22.0}
