@@ -1045,16 +1045,21 @@ def tr15_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     would remove, documents affected — the before/after ledger a
     curation pipeline logs for the stage. Plan: the d17 window pass
     (one linear explode, one hash shuffle) produces the duplicated-
-    window set, which is STATEMENT-SIZED and broadcasts back onto the
-    windows (no second corpus shuffle); covered positions explode only
-    from MATCHED windows (∝ duplicated occurrences × W, not corpus)
-    and dedupe per document. All counts are exact integers — no float
-    can drift between engines. At 100 TB the same two linear passes +
-    one broadcast hold; the actual text rewrite (filtering the covered
-    positions out and re-joining tokens) is one more map-side transform
-    over the same covered-position sets, elided here because the
-    graded artifact is the ledger, not a mutated fixture."""
-    from kt_sql_hbase_ex_spark.functions.dedup import _span_windows
+    window set, which is corpus-DUPLICATION-sized (Lee et al. measured
+    ~1% of C4's tokens inside repeated substrings — billions of
+    distinct hashes at 100 TB), so the probe back onto the windows is
+    SIZE-GUARDED (:func:`~kt_sql_hbase_ex_spark.functions.dedup.
+    probe_duplicated_spans`): counted first, broadcast under the
+    budget, shuffled hash join on the already-hashed key above it;
+    covered positions explode only from MATCHED windows (∝ duplicated
+    occurrences × W, not corpus) and dedupe per document. All counts
+    are exact integers — no float can drift between engines. The
+    actual text rewrite (filtering the covered positions out and
+    re-joining tokens) is the tr16 query."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        _span_windows,
+        probe_duplicated_spans,
+    )
 
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", "text"
@@ -1078,8 +1083,7 @@ def tr15_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram_hash")
     )
     covered = (
-        _span_windows(docs)
-        .join(F.broadcast(dup), "gram_hash")
+        probe_duplicated_spans(_span_windows(docs), dup)
         .select(
             "doc_id",
             F.explode(
@@ -1103,5 +1107,94 @@ def tr15_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("docs_affected"),
+        )
+    )
+
+
+@query(
+    "tr16_span_scrubbed_corpus",
+    oracle=f"""
+    WITH {_SPAN_WINDOWS_SQL},
+    dup AS (SELECT gram_hash FROM w GROUP BY gram_hash
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT doc_id, p FROM (
+              SELECT w.doc_id,
+                     unnest(generate_series(w.i, w.i + {SPAN_W - 1})) AS p
+              FROM w JOIN dup USING (gram_hash))),
+    posn AS (SELECT doc_id, source, t,
+                    unnest(generate_series(1, len(t))) AS pos
+             FROM toks),
+    keep AS (SELECT p.doc_id, p.pos, p.t[p.pos] AS tok
+             FROM posn p ANTI JOIN cov c
+               ON c.doc_id = p.doc_id AND c.p = p.pos),
+    scrub AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok_after,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS content_md5
+              FROM keep GROUP BY doc_id)
+    SELECT tk.doc_id, tk.source,
+           COALESCE(s.n_tok_after, CAST(0 AS BIGINT)) AS n_tok_after,
+           COALESCE(s.content_md5, md5('')) AS content_md5
+    FROM toks tk LEFT JOIN scrub s USING (doc_id)
+    """,
+)
+def tr16_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub REWRITE tr15 only accounts for (round-9 — the
+    transform a curation pipeline actually ships): tokens at positions
+    covered by any cross-document repeated window are filtered out of
+    each document, the survivors re-join into the scrubbed text, and
+    the result reports per document the post-scrub token count and the
+    md5 of the surviving text — the oracle replays the identical
+    position-level pass in DuckDB, so a rewrite that dropped the wrong
+    token, reordered, or lost a document hash-mismatches. Plan: the
+    covered-position sets aggregate per document (collect_set — sets
+    are ∝ duplicated occurrences × W per doc, bounded by doc length),
+    join back onto the token arrays on doc_id, and the rewrite itself
+    is ONE codegen'd higher-order filter over the token array — order-
+    preserving, map-side, no UDF; the md5 runs on the executors before
+    anything shuffles. The probe onto the duplicated-window set is the
+    same size-guarded strategy as tr15."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        _span_windows,
+        probe_duplicated_spans,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id", "source", F.expr(_SPAN_TOKENS_SPARK).alias("t")
+    )
+    dup = (
+        _span_windows(docs)
+        .groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_hash")
+    )
+    cov = (
+        probe_duplicated_spans(_span_windows(docs), dup)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_W - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .withColumn(
+            "cov", F.coalesce(F.col("cov"), F.expr("CAST(array() AS array<int>)"))
+        )
+        .withColumn(
+            "kept",
+            F.expr("filter(t, (x, i) -> NOT array_contains(cov, i + 1))"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("kept").cast("bigint").alias("n_tok_after"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("content_md5"),
         )
     )

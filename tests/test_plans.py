@@ -835,3 +835,41 @@ def test_band_store_probe_prunes_bucketed_bands(spark, sf_oracle):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan
     assert "BuildLeft" in plan, plan  # the batch is the build side
+
+
+def test_span_probe_broadcast_size_guard(spark, sf_small):
+    """The duplicated-window probe (tr15/tr16) is size-guarded
+    (round-9): under the budget the set broadcasts (no extra shuffle of
+    the window relation); above it — forced here with a zero budget —
+    the probe falls back to a shuffled join on the already-hashed key
+    with NO broadcast node, and both paths return identical rows."""
+    from kt_sql_hbase_ex_spark.functions.dedup import (
+        _span_windows,
+        probe_duplicated_spans,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source", "text"
+    )
+    dup = (
+        _span_windows(docs)
+        .groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_hash")
+    )
+    wins = _span_windows(docs)
+
+    fast = probe_duplicated_spans(wins, dup)
+    plan_fast = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_fast, plan_fast
+
+    slow = probe_duplicated_spans(wins, dup, max_broadcast=0)
+    plan_slow = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan_slow, plan_slow
+    assert "BroadcastHashJoin" not in plan_slow, plan_slow
+
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b and len(a) > 0
