@@ -115,6 +115,23 @@ HEADLINE = (
     # execution shape (corpus-linear tokenize+window explode into one
     # md5-keyed hash shuffle) no other headline entry exercises.
     "d17_repeated_span_detection",
+    # round-9 additions (r8 verdict task #4): the four round-8/9
+    # surfaces bench didn't track — sim11 probes the RETRAINED IVF
+    # generation (fixed-point Lloyd publish + pruned probe), src12 is
+    # the WAL time-travel read (snapshot-anchored base ∪ feed span +
+    # per-key last-write window), st17 drives the CDC downstream
+    # replica (live commits applied through the two-phase connector
+    # write), tr15 is the span-scrub ledger over the size-guarded
+    # duplicated-window probe. Plus the two round-9 shapes: tr16's
+    # position-level rewrite (collect_set per doc + higher-order
+    # filter) and sim12's before/after recall readout (two store
+    # probes + a brute-force ground-truth rerank).
+    "sim11_retrained_ivf_probe",
+    "src12_kv_timetravel",
+    "st17_cdc_replica",
+    "tr15_span_scrub",
+    "tr16_span_scrubbed_corpus",
+    "sim12_retrain_recall_readout",
 )
 
 

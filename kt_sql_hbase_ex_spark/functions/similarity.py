@@ -854,24 +854,31 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
 
 
 def write_ivf_store(
-    spark: SparkSession, root: str, vecs: DataFrame, n_cells: int = N_CELLS
+    spark: SparkSession,
+    root: str,
+    vecs: DataFrame,
+    n_cells: int = N_CELLS,
+    seeds: DataFrame | None = None,
 ) -> None:
     """Build a fresh IVF store at ``root`` from (vec_id, embedding):
     ``centroids/`` freezes the coarse quantizer (the n_cells lowest
     vec_ids — the deterministic seed rule every graded fixture uses, so
-    oracles can replay it), ``cells/`` holds the frozen-centroid
-    assignment partitioned by cell. The raw-root sibling of
+    oracles can replay it; ``seeds`` overrides with an explicit (cid,
+    cv) relation — sim12's deliberately-bad drifted seeding), ``cells/``
+    holds the frozen-centroid assignment partitioned by cell. The
+    raw-root sibling of
     :func:`~kt_sql_hbase_ex_spark.functions.dedup.write_band_store`;
     `ensure_ivf_store` wraps it in the fingerprint/staging/atomic-
     publish provisioning discipline."""
     import os
 
     cent = (
-        vecs.orderBy("vec_id")
+        seeds
+        if seeds is not None
+        else vecs.orderBy("vec_id")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-        .localCheckpoint()  # K rows, consumed by write AND scoring
-    )
+    ).localCheckpoint()  # K rows, consumed by write AND scoring
     cent.coalesce(1).write.parquet(os.path.join(root, "centroids"))
     # batch-sized repartition on the partition key: ≤1 file per cell
     # per write instead of tasks×cells (the band store's discipline)
@@ -1577,3 +1584,301 @@ def sim11_retrained_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return probe_ivf_store(spark, root, batch)
+
+
+# --- sim12: iterated retrain + recall readout (round-9) ----------------------
+#
+# sim11 proves ONE Lloyd step lands bit-exactly; the operational tool is
+# retrain-to-convergence with a MEASURED recall effect. The fixture
+# engineers the drift deliberately: the quantizer seeds from the
+# N_CELLS vectors most similar to the corpus's first vector — a tight
+# cluster, the worst deterministic seeding — so the frozen probe prunes
+# badly and iterated retrain has real headroom. Recall is graded
+# against the exact brute-force top-k (the sim01 ground-truth shape)
+# for BOTH phases in one query, and the oracle replays the full chain —
+# bad seeds → SIM12_STEPS fixed-point Lloyd steps → re-assignment →
+# probe → rerank → recall arithmetic — so the readout itself is
+# hash-gated, not just eyeballed. The convergence loop stops early when
+# a step leaves the centroids bit-identical (assignment stable), which
+# keeps the oracle's fixed step count faithful: extra replayed steps
+# are identities.
+
+#: Lloyd steps the sim12 fixture runs (and its oracle replays — each
+#: step is one more assign→mean→carry CTE layer, so the count stays
+#: small and pinned; convergence beyond it is the library call's job)
+SIM12_STEPS = 2
+
+
+def retrain_ivf_store_converged(
+    spark: SparkSession, root: str, max_steps: int = 8
+) -> dict:
+    """Iterate :func:`retrain_ivf_store` until the quantizer is STABLE
+    — a step that leaves every centroid bit-identical (the fixed-point
+    grid makes exact equality attainable: stable assignment → same
+    order-free integer sums → same floor-quantized doubles) — or until
+    ``max_steps``. Drift-thresholded at zero because the arithmetic is
+    exact; there is no epsilon to tune. Each step pays one cells×dim
+    partial-agg shuffle + one broadcast re-assignment pass and
+    publishes behind the generation pointer, so a crash between steps
+    leaves a fully-consistent (just less-converged) store. Returns
+    ``steps_run``, ``converged``, and the final ``gen``."""
+    def _snap():
+        rows = (
+            spark.read.parquet(_ivf_centroids_dir(root))
+            .orderBy("cid")
+            .collect()
+        )
+        return [(r["cid"], tuple(r["cv"])) for r in rows]
+
+    prev = _snap()
+    steps = 0
+    converged = False
+    out: dict = {}
+    for _ in range(max_steps):
+        out = retrain_ivf_store(spark, root)
+        steps += 1
+        cur = _snap()
+        if cur == prev:  # identity step: assignment was already stable
+            converged = True
+            break
+        prev = cur
+    return {"steps_run": steps, "converged": converged, **out}
+
+
+def _drifted_seeds(hist: DataFrame) -> DataFrame:
+    """(cid, cv): the N_CELLS history vectors most similar to the
+    lowest-vec_id vector — a deliberately TERRIBLE quantizer seeding
+    (all seeds in one neighborhood → most of the corpus crowds into a
+    few cells → probes prune almost blindly). Deterministic and
+    oracle-replayable: rounded cosine DESC, vec_id tiebreak."""
+    v1 = (
+        hist.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("v1"))
+    )
+    return (
+        hist.crossJoin(F.broadcast(v1))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.round(_cosine_spark("embedding", "v1"), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "cid")
+        .limit(N_CELLS)
+        .select("cid", "cv")
+    )
+
+
+def ensure_drifted_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim12's FROZEN phase fixture: the history split admitted against
+    the deliberately-bad drifted seeding, quantizer never retrained."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"ivfstore-drifted|{N_CELLS}|{N_PROBE}|{TOP_K}"
+        f"|mod{SIM08_MOD}r{SIM08_RES}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings"))
+        hist = e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
+        write_ivf_store(spark, staging, hist, seeds=_drifted_seeds(hist))
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def ensure_drifted_retrained_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim12's RETRAINED phase fixture: the same drifted store run
+    through :func:`retrain_ivf_store_converged` capped at
+    ``SIM12_STEPS`` (the count the oracle replays; early convergence is
+    safe — replayed extra steps are identities)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"ivfstore-drifted-retrained|{N_CELLS}|{N_PROBE}|{TOP_K}"
+        f"|mod{SIM08_MOD}r{SIM08_RES}|steps{SIM12_STEPS}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings"))
+        hist = e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
+        write_ivf_store(spark, staging, hist, seeds=_drifted_seeds(hist))
+        retrain_ivf_store_converged(spark, staging, max_steps=SIM12_STEPS)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def _sim12_argmax_sql(cent: str) -> str:
+    """assign CTE body: each history vector's nearest centroid from
+    relation ``cent`` — rounded cosine DESC, cid tiebreak (the shared
+    cross-engine argmax rule)."""
+    cos = _COSINE_SQL.format(a="h.v", b=f"{cent}.cv")
+    return f"""(
+        SELECT vec_id, cid FROM (
+            SELECT h.vec_id, {cent}.cid,
+                   ROW_NUMBER() OVER (PARTITION BY h.vec_id
+                       ORDER BY ROUND({cos}, 6) DESC, {cent}.cid) AS rn
+            FROM hist h CROSS JOIN {cent}) t
+        WHERE rn = 1
+    )"""
+
+
+def _sim12_probe_sql(cent: str, assign: str) -> str:
+    """probe + rerank CTE body against quantizer ``cent`` and stored
+    assignment ``assign``: top-N_PROBE cells per query, candidates from
+    those cells, exact-cosine rerank to TOP_K — the probe_ivf_store
+    shape, replayed."""
+    cos_bc = _COSINE_SQL.format(a="b.v", b=f"{cent}.cv")
+    return f"""(
+        SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                       ORDER BY ROUND({_SIM08_COS_QN}, 6) DESC,
+                                cand.neighbor_id) AS rnk
+            FROM (
+                SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                FROM (
+                    SELECT vec_id AS query_id, cid FROM (
+                        SELECT b.vec_id, {cent}.cid,
+                               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                   ORDER BY ROUND({cos_bc}, 6) DESC,
+                                            {cent}.cid) AS rn
+                        FROM batch b CROSS JOIN {cent}) t
+                    WHERE rn <= {N_PROBE}
+                ) p JOIN {assign} a ON a.cid = p.cid
+            ) cand
+            JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ne ON ne.vec_id = cand.neighbor_id
+        ) t WHERE rnk <= {TOP_K}
+    )"""
+
+
+_SIM12_COS_SEED = _COSINE_SQL.format(a="hist.v", b="v1.v1")
+_SIM12_COS_EX = _COSINE_SQL.format(a="b.v", b="h.v")
+
+_SIM12_RECALL_ROW = """(
+        SELECT '{phase}' AS phase,
+               CAST(COUNT(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS possible,
+               ROUND(SUM(CASE WHEN p.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+        FROM exact ex LEFT JOIN {top} p
+          ON p.query_id = ex.query_id AND p.neighbor_id = ex.neighbor_id
+    )"""
+
+
+@query(
+    "sim12_retrain_recall_readout",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hist AS (SELECT * FROM e WHERE vec_id % {SIM08_MOD} <> {SIM08_RES}),
+    batch AS (SELECT * FROM e WHERE vec_id % {SIM08_MOD} = {SIM08_RES}),
+    v1 AS (SELECT v AS v1 FROM hist ORDER BY vec_id LIMIT 1),
+    cent0 AS (SELECT vec_id AS cid, v AS cv FROM hist, v1
+              ORDER BY ROUND({_SIM12_COS_SEED}, 6) DESC, vec_id
+              LIMIT {N_CELLS}),
+    assign0 AS {_sim12_argmax_sql("cent0")},
+    comp1 AS (SELECT a.cid, t.i, {_RETRAIN_MEAN_SQL} AS val
+              FROM assign0 a JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) t(i)
+              GROUP BY a.cid, t.i),
+    cent1m AS (SELECT cid, list(val ORDER BY i) AS cv FROM comp1 GROUP BY cid),
+    cent1 AS (SELECT c0.cid, COALESCE(c1.cv, c0.cv) AS cv
+              FROM cent0 c0 LEFT JOIN cent1m c1 USING (cid)),
+    assign1 AS {_sim12_argmax_sql("cent1")},
+    comp2 AS (SELECT a.cid, t.i, {_RETRAIN_MEAN_SQL} AS val
+              FROM assign1 a JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) t(i)
+              GROUP BY a.cid, t.i),
+    cent2m AS (SELECT cid, list(val ORDER BY i) AS cv FROM comp2 GROUP BY cid),
+    cent2 AS (SELECT c1.cid, COALESCE(c2.cv, c1.cv) AS cv
+              FROM cent1 c1 LEFT JOIN cent2m c2 USING (cid)),
+    assign2 AS {_sim12_argmax_sql("cent2")},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT b.vec_id AS query_id, h.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY ROUND({_SIM12_COS_EX}, 6) DESC, h.vec_id) AS rnk
+            FROM batch b CROSS JOIN hist h) t
+        WHERE rnk <= {TOP_K}
+    ),
+    top_f AS {_sim12_probe_sql("cent0", "assign0")},
+    top_r AS {_sim12_probe_sql("cent2", "assign2")}
+    SELECT * FROM {_SIM12_RECALL_ROW.format(phase="frozen", top="top_f")}
+    UNION ALL
+    SELECT * FROM {_SIM12_RECALL_ROW.format(phase="retrained", top="top_r")}
+    """,
+)
+def sim12_retrain_recall_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} against the exact brute-force top-k (the sim01
+    ground truth), measured BEFORE and AFTER iterated retrain on the
+    deliberately-drifted store — one row per phase with exact integer
+    hit accounting (hits / possible) plus the derived recall. The
+    frozen phase probes the bad-seed quantizer; the retrained phase
+    probes the store after :func:`retrain_ivf_store_converged` capped
+    at {SIM12_STEPS} fixed-point Lloyd steps. The oracle replays the
+    ENTIRE chain (seeding, both Lloyd steps with empty-cell carry,
+    re-assignment, probe, rerank, recall arithmetic), so the readout is
+    hash-gated end to end. The recall-improves property is pinned by
+    ``tests/test_extensions.py`` on this same fixture. Scale: the
+    exact ground truth is batch×corpus (a GRADING artifact — at 100 TB
+    the readout runs on a sampled query set exactly as here, where the
+    batch IS the 5% sample); everything else is the sim08/sim11 probe
+    shape — broadcast quantizer scoring, pruned cell reads, no corpus
+    shuffle."""
+    root_f = ensure_drifted_ivf_store(spark, sf_dir)
+    root_r = ensure_drifted_retrained_ivf_store(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    hist = e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    from pyspark.sql import Window as W
+
+    w_ex = W.partitionBy("query_id").orderBy(
+        F.round(_cosine_spark("qv", "nv"), 6).desc(), F.col("neighbor_id")
+    )
+    exact = (
+        batch.crossJoin(hist)
+        .withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # consumed once per phase
+    )
+
+    def recall_row(root: str, phase: str) -> DataFrame:
+        hits = (
+            probe_ivf_store(spark, root, batch)
+            .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        return (
+            exact.join(hits, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("query_id").alias("n_queries"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("hits"),
+                F.count("*").alias("possible"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                "n_queries",
+                "hits",
+                "possible",
+                F.round(
+                    F.col("hits") * F.lit(1.0) / F.col("possible"), 6
+                ).alias("recall"),
+            )
+        )
+
+    return recall_row(root_f, "frozen").unionByName(
+        recall_row(root_r, "retrained")
+    )

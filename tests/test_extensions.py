@@ -1767,3 +1767,67 @@ def test_ivf_retrain_then_append_equals_rebuild(spark):
     assert _ivf_store_layout(store)["gen"] == 2
     assert len(snap(store)) > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sim12_recall_improves_on_drifted_store(spark, sf_small):
+    """The round-9 retrain acceptance property: on the deliberately
+    drifted fixture (quantizer seeded from one tight neighborhood),
+    iterated fixed-point retrain must IMPROVE probe recall vs the exact
+    brute-force top-k — the operational point of the remedy. Exact
+    integer hit counts, deterministic fixture → a stable pin, not a
+    flaky statistical bound."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        sim12_retrain_recall_readout,
+    )
+
+    rows = {
+        r["phase"]: r
+        for r in sim12_retrain_recall_readout(spark, sf_small).collect()
+    }
+    assert set(rows) == {"frozen", "retrained"}
+    f, r = rows["frozen"], rows["retrained"]
+    assert f["n_queries"] == r["n_queries"] > 0
+    assert f["possible"] == r["possible"] == f["n_queries"] * 10  # TOP_K
+    assert r["hits"] > f["hits"], (f["hits"], r["hits"])
+
+
+def test_retrain_converges_to_fixed_point(spark, sf_small, tmp_path):
+    """retrain_ivf_store_converged stops at exact stability: the
+    fixed-point grid makes bit-identical centroids attainable, and one
+    FURTHER step after convergence is the identity (assignment stable →
+    same integer sums → same floor-quantized centroids)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        SIM08_MOD,
+        SIM08_RES,
+        _drifted_seeds,
+        _ivf_centroids_dir,
+        retrain_ivf_store,
+        retrain_ivf_store_converged,
+        write_ivf_store,
+    )
+    from kt_sql_hbase_ex_spark.sources.catalog import load_table
+
+    root = os.path.join(str(tmp_path), "conv_store")
+    e = load_table(spark, sf_small, "embeddings")
+    hist = e.filter(F.col("vec_id") % SIM08_MOD != SIM08_RES)
+    write_ivf_store(spark, root, hist, seeds=_drifted_seeds(hist))
+
+    out = retrain_ivf_store_converged(spark, root, max_steps=16)
+    assert out["converged"] is True
+    assert 1 <= out["steps_run"] <= 16
+
+    def snap():
+        return [
+            (r["cid"], tuple(r["cv"]))
+            for r in spark.read.parquet(_ivf_centroids_dir(root))
+            .orderBy("cid")
+            .collect()
+        ]
+
+    before = snap()
+    retrain_ivf_store(spark, root)  # one more step: must be identity
+    assert snap() == before

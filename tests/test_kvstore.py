@@ -2272,7 +2272,7 @@ class TestDistributedFold:
             self._put(opts, mut_puts)
             delete_from_store(opts, mut_dels)
         st_driver = compact_store(opts_d)
-        st_spark = compact_store(opts_s, spark=spark)
+        st_spark = compact_store(opts_s, spark=spark, distribute_min_rows=0)
         assert st_driver["distributed"] is False
         assert st_spark["distributed"] is True
         assert st_spark["compacted"] and st_spark["tombstones_dropped"] == 3
@@ -2284,7 +2284,7 @@ class TestDistributedFold:
         assert all(rg["rows"] <= 16 for rg in gen["regions"])
         # the NEXT fold region-prunes against the distributed layout
         self._put(opts_s, [{"k": 50, "v": 5050.0}])
-        st2 = compact_store(opts_s, spark=spark)
+        st2 = compact_store(opts_s, spark=spark, distribute_min_rows=0)
         assert st2["regions_rewritten"] == 1
         assert st2["regions_carried"] == len(gen["regions"]) - 1
         assert self._state(opts_s)[50] == 5050.0
@@ -2305,7 +2305,7 @@ class TestDistributedFold:
         compact_store(opts)  # gen 1: 100 rows / 16 = 7 regions
         # touch exactly two far-apart regions
         self._put(opts, [{"k": 3, "v": 33.0}, {"k": 90, "v": 909.0}])
-        stats = compact_store(opts, spark=spark)
+        stats = compact_store(opts, spark=spark, distribute_min_rows=0)
         assert stats["distributed"] is True
         assert stats["regions_rewritten"] == 2
         assert stats["regions_carried"] == 5
@@ -2342,7 +2342,7 @@ class TestDistributedFold:
             self._put(opts, [{"a": 2, "b": 3, "v": 777.0}, {"a": 9, "b": 9, "v": 1.5}])
             delete_from_store(opts, [(0, 0), (5, 5)])
         st_d = compact_store(opts_d)
-        st_s = compact_store(opts_s, spark=spark)
+        st_s = compact_store(opts_s, spark=spark, distribute_min_rows=0)
         assert st_s["distributed"] and st_s["rows"] == st_d["rows"]
         assert self._state(opts_s) == self._state(opts_d)
 
@@ -2363,8 +2363,8 @@ class TestDistributedFold:
         real_build = kv._build_generation
         raced = {"n": 0}
 
-        def build_and_race(o, sp, snap):
-            built = real_build(o, sp, snap)
+        def build_and_race(o, sp, snap, *a, **kw):
+            built = real_build(o, sp, snap, *a, **kw)
             if raced["n"] == 0:  # inject exactly one racing commit
                 raced["n"] += 1
                 self._put(opts, [{"k": 500, "v": 5.0}])
@@ -2399,8 +2399,8 @@ class TestDistributedFold:
 
         real_build = kv._build_generation
 
-        def build_then_truncate(o, sp, snap):
-            built = real_build(o, sp, snap)
+        def build_then_truncate(o, sp, snap, *a, **kw):
+            built = real_build(o, sp, snap, *a, **kw)
             kv.truncate_overlay(opts)
             return built
 
@@ -2422,10 +2422,41 @@ class TestDistributedFold:
 
         opts = self._store(tmp_path, "dempty", n=10, region_size=4)
         delete_from_store(opts, list(range(10)))
-        stats = compact_store(opts, spark=spark)
+        stats = compact_store(opts, spark=spark, distribute_min_rows=0)
         assert stats["compacted"] and stats["rows"] == 0
         assert self._state(opts) == {}
         self._put(opts, [{"k": 2, "v": 22.0}])
-        stats2 = compact_store(opts, spark=spark)
+        stats2 = compact_store(opts, spark=spark, distribute_min_rows=0)
         assert stats2["compacted"] and stats2["rows"] == 1
         assert self._state(opts) == {2: 22.0}
+
+
+def test_fold_distribution_crossover(tmp_path, spark):
+    """The size crossover: spark given but the fold estimate under
+    DISTRIBUTE_MIN_ROWS stays driver-side (job overhead would dominate
+    a small fold); zeroing the threshold forces the distributed path —
+    same answers either way (TestDistributedFold proves equality)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        compact_store,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "xo.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(20), pa.int64()),
+                  "v": pa.array([float(i) for i in range(20)], pa.float64())}),
+        base,
+    )
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": "xo"}
+    truncate_overlay(opts)
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 1, "v": 11.0}])])
+    stats = compact_store(opts, spark=spark)  # default threshold
+    assert stats["compacted"] and stats["distributed"] is False
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 2, "v": 22.0}])])
+    stats2 = compact_store(opts, spark=spark, distribute_min_rows=0)
+    assert stats2["compacted"] and stats2["distributed"] is True
