@@ -1826,6 +1826,17 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
         "gen": (snap["cur"]["gen"] + 1) if snap["cur"] else 1,
         "regions": built["regions"],
     }
+    if snap["cur"] is not None:
+        # the superseded generation survives until the NEXT fold's
+        # deferred GC — record its fold point so as-of reads can anchor
+        # BELOW the new one for that cycle (round-9: a retained
+        # generation is a valid snapshot; HBase time-range scans read
+        # older HFiles the same way until compaction retires them)
+        pointer["prev_anchor"] = {
+            "dir": snap["cur"]["dir"],
+            "applied_seq": snap["cur"]["applied_seq"],
+            "gen": snap["cur"]["gen"],
+        }
     root = snap["root"]
     ptr_path = os.path.join(root, GEN_POINTER)
     tmp = f"{ptr_path}.tmp.{os.getpid()}"
@@ -3403,20 +3414,23 @@ def read_store_asof(spark, options, seq: int):
 
     ANCHOR SELECTION (round-9, exactly how the reference's substrate
     serves time-range scans — HBase reads compacted HFiles + the
-    recent WAL, never the WAL from genesis): the live compacted
-    generation carries the watermark ``applied_seq`` of the last
-    commit it folded (``compact_store`` publishes it in the pointer),
-    and a generation is BY CONSTRUCTION the pristine base ⊕ commits
-    ``1..applied_seq`` with last-write-wins collapse and tombstones
-    physically dropped — so whenever ``applied_seq <= seq`` the read
-    anchors there and replays only ``(applied_seq, seq]``. This makes
-    time travel (a) survive retention pruning up to the fold point —
-    compaction + ``prune_changelog(applied_seq)`` no longer disables
-    history at-or-above the anchor — and (b) cost ∝ span, not total
-    history. With no eligible anchor (no generation, or the fold
-    already covered PAST the requested seq) the read falls back to the
-    pristine base + the full prefix ``1..seq``, which requires that
-    prefix fully retained.
+    recent WAL, never the WAL from genesis): every RETAINED generation
+    is a valid snapshot — the live one, plus (for one fold cycle, until
+    the deferred GC sweeps it) the superseded one, whose fold point the
+    pointer records as ``prev_anchor``. Each generation is BY
+    CONSTRUCTION the pristine base ⊕ commits ``1..applied_seq`` with
+    last-write-wins collapse and tombstones physically dropped — so the
+    read anchors at the LARGEST retained fold point at-or-below ``seq``
+    (smallest replay span) and replays only ``(applied_seq, seq]``.
+    This makes time travel (a) survive retention pruning up to the
+    anchor — compaction + ``prune_changelog(applied_seq)`` no longer
+    disables history at-or-above it, and history BETWEEN the last two
+    fold points stays reachable for a cycle via the superseded
+    generation — and (b) cost ∝ span, not total history. With no
+    eligible anchor (no generation, or every retained fold already
+    covered PAST the requested seq) the read falls back to the pristine
+    base + the full prefix ``1..seq``, which requires that prefix fully
+    retained.
 
     Bounds are mechanical, never silent: the batch reader enforces the
     span contract per execution, and the driver-side guard names the
@@ -3429,14 +3443,25 @@ def read_store_asof(spark, options, seq: int):
     opts = {k.lower(): v for k, v in dict(options).items()}
     key_cols = opts["keycol"].split(",")
     columns = opts["columns"].split(",")
-    # anchor resolution: the live generation, iff its fold point is
-    # at-or-below the requested seq. seq=0 is the pristine base and
-    # needs no WAL at all (a truncated store — floor parked at the
-    # pre-truncate head — can still time-travel to 0).
-    gen = _resolve_generation(opts) if seq > 0 else None
-    anchor = None
-    if gen is not None and int(gen.get("applied_seq", 0)) <= seq:
-        anchor = int(gen["applied_seq"])
+    # anchor resolution: the RETAINED generations — the live one plus,
+    # for one fold cycle, the superseded one the deferred GC hasn't
+    # swept (its fold point rides in the pointer's prev_anchor) — each
+    # offer their fold point; the read takes the LARGEST at-or-below
+    # the requested seq (smallest replay span). seq=0 is the pristine
+    # base and needs no WAL at all (a truncated store — floor parked at
+    # the pre-truncate head — can still time-travel to 0).
+    candidates: list = []  # (applied_seq, dir) of retained generations
+    if seq > 0:
+        gen = _resolve_generation(opts)
+        if gen is not None:
+            candidates.append((int(gen.get("applied_seq", 0)), gen["dir"]))
+            pa_ = gen.get("prev_anchor")
+            # isdir is fast feedback only: a sweep racing the plan still
+            # fails loudly at scan time (the dir is gone, never silent)
+            if pa_ and os.path.isdir(pa_["dir"]):
+                candidates.append((int(pa_["applied_seq"]), pa_["dir"]))
+    eligible = [(a, d) for a, d in candidates if a <= seq]
+    anchor, anchor_dir = max(eligible) if eligible else (None, None)
     # fast-feedback guard only — the AUTHORITATIVE check runs at read
     # time inside the batch reader (requireFullPrefix below), so a
     # prune racing the lazy plan still fails loudly, never silently.
@@ -3444,17 +3469,17 @@ def read_store_asof(spark, options, seq: int):
     if seq > 0:
         if anchor is None and floor > 0:
             reachable = (
-                f"the earliest reachable historical commit is "
-                f"{int(gen['applied_seq'])} (the live generation's fold "
-                "point)"
-                if gen is not None
+                "the earliest reachable historical commit is "
+                f"{min(a for a, _ in candidates)} (a retained "
+                "generation's fold point)"
+                if candidates
                 else "no historical commit is reachable until a "
                 "compaction records an anchor"
             )
             raise ValueError(
                 f"as-of read at seq={seq} needs the full WAL prefix "
                 f"1..{seq}, but retention (or a truncate) dropped "
-                f"through {floor} and no compacted generation anchors "
+                f"through {floor} and no retained generation anchors "
                 f"at-or-below {seq} — {reachable}; seq=0 (the pristine "
                 "base) always works"
             )
@@ -3472,7 +3497,7 @@ def read_store_asof(spark, options, seq: int):
         # the generation dir IS the snapshot: region files are schema-
         # pinned parquet, already last-wins-collapsed and tombstone-free
         base = (
-            spark.read.parquet(gen["dir"])
+            spark.read.parquet(anchor_dir)
             .select(*columns)
             .withColumn(TOMBSTONE, F.lit(False))
             .withColumn(SEQ_COL, F.lit(anchor).cast("long"))

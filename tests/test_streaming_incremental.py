@@ -1295,3 +1295,74 @@ def test_asof_anchor_above_requested_seq_falls_back(spark, tmp_path):
     assert state(99) == {2: 25.0, 3: 30.0, 5: 50.0}
     with _pytest.raises(ValueError, match="earliest reachable.*4"):
         read_store_asof(spark, opts, 2)
+
+
+def test_asof_prev_generation_anchor_one_cycle(spark, tmp_path):
+    """Multi-anchor time travel (round-9): the superseded generation is
+    retained until the next fold's GC, and its fold point (recorded as
+    the pointer's prev_anchor) anchors reads BELOW the live fold point
+    for that cycle — then a further fold retires it and those reads
+    refuse loudly naming the earliest surviving anchor."""
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        compact_store,
+        delete_from_store,
+        prune_changelog,
+        read_store_asof,
+    )
+
+    opts, lopts = _cdc_store(spark, tmp_path)
+
+    def put(rows):
+        spark.createDataFrame(rows, "k bigint, v double").write.format(
+            FORMAT_NAME
+        ).options(**opts).mode("append").save()
+
+    def state(seq):
+        return {
+            r["k"]: r["v"] for r in read_store_asof(spark, opts, seq).collect()
+        }
+
+    put([(1, 10.0), (2, 20.0), (3, 30.0)])  # seq 1
+    put([(2, 25.0), (4, 40.0)])  # seq 2
+    assert compact_store(lopts)["applied_seq"] == 2  # gen A (anchor 2)
+    put([(5, 50.0)])  # seq 3
+    delete_from_store(lopts, [1, 4])  # seq 4
+    assert compact_store(lopts)["applied_seq"] == 4  # gen B; A retained
+
+    expected = {
+        2: {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0},
+        3: {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0, 5: 50.0},
+        4: {2: 25.0, 3: 30.0, 5: 50.0},
+    }
+    # retention prunes to the PREV fold point: 2 serves from gen A
+    # directly (empty span), 3 anchors at A and replays (2,3], 4 serves
+    # from the live gen B — all of history above the oldest retained
+    # anchor survives
+    prune_changelog(lopts, 2)
+    for seq, want in expected.items():
+        assert state(seq) == want, f"post-prune seq={seq}"
+    # seq=1 is below BOTH anchors and the prefix is pruned: loud, names
+    # the smallest retained fold point
+    with _pytest.raises(ValueError, match="earliest reachable.*2"):
+        read_store_asof(spark, opts, 1)
+
+    # full pruning to the live fold point: the prev ANCHOR POINT itself
+    # still serves (empty span), the span between the anchors is gone
+    prune_changelog(lopts, 4)
+    assert state(2) == expected[2]
+    assert state(4) == expected[4]
+    with _pytest.raises(ValueError, match="retention dropped the WAL"):
+        read_store_asof(spark, opts, 3)
+
+    # a THIRD fold retires generation A: reads at its fold point now
+    # refuse, naming the surviving anchor (4)
+    put([(6, 60.0)])  # seq 5
+    assert compact_store(lopts)["applied_seq"] == 5  # gen C; A swept
+    prune_changelog(lopts, 5)
+    assert state(4) == expected[4]  # prev anchor is now gen B
+    assert state(5) == {2: 25.0, 3: 30.0, 5: 50.0, 6: 60.0}
+    with _pytest.raises(ValueError, match="earliest reachable.*4"):
+        read_store_asof(spark, opts, 2)
