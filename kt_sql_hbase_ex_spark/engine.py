@@ -1586,11 +1586,62 @@ class KtSqlEngine:
         generation (the HBase memstore-flush / major-compaction the
         reference's substrate ran underneath it): region-pruned
         rewrite, cold regions carried by hardlink, tombstones
-        physically dropped, atomic pointer publish. Returns the fold's
-        stats dict (``compacted``, ``regions_rewritten`` /
-        ``regions_carried``, ``tombstones_dropped``, ``applied_seq`` —
-        after which ``prune_changelog(opts, applied_seq)`` is safe for
-        WAL retention)."""
+        physically dropped, atomic pointer publish. The engine's
+        session rides along, so a fold past the size crossover runs
+        DISTRIBUTED (one task per touched region / the range-
+        partitioned first-fold job) while small folds stay driver-side.
+        Returns the fold's stats dict (``compacted``,
+        ``regions_rewritten`` / ``regions_carried``,
+        ``tombstones_dropped``, ``applied_seq`` — after which
+        ``prune_changelog(opts, applied_seq)`` is safe for WAL
+        retention — and ``distributed``)."""
         from kt_sql_hbase_ex_spark.sources.kvstore import compact_store
 
-        return compact_store(store_options)
+        return compact_store(store_options, spark=self.spark)
+
+    def read_kv_asof(self, seq: int, **store_options: str) -> DataFrame:
+        """TIME-TRAVEL read of a KV store: the state as of commit
+        ``seq``, reconstructed as one distributed plan from the best
+        retained snapshot (the live or one-cycle-retained superseded
+        generation, whichever fold point is largest at-or-below
+        ``seq``; the pristine base otherwise) plus the WAL span above
+        it. Unreachable history — pruned spans, seqs below every
+        retained anchor — fails loudly naming the earliest reachable
+        commit. ``seq=0`` is the pristine base; beyond-head serves the
+        head state."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import read_store_asof
+
+        return read_store_asof(self.spark, store_options, seq)
+
+    def prune_kv_changelog(self, upto: int | None = None, **store_options) -> int:
+        """WAL retention for a KV store: drop commit-log entries
+        ``<= upto`` behind the durable floor marker. With ``upto``
+        omitted, prunes to the SAFE watermark — the oldest retained
+        generation's fold point (the superseded generation's, while the
+        deferred GC still holds it; the live one's otherwise) — which
+        is the most aggressive prune that loses NO currently-anchored
+        time-travel point and nothing WAL recovery still needs. A store
+        that has never folded has no anchor: the no-``upto`` form
+        prunes nothing and returns the current floor. Returns the new
+        floor."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            changelog_floor,
+            prune_changelog,
+        )
+
+        opts = {k.lower(): v for k, v in dict(store_options).items()}
+        if upto is None:
+            import os as _os
+
+            gen = _resolve_generation(opts)
+            if gen is None:
+                return changelog_floor(opts)
+            pa_ = gen.get("prev_anchor")
+            upto = (
+                int(pa_["applied_seq"])
+                if pa_ and _os.path.isdir(pa_["dir"])
+                else int(gen["applied_seq"])
+            )
+        prune_changelog(opts, int(upto))
+        return changelog_floor(opts)

@@ -1033,3 +1033,70 @@ def test_script_splitter_nested_block_comments():
     assert _split_statements(
         "SELECT 1 /* note /* inner */ ; still comment */; SELECT 2"
     ) == ["SELECT 1 /* note /* inner */ ; still comment */", "SELECT 2"]
+
+
+def test_facade_kv_maintenance_and_timetravel(eng, tmp_path):
+    """The facade's KV maintenance surface end to end (round-9):
+    commits → compact_kv_table (session rides along for the
+    distributed crossover) → read_kv_asof at every reachable point →
+    prune_kv_changelog's no-arg SAFE watermark (the oldest retained
+    anchor) keeps every anchored time-travel point serving."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        changelog_floor,
+        delete_from_store,
+        register_kv_source,
+        truncate_overlay,
+    )
+
+    register_kv_source(eng.spark)
+    base = os.path.join(str(tmp_path), "fac.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}),
+        base,
+    )
+    opts = {
+        "path": base,
+        "keyCol": "k",
+        "columns": "k,v",
+        "appId": eng.spark.conf.get("spark.app.id", "shared"),
+    }
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)
+
+    def put(rows):
+        eng.spark.createDataFrame(rows, "k bigint, v double").write.format(
+            FORMAT_NAME
+        ).options(**opts).mode("append").save()
+
+    put([(1, 10.0), (2, 20.0)])  # seq 1
+    stats = eng.compact_kv_table(**opts)  # gen A, anchor 1
+    assert stats["compacted"] and stats["applied_seq"] == 1
+    assert "distributed" in stats  # session rode along (crossover-sized)
+    put([(2, 25.0)])  # seq 2
+    delete_from_store(lopts, [1])  # seq 3
+    stats2 = eng.compact_kv_table(**opts)  # gen B, anchor 3; A retained
+    assert stats2["applied_seq"] == 3
+
+    def state(seq):
+        return {r["k"]: r["v"] for r in eng.read_kv_asof(seq, **opts).collect()}
+
+    # safe prune with no argument: floor moves to the OLDEST retained
+    # anchor (gen A's fold point), not the live one
+    floor = eng.prune_kv_changelog(**opts)
+    assert floor == 1 == changelog_floor(lopts)
+    assert state(1) == {1: 10.0, 2: 20.0}  # gen A's anchor point
+    assert state(2) == {1: 10.0, 2: 25.0}  # anchor A + span (1,2]
+    assert state(3) == {2: 25.0}  # live anchor
+    assert state(99) == {2: 25.0}
+    # a store that never folded: no-arg prune is a no-op
+    base2 = os.path.join(str(tmp_path), "fac2.parquet")
+    pq.write_table(pa.table({"k": pa.array([], pa.int64())}), base2)
+    o2 = {"path": base2, "keyCol": "k", "columns": "k", "appId": opts["appId"]}
+    truncate_overlay({k.lower(): v for k, v in o2.items()})
+    assert eng.prune_kv_changelog(**o2) == 0
