@@ -909,3 +909,118 @@ def test_create_table_parser_roundtrip(cols, n_pk, table_comment):
     m2 = _CREATE_TABLE_HEAD.match(no_pk)
     assert m2 is not None
     assert KtSqlEngine._create_table_parts(no_pk, m2) is None
+
+
+# --- WAL lifecycle: fold/prune/time-travel vs a pure-Python model -----
+
+_kv_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("put"),
+            st.lists(
+                st.tuples(KEYS, VALS), min_size=1, max_size=4,
+                unique_by=lambda r: r[0],
+            ),
+        ),
+        st.tuples(st.just("del"), st.lists(KEYS, min_size=1, max_size=3)),
+        st.tuples(st.just("fold"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=_kv_ops)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
+    """The whole round-8/9 WAL story as ONE property: any interleaving
+    of put/delete commits and folds, followed by the SAFE retention
+    prune (to the oldest retained generation's fold point), must leave
+    read_store_asof equal to a pure-Python replay at every retained
+    anchor, at the head, and at a mid-span commit — and must refuse
+    loudly below the oldest retained anchor once pruning made that
+    history unreachable."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        changelog_floor,
+        compact_store,
+        delete_from_store,
+        prune_changelog,
+        read_store_asof,
+        register_kv_source,
+        truncate_overlay,
+    )
+
+    register_kv_source(spark)
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(str(tmp_path), f"wal_{tag}.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}),
+        base,
+    )
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": tag}
+    truncate_overlay(opts)
+
+    state: dict = {}
+    states = {0: {}}
+    seq = 0
+    anchors: list = []
+    dirty = False  # commits since the last real fold
+    for kind, arg in ops:
+        if kind == "put":
+            KVUpsertWriter(opts).commit(
+                [KVWriteMessage([{"k": k, "v": float(v)} for k, v in arg])]
+            )
+            state.update({k: float(v) for k, v in arg})
+            seq += 1
+            states[seq] = dict(state)
+            dirty = True
+        elif kind == "del":
+            delete_from_store(opts, arg)
+            for k in arg:
+                state.pop(k, None)
+            seq += 1
+            states[seq] = dict(state)
+            dirty = True
+        else:  # fold
+            out = compact_store(opts)
+            assert out["compacted"] is dirty  # no-op iff nothing to fold
+            if out["compacted"]:
+                assert out["applied_seq"] == seq
+                anchors.append(seq)
+                dirty = False
+
+    def asof(s):
+        return {
+            r["k"]: r["v"] for r in read_store_asof(spark, opts, s).collect()
+        }
+
+    retained = anchors[-2:]  # live + one-cycle prev_anchor
+    if retained:
+        a0 = retained[0]
+        prune_changelog(opts, a0)
+        assert changelog_floor(opts) >= min(a0, seq)
+        probes = {s for s in (a0, seq, (a0 + seq) // 2) if s >= a0}
+    else:
+        probes = set(states)  # nothing pruned: every commit point serves
+    probes.add(0)
+    for s in sorted(probes):
+        assert asof(s) == states[s], f"seq={s}"
+    if retained and retained[0] > 1 and changelog_floor(opts) > 0:
+        with _pytest.raises(ValueError):
+            read_store_asof(spark, opts, retained[0] - 1)
