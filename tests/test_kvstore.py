@@ -2022,7 +2022,9 @@ def test_overlay_lock_primitive_and_concurrent_fold(tmp_path):
 
         fd_path = kv.overlay_path(opts) + ".lock"
         # simulate the crash by re-creating the lock after release
-    open(fd_path, "w").write("99999")
+    # a pid that can never be live (default pid_max is 4194304), so the
+    # liveness guard sees a dead holder on any host
+    open(fd_path, "w").write(str(2**22 + 1))
     with pytest.raises(OverlayWriterConflict):
         with _overlay_lock(opts, timeout_s=0.05):
             pass  # pragma: no cover
