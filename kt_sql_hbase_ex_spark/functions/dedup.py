@@ -1807,77 +1807,3 @@ def d17_repeated_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
     )
 
-
-#: the deterministic "benchmark" carve-out d18 decontaminates against:
-#: doc_id % 20 == 3 plays the eval set (a fixture artifact — real
-#: benchmarks are external and TINY relative to the corpus, which is
-#: exactly why the broadcast below is the right scale shape)
-DECON_MOD = 20
-DECON_RES = 3
-
-
-@query(
-    "d18_eval_decontamination",
-    oracle=f"""
-    WITH {_SPAN_WINDOWS_SQL},
-    ev AS (SELECT DISTINCT gram_hash FROM w
-           WHERE doc_id % {DECON_MOD} = {DECON_RES}),
-    train AS (SELECT doc_id, source FROM toks
-              WHERE doc_id % {DECON_MOD} <> {DECON_RES}),
-    hit AS (SELECT DISTINCT w.doc_id FROM w
-            JOIN ev USING (gram_hash)
-            WHERE w.doc_id % {DECON_MOD} <> {DECON_RES})
-    SELECT t.source,
-           CAST(COUNT(*) AS BIGINT) AS n_train,
-           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_contaminated,
-           CAST(MIN(CASE WHEN h.doc_id IS NOT NULL THEN t.doc_id END)
-                AS BIGINT) AS first_contaminated
-    FROM train t LEFT JOIN hit h USING (doc_id)
-    GROUP BY t.source
-    """,
-)
-def d18_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EVAL-SET DECONTAMINATION (round-9) — the GPT-3-style n-gram
-    overlap scrub every serious pretraining run performs: a training
-    document is CONTAMINATED if it shares any {SPAN_W}-token window
-    with any benchmark document (here the deterministic doc_id %
-    {DECON_MOD} == {DECON_RES} carve-out plays the benchmark). Reports
-    per source the train count, contaminated count, and the first
-    contaminated doc_id (a concrete pin against off-by-one split
-    errors). Plan shape is THE decontamination shape at 100 TB: the
-    benchmark's distinct window hashes are benchmark-sized (real eval
-    sets are tiny relative to the corpus — unlike d17's duplicated-
-    window set, the broadcast here is justified by construction), so
-    they BROADCAST into a semi-join against the corpus's window stream
-    — the corpus is tokenized in one linear codegen'd pass and never
-    shuffles; only (doc_id) survivors reach the per-source count."""
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", "text"
-    )
-    is_eval = (F.col("doc_id") % DECON_MOD) == DECON_RES
-    ev_hashes = (
-        _span_windows(docs.filter(is_eval)).select("gram_hash").distinct()
-    )
-    hits = (
-        _span_windows(docs.filter(~is_eval))
-        .join(F.broadcast(ev_hashes), "gram_hash", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        docs.filter(~is_eval)
-        .select("doc_id", "source")
-        .join(hits, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_train"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_contaminated"),
-            F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias(
-                "first_contaminated"
-            ),
-        )
-    )

@@ -450,7 +450,10 @@ PACK_BUDGET = 256  # tokens per training sequence (context-window budget)
     SELECT source,
            CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN (cum - 1) // {PACK_BUDGET}
+                              > (cum - n_tok) // {PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spillover
     FROM c
     GROUP BY source, pack_id
     """,
@@ -465,7 +468,12 @@ def tr08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs pack independently on its own executor group, no total order
     over 100 TB, and it matches how pipelines shard packing by domain or
     file anyway. Report: docs and tokens per pack (the trainer's
-    sequence-fill profile)."""
+    sequence-fill profile), plus ``n_spillover`` (round-9): how many of
+    the pack's documents straddle into the NEXT pack — the
+    attention-contamination count that packing with document masking
+    exists to neutralize, derived arithmetically from the same
+    cumulative offsets (a doc spills iff its last token's pack differs
+    from its first's — no per-sequence explode, no extra shuffle)."""
     from pyspark.sql import Window as W
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -483,6 +491,15 @@ def tr08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.floor((F.col("cum") - 1) / PACK_BUDGET)
+                    > F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_spillover"),
         )
     )
 
@@ -1200,95 +1217,3 @@ def tr16_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-#: tr17's training-sequence length (tokens) — fixture-sized so even
-#: sf0.001 packs multiple sequences per source
-SEQ_LEN = 256
-
-
-@query(
-    "tr17_sequence_packing",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, source,
-               CAST(len({_SPAN_TOKENS_SQL}) AS BIGINT) AS n_tok
-        FROM documents
-    ),
-    packed AS (
-        SELECT doc_id, source, n_tok,
-               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum
-        FROM toks
-    ),
-    marked AS (
-        SELECT source, n_tok, cum,
-               (cum - n_tok) // {SEQ_LEN} AS start_seq,
-               (cum - 1) // {SEQ_LEN} AS end_seq
-        FROM packed
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-           CAST((MAX(cum) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT) AS n_sequences,
-           CAST(SUM(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END)
-                AS BIGINT) AS docs_crossing,
-           CAST(MAX(cum) - ((MAX(cum) - 1) // {SEQ_LEN}) * {SEQ_LEN}
-                AS BIGINT) AS last_fill
-    FROM marked
-    GROUP BY source
-    """,
-)
-def tr17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINING-SEQUENCE PACKING accounting (round-9) — the
-    concat-and-chunk packing every GPT-style pretraining run performs:
-    within each source, documents concatenate in doc_id order and chunk
-    into fixed {SEQ_LEN}-token sequences; reported per source are the
-    exact sequence count, how many documents straddle a sequence
-    boundary (the attention-contamination metric packing with document
-    masking exists to fix), and the final sequence's fill (the padding
-    waste). All exact integers over ONE per-source running-sum window —
-    the cumulative token offset determines every document's start/end
-    sequence arithmetically, so no per-sequence explode, no second
-    shuffle; at 100 TB the window partitions by source (sources are the
-    natural pack-domain and the skew bound is the largest source, which
-    a real run sub-shards by hash exactly like tr04's striping). The
-    oracle replays the identical window arithmetic."""
-    from pyspark.sql import Window as W
-
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", "text"
-    )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.expr(_SPAN_TOKENS_SPARK)).cast("bigint").alias("n_tok"),
-    )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = toks.withColumn("cum", F.sum("n_tok").over(w))
-    marked = packed.select(
-        "source",
-        "n_tok",
-        "cum",
-        F.floor((F.col("cum") - F.col("n_tok")) / SEQ_LEN).alias("start_seq"),
-        F.floor((F.col("cum") - 1) / SEQ_LEN).alias("end_seq"),
-    )
-    return marked.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.floor((F.max("cum") + SEQ_LEN - 1) / SEQ_LEN)
-        .cast("bigint")
-        .alias("n_sequences"),
-        F.sum(F.when(F.col("end_seq") > F.col("start_seq"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("docs_crossing"),
-        (
-            F.max("cum")
-            - F.floor((F.max("cum") - 1) / SEQ_LEN) * SEQ_LEN
-        )
-        .cast("bigint")
-        .alias("last_fill"),
-    )

@@ -874,36 +874,3 @@ def test_span_probe_broadcast_size_guard(spark, sf_small):
     b = sorted(map(tuple, slow.collect()))
     assert a == b and len(a) > 0
 
-
-def test_decontamination_broadcasts_eval_hashes(spark, sf_small):
-    """d18's plan shape: the benchmark's window hashes reach the corpus
-    as a BROADCAST left-semi join — the corpus window stream is never
-    shuffled to meet them (the decontamination shape at 100 TB, where
-    the eval set is tiny and the corpus is not)."""
-    from kt_sql_hbase_ex_spark.functions.dedup import d18_eval_decontamination
-
-    plan = (
-        d18_eval_decontamination(spark, sf_small)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-
-
-def test_sequence_packing_single_shuffle(spark, sf_small):
-    """tr17's plan shape: ONE exchange total — the running-sum window
-    partitions by source and the final per-source aggregate reuses that
-    exact partitioning, so packing accounting costs a single shuffle of
-    (doc_id, n_tok) pairs, never a second pass."""
-    from kt_sql_hbase_ex_spark.functions.pipeline import tr17_sequence_packing
-
-    plan = (
-        tr17_sequence_packing(spark, sf_small)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "Exchange SinglePartition" not in plan, plan
