@@ -1339,6 +1339,7 @@ def compact_store(
     spark=None,
     lock_free_attempts: int = 2,
     distribute_min_rows: int = DISTRIBUTE_MIN_ROWS,
+    fold_timeout_s: float = 600.0,
 ) -> dict:
     """Fold the committed overlay into a new base generation (HBase
     memstore flush + major compaction in one step — the write path the
@@ -1393,7 +1394,7 @@ def compact_store(
     ``distributed`` (True when the rewrite ran as a Spark job), and
     ``compacted`` (False for the no-op path)."""
     opts = {k.lower(): v for k, v in dict(options).items()}
-    with _fold_lock(opts):
+    with _fold_lock(opts, timeout_s=fold_timeout_s):
         for _ in range(max(0, lock_free_attempts)):
             out = _compact_once(
                 opts, spark, distribute_min_rows, locked_build=False

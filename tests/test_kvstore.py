@@ -2462,3 +2462,50 @@ def test_fold_distribution_crossover(tmp_path, spark):
     KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 2, "v": 22.0}])])
     stats2 = compact_store(opts, spark=spark, distribute_min_rows=0)
     assert stats2["compacted"] and stats2["distributed"] is True
+
+
+def test_break_fold_lock_liveness_guard(tmp_path):
+    """break_fold_lock mirrors break_overlay_lock's guard rail: refuse
+    while the recorded holder pid is alive (unless forced), clear a
+    dead holder's lock, and a cleared lock lets the next fold proceed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        OverlayWriterConflict,
+        _gen_root,
+        break_fold_lock,
+        compact_store,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "flk.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "v": pa.array([1.0, 2.0], pa.float64())}), base)
+    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": "flk"}
+    truncate_overlay(opts)
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 3, "v": 3.0}])])
+
+    root = _gen_root(opts)
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "fold.lock")
+
+    # live holder: a racing fold times out loudly; break refuses
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(OverlayWriterConflict):
+        compact_store({**opts}, lock_free_attempts=0, fold_timeout_s=0.05)
+    with pytest.raises(OverlayWriterConflict, match="still alive"):
+        break_fold_lock(opts)
+    break_fold_lock(opts, force=True)
+
+    # dead holder: clears without force, and the fold then lands
+    with open(lock, "w") as f:
+        f.write(str(2**22 + 1))
+    break_fold_lock(opts)
+    stats = compact_store(opts)
+    assert stats["compacted"] and stats["applied_seq"] == 1
+    truncate_overlay(opts)
