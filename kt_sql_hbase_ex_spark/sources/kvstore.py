@@ -1360,7 +1360,10 @@ def compact_store(
     a continuous commit stream, at the old stall-the-writers cost only
     in that last resort. Folds exclude EACH OTHER via
     :func:`_fold_lock` for the whole cycle (a second fold's opening GC
-    must never sweep the first's in-progress build dir).
+    must never sweep the first's in-progress build dir);
+    ``fold_timeout_s`` sizes how long a fold waits on a concurrent one
+    before failing loudly — tune it to fold duration in pipelines that
+    schedule maintenance from several workers.
 
     EXECUTION (round-9): with ``spark`` given AND the estimated fold
     size at-or-above ``distribute_min_rows`` (the broadcast-threshold
