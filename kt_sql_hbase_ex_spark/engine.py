@@ -1620,10 +1620,17 @@ class KtSqlEngine:
         generation's fold point (the superseded generation's, while the
         deferred GC still holds it; the live one's otherwise) — which
         is the most aggressive prune that loses NO currently-anchored
-        time-travel point and nothing WAL recovery still needs. A store
-        that has never folded has no anchor: the no-``upto`` form
-        prunes nothing and returns the current floor. Returns the new
-        floor."""
+        time-travel point and nothing WAL recovery still needs. Note
+        what IS given up: before the first prune, ``read_kv_asof``
+        could also reach every seq BELOW the oldest anchor by replaying
+        the full prefix over the pristine base; the watermark prune
+        removes that fallback, so pre-anchor history becomes
+        unreachable (the asof read fails loudly naming the earliest
+        reachable commit). Callers needing those points must prune
+        manually to a smaller ``upto`` — "safe" means anchored points
+        survive, not all history. A store that has never folded has no
+        anchor: the no-``upto`` form prunes nothing and returns the
+        current floor. Returns the new floor."""
         from kt_sql_hbase_ex_spark.sources.kvstore import (
             _resolve_generation,
             changelog_floor,

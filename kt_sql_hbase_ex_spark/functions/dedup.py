@@ -1737,6 +1737,17 @@ def _span_windows(df: DataFrame) -> DataFrame:
 DUP_SPAN_BROADCAST_MAX = 1_000_000
 
 
+#: single-slot cache registry for :func:`probe_duplicated_spans` —
+#: each invocation unpersists the PREVIOUS call's duplicated-window
+#: set before persisting its own, so repeated invocations in one
+#: session (bench sweeps, tr15+tr16 back-to-back) hold at most ONE
+#: cached relation instead of accumulating them for the session
+#: lifetime (round-9 review finding). The previous relation is safe
+#: to drop: its consumer join was materialized by the prior call's
+#: action, and a straggler re-read would just recompute from lineage.
+_LAST_DUP_CACHE: list = []
+
+
 def probe_duplicated_spans(wins, dup, max_broadcast: int | None = None):
     """Join every window onto the duplicated-window set with a
     SIZE-GUARDED strategy (round-9 — closes the round-8 "statement-
@@ -1752,7 +1763,13 @@ def probe_duplicated_spans(wins, dup, max_broadcast: int | None = None):
     from pyspark import StorageLevel
 
     limit = DUP_SPAN_BROADCAST_MAX if max_broadcast is None else max_broadcast
+    while _LAST_DUP_CACHE:
+        try:
+            _LAST_DUP_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped session's relation: nothing to free
     dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_DUP_CACHE.append(dup)
     if dup.count() <= limit:
         return wins.join(F.broadcast(dup), "gram_hash")
     return wins.join(dup.hint("SHUFFLE_HASH"), "gram_hash")

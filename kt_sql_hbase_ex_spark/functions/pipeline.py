@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from kt_sql_hbase_ex_spark.functions.dedup import (
     SPAN_W,
     _SPAN_TOKENS_SPARK,
-    _SPAN_TOKENS_SQL,
     _SPAN_WINDOWS_SQL,
 )
 from kt_sql_hbase_ex_spark.registry import query

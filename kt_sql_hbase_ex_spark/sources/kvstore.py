@@ -40,6 +40,7 @@ import contextlib
 import os
 import tempfile
 import time
+import uuid
 from typing import Any, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
@@ -412,11 +413,14 @@ def _overlay_lock(options, timeout_s: float = 30.0):
 
 
 @contextlib.contextmanager
-def _excl_lock(path: str, timeout_s: float, what: str):
+def _excl_lock(path: str, timeout_s: float, what: str, breaker: str = "break_overlay_lock"):
     """O_EXCL file-lock primitive shared by the overlay writer lock and
     the fold lock: block-with-timeout acquire, pid recorded for the
     liveness probe, loud :class:`OverlayWriterConflict` past the
-    deadline, unlink on every exit path."""
+    deadline, unlink on every exit path. ``breaker`` names the
+    clear-a-crashed-holder function for THIS lock in the timeout
+    message (round-9 review: a contended fold lock must point
+    operators at ``break_fold_lock``, not the overlay breaker)."""
     deadline = time.monotonic() + timeout_s
     while True:
         try:
@@ -426,7 +430,7 @@ def _excl_lock(path: str, timeout_s: float, what: str):
             if time.monotonic() >= deadline:
                 raise OverlayWriterConflict(
                     f"{what} {path}: another writer holds the "
-                    "lock — retry after it finishes (break_overlay_lock "
+                    f"lock — retry after it finishes ({breaker} "
                     "clears a crashed one)"
                 ) from None
             time.sleep(0.01)
@@ -1296,7 +1300,12 @@ def _fold_lock(options, timeout_s: float = 600.0):
     opts = {k.lower(): v for k, v in dict(options).items()}
     root = _gen_root(opts)
     os.makedirs(root, exist_ok=True)
-    with _excl_lock(os.path.join(root, "fold.lock"), timeout_s, "kv store fold"):
+    with _excl_lock(
+        os.path.join(root, "fold.lock"),
+        timeout_s,
+        "kv store fold",
+        breaker="break_fold_lock",
+    ):
         yield
 
 
@@ -1633,8 +1642,13 @@ def _fold_region_task(payload: dict) -> list:
     (the identical fold shape, proven distributable): last-wins-merge
     ONE region file with its overlay slice, write the replacement
     chunk(s) into the build dir, return their metadata. Task-retry
-    safe: file names derive from the region index, so a re-executed
-    task overwrites its own output byte-identically."""
+    safe: each ATTEMPT writes to its own uuid-suffixed temp name and
+    ``os.replace``s into the final region-index-derived name — a
+    zombie or speculative attempt still writing after the winning
+    attempt's metadata was collected can only ever atomically install
+    a byte-identical complete file, never tear one mid-write (the
+    final name is only ever the target of a rename, round-9 review
+    finding)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1654,12 +1668,18 @@ def _fold_region_task(payload: dict) -> list:
     out = []
     for j, chunk in enumerate(_region_chunks(rows, payload["region_size"])):
         name = f"region-t{payload['task']:05d}-{j:03d}.parquet"
+        final = os.path.join(payload["new_dir"], name)
+        # underscore prefix: a crash-orphaned temp is invisible to
+        # Spark's default path filter (directory-level parquet reads
+        # skip _/.-prefixed files) and to the metadata-driven readers
+        tmp = os.path.join(payload["new_dir"], f"_tmp.{uuid.uuid4().hex}.{name}")
         pq.write_table(
             pa.Table.from_pylist(
                 [{c: r[c] for c in columns} for r in chunk], schema=schema
             ),
-            os.path.join(payload["new_dir"], name),
+            tmp,
         )
+        os.replace(tmp, final)
         out.append(
             {
                 "file": name,
@@ -1759,10 +1779,19 @@ def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
         rks = tbl.column("__rk").to_pylist()
         data = tbl.select(col_order).cast(schema)
         metas = []
+        import uuid as _uuid
+
         for j, lo in enumerate(range(0, tbl.num_rows, region_size)):
             chunk = data.slice(lo, region_size)
             name = f"region-p{pid:05d}-{j:03d}.parquet"
-            _pq.write_table(chunk, os.path.join(new_dir, name))
+            # attempt-unique temp + atomic rename: a zombie/speculative
+            # attempt racing the winner can only install a complete
+            # byte-identical file, never tear the final name mid-write;
+            # the _ prefix hides crash orphans from directory-level reads
+            final = os.path.join(new_dir, name)
+            tmp = os.path.join(new_dir, f"_tmp.{_uuid.uuid4().hex}.{name}")
+            _pq.write_table(chunk, tmp)
+            os.replace(tmp, final)
             metas.append(
                 {
                     "file": name,
