@@ -132,6 +132,12 @@ HEADLINE = (
     "tr15_span_scrub",
     "tr16_span_scrubbed_corpus",
     "sim12_retrain_recall_readout",
+    # round-10 addition: the bulk-load cycle (put batch → fold →
+    # delete batch → DISTRIBUTED region-pruned bulk merge → generation
+    # scan) — the src11 lifecycle pattern for the store's actual
+    # at-scale ingest path (mapInArrow merge tasks + hardlink carries
+    # + marker claim), which no other entry exercises.
+    "src13_kv_bulk_load",
 )
 
 

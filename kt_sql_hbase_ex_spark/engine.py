@@ -1599,6 +1599,25 @@ class KtSqlEngine:
 
         return compact_store(store_options, spark=self.spark)
 
+    def bulk_load_kv(self, df: DataFrame, **store_options: str) -> dict:
+        """BULK LOAD a DataFrame of Put rows straight into the KV
+        store's base (the HBase ``LoadIncrementalHFiles`` analog): the
+        batch stays distributed end to end — region-pruned merge into
+        the live generation, or a range-partitioned rewrite for a
+        store without one — published behind the atomic generation
+        pointer. Keys must be unique and non-null; bulk rows win over
+        every previously-committed mutation. The loaded rows BYPASS
+        the change feed: the claimed commit number carries a marker
+        that makes every WAL consumer fail loudly toward re-baseline
+        instead of silently missing the load (the HBase
+        replication-misses-bulkloads caveat, made mechanical). Returns
+        the load's stats dict (``loaded``, ``seq``, ``generation``,
+        ``regions_rewritten`` / ``regions_carried``,
+        ``distributed``)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import bulk_load_store
+
+        return bulk_load_store(store_options, df)
+
     def read_kv_asof(self, seq: int, **store_options: str) -> DataFrame:
         """TIME-TRAVEL read of a KV store: the state as of commit
         ``seq``, reconstructed as one distributed plan from the best

@@ -1738,13 +1738,16 @@ DUP_SPAN_BROADCAST_MAX = 1_000_000
 
 
 #: single-slot cache registry for :func:`probe_duplicated_spans` —
-#: each invocation unpersists the PREVIOUS call's duplicated-window
-#: set before persisting its own, so repeated invocations in one
-#: session (bench sweeps, tr15+tr16 back-to-back) hold at most ONE
-#: cached relation instead of accumulating them for the session
-#: lifetime (round-9 review finding). The previous relation is safe
-#: to drop: its consumer join was materialized by the prior call's
-#: action, and a straggler re-read would just recompute from lineage.
+#: each invocation either REUSES the previous call's persisted
+#: duplicated-window set (when the incoming plan is semantically the
+#: same relation — Catalyst's ``sameResult``; tr15 and tr16 build
+#: identical detection aggregates, so the second probe's count is a
+#: cache hit, not a recompute) or unpersists it before persisting its
+#: own. Either way at most ONE cached relation is held per session
+#: instead of accumulating across bench sweeps (round-9 review
+#: finding). A dropped relation is safe: its consumer join was
+#: materialized by the prior call's action, and a straggler re-read
+#: recomputes from lineage.
 _LAST_DUP_CACHE: list = []
 
 
@@ -1763,13 +1766,21 @@ def probe_duplicated_spans(wins, dup, max_broadcast: int | None = None):
     from pyspark import StorageLevel
 
     limit = DUP_SPAN_BROADCAST_MAX if max_broadcast is None else max_broadcast
-    while _LAST_DUP_CACHE:
+    if _LAST_DUP_CACHE:
+        prev = _LAST_DUP_CACHE[-1]
         try:
-            _LAST_DUP_CACHE.pop().unpersist(blocking=False)
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                dup._jdf.queryExecution().analyzed()
+            ):
+                dup = prev  # same relation: the materialized cache serves
+            else:
+                _LAST_DUP_CACHE.pop().unpersist(blocking=False)
         except Exception:
-            pass  # a stopped session's relation: nothing to free
-    dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
-    _LAST_DUP_CACHE.append(dup)
+            _LAST_DUP_CACHE.clear()  # stopped session: nothing to free
+    if dup is not (_LAST_DUP_CACHE[-1] if _LAST_DUP_CACHE else None):
+        dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
+        _LAST_DUP_CACHE.clear()
+        _LAST_DUP_CACHE.append(dup)
     if dup.count() <= limit:
         return wins.join(F.broadcast(dup), "gram_hash")
     return wins.join(dup.hint("SHUFFLE_HASH"), "gram_hash")

@@ -1013,13 +1013,19 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
         if not os.path.exists(os.path.join(self._log_dir, f"{nxt:08d}.parquet")):
             self._check_not_pruned(nxt)
             return iter(()), start  # caught up: no progress, same offset
+        # a bulk-load marker stops the subscriber LOUDLY: the loaded
+        # rows bypassed the WAL, so draining past the marker would
+        # silently desynchronize every downstream replica
+        _check_no_bulk_markers(self._log_dir, [nxt])
         return self._emit([nxt]), {"seq": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        for seq in range(int(start["seq"]) + 1, int(end["seq"]) + 1):
+        span = range(int(start["seq"]) + 1, int(end["seq"]) + 1)
+        for seq in span:
             if not os.path.exists(os.path.join(self._log_dir, f"{seq:08d}.parquet")):
                 self._check_not_pruned(seq)
-        return self._emit(range(int(start["seq"]) + 1, int(end["seq"]) + 1))
+        _check_no_bulk_markers(self._log_dir, span)
+        return self._emit(span)
 
     def commit(self, end: dict) -> None:
         pass  # retention is the store's policy; the feed never self-GCs
@@ -1066,8 +1072,58 @@ def prune_changelog(options, upto_seq: int) -> int:
     # the log (a hole would strand readers between surviving entries)
     for s in sorted(pruned):
         os.unlink(os.path.join(log_dir, f"{s:08d}.parquet"))
+        # a bulk-load marker prunes WITH its seq: past the floor the
+        # re-baseline it demanded has happened by contract
+        try:
+            os.unlink(_bulk_marker_path(log_dir, s))
+        except FileNotFoundError:
+            pass
         removed += 1
     return removed
+
+
+def _bulk_marker_path(log_dir: str, seq: int) -> str:
+    """Sidecar marking commit ``seq`` as a BULK LOAD event: the loaded
+    rows went straight into a new base generation, NOT through the WAL
+    (the HBase bulk-load-bypasses-the-WAL semantic), so the numbered
+    entry at ``seq`` is an empty placeholder that only claims the
+    number. Consumers that replay the WAL for data (streaming
+    subscribers, batch audits) MUST NOT read across it silently."""
+    return os.path.join(log_dir, f"{seq:08d}.bulk.json")
+
+
+def bulk_marker_seqs(options) -> List[int]:
+    """Sorted sequence numbers carrying a bulk-load marker sidecar."""
+    log_dir = changelog_dir({k.lower(): v for k, v in dict(options).items()})
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return []
+    suffix = ".bulk.json"
+    return sorted(
+        int(f[: -len(suffix)]) for f in names if f.endswith(suffix)
+    )
+
+
+def _check_no_bulk_markers(log_dir: str, seqs) -> None:
+    """Fail LOUDLY when a WAL read span crosses a bulk-load marker:
+    the bulk rows bypassed the WAL, so replaying the span as data
+    silently misses them — the well-known HBase caveat that
+    replication misses bulkloads, made mechanical instead of silent.
+    Consumers re-baseline from the store (or a generation snapshot)
+    and resume ABOVE the marker; `prune_changelog(marker_seq)`
+    retires the marker once every consumer has re-baselined."""
+    hits = [s for s in seqs if os.path.exists(_bulk_marker_path(log_dir, s))]
+    if hits:
+        raise ValueError(
+            f"change-feed span crosses bulk-load marker(s) at seq "
+            f"{hits}: the loaded rows bypassed the WAL, so replaying "
+            "this span would silently miss them — re-baseline the "
+            "consumer from the store's current state (or a retained "
+            "generation snapshot) and resume above the marker; if the "
+            "bulk load crashed before publishing, prune the marker "
+            f"with prune_changelog(opts, {hits[-1]})"
+        )
 
 
 #: overlay footer key recording the highest commit-log sequence whose
@@ -1690,7 +1746,9 @@ def _fold_region_task(payload: dict) -> list:
     return out
 
 
-def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
+def _distributed_first_fold(
+    opts, spark, snap, schema, new_dir, bulk_df=None, n_bulk: int = 0
+) -> list:
     """The whole-base rewrite as a Spark job (round-9 — the fold shape
     the driver-side path asserts distributes, made executable): base
     rows whose key the overlay touched drop via a broadcast anti-join,
@@ -1700,7 +1758,14 @@ def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
     Arrow-batched end to end, no pandas type round-trip, no
     driver-side data. Only chunk metadata (file, start, rows) comes
     back. Region starts ship JSON-encoded so one return schema carries
-    both numeric single-PK and string composite rowkeys."""
+    both numeric single-PK and string composite rowkeys.
+
+    With ``bulk_df`` (round-10 bulk load over a store without a
+    generation): the batch's keys anti-join the merged relation — NOT
+    broadcast-hinted like the statement-sized overlay keys; the batch
+    can be arbitrarily large, so Catalyst/AQE picks the join strategy —
+    and the batch rows union in LAST (bulk > overlay > base
+    precedence)."""
     import json as _json
     import math
 
@@ -1729,6 +1794,11 @@ def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
     from pyspark.sql.functions import broadcast
 
     merged = base_df.join(broadcast(touched), on=key_cols, how="left_anti").unionByName(puts)
+    if bulk_df is not None:
+        bulk = bulk_df.select(*columns)
+        merged = merged.join(
+            bulk.select(*key_cols), on=key_cols, how="left_anti"
+        ).unionByName(bulk)
     if len(key_cols) == 1:
         rk = F.col(key_cols[0])
     else:
@@ -1755,7 +1825,9 @@ def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
         if snap["cur"] is not None
         else pq.ParquetFile(snap["fixture"]).metadata.num_rows
     )
-    n_part = max(1, math.ceil((n_base + len(overlay_rows)) / region_size))
+    n_part = max(
+        1, math.ceil((n_base + len(overlay_rows) + n_bulk) / region_size)
+    )
     shaped = (
         merged.withColumn("__rk", rk)
         .repartitionByRange(n_part, "__rk")
@@ -1819,6 +1891,222 @@ def _distributed_first_fold(opts, spark, snap, schema, new_dir) -> list:
         {"file": m["file"], "start": _json.loads(m["start"]), "rows": m["rows"]}
         for m in metas
     ]
+
+
+def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
+    """Region-pruned DISTRIBUTED merge of a bulk batch (plus any
+    pending overlay) into an existing generation — the bulk-load twin
+    of the incremental fold's one-task-per-touched-region shape, with
+    the mutations arriving as a DataFrame instead of driver-side rows:
+
+    1. every mutation row gets its covering region index via ONE
+       Arrow-batched pass (vectorized searchsorted over the broadcast
+       region starts — regions metadata is pointer-sized, never data);
+    2. mutations repartition on the region index (the batch's only
+       shuffle) and each task last-wins-merges its regions' files with
+       their mutation slices — region < overlay < bulk precedence —
+       writing replacement chunks via temp+atomic-rename;
+    3. untouched regions carry into the new generation by hardlink,
+       driver-side metadata only.
+
+    Work ∝ batch + touched regions × region_size; the batch never
+    visits the driver. Skew bound: one region's merge task holds that
+    region's rows + its mutation slice in memory — a batch hammering
+    one key range concentrates there, the same hotspotting HBase
+    bulkload has; pre-split (smaller ``regionSize``) is the remedy.
+    At cluster scale region files must live on shared storage (the
+    generation-root bound compact_store documents)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    regions = snap["cur"]["regions"]
+    starts = [r["start"] for r in regions]
+    key_cols = list(snap["key_cols"])
+    columns = snap["columns"]
+    region_size = snap["region_size"]
+    overlay_rows = snap["overlay_rows"]
+    gen_dir = snap["cur"]["dir"]
+    fixture = snap["fixture"]
+
+    # mutations = overlay (prio 0, may tombstone) ∪ bulk (prio 1):
+    # one relation so ONE shuffle routes both to their merge tasks
+    bulk = (
+        df.select(*columns)
+        .withColumn(TOMBSTONE, F.lit(False))
+        .withColumn("__prio", F.lit(1))
+    )
+    muts = bulk
+    if overlay_rows:
+        from pyspark.sql.types import StructField, StructType
+
+        # explicitly nullable: tombstone rows carry None outside the
+        # key, and the batch's literal columns may be non-nullable
+        nullable = StructType(
+            [StructField(f.name, f.dataType, True) for f in bulk.schema.fields]
+        )
+        ov = spark.createDataFrame(
+            [
+                tuple(r.get(c) for c in columns) + (bool(r.get(TOMBSTONE)), 0)
+                for r in overlay_rows
+            ],
+            schema=nullable,
+        )
+        muts = bulk.unionByName(ov)
+
+    single = len(key_cols) == 1
+
+    @pandas_udf("int")
+    def region_of(*cols):
+        # vectorized bisect_right(starts, rowkey) - 1, clipped at 0 —
+        # byte-identical region routing to the driver fold's bisect
+        import numpy as _np
+        import pandas as _pd
+
+        if single:
+            arr = _np.asarray(cols[0])
+            s = _np.asarray(starts)
+        else:
+            parts = []
+            for c in cols:
+                comp = c.astype("Int64")
+                if (
+                    comp.isna().any()
+                    or (comp < 0).any()
+                    or (comp > 10 ** _KEY_PAD - 1).any()
+                ):
+                    raise ValueError(
+                        "composite key component must be a non-negative "
+                        f"integer of <= {_KEY_PAD} digits"
+                    )
+                parts.append(comp.astype(str).str.zfill(_KEY_PAD))
+            joined = parts[0]
+            for p in parts[1:]:
+                joined = joined + "|" + p
+            arr = joined.to_numpy(dtype=object)
+            s = _np.asarray(starts, dtype=object)
+        idx = _np.maximum(_np.searchsorted(s, arr, side="right") - 1, 0)
+        return _pd.Series(idx.astype("int32"))
+
+    from pyspark import StorageLevel
+
+    muts = muts.withColumn(
+        "__region", region_of(*[F.col(c) for c in key_cols])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        touched = sorted(
+            r["__region"] for r in muts.select("__region").distinct().collect()
+        )
+        touched_set = set(touched)
+
+        regions_meta: list = []
+        carried = 0
+        for i, region in enumerate(regions):
+            if i in touched_set:
+                continue
+            name = f"region-c{i:05d}.parquet"
+            os.link(
+                os.path.join(gen_dir, region["file"]),
+                os.path.join(new_dir, name),
+            )
+            regions_meta.append(
+                {"file": name, "start": region["start"], "rows": region["rows"]}
+            )
+            carried += 1
+
+        region_files = {
+            i: os.path.join(gen_dir, regions[i]["file"]) for i in touched
+        }
+        col_order = list(columns)
+        kc = list(key_cols)
+
+        def merge_regions(batches):
+            import uuid as _uuid
+
+            import pandas as _pd
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as _pq
+
+            tbls = [pa.Table.from_batches([b]) for b in batches]
+            if not tbls:
+                return
+            tbl = pa.concat_tables(tbls)
+            if tbl.num_rows == 0:
+                return
+            base_sch = _pq.read_schema(fixture)
+            out_schema = pa.schema(
+                [pa.field(c, base_sch.field(c).type) for c in col_order]
+            )
+            metas = []
+            for ridx in sorted(set(tbl.column("__region").to_pylist())):
+                sub = tbl.filter(pc.equal(tbl.column("__region"), ridx))
+                merged: dict = {}
+                for r in _pq.read_table(region_files[ridx]).to_pylist():
+                    merged[_rowkey_of(r, kc)] = r
+                for r in sub.sort_by("__prio").to_pylist():
+                    k = _rowkey_of(r, kc)
+                    if r.get(TOMBSTONE):
+                        merged.pop(k, None)
+                    else:
+                        merged[k] = {c: r[c] for c in col_order}
+                out_rows = sorted(
+                    merged.values(), key=lambda r: _rowkey_of(r, kc)
+                )
+                for j, chunk in enumerate(
+                    _region_chunks(out_rows, region_size)
+                ):
+                    name = f"region-b{ridx:05d}-{j:03d}.parquet"
+                    final = os.path.join(new_dir, name)
+                    tmp = os.path.join(
+                        new_dir, f"_tmp.{_uuid.uuid4().hex}.{name}"
+                    )
+                    _pq.write_table(
+                        pa.Table.from_pylist(
+                            [{c: r[c] for c in col_order} for r in chunk],
+                            schema=out_schema,
+                        ),
+                        tmp,
+                    )
+                    os.replace(tmp, final)
+                    metas.append(
+                        {
+                            "file": name,
+                            "start": _json.dumps(_rowkey_of(chunk[0], kc)),
+                            "rows": len(chunk),
+                        }
+                    )
+            if metas:
+                yield pa.RecordBatch.from_pandas(
+                    _pd.DataFrame(metas),
+                    schema=pa.schema(
+                        [
+                            pa.field("file", pa.string()),
+                            pa.field("start", pa.string()),
+                            pa.field("rows", pa.int64()),
+                        ]
+                    ),
+                )
+
+        shaped = muts.repartition(max(1, len(touched)), "__region")
+        metas = shaped.mapInArrow(
+            merge_regions, "file string, start string, rows long"
+        ).collect()
+    finally:
+        muts.unpersist(blocking=False)
+    for m in metas:
+        regions_meta.append(
+            {"file": m["file"], "start": _json.loads(m["start"]), "rows": m["rows"]}
+        )
+    regions_meta.sort(key=lambda m: m["start"])
+    return {
+        "dir": new_dir,
+        "regions": regions_meta,
+        "rewritten": len(touched),
+        "carried": carried,
+        "distributed": True,
+    }
 
 
 def _publish_generation(opts, snap, built, verify: bool) -> dict:
@@ -1896,6 +2184,91 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
     }
 
 
+def _publish_bulk_generation(opts, snap, built, n_bulk: int, verify: bool) -> dict:
+    """Publish phase of a bulk load (under the overlay lock): verify
+    the snapshot still holds (an ABSENT overlay must still be absent;
+    a present one byte-identical; the pointer unchanged), then — in
+    this order —
+
+    1. claim the bulk's commit number: a ZERO-ROW changelog entry via
+       the normal O_EXCL claim (so no commit can ever reuse it) —
+       the bulk rows themselves never enter the WAL;
+    2. write the ``.bulk.json`` marker sidecar (any feed consumer
+       whose span crosses the claimed seq now fails loudly toward
+       re-baseline — written BEFORE the pointer so a published bulk
+       is never marker-less);
+    3. atomic pointer replace (the single publish point — the loaded
+       generation becomes visible with ``applied_seq`` = the claimed
+       seq, so as-of reads anchor at it and WAL recovery replays
+       nothing);
+    4. retire the folded overlay (if one existed) and stale-flip
+       dependent indexes.
+
+    A crash after (1) or (2) but before (3) leaves a stray claimed
+    number (and possibly its marker): the entry is zero rows, so WAL
+    recovery and as-of replay treat it as a correct no-op; feed
+    consumers over-refuse until ``prune_changelog`` retires it — the
+    same fail-toward-refusal direction the retention floor takes."""
+    import json
+    import shutil
+
+    if verify:
+        conflict = False
+        try:
+            ost = os.stat(overlay_path(opts))
+            ident = [ost.st_ino, ost.st_mtime_ns, ost.st_size]
+        except FileNotFoundError:
+            ident = None
+        if ident != snap["overlay_ident"]:
+            conflict = True
+        live = _resolve_generation(opts)
+        if (live or {}).get("dir") != ((snap["cur"] or {}).get("dir")):
+            conflict = True
+        if conflict:
+            shutil.rmtree(built["dir"], ignore_errors=True)
+            return {"published": False, "reason": _FOLD_CONFLICT}
+
+    key_cols = snap["key_cols"]
+    seq = _append_changelog(opts, [], key_cols)
+    log_dir = changelog_dir(opts)
+    marker = _bulk_marker_path(log_dir, seq)
+    tmp = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, "rows": n_bulk, "dir": built["dir"]}, f)
+    os.replace(tmp, marker)
+
+    pointer = {
+        "dir": built["dir"],
+        "applied_seq": seq,
+        "gen": (snap["cur"]["gen"] + 1) if snap["cur"] else 1,
+        "regions": built["regions"],
+        "bulk": {"seq": seq, "rows": n_bulk},
+    }
+    if snap["cur"] is not None:
+        pointer["prev_anchor"] = {
+            "dir": snap["cur"]["dir"],
+            "applied_seq": snap["cur"]["applied_seq"],
+            "gen": snap["cur"]["gen"],
+        }
+    ptr_path = os.path.join(snap["root"], GEN_POINTER)
+    tmp = f"{ptr_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(pointer, f)
+    os.replace(tmp, ptr_path)
+    if snap["overlay_ident"] is not None:
+        os.unlink(overlay_path(opts))
+    _invalidate_dependent_indexes(opts)
+    return {
+        "published": True,
+        "loaded": n_bulk,
+        "seq": seq,
+        "generation": pointer["gen"],
+        "regions_rewritten": built["rewritten"],
+        "regions_carried": built["carried"],
+        "distributed": built["distributed"],
+    }
+
+
 def _region_rows(gen_dir: str, name: str) -> int:
     """Row count of one region file (parquet footer, no data read)."""
     import pyarrow.parquet as pq
@@ -1926,6 +2299,213 @@ def maybe_compact_store(
     if n <= max_overlay_rows:
         return None
     return compact_store(opts, spark=spark)
+
+
+def bulk_load_store(
+    options,
+    df,
+    lock_free_attempts: int = 2,
+    distribute_min_rows: int = DISTRIBUTE_MIN_ROWS,
+    fold_timeout_s: float = 600.0,
+) -> dict:
+    """BULK LOAD a DataFrame of Put rows straight into a new base
+    generation — the HBase bulk-load analog (``HFileOutputFormat`` +
+    ``LoadIncrementalHFiles``: write store files directly, bypass the
+    memstore AND the WAL), and the ingest path that makes the store's
+    write side scale. The connector's DSv2 two-phase write is
+    STATEMENT-sized by contract (rows travel through the driver-merged
+    overlay); this path keeps the batch DISTRIBUTED end to end — at or
+    above ``distribute_min_rows`` the loaded rows never visit the
+    driver (region-pruned mapInArrow merge into the existing
+    generation, or a range-partitioned rewrite for a store without
+    one), below it the driver-side fold machinery is reused verbatim.
+
+    SEMANTICS. The batch is a set of Puts with UNIQUE, non-null keys
+    (duplicates are rejected loudly — last-wins among them would be
+    nondeterministic in a distributed batch). Precedence at the moment
+    of publish: bulk > committed overlay > base — the bulk claims the
+    NEXT commit number, so its rows are strictly newer than every
+    committed mutation, including overlay puts and tombstones for the
+    same keys (a bulk Put revives a deleted key, exactly like a
+    fresher HBase cell). Any pending overlay folds in during the same
+    pass, so the published generation is consistent at the claimed
+    sequence and the overlay retires with it.
+
+    WAL CONTRACT (the part HBase leaves silent, made mechanical): the
+    loaded rows do NOT travel the change feed. The claimed commit
+    number is written as a ZERO-ROW log entry plus a
+    ``<seq>.bulk.json`` marker sidecar; every WAL consumer — the
+    streaming subscriber, the batch audit read, a CDC replica — FAILS
+    LOUDLY when its span crosses the marker and must re-baseline from
+    the store, then ``prune_changelog(opts, seq)`` retires the marker.
+    (HBase replication silently misses bulkloads; here the miss is
+    impossible, only the re-baseline is required.) Time travel is
+    unaffected: the new generation anchors as-of reads at the marker
+    seq, pre-load history stays reachable through ``prev_anchor`` for
+    one fold cycle, and anchored replay spans never cross a published
+    marker by construction. Dependent persisted indexes stale-flip and
+    route to rebuild (the feed-refresh span check sees the generation
+    change).
+
+    LOCK DISCIPLINE: identical to :func:`compact_store` — whole-cycle
+    fold lock (bulk loads and folds exclude each other), overlay lock
+    only for the short snapshot and publish phases, lock-free rewrite
+    in between with publish-phase identity verification, conflict
+    retries, and a fully-locked last resort.
+
+    Returns ``{"loaded", "seq", "generation", "regions_rewritten",
+    "regions_carried", "distributed", "published"}``."""
+    from pyspark.sql import functions as F
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    if set(df.columns) != set(columns):
+        raise ValueError(
+            f"bulk batch columns {sorted(df.columns)} must equal the "
+            f"store's columns {sorted(columns)} — a bulk load writes "
+            "whole rows (HBase store files carry every cell)"
+        )
+    df = df.select(*columns)
+    spark = df.sparkSession
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("nd"),
+        *[F.count(F.col(c)).alias(f"nk{i}") for i, c in enumerate(key_cols)],
+    ).first()
+    n_bulk = int(stats["n"])
+    if n_bulk == 0:
+        return {"published": False, "loaded": 0, "reason": "empty batch"}
+    for i, c in enumerate(key_cols):
+        if int(stats[f"nk{i}"]) != n_bulk:
+            raise ValueError(
+                f"bulk batch has NULL values in key column {c!r} — "
+                "rowkeys are never null"
+            )
+    if int(stats["nd"]) != n_bulk:
+        raise ValueError(
+            f"bulk batch has duplicate keys ({n_bulk} rows, "
+            f"{int(stats['nd'])} distinct keys) — last-wins among "
+            "duplicates in a distributed batch would be "
+            "nondeterministic; collapse the batch first"
+        )
+    with _fold_lock(opts, timeout_s=fold_timeout_s):
+        for _ in range(max(0, lock_free_attempts)):
+            out = _bulk_once(
+                opts, spark, df, n_bulk, distribute_min_rows,
+                locked_build=False,
+            )
+            if out.get("reason") != _FOLD_CONFLICT:
+                return out
+        return _bulk_once(
+            opts, spark, df, n_bulk, distribute_min_rows, locked_build=True
+        )
+
+
+def _bulk_once(
+    opts, spark, df, n_bulk: int, distribute_min_rows: int,
+    locked_build: bool,
+) -> dict:
+    """One bulk snapshot → build → publish cycle; caller holds the
+    fold lock. Same discipline as :func:`_compact_once`."""
+    if locked_build:
+        with _overlay_lock(opts):
+            snap = _bulk_snapshot(opts)
+            built = _build_bulk_generation(
+                opts, spark, snap, df, n_bulk, distribute_min_rows
+            )
+            return _publish_bulk_generation(
+                opts, snap, built, n_bulk, verify=False
+            )
+    with _overlay_lock(opts):
+        snap = _bulk_snapshot(opts)
+    built = _build_bulk_generation(
+        opts, spark, snap, df, n_bulk, distribute_min_rows
+    )
+    with _overlay_lock(opts):
+        return _publish_bulk_generation(opts, snap, built, n_bulk, verify=True)
+
+
+def _bulk_snapshot(opts) -> dict:
+    """Snapshot phase for a bulk load (under the overlay lock): like
+    :func:`_fold_snapshot` but an ABSENT overlay is a valid snapshot
+    (``overlay_ident`` None) — a bulk load proceeds with or without
+    pending committed writes."""
+    import pyarrow.parquet as pq
+
+    _recover_overlay_locked(opts)
+    root = _gen_root(opts)
+    os.makedirs(root, exist_ok=True)
+    cur = _resolve_generation(opts)
+    _gc_generations(root, keep=cur["dir"] if cur else None)
+    opath = overlay_path(opts)
+    if os.path.exists(opath):
+        overlay_rows = pq.read_table(opath).to_pylist()
+        ost = os.stat(opath)
+        ident = [ost.st_ino, ost.st_mtime_ns, ost.st_size]
+    else:
+        overlay_rows, ident = [], None
+    return {
+        "overlay_rows": overlay_rows,
+        "overlay_ident": ident,
+        "cur": cur,
+        "root": root,
+        "key_cols": tuple(opts["keycol"].split(",")),
+        "columns": list(opts["columns"].split(",")),
+        "region_size": int(opts.get("regionsize", "512")),
+        "fixture": os.path.realpath(opts["path"]),
+        "n_tombstones": sum(1 for r in overlay_rows if r.get(TOMBSTONE)),
+    }
+
+
+def _build_bulk_generation(
+    opts, spark, snap, df, n_bulk: int, distribute_min_rows: int
+) -> dict:
+    """Rewrite phase for a bulk load (lock-free). Below the crossover
+    the batch collects and the existing fold machinery runs verbatim
+    (mutations = overlay ⊕ bulk with bulk-wins); at or above it the
+    batch stays distributed — the region-pruned mapInArrow merge for a
+    store with a generation, the range-partitioned whole-base rewrite
+    otherwise."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    columns = snap["columns"]
+    key_cols = snap["key_cols"]
+    base_sch = pq.read_schema(snap["fixture"])
+    schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
+
+    if n_bulk < distribute_min_rows:
+        # driver-side crossover (the compact_store pattern): merge the
+        # bulk rows into the mutation set with bulk-wins and reuse the
+        # fold builder — identical region pruning, chunking, carries
+        merged_mut: dict = {}
+        for r in snap["overlay_rows"]:
+            merged_mut[_rowkey_of(r, key_cols)] = r
+        for r in (row.asDict() for row in df.collect()):
+            merged_mut[_rowkey_of(r, key_cols)] = {
+                **{c: r[c] for c in columns}, TOMBSTONE: False,
+            }
+        snap2 = {**snap, "overlay_rows": list(merged_mut.values())}
+        return _build_generation(opts, spark, snap2, distribute_min_rows)
+
+    new_dir = os.path.join(snap["root"], f"gen.{_uuid.uuid4().hex[:12]}")
+    os.makedirs(new_dir)
+    if snap["cur"] is not None and bool(snap["cur"].get("regions")):
+        return _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df)
+    regions_meta = _distributed_first_fold(
+        opts, spark, snap, schema, new_dir, bulk_df=df, n_bulk=n_bulk
+    )
+    regions_meta.sort(key=lambda m: m["start"])
+    return {
+        "dir": new_dir,
+        "regions": regions_meta,
+        "rewritten": len(regions_meta),
+        "carried": 0,
+        "distributed": True,
+    }
 
 
 class KVChangesPartition(InputPartition):
@@ -1969,6 +2549,17 @@ class KVChangesBatchReader(DataSourceReader):
         self._require_prefix = (
             opts.get("requirefullprefix", "").lower() == "true"
         )
+        #: bulk-load markers in the scanned span fail loudly by default
+        #: (the span's data is incomplete — the loaded rows bypassed the
+        #: WAL). ``allowBulkMarkers=true`` opts out for consumers that
+        #: PROVED the markers in their span are harmless: the as-of read
+        #: (a published bulk's generation IS an anchor, so anchored
+        #: replay spans never cross a published marker — only a crashed
+        #: claim's stray, which carries zero rows and is a correct no-op)
+        #: and forensic audits.
+        self._allow_bulk = (
+            opts.get("allowbulkmarkers", "").lower() == "true"
+        )
 
     def partitions(self) -> List[InputPartition]:
         all_seqs = _log_seqs(self._log_dir)
@@ -1991,6 +2582,8 @@ class KVChangesBatchReader(DataSourceReader):
                     "historical reconstruction is only available inside "
                     "the fully-retained span above the anchor"
                 )
+        if not self._allow_bulk:
+            _check_no_bulk_markers(self._log_dir, seqs)
         parts = [
             KVChangesPartition(os.path.join(self._log_dir, f"{s:08d}.parquet"))
             for s in seqs
@@ -3550,6 +4143,12 @@ def read_store_asof(spark, options, seq: int):
         .option("minSeq", str(anchor or 0))
         .option("maxSeq", str(seq))
         .option("requireFullPrefix", "true")
+        # safe by construction: a PUBLISHED bulk load's generation is an
+        # anchor at its marker seq, so every anchored replay span starts
+        # at-or-above it; the only marker an as-of span can contain is a
+        # crashed claim's stray, whose entry is zero rows — replaying it
+        # is a correct no-op (the bulk never published)
+        .option("allowBulkMarkers", "true")
         .load()
         .filter(F.col(SEQ_COL) <= seq)  # defensive row-level bound
     )
@@ -3612,5 +4211,121 @@ def src12_kv_timetravel(spark, sf_dir: str):
     return asof.agg(
         F.count("*").alias("n_rows"),
         F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )
+
+
+_SRC13_PEND_MAX = 30            # put batch: custkeys <= this -> PENDING
+_SRC13_BULK_LO, _SRC13_BULK_HI = 21, 50   # bulk batch overrides this range
+_SRC13_DEL_LO, _SRC13_DEL_HI = 31, 60     # delete batch tombstones this range
+_SRC13_NEW_BASE = 970000
+_SRC13_N_NEW = 400
+
+
+@query(
+    "src13_kv_bulk_load",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey <= 20 OR c_custkey > {_SRC13_DEL_HI}
+        UNION ALL
+        SELECT c_custkey, 'BULK', 500.25
+        FROM customer
+        WHERE c_custkey BETWEEN {_SRC13_BULK_LO} AND {_SRC13_BULK_HI}
+        UNION ALL
+        SELECT {_SRC13_NEW_BASE} + i, 'BULK', 250.5
+        FROM generate_series(1, {_SRC13_N_NEW}) t(i)
+    ),
+    final AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey <= 20 THEN 'PENDING'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey <= 20 THEN 111.11
+                    ELSE c_acctbal END AS c_acctbal
+        FROM store
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           {{exact_sum}} AS total_bal
+    FROM final GROUP BY c_mktsegment
+    """.replace("{exact_sum}", exact_sum_sql("c_acctbal")),
+)
+def src13_kv_bulk_load(spark, sf_dir: str):
+    """BULK LOAD into the KV store — the HBase ``LoadIncrementalHFiles``
+    analog (the reference's substrate ingested at scale by writing
+    HFiles directly, bypassing memstore and WAL; the connector's DSv2
+    write path is statement-sized by contract, this is the path 100 TB
+    actually enters through). The fixture exercises the RICHEST merge:
+    a put batch (custkeys <= {_SRC13_PEND_MAX} -> PENDING) commits and
+    COMPACTS into a generation, a delete batch (custkeys
+    {_SRC13_DEL_LO}..{_SRC13_DEL_HI}) commits into the overlay, then
+    the bulk batch (custkeys {_SRC13_BULK_LO}..{_SRC13_BULK_HI}
+    re-segmented to BULK plus {_SRC13_N_NEW} brand-new keys) loads
+    through the DISTRIBUTED region-pruned merge
+    (``distribute_min_rows=0`` pins the distributed path in the gate;
+    driver/distributed answer equality is test-pinned) — folding the
+    pending tombstones in the same pass. Precedence proven by the
+    hash: bulk wins over the overlay put (21..{_SRC13_PEND_MAX} end
+    BULK, not PENDING), bulk REVIVES deleted keys
+    ({_SRC13_DEL_LO}..{_SRC13_BULK_HI} end BULK), un-revived deletes
+    stay gone ({_SRC13_BULK_HI + 1}..{_SRC13_DEL_HI} vanish, the
+    max/min per segment pins it), untouched regions carry by
+    hardlink. The oracle replays the whole sequence relationally from
+    scratch. The loaded rows BYPASS the WAL behind a loud marker —
+    feed-consumer refusal and as-of anchoring are pinned in
+    tests/test_kvstore.py::TestBulkLoad."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    # region_size=64: even the sf0.001 fixture (150 customers) splits
+    # into several regions, so the carried-regions assertion grades the
+    # pruning at every fixture scale
+    opts = customer_store_options(sf_dir, region_size=64)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base, no generations
+
+    # mutation batches derive from the PRISTINE parquet, not the store
+    # read: DataFrames are lazy, and a store-backed `overrides` would
+    # re-scan the store AFTER the delete batch landed (dropping the
+    # tombstoned keys the bulk load is supposed to revive)
+    pristine = spark.read.parquet(lopts["path"]).select(
+        *CUSTOMER_KV_COLUMNS.split(",")
+    )
+    pending = (
+        pristine.filter(F.col("c_custkey") <= _SRC13_PEND_MAX)
+        .withColumn("c_mktsegment", F.lit("PENDING"))
+        .withColumn("c_acctbal", F.lit(111.11))
+    )
+    pending.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    stats = compact_store(lopts, spark=spark)
+    assert stats["compacted"], stats
+    delete_from_store(lopts, range(_SRC13_DEL_LO, _SRC13_DEL_HI + 1))
+
+    overrides = (
+        pristine.filter(
+            F.col("c_custkey").between(_SRC13_BULK_LO, _SRC13_BULK_HI)
+        )
+        .withColumn("c_mktsegment", F.lit("BULK"))
+        .withColumn("c_acctbal", F.lit(500.25))
+    )
+    new = spark.range(1, _SRC13_N_NEW + 1).select(
+        (F.lit(_SRC13_NEW_BASE) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("BulkCustomer#"), F.col("id")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(250.5).alias("c_acctbal"),
+        F.lit("BULK").alias("c_mktsegment"),
+    )
+    batch = overrides.select(*new.columns).unionByName(new)
+    load = bulk_load_store(lopts, batch, distribute_min_rows=0)
+    assert load["published"] and load["distributed"], load
+    assert load["regions_carried"] > 0, load  # region pruning held
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
         exact_sum("c_acctbal").alias("total_bal"),
     )

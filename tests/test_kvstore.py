@@ -2509,3 +2509,293 @@ def test_break_fold_lock_liveness_guard(tmp_path):
     stats = compact_store(opts)
     assert stats["compacted"] and stats["applied_seq"] == 1
     truncate_overlay(opts)
+
+
+class TestBulkLoad:
+    """Round-10: BULK LOAD (the HBase LoadIncrementalHFiles analog) —
+    a DataFrame of Puts lands straight in a new base generation,
+    distributed end to end, bypassing the overlay AND the WAL behind a
+    loud marker. Pins: bulk ≡ equivalent puts, bulk > overlay > base
+    precedence (incl. tombstone revival), region-pruned hardlink
+    carries, feed-consumer refusal + marker retirement, time-travel
+    anchoring, validation, conflict retries, composite PKs."""
+
+    _store = TestDistributedFold._store
+    _state = staticmethod(TestDistributedFold._state)
+    _put = staticmethod(TestDistributedFold._put)
+
+    @staticmethod
+    def _batch(spark, rows):
+        return spark.createDataFrame(rows, "k long, v double")
+
+    def test_bulk_equals_puts_both_paths(self, spark, tmp_path):
+        """The bulk-loaded state is exactly the state the same rows
+        produce as connector Puts + fold — on BOTH execution paths
+        (driver crossover and distributed), over a store with pending
+        overlay state."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            bulk_load_store,
+            compact_store,
+            delete_from_store,
+        )
+
+        rows = [{"k": 5, "v": 555.0}, {"k": 11, "v": 111.0},
+                {"k": 200, "v": 2.0}, {"k": 201, "v": 2.5}]
+        opts_ref = self._store(tmp_path, "blref")
+        opts_drv = self._store(tmp_path, "bldrv")
+        opts_dst = self._store(tmp_path, "bldst")
+        for opts in (opts_ref, opts_drv, opts_dst):
+            self._put(opts, [{"k": 3, "v": 33.0}])
+            delete_from_store(opts, [10, 11, 12])  # 11 revived by bulk
+        self._put(opts_ref, rows)
+        compact_store(opts_ref)
+        st_drv = bulk_load_store(
+            opts_drv, self._batch(spark, rows), distribute_min_rows=10**9
+        )
+        st_dst = bulk_load_store(
+            opts_dst, self._batch(spark, rows), distribute_min_rows=0
+        )
+        assert st_drv["published"] and st_drv["distributed"] is False
+        assert st_dst["published"] and st_dst["distributed"] is True
+        ref = self._state(opts_ref)
+        assert self._state(opts_drv) == ref
+        assert self._state(opts_dst) == ref
+        assert ref[11] == 111.0 and 10 not in ref and 12 not in ref
+
+    def test_region_pruned_bulk_merge_hardlinks_cold_regions(
+        self, spark, tmp_path
+    ):
+        """Over an existing generation, a distributed bulk load
+        rewrites ONLY the regions its keys (plus pending overlay keys)
+        touch; every other region carries into the new generation by
+        hardlink."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            bulk_load_store,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "blprune")  # 100 rows / 16 = 7 regions
+        self._put(opts, [{"k": 1, "v": 10.0}])
+        compact_store(opts)
+        st = bulk_load_store(
+            opts,
+            self._batch(spark, [{"k": 50, "v": 5050.0}, {"k": 51, "v": 5151.0}]),
+            distribute_min_rows=0,
+        )
+        assert st["published"] and st["distributed"]
+        assert st["regions_rewritten"] == 1 and st["regions_carried"] == 6
+        gen = _resolve_generation(opts)
+        assert gen.get("bulk", {}).get("rows") == 2
+        nlinks = sorted(
+            os.stat(os.path.join(gen["dir"], rg["file"])).st_nlink
+            for rg in gen["regions"]
+        )
+        assert nlinks == [1, 2, 2, 2, 2, 2, 2]
+        state = self._state(opts)
+        assert state[50] == 5050.0 and state[51] == 5151.0
+        assert state[1] == 10.0 and len(state) == 100
+
+    def test_bulk_marker_blocks_feed_consumers_until_pruned(
+        self, spark, tmp_path
+    ):
+        """After a bulk load, every WAL consumer's span crossing the
+        marker fails loudly toward re-baseline; pruning through the
+        marker retires it and the feed serves again; allowBulkMarkers
+        opts a forensic read out of the refusal."""
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            CHANGES_FORMAT_NAME,
+            KVChangesStreamReader,
+            bulk_load_store,
+            bulk_marker_seqs,
+            prune_changelog,
+            register_kv_source,
+        )
+
+        register_kv_source(spark)
+        opts = self._store(tmp_path, "blmark")
+        self._put(opts, [{"k": 1, "v": 11.0}])  # seq 1: normal commit
+        st = bulk_load_store(
+            opts, self._batch(spark, [{"k": 2, "v": 22.0}]),
+            distribute_min_rows=0,
+        )
+        assert st["seq"] == 2 and bulk_marker_seqs(opts) == [2]
+        self._put(opts, [{"k": 3, "v": 33.0}])  # seq 3: feed resumes numbering
+
+        # batch audit read: loud refusal naming the marker
+        reader = (
+            spark.read.format(CHANGES_FORMAT_NAME).options(**opts).load()
+        )
+        with pytest.raises(Exception, match="bulk-load marker"):
+            reader.collect()
+        # forensic opt-out serves the span (marker contributes 0 rows)
+        rows = (
+            spark.read.format(CHANGES_FORMAT_NAME)
+            .options(**opts)
+            .option("allowBulkMarkers", "true")
+            .load()
+            .collect()
+        )
+        assert sorted(r["__seq"] for r in rows) == [1, 3]
+
+        # streaming subscriber: read() refuses at the marker, and a
+        # recovery replay across it refuses too
+        sr = KVChangesStreamReader(opts)
+        it, off = sr.read({"seq": 0})
+        assert off == {"seq": 1} and len(list(it)) == 1
+        with pytest.raises(ValueError, match="bulk-load marker"):
+            sr.read({"seq": 1})
+        with pytest.raises(ValueError, match="bulk-load marker"):
+            sr.readBetweenOffsets({"seq": 0}, {"seq": 3})
+
+        # re-baseline: prune through the marker, feed serves again
+        prune_changelog(opts, st["seq"])
+        assert bulk_marker_seqs(opts) == []
+        it, off = sr.read({"seq": 2})
+        assert off == {"seq": 3} and len(list(it)) == 1
+        assert self._state(opts) == {1: 11.0, 2: 22.0, 3: 33.0, **{
+            k: float(k) for k in range(100) if k not in (1, 2, 3)
+        }}
+
+    def test_asof_anchors_at_bulk_and_preserves_prior_history(
+        self, spark, tmp_path
+    ):
+        """Time travel across a bulk load: reads at-or-above the
+        marker anchor at the bulk generation; reads below it replay
+        the pristine prefix (no marker in the span); post-bulk commits
+        replay on top of the bulk anchor."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            bulk_load_store,
+            delete_from_store,
+            read_store_asof,
+        )
+
+        opts = self._store(tmp_path, "blasof", n=20, region_size=8)
+        self._put(opts, [{"k": 1, "v": 11.0}])          # seq 1
+        self._put(opts, [{"k": 2, "v": 22.0}])          # seq 2
+        bulk_load_store(
+            opts, self._batch(spark, [{"k": 1, "v": 99.0}, {"k": 30, "v": 3.0}]),
+            distribute_min_rows=0,
+        )                                                # seq 3 (marker)
+        delete_from_store(opts, [2])                     # seq 4
+
+        def snap(seq):
+            return {
+                r["k"]: r["v"]
+                for r in read_store_asof(spark, opts, seq).collect()
+            }
+
+        s2 = snap(2)   # pristine + commits 1..2 (below the marker)
+        assert s2[1] == 11.0 and s2[2] == 22.0 and 30 not in s2
+        s3 = snap(3)   # the bulk generation itself: zero replay
+        assert s3[1] == 99.0 and s3[2] == 22.0 and s3[30] == 3.0
+        s4 = snap(4)   # bulk anchor + the post-bulk delete
+        assert s4[1] == 99.0 and 2 not in s4 and s4[30] == 3.0
+
+    def test_bulk_validation_rejects_bad_batches(self, spark, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import bulk_load_store
+
+        opts = self._store(tmp_path, "blval", n=20, region_size=8)
+        with pytest.raises(ValueError, match="duplicate keys"):
+            bulk_load_store(
+                opts,
+                self._batch(spark, [{"k": 1, "v": 1.0}, {"k": 1, "v": 2.0}]),
+            )
+        with pytest.raises(ValueError, match="NULL"):
+            bulk_load_store(
+                opts, self._batch(spark, [{"k": None, "v": 1.0}])
+            )
+        with pytest.raises(ValueError, match="columns"):
+            bulk_load_store(opts, spark.createDataFrame([(1,)], "k long"))
+        out = bulk_load_store(opts, self._batch(spark, []))
+        assert out["published"] is False and out["loaded"] == 0
+        assert self._state(opts) == {k: float(k) for k in range(20)}
+
+    def test_commit_racing_bulk_build_retries_and_lands_both(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A commit racing the lock-free bulk rewrite: the publish
+        verify detects the changed overlay, the stale build dir is
+        removed, and the retry folds BOTH the racing commit and the
+        batch — with bulk precedence still on top."""
+        import glob
+
+        import kt_sql_hbase_ex_spark.sources.kvstore as kv
+
+        opts = self._store(tmp_path, "blrace", n=40, region_size=8)
+        real_build = kv._build_bulk_generation
+        raced = {"n": 0}
+
+        def build_and_race(o, sp, snap, df, *a, **kw):
+            built = real_build(o, sp, snap, df, *a, **kw)
+            if raced["n"] == 0:
+                raced["n"] += 1
+                self._put(opts, [{"k": 7, "v": 70.0}, {"k": 9, "v": 90.0}])
+            return built
+
+        monkeypatch.setattr(kv, "_build_bulk_generation", build_and_race)
+        st = kv.bulk_load_store(
+            opts, self._batch(spark, [{"k": 9, "v": 99.0}]),
+            distribute_min_rows=0,
+        )
+        monkeypatch.undo()
+        assert st["published"]
+        state = self._state(opts)
+        # racing commit survived; bulk wins the contended key
+        assert state[7] == 70.0 and state[9] == 99.0 and len(state) == 40
+        root = kv._gen_root(opts)
+        live = kv._resolve_generation(opts)["dir"]
+        assert set(glob.glob(os.path.join(root, "gen.*"))) == {live}
+
+    def test_composite_pk_bulk_distributed(self, spark, tmp_path):
+        """Composite rowkeys route through the vectorized region
+        assignment identically to the driver-side bisect: the
+        distributed bulk state equals the puts+fold replay."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            bulk_load_store,
+            compact_store,
+        )
+
+        rows = [{"a": 1, "b": 5, "v": 15.5}, {"a": 20, "b": 0, "v": 200.0}]
+        opts_ref = self._store(tmp_path, "blcref", composite=True)
+        opts_blk = self._store(tmp_path, "blcblk", composite=True)
+        self._put(opts_ref, rows)
+        compact_store(opts_ref)
+        # pre-fold so the bulk exercises the region-pruned merge
+        self._put(opts_blk, [{"a": 0, "b": 0, "v": 0.5}])
+        compact_store(opts_blk)
+        self._put(opts_ref, [{"a": 0, "b": 0, "v": 0.5}])
+        compact_store(opts_ref)
+        st = bulk_load_store(
+            opts_blk,
+            spark.createDataFrame(rows, "a long, b long, v double"),
+            distribute_min_rows=0,
+        )
+        assert st["published"] and st["distributed"]
+        assert self._state(opts_blk) == self._state(opts_ref)
+
+    def test_index_stale_flips_on_bulk(self, spark, tmp_path):
+        """A bulk load changes the base identity exactly like a fold:
+        dependent persisted indexes flip stale and the ensure path
+        rebuilds to a state that sees the loaded rows."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            bulk_load_store,
+            create_kv_index,
+            ensure_kv_index,
+            list_kv_indexes,
+        )
+
+        opts = self._store(tmp_path, "blidx", n=30, region_size=8)
+        create_kv_index(spark, "blidx_v", opts, "v")
+        assert list_kv_indexes(opts)[0]["fresh"] is True
+        bulk_load_store(
+            opts, self._batch(spark, [{"k": 100, "v": 777.0}]),
+            distribute_min_rows=0,
+        )
+        assert list_kv_indexes(opts)[0]["fresh"] is False
+        ensure_kv_index(spark, "blidx_v", opts, "v")
+        assert list_kv_indexes(opts)[0]["fresh"] is True
