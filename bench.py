@@ -138,6 +138,10 @@ HEADLINE = (
     # at-scale ingest path (mapInArrow merge tasks + hardlink carries
     # + marker claim), which no other entry exercises.
     "src13_kv_bulk_load",
+    # round-10 addition: the TTL lifecycle (backdated + fresh put
+    # batches -> fold with expiry reclaim -> TTL-filtered scan) — the
+    # expiring-store read path src02-style scans don't exercise.
+    "src14_kv_ttl_scan",
 )
 
 

@@ -736,6 +736,39 @@ def index_prefix_bounds(value, n_key_cols: int = 1) -> tuple[str, str]:
     return (f"{value}|{lo_suffix}", f"{value}|{hi_suffix}")
 
 
+def _ttl_cutoff(options):
+    """TTL expiry cutoff for a store configured with ``ttlColumn`` +
+    ``ttlSeconds`` (the HBase column-family TTL analog: cells older
+    than the TTL are invisible to reads and physically reclaimed by
+    compaction). Returns None when the store has no TTL. "Now" is
+    ``ttlNow`` when given — an ISO-8601 timestamp or epoch seconds;
+    fixing it makes expiry deterministic (tests, replayable pipelines)
+    — else the wall clock (epoch seconds; only meaningful for numeric
+    TTL columns). The cutoff's type matches the column's: a datetime
+    for timestamp columns, a float for numeric epoch columns. Rows
+    with a NULL TTL value never expire."""
+    import datetime as dt
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    if "ttlcolumn" not in opts or "ttlseconds" not in opts:
+        return None
+    ttl = float(opts["ttlseconds"])
+    now_opt = opts.get("ttlnow")
+    if now_opt is None:
+        return time.time() - ttl
+    try:
+        return float(now_opt) - ttl
+    except ValueError:
+        return dt.datetime.fromisoformat(now_opt) - dt.timedelta(seconds=ttl)
+
+
+def _ttl_live(rows, ttl_col, cutoff):
+    """Rows surviving the TTL cutoff (NULL TTL values never expire)."""
+    if cutoff is None:
+        return rows
+    return [r for r in rows if r.get(ttl_col) is None or r[ttl_col] >= cutoff]
+
+
 def _open_store(options) -> KVStore:
     """Open (or reuse) the store an options bundle names, merging any
     committed write overlay over the base (tombstones drop keys). Cache
@@ -768,8 +801,14 @@ def _open_store(options) -> KVStore:
         overlay_sig = None
     config_key = (path, opath, key_col, columns, region_size, index_on)
     # the generation pointer is part of the store's content identity:
-    # a fold replaces the base the reader must scan
-    signature = (st.st_mtime_ns, st.st_size, overlay_sig, tuple(_gen_signature(options)))
+    # a fold replaces the base the reader must scan. The TTL cutoff
+    # rides in the SIGNATURE, not the key: a moving wall-clock cutoff
+    # then REPLACES the cached entry instead of growing one per tick
+    cutoff = _ttl_cutoff(options)
+    signature = (
+        st.st_mtime_ns, st.st_size, overlay_sig,
+        tuple(_gen_signature(options)), str(cutoff),
+    )
     cached = _STORE_CACHE.get(config_key)
     if cached is not None and cached[0] == signature:
         return cached[1]
@@ -797,6 +836,16 @@ def _open_store(options) -> KVStore:
             store.name, store.schema, key_col, list(merged.values()),
             region_size=region_size,
         )
+    if cutoff is not None:
+        # TTL applies to the MERGED view (a fresh Put revives a key
+        # even if the base row it replaced had expired) and BEFORE
+        # index derivation, so indexes never point at expired rows
+        live = _ttl_live(store.rows, options["ttlcolumn"], cutoff)
+        if len(live) != len(store.rows):
+            store = KVStore(
+                store.name, store.schema, key_col, live,
+                region_size=region_size,
+            )
     if index_on:
         from pyspark.sql.types import StringType, StructField
 
@@ -1533,6 +1582,12 @@ def _fold_snapshot(opts) -> dict | None:
         "columns": list(opts["columns"].split(",")),
         "region_size": int(opts.get("regionsize", "512")),
         "fixture": os.path.realpath(opts["path"]),
+        # TTL reclaim: rows expired at FOLD time drop from every region
+        # this fold rewrites (the HBase compaction-reclaims-expired-cells
+        # semantic; carried regions keep their bytes until touched — the
+        # read filter is the correctness source of truth either way)
+        "ttl_col": opts.get("ttlcolumn"),
+        "ttl_cutoff": _ttl_cutoff(opts),
         "n_tombstones": sum(
             1 for r in overlay_rows if r.get(TOMBSTONE)
         ),
@@ -1604,6 +1659,8 @@ def _build_generation(opts, spark, snap, distribute_min_rows: int = 0) -> dict:
                     "region_size": region_size,
                     "new_dir": new_dir,
                     "schema_from": snap["fixture"],
+                    "ttl_col": snap.get("ttl_col"),
+                    "ttl_cutoff": snap.get("ttl_cutoff"),
                 }
             )
             rewritten += 1
@@ -1644,17 +1701,29 @@ def _build_generation(opts, spark, snap, distribute_min_rows: int = 0) -> dict:
                 )
             )
         else:
+            ttl_col = snap.get("ttl_col")
+            cutoff = snap.get("ttl_cutoff")
             merged: dict = {}
             if cur is None:
-                for r in pq.read_table(
-                    snap["fixture"], columns=columns
-                ).to_pylist():
+                for r in _ttl_live(
+                    pq.read_table(
+                        snap["fixture"], columns=columns
+                    ).to_pylist(),
+                    ttl_col,
+                    cutoff,
+                ):
                     merged[_rowkey_of(r, key_cols)] = r
             for r in overlay_rows:
                 if r.get(TOMBSTONE):
                     merged.pop(_rowkey_of(r, key_cols), None)
-                else:
+                elif (
+                    cutoff is None
+                    or r.get(ttl_col) is None
+                    or r[ttl_col] >= cutoff
+                ):
                     merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+                else:  # expired Put: supersedes, doesn't survive
+                    merged.pop(_rowkey_of(r, key_cols), None)
             rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
             for j, chunk in enumerate(_region_chunks(rows, region_size)):
                 name = f"region-{j:05d}.parquet"
@@ -1710,16 +1779,25 @@ def _fold_region_task(payload: dict) -> list:
 
     key_cols = tuple(payload["key_cols"])
     columns = list(payload["columns"])
+    ttl_col = payload.get("ttl_col")
+    cutoff = payload.get("ttl_cutoff")
     base_sch = pq.read_schema(payload["schema_from"])
     schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
     merged: dict = {}
-    for r in pq.read_table(payload["region_file"]).to_pylist():
+    for r in _ttl_live(
+        pq.read_table(payload["region_file"]).to_pylist(), ttl_col, cutoff
+    ):
         merged[_rowkey_of(r, key_cols)] = r
     for r in payload["overlay_rows"]:
         if r.get(TOMBSTONE):
             merged.pop(_rowkey_of(r, key_cols), None)
-        else:
+        elif cutoff is None or r.get(ttl_col) is None or r[ttl_col] >= cutoff:
             merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+        else:
+            # an already-expired Put still deletes what it replaced:
+            # the key's previous value is superseded, the new one is
+            # past TTL — the row simply doesn't survive the fold
+            merged.pop(_rowkey_of(r, key_cols), None)
     rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
     out = []
     for j, chunk in enumerate(_region_chunks(rows, payload["region_size"])):
@@ -1777,7 +1855,21 @@ def _distributed_first_fold(
     region_size = snap["region_size"]
     overlay_rows = snap["overlay_rows"]
 
-    base_df = spark.read.parquet(snap["fixture"]).select(*columns)
+    ttl_col = snap.get("ttl_col")
+    cutoff = snap.get("ttl_cutoff")
+
+    def _live_filter(rel):
+        # TTL reclaim, codegen'd: expired rows (non-NULL TTL value
+        # below the cutoff) don't survive into the new generation
+        if cutoff is None:
+            return rel
+        return rel.filter(
+            F.col(ttl_col).isNull() | (F.col(ttl_col) >= F.lit(cutoff))
+        )
+
+    base_df = _live_filter(
+        spark.read.parquet(snap["fixture"]).select(*columns)
+    )
     if snap["cur"] is not None:
         # fully-emptied predecessor generation: the base is EMPTY (its
         # zero-row sentinel file), never the pristine fixture — only
@@ -1787,8 +1879,19 @@ def _distributed_first_fold(
         [tuple(r[c] for c in key_cols) for r in overlay_rows],
         base_df.select(*key_cols).schema,
     )
+    # expired Puts still supersede (their keys are in `touched`, so the
+    # base rows drop) but don't survive the rewrite themselves
     puts = spark.createDataFrame(
-        [tuple(r[c] for c in columns) for r in overlay_rows if not r.get(TOMBSTONE)],
+        [
+            tuple(r[c] for c in columns)
+            for r in overlay_rows
+            if not r.get(TOMBSTONE)
+            and (
+                cutoff is None
+                or r.get(ttl_col) is None
+                or r[ttl_col] >= cutoff
+            )
+        ],
         base_df.schema,
     )
     from pyspark.sql.functions import broadcast
@@ -1798,7 +1901,7 @@ def _distributed_first_fold(
         bulk = bulk_df.select(*columns)
         merged = merged.join(
             bulk.select(*key_cols), on=key_cols, how="left_anti"
-        ).unionByName(bulk)
+        ).unionByName(_live_filter(bulk))
     if len(key_cols) == 1:
         rk = F.col(key_cols[0])
     else:
@@ -2020,6 +2123,8 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
         }
         col_order = list(columns)
         kc = list(key_cols)
+        ttl_col = snap.get("ttl_col")
+        cutoff = snap.get("ttl_cutoff")
 
         def merge_regions(batches):
             import uuid as _uuid
@@ -2043,14 +2148,24 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
             for ridx in sorted(set(tbl.column("__region").to_pylist())):
                 sub = tbl.filter(pc.equal(tbl.column("__region"), ridx))
                 merged: dict = {}
-                for r in _pq.read_table(region_files[ridx]).to_pylist():
+                for r in _ttl_live(
+                    _pq.read_table(region_files[ridx]).to_pylist(),
+                    ttl_col,
+                    cutoff,
+                ):
                     merged[_rowkey_of(r, kc)] = r
                 for r in sub.sort_by("__prio").to_pylist():
                     k = _rowkey_of(r, kc)
                     if r.get(TOMBSTONE):
                         merged.pop(k, None)
-                    else:
+                    elif (
+                        cutoff is None
+                        or r.get(ttl_col) is None
+                        or r[ttl_col] >= cutoff
+                    ):
                         merged[k] = {c: r[c] for c in col_order}
+                    else:  # expired Put: supersedes, doesn't survive
+                        merged.pop(k, None)
                 out_rows = sorted(
                     merged.values(), key=lambda r: _rowkey_of(r, kc)
                 )
@@ -2454,6 +2569,8 @@ def _bulk_snapshot(opts) -> dict:
         "columns": list(opts["columns"].split(",")),
         "region_size": int(opts.get("regionsize", "512")),
         "fixture": os.path.realpath(opts["path"]),
+        "ttl_col": opts.get("ttlcolumn"),
+        "ttl_cutoff": _ttl_cutoff(opts),
         "n_tombstones": sum(1 for r in overlay_rows if r.get(TOMBSTONE)),
     }
 
@@ -2694,11 +2811,13 @@ def load_kv_store_from_parquet(
     data; it is store provisioning, not part of any query plan)."""
     import pyarrow.parquet as pq
     from pyspark.sql.types import (
+        BooleanType,
         DoubleType,
         IntegerType,
         LongType,
         StringType,
         StructField,
+        TimestampType,
     )
 
     type_map = {
@@ -2708,6 +2827,9 @@ def load_kv_store_from_parquet(
         "double": DoubleType(),
         "string": StringType(),
         "large_string": StringType(),
+        "timestamp[us]": TimestampType(),
+        "timestamp[ns]": TimestampType(),
+        "bool": BooleanType(),
     }
     tbl = pq.read_table(parquet_path, columns=list(columns))
     arrow = tbl.schema
@@ -4328,4 +4450,103 @@ def src13_kv_bulk_load(spark, sf_dir: str):
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
         exact_sum("c_acctbal").alias("total_bal"),
+    )
+
+
+_SRC14_TTL_DAYS = 7
+_SRC14_NEW_BASE = 980000
+_SRC14_N_FRESH = 50
+_SRC14_N_STALE = 30   # backdated past the TTL: invisible on arrival
+
+
+@query(
+    "src14_kv_ttl_scan",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+         store AS (
+            SELECT event_id, event_type, value FROM events, mx
+            WHERE ts >= m - INTERVAL {_SRC14_TTL_DAYS} DAY
+            UNION ALL
+            SELECT {_SRC14_NEW_BASE} + i, 'TTLFRESH', 10.25
+            FROM generate_series(1, {_SRC14_N_FRESH}) t(i)
+         )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           {{exact_sum}} AS total_value
+    FROM store GROUP BY event_type
+    """.replace("{exact_sum}", exact_sum_sql("value")),
+)
+def src14_kv_ttl_scan(spark, sf_dir: str):
+    """TTL-expiring KV store — the HBase column-family TTL analog
+    (``HColumnDescriptor.setTimeToLive``: cells older than the TTL are
+    invisible to reads and physically reclaimed by compaction; the
+    reference's substrate applied it per CF under every table). The
+    store is the events table keyed by event_id with
+    ``ttlColumn=ts, ttlSeconds={_SRC14_TTL_DAYS}d`` and a DETERMINISTIC
+    ``ttlNow`` pinned to the fixture's max(ts) — expiry is then a pure
+    function of the data, so the DuckDB oracle replays it as a plain
+    interval predicate. The fixture commits a fresh put batch
+    ({_SRC14_N_FRESH} rows at ts=now → visible) and a BACKDATED batch
+    ({_SRC14_N_STALE} rows 3× past the TTL → expired on arrival,
+    never visible), compacts (the fold drops expired rows from every
+    region it rewrites — physical reclaim is pinned in
+    tests/test_kvstore.py::TestTTL; untouched regions keep their bytes
+    until touched, exactly HBase's lazy reclaim, with the READ filter
+    as the correctness source of truth), and aggregates the surviving
+    state per event_type. Scale: the TTL read filter applies at the
+    region-merge layer (before any shuffle), the fold filter is one
+    codegen'd predicate in the distributed paths."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+    from kt_sql_hbase_ex_spark.sources.catalog import table_path
+
+    register_kv_source(spark)
+    path = table_path(sf_dir, "events")
+    max_ts = spark.read.parquet(path).agg(F.max("ts")).first()[0]
+    opts = {
+        "path": path,
+        "keyCol": "event_id",
+        "columns": "event_id,ts,user_id,event_type,value",
+        "regionSize": "512",
+        "ttlColumn": "ts",
+        "ttlSeconds": str(_SRC14_TTL_DAYS * 86400),
+        "ttlNow": max_ts.isoformat(),
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    import datetime as dt
+
+    stale_ts = max_ts - dt.timedelta(days=3 * _SRC14_TTL_DAYS)
+    fresh = spark.range(1, _SRC14_N_FRESH + 1).select(
+        (F.lit(_SRC14_NEW_BASE) + F.col("id")).alias("event_id"),
+        F.lit(max_ts).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("TTLFRESH").alias("event_type"),
+        F.lit(10.25).alias("value"),
+    )
+    stale = spark.range(1, _SRC14_N_STALE + 1).select(
+        (F.lit(_SRC14_NEW_BASE + _SRC14_N_FRESH) + F.col("id")).alias(
+            "event_id"
+        ),
+        F.lit(stale_ts).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("TTLSTALE").alias("event_type"),
+        F.lit(99.0).alias("value"),
+    )
+    fresh.unionByName(stale).write.format(FORMAT_NAME).options(
+        **opts
+    ).mode("append").save()
+    stats = compact_store(lopts, spark=spark)
+    assert stats["compacted"], stats
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        exact_sum("value").alias("total_value"),
     )
