@@ -370,10 +370,27 @@ def overlay_path(options) -> str:
     fp = hashlib.sha256(
         f"{path}|{st.st_mtime_ns}|{st.st_size}|{ns}".encode()
     ).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: 0)()
-    root = os.path.join(tempfile.gettempdir(), f"kt_sql_kv_overlay_u{uid}")
+    root = _store_state_root(options, "overlay")
     os.makedirs(root, exist_ok=True)
     return os.path.join(root, f"{fp}.parquet")
+
+
+def _store_state_root(options, kind: str) -> str:
+    """Parent directory for one kind of the store's MUTABLE state
+    (``overlay`` — which also anchors the WAL and the writer lock —
+    ``gen``, or ``index``). With the ``storeRoot`` option set, state
+    lives under ``<storeRoot>/<kind>`` — point it at SHARED storage
+    (NFS, a fuse-mounted object store) and every writer/reader on the
+    cluster sees one overlay, one WAL, one generation chain, one index
+    catalog: the knob that lifts the local-tempdir single-host bound
+    the fold docs carry (round-10). Default: a per-user tempdir
+    namespace, the single-host fixture substrate."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    custom = opts.get("storeroot")
+    if custom:
+        return os.path.join(custom, kind)
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(), f"kt_sql_kv_{kind}_u{uid}")
 
 
 class OverlayWriterConflict(RuntimeError):
@@ -1335,8 +1352,7 @@ def _gen_root(options) -> str:
     fp = hashlib.sha256(
         f"{path}|{st.st_mtime_ns}|{st.st_size}|{ns}".encode()
     ).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: 0)()
-    return os.path.join(tempfile.gettempdir(), f"kt_sql_kv_gen_u{uid}", fp)
+    return os.path.join(_store_state_root(opts, "gen"), fp)
 
 
 def _resolve_generation(options) -> dict | None:
@@ -1492,9 +1508,11 @@ def compact_store(
     Otherwise the identical fold shape runs driver-side through
     pyarrow — O(overlay + touched × region_size) rows, the bound the
     overlay subsystem has always carried, amortized by
-    :func:`maybe_compact_store`'s trigger. At cluster scale the
-    generation root must live on shared storage (here: the local
-    tempdir, honest single-host bound of the whole KV fixture).
+    :func:`maybe_compact_store`'s trigger. At cluster scale every
+    piece of mutable store state must live on shared storage: the
+    ``storeRoot`` option (round-10) points the overlay, WAL, locks,
+    generation chain, and index catalog at one directory — defaulting
+    to the local tempdir, the single-host fixture substrate.
 
     Crash-safety: region files land in a uniquely-named dir; the
     pointer replace is the single publish point. A crash BEFORE it
@@ -3257,8 +3275,7 @@ def _kv_index_root(base_options) -> str:
     path = os.path.realpath(opts["path"])
     ns = opts.get("appid", "shared")
     fp = hashlib.sha256(f"{path}|{ns}".encode()).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: 0)()
-    return os.path.join(tempfile.gettempdir(), f"kt_sql_kv_index_u{uid}", fp)
+    return os.path.join(_store_state_root(opts, "index"), fp)
 
 
 def _base_signature(base_options) -> list:
@@ -3494,6 +3511,10 @@ def persisted_index_read_options(
         "columns": ",".join([INDEX_KEY] + meta["key_cols"].split(",")),
         "regionSize": opts.get("regionsize", "512"),
         **({"appId": opts["appid"]} if "appid" in opts else {}),
+        # the index's own overlay/WAL follow the base store's state
+        # root, so a shared-storage deployment keeps ALL mutable state
+        # in one place
+        **({"storeRoot": opts["storeroot"]} if "storeroot" in opts else {}),
     }
 
 

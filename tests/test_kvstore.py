@@ -2965,3 +2965,73 @@ class TestTTL:
         idx = _open_store({**opts, "indexon": "v"})
         # index rows exist only for live base rows (expired half absent)
         assert len(idx.rows) == 20
+
+
+def test_store_root_relocates_all_mutable_state(spark, tmp_path):
+    """Round-10: the ``storeRoot`` option points EVERY piece of the
+    store's mutable state — overlay (+ WAL + locks), generation chain,
+    index catalog — at one directory (shared storage at cluster scale,
+    lifting the local-tempdir single-host bound); the default tempdir
+    namespace holds nothing for such a store."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        KVUpsertWriter,
+        KVWriteMessage,
+        _gen_root,
+        _kv_index_root,
+        _open_store,
+        bulk_load_store,
+        changelog_dir,
+        compact_store,
+        create_kv_index,
+        list_kv_indexes,
+        overlay_path,
+        truncate_overlay,
+    )
+
+    base = os.path.join(str(tmp_path), "sr.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(30), pa.int64()),
+                  "v": pa.array([float(i) for i in range(30)], pa.float64())}),
+        base,
+    )
+    root = os.path.join(str(tmp_path), "shared_state")
+    opts = {"path": base, "keycol": "k", "columns": "k,v",
+            "regionsize": "8", "appid": "sr", "storeroot": root}
+    truncate_overlay(opts)
+
+    # every derived location sits under the custom root
+    assert overlay_path(opts).startswith(os.path.join(root, "overlay"))
+    assert changelog_dir(opts).startswith(os.path.join(root, "overlay"))
+    assert _gen_root(opts).startswith(os.path.join(root, "gen"))
+    assert _kv_index_root(opts).startswith(os.path.join(root, "index"))
+
+    # the full lifecycle works in place: commit -> fold -> bulk -> index
+    KVUpsertWriter(opts).commit([KVWriteMessage([{"k": 5, "v": 55.0}])])
+    assert os.path.exists(overlay_path(opts))
+    stats = compact_store(opts)
+    assert stats["compacted"]
+    st = bulk_load_store(
+        opts,
+        spark.createDataFrame([{"k": 100, "v": 1.0}], "k long, v double"),
+        distribute_min_rows=0,
+    )
+    assert st["published"]
+    create_kv_index(spark, "sr_v", opts, "v")
+    assert list_kv_indexes(opts)[0]["INDEX"] == "v"
+    state = {r["k"]: r["v"] for r in _open_store(opts).rows}
+    assert state[5] == 55.0 and state[100] == 1.0 and len(state) == 31
+
+    # nothing for this store leaked into the default tempdir namespace
+    import tempfile
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    for kind in ("overlay", "gen", "index"):
+        d = os.path.join(tempfile.gettempdir(), f"kt_sql_kv_{kind}_u{uid}")
+        hits = [p for p in glob.glob(os.path.join(d, "*"))
+                if "sr.parquet" in p]
+        assert not hits
