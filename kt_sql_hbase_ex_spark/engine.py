@@ -1581,12 +1581,16 @@ class KtSqlEngine:
 
         return list_kv_indexes(store_options)
 
-    def compact_kv_table(self, **store_options: str) -> dict:
+    def compact_kv_table(self, major: bool = False, **store_options: str) -> dict:
         """Fold a KV store's committed overlay into a new base
-        generation (the HBase memstore-flush / major-compaction the
+        generation (the HBase memstore-flush / minor-compaction the
         reference's substrate ran underneath it): region-pruned
         rewrite, cold regions carried by hardlink, tombstones
-        physically dropped, atomic pointer publish. The engine's
+        physically dropped, atomic pointer publish. With
+        ``major=True`` (HBase ``major_compact``) EVERY region rewrites
+        — no hardlink carries — and the pass runs even with an empty
+        overlay: the sweep that physically reclaims TTL-expired rows
+        from cold regions the pruned fold never touches. The engine's
         session rides along, so a fold past the size crossover runs
         DISTRIBUTED (one task per touched region / the range-
         partitioned first-fold job) while small folds stay driver-side.
@@ -1597,7 +1601,7 @@ class KtSqlEngine:
         retention — and ``distributed``)."""
         from kt_sql_hbase_ex_spark.sources.kvstore import compact_store
 
-        return compact_store(store_options, spark=self.spark)
+        return compact_store(store_options, spark=self.spark, major=major)
 
     def bulk_load_kv(self, df: DataFrame, **store_options: str) -> dict:
         """BULK LOAD a DataFrame of Put rows straight into the KV

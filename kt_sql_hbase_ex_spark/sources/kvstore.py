@@ -1470,6 +1470,7 @@ def compact_store(
     lock_free_attempts: int = 2,
     distribute_min_rows: int = DISTRIBUTE_MIN_ROWS,
     fold_timeout_s: float = 600.0,
+    major: bool = False,
 ) -> dict:
     """Fold the committed overlay into a new base generation (HBase
     memstore flush + major compaction in one step — the write path the
@@ -1522,6 +1523,15 @@ def compact_store(
     (same keys, same values, tombstones of keys the fold already
     dropped are no-ops), and the next fold (or open) retires it.
 
+    MAJOR compaction (round-10, ``major=True`` — HBase's
+    ``major_compact`` beside the default minor fold): EVERY region
+    rewrites, none carry by hardlink, and the fold runs even with an
+    EMPTY overlay — the pass that physically reclaims TTL-expired rows
+    from cold regions the minor fold's pruning never touches (minor
+    reclaims only where it rewrites, exactly HBase's lazy reclaim).
+    Answers never change (the read filter already hid what major
+    reclaims); only bytes and file layout do.
+
     Returns stats: ``regions_rewritten`` / ``regions_carried`` (the
     region-pruning proof), ``rows`` (live rows in the new generation),
     ``tombstones_dropped``, ``applied_seq`` (carried watermark —
@@ -1532,39 +1542,47 @@ def compact_store(
     with _fold_lock(opts, timeout_s=fold_timeout_s):
         for _ in range(max(0, lock_free_attempts)):
             out = _compact_once(
-                opts, spark, distribute_min_rows, locked_build=False
+                opts, spark, distribute_min_rows, locked_build=False,
+                major=major,
             )
             if out.get("reason") != _FOLD_CONFLICT:
                 return out
         # guaranteed progress: one cycle with the overlay lock held
         # throughout (commits queue behind it, the pre-round-9 behavior)
         return _compact_once(
-            opts, spark, distribute_min_rows, locked_build=True
+            opts, spark, distribute_min_rows, locked_build=True, major=major
         )
 
 
-def _compact_once(opts, spark, distribute_min_rows: int, locked_build: bool) -> dict:
+def _compact_once(
+    opts, spark, distribute_min_rows: int, locked_build: bool,
+    major: bool = False,
+) -> dict:
     """One snapshot → build → publish cycle; caller holds the fold
     lock. ``locked_build`` keeps the overlay writer lock across the
     build (conflict-free by construction); otherwise the build runs
     lock-free and the publish phase verifies the snapshot still holds."""
     if locked_build:
         with _overlay_lock(opts):
-            snap = _fold_snapshot(opts)
+            snap = _fold_snapshot(opts, major=major)
             if snap is None:
                 return {"compacted": False, "reason": "no overlay to fold"}
-            built = _build_generation(opts, spark, snap, distribute_min_rows)
+            built = _build_generation(
+                opts, spark, snap, distribute_min_rows, major=major
+            )
             return _publish_generation(opts, snap, built, verify=False)
     with _overlay_lock(opts):
-        snap = _fold_snapshot(opts)
+        snap = _fold_snapshot(opts, major=major)
     if snap is None:
         return {"compacted": False, "reason": "no overlay to fold"}
-    built = _build_generation(opts, spark, snap, distribute_min_rows)  # lock-free rewrite
+    built = _build_generation(
+        opts, spark, snap, distribute_min_rows, major=major
+    )  # lock-free rewrite
     with _overlay_lock(opts):
         return _publish_generation(opts, snap, built, verify=True)
 
 
-def _fold_snapshot(opts) -> dict | None:
+def _fold_snapshot(opts, major: bool = False) -> dict | None:
     """Snapshot phase (under the overlay lock): WAL-recover so the
     overlay reflects every committed mutation, read the fold inputs,
     and record the identity (overlay inode/stat + pointer) the publish
@@ -1576,7 +1594,7 @@ def _fold_snapshot(opts) -> dict | None:
 
     _recover_overlay_locked(opts)
     opath = overlay_path(opts)
-    if not os.path.exists(opath):
+    if not os.path.exists(opath) and not major:
         return None
     root = _gen_root(opts)
     os.makedirs(root, exist_ok=True)
@@ -1584,16 +1602,26 @@ def _fold_snapshot(opts) -> dict | None:
     # deferred GC: sweep superseded + crash-orphaned generations now
     _gc_generations(root, keep=cur["dir"] if cur else None)
 
-    overlay_rows = pq.read_table(opath).to_pylist()
-    applied = _overlay_applied_seq(opath)
-    if applied is None:  # legacy overlay: consistent at the log head
-        seqs = _log_seqs(changelog_dir(opts))
-        applied = seqs[-1] if seqs else changelog_floor(opts)
-    ost = os.stat(opath)
+    if os.path.exists(opath):
+        overlay_rows = pq.read_table(opath).to_pylist()
+        applied = _overlay_applied_seq(opath)
+        if applied is None:  # legacy overlay: consistent at the log head
+            seqs = _log_seqs(changelog_dir(opts))
+            applied = seqs[-1] if seqs else changelog_floor(opts)
+        ost = os.stat(opath)
+        ident = [ost.st_ino, ost.st_mtime_ns, ost.st_size]
+    else:
+        # major pass with nothing pending: recovery just ran, so an
+        # absent overlay means every WAL entry is folded — the
+        # watermark is the live generation's (or the floor, pristine)
+        overlay_rows, ident = [], None
+        applied = (
+            int(cur["applied_seq"]) if cur else changelog_floor(opts)
+        )
     return {
         "overlay_rows": overlay_rows,
         "applied": applied,
-        "overlay_ident": [ost.st_ino, ost.st_mtime_ns, ost.st_size],
+        "overlay_ident": ident,
         "cur": cur,
         "root": root,
         "key_cols": tuple(opts["keycol"].split(",")),
@@ -1612,7 +1640,9 @@ def _fold_snapshot(opts) -> dict | None:
     }
 
 
-def _build_generation(opts, spark, snap, distribute_min_rows: int = 0) -> dict:
+def _build_generation(
+    opts, spark, snap, distribute_min_rows: int = 0, major: bool = False
+) -> dict:
     """Rewrite phase (no overlay lock needed): materialize the new
     generation's region files in a uniquely-named dir — invisible to
     every reader until the pointer flip — and return the region
@@ -1653,6 +1683,12 @@ def _build_generation(opts, spark, snap, distribute_min_rows: int = 0) -> dict:
         for r in overlay_rows:
             idx = max(0, bisect.bisect_right(starts, _rowkey_of(r, key_cols)) - 1)
             by_region.setdefault(idx, []).append(r)
+        if major:
+            # major compaction: EVERY region is a rewrite unit (no
+            # hardlink carries) — the pass that reclaims TTL-expired
+            # rows from regions no overlay key touches
+            for i in range(len(regions)):
+                by_region.setdefault(i, [])
         payloads = []
         for i, region in enumerate(regions):
             if i not in by_region:
@@ -2264,8 +2300,12 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
         try:
             ost = os.stat(overlay_path(opts))
             ident = [ost.st_ino, ost.st_mtime_ns, ost.st_size]
-            conflict = ident != snap["overlay_ident"]
-        except FileNotFoundError:  # truncate raced the build
+        except FileNotFoundError:
+            # truncate raced the build — unless the snapshot was a
+            # MAJOR pass over an already-empty overlay (ident None),
+            # where absent-is-still-absent means no conflict
+            ident = None
+        if ident != snap["overlay_ident"]:
             conflict = True
         live = _resolve_generation(opts)
         if (live or {}).get("dir") != ((snap["cur"] or {}).get("dir")):
@@ -2298,8 +2338,10 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
         json.dump(pointer, f)
     os.replace(tmp, ptr_path)
     # the folded overlay retires AFTER the publish: a crash between
-    # the two re-applies it over the new generation — idempotent
-    os.unlink(overlay_path(opts))
+    # the two re-applies it over the new generation — idempotent.
+    # (A major pass over an empty overlay has nothing to retire.)
+    if snap["overlay_ident"] is not None:
+        os.unlink(overlay_path(opts))
     # a fold changes the base identity dependent indexes were built
     # against — stale-flip exactly like a commit (content is
     # read-identical, but the conservative flip keeps one freshness

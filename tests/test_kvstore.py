@@ -3035,3 +3035,118 @@ def test_store_root_relocates_all_mutable_state(spark, tmp_path):
         hits = [p for p in glob.glob(os.path.join(d, "*"))
                 if "sr.parquet" in p]
         assert not hits
+
+
+class TestMajorCompaction:
+    """Round-10: major compaction (HBase ``major_compact`` beside the
+    default pruned/minor fold) — every region rewrites, no hardlink
+    carries, the pass runs with an EMPTY overlay, and it physically
+    reclaims TTL-expired rows from cold regions the minor fold's
+    pruning never touches. Answers never change."""
+
+    _store = TestCompaction._store
+    _state = staticmethod(TestCompaction._state)
+    _put = staticmethod(TestCompaction._put)
+
+    def test_major_rewrites_every_region_no_carries(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "mj1")
+        self._put(opts, [(1, 10.0)])
+        compact_store(opts)  # gen1: 7 regions
+        before = self._state(opts)
+        self._put(opts, [(50, 5050.0)])
+        stats = compact_store(opts, major=True)
+        assert stats["compacted"]
+        assert stats["regions_carried"] == 0
+        assert stats["regions_rewritten"] == 7
+        gen = _resolve_generation(opts)
+        assert all(
+            os.stat(os.path.join(gen["dir"], rg["file"])).st_nlink == 1
+            for rg in gen["regions"]
+        )
+        assert self._state(opts) == {**before, 50: 5050.0}
+
+    def test_major_with_empty_overlay_reclaims_cold_ttl_rows(
+        self, spark, tmp_path
+    ):
+        """The reclaim-only pass: rows live at fold time expire later
+        (ttlNow moves forward); a minor fold touching ONE region
+        carries the expired-holding regions cold, bytes intact; a
+        major pass with NOTHING pending sweeps them physically without
+        changing any answer — driver and distributed paths agree."""
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        NOW = TestTTL.NOW
+        helper = TestTTL()
+
+        def physical(opts):
+            gen = _resolve_generation(opts)
+            out = set()
+            for rg in gen["regions"]:
+                out |= {
+                    r["k"]
+                    for r in pq.read_table(
+                        os.path.join(gen["dir"], rg["file"])
+                    ).to_pylist()
+                }
+            return out
+
+        for ns, dist in (("mjttl_d", False), ("mjttl_s", True)):
+            base_opts = helper._store(tmp_path, ns)
+            # T1: everything is still live (rows 20..39 carry
+            # ts = NOW - 200; cutoff at T1 is NOW - 250)
+            t1 = {**base_opts, "ttlnow": str(NOW - 150.0)}
+            helper._put(t1, [{"k": 1, "ts": NOW, "v": 11.0}])
+            compact_store(t1)  # gen1 holds ALL 40 keys
+            assert physical(t1) == set(range(40))
+
+            # T2 = NOW: keys 20..39 are now expired. A minor fold
+            # touching only region 0 carries their regions cold —
+            # bytes intact, reads already filtered
+            t2 = base_opts
+            helper._put(t2, [{"k": 0, "ts": NOW, "v": 0.5}])
+            st_minor = compact_store(t2)
+            assert st_minor["regions_carried"] > 0
+            assert physical(t2) >= set(range(20, 40))  # bytes remain
+            live_view = helper._keys(t2)
+            assert live_view == set(range(20))
+
+            # major with an EMPTY overlay: reclaim-only pass
+            stats = compact_store(
+                t2,
+                spark=spark if dist else None,
+                distribute_min_rows=0 if dist else 10**9,
+                major=True,
+            )
+            assert stats["compacted"] and stats["regions_carried"] == 0
+            assert stats["distributed"] is dist
+            assert physical(t2) == set(range(20))  # bytes reclaimed
+            assert helper._keys(t2) == live_view   # answers unchanged
+
+    def test_major_on_pristine_store_builds_generation(self, tmp_path):
+        """major over a store that never folded: the whole base
+        rewrites into gen 1 (the TTL-reclaim entry point for a store
+        with no mutations), watermark at the floor."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "mjprist")
+        before = self._state(opts)
+        stats = compact_store(opts, major=True)
+        assert stats["compacted"] and stats["applied_seq"] == 0
+        assert _resolve_generation(opts)["gen"] == 1
+        assert self._state(opts) == before
+        # idempotent: a second major pass folds again, same answers
+        again = compact_store(opts, major=True)
+        assert again["compacted"] and self._state(opts) == before
