@@ -142,6 +142,12 @@ HEADLINE = (
     # batches -> fold with expiry reclaim -> TTL-filtered scan) — the
     # expiring-store read path src02-style scans don't exercise.
     "src14_kv_ttl_scan",
+    # round-10 addition: the operational recovery path — replica drains
+    # the feed, a bulk load stops it loudly at the marker, snapshot
+    # re-baseline via the replica's own bulk load, prune, resubscribe,
+    # post-bulk commits replicate live (two stream lifecycles + two
+    # distributed bulk loads; lifecycle-priced like st17 by design).
+    "st18_cdc_replica_rebaseline",
 )
 
 

@@ -601,7 +601,7 @@ def _log_seqs(log_dir: str) -> List[int]:
     )
 
 
-def _append_changelog(options, rows: list, key_cols) -> int:
+def _append_changelog(options, rows: list, key_cols, footer_meta=None) -> int:
     """Append one commit's mutations as the next numbered log file.
 
     ``rows`` are the batch's PER-KEY FINAL mutations (same-batch
@@ -612,8 +612,13 @@ def _append_changelog(options, rows: list, key_cols) -> int:
     infer per-file types would give delete-only commits unreadable
     null-typed columns. Sequence claim is an O_EXCL hardlink — the same
     loud-loser discipline as the index claims: two racing commits can
-    never share a number or overwrite each other's entry. Returns the
-    claimed sequence number (the overlay records it as applied_seq)."""
+    never share a number or overwrite each other's entry.
+    ``footer_meta`` (str→str) embeds keys in the entry's parquet footer
+    — ATOMIC with the claim, since the linked tmp file is fully written
+    first; the bulk-load marker rides here so no reader can ever see
+    the claimed entry without its marker (a sidecar alone would leave a
+    write-order race window). Returns the claimed sequence number (the
+    overlay records it as applied_seq)."""
     import uuid
 
     import pyarrow as pa
@@ -624,7 +629,10 @@ def _append_changelog(options, rows: list, key_cols) -> int:
     base = pq.read_schema(os.path.realpath(opts["path"]))
     schema = pa.schema(
         [pa.field(c, base.field(c).type) for c in columns]
-        + [pa.field(TOMBSTONE, pa.bool_()), pa.field(SEQ_COL, pa.int64())]
+        + [pa.field(TOMBSTONE, pa.bool_()), pa.field(SEQ_COL, pa.int64())],
+        metadata={
+            k.encode(): v.encode() for k, v in (footer_meta or {}).items()
+        } or None,
     )
     log_dir = changelog_dir(opts)
     os.makedirs(log_dir, exist_ok=True)
@@ -1171,6 +1179,34 @@ def bulk_marker_seqs(options) -> List[int]:
     )
 
 
+#: parquet-footer key marking a commit-log entry as a bulk-load claim —
+#: embedded ATOMICALLY with the O_EXCL claim (the sidecar alone would
+#: leave a window where a racing poll sees the zero-row entry before
+#: the sidecar lands and silently skips the bulk)
+_BULK_FOOTER_KEY = b"ktsql_bulk"
+
+
+def _is_bulk_entry(log_dir: str, seq: int) -> bool:
+    """Is commit ``seq`` a bulk-load marker? Sidecar fast-path first
+    (one exists for every completed publish), authoritative footer key
+    second (atomic with the claim — covers the claim-to-sidecar crash
+    window)."""
+    import pyarrow.parquet as pq
+
+    if os.path.exists(_bulk_marker_path(log_dir, seq)):
+        return True
+    try:
+        meta = (
+            pq.read_schema(
+                os.path.join(log_dir, f"{seq:08d}.parquet")
+            ).metadata
+            or {}
+        )
+    except (FileNotFoundError, OSError):
+        return False
+    return _BULK_FOOTER_KEY in meta
+
+
 def _check_no_bulk_markers(log_dir: str, seqs) -> None:
     """Fail LOUDLY when a WAL read span crosses a bulk-load marker:
     the bulk rows bypassed the WAL, so replaying the span as data
@@ -1179,7 +1215,7 @@ def _check_no_bulk_markers(log_dir: str, seqs) -> None:
     Consumers re-baseline from the store (or a generation snapshot)
     and resume ABOVE the marker; `prune_changelog(marker_seq)`
     retires the marker once every consumer has re-baselined."""
-    hits = [s for s in seqs if os.path.exists(_bulk_marker_path(log_dir, s))]
+    hits = [s for s in seqs if _is_bulk_entry(log_dir, s)]
     if hits:
         raise ValueError(
             f"change-feed span crosses bulk-load marker(s) at seq "
@@ -2404,7 +2440,13 @@ def _publish_bulk_generation(opts, snap, built, n_bulk: int, verify: bool) -> di
             return {"published": False, "reason": _FOLD_CONFLICT}
 
     key_cols = snap["key_cols"]
-    seq = _append_changelog(opts, [], key_cols)
+    # the marker rides in the claimed entry's OWN footer (atomic with
+    # the claim — no reader can see the entry marker-less); the sidecar
+    # is the fast-path/operator artifact, written right after
+    seq = _append_changelog(
+        opts, [], key_cols,
+        footer_meta={"ktsql_bulk": json.dumps({"rows": n_bulk})},
+    )
     log_dir = changelog_dir(opts)
     marker = _bulk_marker_path(log_dir, seq)
     tmp = f"{marker}.tmp.{os.getpid()}"

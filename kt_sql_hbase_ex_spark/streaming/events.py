@@ -1782,3 +1782,132 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_key"),
         _emit(F.sum(_micros(F.col("c_acctbal"))), 2).alias("total_bal"),
     )
+
+
+@query(
+    "st18_cdc_replica_rebaseline",
+    oracle=_st17_oracle(),
+)
+def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bulk-load marker contract made OPERATIONAL end to end — what
+    an HBase operator does when replication hits a bulkload (except
+    HBase replication silently MISSES it; here the miss is mechanically
+    impossible): a live CDC replica drains the source feed; a BULK LOAD
+    lands on the source (bypassing the WAL behind the claimed marker);
+    the replica's next poll FAILS LOUDLY at the marker; the consumer
+    re-baselines — the source's current state snapshot-copies into the
+    replica via the replica's own bulk load (idempotent: bulk wins over
+    everything previously applied), the source WAL prunes through the
+    marker — and a fresh subscription resumes at the retention floor,
+    applying the post-bulk commits live. The final replica state equals
+    st17's oracle exactly (the same four logical mutations arrived, one
+    of them via bulk + re-baseline instead of the feed), so the hash
+    match proves the recovery path converges to the replication path.
+
+    Scale: the re-baseline is one distributed store read + one
+    distributed bulk load — no driver-side data; everything else is the
+    st17 per-commit apply (work ∝ one commit's mutation set)."""
+    import shutil
+    import time
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        bulk_load_store,
+        changelog_floor,
+        delete_from_store,
+        prune_changelog,
+        register_kv_source,
+    )
+
+    register_kv_source(spark)
+    spark = stream_session(spark)
+    register_kv_source(spark)
+
+    src_opts = _cdc_provision(spark, sf_dir, "rebase_src")
+    dst_opts = _cdc_provision(spark, sf_dir, "rebase_dst")
+    src_lopts = {k.lower(): v for k, v in src_opts.items()}
+    dst_lopts = {k.lower(): v for k, v in dst_opts.items()}
+    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+
+    applied: list = []
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count():
+            apply_cdc_batch(batch_df, dst_opts)
+            applied.append(batch_id)
+
+    def start_drain(ckpt_name: str):
+        ckpt = os.path.join(os.path.dirname(src_opts["path"]), ckpt_name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        feed = (
+            spark.readStream.format(CHANGES_FORMAT_NAME)
+            .options(**src_opts)
+            .load()
+        )
+        return (
+            feed.writeStream.foreachBatch(apply)
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def await_applied(q, n: int, deadline_s: float = 120.0) -> None:
+        t0 = time.monotonic()
+        while len(applied) < n:
+            if q.exception() is not None:
+                raise q.exception()
+            if time.monotonic() - t0 > deadline_s:
+                raise TimeoutError(f"applied {len(applied)}/{n}")
+            time.sleep(0.05)
+
+    # phase 1: normal replication of commit 1, then the bulk load
+    q1 = start_drain("rebase_ckpt1")
+    try:
+        put_batches[0].write.format(FORMAT_NAME).options(**src_opts).mode(
+            "append"
+        ).save()
+        await_applied(q1, 1)
+        load = bulk_load_store(
+            src_lopts, put_batches[1], distribute_min_rows=0
+        )
+        assert load["published"], load
+        # the subscriber MUST fail loudly at the marker — never skip it
+        t0 = time.monotonic()
+        while q1.exception() is None:
+            if time.monotonic() - t0 > 120.0:
+                raise TimeoutError("drain did not stop at the bulk marker")
+            time.sleep(0.05)
+        assert "bulk-load marker" in str(q1.exception()), q1.exception()
+    finally:
+        q1.stop()
+
+    # phase 2: re-baseline (snapshot-copy the source into the replica —
+    # the replica's own bulk load, bulk-wins makes it idempotent over
+    # whatever was already applied), retire the marker, resubscribe
+    state = spark.read.format(FORMAT_NAME).options(**src_opts).load()
+    rb = bulk_load_store(dst_lopts, state, distribute_min_rows=0)
+    assert rb["published"], rb
+    prune_changelog(src_lopts, load["seq"])
+    assert changelog_floor(src_lopts) == load["seq"]
+
+    # phase 3: a fresh subscription resumes at the floor and applies
+    # the post-bulk commits live
+    q2 = start_drain("rebase_ckpt2")
+    try:
+        put_batches[2].write.format(FORMAT_NAME).options(**src_opts).mode(
+            "append"
+        ).save()
+        await_applied(q2, 2)
+        delete_from_store(src_lopts, delete_keys)
+        await_applied(q2, 3)
+    finally:
+        q2.stop()
+
+    replica = spark.read.format(FORMAT_NAME).options(**dst_opts).load()
+    return replica.agg(
+        F.count("*").alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        _emit(F.sum(_micros(F.col("c_acctbal"))), 2).alias("total_bal"),
+    )
