@@ -148,6 +148,11 @@ HEADLINE = (
     # post-bulk commits replicate live (two stream lifecycles + two
     # distributed bulk loads; lifecycle-priced like st17 by design).
     "st18_cdc_replica_rebaseline",
+    # round-10 addition: the atomic-counter path (two increment commits
+    # over 41 hot keys + create-on-increment, read back through the
+    # connector) — the read-modify-write commit shape Put/Delete
+    # entries don't exercise.
+    "src15_kv_increment",
 )
 
 

@@ -1603,6 +1603,19 @@ class KtSqlEngine:
 
         return compact_store(store_options, spark=self.spark, major=major)
 
+    def increment_kv(self, increments: list, **store_options: str) -> list:
+        """HBase ``Increment`` analog: atomically bump numeric columns
+        of the named rows (absent or TTL-expired rows count from zero —
+        create-on-increment). One call = one commit: one overlay
+        read-modify-publish cycle, one WAL entry carrying the new
+        ABSOLUTE values, so replicas and time travel replay increments
+        as plain puts with no double-count risk. Each element carries
+        the full primary key plus ``column: delta`` entries; returns
+        the new absolute rows in input order."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import increment_store
+
+        return increment_store(store_options, increments)
+
     def bulk_load_kv(self, df: DataFrame, **store_options: str) -> dict:
         """BULK LOAD a DataFrame of Put rows straight into the KV
         store's base (the HBase ``LoadIncrementalHFiles`` analog): the

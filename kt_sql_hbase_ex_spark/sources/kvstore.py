@@ -722,6 +722,154 @@ def delete_from_store(options, keys) -> None:
         _invalidate_dependent_indexes(opts)
 
 
+def increment_store(options, increments: list) -> list:
+    """HBase ``Increment`` analog — atomic read-modify-write counters
+    (the substrate op the reference's HBase tables offered beside
+    Put/Delete; the SQL layer never exposed it, a consumer called it
+    through the client API). Each element of ``increments`` is a dict
+    carrying the FULL primary key plus one or more ``column: delta``
+    entries; the store's current value (overlay-merged, TTL-filtered —
+    an expired or absent row counts from zero, exactly HBase's
+    create-on-increment) is bumped by the delta and committed as an
+    ordinary Put. The whole batch is ONE commit: one overlay-lock
+    read-modify-publish cycle, one WAL entry carrying the NEW ABSOLUTE
+    values — so replication, recovery, and time travel replay
+    increments as plain puts with no read-back (the reason HBase ships
+    the post-increment cell in its WAL too: delta replay would
+    double-count under at-least-once delivery). Repeated increments of
+    one key within a batch accumulate in list order. Returns the new
+    absolute rows in input order. Statement-sized by the overlay
+    contract (counters are hot keys, not table scans); the multi-get
+    against the base reads only the touched keys via a column-pruned
+    predicate scan of the base/generation files."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    if not increments:
+        return []
+    # validate + split each spec into (key tuple, deltas) loudly
+    specs = []
+    for spec in increments:
+        missing = [c for c in key_cols if c not in spec]
+        if missing:
+            raise ValueError(
+                f"increment is missing key column(s) {missing}: {spec!r}"
+            )
+        deltas = {c: v for c, v in spec.items() if c not in key_cols}
+        if not deltas:
+            raise ValueError(f"increment has no delta columns: {spec!r}")
+        unknown = [c for c in deltas if c not in columns]
+        if unknown:
+            raise ValueError(
+                f"increment names column(s) {unknown} not in the store's "
+                f"columns {columns}: {spec!r}"
+            )
+        bad = [c for c, v in deltas.items() if not isinstance(v, (int, float))]
+        if bad:
+            raise ValueError(
+                f"increment deltas must be numeric; {bad} are not: {spec!r}"
+            )
+        specs.append(({c: spec[c] for c in key_cols}, deltas))
+
+    cutoff = _ttl_cutoff(opts)
+    ttl_col = opts.get("ttlcolumn")
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        opath = overlay_path(opts)
+        overlay: dict = {}
+        if os.path.exists(opath):
+            for r in pq.read_table(opath).to_pylist():
+                overlay[_rowkey_of(r, key_cols)] = r
+
+        # multi-get of touched keys NOT already answered by the overlay:
+        # a column-pruned predicate scan of the base/generation files
+        # (row groups whose key range misses prune via parquet stats)
+        need = {
+            _rowkey_of(k, key_cols): k
+            for k, _ in specs
+            if _rowkey_of(k, key_cols) not in overlay
+        }
+        base_rows: dict = {}
+        if need:
+            base_path = _resolve_base_path(opts)
+            ds = pads.dataset(base_path, format="parquet")
+            flt = None
+            for c in key_cols:
+                vals = sorted({k[c] for k in need.values()})
+                f = pc.field(c).isin(vals)
+                flt = f if flt is None else (flt & f)
+            for r in ds.to_table(filter=flt, columns=columns).to_pylist():
+                rk = _rowkey_of(r, key_cols)
+                if rk in need:  # composite isin is a superset: exact-match
+                    base_rows[rk] = r
+
+        def current(rk):
+            r = overlay.get(rk)
+            if r is not None:
+                if r.get(TOMBSTONE):
+                    return None
+                r = {c: r.get(c) for c in columns}
+            else:
+                r = base_rows.get(rk)
+            if r is None:
+                return None
+            if cutoff is not None and r.get(ttl_col) is not None and r[ttl_col] < cutoff:
+                return None  # expired: increment counts from zero
+            return r
+
+        base_sch = pq.read_schema(os.path.realpath(opts["path"]))
+        int_cols = {
+            c for c in columns if pa.types.is_integer(base_sch.field(c).type)
+        }
+        out_rows: list = []
+        batch: dict = {}  # per-key FINAL puts for the WAL entry
+        for key, deltas in specs:
+            rk = _rowkey_of(key, key_cols)
+            if rk in batch:  # same-batch accumulation
+                row = dict(batch[rk])
+            else:
+                row = current(rk) or {
+                    **{c: None for c in columns}, **key,
+                }
+                row = {c: row.get(c) for c in columns}
+            for c, d in deltas.items():
+                nv = (row[c] or 0) + d
+                if c in int_cols:
+                    # the WAL entry is schema-pinned to the base: a
+                    # fractional result on an integer column must fail
+                    # HERE, not as an opaque arrow cast error
+                    if isinstance(nv, float):
+                        if not nv.is_integer():
+                            raise ValueError(
+                                f"increment of integer column {c!r} "
+                                f"yields non-integer {nv!r}"
+                            )
+                        nv = int(nv)
+                row[c] = nv
+            row[TOMBSTONE] = False
+            batch[rk] = row
+            out_rows.append({c: row[c] for c in columns})
+            overlay[rk] = row
+
+        rows = sorted(overlay.values(), key=lambda r: _rowkey_of(r, key_cols))
+        for r in rows:
+            r.setdefault(TOMBSTONE, False)
+        # WRITE-AHEAD, same discipline as Put/Delete: the entry carries
+        # the post-increment absolute rows
+        applied = _append_changelog(opts, list(batch.values()), key_cols)
+        tmp = opath + ".tmp"
+        pq.write_table(_stamp_applied(pa.Table.from_pylist(rows), applied), tmp)
+        os.replace(tmp, opath)
+        _invalidate_dependent_indexes(opts)
+    return out_rows
+
+
 #: rowkey of a secondary-index entry: indexed value, then the base
 #: rowkey zero-padded so the string sort equals the numeric sort —
 #: the classic HBase composite index-rowkey encoding
@@ -4654,4 +4802,75 @@ def src14_kv_ttl_scan(spark, sf_dir: str):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
         exact_sum("value").alias("total_value"),
+    )
+
+
+_SRC15_INC_MAX = 40          # custkeys <= this get two balance bumps
+_SRC15_D1, _SRC15_D2 = 100.5, 50.25
+_SRC15_NEW_KEY = 990001      # create-on-increment counter row
+_SRC15_NEW_DELTA = 7.25
+
+
+@query(
+    "src15_kv_increment",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC15_INC_MAX}
+                    THEN c_acctbal + {_SRC15_D1} + {_SRC15_D2}
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT {_SRC15_NEW_KEY}, NULL, {_SRC15_NEW_DELTA} + {_SRC15_NEW_DELTA}
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {{exact_sum}} AS total_bal
+    FROM store GROUP BY c_mktsegment
+    """.replace("{exact_sum}", exact_sum_sql("c_acctbal")),
+)
+def src15_kv_increment(spark, sf_dir: str):
+    """Atomic counters — the HBase ``Increment`` op the reference's
+    substrate offered beside Put/Delete (client-API path; the SQL layer
+    never exposed it): two increment statements bump the balance of
+    custkeys 1..{_SRC15_INC_MAX} (each statement = ONE commit: one
+    overlay read-modify-publish under the writer lock, one WAL entry
+    carrying the new ABSOLUTE values — so replication and time travel
+    replay increments as plain puts, the double-count-proof form HBase
+    itself WALs), and a key that does not exist is incremented twice
+    across the two statements (create-on-increment: counts from zero,
+    non-key columns NULL). The read back serves overlay-over-base; the
+    oracle replays the arithmetic relationally. Scale: increments are
+    statement-sized hot-key ops by contract; the base multi-get reads
+    only touched keys via a column-pruned predicate scan."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+
+    register_kv_source(spark)
+    opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    keys = list(range(1, _SRC15_INC_MAX + 1))
+    out1 = increment_store(
+        lopts,
+        [{"c_custkey": k, "c_acctbal": _SRC15_D1} for k in keys]
+        + [{"c_custkey": _SRC15_NEW_KEY, "c_acctbal": _SRC15_NEW_DELTA}],
+    )
+    assert len(out1) == len(keys) + 1
+    out2 = increment_store(
+        lopts,
+        [{"c_custkey": k, "c_acctbal": _SRC15_D2} for k in keys]
+        + [{"c_custkey": _SRC15_NEW_KEY, "c_acctbal": _SRC15_NEW_DELTA}],
+    )
+    # create-on-increment accumulated across the two commits
+    assert out2[-1]["c_acctbal"] == 2 * _SRC15_NEW_DELTA, out2[-1]
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
     )

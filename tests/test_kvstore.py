@@ -3150,3 +3150,102 @@ class TestMajorCompaction:
         # idempotent: a second major pass folds again, same answers
         again = compact_store(opts, major=True)
         assert again["compacted"] and self._state(opts) == before
+
+
+class TestIncrement:
+    """Round-10: atomic counters (HBase ``Increment``) — accumulate
+    across and within commits, create-on-increment from zero, WAL
+    entries carry absolute values (time travel and replicas replay
+    them as plain puts), TTL-expired rows restart from zero, loud
+    validation, integer-column domain guard."""
+
+    _store = TestCompaction._store
+    _state = staticmethod(TestCompaction._state)
+
+    def test_accumulates_and_creates(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import increment_store
+
+        opts = self._store(tmp_path, "inc1")
+        out = increment_store(opts, [
+            {"k": 3, "v": 10.0},
+            {"k": 200, "v": 1.5},        # create-on-increment
+            {"k": 3, "v": 0.5},          # same-batch accumulation
+        ])
+        assert [r["v"] for r in out] == [13.0, 1.5, 13.5]
+        st = self._state(opts)
+        assert st[3] == 13.5 and st[200] == 1.5
+        # second statement accumulates on the committed state
+        out2 = increment_store(opts, [{"k": 200, "v": 1.5}])
+        assert out2[0]["v"] == 3.0 and self._state(opts)[200] == 3.0
+
+    def test_wal_carries_absolute_values(self, spark, tmp_path):
+        """Time travel across increment commits shows absolute
+        snapshots — the double-count-proof WAL form."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            increment_store,
+            read_store_asof,
+        )
+
+        opts = self._store(tmp_path, "inc2", n=20, region_size=8)
+        increment_store(opts, [{"k": 1, "v": 100.0}])   # seq 1
+        increment_store(opts, [{"k": 1, "v": 100.0}])   # seq 2
+
+        def val(seq):
+            rows = read_store_asof(spark, opts, seq).collect()
+            return {r["k"]: r["v"] for r in rows}[1]
+
+        assert val(1) == 101.0 and val(2) == 201.0
+
+    def test_expired_row_restarts_from_zero(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import increment_store
+
+        helper = TestTTL()
+        opts = helper._store(tmp_path, "incttl")
+        # key 30 is expired (ts = NOW - 200, ttl 100): counts from zero
+        out = increment_store(opts, [{"k": 30, "v": 5.0}])
+        assert out[0]["v"] == 5.0  # not 30.0 + 5
+        # the new row has NULL ts -> immortal, visible
+        assert helper._keys(opts) >= {30}
+
+    def test_validation_is_loud(self, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import increment_store
+
+        opts = self._store(tmp_path, "incval", n=10, region_size=8)
+        with pytest.raises(ValueError, match="missing key"):
+            increment_store(opts, [{"v": 1.0}])
+        with pytest.raises(ValueError, match="no delta"):
+            increment_store(opts, [{"k": 1}])
+        with pytest.raises(ValueError, match="not in the store"):
+            increment_store(opts, [{"k": 1, "zz": 1.0}])
+        with pytest.raises(ValueError, match="numeric"):
+            increment_store(opts, [{"k": 1, "v": "x"}])
+        assert increment_store(opts, []) == []
+        assert self._state(opts) == {k: float(k) for k in range(10)}
+
+    def test_integer_column_guard(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _open_store,
+            increment_store,
+            truncate_overlay,
+        )
+
+        base = os.path.join(str(tmp_path), "inci.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "n": pa.array([10, 20], pa.int64())}),
+            base,
+        )
+        opts = {"path": base, "keycol": "k", "columns": "k,n", "appid": "inci"}
+        truncate_overlay(opts)
+        out = increment_store(opts, [{"k": 1, "n": 5}, {"k": 1, "n": 2.0}])
+        assert [r["n"] for r in out] == [15, 17]
+        with pytest.raises(ValueError, match="non-integer"):
+            increment_store(opts, [{"k": 2, "n": 0.5}])
+        st = {r["k"]: r["n"] for r in _open_store(opts).rows}
+        assert st == {1: 17, 2: 20}
