@@ -924,9 +924,25 @@ _kv_ops = st.lists(
         ),
         st.tuples(st.just("del"), st.lists(KEYS, min_size=1, max_size=3)),
         st.tuples(st.just("fold"), st.just(None)),
+        # round-10 ops join the alphabet: atomic increments (one commit,
+        # absolute-value WAL entry), bulk loads (new generation + marker
+        # seq — an as-of anchor), and major compaction (always folds,
+        # even with nothing pending)
+        st.tuples(
+            st.just("inc"),
+            st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("bulk"),
+            st.lists(
+                st.tuples(KEYS, VALS), min_size=1, max_size=4,
+                unique_by=lambda r: r[0],
+            ),
+        ),
+        st.tuples(st.just("major"), st.just(None)),
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
@@ -940,13 +956,16 @@ _kv_ops = st.lists(
     ],
 )
 def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
-    """The whole round-8/9 WAL story as ONE property: any interleaving
-    of put/delete commits and folds, followed by the SAFE retention
+    """The whole round-8/9/10 WAL story as ONE property: any
+    interleaving of put/delete/increment commits, folds, BULK LOADS
+    (which claim a marker seq and anchor as-of reads at their
+    generation), and major compactions, followed by the SAFE retention
     prune (to the oldest retained generation's fold point), must leave
     read_store_asof equal to a pure-Python replay at every retained
     anchor, at the head, and at a mid-span commit — and must refuse
     loudly below the oldest retained anchor once pruning made that
-    history unreachable."""
+    history unreachable. (Anchored replay spans never cross a bulk
+    marker by construction — this property exercises exactly that.)"""
     import os
     import uuid
 
@@ -957,9 +976,11 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         KVUpsertWriter,
         KVWriteMessage,
+        bulk_load_store,
         changelog_floor,
         compact_store,
         delete_from_store,
+        increment_store,
         prune_changelog,
         read_store_asof,
         register_kv_source,
@@ -997,6 +1018,45 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
             seq += 1
             states[seq] = dict(state)
             dirty = True
+        elif kind == "inc":
+            out_rows = increment_store(
+                opts, [{"k": k, "v": float(d)} for k, d in arg]
+            )
+            for k, d in arg:
+                state[k] = state.get(k, 0.0) + float(d)
+            # the op returns the new absolute values in input order:
+            # the model must agree row by row (same-batch accumulation)
+            running = dict(states[seq])
+            got = []
+            for k, d in arg:
+                running[k] = running.get(k, 0.0) + float(d)
+                got.append(running[k])
+            assert [r["v"] for r in out_rows] == got
+            seq += 1
+            states[seq] = dict(state)
+            dirty = True
+        elif kind == "bulk":
+            out = bulk_load_store(
+                opts,
+                spark.createDataFrame(
+                    [{"k": k, "v": float(v)} for k, v in arg],
+                    "k long, v double",
+                ),
+            )
+            assert out["published"]
+            state.update({k: float(v) for k, v in arg})
+            seq += 1  # the claimed marker seq
+            assert out["seq"] == seq
+            states[seq] = dict(state)
+            anchors.append(seq)  # the bulk generation IS an anchor
+            dirty = False  # pending overlay folded in with the load
+        elif kind == "major":
+            out = compact_store(opts, major=True)
+            assert out["compacted"]  # major always folds
+            if dirty:
+                assert out["applied_seq"] == seq
+            anchors.append(out["applied_seq"])
+            dirty = False
         else:  # fold
             out = compact_store(opts)
             assert out["compacted"] is dirty  # no-op iff nothing to fold
