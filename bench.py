@@ -153,6 +153,11 @@ HEADLINE = (
     # connector) — the read-modify-write commit shape Put/Delete
     # entries don't exercise.
     "src15_kv_increment",
+    # round-10 addition: the compare-and-swap path (three CAS commits:
+    # conditional put, conditional delete, create-if-absent + losing
+    # retry) — the optimistic-concurrency commit shape the counter
+    # entry doesn't exercise.
+    "src16_kv_check_and_put",
 )
 
 

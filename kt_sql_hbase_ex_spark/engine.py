@@ -1616,6 +1616,22 @@ class KtSqlEngine:
 
         return increment_store(store_options, increments)
 
+    def check_and_mutate_kv(self, mutations: list, **store_options: str) -> list:
+        """HBase ``checkAndPut`` / ``checkAndDelete`` analog: atomic
+        compare-and-swap mutations. Each element carries the full
+        primary key, ``check={'column': c, 'equals': v}`` (``v=None``
+        = absence check — the create-if-absent idiom), and exactly one
+        of ``put={col: val, ...}`` (partial update) / ``delete=True``.
+        One call = one commit; the WAL entry carries applied OUTCOMES
+        as absolute puts/tombstones, never conditions. Returns
+        ``[bool, ...]`` — True where the check passed and the mutation
+        applied."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            check_and_mutate_store,
+        )
+
+        return check_and_mutate_store(store_options, mutations)
+
     def bulk_load_kv(self, df: DataFrame, **store_options: str) -> dict:
         """BULK LOAD a DataFrame of Put rows straight into the KV
         store's base (the HBase ``LoadIncrementalHFiles`` analog): the

@@ -870,6 +870,173 @@ def increment_store(options, increments: list) -> list:
     return out_rows
 
 
+def check_and_mutate_store(options, mutations: list) -> list:
+    """HBase ``checkAndPut`` / ``checkAndDelete`` analog — atomic
+    compare-and-swap mutations (the third substrate op the reference's
+    HBase tables offered beside Put/Delete/Increment; like Increment,
+    the SQL layer never exposed it — consumers called it through the
+    client API for optimistic concurrency). Each element of
+    ``mutations`` is a dict carrying the FULL primary key, a ``check``
+    clause, and exactly one of ``put`` / ``delete``:
+
+    - ``check``: ``{"column": c, "equals": v}`` — passes when the
+      key's CURRENT live value of ``c`` equals ``v``. ``equals=None``
+      is HBase's absent-cell check: it passes when the row does not
+      exist (never written, tombstoned, or TTL-expired) or the cell is
+      NULL — the create-if-absent idiom.
+    - ``put``: ``{column: value, ...}`` — a PARTIAL update merged over
+      the current row (HBase puts set cells, not whole rows); on an
+      absent row the unmentioned non-key columns stay NULL.
+    - ``delete: True`` — tombstone the key.
+
+    The whole batch is ONE commit, exactly the Increment discipline:
+    one overlay-lock read-modify-publish cycle, one WAL entry carrying
+    the post-mutation ABSOLUTE rows / tombstones — replicas and time
+    travel replay CAS outcomes as plain puts and deletes, never
+    re-evaluate checks (re-evaluation downstream could diverge; HBase
+    likewise WALs the applied mutation, not the condition). Mutations
+    within a batch apply in list order and see earlier ones' effects.
+    Returns ``[bool, ...]`` in input order — True where the check
+    passed and the mutation applied. A batch whose checks ALL fail
+    commits nothing (no WAL entry). Statement-sized by the overlay
+    contract (CAS targets hot keys, not scans); the base multi-get
+    reads only touched keys via a column-pruned predicate scan."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    if not mutations:
+        return []
+    specs = []
+    for spec in mutations:
+        missing = [c for c in key_cols if c not in spec]
+        if missing:
+            raise ValueError(
+                f"check-and-mutate is missing key column(s) {missing}: {spec!r}"
+            )
+        check = spec.get("check")
+        if not isinstance(check, dict) or "column" not in check or "equals" not in check:
+            raise ValueError(
+                "check-and-mutate needs check={'column': c, 'equals': v} "
+                f"(equals=None checks absence): {spec!r}"
+            )
+        if check["column"] not in columns:
+            raise ValueError(
+                f"check column {check['column']!r} not in the store's "
+                f"columns {columns}: {spec!r}"
+            )
+        put = spec.get("put")
+        delete = bool(spec.get("delete"))
+        if (put is None) == (not delete):
+            raise ValueError(
+                f"check-and-mutate needs exactly one of put/delete: {spec!r}"
+            )
+        if put is not None:
+            bad = [c for c in put if c not in columns or c in key_cols]
+            if bad:
+                raise ValueError(
+                    f"put column(s) {bad} are not non-key store columns: {spec!r}"
+                )
+        specs.append((
+            {c: spec[c] for c in key_cols}, check, put, delete,
+        ))
+
+    cutoff = _ttl_cutoff(opts)
+    ttl_col = opts.get("ttlcolumn")
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        opath = overlay_path(opts)
+        overlay: dict = {}
+        if os.path.exists(opath):
+            for r in pq.read_table(opath).to_pylist():
+                overlay[_rowkey_of(r, key_cols)] = r
+
+        need = {
+            _rowkey_of(k, key_cols): k
+            for k, _, _, _ in specs
+            if _rowkey_of(k, key_cols) not in overlay
+        }
+        base_rows: dict = {}
+        if need:
+            base_path = _resolve_base_path(opts)
+            ds = pads.dataset(base_path, format="parquet")
+            flt = None
+            for c in key_cols:
+                vals = sorted({k[c] for k in need.values()})
+                f = pc.field(c).isin(vals)
+                flt = f if flt is None else (flt & f)
+            for r in ds.to_table(filter=flt, columns=columns).to_pylist():
+                rk = _rowkey_of(r, key_cols)
+                if rk in need:
+                    base_rows[rk] = r
+
+        def current(rk):
+            r = overlay.get(rk)
+            if r is not None:
+                if r.get(TOMBSTONE):
+                    return None
+                r = {c: r.get(c) for c in columns}
+            else:
+                r = base_rows.get(rk)
+            if r is None:
+                return None
+            if cutoff is not None and r.get(ttl_col) is not None and r[ttl_col] < cutoff:
+                return None  # expired: the cell is absent, HBase-wise
+            return r
+
+        applied_flags: list = []
+        batch: dict = {}  # per-key FINAL mutation for the WAL entry
+        for key, check, put, delete in specs:
+            rk = _rowkey_of(key, key_cols)
+            if rk in batch:  # same-batch visibility, Increment-style
+                b = batch[rk]
+                row = None if b.get(TOMBSTONE) else {
+                    c: b.get(c) for c in columns
+                }
+            else:
+                row = current(rk)
+            cell = None if row is None else row.get(check["column"])
+            if cell != check["equals"]:
+                applied_flags.append(False)
+                continue
+            applied_flags.append(True)
+            if delete:
+                trow = {c: None for c in columns}
+                trow.update(key)
+                trow[TOMBSTONE] = True
+                batch[rk] = trow
+                overlay[rk] = trow
+            else:
+                nrow = row if row is not None else {
+                    **{c: None for c in columns}, **key,
+                }
+                nrow = {c: nrow.get(c) for c in columns}
+                nrow.update(put)
+                nrow[TOMBSTONE] = False
+                batch[rk] = nrow
+                overlay[rk] = nrow
+
+        if batch:  # a batch whose checks all failed commits nothing
+            rows = sorted(
+                overlay.values(), key=lambda r: _rowkey_of(r, key_cols)
+            )
+            for r in rows:
+                r.setdefault(TOMBSTONE, False)
+            applied = _append_changelog(opts, list(batch.values()), key_cols)
+            tmp = opath + ".tmp"
+            pq.write_table(
+                _stamp_applied(pa.Table.from_pylist(rows), applied), tmp
+            )
+            os.replace(tmp, opath)
+            _invalidate_dependent_indexes(opts)
+    return applied_flags
+
+
 #: rowkey of a secondary-index entry: indexed value, then the base
 #: rowkey zero-padded so the string sort equals the numeric sort —
 #: the classic HBase composite index-rowkey encoding
@@ -4867,6 +5034,107 @@ def src15_kv_increment(spark, sf_dir: str):
     )
     # create-on-increment accumulated across the two commits
     assert out2[-1]["c_acctbal"] == 2 * _SRC15_NEW_DELTA, out2[-1]
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )
+
+
+_SRC16_CAS_MAX = 60          # custkeys <= this get CAS attempts
+_SRC16_LOCK_BAL = 1234.56    # balance written where the segment check passes
+_SRC16_NEW_KEY = 990002      # create-if-absent CAS row
+_SRC16_NEW_BAL = 5.0
+
+
+@query(
+    "src16_kv_check_and_put",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC16_CAS_MAX}
+                         AND c_mktsegment = 'BUILDING'
+                    THEN {_SRC16_LOCK_BAL}
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE NOT (c_custkey BETWEEN 1 AND {_SRC16_CAS_MAX}
+                   AND c_mktsegment = 'AUTOMOBILE')
+        UNION ALL
+        SELECT {_SRC16_NEW_KEY}, 'CASNEW', {_SRC16_NEW_BAL}
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {{exact_sum}} AS total_bal
+    FROM store GROUP BY c_mktsegment
+    """.replace("{exact_sum}", exact_sum_sql("c_acctbal")),
+)
+def src16_kv_check_and_put(spark, sf_dir: str):
+    """Compare-and-swap mutations — the HBase ``checkAndPut`` /
+    ``checkAndDelete`` ops the reference's substrate offered beside
+    Put/Delete/Increment (client-API path, the optimistic-concurrency
+    primitive; the SQL layer never exposed it). Three CAS statements,
+    each ONE commit whose WAL entry carries the applied OUTCOMES as
+    absolute puts/tombstones (conditions are never re-evaluated
+    downstream): (1) checkAndPut over custkeys 1..{_SRC16_CAS_MAX} —
+    the balance locks to a fixed value ONLY where the segment check
+    matches 'BUILDING' (a partial put: unmentioned columns keep their
+    values); (2) checkAndDelete over the same keys — only 'AUTOMOBILE'
+    rows tombstone; (3) the create-if-absent idiom — an absence check
+    (``equals=None``) inserts a brand-new row, and the SAME statement
+    retried fails because the row now exists. The read back serves
+    overlay-over-base; the oracle replays the condition logic
+    relationally. Scale: CAS is a statement-sized hot-key op by
+    contract; the base multi-get reads only touched keys via a
+    column-pruned predicate scan."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+
+    register_kv_source(spark)
+    opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    keys = list(range(1, _SRC16_CAS_MAX + 1))
+    # (1) lock the balance of BUILDING customers only
+    flags1 = check_and_mutate_store(
+        lopts,
+        [
+            {
+                "c_custkey": k,
+                "check": {"column": "c_mktsegment", "equals": "BUILDING"},
+                "put": {"c_acctbal": _SRC16_LOCK_BAL},
+            }
+            for k in keys
+        ],
+    )
+    assert len(flags1) == len(keys)
+    # (2) tombstone AUTOMOBILE customers only
+    flags2 = check_and_mutate_store(
+        lopts,
+        [
+            {
+                "c_custkey": k,
+                "check": {"column": "c_mktsegment", "equals": "AUTOMOBILE"},
+                "delete": True,
+            }
+            for k in keys
+        ],
+    )
+    # a key can't be both BUILDING and AUTOMOBILE: the two passes
+    # never apply to the same row
+    assert not any(a and b for a, b in zip(flags1, flags2))
+    # (3) create-if-absent, then prove the second attempt loses
+    new_row = {
+        "c_custkey": _SRC16_NEW_KEY,
+        "check": {"column": "c_mktsegment", "equals": None},
+        "put": {"c_mktsegment": "CASNEW", "c_acctbal": _SRC16_NEW_BAL},
+    }
+    assert check_and_mutate_store(lopts, [new_row]) == [True]
+    assert check_and_mutate_store(lopts, [new_row]) == [False]
 
     after = spark.read.format(FORMAT_NAME).options(**opts).load()
     return after.groupBy("c_mktsegment").agg(

@@ -3249,3 +3249,192 @@ class TestIncrement:
             increment_store(opts, [{"k": 2, "n": 0.5}])
         st = {r["k"]: r["n"] for r in _open_store(opts).rows}
         assert st == {1: 17, 2: 20}
+
+
+class TestCheckAndMutate:
+    """Round-10: compare-and-swap (HBase ``checkAndPut`` /
+    ``checkAndDelete``) — mutations apply iff the check matches the
+    current live value, absence checks implement create-if-absent,
+    puts are partial (unmentioned columns survive), a batch is one
+    commit whose WAL entry carries outcomes (never conditions), an
+    all-fail batch commits nothing, TTL-expired rows check as absent,
+    and validation is loud."""
+
+    _store = TestCompaction._store
+    _state = staticmethod(TestCompaction._state)
+
+    def test_put_delete_and_absence(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _log_seqs,
+            changelog_dir,
+            check_and_mutate_store,
+        )
+
+        opts = self._store(tmp_path, "cas1", n=10, region_size=8)
+        flags = check_and_mutate_store(opts, [
+            # passes: k=3 currently has v=3.0
+            {"k": 3, "check": {"column": "v", "equals": 3.0},
+             "put": {"v": 99.0}},
+            # fails: stale expectation
+            {"k": 4, "check": {"column": "v", "equals": 0.0},
+             "put": {"v": -1.0}},
+            # passes: conditional delete
+            {"k": 5, "check": {"column": "v", "equals": 5.0},
+             "delete": True},
+            # passes: absence check on a brand-new key
+            {"k": 200, "check": {"column": "v", "equals": None},
+             "put": {"v": 7.0}},
+        ])
+        assert flags == [True, False, True, True]
+        st = self._state(opts)
+        assert st[3] == 99.0 and st[4] == 4.0 and 5 not in st
+        assert st[200] == 7.0
+        # the same absence check now fails: the row exists
+        assert check_and_mutate_store(opts, [
+            {"k": 200, "check": {"column": "v", "equals": None},
+             "put": {"v": 8.0}},
+        ]) == [False]
+        assert self._state(opts)[200] == 7.0
+        # an all-fail batch commits no WAL entry
+        before = _log_seqs(changelog_dir(opts))
+        assert check_and_mutate_store(opts, [
+            {"k": 3, "check": {"column": "v", "equals": 3.0},
+             "put": {"v": 0.0}},
+        ]) == [False]
+        assert _log_seqs(changelog_dir(opts)) == before
+
+    def test_partial_put_preserves_other_columns(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _open_store,
+            check_and_mutate_store,
+            truncate_overlay,
+        )
+
+        base = os.path.join(str(tmp_path), "cas2.parquet")
+        pq.write_table(
+            pa.table({
+                "k": pa.array([1, 2], pa.int64()),
+                "a": pa.array(["x", "y"]),
+                "b": pa.array([10.0, 20.0], pa.float64()),
+            }),
+            base,
+        )
+        opts = {"path": base, "keycol": "k", "columns": "k,a,b",
+                "appid": "cas2"}
+        truncate_overlay(opts)
+        assert check_and_mutate_store(opts, [
+            {"k": 1, "check": {"column": "a", "equals": "x"},
+             "put": {"b": 11.0}},
+        ]) == [True]
+        rows = {r["k"]: r for r in _open_store(opts).rows}
+        # the put named only b: a survives the partial update
+        assert rows[1]["a"] == "x" and rows[1]["b"] == 11.0
+        # create-if-absent leaves unmentioned columns NULL
+        assert check_and_mutate_store(opts, [
+            {"k": 9, "check": {"column": "a", "equals": None},
+             "put": {"b": 1.0}},
+        ]) == [True]
+        rows = {r["k"]: r for r in _open_store(opts).rows}
+        assert rows[9]["a"] is None and rows[9]["b"] == 1.0
+
+    def test_same_batch_visibility(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            check_and_mutate_store,
+        )
+
+        opts = self._store(tmp_path, "cas3", n=10, region_size=8)
+        flags = check_and_mutate_store(opts, [
+            {"k": 1, "check": {"column": "v", "equals": 1.0},
+             "put": {"v": 50.0}},
+            # sees the first mutation's effect within the batch
+            {"k": 1, "check": {"column": "v", "equals": 50.0},
+             "put": {"v": 51.0}},
+            {"k": 2, "check": {"column": "v", "equals": 2.0},
+             "delete": True},
+            # the deleted key checks as absent within the batch
+            {"k": 2, "check": {"column": "v", "equals": None},
+             "put": {"v": 60.0}},
+        ])
+        assert flags == [True, True, True, True]
+        st = self._state(opts)
+        assert st[1] == 51.0 and st[2] == 60.0
+
+    def test_wal_carries_outcomes(self, spark, tmp_path):
+        """Time travel across a CAS commit replays outcomes as plain
+        puts/tombstones — conditions are never re-evaluated."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            check_and_mutate_store,
+            read_store_asof,
+        )
+
+        opts = self._store(tmp_path, "cas4", n=10, region_size=8)
+        check_and_mutate_store(opts, [                       # seq 1
+            {"k": 1, "check": {"column": "v", "equals": 1.0},
+             "put": {"v": 100.0}},
+            {"k": 2, "check": {"column": "v", "equals": 2.0},
+             "delete": True},
+        ])
+        check_and_mutate_store(opts, [                       # seq 2
+            {"k": 1, "check": {"column": "v", "equals": 100.0},
+             "put": {"v": 200.0}},
+        ])
+
+        def state(seq):
+            return {
+                r["k"]: r["v"]
+                for r in read_store_asof(spark, opts, seq).collect()
+            }
+
+        s1, s2 = state(1), state(2)
+        assert s1[1] == 100.0 and 2 not in s1
+        assert s2[1] == 200.0 and 2 not in s2
+
+    def test_expired_row_checks_as_absent(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            check_and_mutate_store,
+        )
+
+        helper = TestTTL()
+        opts = helper._store(tmp_path, "casttl")
+        # key 30 is expired: a value check fails, an absence check passes
+        assert check_and_mutate_store(opts, [
+            {"k": 30, "check": {"column": "v", "equals": 30.0},
+             "put": {"v": 0.0}},
+            {"k": 30, "check": {"column": "v", "equals": None},
+             "put": {"v": 5.0}},
+        ]) == [False, True]
+        assert 30 in helper._keys(opts)
+
+    def test_validation_is_loud(self, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            check_and_mutate_store,
+        )
+
+        opts = self._store(tmp_path, "casval", n=10, region_size=8)
+        ok = {"column": "v", "equals": 1.0}
+        with pytest.raises(ValueError, match="missing key"):
+            check_and_mutate_store(opts, [{"check": ok, "delete": True}])
+        with pytest.raises(ValueError, match="needs check"):
+            check_and_mutate_store(opts, [{"k": 1, "delete": True}])
+        with pytest.raises(ValueError, match="check column"):
+            check_and_mutate_store(opts, [
+                {"k": 1, "check": {"column": "zz", "equals": 1},
+                 "delete": True},
+            ])
+        with pytest.raises(ValueError, match="exactly one"):
+            check_and_mutate_store(opts, [{"k": 1, "check": ok}])
+        with pytest.raises(ValueError, match="exactly one"):
+            check_and_mutate_store(opts, [
+                {"k": 1, "check": ok, "put": {"v": 1.0}, "delete": True},
+            ])
+        with pytest.raises(ValueError, match="non-key store columns"):
+            check_and_mutate_store(opts, [
+                {"k": 1, "check": ok, "put": {"k": 2}},
+            ])
+        assert check_and_mutate_store(opts, []) == []
+        assert self._state(opts) == {k: float(k) for k in range(10)}
