@@ -1880,11 +1880,18 @@ def compact_store(
     EMPTY overlay — the pass that physically reclaims TTL-expired rows
     from cold regions the minor fold's pruning never touches (minor
     reclaims only where it rewrites, exactly HBase's lazy reclaim).
-    Answers never change (the read filter already hid what major
-    reclaims); only bytes and file layout do.
+    The major pass also MERGES adjacent shrunk regions (the HBase
+    region-merge analog): consecutive regions whose combined row
+    estimate fits ``region_size`` coalesce into one rewrite unit, so a
+    store shrunk by deletes/TTL recovers a dense region layout instead
+    of leaking near-empty region files forever — the small-file
+    problem that compounds at cluster scale. Answers never change (the
+    read filter already hid what major reclaims); only bytes and file
+    layout do.
 
     Returns stats: ``regions_rewritten`` / ``regions_carried`` (the
-    region-pruning proof), ``rows`` (live rows in the new generation),
+    region-pruning proof), ``regions_merged`` (source regions the
+    major pass coalesced away), ``rows`` (live rows in the new generation),
     ``tombstones_dropped``, ``applied_seq`` (carried watermark —
     ``prune_changelog(opts, applied_seq)`` is safe afterwards),
     ``distributed`` (True when the rewrite ran as a Spark job), and
@@ -2019,7 +2026,7 @@ def _build_generation(
     new_dir = os.path.join(snap["root"], f"gen.{uuid.uuid4().hex[:12]}")
     os.makedirs(new_dir)
     regions_meta: list = []
-    rewritten = carried = 0
+    rewritten = carried = merged = 0
     distributed = False
 
     incremental = cur is not None and bool(cur.get("regions"))
@@ -2035,15 +2042,44 @@ def _build_generation(
             idx = max(0, bisect.bisect_right(starts, _rowkey_of(r, key_cols)) - 1)
             by_region.setdefault(idx, []).append(r)
         if major:
-            # major compaction: EVERY region is a rewrite unit (no
-            # hardlink carries) — the pass that reclaims TTL-expired
-            # rows from regions no overlay key touches
-            for i in range(len(regions)):
-                by_region.setdefault(i, [])
-        payloads = []
-        for i, region in enumerate(regions):
-            if i not in by_region:
-                # cold region: hardlink carry, no data copied
+            # major compaction: EVERY region rewrites (no hardlink
+            # carries) — the pass that reclaims TTL-expired rows from
+            # regions no overlay key touches. ADJACENT SHRUNK regions
+            # coalesce into ONE rewrite unit while their combined
+            # row estimate fits region_size (the HBase region-merge
+            # analog): a store shrunk by deletes/TTL would otherwise
+            # keep its old region count forever — each region is its
+            # own rewrite unit, so near-empty regions re-emerge as
+            # near-empty files every pass, the small-file leak that
+            # compounds at cluster scale. Estimates are pre-reclaim
+            # (conservative: merged units can only end up smaller);
+            # key ranges are adjacent by construction, so a unit's
+            # merged rows sort into one contiguous range and pruning
+            # metadata stays exact.
+            units: list[list[int]] = []
+            unit: list[int] = []
+            est = 0
+            for i, region in enumerate(regions):
+                r_est = region.get("rows", region_size) + len(
+                    by_region.get(i, [])
+                )
+                if unit and est + r_est > region_size:
+                    units.append(unit)
+                    unit, est = [], 0
+                unit.append(i)
+                est += r_est
+            if unit:
+                units.append(unit)
+            merged = sum(len(u) - 1 for u in units)
+        else:
+            # minor fold: one unit per TOUCHED region; cold regions
+            # hardlink-carry (no data copied, no merging — exactly
+            # HBase's lazy minor compaction)
+            units = [[i] for i in sorted(by_region)]
+            merged = 0
+            for i, region in enumerate(regions):
+                if i in by_region:
+                    continue
                 name = f"region-c{i:05d}.parquet"
                 os.link(
                     os.path.join(cur["dir"], region["file"]),
@@ -2053,12 +2089,18 @@ def _build_generation(
                     {"file": name, "start": region["start"], "rows": region["rows"]}
                 )
                 carried += 1
-                continue
+        payloads = []
+        for t, u in enumerate(units):
             payloads.append(
                 {
-                    "task": i,
-                    "region_file": os.path.join(cur["dir"], region["file"]),
-                    "overlay_rows": by_region[i],
+                    "task": t,
+                    "region_files": [
+                        os.path.join(cur["dir"], regions[i]["file"])
+                        for i in u
+                    ],
+                    "overlay_rows": [
+                        r for i in u for r in by_region.get(i, [])
+                    ],
                     "columns": columns,
                     "key_cols": list(key_cols),
                     "region_size": region_size,
@@ -2068,10 +2110,12 @@ def _build_generation(
                     "ttl_cutoff": snap.get("ttl_cutoff"),
                 }
             )
-            rewritten += 1
+            rewritten += len(u)
         if payloads:
             est_rows = len(overlay_rows) + sum(
-                regions[p["task"]].get("rows", region_size) for p in payloads
+                regions[i].get("rows", region_size)
+                for u in units
+                for i in u
             )
             if spark is not None and est_rows >= distribute_min_rows:
                 # ONE TASK PER TOUCHED REGION: regions are independent
@@ -2163,6 +2207,7 @@ def _build_generation(
         "regions": regions_meta,
         "rewritten": rewritten,
         "carried": carried,
+        "merged": merged,
         "distributed": distributed,
     }
 
@@ -2189,10 +2234,12 @@ def _fold_region_task(payload: dict) -> list:
     base_sch = pq.read_schema(payload["schema_from"])
     schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
     merged: dict = {}
-    for r in _ttl_live(
-        pq.read_table(payload["region_file"]).to_pylist(), ttl_col, cutoff
-    ):
-        merged[_rowkey_of(r, key_cols)] = r
+    # a unit is one region (minor fold) or several ADJACENT regions a
+    # major pass coalesced (region merge): disjoint key ranges, so the
+    # dict union is conflict-free and one sort restores global order
+    for rf in payload["region_files"]:
+        for r in _ttl_live(pq.read_table(rf).to_pylist(), ttl_col, cutoff):
+            merged[_rowkey_of(r, key_cols)] = r
     for r in payload["overlay_rows"]:
         if r.get(TOMBSTONE):
             merged.pop(_rowkey_of(r, key_cols), None)
@@ -2703,6 +2750,7 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
         "generation": pointer["gen"],
         "regions_rewritten": built["rewritten"],
         "regions_carried": built["carried"],
+        "regions_merged": built.get("merged", 0),
         "rows": sum(m["rows"] for m in built["regions"]),
         "tombstones_dropped": snap["n_tombstones"],
         "applied_seq": snap["applied"],

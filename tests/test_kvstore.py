@@ -3132,6 +3132,70 @@ class TestMajorCompaction:
             assert physical(t2) == set(range(20))  # bytes reclaimed
             assert helper._keys(t2) == live_view   # answers unchanged
 
+    def test_major_merges_shrunk_regions(self, spark, tmp_path):
+        """Region merge (the HBase merge_region analog): a store shrunk
+        by deletes keeps its old region count through minor folds (each
+        region is its own rewrite unit); the major pass coalesces
+        adjacent regions whose combined rows fit region_size, so the
+        region layout re-densifies instead of leaking near-empty files
+        — driver and distributed paths agree, answers unchanged."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+            delete_from_store,
+        )
+
+        for ns, dist in (("mjmrg_d", False), ("mjmrg_s", True)):
+            opts = self._store(tmp_path, ns)  # n=100, region_size=16
+            self._put(opts, [(1, 10.0)])
+            compact_store(opts)  # gen1: 7 dense regions
+            # shrink: only multiples of 10 survive (10 live keys)
+            delete_from_store(
+                opts, [k for k in range(100) if k % 10]
+            )
+            st_minor = compact_store(opts)
+            assert st_minor["regions_merged"] == 0  # minor never merges
+            gen = _resolve_generation(opts)
+            n_before = len(gen["regions"])
+            assert n_before >= 6  # near-empty regions leaked
+            before = self._state(opts)
+            assert set(before) == {k for k in range(100) if k % 10 == 0}
+
+            stats = compact_store(
+                opts,
+                spark=spark if dist else None,
+                distribute_min_rows=0 if dist else 10**9,
+                major=True,
+            )
+            assert stats["compacted"] and stats["distributed"] is dist
+            assert stats["regions_merged"] == n_before - 1, stats
+            gen = _resolve_generation(opts)
+            assert len(gen["regions"]) == 1  # 10 rows fit one region
+            starts = [rg["start"] for rg in gen["regions"]]
+            assert starts == sorted(set(starts))
+            assert self._state(opts) == before  # answers unchanged
+            # the merged layout keeps folding correctly afterwards
+            self._put(opts, [(55, 5.5)])
+            compact_store(opts)
+            assert self._state(opts) == {**before, 55: 5.5}
+
+    def test_major_merge_respects_region_size(self, tmp_path):
+        """Dense regions never merge: estimates above region_size keep
+        each region its own unit, so a major pass over a full store is
+        a pure rewrite (no layout change beyond re-chunking)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "mjfull")
+        self._put(opts, [(1, 10.0)])
+        compact_store(opts)
+        n_before = len(_resolve_generation(opts)["regions"])
+        stats = compact_store(opts, major=True)
+        assert stats["regions_merged"] == 0, stats
+        assert len(_resolve_generation(opts)["regions"]) == n_before
+
     def test_major_on_pristine_store_builds_generation(self, tmp_path):
         """major over a store that never folded: the whole base
         rewrites into gen 1 (the TTL-reclaim entry point for a store
