@@ -158,6 +158,11 @@ HEADLINE = (
     # retry) — the optimistic-concurrency commit shape the counter
     # entry doesn't exercise.
     "src16_kv_check_and_put",
+    # round-10 addition: the snapshot lifecycle (two mutation waves →
+    # zero-copy snapshot → rollback behind the bulk marker → clone into
+    # a second store + distributed clone≡source proof) — the admin /
+    # disaster-recovery path nothing else prices.
+    "src17_kv_snapshot_restore",
 )
 
 

@@ -1651,6 +1651,53 @@ class KtSqlEngine:
 
         return bulk_load_store(store_options, df)
 
+    def snapshot_kv(self, name: str, **store_options: str) -> dict:
+        """HBase ``snapshot`` analog: zero-copy named snapshot of the
+        store's committed state (pending overlay folds first; region
+        files hardlink — no bytes copied; survives later folds/GC).
+        Returns the manifest."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import snapshot_store
+
+        return snapshot_store(store_options, name, spark=self.spark)
+
+    def restore_kv(self, name: str, **store_options: str) -> dict:
+        """HBase ``restore_snapshot`` analog: roll the store back to a
+        snapshot behind one atomic pointer flip. Claims a bulk-style
+        WAL marker — feed consumers re-baseline loudly; pre-restore
+        state stays time-travel-reachable for one fold cycle."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import restore_store
+
+        return restore_store(store_options, name)
+
+    def clone_kv(
+        self, name: str, source_options: dict, **target_options: str
+    ) -> dict:
+        """HBase ``clone_snapshot`` analog: materialize a source
+        store's snapshot as the TARGET store's state (schemas must
+        match; bytes shared via hardlinks; fully independent
+        afterwards)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            clone_store_snapshot,
+        )
+
+        return clone_store_snapshot(source_options, name, target_options)
+
+    def list_kv_snapshots(self, **store_options: str) -> list:
+        """Manifests of the store's snapshots (HBase ``list_snapshots``)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            list_store_snapshots,
+        )
+
+        return list_store_snapshots(store_options)
+
+    def drop_kv_snapshot(self, name: str, **store_options: str) -> None:
+        """Delete a named snapshot (HBase ``delete_snapshot``)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            drop_store_snapshot,
+        )
+
+        drop_store_snapshot(store_options, name)
+
     def read_kv_asof(self, seq: int, **store_options: str) -> DataFrame:
         """TIME-TRAVEL read of a KV store: the state as of commit
         ``seq``, reconstructed as one distributed plan from the best

@@ -1694,16 +1694,22 @@ def _gen_root(options) -> str:
     stable across the generation chain it creates; orphaned gen dirs
     from a regenerated base age out with the tempdir, like orphaned
     overlays."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    return os.path.join(_store_state_root(opts, "gen"), _base_fingerprint(opts))
+
+
+def _base_fingerprint(opts) -> str:
+    """Base-file identity (path + mtime + size + appId namespace) —
+    the key under which all derived mutable state (generations,
+    snapshots) namespaces itself, mirroring :func:`overlay_path`."""
     import hashlib
 
-    opts = {k.lower(): v for k, v in dict(options).items()}
     path = os.path.realpath(opts["path"])
     st = os.stat(path)
     ns = opts.get("appid", "shared")
-    fp = hashlib.sha256(
+    return hashlib.sha256(
         f"{path}|{st.st_mtime_ns}|{st.st_size}|{ns}".encode()
     ).hexdigest()[:16]
-    return os.path.join(_store_state_root(opts, "gen"), fp)
 
 
 def _resolve_generation(options) -> dict | None:
@@ -2758,7 +2764,9 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
     }
 
 
-def _publish_bulk_generation(opts, snap, built, n_bulk: int, verify: bool) -> dict:
+def _publish_bulk_generation(
+    opts, snap, built, n_bulk: int, verify: bool, marker_extra: dict | None = None
+) -> dict:
     """Publish phase of a bulk load (under the overlay lock): verify
     the snapshot still holds (an ABSENT overlay must still be absent;
     a present one byte-identical; the pointer unchanged), then — in
@@ -2805,16 +2813,20 @@ def _publish_bulk_generation(opts, snap, built, n_bulk: int, verify: bool) -> di
     key_cols = snap["key_cols"]
     # the marker rides in the claimed entry's OWN footer (atomic with
     # the claim — no reader can see the entry marker-less); the sidecar
-    # is the fast-path/operator artifact, written right after
+    # is the fast-path/operator artifact, written right after.
+    # marker_extra tags non-bulk state replacements (snapshot restore /
+    # clone) so operators can tell WHY the feed has a gap — consumers
+    # refuse identically either way
+    marker_body = {"rows": n_bulk, **(marker_extra or {})}
     seq = _append_changelog(
         opts, [], key_cols,
-        footer_meta={"ktsql_bulk": json.dumps({"rows": n_bulk})},
+        footer_meta={"ktsql_bulk": json.dumps(marker_body)},
     )
     log_dir = changelog_dir(opts)
     marker = _bulk_marker_path(log_dir, seq)
     tmp = f"{marker}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump({"seq": seq, "rows": n_bulk, "dir": built["dir"]}, f)
+        json.dump({"seq": seq, **marker_body, "dir": built["dir"]}, f)
     os.replace(tmp, marker)
 
     pointer = {
@@ -3088,6 +3100,290 @@ def _build_bulk_generation(
         "carried": 0,
         "distributed": True,
     }
+
+
+# --- snapshots: zero-copy snapshot / restore / clone -------------------
+#
+# The HBase admin trio (`snapshot`, `restore_snapshot`, `clone_snapshot`)
+# the reference's operators ran underneath the SQL layer. A snapshot is
+# a MANIFEST plus hardlinks to the live generation's immutable region
+# files — zero bytes copied, exactly HBase's reference-file snapshots
+# of immutable HFiles. The links keep the bytes alive after the
+# generation itself is GC'd, so a snapshot outlives any number of later
+# folds. Restore/clone publish the snapshot as a NEW generation (again
+# hardlinks, zero copy) behind the same atomic pointer flip as a fold,
+# with a bulk-style WAL marker: replacing state outside the feed is
+# exactly the bulk-load contract, so every consumer (stream, batch
+# audit, CDC replica) fails loudly toward re-baseline instead of
+# silently missing the cutover, and time travel anchors at the marker
+# with pre-restore history reachable via prev_anchor for one cycle.
+
+#: snapshot manifest file name inside each snapshot's directory
+SNAP_MANIFEST = "MANIFEST.json"
+
+
+class SnapshotError(ValueError):
+    """Loud snapshot misuse: duplicate name, unknown name, or a clone
+    target whose schema doesn't match the snapshot."""
+
+
+def _snap_root(options) -> str:
+    """Per-store snapshot directory, keyed by the base fingerprint
+    exactly like :func:`_gen_root` — a regenerated base orphans its
+    snapshots along with its generations and overlay."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    return os.path.join(_store_state_root(opts, "snap"), _base_fingerprint(opts))
+
+
+def _validate_snapshot_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}", name or ""):
+        raise SnapshotError(
+            f"snapshot name {name!r} must be 1-64 chars of "
+            "[A-Za-z0-9_.-] starting alphanumeric"
+        )
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink (zero-copy, same filesystem) with a copy fallback for
+    cross-device targets (a clone into a store rooted elsewhere)."""
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def snapshot_store(options, name: str, spark=None, attempts: int = 3) -> dict:
+    """Take a named snapshot of the store's CURRENT committed state —
+    the HBase ``snapshot`` admin op. The snapshot is zero-copy: the
+    live generation's immutable region files hardlink into
+    ``<snap_root>/<name>/`` beside a manifest; the links keep the
+    bytes alive after later folds GC the generation, so snapshots
+    survive arbitrary store evolution (HBase's reference-file
+    snapshots of immutable HFiles).
+
+    Pending committed overlay state folds FIRST (HBase flushes before
+    snapshotting), so the snapshot is always exactly one generation at
+    one ``applied_seq`` watermark — the fold runs through the normal
+    :func:`compact_store` cycle (a pristine never-folded store takes a
+    major pass to materialize gen 1). A commit racing between the fold
+    and the snapshot is retried ``attempts`` times, then the last
+    cycle runs with the overlay lock held across fold + snapshot
+    (guaranteed progress, the compact_store discipline). Refuses an
+    existing name loudly. Returns the manifest dict."""
+    import json
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    _validate_snapshot_name(name)
+    root = _snap_root(opts)
+    os.makedirs(root, exist_ok=True)
+    sdir = os.path.join(root, name)
+    if os.path.exists(sdir):
+        raise SnapshotError(
+            f"snapshot {name!r} already exists for this store — "
+            "drop_store_snapshot it first"
+        )
+
+    for attempt in range(max(1, attempts)):
+        locked = attempt == max(1, attempts) - 1
+        # fold pending state through the normal cycle (takes the fold
+        # lock itself, so it runs BEFORE we take ours)
+        st = compact_store(opts, spark=spark)
+        if not st.get("compacted") and _resolve_generation(opts) is None:
+            # pristine never-folded store: materialize gen 1
+            compact_store(opts, spark=spark, major=True)
+        with _fold_lock(opts):
+            with _overlay_lock(opts):
+                _recover_overlay_locked(opts)
+                if os.path.exists(overlay_path(opts)):
+                    # a commit raced in after the fold
+                    if not locked:
+                        continue
+                    # last resort: fold under the overlay lock we hold
+                    # (we already hold the fold lock, so call the
+                    # locked single-cycle directly)
+                    snap = _fold_snapshot(opts)
+                    built = _build_generation(opts, spark, snap)
+                    _publish_generation(opts, snap, built, verify=False)
+                gen = _resolve_generation(opts)
+                assert gen is not None  # both paths above materialize one
+                tmp = f"{sdir}.tmp.{os.getpid()}"
+                os.makedirs(tmp)
+                for rg in gen["regions"]:
+                    _link_or_copy(
+                        os.path.join(gen["dir"], rg["file"]),
+                        os.path.join(tmp, rg["file"]),
+                    )
+                if not gen["regions"]:
+                    # fully-emptied store: carry the zero-row
+                    # schema-pinned sentinel so a restore of the empty
+                    # snapshot stays readable
+                    for f in os.listdir(gen["dir"]):
+                        if f.endswith(".parquet"):
+                            _link_or_copy(
+                                os.path.join(gen["dir"], f),
+                                os.path.join(tmp, f),
+                            )
+                manifest = {
+                    "name": name,
+                    "regions": gen["regions"],
+                    "applied_seq": gen["applied_seq"],
+                    "gen": gen["gen"],
+                    "columns": opts["columns"],
+                    "key_cols": opts["keycol"],
+                    "rows": sum(m["rows"] for m in gen["regions"]),
+                }
+                with open(os.path.join(tmp, SNAP_MANIFEST), "w") as f:
+                    json.dump(manifest, f)
+                os.rename(tmp, sdir)  # atomic publish; fails if taken
+                return manifest
+    raise AssertionError("unreachable: the locked attempt always returns")
+
+
+def list_store_snapshots(options) -> list:
+    """Manifests of every snapshot taken for this store (name-sorted)."""
+    import json
+
+    root = _snap_root(options)
+    out = []
+    try:
+        names = sorted(os.listdir(root))
+    except FileNotFoundError:
+        return []
+    for n in names:
+        mp = os.path.join(root, n, SNAP_MANIFEST)
+        try:
+            with open(mp) as f:
+                out.append(json.load(f))
+        except (FileNotFoundError, ValueError):
+            continue  # crash-orphaned .tmp dirs are not snapshots
+    return out
+
+
+def drop_store_snapshot(options, name: str) -> None:
+    """Delete a snapshot (HBase ``delete_snapshot``). Region bytes
+    survive wherever a generation or another snapshot still links
+    them; unknown names are loud."""
+    import shutil
+
+    _validate_snapshot_name(name)
+    sdir = os.path.join(_snap_root(options), name)
+    if not os.path.isdir(sdir):
+        raise SnapshotError(f"snapshot {name!r} does not exist")
+    shutil.rmtree(sdir)
+
+
+def _read_snapshot_manifest(options, name: str) -> tuple[str, dict]:
+    import json
+
+    _validate_snapshot_name(name)
+    sdir = os.path.join(_snap_root(options), name)
+    try:
+        with open(os.path.join(sdir, SNAP_MANIFEST)) as f:
+            return sdir, json.load(f)
+    except FileNotFoundError:
+        raise SnapshotError(
+            f"snapshot {name!r} does not exist for this store"
+        ) from None
+
+
+def _publish_snapshot_as_generation(
+    target_opts, sdir: str, manifest: dict, kind: str,
+    fold_timeout_s: float = 600.0,
+) -> dict:
+    """Shared restore/clone tail: publish the snapshot's files as the
+    target store's next generation (hardlinks again — zero copy),
+    behind the bulk-marker WAL contract. Runs the whole cycle under
+    the fold + overlay locks (building is just linking — there is
+    nothing to run lock-free). The target's pending overlay state is
+    DISCARDED from the live view (a restore replaces state; it stays
+    reachable to time travel via prev_anchor for one cycle and in the
+    WAL until pruned)."""
+    import uuid
+
+    opts = {k.lower(): v for k, v in dict(target_opts).items()}
+    with _fold_lock(opts, timeout_s=fold_timeout_s):
+        with _overlay_lock(opts):
+            snap = _bulk_snapshot(opts)
+            new_dir = os.path.join(snap["root"], f"gen.{uuid.uuid4().hex[:12]}")
+            os.makedirs(new_dir)
+            for rg in manifest["regions"]:
+                _link_or_copy(
+                    os.path.join(sdir, rg["file"]),
+                    os.path.join(new_dir, rg["file"]),
+                )
+            if not manifest["regions"]:
+                # empty snapshot: keep the generation readable
+                src = [
+                    f for f in os.listdir(sdir) if f.endswith(".parquet")
+                ]
+                for f in src:
+                    _link_or_copy(
+                        os.path.join(sdir, f), os.path.join(new_dir, f)
+                    )
+            built = {
+                "dir": new_dir,
+                "regions": manifest["regions"],
+                "rewritten": 0,
+                "carried": len(manifest["regions"]),
+                "distributed": False,
+            }
+            out = _publish_bulk_generation(
+                opts, snap, built, n_bulk=int(manifest["rows"]),
+                verify=False,
+                marker_extra={kind: manifest["name"]},
+            )
+    out["snapshot"] = manifest["name"]
+    return out
+
+
+def restore_store(options, name: str) -> dict:
+    """Roll the store back to a snapshot — HBase ``restore_snapshot``.
+    The snapshot's region files publish as the store's next generation
+    (zero-copy hardlinks, atomic pointer flip); everything committed
+    after the snapshot disappears from the live view. The cutover
+    claims a bulk-style WAL marker, so every feed consumer fails
+    loudly toward re-baseline (state moved outside the feed — the
+    exact bulk-load contract), time travel anchors at the marker, and
+    the pre-restore state stays reachable via prev_anchor for one
+    fold cycle. Returns the publish stats."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    sdir, manifest = _read_snapshot_manifest(opts, name)
+    return _publish_snapshot_as_generation(opts, sdir, manifest, "restore")
+
+
+def clone_store_snapshot(source_options, name: str, target_options) -> dict:
+    """Materialize a snapshot as ANOTHER store's state — HBase
+    ``clone_snapshot``. The target is an existing store handle (its
+    own base path / appId namespace) whose columns and key must match
+    the snapshot's; its current state is REPLACED by the snapshot
+    (published as the target's next generation behind the same
+    bulk-marker contract as :func:`restore_store`). Clone and source
+    share immutable region bytes via hardlinks but evolve fully
+    independently afterwards — mutations on one never touch the
+    other."""
+    sopts = {k.lower(): v for k, v in dict(source_options).items()}
+    topts = {k.lower(): v for k, v in dict(target_options).items()}
+    sdir, manifest = _read_snapshot_manifest(sopts, name)
+    if (
+        topts["columns"] != manifest["columns"]
+        or topts["keycol"] != manifest["key_cols"]
+    ):
+        raise SnapshotError(
+            f"clone target schema (columns={topts['columns']!r}, "
+            f"key={topts['keycol']!r}) does not match snapshot "
+            f"{name!r} (columns={manifest['columns']!r}, "
+            f"key={manifest['key_cols']!r})"
+        )
+    if overlay_path(topts) == overlay_path(sopts):
+        raise SnapshotError(
+            "clone target is the SAME store as the source — use "
+            "restore_store for an in-place rollback"
+        )
+    return _publish_snapshot_as_generation(topts, sdir, manifest, "clone")
 
 
 class KVChangesPartition(InputPartition):
@@ -5186,6 +5482,112 @@ def src16_kv_check_and_put(spark, sf_dir: str):
 
     after = spark.read.format(FORMAT_NAME).options(**opts).load()
     return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )
+
+
+_SRC17_A_MAX = 30            # keys re-balanced before the snapshot
+_SRC17_A_BAL = 777.0
+_SRC17_DEL_LO, _SRC17_DEL_HI = 31, 40   # keys deleted before the snapshot
+_SRC17_B_MAX = 60            # post-snapshot overwrite span (must vanish)
+_SRC17_B_NEW = 990003        # post-snapshot insert (must vanish)
+
+
+@query(
+    "src17_kv_snapshot_restore",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC17_A_MAX}
+                    THEN {_SRC17_A_BAL}
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE c_custkey NOT BETWEEN {_SRC17_DEL_LO} AND {_SRC17_DEL_HI}
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {{exact_sum}} AS total_bal
+    FROM store GROUP BY c_mktsegment
+    """.replace("{exact_sum}", exact_sum_sql("c_acctbal")),
+)
+def src17_kv_snapshot_restore(spark, sf_dir: str):
+    """Snapshot / restore / clone — the HBase admin trio
+    (``snapshot`` / ``restore_snapshot`` / ``clone_snapshot``) the
+    reference's operators ran underneath the SQL layer. The lifecycle:
+    commit a put batch and a delete batch, take a ZERO-COPY snapshot
+    (pending overlay folds first; the generation's immutable region
+    files hardlink into the snapshot — no bytes move, and the links
+    outlive later folds' GC), commit a second wave of overwrites plus
+    an insert, then ROLL BACK to the snapshot behind one atomic
+    pointer flip — the post-snapshot wave disappears from the live
+    view (it stays WAL-reachable to time travel via prev_anchor for
+    one cycle); the cutover claims a bulk-style WAL marker so every
+    feed consumer re-baselines loudly instead of silently missing the
+    rewind. The same snapshot then CLONES into a second, independent
+    store (same hardlinked bytes, separate overlay/WAL/generations) —
+    the query asserts clone ≡ restored source distributedly before
+    returning the restored store's segment rollup; the oracle replays
+    only the pre-snapshot mutations. Scale: snapshot and restore move
+    metadata + hardlinks, never data; the clone-equality check is the
+    only data-sized step and exists to grade correctness."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+
+    register_kv_source(spark)
+    opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    base = spark.read.format(FORMAT_NAME).options(**opts).load()
+    # wave A (pre-snapshot): re-balance 1..A_MAX, delete DEL span
+    wave_a = base.filter(
+        F.col("c_custkey").between(1, _SRC17_A_MAX)
+    ).withColumn("c_acctbal", F.lit(_SRC17_A_BAL))
+    wave_a.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    delete_from_store(
+        lopts, list(range(_SRC17_DEL_LO, _SRC17_DEL_HI + 1))
+    )
+
+    try:
+        drop_store_snapshot(lopts, "src17")  # hermetic across runs
+    except SnapshotError:
+        pass
+    manifest = snapshot_store(lopts, "src17", spark=spark)
+    assert manifest["rows"] > 0
+
+    # wave B (post-snapshot, must vanish on restore): overwrite a
+    # wider span — re-inserting the deleted keys — plus a new row
+    wave_b = base.filter(F.col("c_custkey") <= _SRC17_B_MAX).withColumn(
+        "c_acctbal", F.lit(-1.0)
+    )
+    wave_b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    new_row = spark.range(1).select(
+        F.lit(_SRC17_B_NEW).cast("long").alias("c_custkey"),
+        F.lit("PostSnap").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("CASNEW").alias("c_mktsegment"),
+    )
+    new_row.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+
+    st = restore_store(lopts, "src17")
+    assert st["published"] and st["snapshot"] == "src17"
+
+    # clone into an independent second store and prove clone ≡ source
+    clone_opts = {**opts, "appId": opts["appId"] + "-src17clone"}
+    clone_lopts = {k.lower(): v for k, v in clone_opts.items()}
+    truncate_overlay(clone_lopts)
+    clone_store_snapshot(lopts, "src17", clone_lopts)
+    src_df = spark.read.format(FORMAT_NAME).options(**opts).load()
+    clone_df = spark.read.format(FORMAT_NAME).options(**clone_opts).load()
+    assert clone_df.exceptAll(src_df).isEmpty()
+    assert src_df.exceptAll(clone_df).isEmpty()
+
+    return src_df.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_custs"),
         F.min("c_custkey").alias("min_key"),
         exact_sum("c_acctbal").alias("total_bal"),
