@@ -163,6 +163,10 @@ HEADLINE = (
     # a second store + distributed clone≡source proof) — the admin /
     # disaster-recovery path nothing else prices.
     "src17_kv_snapshot_restore",
+    # round-10 addition: SemDeDup — embedding-cluster semantic dedup
+    # (cell assignment + within-cell pairwise pass); prices the
+    # cell-bounded quadratic shape nothing else in the sweep has.
+    "d18_semantic_dedup",
 )
 
 

@@ -487,6 +487,142 @@ def sim03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup drop threshold — reuses the fixture's near-dup band so the
+#: graded fixtures produce a non-trivial drop set in some cells
+_D18_THRESHOLD = COSINE_NEARDUP_THRESHOLD
+
+_D18_ASSIGN_SQL = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_COSINE_SQL.format(a="e.v", b="cent.cv")}, 6) DESC,
+                                cent.cid) AS rn
+            FROM e CROSS JOIN cent) t
+        WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "d18_semantic_dedup",
+    oracle=f"""
+    WITH {_D18_ASSIGN_SQL},
+    mem AS (
+        SELECT a.vec_id, a.cid, e.v FROM assign a JOIN e USING (vec_id)
+    ),
+    drops AS (
+        SELECT cid, COUNT(DISTINCT dropped) AS nd FROM (
+            SELECT x.cid, y.vec_id AS dropped
+            FROM mem x JOIN mem y
+              ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE ROUND({_COSINE_SQL.format(a="x.v", b="y.v")}, 6)
+                  >= {_D18_THRESHOLD}
+        ) p GROUP BY cid
+    )
+    SELECT m.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COALESCE(MAX(d.nd), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(MAX(d.nd), 0) AS BIGINT) AS n_kept
+    FROM mem m LEFT JOIN drops d ON d.cid = m.cid
+    GROUP BY m.cid
+    """,
+)
+def d18_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the published recipe for pruning web-scale
+    corpora by embedding similarity): cluster the embedding space,
+    then search for near-duplicates only WITHIN each cluster — the
+    clustering bounds the quadratic pairwise term to cell-sized
+    blocks, which is the whole reason the method scales where the
+    all-pairs join (:func:`embedding_neardup_exact`) cannot.
+
+    Deterministic form: every vector assigns to its nearest of
+    {N_CELLS} fixed seed centroids (the sim03 assignment — broadcast
+    centroids, map-side scoring, 6dp rounding before the argmax so an
+    ulp can't flip a cell); within each cell, pairs at cosine ≥
+    {_D18_THRESHOLD} mark the HIGHER vec_id dropped (first-wins, the
+    d01 exact-dedup discipline — deterministic and chain-free).
+    Returns the per-cell dedup report (members / dropped / kept).
+
+    Scale: the corpus shuffles ONCE on the cell id; at 100 TB the
+    assignment is a write-time partitioning (the sim04 cluster-by-cell
+    layout), so the within-cell self-join is partition-local, and the
+    cell count scales with the corpus to hold the per-cell quadratic
+    bounded (SemDeDup used ~100k clusters for LAION). The oracle
+    replays the identical assignment + within-cell pass in DuckDB."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_spark("embedding", "embedding")).alias("n"),
+    )
+    cent = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("n").alias("cn"),
+        )
+        .localCheckpoint()
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "n",
+        "cid",
+        F.round(
+            _dot_spark("embedding", "cv") / (F.col("n") * F.col("cn")), 6
+        ).alias("cc"),
+    )
+    # nearest cell per vector via map-side max_by partials (no window);
+    # embedding/norm are constant within the group, so first() is
+    # deterministic here
+    mem = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
+        ).alias("cid"),
+        F.first("embedding").alias("embedding"),
+        F.first("n").alias("n"),
+    )
+    a = mem.select(
+        "cid",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = mem.select(
+        "cid",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    cos = F.round(_dot_spark("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _D18_THRESHOLD)
+        .select("cid", F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        mem.groupBy("cid")
+        .agg(F.count("*").alias("n_members"))
+        .join(dropped, ["cid"], "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_members") - F.coalesce("n_dropped", F.lit(0))
+            ).alias("n_kept"),
+        )
+    )
+
+
+
 N_PROBE_LAYOUT = 2  # narrower probe than sim03 — the layout demo reads 2/16 cells
 
 

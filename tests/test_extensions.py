@@ -75,6 +75,71 @@ def test_embedding_neardup_recall_and_precision(spark, sf_oracle):
     assert recall >= 0.6, f"near-dup recall {recall:.2%}"
 
 
+def test_semantic_dedup_drop_rule_vs_ground_truth(spark, sf_oracle):
+    """d18 (SemDeDup: within-cell first-wins drops) vs the quadratic
+    ground truth: the per-cell drop counts must equal replaying the
+    exact near-dup pairs restricted to same-cell membership — i.e. the
+    clustering is the ONLY approximation, the within-cell pass itself
+    is exact. Also pins the accounting identity kept + dropped =
+    members and total members = corpus size."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _D18_THRESHOLD,
+        d18_semantic_dedup,
+    )
+
+    report = {
+        r["cid"]: r for r in d18_semantic_dedup(spark, sf_oracle).collect()
+    }
+    n_corpus = load_table(spark, sf_oracle, "embeddings").count()
+    assert sum(r["n_members"] for r in report.values()) == n_corpus
+    assert all(
+        r["n_kept"] + r["n_dropped"] == r["n_members"]
+        for r in report.values()
+    )
+    assert sum(r["n_dropped"] for r in report.values()) > 0, (
+        "fixture produces no semantic drops — threshold drifted?"
+    )
+
+    # replay: exact pairs (cosine already >= the d05 threshold ==
+    # _D18_THRESHOLD) restricted to same-cell membership give the drop set
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        N_CELLS,
+        _cosine_spark,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in e.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
+            ).alias("cid")
+        )
+        .collect()
+    }
+    exact_pairs = [
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_neardup_exact(spark, sf_oracle).collect()
+    ]
+    expected_drops: dict = {}
+    for a, b, c in exact_pairs:
+        if cell[a] == cell[b] and round(c, 6) >= _D18_THRESHOLD:
+            expected_drops.setdefault(cell[a], set()).add(max(a, b))
+    for cid, r in report.items():
+        assert r["n_dropped"] == len(expected_drops.get(cid, set())), cid
+
+
 def test_simhash_signature_stability(spark, sf_small):
     """Signatures are deterministic and 32-bit bounded."""
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, sf_small).collect()}
