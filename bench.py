@@ -167,6 +167,10 @@ HEADLINE = (
     # (cell assignment + within-cell pairwise pass); prices the
     # cell-bounded quadratic shape nothing else in the sweep has.
     "d18_semantic_dedup",
+    # round-10 addition: the cell-append path (two append commits over
+    # 41 hot keys + create-on-append) — completes the priced mutation
+    # quintet (Put/Delete/Increment/CAS/Append).
+    "src18_kv_append",
 )
 
 

@@ -1616,6 +1616,18 @@ class KtSqlEngine:
 
         return increment_store(store_options, increments)
 
+    def append_kv(self, appends: list, **store_options: str) -> list:
+        """HBase ``Append`` analog: atomically concatenate suffixes
+        onto string cells of the named rows (absent or TTL-expired
+        rows start from the empty string — create-on-append). One call
+        = one commit; the WAL entry carries the new ABSOLUTE strings,
+        so replicas and time travel replay appends as plain puts. Each
+        element carries the full primary key plus ``column: suffix``
+        entries; returns the new absolute rows in input order."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import append_store
+
+        return append_store(store_options, appends)
+
     def check_and_mutate_kv(self, mutations: list, **store_options: str) -> list:
         """HBase ``checkAndPut`` / ``checkAndDelete`` analog: atomic
         compare-and-swap mutations. Each element carries the full

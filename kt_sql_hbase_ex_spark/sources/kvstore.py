@@ -1037,6 +1037,146 @@ def check_and_mutate_store(options, mutations: list) -> list:
     return applied_flags
 
 
+def append_store(options, appends: list) -> list:
+    """HBase ``Append`` analog — atomic read-concatenate-write on
+    string cells (the last of the substrate's five mutation ops beside
+    Put/Delete/Increment/checkAndMutate; like the others HBase exposes
+    it only through the client API). Each element of ``appends``
+    carries the FULL primary key plus one or more ``column: suffix``
+    entries (string columns only — validated against the base schema,
+    loudly); the cell's current live value (overlay-merged,
+    TTL-filtered) gets the suffix concatenated, an absent/expired/NULL
+    cell starts from the empty string (HBase's create-on-append). One
+    batch = ONE commit under the overlay writer lock, applied in list
+    order with same-batch accumulation; the WAL entry carries the NEW
+    ABSOLUTE values — replicas and time travel replay appends as plain
+    puts, so at-least-once delivery can never double-append (the
+    Increment discipline). Returns the new absolute rows in input
+    order. Statement-sized by the overlay contract; the base multi-get
+    is the same column-pruned row-group-pruned predicate scan as
+    Increment's."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    if not appends:
+        return []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_sch = pq.read_schema(os.path.realpath(opts["path"]))
+    str_cols = {
+        c for c in columns
+        if pa.types.is_string(base_sch.field(c).type)
+        or pa.types.is_large_string(base_sch.field(c).type)
+    }
+    specs = []
+    for spec in appends:
+        missing = [c for c in key_cols if c not in spec]
+        if missing:
+            raise ValueError(
+                f"append is missing key column(s) {missing}: {spec!r}"
+            )
+        suffixes = {c: v for c, v in spec.items() if c not in key_cols}
+        if not suffixes:
+            raise ValueError(f"append has no suffix columns: {spec!r}")
+        unknown = [c for c in suffixes if c not in columns]
+        if unknown:
+            raise ValueError(
+                f"append names column(s) {unknown} not in the store's "
+                f"columns {columns}: {spec!r}"
+            )
+        nonstr = [c for c in suffixes if c not in str_cols]
+        if nonstr:
+            raise ValueError(
+                f"append targets non-string column(s) {nonstr} — HBase "
+                f"Append concatenates bytes; use increment_store for "
+                f"numeric columns: {spec!r}"
+            )
+        bad = [c for c, v in suffixes.items() if not isinstance(v, str)]
+        if bad:
+            raise ValueError(
+                f"append suffixes must be strings; {bad} are not: {spec!r}"
+            )
+        specs.append(({c: spec[c] for c in key_cols}, suffixes))
+
+    cutoff = _ttl_cutoff(opts)
+    ttl_col = opts.get("ttlcolumn")
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)
+        opath = overlay_path(opts)
+        overlay: dict = {}
+        if os.path.exists(opath):
+            for r in pq.read_table(opath).to_pylist():
+                overlay[_rowkey_of(r, key_cols)] = r
+
+        need = {
+            _rowkey_of(k, key_cols): k
+            for k, _ in specs
+            if _rowkey_of(k, key_cols) not in overlay
+        }
+        base_rows: dict = {}
+        if need:
+            base_path = _resolve_base_path(opts)
+            ds = pads.dataset(base_path, format="parquet")
+            flt = None
+            for c in key_cols:
+                vals = sorted({k[c] for k in need.values()})
+                f = pc.field(c).isin(vals)
+                flt = f if flt is None else (flt & f)
+            for r in ds.to_table(filter=flt, columns=columns).to_pylist():
+                rk = _rowkey_of(r, key_cols)
+                if rk in need:
+                    base_rows[rk] = r
+
+        def current(rk):
+            r = overlay.get(rk)
+            if r is not None:
+                if r.get(TOMBSTONE):
+                    return None
+                r = {c: r.get(c) for c in columns}
+            else:
+                r = base_rows.get(rk)
+            if r is None:
+                return None
+            if cutoff is not None and r.get(ttl_col) is not None and r[ttl_col] < cutoff:
+                return None  # expired: append starts from empty
+            return r
+
+        out_rows: list = []
+        batch: dict = {}  # per-key FINAL puts for the WAL entry
+        for key, suffixes in specs:
+            rk = _rowkey_of(key, key_cols)
+            if rk in batch:  # same-batch accumulation
+                row = dict(batch[rk])
+            else:
+                row = current(rk) or {
+                    **{c: None for c in columns}, **key,
+                }
+                row = {c: row.get(c) for c in columns}
+            for c, sfx in suffixes.items():
+                row[c] = (row[c] or "") + sfx
+            row[TOMBSTONE] = False
+            batch[rk] = row
+            out_rows.append({c: row[c] for c in columns})
+            overlay[rk] = row
+
+        rows = sorted(overlay.values(), key=lambda r: _rowkey_of(r, key_cols))
+        for r in rows:
+            r.setdefault(TOMBSTONE, False)
+        # WRITE-AHEAD, absolute post-append rows (never suffixes)
+        applied = _append_changelog(opts, list(batch.values()), key_cols)
+        tmp = opath + ".tmp"
+        pq.write_table(
+            _stamp_applied(pa.Table.from_pylist(rows), applied), tmp
+        )
+        os.replace(tmp, opath)
+        _invalidate_dependent_indexes(opts)
+    return out_rows
+
+
 #: rowkey of a secondary-index entry: indexed value, then the base
 #: rowkey zero-padded so the string sort equals the numeric sort —
 #: the classic HBase composite index-rowkey encoding
@@ -5591,4 +5731,75 @@ def src17_kv_snapshot_restore(spark, sf_dir: str):
         F.count("*").alias("n_custs"),
         F.min("c_custkey").alias("min_key"),
         exact_sum("c_acctbal").alias("total_bal"),
+    )
+
+
+_SRC18_APP_MAX = 40          # custkeys <= this get two name appends
+_SRC18_S1, _SRC18_S2 = "~A", "~B"
+_SRC18_NEW_KEY = 990004      # create-on-append row
+_SRC18_NEW_SFX = "~NEW"
+
+
+@query(
+    "src18_kv_append",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC18_APP_MAX}
+                    THEN c_name || '{_SRC18_S1}' || '{_SRC18_S2}'
+                    ELSE c_name END AS c_name
+        FROM customer
+        UNION ALL
+        SELECT {_SRC18_NEW_KEY}, NULL,
+               '{_SRC18_NEW_SFX}' || '{_SRC18_NEW_SFX}'
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS total_name_len
+    FROM store GROUP BY c_mktsegment
+    """,
+)
+def src18_kv_append(spark, sf_dir: str):
+    """Atomic cell append — the HBase ``Append`` op, the last of the
+    substrate's five mutation primitives beside
+    Put/Delete/Increment/checkAndMutate (client-API path; the SQL
+    layer never exposed it). Two append statements concatenate onto
+    the name cell of custkeys 1..{_SRC18_APP_MAX} (each statement =
+    ONE commit: one overlay read-concatenate-publish under the writer
+    lock, one WAL entry carrying the new ABSOLUTE strings — replicas
+    and time travel replay appends as plain puts, the
+    double-append-proof form), and a key that does not exist gets
+    appended twice across the two statements (create-on-append: starts
+    from the empty string, non-key columns NULL). The read back serves
+    overlay-over-base; the oracle replays the concatenation
+    relationally. Scale: appends are statement-sized hot-key ops by
+    contract; the base multi-get reads only touched keys."""
+    from pyspark.sql import functions as F
+
+    register_kv_source(spark)
+    opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    keys = list(range(1, _SRC18_APP_MAX + 1))
+    out1 = append_store(
+        lopts,
+        [{"c_custkey": k, "c_name": _SRC18_S1} for k in keys]
+        + [{"c_custkey": _SRC18_NEW_KEY, "c_name": _SRC18_NEW_SFX}],
+    )
+    assert len(out1) == len(keys) + 1
+    out2 = append_store(
+        lopts,
+        [{"c_custkey": k, "c_name": _SRC18_S2} for k in keys]
+        + [{"c_custkey": _SRC18_NEW_KEY, "c_name": _SRC18_NEW_SFX}],
+    )
+    # create-on-append accumulated across the two commits
+    assert out2[-1]["c_name"] == 2 * _SRC18_NEW_SFX, out2[-1]
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        F.sum(F.length("c_name")).cast("bigint").alias("total_name_len"),
     )

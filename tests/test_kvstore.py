@@ -3702,3 +3702,123 @@ class TestSnapshots:
         self._put(opts, [(1, 11.0)])
         restore_store(opts, "p1")
         assert self._state(opts) == before
+
+
+class TestAppend:
+    """Round-10: atomic cell appends (HBase ``Append``) — concatenate
+    across and within commits, create-on-append from empty, WAL
+    entries carry absolute strings, TTL-expired rows restart from
+    empty, string-column-only domain guard, loud validation."""
+
+    def _store(self, tmp_path, ns, n=10):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+        base = os.path.join(str(tmp_path), f"app_{ns}.parquet")
+        pq.write_table(
+            pa.table({
+                "k": pa.array(range(n), pa.int64()),
+                "s": pa.array([f"s{i}" for i in range(n)]),
+                "v": pa.array([float(i) for i in range(n)], pa.float64()),
+            }),
+            base,
+        )
+        opts = {"path": base, "keycol": "k", "columns": "k,s,v",
+                "appid": ns}
+        truncate_overlay(opts)
+        return opts
+
+    @staticmethod
+    def _state(opts) -> dict:
+        from kt_sql_hbase_ex_spark.sources.kvstore import _open_store
+
+        return {r["k"]: r["s"] for r in _open_store(opts).rows}
+
+    def test_accumulates_and_creates(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import append_store
+
+        opts = self._store(tmp_path, "app1")
+        out = append_store(opts, [
+            {"k": 3, "s": "+a"},
+            {"k": 200, "s": "new"},      # create-on-append
+            {"k": 3, "s": "+b"},         # same-batch accumulation
+        ])
+        assert [r["s"] for r in out] == ["s3+a", "new", "s3+a+b"]
+        st = self._state(opts)
+        assert st[3] == "s3+a+b" and st[200] == "new"
+        out2 = append_store(opts, [{"k": 200, "s": "!"}])
+        assert out2[0]["s"] == "new!" and self._state(opts)[200] == "new!"
+        # non-key non-appended columns survive (v untouched on k=3)
+        from kt_sql_hbase_ex_spark.sources.kvstore import _open_store
+        rows = {r["k"]: r for r in _open_store(opts).rows}
+        assert rows[3]["v"] == 3.0 and rows[200]["v"] is None
+
+    def test_wal_carries_absolute_strings(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            append_store,
+            read_store_asof,
+        )
+
+        opts = self._store(tmp_path, "app2")
+        append_store(opts, [{"k": 1, "s": "+x"}])   # seq 1
+        append_store(opts, [{"k": 1, "s": "+y"}])   # seq 2
+
+        def val(seq):
+            rows = read_store_asof(spark, opts, seq).collect()
+            return {r["k"]: r["s"] for r in rows}[1]
+
+        assert val(1) == "s1+x" and val(2) == "s1+x+y"
+
+    def test_expired_row_restarts_from_empty(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _open_store,
+            append_store,
+            truncate_overlay,
+        )
+
+        NOW = 1_000_000.0
+        base = os.path.join(str(tmp_path), "appttl.parquet")
+        pq.write_table(
+            pa.table({
+                "k": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([NOW, NOW - 200.0], pa.float64()),
+                "s": pa.array(["fresh", "stale"]),
+            }),
+            base,
+        )
+        opts = {
+            "path": base, "keycol": "k", "columns": "k,ts,s",
+            "appid": "appttl", "ttlcolumn": "ts",
+            "ttlseconds": "100", "ttlnow": str(NOW),
+        }
+        truncate_overlay(opts)
+        out = append_store(opts, [{"k": 1, "s": "+a"}, {"k": 2, "s": "+a"}])
+        # live row concatenates; expired row restarts from empty
+        assert [r["s"] for r in out] == ["fresh+a", "+a"]
+        st = {r["k"]: r for r in _open_store(opts).rows}
+        # the revived row has NULL ts -> immortal, visible
+        assert st[2]["s"] == "+a" and st[2]["ts"] is None
+
+    def test_validation_is_loud(self, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import append_store
+
+        opts = self._store(tmp_path, "appval")
+        with pytest.raises(ValueError, match="missing key"):
+            append_store(opts, [{"s": "x"}])
+        with pytest.raises(ValueError, match="no suffix"):
+            append_store(opts, [{"k": 1}])
+        with pytest.raises(ValueError, match="not in the store"):
+            append_store(opts, [{"k": 1, "zz": "x"}])
+        with pytest.raises(ValueError, match="non-string column"):
+            append_store(opts, [{"k": 1, "v": "x"}])
+        with pytest.raises(ValueError, match="must be strings"):
+            append_store(opts, [{"k": 1, "s": 5}])
+        assert append_store(opts, []) == []
+        assert self._state(opts) == {k: f"s{k}" for k in range(10)}
