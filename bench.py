@@ -171,6 +171,10 @@ HEADLINE = (
     # 41 hot keys + create-on-append) — completes the priced mutation
     # quintet (Put/Delete/Increment/CAS/Append).
     "src18_kv_append",
+    # round-10 addition: PQ encode -> ADC shortlist -> exact rerank —
+    # the compressed-domain retrieval shape (integer table-lookup
+    # scoring over codes, raw vectors touched only for the shortlist).
+    "sim13_pq_adc_topk",
 )
 
 

@@ -2018,3 +2018,193 @@ def sim12_retrain_recall_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_row(root_f, "frozen").unionByName(
         recall_row(root_r, "retrained")
     )
+
+
+# --- sim13: product quantization + ADC shortlist + exact rerank --------
+
+M_SUB = 8        # subspaces
+D_SUB = 8        # dims per subspace (M_SUB * D_SUB = EMB_DIM)
+K_CODES = 32     # codes per subspace codebook (PQ8x5: 5 bits/subspace)
+SHORTLIST = 50   # ADC candidates reranked exactly per query
+
+_L2_SQL = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+_SIM13_SUB_SQL = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+        SELECT vec_id, g.m,
+               list_slice(v, g.m*{D_SUB}+1, (g.m+1)*{D_SUB}) AS sv
+        FROM e CROSS JOIN
+             (SELECT CAST(r.range AS INT) AS m FROM range(0, {M_SUB}) r) g
+    ),
+    cb AS (
+        SELECT m, vec_id AS code, sv AS cv FROM sub
+        WHERE vec_id < {K_CODES}
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="cb.cv")}, 6),
+                                cb.code) AS rn
+            FROM sub s JOIN cb ON cb.m = s.m) t
+        WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "sim13_pq_adc_topk",
+    oracle=f"""
+    WITH {_SIM13_SUB_SQL},
+    qdt AS (
+        SELECT s.vec_id AS query_id, s.m, cb.code,
+               CAST(ROUND({_L2_SQL.format(a="s.sv", b="cb.cv")} * 1000000)
+                    AS BIGINT) AS dm
+        FROM sub s JOIN cb ON cb.m = s.m
+        WHERE s.vec_id IN {QUERY_VEC_IDS}
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   SUM(q.dm) AS ad,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY SUM(q.dm), c.vec_id) AS srn
+            FROM codes c JOIN qdt q ON q.m = c.m AND q.code = c.code
+            WHERE c.vec_id <> q.query_id
+            GROUP BY q.query_id, c.vec_id) t
+        WHERE srn <= {SHORTLIST}
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")} * 1000000)
+                    AS BIGINT) AS dist_micro
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.query_id
+        JOIN e ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist_micro, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION retrieval (Jégou et al. 2011 — the
+    compression layer every large-scale ANN system runs under its
+    coarse index), in the production three-stage shape: ENCODE /
+    ADC SHORTLIST / EXACT RERANK.
+
+    Encode: the {M_SUB * D_SUB}-dim space splits into {M_SUB}
+    subspaces of {D_SUB} dims, each with its own {K_CODES}-entry
+    codebook (deterministic corpus-seeded centroids — the sim03 seed
+    discipline; sim05/sim11 already demonstrate Lloyd training), and
+    every corpus vector becomes {M_SUB} small codes — a {M_SUB}-byte
+    sketch of a 256-byte float vector, the compression that lets
+    100 TB of embeddings serve from RAM-sized storage.
+
+    Shortlist: ASYMMETRIC DISTANCE (ADC) — the query stays exact, its
+    per-subspace distance TABLE to every codebook entry
+    ({M_SUB}x{K_CODES} rows) broadcasts, and each corpus vector's
+    approximate distance is the SUM of {M_SUB} integer table lookups
+    (distances fixed to micros BEFORE summing — order-free,
+    bit-identical cross-engine). The corpus contributes only its
+    (vec_id, m, code) triples; at scale codes are precomputed at
+    write time and this stage never touches raw vectors.
+
+    Rerank: the top-{SHORTLIST} ADC candidates per query — and ONLY
+    those — fetch their raw vectors for exact L2, emitting the final
+    top-{TOP_K}. This is the standard recall repair (fixture
+    recall@{TOP_K} ≈ 0.7 vs exact search, pinned in tests); raw-vector
+    I/O is shortlist-sized, never corpus-sized."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    subs = e.select(
+        "vec_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * D_SUB + 1, D_SUB).alias("sv"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ),
+    )
+    cb = (
+        subs.filter(F.col("vec_id") < K_CODES)
+        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+        .localCheckpoint()  # M_SUB x K_CODES rows, reused by both stages
+    )
+    l2 = (
+        _dot_spark("sv", "sv")
+        - 2 * _dot_spark("sv", "cv")
+        + _dot_spark("cv", "cv")
+    )
+    # encode: per (vector, subspace) argmin over the broadcast codebook
+    # via min_by partials — 6dp-rounded before the argmin (sim03's
+    # ulp-proofing), ties to the lowest code
+    codes = (
+        subs.join(F.broadcast(cb), ["m"])
+        .select("vec_id", "m", "code", F.round(l2, 6).alias("d6"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
+    )
+    # query distance tables: exact query subvectors vs the codebook,
+    # fixed to integer micros BEFORE any sum (order-free exactness)
+    qdt = (
+        subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        .join(F.broadcast(cb), ["m"])
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            F.round(l2 * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    shortlist = (
+        codes.join(F.broadcast(qdt), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dm").alias("ad"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: raw vectors fetched for the shortlist only
+    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    l2x = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "nv")
+        + _dot_spark("nv", "nv")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qv), ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_micro", "rnk")
+    )

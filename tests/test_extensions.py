@@ -140,6 +140,50 @@ def test_semantic_dedup_drop_rule_vs_ground_truth(spark, sf_oracle):
         assert r["n_dropped"] == len(expected_drops.get(cid, set())), cid
 
 
+def test_pq_adc_recall_vs_exact(spark, sf_oracle):
+    """sim13 (PQ encode -> ADC shortlist -> exact rerank) vs
+    brute-force exact L2 top-k: the shortlist+rerank repairs PQ's
+    quantization loss to usable recall (fixture ~0.7; floor 0.5), and
+    every emitted distance is EXACT by construction (the rerank
+    recomputes true L2), so precision-of-distance is not approximate."""
+    from pyspark.sql import Window as W
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        QUERY_VEC_IDS,
+        TOP_K,
+        _dot_spark,
+        sim13_pq_adc_topk,
+    )
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim13_pq_adc_topk(spark, sf_oracle).collect()
+    }
+    e = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    l2 = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "embedding")
+        + _dot_spark("embedding", "embedding")
+    )
+    scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("d")
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("d", 6), "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"PQ+rerank recall {recall:.2%}"
+
+
 def test_simhash_signature_stability(spark, sf_small):
     """Signatures are deterministic and 32-bit bounded."""
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, sf_small).collect()}

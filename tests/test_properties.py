@@ -940,6 +940,24 @@ _kv_ops = st.lists(
             ),
         ),
         st.tuples(st.just("major"), st.just(None)),
+        # round-10 late additions: compare-and-swap batches (each spec
+        # checks absence / the current value / a never-matching
+        # sentinel — the model predicts every applied flag), zero-copy
+        # snapshots (fold first, then link), and restores (marker seq
+        # claimed, the restored generation anchors as-of reads)
+        st.tuples(
+            st.just("cas"),
+            st.lists(
+                st.tuples(
+                    KEYS, VALS,
+                    st.sampled_from(["absent", "equals", "wrong"]),
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        st.tuples(st.just("snap"), st.just(None)),
+        st.tuples(st.just("restore"), st.just(None)),
     ),
     min_size=1,
     max_size=6,
@@ -957,15 +975,18 @@ _kv_ops = st.lists(
 )
 def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
     """The whole round-8/9/10 WAL story as ONE property: any
-    interleaving of put/delete/increment commits, folds, BULK LOADS
-    (which claim a marker seq and anchor as-of reads at their
-    generation), and major compactions, followed by the SAFE retention
+    interleaving of put/delete/increment/compare-and-swap commits,
+    folds, BULK LOADS (which claim a marker seq and anchor as-of reads
+    at their generation), major compactions, SNAPSHOTS (which fold
+    pending state first), and RESTORES (marker seq + anchor, live
+    state rolled back to the snapshot), followed by the SAFE retention
     prune (to the oldest retained generation's fold point), must leave
     read_store_asof equal to a pure-Python replay at every retained
     anchor, at the head, and at a mid-span commit — and must refuse
     loudly below the oldest retained anchor once pruning made that
-    history unreachable. (Anchored replay spans never cross a bulk
-    marker by construction — this property exercises exactly that.)"""
+    history unreachable. (Anchored replay spans never cross a bulk or
+    restore marker by construction — this property exercises exactly
+    that.) CAS applied flags are model-checked spec by spec."""
     import os
     import uuid
 
@@ -978,12 +999,15 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
         KVWriteMessage,
         bulk_load_store,
         changelog_floor,
+        check_and_mutate_store,
         compact_store,
         delete_from_store,
         increment_store,
         prune_changelog,
         read_store_asof,
         register_kv_source,
+        restore_store,
+        snapshot_store,
         truncate_overlay,
     )
 
@@ -1001,6 +1025,7 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
     states = {0: {}}
     seq = 0
     anchors: list = []
+    snaps: list = []  # (name, model state at snapshot time)
     dirty = False  # commits since the last real fold
     for kind, arg in ops:
         if kind == "put":
@@ -1050,6 +1075,54 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
             states[seq] = dict(state)
             anchors.append(seq)  # the bulk generation IS an anchor
             dirty = False  # pending overlay folded in with the load
+        elif kind == "cas":
+            running = dict(state)
+            specs, expect = [], []
+            for k, v, mode in arg:
+                if mode == "absent":
+                    chk, ok = {"column": "v", "equals": None}, k not in running
+                elif mode == "equals":
+                    # equals the current model value; on an absent key
+                    # that value IS None, which the absence check
+                    # accepts — so this mode always applies
+                    chk, ok = {"column": "v", "equals": running.get(k)}, True
+                else:  # a value no VALS draw can produce
+                    chk, ok = {"column": "v", "equals": 1e18}, False
+                specs.append({"k": k, "check": chk, "put": {"v": float(v)}})
+                expect.append(ok)
+                if ok:
+                    running[k] = float(v)
+            flags = check_and_mutate_store(opts, specs)
+            assert flags == expect  # every applied flag model-predicted
+            if any(expect):
+                state.clear()
+                state.update(running)
+                seq += 1
+                states[seq] = dict(state)
+                dirty = True
+            # an all-fail batch commits nothing: seq/states untouched
+        elif kind == "snap":
+            name = f"s{len(snaps)}"
+            snapshot_store(opts, name, spark=spark)
+            if dirty:  # the snapshot folded the pending overlay first
+                anchors.append(seq)
+                dirty = False
+            elif not anchors:
+                anchors.append(seq)  # pristine store: major pass at seq 0
+            snaps.append((name, dict(state)))
+        elif kind == "restore":
+            if not snaps:
+                continue  # nothing to restore yet: no-op draw
+            name, snap_state = snaps[-1]
+            out = restore_store(opts, name)
+            assert out["published"]
+            state.clear()
+            state.update(snap_state)
+            seq += 1  # the claimed marker seq
+            assert out["seq"] == seq
+            states[seq] = dict(state)
+            anchors.append(seq)  # the restored generation IS an anchor
+            dirty = False
         elif kind == "major":
             out = compact_store(opts, major=True)
             assert out["compacted"]  # major always folds
