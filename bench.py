@@ -175,6 +175,10 @@ HEADLINE = (
     # the compressed-domain retrieval shape (integer table-lookup
     # scoring over codes, raw vectors touched only for the shortlist).
     "sim13_pq_adc_topk",
+    # round-10 addition: the composed IVF+PQ serving stack (coarse cell
+    # pruning -> integer ADC over probed cells -> shortlist rerank) —
+    # the full compressed-index query path production deployments run.
+    "sim14_ivfpq_probe",
 )
 
 

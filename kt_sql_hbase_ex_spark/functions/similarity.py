@@ -2208,3 +2208,212 @@ def sim13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "dist_micro", "rnk")
     )
+
+
+# --- sim14: IVF + PQ (the full IVFADC serving stack) -------------------
+
+_SIM14_COS_EC = _COSINE_SQL.format(a="e.v", b="cent.cv")
+
+
+@query(
+    "sim14_ivfpq_probe",
+    oracle=f"""
+    WITH {_SIM13_SUB_SQL},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_SIM14_COS_EC}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_SIM14_COS_EC}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id IN {QUERY_VEC_IDS}) t
+        WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    qdt AS (
+        SELECT s.vec_id AS query_id, s.m, cb.code,
+               CAST(ROUND({_L2_SQL.format(a="s.sv", b="cb.cv")} * 1000000)
+                    AS BIGINT) AS dm
+        FROM sub s JOIN cb ON cb.m = s.m
+        WHERE s.vec_id IN {QUERY_VEC_IDS}
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                       ORDER BY SUM(q.dm), cand.neighbor_id) AS srn
+            FROM cand
+            JOIN codes c ON c.vec_id = cand.neighbor_id
+            JOIN qdt q ON q.query_id = cand.query_id
+                      AND q.m = c.m AND q.code = c.code
+            GROUP BY cand.query_id, cand.neighbor_id) t
+        WHERE srn <= {SHORTLIST}
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")} * 1000000)
+                    AS BIGINT) AS dist_micro
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.query_id
+        JOIN e ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist_micro, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the COMPOSED serving stack (FAISS's ``IVFADC``, the
+    structure Jégou et al. proposed PQ for and the one production
+    vector stores actually deploy at scale): the coarse IVF quantizer
+    prunes WHICH vectors are scored (probe the query's {N_PROBE} of
+    {N_CELLS} cells — at 100 TB that is partition pruning over the
+    sim04 cluster-by-cell layout, reading {N_PROBE}/{N_CELLS} of the
+    data), and PQ compresses HOW they are scored (ADC integer
+    table-lookup sums over 8-code sketches — no raw-vector I/O in the
+    scoring stage). The top-{SHORTLIST} shortlist per query reranks
+    with exact L2 over raw vectors fetched for the shortlist only.
+
+    Composition is pure reuse: the sim03 cell assignment (6dp-rounded
+    broadcast argmax), the sim13 codebooks/codes/distance-tables
+    (micros-fixed integer ADC), the sim13 rerank. The oracle replays
+    all stages in DuckDB. Scale: scoring work ∝ probed-cell members,
+    raw-vector reads ∝ shortlist — the two knobs (nprobe, shortlist)
+    are exactly the recall/latency dials a deployment tunes."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    # --- coarse stage: sim03's assignment + probes ---
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_spark("embedding", "embedding")).alias("n"),
+    )
+    cent = (
+        en.filter(F.col("vec_id") < N_CELLS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("n").alias("cn"),
+        )
+        .localCheckpoint()
+    )
+
+    def cell_scores(vectors):
+        return vectors.join(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            F.round(
+                _dot_spark("embedding", "cv") / (F.col("n") * F.col("cn")), 6
+            ).alias("cc"),
+        )
+
+    assign = cell_scores(en).groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias("cid")
+    )
+    from pyspark.sql import Window as W
+
+    w_probe = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    probes = (
+        cell_scores(en.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), ["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # --- compressed stage: sim13's codes + ADC over candidates only ---
+    subs = e.select(
+        "vec_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * D_SUB + 1, D_SUB).alias("sv"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ),
+    )
+    cb = (
+        subs.filter(F.col("vec_id") < K_CODES)
+        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+        .localCheckpoint()
+    )
+    l2 = (
+        _dot_spark("sv", "sv")
+        - 2 * _dot_spark("sv", "cv")
+        + _dot_spark("cv", "cv")
+    )
+    codes = (
+        subs.join(F.broadcast(cb), ["m"])
+        .select("vec_id", "m", "code", F.round(l2, 6).alias("d6"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
+    )
+    qdt = (
+        subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        .join(F.broadcast(cb), ["m"])
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            F.round(l2 * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    shortlist = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), ["neighbor_id"])
+        .join(F.broadcast(qdt), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dm").alias("ad"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # --- exact rerank, shortlist-sized raw-vector I/O ---
+    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    l2x = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "nv")
+        + _dot_spark("nv", "nv")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qv), ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_micro", "rnk")
+    )
