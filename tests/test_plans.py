@@ -874,3 +874,49 @@ def test_span_probe_broadcast_size_guard(spark, sf_small):
     b = sorted(map(tuple, slow.collect()))
     assert a == b and len(a) > 0
 
+
+
+def test_pq_adc_has_no_cartesian_and_broadcasts_tables(spark, sf_small):
+    """sim13's contract: the ADC scoring stage is hash joins against
+    BROADCAST side tables (the 256-row codebook, the query distance
+    tables) plus map-side min_by partials — never a cartesian product,
+    and the final rerank joins the raw vectors through a broadcast of
+    the shortlist-sized query set."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        sim13_pq_adc_topk,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(sim13_pq_adc_topk(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_composes_pruning_then_integer_scoring(spark, sf_small):
+    """sim14's contract: the composed IVFADC plan keeps both stages'
+    shapes — broadcast hash joins for probes/codebook/distance tables,
+    no cartesian product anywhere (the only condition-free joins are
+    the 16-row centroid and 256-row codebook broadcasts, which Spark
+    plans as BroadcastNestedLoopJoin over bounded relations)."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        sim14_ivfpq_probe,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(sim14_ivfpq_probe(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semantic_dedup_pair_join_is_cell_equi_join(spark, sf_small):
+    """d18's contract: the near-dup pair generation is an EQUI-join on
+    the cell id (the SemDeDup point — the quadratic term is bounded to
+    within-cell blocks), never a cartesian product; the only
+    condition-free join is the 16-row broadcast centroid table."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        d18_semantic_dedup,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(d18_semantic_dedup(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
