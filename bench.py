@@ -179,6 +179,10 @@ HEADLINE = (
     # pruning -> integer ADC over probed cells -> shortlist rerank) —
     # the full compressed-index query path production deployments run.
     "sim14_ivfpq_probe",
+    # round-10 addition: the PQ training pass (fixed-point per-subspace
+    # Lloyd step + re-encode + serve) — prices the codebook-maintenance
+    # shape the seeded sim13 entry doesn't.
+    "sim15_pq_trained_codebooks",
 )
 
 

@@ -2433,3 +2433,229 @@ def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "dist_micro", "rnk")
     )
+
+
+# --- sim15: PQ codebook training (one exact Lloyd step per subspace) ---
+
+_SIM15_MEAN_SQL = (
+    "FLOOR(CAST(SUM(CAST(ROUND(s.sv[g2.i] * 1000000) AS BIGINT)) AS DOUBLE)"
+    " * 1000.0 / CAST(COUNT(*) AS DOUBLE)) / 1e9"
+)
+
+
+@query(
+    "sim15_pq_trained_codebooks",
+    oracle=f"""
+    WITH {_SIM13_SUB_SQL},
+    comp AS (
+        SELECT c.m, c.code, g2.i, {_SIM15_MEAN_SQL} AS val
+        FROM codes c
+        JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m
+        CROSS JOIN (SELECT CAST(r.range AS INT) + 1 AS i
+                    FROM range(0, {D_SUB}) r) g2
+        GROUP BY c.m, c.code, g2.i
+    ),
+    cb2 AS (
+        SELECT cb.m, cb.code, COALESCE(t.nv, cb.cv) AS cv
+        FROM cb LEFT JOIN (
+            SELECT m, code, list(val ORDER BY i) AS nv
+            FROM comp GROUP BY m, code) t
+          ON t.m = cb.m AND t.code = cb.code
+    ),
+    codes2 AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, cb2.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="cb2.cv")}, 6),
+                                cb2.code) AS rn
+            FROM sub s JOIN cb2 ON cb2.m = s.m) t
+        WHERE rn = 1
+    ),
+    qdt2 AS (
+        SELECT s.vec_id AS query_id, s.m, cb2.code,
+               CAST(ROUND({_L2_SQL.format(a="s.sv", b="cb2.cv")} * 1000000)
+                    AS BIGINT) AS dm
+        FROM sub s JOIN cb2 ON cb2.m = s.m
+        WHERE s.vec_id IN {QUERY_VEC_IDS}
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY SUM(q.dm), c.vec_id) AS srn
+            FROM codes2 c JOIN qdt2 q ON q.m = c.m AND q.code = c.code
+            WHERE c.vec_id <> q.query_id
+            GROUP BY q.query_id, c.vec_id) t
+        WHERE srn <= {SHORTLIST}
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")} * 1000000)
+                    AS BIGINT) AS dist_micro
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.query_id
+        JOIN e ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist_micro, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with TRAINED codebooks — closes sim13's corpus-seeded caveat
+    with the sim11 retrain discipline applied per subspace: every
+    codebook entry moves to the EXACT FIXED-POINT mean of its assigned
+    subvectors (round-half-away micro-unit LONG sums — order-free —
+    then one deterministic double sequence ``floor(sum*1000/n)/1e9``,
+    so DuckDB replays the trained codebooks bit-for-bit), empty codes
+    keep their seed, the corpus re-encodes against the trained books,
+    and the same ADC-shortlist + exact-rerank tail serves the query.
+    One Lloyd step is the demonstrated unit; sim12's
+    ``retrain_ivf_store_converged`` shows the drift-thresholded
+    iteration the same arithmetic supports.
+
+    Scale: training cost is one partial-aggregated shuffle sized
+    codebook x dim (the corpus contributes micro-integers map-side and
+    never shuffles raw vectors); the trained books and the re-encoded
+    code table are ingest-time state — materialized here exactly like
+    sim14's — so the SERVING plan reads codes as a table and touches
+    raw vectors only for the shortlist rerank. Recall improves over
+    the seeded books on the fixture (pinned in tests)."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    subs = e.select(
+        "vec_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * D_SUB + 1, D_SUB).alias("sv"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ),
+    )
+    cb = (
+        subs.filter(F.col("vec_id") < K_CODES)
+        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+        .localCheckpoint()
+    )
+    l2_cb = (
+        _dot_spark("sv", "sv")
+        - 2 * _dot_spark("sv", "cv")
+        + _dot_spark("cv", "cv")
+    )
+    # seed-book assignment (the training partition), materialized: this
+    # is training-time state, not part of the serving plan
+    codes = (
+        subs.join(F.broadcast(cb), ["m"])
+        .select("vec_id", "m", "code", F.round(l2_cb, 6).alias("d6"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
+        .localCheckpoint()
+    )
+    # one exact Lloyd step per subspace: fixed-point component means
+    val = F.col("val")
+    micros = (
+        (val * F.lit(1e6)) + F.when(val >= 0, 0.5).otherwise(-0.5)
+    ).cast("bigint")
+    comp = (
+        codes.join(subs, ["vec_id", "m"])
+        .select(
+            "m",
+            "code",
+            F.posexplode(F.col("sv").cast("array<double>")).alias("i", "val"),
+        )
+        .select("m", "code", "i", micros.alias("mu"))
+        .groupBy("m", "code", "i")
+        .agg(F.sum("mu").alias("s"), F.count("*").alias("n"))
+        .select(
+            "m",
+            "code",
+            "i",
+            (
+                F.floor(
+                    F.col("s").cast("double") * F.lit(1000.0)
+                    / F.col("n").cast("double")
+                )
+                / F.lit(1e9)
+            ).alias("val"),
+        )
+    )
+    nv = comp.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "val"))),
+            lambda s: s["val"],
+        ).alias("nv")
+    )
+    cb2 = (
+        cb.join(nv, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce("nv", F.col("cv").cast("array<double>")).alias("cv"),
+        )
+        .localCheckpoint()  # the TRAINED books: M_SUB x K_CODES rows
+    )
+    # re-encode against the trained books — ingest-time state (sim14's
+    # argument): the serving plan reads the code table, never re-derives
+    codes2 = (
+        subs.join(F.broadcast(cb2), ["m"])
+        .select("vec_id", "m", "code", F.round(l2_cb, 6).alias("d6"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
+        .localCheckpoint()
+    )
+    qdt2 = (
+        subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
+        .join(F.broadcast(cb2), ["m"])
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            F.round(l2_cb * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    shortlist = (
+        codes2.join(F.broadcast(qdt2), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dm").alias("ad"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nvv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    l2x = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "nv")
+        + _dot_spark("nv", "nv")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qv), ["query_id"])
+        .join(nvv, ["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_micro", "rnk")
+    )

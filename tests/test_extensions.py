@@ -227,6 +227,58 @@ def test_ivfpq_recall_vs_exact(spark, sf_oracle):
     assert recall >= 0.6, f"IVFPQ recall {recall:.2%}"
 
 
+def test_trained_pq_codebooks_do_not_lose_recall(spark, sf_oracle):
+    """sim15 (one exact fixed-point Lloyd step per subspace codebook)
+    vs sim13 (seeded books): training must not lose recall on the
+    fixture — it gains (~0.73 vs ~0.70) — and stays above the absolute
+    floor. The oracle gate already proves the trained books replay
+    bit-for-bit in DuckDB; this pins the training's POINT."""
+    from pyspark.sql import Window as W
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        QUERY_VEC_IDS,
+        TOP_K,
+        _dot_spark,
+        sim13_pq_adc_topk,
+        sim15_pq_trained_codebooks,
+    )
+
+    e = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    l2 = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "embedding")
+        + _dot_spark("embedding", "embedding")
+    )
+    scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("d")
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("d", 6), "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+
+    def recall(fn):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, sf_oracle).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    seeded, trained = recall(sim13_pq_adc_topk), recall(
+        sim15_pq_trained_codebooks
+    )
+    assert trained >= seeded, (trained, seeded)
+    assert trained >= 0.5, trained
+
+
 def test_simhash_signature_stability(spark, sf_small):
     """Signatures are deterministic and 32-bit bounded."""
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, sf_small).collect()}
