@@ -2298,7 +2298,7 @@ def _build_generation(
         else:
             ttl_col = snap.get("ttl_col")
             cutoff = snap.get("ttl_cutoff")
-            merged: dict = {}
+            merged_rows: dict = {}
             if cur is None:
                 for r in _ttl_live(
                     pq.read_table(
@@ -2307,19 +2307,19 @@ def _build_generation(
                     ttl_col,
                     cutoff,
                 ):
-                    merged[_rowkey_of(r, key_cols)] = r
+                    merged_rows[_rowkey_of(r, key_cols)] = r
             for r in overlay_rows:
                 if r.get(TOMBSTONE):
-                    merged.pop(_rowkey_of(r, key_cols), None)
+                    merged_rows.pop(_rowkey_of(r, key_cols), None)
                 elif (
                     cutoff is None
                     or r.get(ttl_col) is None
                     or r[ttl_col] >= cutoff
                 ):
-                    merged[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+                    merged_rows[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
                 else:  # expired Put: supersedes, doesn't survive
-                    merged.pop(_rowkey_of(r, key_cols), None)
-            rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+                    merged_rows.pop(_rowkey_of(r, key_cols), None)
+            rows = sorted(merged_rows.values(), key=lambda r: _rowkey_of(r, key_cols))
             for j, chunk in enumerate(_region_chunks(rows, region_size)):
                 name = f"region-{j:05d}.parquet"
                 pq.write_table(
@@ -3397,9 +3397,15 @@ def list_store_snapshots(options) -> list:
         mp = os.path.join(root, n, SNAP_MANIFEST)
         try:
             with open(mp) as f:
-                out.append(json.load(f))
+                manifest = json.load(f)
         except (FileNotFoundError, ValueError):
             continue  # crash-orphaned .tmp dirs are not snapshots
+        if manifest.get("name") != n:
+            # a crash between manifest-write and the rename publish
+            # leaves a complete manifest inside `<name>.tmp.<pid>`;
+            # the dir-name mismatch is how we tell it from a snapshot
+            continue
+        out.append(manifest)
     return out
 
 

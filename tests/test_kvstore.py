@@ -3215,6 +3215,21 @@ class TestMajorCompaction:
         again = compact_store(opts, major=True)
         assert again["compacted"] and self._state(opts) == before
 
+    def test_first_fold_stats_regions_merged_is_int(self, tmp_path):
+        """Regression (round-11 ADVICE): the non-incremental
+        driver-side first fold used a local dict named ``merged`` for
+        the row-merge map, shadowing the merge COUNTER — the returned
+        ``regions_merged`` stat became the entire row dict. Pin: a
+        first fold reports an integer 0, not a mapping."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import compact_store
+
+        opts = self._store(tmp_path, "mjstat")
+        self._put(opts, [(1, 10.0)])
+        stats = compact_store(opts)  # cur is None → first-fold path
+        assert stats["compacted"]
+        assert isinstance(stats["regions_merged"], int)
+        assert stats["regions_merged"] == 0
+
 
 class TestIncrement:
     """Round-10: atomic counters (HBase ``Increment``) — accumulate
@@ -3626,7 +3641,7 @@ class TestSnapshots:
         assert self._state(tgt) == at_snap
         # fully independent afterwards
         self._put(tgt, [(9, 999.0)])
-        assert self._state(src)[2] == 200.0 and 9 not in self._state(src) or self._state(src).get(9) != 999.0
+        assert self._state(src)[2] == 200.0 and 9 not in self._state(src)
         assert self._state(tgt)[9] == 999.0
         assert self._state(src) == {**at_snap, 2: 200.0}
 
@@ -3667,6 +3682,37 @@ class TestSnapshots:
         # a dropped name is reusable
         snapshot_store(opts, "a1")
         assert len(list_store_snapshots(opts)) == 2
+
+    def test_crash_orphaned_tmp_dir_is_not_listed(self, tmp_path):
+        """Regression (round-11 ADVICE): a crash between writing
+        MANIFEST.json and the rename publish leaves a complete
+        manifest inside ``<name>.tmp.<pid>``; listing must not report
+        it as a snapshot (the manifest name ≠ dir name tells it
+        apart), and real snapshots still list."""
+        import json
+        import shutil
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _snap_root,
+            list_store_snapshots,
+            snapshot_store,
+        )
+
+        opts = self._store(tmp_path, "snaptmp", n=20, region_size=8)
+        self._put(opts, [(1, 11.0)])
+        snapshot_store(opts, "real")
+        root = _snap_root(opts)
+        # simulate the crash window: a fully-written but never-renamed
+        # tmp dir with a valid manifest inside
+        orphan = os.path.join(root, "ghost.tmp.12345")
+        shutil.copytree(os.path.join(root, "real"), orphan)
+        man_path = os.path.join(orphan, "MANIFEST.json")
+        with open(man_path) as f:
+            man = json.load(f)
+        man["name"] = "ghost"
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+        assert [m["name"] for m in list_store_snapshots(opts)] == ["real"]
 
     def test_snapshot_of_emptied_store_restores_empty(self, tmp_path):
         from kt_sql_hbase_ex_spark.sources.kvstore import (
