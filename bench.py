@@ -183,6 +183,49 @@ HEADLINE = (
     # Lloyd step + re-encode + serve) — prices the codebook-maintenance
     # shape the seeded sim13 entry doesn't.
     "sim15_pq_trained_codebooks",
+    # round-11 addition: the persisted-PQ-store probe (frozen trained
+    # books + on-disk code table, grown via append, compacted) — the
+    # steady-state compressed-index serving path; the store provisions
+    # once (warmup absorbs it) so the timed number is the pure probe.
+    "sim16_pq_store_probe",
+    # round-11 addition: the five-op mutation mix — interleaved
+    # put/increment/CAS/append/delete batches then a fold, so WAL-write
+    # + overlay-publish overhead under realistic interleaving is
+    # tracked as ONE number (the per-op entries can't see cross-op
+    # interleaving cost).
+    "src19_kv_mutation_mix",
+)
+
+# Store-LIFECYCLE entries (round-11, r10 verdict task #2): these time
+# provisioning (store builds, mutation commits, folds, stream drains)
+# INSIDE the entry, so their totals swing 3-5x between equally-valid
+# runs and a real serving-path regression would drown in the noise.
+# Every query fn runs its eager provisioning work when CALLED and
+# returns the final read as a lazy DataFrame — so the harness times the
+# two halves separately: build = the fn call (mutations/folds/drains),
+# serve = executing the returned plan (the steady-state read a
+# deployment pays per query). headline_total still sums build+serve,
+# keeping it comparable with every earlier round; regression detection
+# on these entries should read phases[name]["serve"].
+LIFECYCLE = frozenset(
+    {
+        "src11_kv_compacted_scan",
+        "src12_kv_timetravel",
+        "src13_kv_bulk_load",
+        "src14_kv_ttl_scan",
+        "src15_kv_increment",
+        "src16_kv_check_and_put",
+        "src17_kv_snapshot_restore",
+        "src18_kv_append",
+        "src19_kv_mutation_mix",
+        "st17_cdc_replica",
+        "st18_cdc_replica_rebaseline",
+        "d18_semantic_dedup",
+        "sim12_retrain_recall_readout",
+        "sim15_pq_trained_codebooks",
+        "t13_incremental_index_maintenance",
+        "t15_index_doc_update",
+    }
 )
 
 
@@ -223,17 +266,27 @@ def main() -> None:
     # garbage from billing a collection pause to this one; min-of-3
     # tightens the long tail a host-shared CPU adds to single runs.
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         try:
             spark._jvm.System.gc()
         except Exception:
             pass
-        best = float("inf")
+        best = (float("inf"), 0.0, 0.0)  # (total, build, serve)
         for _ in range(3):
             start = time.perf_counter()
-            _run_once(queries[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            df = queries[name].fn(spark, sf_dir)  # build: eager provisioning
+            mid = time.perf_counter()
+            _run_once(df)  # serve: the returned plan's execution
+            end = time.perf_counter()
+            if end - start < best[0]:
+                best = (end - start, mid - start, end - mid)
+        timings[name] = round(best[0], 3)
+        if name in LIFECYCLE:
+            phases[name] = {
+                "build": round(best[1], 3),
+                "serve": round(best[2], 3),
+            }
 
     print(
         json.dumps(
@@ -242,6 +295,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": sf,
             }
         )

@@ -2120,94 +2120,21 @@ def sim13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     those — fetch their raw vectors for exact L2, emitting the final
     top-{TOP_K}. This is the standard recall repair (fixture
     recall@{TOP_K} ≈ 0.7 vs exact search, pinned in tests); raw-vector
-    I/O is shortlist-sized, never corpus-sized."""
+    I/O is shortlist-sized, never corpus-sized.
+
+    Since round 11 the books and codes are PERSISTED state
+    (:func:`ensure_pq_store_seeded` — the write-time encode the
+    docstring above promises), and this query is a pure probe of the
+    on-disk store (:func:`probe_pq_store`)."""
+    root = ensure_pq_store_seeded(spark, sf_dir)
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    subs = e.select(
-        "vec_id",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("embedding", m * D_SUB + 1, D_SUB).alias("sv"),
-                    )
-                    for m in range(M_SUB)
-                ]
-            )
-        ),
-    )
-    cb = (
-        subs.filter(F.col("vec_id") < K_CODES)
-        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
-        .localCheckpoint()  # M_SUB x K_CODES rows, reused by both stages
-    )
-    l2 = (
-        _dot_spark("sv", "sv")
-        - 2 * _dot_spark("sv", "cv")
-        + _dot_spark("cv", "cv")
-    )
-    # encode: per (vector, subspace) argmin over the broadcast codebook
-    # via min_by partials — 6dp-rounded before the argmin (sim03's
-    # ulp-proofing), ties to the lowest code
-    codes = (
-        subs.join(F.broadcast(cb), ["m"])
-        .select("vec_id", "m", "code", F.round(l2, 6).alias("d6"))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
-    )
-    # query distance tables: exact query subvectors vs the codebook,
-    # fixed to integer micros BEFORE any sum (order-free exactness)
-    qdt = (
-        subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
-        .join(F.broadcast(cb), ["m"])
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            "code",
-            F.round(l2 * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
-        )
-    )
-    from pyspark.sql import Window as W
-
-    w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
-    shortlist = (
-        codes.join(F.broadcast(qdt), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dm").alias("ad"))
-        .withColumn("srn", F.row_number().over(w_short))
-        .filter(F.col("srn") <= SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    # exact rerank: raw vectors fetched for the shortlist only
-    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+    batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    nv = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
-    )
-    l2x = (
-        _dot_spark("qv", "qv")
-        - 2 * _dot_spark("qv", "nv")
-        + _dot_spark("nv", "nv")
-    )
-    rerank = (
-        shortlist.join(F.broadcast(qv), ["query_id"])
-        .join(nv, ["neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "dist_micro", "rnk")
-    )
+    return probe_pq_store(spark, root, batch, e)
+
 
 
 # --- sim14: IVF + PQ (the full IVFADC serving stack) -------------------
@@ -2294,145 +2221,46 @@ def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     all stages in DuckDB. Scale: scoring work ∝ probed-cell members,
     raw-vector reads ∝ shortlist — the two knobs (nprobe, shortlist)
     are exactly the recall/latency dials a deployment tunes."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    root = ensure_ivfpq_store(spark, sf_dir)
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    # --- coarse stage: sim03's assignment + probes ---
-    en = e.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot_spark("embedding", "embedding")).alias("n"),
-    )
-    cent = (
-        en.filter(F.col("vec_id") < N_CELLS)
+    batch = (
+        e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
         .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cv"),
-            F.col("n").alias("cn"),
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
-        .localCheckpoint()
+        .localCheckpoint()  # consumed by probing AND the PQ serve tail
     )
-
-    def cell_scores(vectors):
-        return vectors.join(F.broadcast(cent)).select(
-            "vec_id",
-            "cid",
-            F.round(
-                _dot_spark("embedding", "cv") / (F.col("n") * F.col("cn")), 6
-            ).alias("cc"),
-        )
-
-    # the cell-assignment table is WRITE-TIME state in production (the
-    # sim04 cluster-by-cell layout) — materialize it here so the final
-    # query plan reads it as a table instead of re-deriving it from a
-    # second corpus scan (2 ints per vector; the multi-scan audit's
-    # bound holds)
-    assign = (
-        cell_scores(en)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
-            ).alias("cid")
-        )
-        .localCheckpoint()
-    )
-    from pyspark.sql import Window as W
-
-    w_probe = W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    # --- coarse stage from PERSISTED state: probes against the frozen
+    # quantizer, candidates from the write-time cell assignment (the
+    # sim04 layout carrying 2-int rows; the join prunes to probed cells)
+    cent = spark.read.parquet(os.path.join(root, "cents"))
+    w_probe = W.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cid"))
     probes = (
-        cell_scores(en.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)))
+        batch.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            F.round(_cosine_spark("qv", "cv"), 6).alias("cc"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+        .select("query_id", "cid")
     )
+    assign = spark.read.parquet(os.path.join(root, "assign"))
     cand = (
         assign.join(F.broadcast(probes), ["cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    # --- compressed stage: sim13's codes + ADC over candidates only ---
-    subs = e.select(
-        "vec_id",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("embedding", m * D_SUB + 1, D_SUB).alias("sv"),
-                    )
-                    for m in range(M_SUB)
-                ]
-            )
-        ),
-    )
-    cb = (
-        subs.filter(F.col("vec_id") < K_CODES)
-        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
-        .localCheckpoint()
-    )
-    l2 = (
-        _dot_spark("sv", "sv")
-        - 2 * _dot_spark("sv", "cv")
-        + _dot_spark("cv", "cv")
-    )
-    # the PQ code table is likewise write-time state (codes are encoded
-    # at ingest; serving never re-derives them) — 8 small ints per
-    # vector, materialized once
-    codes = (
-        subs.join(F.broadcast(cb), ["m"])
-        .select("vec_id", "m", "code", F.round(l2, 6).alias("d6"))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
-        .localCheckpoint()
-    )
-    qdt = (
-        subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
-        .join(F.broadcast(cb), ["m"])
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            "code",
-            F.round(l2 * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
-        )
-    )
-    w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
-    shortlist = (
-        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), ["neighbor_id"])
-        .join(F.broadcast(qdt), ["query_id", "m", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("dm").alias("ad"))
-        .withColumn("srn", F.row_number().over(w_short))
-        .filter(F.col("srn") <= SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    # --- exact rerank, shortlist-sized raw-vector I/O ---
-    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    nv = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
-    )
-    l2x = (
-        _dot_spark("qv", "qv")
-        - 2 * _dot_spark("qv", "nv")
-        + _dot_spark("nv", "nv")
-    )
-    rerank = (
-        shortlist.join(F.broadcast(qv), ["query_id"])
-        .join(nv, ["neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "dist_micro", "rnk")
-    )
+    # --- compressed stage + rerank from the persisted PQ store
+    return probe_pq_store(spark, root, batch, e, cand=cand)
+
 
 
 # --- sim15: PQ codebook training (one exact Lloyd step per subspace) ---
@@ -2519,14 +2347,43 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training cost is one partial-aggregated shuffle sized
     codebook x dim (the corpus contributes micro-integers map-side and
     never shuffles raw vectors); the trained books and the re-encoded
-    code table are ingest-time state — materialized here exactly like
-    sim14's — so the SERVING plan reads codes as a table and touches
-    raw vectors only for the shortlist rerank. Recall improves over
-    the seeded books on the fixture (pinned in tests)."""
+    code table are ingest-time state — PERSISTED, since round 11, in
+    the trained PQ store (:func:`ensure_pq_store_trained`) — so the
+    SERVING plan reads codes as an on-disk table and touches raw
+    vectors only for the shortlist rerank. Recall improves over the
+    seeded books on the fixture (pinned in tests)."""
+    root = ensure_pq_store_trained(spark, sf_dir)
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    subs = e.select(
+    batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_pq_store(spark, root, batch, e)
+
+
+
+# --- sim16: the PERSISTED PQ store (codebooks + code table on disk) ----
+#
+# Round-10 verdict task #1: sim13-15 demonstrated the PQ arithmetic but
+# materialized their codebooks/codes per-invocation (localCheckpoint —
+# session-lived). Production PQ state is INGEST-TIME and on disk: books
+# train once and freeze, every arriving vector is encoded against the
+# frozen books at write time (the FAISS add-after-train contract), and
+# serving reads the persisted code table. This section gives PQ the
+# same store discipline every other access path in this repo already
+# has (KV: generations; text: layer pointer; bands: band store; IVF:
+# ensure_ivf_store) — build-once provisioning, O_EXCL single-writer
+# appends, per-unit compaction through the shared generation-fold
+# engine, and a fixed-point retrain that rotates books+codes behind an
+# atomic layout pointer with deferred GC.
+
+
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector split into its M_SUB subvectors —
+    the one subspace-decomposition rule every PQ stage shares (build,
+    append, training, query distance tables)."""
+    return vecs.select(
         "vec_id",
         F.inline(
             F.array(
@@ -2540,32 +2397,46 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    cb = (
-        subs.filter(F.col("vec_id") < K_CODES)
-        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
-        .localCheckpoint()
-    )
-    l2_cb = (
+
+
+def _pq_l2():
+    return (
         _dot_spark("sv", "sv")
         - 2 * _dot_spark("sv", "cv")
         + _dot_spark("cv", "cv")
     )
-    # seed-book assignment (the training partition), materialized: this
-    # is training-time state, not part of the serving plan
-    codes = (
-        subs.join(F.broadcast(cb), ["m"])
-        .select("vec_id", "m", "code", F.round(l2_cb, 6).alias("d6"))
+
+
+def _pq_encode(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest-codebook-entry assignment per
+    subvector — 6dp-rounded L2 before the argmin, ties to the lowest
+    code (the sim13 cross-engine rule). ``books`` broadcasts (M_SUB x
+    K_CODES rows); the min_by partials combine map-side, so the
+    shuffle is corpus x M_SUB small rows, never the expanded join."""
+    return (
+        subs.join(F.broadcast(books), ["m"])
+        .select("vec_id", "m", "code", F.round(_pq_l2(), 6).alias("d6"))
         .groupBy("vec_id", "m")
         .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
-        .localCheckpoint()
     )
-    # one exact Lloyd step per subspace: fixed-point component means
+
+
+def _pq_train_step(subs: DataFrame, seed_books: DataFrame) -> DataFrame:
+    """One exact fixed-point Lloyd step per subspace (sim15's
+    arithmetic as the store's training unit): assign every subvector
+    to its nearest seed entry, move each entry to the micro-unit
+    fixed-point mean of its assigned subvectors (round-half-away LONG
+    sums — order-free — then the deterministic
+    ``floor(sum*1000/n)/1e9`` double), empty entries keep their seed.
+    Training shuffles codebook x dim integers only; raw vectors never
+    shuffle."""
+    codes0 = _pq_encode(subs, seed_books)
     val = F.col("val")
     micros = (
         (val * F.lit(1e6)) + F.when(val >= 0, 0.5).otherwise(-0.5)
     ).cast("bigint")
     comp = (
-        codes.join(subs, ["vec_id", "m"])
+        codes0.join(subs, ["vec_id", "m"])
         .select(
             "m",
             "code",
@@ -2593,50 +2464,278 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["val"],
         ).alias("nv")
     )
-    cb2 = (
-        cb.join(nv, ["m", "code"], "left")
+    return seed_books.join(nv, ["m", "code"], "left").select(
+        "m",
+        "code",
+        F.coalesce("nv", F.col("cv").cast("array<double>")).alias("cv"),
+    )
+
+
+def _pq_store_layout(root: str) -> dict:
+    """The PQ store's generation pointer — ``layout.json`` names the
+    live books and codes directories (both rotate on retrain; only
+    codes rotates on compaction). Absent, the legacy fixed names
+    apply. ``prev`` is the deferred-GC retention list;
+    ``trained_rows`` records the corpus size the live books were
+    trained on (the retrain trigger's denominator)."""
+    import json
+    import os
+
+    path = os.path.join(root, "layout.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"gen": 0, "books": "books", "codes": "codes", "prev": []}
+
+
+def _pq_books_dir(root: str) -> str:
+    import os
+
+    return os.path.join(root, _pq_store_layout(root)["books"])
+
+
+def _pq_codes_dir(root: str) -> str:
+    import os
+
+    return os.path.join(root, _pq_store_layout(root)["codes"])
+
+
+def _pq_codes_rows(root: str) -> int:
+    """Live corpus size from parquet FOOTERS (codes rows / M_SUB) —
+    driver-side metadata listing, no data read (the trigger path must
+    stay cheap enough to run after every batch)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq_mod
+
+    total = 0
+    for f in glob.glob(
+        os.path.join(_pq_codes_dir(root), "**", "*.parquet"), recursive=True
+    ):
+        total += _pq_mod.read_metadata(f).num_rows
+    return total // M_SUB
+
+
+def _pq_write_layout(root: str, layout: dict) -> None:
+    import json
+    import os
+
+    staging = os.path.join(root, f"layout.json.tmp.{os.getpid()}")
+    with open(staging, "w") as f:
+        json.dump(layout, f)
+    os.replace(staging, os.path.join(root, "layout.json"))
+
+
+def write_pq_store(
+    spark: SparkSession, root: str, vecs: DataFrame, train: bool = True
+) -> None:
+    """Build a fresh PQ store at ``root`` from (vec_id, embedding):
+    ``books/`` freezes the per-subspace codebooks (seeded from the
+    K_CODES lowest vec_ids — the replayable sim13 seed rule — then
+    one fixed-point Lloyd step over the build corpus when ``train``),
+    ``codes/`` holds every vector's M_SUB-code sketch encoded against
+    the FROZEN books, partitioned by subspace ``m`` (the compaction
+    unit; one file per subspace per write). The raw-root sibling of
+    :func:`write_ivf_store`; :func:`ensure_pq_store_grown` wraps it in
+    the fingerprint/staging/atomic-publish provisioning discipline."""
+    import os
+
+    seeds = (
+        _pq_subs(vecs.orderBy("vec_id").limit(K_CODES))
         .select(
             "m",
-            "code",
-            F.coalesce("nv", F.col("cv").cast("array<double>")).alias("cv"),
+            F.col("vec_id").alias("code"),
+            F.col("sv").cast("array<double>").alias("cv"),
         )
-        .localCheckpoint()  # the TRAINED books: M_SUB x K_CODES rows
+        .localCheckpoint()  # M_SUB x K_CODES rows
     )
-    # re-encode against the trained books — ingest-time state (sim14's
-    # argument): the serving plan reads the code table, never re-derives
-    codes2 = (
-        subs.join(F.broadcast(cb2), ["m"])
-        .select("vec_id", "m", "code", F.round(l2_cb, 6).alias("d6"))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("code", F.struct("d6", "code")).alias("code"))
-        .localCheckpoint()
+    subs = _pq_subs(vecs)
+    books = (
+        _pq_train_step(subs, seeds).localCheckpoint() if train else seeds
     )
-    qdt2 = (
-        subs.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
-        .join(F.broadcast(cb2), ["m"])
+    books.coalesce(1).write.parquet(os.path.join(root, "books"))
+    _pq_encode(subs, books).repartition("m").write.partitionBy("m").parquet(
+        os.path.join(root, "codes")
+    )
+    _pq_write_layout(
+        root,
+        {
+            "gen": 0,
+            "books": "books",
+            "codes": "codes",
+            "prev": [],
+            "trained_rows": _pq_codes_rows(root),
+        },
+    )
+
+
+def append_pq_batch(spark: SparkSession, root: str, vecs: DataFrame) -> None:
+    """Admit one embedding batch into the standing PQ store — the
+    :func:`append_ivf_batch` role for codes: the batch encodes against
+    the LIVE (layout-resolved) frozen books and lands as new files
+    inside the per-subspace ``m=`` partitions. Write ∝ batch; no
+    existing file is touched; encoding is per-vector independent, so
+    append ≡ from-scratch encode against the same books (the sim09
+    append≡rebuild discipline — sim16's oracle proves it every
+    round). Books never retrain on append: encoding against drifted
+    books would silently corrupt ADC distances, so re-training is an
+    explicit generation rotation (:func:`retrain_pq_store`)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        books = spark.read.parquet(_pq_books_dir(root))
+        _pq_encode(_pq_subs(vecs), books).repartition("m").write.mode(
+            "append"
+        ).partitionBy("m").parquet(_pq_codes_dir(root))
+
+
+def compact_pq_store(
+    spark: SparkSession, root: str, only_units_over: int | None = None
+) -> dict:
+    """Fold the code table's accumulated per-batch files into ONE file
+    per ``m=`` partition — answers unchanged, layout only. The shared
+    generation-fold engine supplies the lock / orphan-sweep /
+    fold-or-carry / atomic-publish / deferred-GC machinery; the books
+    are untouched (compaction is never a re-training)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        compact_partitioned_store,
+    )
+
+    return compact_partitioned_store(
+        spark,
+        root,
+        lambda: _pq_store_layout(root),
+        [("codes", "codes")],
+        target_files=1,
+        only_units_over=only_units_over,
+    )
+
+
+def retrain_pq_store(spark: SparkSession, root: str, vecs: DataFrame) -> dict:
+    """Drift maintenance: one fixed-point Lloyd step seeded from the
+    LIVE books over the supplied corpus vectors (the store holds
+    codes, not raw vectors — the caller reads them from the base
+    table or IVF cells, exactly where production keeps them), then a
+    full re-encode, published as a fresh ``books``+``codes``
+    generation behind the atomic layout pointer. The superseded
+    generation is retained until the NEXT rotation (deferred GC for
+    in-flight readers) — :func:`retrain_ivf_store`'s discipline
+    applied to the compressed index."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        layout = _pq_store_layout(root)
+        books_live = spark.read.parquet(
+            os.path.join(root, layout["books"])
+        ).localCheckpoint()
+        subs = _pq_subs(vecs)
+        books2 = _pq_train_step(subs, books_live).localCheckpoint()
+        gen = layout["gen"] + 1
+        tag = _uuid.uuid4().hex[:8]
+        books_rel = f"books_g{gen}.{tag}"
+        codes_rel = f"codes_g{gen}.{tag}"
+        books2.coalesce(1).write.parquet(os.path.join(root, books_rel))
+        _pq_encode(subs, books2).repartition("m").write.partitionBy(
+            "m"
+        ).parquet(os.path.join(root, codes_rel))
+        new_layout = dict(layout)
+        new_layout["gen"] = gen
+        new_layout["prev"] = [layout["books"], layout["codes"]]
+        new_layout["books"] = books_rel
+        new_layout["codes"] = codes_rel
+        _pq_write_layout(root, new_layout)
+        new_layout["trained_rows"] = _pq_codes_rows(root)
+        _pq_write_layout(root, new_layout)
+        for d in layout.get("prev", []):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return {"gen": gen, "trained_rows": new_layout["trained_rows"]}
+
+
+def maybe_retrain_pq_store(
+    spark: SparkSession,
+    root: str,
+    vecs: DataFrame,
+    growth_factor: float = 2.0,
+) -> dict | None:
+    """Size-TRIGGERED retrain: rotate the books only when the live
+    corpus has grown past ``growth_factor`` x the size the books were
+    trained on (appended vectors quantize against books that never
+    saw them — bounded drift is fine, unbounded drift degrades ADC).
+    The check is a driver-side parquet-footer read; under threshold
+    not even the lock is taken."""
+    layout = _pq_store_layout(root)
+    trained = layout.get("trained_rows")
+    if trained and _pq_codes_rows(root) < growth_factor * trained:
+        return None
+    return retrain_pq_store(spark, root, vecs)
+
+
+def probe_pq_store(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    vectors: DataFrame,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist_micro, rnk) top-k of a query batch
+    against a persisted PQ store — the sim13 ADC + exact-rerank tail
+    served entirely from on-disk state: ``batch`` is (query_id, qv);
+    per-query distance tables build against the live books (M_SUB x
+    K_CODES rows, broadcast), approximate distances are integer
+    table-lookup sums over the PERSISTED code table (the corpus'
+    raw vectors are never read in the scoring stage), and the
+    top-SHORTLIST candidates rerank exactly against ``vectors``
+    (vec_id, embedding) — shortlist-sized raw I/O, the production
+    recall repair. ``cand`` (query_id, neighbor_id) restricts ADC to
+    an IVF-pruned candidate set (the IVFADC composition)."""
+    from pyspark.sql import Window as W
+
+    books = spark.read.parquet(_pq_books_dir(root))
+    codes = spark.read.parquet(_pq_codes_dir(root))
+    batch = batch.localCheckpoint()  # consumed by qdt AND the rerank join
+    qsubs = _pq_subs(
+        batch.select(
+            F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")
+        )
+    )
+    qdt = (
+        qsubs.join(F.broadcast(books), ["m"])
         .select(
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            F.round(l2_cb * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
+            F.round(_pq_l2() * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
         )
     )
-    from pyspark.sql import Window as W
-
+    if cand is None:
+        adc = (
+            codes.join(F.broadcast(qdt), ["m", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+    else:
+        adc = (
+            cand.join(
+                codes.withColumnRenamed("vec_id", "neighbor_id"),
+                ["neighbor_id"],
+            )
+            .join(F.broadcast(qdt), ["query_id", "m", "code"])
+            .groupBy("query_id", "neighbor_id")
+        )
     w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
     shortlist = (
-        codes2.join(F.broadcast(qdt2), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dm").alias("ad"))
+        adc.agg(F.sum("dm").alias("ad"))
         .withColumn("srn", F.row_number().over(w_short))
         .filter(F.col("srn") <= SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qv = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    nvv = e.select(
+    qv = batch.select("query_id", "qv")
+    nv = vectors.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
     )
     l2x = (
@@ -2646,7 +2745,7 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rerank = (
         shortlist.join(F.broadcast(qv), ["query_id"])
-        .join(nvv, ["neighbor_id"])
+        .join(nv, ["neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -2659,3 +2758,248 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "dist_micro", "rnk")
     )
+
+
+# --- PQ store fixtures (build-once per scale factor) -------------------
+
+
+def ensure_pq_store_grown(spark: SparkSession, sf_dir: str) -> str:
+    """sim16's fixture store — the full PQ lifecycle exercised at
+    provision time: TRAINED books frozen on the base history (probe
+    AND growth residues held out), the growth batch admitted through
+    :func:`append_pq_batch` against those frozen books, then one
+    :func:`compact_pq_store` fold (answers must survive the layout
+    rotation — sim16's oracle replays the pre-compaction semantics)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"pqstore-grown|{M_SUB}x{D_SUB}k{K_CODES}s{SHORTLIST}"
+        f"|mod{SIM08_MOD}g{SIM09_RES_GROW}r{SIM08_RES}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        write_pq_store(
+            spark,
+            staging,
+            e.filter(
+                (F.col("vec_id") % SIM08_MOD != SIM08_RES)
+                & (F.col("vec_id") % SIM08_MOD != SIM09_RES_GROW)
+            ),
+            train=True,
+        )
+        append_pq_batch(
+            spark,
+            staging,
+            e.filter(F.col("vec_id") % SIM08_MOD == SIM09_RES_GROW),
+        )
+        compact_pq_store(spark, staging)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def ensure_pq_store_seeded(spark: SparkSession, sf_dir: str) -> str:
+    """sim13's serving store: seeded (untrained) books over the full
+    corpus, codes encoded at build — the persisted form of the state
+    sim13 used to materialize per-invocation."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = f"pqstore-seeded|{M_SUB}x{D_SUB}k{K_CODES}"
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        write_pq_store(spark, staging, e, train=False)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def ensure_pq_store_trained(spark: SparkSession, sf_dir: str) -> str:
+    """sim15's serving store: one fixed-point Lloyd step over the full
+    corpus, re-encoded codes — the persisted form of sim15's trained
+    state."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = f"pqstore-trained|{M_SUB}x{D_SUB}k{K_CODES}"
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        write_pq_store(spark, staging, e, train=True)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim14's serving store — the composed IVFADC state persisted:
+    the PQ store (seeded books + codes) plus the coarse layer,
+    ``cents/`` (the frozen full-corpus quantizer) and ``assign/`` (the
+    write-time cell assignment, partitioned by ``cid`` so candidate
+    generation prunes to probed cells — the sim04 layout carrying
+    2-int rows instead of raw vectors)."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = f"ivfpqstore|{N_CELLS}|{N_PROBE}|{M_SUB}x{D_SUB}k{K_CODES}"
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        write_pq_store(spark, staging, e, train=False)
+        cent = (
+            e.filter(F.col("vec_id") < N_CELLS)
+            .select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            )
+            .localCheckpoint()
+        )
+        cent.coalesce(1).write.parquet(os.path.join(staging, "cents"))
+        _assign_cells(e, cent).select(
+            "vec_id", F.col("cell").alias("cid")
+        ).repartition("cid").write.partitionBy("cid").parquet(
+            os.path.join(staging, "assign")
+        )
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+# --- sim16: the grown-store probe, oracle-replayed from scratch --------
+
+_SIM16_MEAN_SQL = (
+    "FLOOR(CAST(SUM(CAST(ROUND(s.sv[g2.i] * 1000000) AS BIGINT)) AS DOUBLE)"
+    " * 1000.0 / CAST(COUNT(*) AS DOUBLE)) / 1e9"
+)
+
+
+@query(
+    "sim16_pq_store_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (SELECT * FROM e WHERE vec_id % {SIM08_MOD} <> {SIM08_RES}),
+    g AS (SELECT CAST(r.range AS INT) AS m FROM range(0, {M_SUB}) r),
+    sub AS (
+        SELECT c.vec_id, g.m,
+               list_slice(c.v, g.m*{D_SUB}+1, (g.m+1)*{D_SUB}) AS sv
+        FROM corpus c CROSS JOIN g
+    ),
+    sub_base AS (
+        SELECT * FROM sub WHERE vec_id % {SIM08_MOD} <> {SIM09_RES_GROW}
+    ),
+    seeds AS (
+        SELECT m, vec_id AS code, sv AS cv FROM sub_base
+        WHERE vec_id IN (
+            SELECT vec_id FROM corpus
+            WHERE vec_id % {SIM08_MOD} <> {SIM09_RES_GROW}
+            ORDER BY vec_id LIMIT {K_CODES})
+    ),
+    codes0 AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, sd.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="sd.cv")}, 6),
+                                sd.code) AS rn
+            FROM sub_base s JOIN seeds sd ON sd.m = s.m) t
+        WHERE rn = 1
+    ),
+    comp AS (
+        SELECT c.m, c.code, g2.i, {_SIM16_MEAN_SQL} AS val
+        FROM codes0 c
+        JOIN sub_base s ON s.vec_id = c.vec_id AND s.m = c.m
+        CROSS JOIN (SELECT CAST(r.range AS INT) + 1 AS i
+                    FROM range(0, {D_SUB}) r) g2
+        GROUP BY c.m, c.code, g2.i
+    ),
+    books AS (
+        SELECT sd.m, sd.code, COALESCE(t.nv, sd.cv) AS cv
+        FROM seeds sd LEFT JOIN (
+            SELECT m, code, list(val ORDER BY i) AS nv
+            FROM comp GROUP BY m, code) t
+          ON t.m = sd.m AND t.code = sd.code
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="b.cv")}, 6),
+                                b.code) AS rn
+            FROM sub s JOIN books b ON b.m = s.m) t
+        WHERE rn = 1
+    ),
+    qsub AS (
+        SELECT e.vec_id, g.m,
+               list_slice(e.v, g.m*{D_SUB}+1, (g.m+1)*{D_SUB}) AS sv
+        FROM e CROSS JOIN g
+        WHERE e.vec_id % {SIM08_MOD} = {SIM08_RES}
+    ),
+    qdt AS (
+        SELECT q.vec_id AS query_id, q.m, b.code,
+               CAST(ROUND({_L2_SQL.format(a="q.sv", b="b.cv")} * 1000000)
+                    AS BIGINT) AS dm
+        FROM qsub q JOIN books b ON b.m = q.m
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY SUM(q.dm), c.vec_id) AS srn
+            FROM codes c JOIN qdt q ON q.m = c.m AND q.code = c.code
+            WHERE c.vec_id <> q.query_id
+            GROUP BY q.query_id, c.vec_id) t
+        WHERE srn <= {SHORTLIST}
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")} * 1000000)
+                    AS BIGINT) AS dist_micro
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.query_id
+        JOIN e ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist_micro, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim16_pq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of the PERSISTED, GROWN, COMPACTED PQ store — the round-10
+    verdict's missing lifecycle closed: books train once on the base
+    history and FREEZE on disk, the growth batch is admitted through
+    the frozen-book append path (write ∝ batch), a compaction fold
+    rotates the code-table layout, and the held-out query batch is
+    served entirely from persisted state (ADC over the stored code
+    table + shortlist-sized exact rerank). The oracle replays seed /
+    train / encode / append-encode / ADC / rerank from scratch in
+    DuckDB over the same splits, so the hash match proves (a) append ≡
+    rebuild against frozen books and (b) compaction is
+    answer-preserving — the sim09/sim10 store discipline applied to
+    the compressed index. Scale: the serving plan reads the books (256
+    rows, broadcast) and the code table ({M_SUB} small ints per
+    vector); raw-vector I/O is query- plus shortlist-sized."""
+    root = ensure_pq_store_grown(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_pq_store(spark, root, batch, e)

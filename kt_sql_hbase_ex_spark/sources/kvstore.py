@@ -36,6 +36,7 @@ moved ∝ qualifiers requested × rows matching the server-side filters.
 from __future__ import annotations
 
 import bisect
+import math
 import contextlib
 import os
 import tempfile
@@ -1904,6 +1905,15 @@ def _region_chunks(rows: list, region_size: int) -> list:
     return [rows[i: i + region_size] for i in range(0, len(rows), region_size)]
 
 
+#: Region-SPLIT trigger (round-11, the HBase ``split_region`` analog):
+#: a fold/bulk unit whose row estimate exceeds this multiple of
+#: region_size — i.e. a write burst concentrated in one key range —
+#: is cut into contiguous key sub-ranges so merge parallelism follows
+#: the data, not the pre-burst region count, and no single task holds
+#: the whole burst in memory.
+_SPLIT_FACTOR = 4
+
+
 @contextlib.contextmanager
 def _fold_lock(options, timeout_s: float = 600.0):
     """Serialize FOLDS against each other (round-9): the rewrite phase
@@ -2172,7 +2182,7 @@ def _build_generation(
     new_dir = os.path.join(snap["root"], f"gen.{uuid.uuid4().hex[:12]}")
     os.makedirs(new_dir)
     regions_meta: list = []
-    rewritten = carried = merged = 0
+    rewritten = carried = merged = split = 0
     distributed = False
 
     incremental = cur is not None and bool(cur.get("regions"))
@@ -2236,27 +2246,74 @@ def _build_generation(
                 )
                 carried += 1
         payloads = []
-        for t, u in enumerate(units):
-            payloads.append(
-                {
-                    "task": t,
-                    "region_files": [
-                        os.path.join(cur["dir"], regions[i]["file"])
-                        for i in u
-                    ],
-                    "overlay_rows": [
-                        r for i in u for r in by_region.get(i, [])
-                    ],
-                    "columns": columns,
-                    "key_cols": list(key_cols),
-                    "region_size": region_size,
-                    "new_dir": new_dir,
-                    "schema_from": snap["fixture"],
-                    "ttl_col": snap.get("ttl_col"),
-                    "ttl_cutoff": snap.get("ttl_cutoff"),
-                }
+        for u in units:
+            unit_files = [
+                os.path.join(cur["dir"], regions[i]["file"]) for i in u
+            ]
+            unit_ov = [r for i in u for r in by_region.get(i, [])]
+            base_payload = {
+                "region_files": unit_files,
+                "columns": columns,
+                "key_cols": list(key_cols),
+                "region_size": region_size,
+                "new_dir": new_dir,
+                "schema_from": snap["fixture"],
+                "ttl_col": snap.get("ttl_col"),
+                "ttl_cutoff": snap.get("ttl_cutoff"),
+            }
+            est = (
+                sum(regions[i].get("rows", region_size) for i in u)
+                + len(unit_ov)
             )
+            if (
+                len(unit_ov) > region_size
+                and est > _SPLIT_FACTOR * region_size
+            ):
+                # HOT UNIT — the region-SPLIT analog (HBase
+                # ``split_region``, round-11): a write burst into one
+                # key range would otherwise fold as ONE straggler task
+                # holding burst + region in memory. Contiguous key
+                # sub-ranges cut at the sorted overlay's quantile keys
+                # (driver-held already — no data read) cap every
+                # sub-task near 2x region_size; each sub-task merges
+                # only the region rows inside its range, so outputs
+                # stay disjoint, sorted, and pruning-exact.
+                unit_ov.sort(key=lambda r: _rowkey_of(r, key_cols))
+                n_sub = max(2, math.ceil(est / (2 * region_size)))
+                cuts: list = []
+                for j in range(1, n_sub):
+                    k = _rowkey_of(
+                        unit_ov[j * len(unit_ov) // n_sub], key_cols
+                    )
+                    if not cuts or k > cuts[-1]:
+                        cuts.append(k)
+                bounds = [None, *cuts, None]
+                lo_idx = 0
+                for s in range(len(bounds) - 1):
+                    lo, hi = bounds[s], bounds[s + 1]
+                    hi_idx = len(unit_ov)
+                    if hi is not None:
+                        hi_idx = next(
+                            ix
+                            for ix in range(lo_idx, len(unit_ov) + 1)
+                            if ix == len(unit_ov)
+                            or _rowkey_of(unit_ov[ix], key_cols) >= hi
+                        )
+                    payloads.append(
+                        {
+                            **base_payload,
+                            "overlay_rows": unit_ov[lo_idx:hi_idx],
+                            "key_lo": lo,
+                            "key_hi": hi,
+                        }
+                    )
+                    lo_idx = hi_idx
+                split += len(bounds) - 2
+            else:
+                payloads.append({**base_payload, "overlay_rows": unit_ov})
             rewritten += len(u)
+        for t, p in enumerate(payloads):
+            p["task"] = t
         if payloads:
             est_rows = len(overlay_rows) + sum(
                 regions[i].get("rows", region_size)
@@ -2354,6 +2411,7 @@ def _build_generation(
         "rewritten": rewritten,
         "carried": carried,
         "merged": merged,
+        "split": split,
         "distributed": distributed,
     }
 
@@ -2380,12 +2438,21 @@ def _fold_region_task(payload: dict) -> list:
     base_sch = pq.read_schema(payload["schema_from"])
     schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
     merged: dict = {}
-    # a unit is one region (minor fold) or several ADJACENT regions a
-    # major pass coalesced (region merge): disjoint key ranges, so the
-    # dict union is conflict-free and one sort restores global order
+    # a unit is one region (minor fold), several ADJACENT regions a
+    # major pass coalesced (region merge), or one SUB-RANGE of a hot
+    # region a burst split (region split — key_lo/key_hi bound the
+    # slice of the region file this task owns): disjoint key ranges
+    # in every case, so the dict union is conflict-free and one sort
+    # restores global order
+    key_lo, key_hi = payload.get("key_lo"), payload.get("key_hi")
     for rf in payload["region_files"]:
         for r in _ttl_live(pq.read_table(rf).to_pylist(), ttl_col, cutoff):
-            merged[_rowkey_of(r, key_cols)] = r
+            k = _rowkey_of(r, key_cols)
+            if key_lo is not None and k < key_lo:
+                continue
+            if key_hi is not None and k >= key_hi:
+                continue
+            merged[k] = r
     for r in payload["overlay_rows"]:
         if r.get(TOMBSTONE):
             merged.pop(_rowkey_of(r, key_cols), None)
@@ -2658,53 +2725,140 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
 
     single = len(key_cols) == 1
 
-    @pandas_udf("int")
-    def region_of(*cols):
-        # vectorized bisect_right(starts, rowkey) - 1, clipped at 0 —
-        # byte-identical region routing to the driver fold's bisect
-        import numpy as _np
-        import pandas as _pd
+    def _router(start_list):
+        # vectorized bisect_right(start_list, rowkey) - 1, clipped at
+        # 0 — byte-identical routing to the driver fold's bisect; a
+        # factory so the same kernel routes by REGION start (pass 1)
+        # and by split-refined TASK start (pass 2)
+        @pandas_udf("int")
+        def route(*cols):
+            import numpy as _np
+            import pandas as _pd
 
-        if single:
-            arr = _np.asarray(cols[0])
-            s = _np.asarray(starts)
-        else:
-            parts = []
-            for c in cols:
-                comp = c.astype("Int64")
-                if (
-                    comp.isna().any()
-                    or (comp < 0).any()
-                    or (comp > 10 ** _KEY_PAD - 1).any()
-                ):
-                    raise ValueError(
-                        "composite key component must be a non-negative "
-                        f"integer of <= {_KEY_PAD} digits"
-                    )
-                parts.append(comp.astype(str).str.zfill(_KEY_PAD))
-            joined = parts[0]
-            for p in parts[1:]:
-                joined = joined + "|" + p
-            arr = joined.to_numpy(dtype=object)
-            s = _np.asarray(starts, dtype=object)
-        idx = _np.maximum(_np.searchsorted(s, arr, side="right") - 1, 0)
-        return _pd.Series(idx.astype("int32"))
+            if single:
+                arr = _np.asarray(cols[0])
+                s = _np.asarray(start_list)
+            else:
+                parts = []
+                for c in cols:
+                    comp = c.astype("Int64")
+                    if (
+                        comp.isna().any()
+                        or (comp < 0).any()
+                        or (comp > 10 ** _KEY_PAD - 1).any()
+                    ):
+                        raise ValueError(
+                            "composite key component must be a non-negative "
+                            f"integer of <= {_KEY_PAD} digits"
+                        )
+                    parts.append(comp.astype(str).str.zfill(_KEY_PAD))
+                joined = parts[0]
+                for p in parts[1:]:
+                    joined = joined + "|" + p
+                arr = joined.to_numpy(dtype=object)
+                s = _np.asarray(start_list, dtype=object)
+            idx = _np.maximum(_np.searchsorted(s, arr, side="right") - 1, 0)
+            return _pd.Series(idx.astype("int32"))
+
+        return route
+
+    region_of = _router(list(starts))
 
     from pyspark import StorageLevel
 
     muts = muts.withColumn(
         "__region", region_of(*[F.col(c) for c in key_cols])
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    muts_cached = muts  # unpersist target: later withColumns derive new DFs
     try:
+        counts = {
+            r["__region"]: r["cnt"]
+            for r in muts.groupBy("__region")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        # REGION SPLIT (round-11, the HBase ``split_region`` analog):
+        # a bulk batch hammering one key range concentrates in one
+        # region's merge task — the skew the round-10 docstring could
+        # only document. Hot regions (mutations > _SPLIT_FACTOR x
+        # region_size) are cut into contiguous key sub-ranges at the
+        # quantile keys of a bounded stratified SAMPLE of their
+        # mutation keys (metadata-sized driver data at any batch
+        # size), so merge parallelism and per-task memory follow the
+        # data. Boundaries are approximate by design — correctness
+        # never depends on them (each sub-task owns a disjoint key
+        # range of both the region file and the shuffle), and a
+        # sub-range the sample misjudged into emptiness is swept by
+        # the driver-side carry pass below.
+        hot = {
+            i: c
+            for i, c in counts.items()
+            if c > _SPLIT_FACTOR * region_size
+        }
+        region_cuts: dict[int, list] = {}
+        if hot:
+            cap = 8192  # per-region sample bound (driver-sized)
+            fractions = {i: min(1.0, cap / c) for i, c in hot.items()}
+            by_r: dict[int, list] = {}
+            for r in (
+                muts.stat.sampleBy("__region", fractions, seed=42)
+                .select(*key_cols, "__region")
+                .collect()
+            ):
+                d = r.asDict()
+                by_r.setdefault(d["__region"], []).append(
+                    _rowkey_of(d, tuple(key_cols))
+                )
+            for i, ks in by_r.items():
+                ks.sort()
+                n_sub = min(
+                    len(ks),
+                    max(
+                        2,
+                        math.ceil(
+                            (hot[i] + regions[i].get("rows", region_size))
+                            / (2 * region_size)
+                        ),
+                    ),
+                )
+                cuts: list = []
+                for j in range(1, n_sub):
+                    k = ks[j * len(ks) // n_sub]
+                    if k > regions[i]["start"] and (
+                        not cuts or k > cuts[-1]
+                    ):
+                        cuts.append(k)
+                if cuts:
+                    region_cuts[i] = cuts
+        new_starts: list = []
+        task_region: list = []
+        for i, region in enumerate(regions):
+            new_starts.append(region["start"])
+            task_region.append(i)
+            for c in region_cuts.get(i, []):
+                new_starts.append(c)
+                task_region.append(i)
+        if region_cuts:
+            muts = muts.withColumn(
+                "__task", _router(new_starts)(*[F.col(c) for c in key_cols])
+            )
+        else:
+            muts = muts.withColumn("__task", F.col("__region"))
+
         touched = sorted(
-            r["__region"] for r in muts.select("__region").distinct().collect()
+            r["__task"] for r in muts.select("__task").distinct().collect()
         )
-        touched_set = set(touched)
+        touched_region_set = {task_region[t] for t in touched}
+        split_task_ids = {
+            t
+            for t, i in enumerate(task_region)
+            if i in region_cuts and i in touched_region_set
+        }
 
         regions_meta: list = []
         carried = 0
         for i, region in enumerate(regions):
-            if i in touched_set:
+            if i in touched_region_set:
                 continue
             name = f"region-c{i:05d}.parquet"
             os.link(
@@ -2717,7 +2871,16 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
             carried += 1
 
         region_files = {
-            i: os.path.join(gen_dir, regions[i]["file"]) for i in touched
+            t: os.path.join(gen_dir, regions[task_region[t]]["file"])
+            for t in range(len(task_region))
+            if task_region[t] in touched_region_set
+        }
+        task_bounds = {
+            t: (
+                None if t == 0 else new_starts[t],
+                new_starts[t + 1] if t + 1 < len(new_starts) else None,
+            )
+            for t in region_files
         }
         col_order = list(columns)
         kc = list(key_cols)
@@ -2743,15 +2906,23 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                 [pa.field(c, base_sch.field(c).type) for c in col_order]
             )
             metas = []
-            for ridx in sorted(set(tbl.column("__region").to_pylist())):
-                sub = tbl.filter(pc.equal(tbl.column("__region"), ridx))
+            for ridx in sorted(set(tbl.column("__task").to_pylist())):
+                sub = tbl.filter(pc.equal(tbl.column("__task"), ridx))
+                lo, hi = task_bounds[ridx]
                 merged: dict = {}
                 for r in _ttl_live(
                     _pq.read_table(region_files[ridx]).to_pylist(),
                     ttl_col,
                     cutoff,
                 ):
-                    merged[_rowkey_of(r, kc)] = r
+                    k = _rowkey_of(r, kc)
+                    # a split sub-task owns only its key slice of the
+                    # region file (disjoint across siblings)
+                    if lo is not None and k < lo:
+                        continue
+                    if hi is not None and k >= hi:
+                        continue
+                    merged[k] = r
                 for r in sub.sort_by("__prio").to_pylist():
                     k = _rowkey_of(r, kc)
                     if r.get(TOMBSTONE):
@@ -2802,22 +2973,48 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                     ),
                 )
 
-        shaped = muts.repartition(max(1, len(touched)), "__region")
+        shaped = muts.repartition(max(1, len(touched)), "__task")
         metas = shaped.mapInArrow(
             merge_regions, "file string, start string, rows long"
         ).collect()
     finally:
-        muts.unpersist(blocking=False)
+        muts_cached.unpersist(blocking=False)
     for m in metas:
         regions_meta.append(
             {"file": m["file"], "start": _json.loads(m["start"]), "rows": m["rows"]}
         )
+    # carry pass for split sub-ranges the sample misjudged: a sibling
+    # sub-task of a touched split region that received NO mutations
+    # never ran above, yet its key slice of the region file must
+    # survive into the new generation — fold it driver-side (empty
+    # overlay; bounded by region_size rows; rare by construction)
+    for t in sorted(set(region_files) - set(touched)):
+        if t in split_task_ids:
+            regions_meta.extend(
+                _fold_region_task(
+                    {
+                        "task": 100000 + t,
+                        "region_files": [region_files[t]],
+                        "overlay_rows": [],
+                        "columns": columns,
+                        "key_cols": kc,
+                        "region_size": region_size,
+                        "new_dir": new_dir,
+                        "schema_from": fixture,
+                        "ttl_col": ttl_col,
+                        "ttl_cutoff": cutoff,
+                        "key_lo": task_bounds[t][0],
+                        "key_hi": task_bounds[t][1],
+                    }
+                )
+            )
     regions_meta.sort(key=lambda m: m["start"])
     return {
         "dir": new_dir,
         "regions": regions_meta,
-        "rewritten": len(touched),
+        "rewritten": len(touched_region_set),
         "carried": carried,
+        "split": max(0, len(touched) - len(touched_region_set)),
         "distributed": True,
     }
 
@@ -2897,6 +3094,7 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
         "regions_rewritten": built["rewritten"],
         "regions_carried": built["carried"],
         "regions_merged": built.get("merged", 0),
+        "regions_split": built.get("split", 0),
         "rows": sum(m["rows"] for m in built["regions"]),
         "tombstones_dropped": snap["n_tombstones"],
         "applied_seq": snap["applied"],
@@ -2997,6 +3195,7 @@ def _publish_bulk_generation(
         "generation": pointer["gen"],
         "regions_rewritten": built["rewritten"],
         "regions_carried": built["carried"],
+        "regions_split": built.get("split", 0),
         "distributed": built["distributed"],
     }
 
@@ -5807,5 +6006,142 @@ def src18_kv_append(spark, sf_dir: str):
     return after.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_custs"),
         F.min("c_custkey").alias("min_key"),
+        F.sum(F.length("c_name")).cast("bigint").alias("total_name_len"),
+    )
+
+
+_SRC19_PUT_MAX = 40          # wave 1: re-segmented puts
+_SRC19_PUT_BAL = 100.0
+_SRC19_INC_MAX = 60          # wave 2: increment span
+_SRC19_INC_D = 10.0
+_SRC19_CAS_BAL = 500.0       # wave 3: CAS balance where segment == MIX
+_SRC19_SFX = "~M"            # wave 4: name-append suffix
+_SRC19_PUT2_LO, _SRC19_PUT2_HI = 61, 70   # wave 5: post-append puts
+_SRC19_PUT2_BAL = 200.0
+_SRC19_DEL_LO, _SRC19_DEL_HI = 21, 30     # wave 6: tombstones
+_SRC19_NEW_KEY = 990005      # create-on-increment row
+_SRC19_NEW_DELTA = 25.5
+
+
+@query(
+    "src19_kv_mutation_mix",
+    oracle=f"""
+    WITH store AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC19_INC_MAX}
+                    THEN c_name || '{_SRC19_SFX}'
+                    ELSE c_name END AS c_name,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC19_PUT_MAX}
+                    THEN 'MIX'
+                    WHEN c_custkey BETWEEN {_SRC19_PUT2_LO}
+                                       AND {_SRC19_PUT2_HI}
+                    THEN 'MIX2'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey BETWEEN 1 AND {_SRC19_PUT_MAX}
+                    THEN {_SRC19_CAS_BAL}
+                    WHEN c_custkey BETWEEN {_SRC19_PUT_MAX + 1}
+                                       AND {_SRC19_INC_MAX}
+                    THEN c_acctbal + {_SRC19_INC_D}
+                    WHEN c_custkey BETWEEN {_SRC19_PUT2_LO}
+                                       AND {_SRC19_PUT2_HI}
+                    THEN {_SRC19_PUT2_BAL}
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE c_custkey NOT BETWEEN {_SRC19_DEL_LO} AND {_SRC19_DEL_HI}
+        UNION ALL
+        SELECT {_SRC19_NEW_KEY}, NULL, NULL, {_SRC19_NEW_DELTA}
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           {{exact_sum}} AS total_bal,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS total_name_len
+    FROM store GROUP BY c_mktsegment
+    """.replace("{exact_sum}", exact_sum_sql("c_acctbal")),
+)
+def src19_kv_mutation_mix(spark, sf_dir: str):
+    """The five-op mutation API under REALISTIC INTERLEAVING (round-11
+    verdict task #6): one entry drives every substrate primitive the
+    per-op queries (src11/15/16/18) price separately, in a sequence
+    where each wave's semantics depend on earlier waves' effects —
+    Put re-segments custkeys 1..{_SRC19_PUT_MAX} to 'MIX';
+    Increment bumps 1..{_SRC19_INC_MAX} (+ create-on-increment of a
+    brand-new counter row); checkAndMutate locks the balance ONLY
+    where the segment check reads wave 1's 'MIX' (proving CAS sees
+    prior commits through the overlay); Append concatenates onto the
+    name cells increment just touched; a second Put wave lands AFTER
+    the appends; a Delete tombstones a range spanning already-mutated
+    keys; then ONE fold compacts the whole interleaved overlay into a
+    fresh generation. Every wave is ONE commit with an absolute-value
+    WAL entry, so the feed/replica/time-travel replay discipline holds
+    across op types, and the property suite's mixed-op interleavings
+    back this entry's fixed sequence with arbitrary ones. The oracle
+    replays all six waves relationally; the rollup's name-length sum
+    proves the appends survived the fold byte-exactly. Scale: each
+    wave is a statement-sized hot-key op by contract; the fold is the
+    same region-pruned (or distributed) pass src11 prices."""
+    from pyspark.sql import functions as F
+
+    from kt_sql_hbase_ex_spark.functions.money import exact_sum
+
+    register_kv_source(spark)
+    opts = customer_store_options(sf_dir)
+    opts["appId"] = spark.conf.get("spark.app.id", "shared")
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    base = spark.read.format(FORMAT_NAME).options(**opts).load()
+    # wave 1 — Put: full-row re-segmentation (names still pristine)
+    base.filter(F.col("c_custkey").between(1, _SRC19_PUT_MAX)).withColumn(
+        "c_mktsegment", F.lit("MIX")
+    ).withColumn("c_acctbal", F.lit(_SRC19_PUT_BAL)).write.format(
+        FORMAT_NAME
+    ).options(**opts).mode("append").save()
+    # wave 2 — Increment: spans beyond the put wave + a new counter row
+    increment_store(
+        lopts,
+        [
+            {"c_custkey": k, "c_acctbal": _SRC19_INC_D}
+            for k in range(1, _SRC19_INC_MAX + 1)
+        ]
+        + [{"c_custkey": _SRC19_NEW_KEY, "c_acctbal": _SRC19_NEW_DELTA}],
+    )
+    # wave 3 — CAS: the check must see wave 1's committed segment
+    flags = check_and_mutate_store(
+        lopts,
+        [
+            {
+                "c_custkey": k,
+                "check": {"column": "c_mktsegment", "equals": "MIX"},
+                "put": {"c_acctbal": _SRC19_CAS_BAL},
+            }
+            for k in range(1, _SRC19_INC_MAX + 1)
+        ],
+    )
+    assert flags == [k <= _SRC19_PUT_MAX for k in range(1, _SRC19_INC_MAX + 1)]
+    # wave 4 — Append onto the cells waves 1-3 mutated around
+    append_store(
+        lopts,
+        [
+            {"c_custkey": k, "c_name": _SRC19_SFX}
+            for k in range(1, _SRC19_INC_MAX + 1)
+        ],
+    )
+    # wave 5 — Put AFTER appends (full rows; names pristine by read)
+    base.filter(
+        F.col("c_custkey").between(_SRC19_PUT2_LO, _SRC19_PUT2_HI)
+    ).withColumn("c_mktsegment", F.lit("MIX2")).withColumn(
+        "c_acctbal", F.lit(_SRC19_PUT2_BAL)
+    ).write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    # wave 6 — Delete a range spanning already-mutated keys
+    delete_from_store(lopts, range(_SRC19_DEL_LO, _SRC19_DEL_HI + 1))
+    # ONE fold over the whole interleaved overlay
+    stats = compact_store(lopts, spark=spark)
+    assert stats["compacted"] and stats["tombstones_dropped"] > 0, stats
+
+    after = spark.read.format(FORMAT_NAME).options(**opts).load()
+    return after.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.min("c_custkey").alias("min_key"),
+        exact_sum("c_acctbal").alias("total_bal"),
         F.sum(F.length("c_name")).cast("bigint").alias("total_name_len"),
     )

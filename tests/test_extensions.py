@@ -2035,3 +2035,228 @@ def test_retrain_converges_to_fixed_point(spark, sf_small, tmp_path):
     before = snap()
     retrain_ivf_store(spark, root)  # one more step: must be identity
     assert snap() == before
+
+
+# --- the persisted PQ store (round-11: sim16 lifecycle) ----------------
+
+
+def _pq_vecs(spark, ids):
+    """Deterministic 64-dim vectors (M_SUB*D_SUB) for store tests."""
+    import math
+
+    rows = [
+        (i, [math.sin(0.1 * (i + 1) * (d + 1)) for d in range(64)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _pq_probe_snap(spark, root, queries):
+    from kt_sql_hbase_ex_spark.functions.similarity import probe_pq_store
+
+    corpus = queries[1]
+    return {
+        (r.query_id, r.neighbor_id, r.dist_micro, r.rnk)
+        for r in probe_pq_store(spark, root, queries[0], corpus).collect()
+    }
+
+
+def test_pq_store_append_equals_rebuild(spark):
+    """The PQ store's growth path: books train once on the base and
+    FREEZE; appending a batch encodes it against the frozen books, so
+    a store grown in one append must answer probes identically to the
+    same base store grown in two — and write ∝ batch (no existing
+    code file is touched). A held writer lock makes a concurrent
+    admission lose loudly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        append_pq_batch,
+        write_pq_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        _writer_lock,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_pqstore_grow")
+    shutil.rmtree(base, ignore_errors=True)
+    one, two = os.path.join(base, "one"), os.path.join(base, "two")
+
+    hist = _pq_vecs(spark, range(40))
+    batch_a = _pq_vecs(spark, range(100, 106))
+    batch_b = _pq_vecs(spark, range(106, 112))
+    both = _pq_vecs(spark, range(100, 112))
+
+    write_pq_store(spark, one, hist, train=True)
+    codes_dir = os.path.join(one, "codes")
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(
+            os.path.join(codes_dir, "**", "*.parquet"), recursive=True
+        )
+    }
+    append_pq_batch(spark, one, both)
+    after = set(
+        glob.glob(os.path.join(codes_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert set(before) < after
+    for p, mt in before.items():
+        assert os.path.getmtime(p) == mt  # write ∝ batch
+
+    write_pq_store(spark, two, hist, train=True)
+    append_pq_batch(spark, two, batch_a)
+    append_pq_batch(spark, two, batch_b)
+
+    queries = (
+        _pq_vecs(spark, [500, 501]).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        _pq_vecs(spark, list(range(40)) + list(range(100, 112))),
+    )
+    got = _pq_probe_snap(spark, one, queries)
+    assert got == _pq_probe_snap(spark, two, queries)
+    assert {n for _, n, _, _ in got} & set(range(100, 112))  # grown visible
+
+    with _writer_lock(one):
+        with pytest.raises(IndexWriterConflict):
+            append_pq_batch(spark, one, _pq_vecs(spark, [200]))
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pq_store_compaction_preserves_answers(spark):
+    """compact_pq_store folds the accumulated per-batch code files to
+    one per ``m=`` partition behind the atomic layout swap without
+    changing a single probe answer; appends after compaction land in
+    the live generation; the generation superseded by the PREVIOUS
+    compaction is GC'd by the next one (deferred GC)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        M_SUB,
+        _pq_codes_dir,
+        _pq_store_layout,
+        append_pq_batch,
+        compact_pq_store,
+        write_pq_store,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "kt_sql_test_pqstore_fold")
+    shutil.rmtree(root, ignore_errors=True)
+
+    write_pq_store(spark, root, _pq_vecs(spark, range(40)), train=True)
+    for lo in (100, 110, 120):
+        append_pq_batch(spark, root, _pq_vecs(spark, range(lo, lo + 5)))
+    queries = (
+        _pq_vecs(spark, [500, 501]).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        _pq_vecs(spark, list(range(40)) + list(range(100, 125))),
+    )
+    before = _pq_probe_snap(spark, root, queries)
+
+    st = compact_pq_store(spark, root)
+    assert st["files_after"] < st["files_before"]
+    live = _pq_codes_dir(root)
+    for udir in glob.glob(os.path.join(live, "m=*")):
+        assert len(glob.glob(os.path.join(udir, "*.parquet"))) == 1
+    assert _pq_probe_snap(spark, root, queries) == before
+
+    # appends land in the live (rotated) generation; answers grow
+    append_pq_batch(spark, root, _pq_vecs(spark, range(130, 135)))
+    prev_dirs = _pq_store_layout(root)["prev"]
+    compact_pq_store(spark, root)
+    for d in prev_dirs:  # deferred GC: two swaps old is gone
+        assert not os.path.exists(os.path.join(root, d))
+    assert _pq_probe_snap(spark, root, queries) != before
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pq_store_retrain_rotates_generation(spark):
+    """retrain_pq_store seeded from the live books ≡ a from-scratch
+    trained build over the same corpus (write_pq_store's train path
+    seeds from the same lowest-vec_id rule), published as a fresh
+    books+codes generation; the superseded generation is retained
+    until the next rotation."""
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _pq_store_layout,
+        compact_pq_store,
+        retrain_pq_store,
+        write_pq_store,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_pqstore_retrain")
+    shutil.rmtree(base, ignore_errors=True)
+    seeded, trained = os.path.join(base, "seeded"), os.path.join(base, "trained")
+
+    corpus = _pq_vecs(spark, range(40))
+    write_pq_store(spark, seeded, corpus, train=False)
+    write_pq_store(spark, trained, corpus, train=True)
+
+    st = retrain_pq_store(spark, seeded, corpus)
+    assert st["gen"] == 1 and st["trained_rows"] == 40
+    layout = _pq_store_layout(seeded)
+    assert layout["gen"] == 1 and layout["trained_rows"] == 40
+    for d in layout["prev"]:  # deferred GC: superseded gen retained
+        assert os.path.exists(os.path.join(seeded, d))
+
+    queries = (
+        _pq_vecs(spark, [500, 501]).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        corpus,
+    )
+    assert _pq_probe_snap(spark, seeded, queries) == _pq_probe_snap(
+        spark, trained, queries
+    )
+    # the next rotation GC's the pre-retrain generation
+    compact_pq_store(spark, seeded)
+    for d in layout["prev"]:
+        assert not os.path.exists(os.path.join(seeded, d))
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pq_store_retrain_trigger(spark):
+    """maybe_retrain_pq_store: a driver-side parquet-footer count —
+    under growth_factor x trained_rows it does nothing (not even the
+    lock); at or past it, the books rotate and trained_rows resets to
+    the live corpus size."""
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _pq_store_layout,
+        append_pq_batch,
+        maybe_retrain_pq_store,
+        write_pq_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    root = os.path.join(tempfile.gettempdir(), "kt_sql_test_pqstore_trig")
+    shutil.rmtree(root, ignore_errors=True)
+
+    write_pq_store(spark, root, _pq_vecs(spark, range(40)), train=True)
+    corpus = _pq_vecs(spark, list(range(40)) + list(range(100, 150)))
+    # under threshold: no-op even while a writer holds the lock (the
+    # trigger path never takes it)
+    with _writer_lock(root):
+        assert maybe_retrain_pq_store(spark, root, corpus) is None
+    append_pq_batch(spark, root, _pq_vecs(spark, range(100, 150)))
+    st = maybe_retrain_pq_store(spark, root, corpus)
+    assert st is not None and st["gen"] == 1
+    assert _pq_store_layout(root)["trained_rows"] == 90
+    assert maybe_retrain_pq_store(spark, root, corpus) is None  # reset
+    shutil.rmtree(root, ignore_errors=True)

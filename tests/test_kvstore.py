@@ -3868,3 +3868,117 @@ class TestAppend:
             append_store(opts, [{"k": 1, "s": 5}])
         assert append_store(opts, []) == []
         assert self._state(opts) == {k: f"s{k}" for k in range(10)}
+
+
+class TestRegionSplit:
+    """Round-11: region SPLIT (the HBase ``split_region`` analog, the
+    missing half of round-10's region merge) — a write burst into one
+    key range folds as contiguous key sub-range tasks instead of one
+    straggler holding burst + region in memory. Pins: split answers ≡
+    unsplit answers on both execution paths, post-fold regions stay
+    bounded, the bulk path splits hot regions with a carry sweep for
+    sample-misjudged sub-ranges, and quiet folds never split."""
+
+    _store = TestDistributedFold._store
+    _state = staticmethod(TestDistributedFold._state)
+    _put = staticmethod(TestDistributedFold._put)
+
+    def test_minor_fold_splits_hot_unit_both_paths(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            compact_store,
+        )
+
+        burst = [
+            {"k": 100000 + i, "v": float(i)} for i in range(200)
+        ]  # all land past the last region start -> ONE hot unit
+        expected = None
+        for ns, dist in (("rs_d", False), ("rs_s", True)):
+            opts = self._store(tmp_path, ns)  # n=100, region_size=16
+            self._put(opts, [{"k": 1, "v": 10.0}])
+            compact_store(opts)  # gen1: 7 dense regions
+            self._put(opts, burst)
+            stats = compact_store(
+                opts,
+                spark=spark if dist else None,
+                distribute_min_rows=0 if dist else 10**9,
+            )
+            assert stats["compacted"] and stats["distributed"] is dist
+            assert stats["regions_split"] >= 1, stats
+            assert stats["regions_rewritten"] == 1  # one region touched
+            gen = _resolve_generation(opts)
+            assert all(rg["rows"] <= 16 for rg in gen["regions"])
+            starts = [rg["start"] for rg in gen["regions"]]
+            assert starts == sorted(set(starts))  # pruning stays exact
+            got = self._state(opts)
+            if expected is None:
+                base = {k: float(k) for k in range(100)}
+                expected = {
+                    **base,
+                    1: 10.0,
+                    **{100000 + i: float(i) for i in range(200)},
+                }
+            assert got == expected
+
+    def test_quiet_fold_never_splits(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import compact_store
+
+        opts = self._store(tmp_path, "rs_q")
+        self._put(opts, [{"k": 1, "v": 10.0}, {"k": 50, "v": 5.0}])
+        stats = compact_store(opts)
+        assert stats["compacted"] and stats["regions_split"] == 0
+
+    def test_bulk_load_into_one_range_balances(self, spark, tmp_path):
+        """A distributed bulk load hammering one key range splits that
+        region's merge into multiple tasks (quantile cuts over a
+        bounded mutation-key sample); answers equal the same rows
+        loaded into an unsplit twin via small batches, and every
+        sub-range of the region file survives (the carry sweep)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _resolve_generation,
+            bulk_load_store,
+            compact_store,
+        )
+
+        hot = [(100000 + i, float(i)) for i in range(300)]
+        # also touch an EXISTING region's interior so split bounds
+        # interleave with surviving base rows
+        hot += [(3, 333.0), (7, 777.0)]
+
+        opts = self._store(tmp_path, "rs_b")
+        self._put(opts, [{"k": 1, "v": 10.0}])
+        compact_store(opts)
+        st = bulk_load_store(
+            opts,
+            spark.createDataFrame(hot, "k long, v double"),
+            distribute_min_rows=0,
+        )
+        assert st["published"] and st["distributed"]
+        assert st["regions_split"] >= 1, st
+        gen = _resolve_generation(opts)
+        assert all(rg["rows"] <= 16 for rg in gen["regions"])
+        starts = [rg["start"] for rg in gen["regions"]]
+        assert starts == sorted(set(starts))
+        base = {k: float(k) for k in range(100)}
+        assert self._state(opts) == {
+            **base,
+            1: 10.0,
+            3: 333.0,
+            7: 777.0,
+            **{k: v for k, v in hot if k >= 100000},
+        }
+
+    def test_bulk_quiet_batch_does_not_split(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            bulk_load_store,
+            compact_store,
+        )
+
+        opts = self._store(tmp_path, "rs_bq")
+        compact_store(opts, major=True)
+        st = bulk_load_store(
+            opts,
+            spark.createDataFrame([(5, 5.5), (50, 50.5)], "k long, v double"),
+            distribute_min_rows=0,
+        )
+        assert st["published"] and st["regions_split"] == 0, st

@@ -920,3 +920,26 @@ def test_semantic_dedup_pair_join_is_cell_equi_join(spark, sf_small):
 
     plan = executed_plan(d18_semantic_dedup(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_store_probe_reads_persisted_tables(spark, sf_small):
+    """sim16's contract (and, since round 11, sim13/14/15's serving
+    shape): the PQ serving plan reads the PERSISTED store — the live
+    code-table generation appears as a FileScan in the executed plan
+    (ADC never re-derives codes from raw vectors) — with broadcast
+    hash joins and no cartesian product anywhere."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _pq_codes_dir,
+        ensure_pq_store_grown,
+        sim16_pq_store_probe,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    root = ensure_pq_store_grown(spark, sf_small)
+    plan = executed_plan(sim16_pq_store_probe(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    live_codes = os.path.basename(_pq_codes_dir(root))
+    assert live_codes in plan, (live_codes, plan)
