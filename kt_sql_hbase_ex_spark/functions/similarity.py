@@ -491,9 +491,22 @@ def sim03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: graded fixtures produce a non-trivial drop set in some cells
 _D18_THRESHOLD = COSINE_NEARDUP_THRESHOLD
 
+#: SemDeDup cell sizing (round-11): cells scale with the corpus —
+#: n_cells = max(1, corpus_rows // D18_TARGET_CELL_ROWS) — so the
+#: per-cell quadratic stays bounded as the corpus grows (SemDeDup used
+#: ~100k cells for LAION; the fixture derives ~15 at 500 vectors). The
+#: oracle replays the same derivation from COUNT(*).
+D18_TARGET_CELL_ROWS = 32
+
+_D18_NCELLS_SQL = (
+    "GREATEST(1, CAST(FLOOR((SELECT COUNT(*) FROM embeddings)"
+    f" / {D18_TARGET_CELL_ROWS}.0) AS INT))"
+)
+
 _D18_ASSIGN_SQL = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id < {_D18_NCELLS_SQL}),
     assign AS (
         SELECT vec_id, cid FROM (
             SELECT e.vec_id, cent.cid,
@@ -538,66 +551,83 @@ def d18_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, which is the whole reason the method scales where the
     all-pairs join (:func:`embedding_neardup_exact`) cannot.
 
-    Deterministic form: every vector assigns to its nearest of
-    {N_CELLS} fixed seed centroids (the sim03 assignment — broadcast
-    centroids, map-side scoring, 6dp rounding before the argmax so an
-    ulp can't flip a cell); within each cell, pairs at cosine ≥
-    {_D18_THRESHOLD} mark the HIGHER vec_id dropped (first-wins, the
-    d01 exact-dedup discipline — deterministic and chain-free).
-    Returns the per-cell dedup report (members / dropped / kept).
+    Deterministic form: every vector assigns to its nearest seed
+    centroid (the sim03 assignment — broadcast centroids, map-side
+    scoring, 6dp rounding before the argmax so an ulp can't flip a
+    cell); within each cell, pairs at cosine ≥ {_D18_THRESHOLD} mark
+    the HIGHER vec_id dropped (first-wins, the d01 exact-dedup
+    discipline — deterministic and chain-free). Returns the per-cell
+    dedup report (members / dropped / kept).
 
-    Scale: the corpus shuffles ONCE on the cell id; at 100 TB the
-    assignment is a write-time partitioning (the sim04 cluster-by-cell
-    layout), so the within-cell self-join is partition-local, and the
-    cell count scales with the corpus to hold the per-cell quadratic
-    bounded (SemDeDup used ~100k clusters for LAION). The oracle
-    replays the identical assignment + within-cell pass in DuckDB."""
+    Round-11: the cell count is CORPUS-PROPORTIONAL —
+    ``max(1, rows // D18_TARGET_CELL_ROWS)`` (SemDeDup used ~100k
+    cells for LAION; the oracle replays the derivation from
+    ``COUNT(*)``) — and the clustering is PERSISTED through the IVF
+    store (:func:`ensure_semdedup_store`), so dedup and ANN share one
+    frozen quantizer and the cell-partitioned members table IS the
+    blocking structure (at 100 TB: the sim04 write-time layout, the
+    within-cell self-join partition-local). The parameterized form
+    (:func:`semantic_dedup`) accepts an explicit ``n_cells``; the
+    ground-truth test proves the within-cell pass exact at two
+    granularities."""
+    return semantic_dedup(spark, sf_dir)
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    """The parameterized SemDeDup entry point: cluster (or reuse the
+    persisted clustering) at ``n_cells`` — default corpus-proportional
+    — and report per-cell members/dropped/kept. d18 is this with the
+    derived default; tests exercise explicit cell counts."""
+    root = ensure_semdedup_store(spark, sf_dir, n_cells)
+    return _semantic_dedup_report(spark, root)
+
+
+def ensure_semdedup_store(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> str:
+    """d18's fixture clustering, PERSISTED through the IVF store (the
+    SemDeDup deployment shape — dedup and ANN share one clustering):
+    ``write_ivf_store`` over the full corpus with a CORPUS-PROPORTIONAL
+    cell count (``max(1, rows // D18_TARGET_CELL_ROWS)`` unless an
+    explicit ``n_cells`` overrides), so the cell-partitioned members
+    table IS the dedup's blocking structure and the centroids are the
+    same frozen quantizer an ANN probe would use."""
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot_spark("embedding", "embedding")).alias("n"),
+        "vec_id", "embedding"
     )
-    cent = (
-        e.filter(F.col("vec_id") < N_CELLS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cv"),
-            F.col("n").alias("cn"),
-        )
-        .localCheckpoint()
-    )
-    scored = e.join(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "n",
-        "cid",
-        F.round(
-            _dot_spark("embedding", "cv") / (F.col("n") * F.col("cn")), 6
-        ).alias("cc"),
-    )
-    # nearest cell per vector via map-side max_by partials (no window);
-    # embedding/norm are constant within the group, so first() is
-    # deterministic here
-    mem = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
-        ).alias("cid"),
-        F.first("embedding").alias("embedding"),
-        F.first("n").alias("n"),
+    if n_cells is None:
+        n_cells = max(1, e.count() // D18_TARGET_CELL_ROWS)
+    variant = f"semdedup|{n_cells}"
+
+    def build(staging: str) -> None:
+        write_ivf_store(spark, staging, e, n_cells=n_cells)
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def _semantic_dedup_report(spark: SparkSession, root: str) -> DataFrame:
+    """The within-cell near-dup pass over a persisted clustering:
+    (cid, n_members, n_dropped, n_kept) per cell — pairs at cosine >=
+    threshold mark the higher vec_id dropped (first-wins, chain-free).
+    The pair join is a cell-id EQUI-join over the store's
+    cell-partitioned members (plan-pinned: no cartesian product)."""
+    mem = spark.read.parquet(_ivf_cells_dir(root)).select(
+        F.col("cell").cast("bigint").alias("cid"), "vec_id", "embedding"
     )
     a = mem.select(
-        "cid",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("n").alias("na"),
+        "cid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
     )
     b = mem.select(
-        "cid",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("n").alias("nb"),
+        "cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
     )
-    cos = F.round(_dot_spark("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    cos = F.round(_cosine_spark("va", "vb"), 6)
     dropped = (
         a.join(b, ["cid"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -620,6 +650,7 @@ def d18_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
 
 
 

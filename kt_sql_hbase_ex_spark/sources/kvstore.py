@@ -101,6 +101,127 @@ def _rowkey_of(row: dict, key_cols: Sequence[str]) -> Any:
     return "|".join(_pad_component(row[c]) for c in key_cols)
 
 
+# --- per-region key blooms (round-11, the HBase per-HFile bloom) -------
+
+#: bits per key in a region bloom (k=3 hashes → ~1.7% false positives);
+#: a 512-row region costs ~640 bytes of pointer metadata — the HBase
+#: ROW bloom block, carried in the generation manifest instead of the
+#: HFile trailer so point reads prune files without opening them.
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_HASHES = 3
+
+
+def _bloom_hashes(key, m: int):
+    import hashlib
+
+    h = hashlib.md5(repr(key).encode()).digest()
+    return (
+        int.from_bytes(h[4 * i: 4 * i + 4], "big") % m
+        for i in range(_BLOOM_HASHES)
+    )
+
+
+def _bloom_build(keys) -> str:
+    """Compact bloom over a region chunk's rowkeys, encoded
+    ``<m_hex>:<bits_hex>`` for the JSON pointer. Deterministic (md5 of
+    the rowkey's repr) so driver- and executor-built generations carry
+    identical filters."""
+    m = max(64, _BLOOM_BITS_PER_KEY * max(1, len(keys)))
+    m = (m + 3) // 4 * 4
+    bits = 0
+    for key in keys:
+        for idx in _bloom_hashes(key, m):
+            bits |= 1 << idx
+    return f"{m:x}:{bits:x}"
+
+
+def _bloom_has(spec, key) -> bool:
+    """Might the region contain ``key``? A missing/torn spec answers
+    True (pre-bloom generations read as before — never lossy)."""
+    try:
+        m_hex, bits_hex = spec.split(":")
+        m, bits = int(m_hex, 16), int(bits_hex, 16)
+    except (AttributeError, ValueError):
+        return True
+    return all((bits >> idx) & 1 for idx in _bloom_hashes(key, m))
+
+
+#: diagnostics of the LAST _multi_get_base call (tests pin the pruning;
+#: not part of any API contract)
+_MULTIGET_STATS: dict = {}
+
+
+def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
+    """Point MULTI-GET against the base/generation files — the HBase
+    client ``Get`` path (round-11, the per-HFile ROW-bloom analog,
+    ``hbase/HBaseTable.kt:44-48`` server-side-filter intent): each
+    needed rowkey routes to its covering region by the manifest's
+    start keys (regions outside every key's range are never touched),
+    surviving regions consult their per-region key BLOOM and are
+    skipped unless some key might be present, and only then is the
+    region file read — a column-pruned ``isin`` scan. A store with few
+    wide regions thus reads ~0 files for absent keys instead of one
+    file per get. Pre-bloom generations (no ``bloom`` in the manifest)
+    and never-folded fixtures read exactly as before. ``need`` maps
+    rowkey -> key dict; returns rowkey -> row."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    global _MULTIGET_STATS
+    base_rows: dict = {}
+    if not need:
+        _MULTIGET_STATS = {"files_read": 0, "regions_total": 0}
+        return base_rows
+
+    def read_paths(paths):
+        if not paths:
+            return
+        ds = pads.dataset(paths, format="parquet")
+        flt = None
+        for c in key_cols:
+            vals = sorted({k[c] for k in need.values()})
+            f = pc.field(c).isin(vals)
+            flt = f if flt is None else (flt & f)
+        for r in ds.to_table(filter=flt, columns=list(columns)).to_pylist():
+            rk = _rowkey_of(r, key_cols)
+            if rk in need:  # composite isin is a superset: exact-match
+                base_rows[rk] = r
+
+    gen = _resolve_generation(opts)
+    if gen is None or not gen.get("regions"):
+        # never-folded fixture (or fully-emptied generation): one base
+        # relation, pruned by parquet row-group stats as before
+        _MULTIGET_STATS = {"files_read": 1, "regions_total": 1}
+        if gen is None:
+            read_paths([_resolve_base_path(opts)])
+        else:
+            _MULTIGET_STATS["files_read"] = 0
+        return base_rows
+
+    regions = gen["regions"]
+    starts = [r["start"] for r in regions]
+    per_region: dict[int, list] = {}
+    for rk in need:
+        i = max(0, bisect.bisect_right(starts, rk) - 1)
+        per_region.setdefault(i, []).append(rk)
+    paths = []
+    skipped_bloom = 0
+    for i, rks in sorted(per_region.items()):
+        bloom = regions[i].get("bloom")
+        if bloom is not None and not any(_bloom_has(bloom, rk) for rk in rks):
+            skipped_bloom += 1
+            continue
+        paths.append(os.path.join(gen["dir"], regions[i]["file"]))
+    _MULTIGET_STATS = {
+        "files_read": len(paths),
+        "regions_total": len(regions),
+        "regions_routed": len(per_region),
+        "regions_skipped_bloom": skipped_bloom,
+    }
+    read_paths(paths)
+    return base_rows
+
+
 class KVStore:
     """In-process HBase-table stand-in: sorted rowkeys, dict "columns
     families", fixed-size key-range regions.
@@ -796,19 +917,7 @@ def increment_store(options, increments: list) -> list:
             for k, _ in specs
             if _rowkey_of(k, key_cols) not in overlay
         }
-        base_rows: dict = {}
-        if need:
-            base_path = _resolve_base_path(opts)
-            ds = pads.dataset(base_path, format="parquet")
-            flt = None
-            for c in key_cols:
-                vals = sorted({k[c] for k in need.values()})
-                f = pc.field(c).isin(vals)
-                flt = f if flt is None else (flt & f)
-            for r in ds.to_table(filter=flt, columns=columns).to_pylist():
-                rk = _rowkey_of(r, key_cols)
-                if rk in need:  # composite isin is a superset: exact-match
-                    base_rows[rk] = r
+        base_rows = _multi_get_base(opts, need, key_cols, columns)
 
         def current(rk):
             r = overlay.get(rk)
@@ -962,19 +1071,7 @@ def check_and_mutate_store(options, mutations: list) -> list:
             for k, _, _, _ in specs
             if _rowkey_of(k, key_cols) not in overlay
         }
-        base_rows: dict = {}
-        if need:
-            base_path = _resolve_base_path(opts)
-            ds = pads.dataset(base_path, format="parquet")
-            flt = None
-            for c in key_cols:
-                vals = sorted({k[c] for k in need.values()})
-                f = pc.field(c).isin(vals)
-                flt = f if flt is None else (flt & f)
-            for r in ds.to_table(filter=flt, columns=columns).to_pylist():
-                rk = _rowkey_of(r, key_cols)
-                if rk in need:
-                    base_rows[rk] = r
+        base_rows = _multi_get_base(opts, need, key_cols, columns)
 
         def current(rk):
             r = overlay.get(rk)
@@ -1118,19 +1215,7 @@ def append_store(options, appends: list) -> list:
             for k, _ in specs
             if _rowkey_of(k, key_cols) not in overlay
         }
-        base_rows: dict = {}
-        if need:
-            base_path = _resolve_base_path(opts)
-            ds = pads.dataset(base_path, format="parquet")
-            flt = None
-            for c in key_cols:
-                vals = sorted({k[c] for k in need.values()})
-                f = pc.field(c).isin(vals)
-                flt = f if flt is None else (flt & f)
-            for r in ds.to_table(filter=flt, columns=columns).to_pylist():
-                rk = _rowkey_of(r, key_cols)
-                if rk in need:
-                    base_rows[rk] = r
+        base_rows = _multi_get_base(opts, need, key_cols, columns)
 
         def current(rk):
             r = overlay.get(rk)
@@ -2242,7 +2327,16 @@ def _build_generation(
                     os.path.join(new_dir, name),
                 )
                 regions_meta.append(
-                    {"file": name, "start": region["start"], "rows": region["rows"]}
+                    {
+                        "file": name,
+                        "start": region["start"],
+                        "rows": region["rows"],
+                        **(
+                            {"bloom": region["bloom"]}
+                            if "bloom" in region
+                            else {}
+                        ),
+                    }
                 )
                 carried += 1
         payloads = []
@@ -2386,11 +2480,13 @@ def _build_generation(
                     ),
                     os.path.join(new_dir, name),
                 )
+                chunk_keys = [_rowkey_of(r, key_cols) for r in chunk]
                 regions_meta.append(
                     {
                         "file": name,
-                        "start": _rowkey_of(chunk[0], key_cols),
+                        "start": chunk_keys[0],
                         "rows": len(chunk),
+                        "bloom": _bloom_build(chunk_keys),
                     }
                 )
         rewritten = len(regions_meta)
@@ -2479,11 +2575,13 @@ def _fold_region_task(payload: dict) -> list:
             tmp,
         )
         os.replace(tmp, final)
+        chunk_keys = [_rowkey_of(r, key_cols) for r in chunk]
         out.append(
             {
                 "file": name,
-                "start": _rowkey_of(chunk[0], key_cols),
+                "start": chunk_keys[0],
                 "rows": len(chunk),
+                "bloom": _bloom_build(chunk_keys),
             }
         )
     return out
@@ -2637,6 +2735,7 @@ def _distributed_first_fold(
                     "file": name,
                     "start": _json.dumps(rks[lo]),
                     "rows": chunk.num_rows,
+                    "bloom": _bloom_build(rks[lo: lo + region_size]),
                 }
             )
         import pandas as pd
@@ -2648,15 +2747,21 @@ def _distributed_first_fold(
                     pa.field("file", pa.string()),
                     pa.field("start", pa.string()),
                     pa.field("rows", pa.int64()),
+                    pa.field("bloom", pa.string()),
                 ]
             ),
         )
 
     metas = shaped.mapInArrow(
-        write_partition, "file string, start string, rows long"
+        write_partition, "file string, start string, rows long, bloom string"
     ).collect()
     return [
-        {"file": m["file"], "start": _json.loads(m["start"]), "rows": m["rows"]}
+        {
+            "file": m["file"],
+            "start": _json.loads(m["start"]),
+            "rows": m["rows"],
+            "bloom": m["bloom"],
+        }
         for m in metas
     ]
 
@@ -2866,7 +2971,14 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                 os.path.join(new_dir, name),
             )
             regions_meta.append(
-                {"file": name, "start": region["start"], "rows": region["rows"]}
+                {
+                    "file": name,
+                    "start": region["start"],
+                    "rows": region["rows"],
+                    **(
+                        {"bloom": region["bloom"]} if "bloom" in region else {}
+                    ),
+                }
             )
             carried += 1
 
@@ -2954,11 +3066,13 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                         tmp,
                     )
                     os.replace(tmp, final)
+                    chunk_keys = [_rowkey_of(r, kc) for r in chunk]
                     metas.append(
                         {
                             "file": name,
-                            "start": _json.dumps(_rowkey_of(chunk[0], kc)),
+                            "start": _json.dumps(chunk_keys[0]),
                             "rows": len(chunk),
+                            "bloom": _bloom_build(chunk_keys),
                         }
                     )
             if metas:
@@ -2969,19 +3083,25 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                             pa.field("file", pa.string()),
                             pa.field("start", pa.string()),
                             pa.field("rows", pa.int64()),
+                            pa.field("bloom", pa.string()),
                         ]
                     ),
                 )
 
         shaped = muts.repartition(max(1, len(touched)), "__task")
         metas = shaped.mapInArrow(
-            merge_regions, "file string, start string, rows long"
+            merge_regions, "file string, start string, rows long, bloom string"
         ).collect()
     finally:
         muts_cached.unpersist(blocking=False)
     for m in metas:
         regions_meta.append(
-            {"file": m["file"], "start": _json.loads(m["start"]), "rows": m["rows"]}
+            {
+                "file": m["file"],
+                "start": _json.loads(m["start"]),
+                "rows": m["rows"],
+                "bloom": m["bloom"],
+            }
         )
     # carry pass for split sub-ranges the sample misjudged: a sibling
     # sub-task of a touched split region that received NO mutations

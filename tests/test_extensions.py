@@ -75,20 +75,28 @@ def test_embedding_neardup_recall_and_precision(spark, sf_oracle):
     assert recall >= 0.6, f"near-dup recall {recall:.2%}"
 
 
-def test_semantic_dedup_drop_rule_vs_ground_truth(spark, sf_oracle):
+import pytest
+
+
+@pytest.mark.parametrize("n_cells", [None, 8])
+def test_semantic_dedup_drop_rule_vs_ground_truth(spark, sf_oracle, n_cells):
     """d18 (SemDeDup: within-cell first-wins drops) vs the quadratic
-    ground truth: the per-cell drop counts must equal replaying the
-    exact near-dup pairs restricted to same-cell membership — i.e. the
-    clustering is the ONLY approximation, the within-cell pass itself
-    is exact. Also pins the accounting identity kept + dropped =
-    members and total members = corpus size."""
+    ground truth, AT TWO CELL COUNTS (round-11: the corpus-derived
+    default and an explicit override): the per-cell drop counts must
+    equal replaying the exact near-dup pairs restricted to same-cell
+    membership — i.e. the clustering is the ONLY approximation, the
+    within-cell pass itself is exact at any granularity. Also pins the
+    accounting identity kept + dropped = members and total members =
+    corpus size."""
     from kt_sql_hbase_ex_spark.functions.similarity import (
         _D18_THRESHOLD,
-        d18_semantic_dedup,
+        D18_TARGET_CELL_ROWS,
+        semantic_dedup,
     )
 
     report = {
-        r["cid"]: r for r in d18_semantic_dedup(spark, sf_oracle).collect()
+        r["cid"]: r
+        for r in semantic_dedup(spark, sf_oracle, n_cells).collect()
     }
     n_corpus = load_table(spark, sf_oracle, "embeddings").count()
     assert sum(r["n_members"] for r in report.values()) == n_corpus
@@ -102,14 +110,13 @@ def test_semantic_dedup_drop_rule_vs_ground_truth(spark, sf_oracle):
 
     # replay: exact pairs (cosine already >= the d05 threshold ==
     # _D18_THRESHOLD) restricted to same-cell membership give the drop set
-    from kt_sql_hbase_ex_spark.functions.similarity import (
-        N_CELLS,
-        _cosine_spark,
-    )
+    from kt_sql_hbase_ex_spark.functions.similarity import _cosine_spark
     from pyspark.sql import functions as F
 
+    k = n_cells or max(1, n_corpus // D18_TARGET_CELL_ROWS)
+    assert len(report) == k  # every cell reports (seeds are members)
     e = load_table(spark, sf_oracle, "embeddings")
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     cell = {
