@@ -5,7 +5,14 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+     "queries": {"<name>": <sec>, ...},
+     "phases": {"<lifecycle name>": {"build": <sec>, "serve": <sec>}},
+     "sf": <sf>}
+
+``queries`` carries each entry's full cost (build + serve — comparable
+with every earlier round's records); ``phases`` splits the LIFECYCLE
+entries so serving-path regressions aren't drowned by provisioning
+noise (see the LIFECYCLE constant below and SCALE.md round 11).
 
 Timing method: each query DataFrame is written to the ``noop`` sink, so
 the full plan executes JVM-side (scan -> shuffle -> agg/join/window)

@@ -1603,6 +1603,17 @@ class KtSqlEngine:
 
         return compact_store(store_options, spark=self.spark, major=major)
 
+    def multi_get_kv(self, keys: list, **store_options: str) -> list:
+        """HBase ``Get`` analog: point lookup of the named rows —
+        overlay-merged, TTL-filtered, served without opening the whole
+        store (regions whose manifest key-bloom rejects every needed
+        key are never read). Each element carries the full primary
+        key; returns the current row dict or ``None`` per key in input
+        order (HBase's empty Result for an absent row)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import get_store_rows
+
+        return get_store_rows(store_options, keys)
+
     def increment_kv(self, increments: list, **store_options: str) -> list:
         """HBase ``Increment`` analog: atomically bump numeric columns
         of the named rows (absent or TTL-expired rows count from zero —

@@ -844,6 +844,69 @@ def delete_from_store(options, keys) -> None:
         _invalidate_dependent_indexes(opts)
 
 
+def get_store_rows(options, keys: list) -> list:
+    """HBase ``Get`` analog (round-11) — the read-only point lookup of
+    the client-API quintet's substrate: each element of ``keys``
+    carries the FULL primary key; returns the current row (overlay-
+    merged, TTL-filtered) or ``None`` per key, in input order — the
+    empty ``Result`` HBase returns for an absent row. Never takes a
+    lock and never opens the whole store: committed overlay rows
+    answer directly, the remainder go through the bloom- and
+    range-pruned :func:`_multi_get_base` (regions whose manifest bloom
+    rejects every needed key are never read — an absent-key get on a
+    folded multi-region store reads ZERO files). WAL-recovered state
+    is served, never torn (``recover_overlay`` first, like every
+    reader)."""
+    import pyarrow.parquet as pq
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    if not keys:
+        return []
+    for spec in keys:
+        missing = [c for c in key_cols if c not in spec]
+        if missing:
+            raise ValueError(
+                f"get is missing key column(s) {missing}: {spec!r}"
+            )
+    cutoff = _ttl_cutoff(opts)
+    ttl_col = opts.get("ttlcolumn")
+
+    recover_overlay(opts)
+    overlay: dict = {}
+    opath = overlay_path(opts)
+    if os.path.exists(opath):
+        for r in pq.read_table(opath).to_pylist():
+            overlay[_rowkey_of(r, key_cols)] = r
+    need = {
+        _rowkey_of(k, key_cols): k
+        for k in keys
+        if _rowkey_of(k, key_cols) not in overlay
+    }
+    base_rows = _multi_get_base(opts, need, key_cols, columns)
+
+    out: list = []
+    for k in keys:
+        rk = _rowkey_of(k, key_cols)
+        r = overlay.get(rk)
+        if r is not None:
+            r = None if r.get(TOMBSTONE) else {c: r.get(c) for c in columns}
+        else:
+            r = base_rows.get(rk)
+            if r is not None:
+                r = {c: r.get(c) for c in columns}
+        if (
+            r is not None
+            and cutoff is not None
+            and r.get(ttl_col) is not None
+            and r[ttl_col] < cutoff
+        ):
+            r = None  # expired: reads as absent, exactly the scan path
+        out.append(r)
+    return out
+
+
 def increment_store(options, increments: list) -> list:
     """HBase ``Increment`` analog — atomic read-modify-write counters
     (the substrate op the reference's HBase tables offered beside

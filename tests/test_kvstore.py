@@ -4087,3 +4087,74 @@ class TestRegionBloom:
         assert stats["regions_carried"] >= 1
         gen = _resolve_generation(opts)
         assert all("bloom" in rg for rg in gen["regions"])
+
+
+class TestMultiGet:
+    """Round-11: the read-only point ``Get`` (HBase client API) —
+    overlay-merged, TTL-filtered, served through the bloom-pruned
+    multi-get without opening the whole store."""
+
+    _store = TestDistributedFold._store
+    _state = staticmethod(TestDistributedFold._state)
+    _put = staticmethod(TestDistributedFold._put)
+
+    def test_get_semantics(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "mget")  # n=100, region_size=16
+        self._put(opts, [{"k": 5, "v": 55.0}])
+        kv.delete_from_store(opts, [7])
+        out = kv.get_store_rows(
+            opts,
+            [{"k": 5}, {"k": 7}, {"k": 50}, {"k": 999999}, {"k": 5}],
+        )
+        assert out[0] == {"k": 5, "v": 55.0}  # overlay put wins
+        assert out[1] is None                 # tombstone reads absent
+        assert out[2] == {"k": 50, "v": 50.0}  # base row
+        assert out[3] is None                 # never existed
+        assert out[4] == {"k": 5, "v": 55.0}  # duplicates allowed
+
+        # after a fold the same answers come from the generation, and
+        # the absent key reads ZERO region files (bloom-pruned)
+        kv.compact_store(opts)
+        assert kv.get_store_rows(opts, [{"k": 5}])[0]["v"] == 55.0
+        gen = kv._resolve_generation(opts)
+        import bisect as _b
+
+        starts = [rg["start"] for rg in gen["regions"]]
+        rg = gen["regions"][max(0, _b.bisect_right(starts, 7) - 1)]
+        if not kv._bloom_has(rg["bloom"], 7):  # ~98% of fixtures
+            assert kv.get_store_rows(opts, [{"k": 7}]) == [None]
+            assert kv._MULTIGET_STATS["files_read"] == 0
+
+    def test_get_validation_and_ttl(self, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "mgetv")
+        with pytest.raises(ValueError, match="missing key column"):
+            kv.get_store_rows(opts, [{"v": 1.0}])
+        assert kv.get_store_rows(opts, []) == []
+
+        # TTL: an expired row reads as absent through the Get path
+        NOW = 1_700_000_000
+        topts = {
+            **opts,
+            "ttlcolumn": "v",  # abuse v as the ts column: v = seconds
+            "ttlseconds": "100",
+            "ttlnow": str(NOW),
+        }
+        self._put(topts, [{"k": 3, "v": float(NOW - 500)},
+                          {"k": 4, "v": float(NOW - 50)}])
+        got = kv.get_store_rows(topts, [{"k": 3}, {"k": 4}])
+        assert got[0] is None              # expired
+        assert got[1] == {"k": 4, "v": float(NOW - 50)}  # fresh
+
+    def test_engine_facade(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+        opts = self._store(tmp_path, "mgete")
+        eng = KtSqlEngine(spark)
+        out = eng.multi_get_kv([{"k": 10}], **opts)
+        assert out == [{"k": 10, "v": 10.0}]
