@@ -2267,3 +2267,93 @@ def test_pq_store_retrain_trigger(spark):
     assert _pq_store_layout(root)["trained_rows"] == 90
     assert maybe_retrain_pq_store(spark, root, corpus) is None  # reset
     shutil.rmtree(root, ignore_errors=True)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@given(
+    ops=hst.lists(
+        hst.sampled_from(["append", "compact", "retrain"]),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_pq_store_lifecycle_codes_consistent(spark, tmp_path, ops):
+    """The PQ store's one invariant as a property: after ANY
+    interleaving of appends (frozen-book encode), compactions
+    (layout-only), and retrains (books rotate + full re-encode), the
+    persisted code table equals the from-scratch encode of the
+    accumulated corpus against the LIVE books — plus the layout
+    invariants (generation monotonic, one file per ``m=`` partition
+    after a compact, retrain bumps trained_rows to the corpus size)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        M_SUB,
+        _pq_books_dir,
+        _pq_codes_dir,
+        _pq_encode,
+        _pq_store_layout,
+        _pq_subs,
+        append_pq_batch,
+        compact_pq_store,
+        retrain_pq_store,
+        write_pq_store,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_pqprop_{uuid.uuid4().hex[:10]}"
+    )
+    ids = list(range(36))
+    write_pq_store(spark, root, _pq_vecs(spark, ids), train=True)
+    next_id = 100
+    gen = 0
+
+    def check():
+        corpus = _pq_vecs(spark, ids)
+        books = spark.read.parquet(_pq_books_dir(root)).localCheckpoint()
+        want = {
+            (r["vec_id"], r["m"], r["code"])
+            for r in _pq_encode(_pq_subs(corpus), books).collect()
+        }
+        got = {
+            (r["vec_id"], r["m"], r["code"])
+            for r in spark.read.parquet(_pq_codes_dir(root)).collect()
+        }
+        assert got == want
+
+    check()
+    for op in ops:
+        if op == "append":
+            batch = list(range(next_id, next_id + 5))
+            next_id += 100
+            append_pq_batch(spark, root, _pq_vecs(spark, batch))
+            ids.extend(batch)
+        elif op == "compact":
+            st = compact_pq_store(spark, root)
+            gen = st["gen"]
+            assert _pq_store_layout(root)["gen"] == gen
+            for udir in glob.glob(os.path.join(_pq_codes_dir(root), "m=*")):
+                assert len(glob.glob(os.path.join(udir, "*.parquet"))) == 1
+        else:
+            st = retrain_pq_store(spark, root, _pq_vecs(spark, ids))
+            gen = st["gen"]
+            assert st["trained_rows"] == len(ids)
+        layout = _pq_store_layout(root)
+        assert layout["gen"] == gen
+        check()
+    shutil.rmtree(root, ignore_errors=True)

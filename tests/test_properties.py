@@ -958,6 +958,16 @@ _kv_ops = st.lists(
         ),
         st.tuples(st.just("snap"), st.just(None)),
         st.tuples(st.just("restore"), st.just(None)),
+        # round-11: string APPEND joins the alphabet (the fifth
+        # mutation op) — the model concatenates per key in list order
+        st.tuples(
+            st.just("app"),
+            st.lists(
+                st.tuples(KEYS, st.sampled_from(["~x", "~y"])),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -974,8 +984,8 @@ _kv_ops = st.lists(
     ],
 )
 def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
-    """The whole round-8/9/10 WAL story as ONE property: any
-    interleaving of put/delete/increment/compare-and-swap commits,
+    """The whole round-8/9/10/11 WAL story as ONE property: any
+    interleaving of put/delete/increment/compare-and-swap/APPEND commits,
     folds, BULK LOADS (which claim a marker seq and anchor as-of reads
     at their generation), major compactions, SNAPSHOTS (which fold
     pending state first), and RESTORES (marker seq + anchor, live
@@ -986,7 +996,10 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
     loudly below the oldest retained anchor once pruning made that
     history unreachable. (Anchored replay spans never cross a bulk or
     restore marker by construction — this property exercises exactly
-    that.) CAS applied flags are model-checked spec by spec."""
+    that.) CAS applied flags are model-checked spec by spec; after
+    EVERY op the point-Get path (round-11: bloom-pruned
+    ``get_store_rows``) is model-checked over the op's touched keys
+    plus an always-absent probe."""
     import os
     import uuid
 
@@ -1003,6 +1016,8 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
         compact_store,
         delete_from_store,
         increment_store,
+        append_store,
+        get_store_rows,
         prune_changelog,
         read_store_asof,
         register_kv_source,
@@ -1015,27 +1030,54 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
     tag = uuid.uuid4().hex[:10]
     base = os.path.join(str(tmp_path), f"wal_{tag}.parquet")
     pq.write_table(
-        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}),
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "v": pa.array([], pa.float64()),
+                "s": pa.array([], pa.string()),
+            }
+        ),
         base,
     )
-    opts = {"path": base, "keycol": "k", "columns": "k,v", "appid": tag}
+    opts = {"path": base, "keycol": "k", "columns": "k,v,s", "appid": tag}
     truncate_overlay(opts)
 
-    state: dict = {}
+    state: dict = {}  # k -> (v, s)
     states = {0: {}}
     seq = 0
     anchors: list = []
     snaps: list = []  # (name, model state at snapshot time)
     dirty = False  # commits since the last real fold
+
+    def probe_get(touched):
+        # round-11: the point-Get path agrees with the model after
+        # every op — overlay-merged, bloom/range-pruned, None = absent
+        ks = sorted(set(touched))[:4] + [10**6]
+        got = get_store_rows(opts, [{"k": k} for k in ks])
+        for k, r in zip(ks, got):
+            if k in state:
+                v, sv = state[k]
+                assert r == {"k": k, "v": v, "s": sv}, (k, r)
+            else:
+                assert r is None, (k, r)
+
     for kind, arg in ops:
         if kind == "put":
             KVUpsertWriter(opts).commit(
-                [KVWriteMessage([{"k": k, "v": float(v)} for k, v in arg])]
+                [
+                    KVWriteMessage(
+                        [
+                            {"k": k, "v": float(v), "s": f"n{v}"}
+                            for k, v in arg
+                        ]
+                    )
+                ]
             )
-            state.update({k: float(v) for k, v in arg})
+            state.update({k: (float(v), f"n{v}") for k, v in arg})
             seq += 1
             states[seq] = dict(state)
             dirty = True
+            probe_get([k for k, _ in arg])
         elif kind == "del":
             delete_from_store(opts, arg)
             for k in arg:
@@ -1043,55 +1085,84 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
             seq += 1
             states[seq] = dict(state)
             dirty = True
+            probe_get(arg)
         elif kind == "inc":
             out_rows = increment_store(
                 opts, [{"k": k, "v": float(d)} for k, d in arg]
             )
             for k, d in arg:
-                state[k] = state.get(k, 0.0) + float(d)
+                v, sv = state.get(k, (None, None))
+                state[k] = ((v or 0.0) + float(d), sv)
             # the op returns the new absolute values in input order:
             # the model must agree row by row (same-batch accumulation)
             running = dict(states[seq])
             got = []
             for k, d in arg:
-                running[k] = running.get(k, 0.0) + float(d)
+                v, sv = running.get(k, (None, None))
+                running[k] = ((v or 0.0) + float(d), sv)
                 got.append(running[k])
-            assert [r["v"] for r in out_rows] == got
+            assert [(r["v"], r["s"]) for r in out_rows] == got
             seq += 1
             states[seq] = dict(state)
             dirty = True
+            probe_get([k for k, _ in arg])
+        elif kind == "app":
+            out_rows = append_store(
+                opts, [{"k": k, "s": sfx} for k, sfx in arg]
+            )
+            running = dict(states[seq])
+            got = []
+            for k, sfx in arg:
+                v, sv = running.get(k, (None, None))
+                running[k] = (v, (sv or "") + sfx)
+                got.append(running[k])
+            assert [(r["v"], r["s"]) for r in out_rows] == got
+            state.clear()
+            state.update(running)
+            seq += 1
+            states[seq] = dict(state)
+            dirty = True
+            probe_get([k for k, _ in arg])
         elif kind == "bulk":
             out = bulk_load_store(
                 opts,
                 spark.createDataFrame(
-                    [{"k": k, "v": float(v)} for k, v in arg],
-                    "k long, v double",
+                    [
+                        {"k": k, "v": float(v), "s": f"b{v}"}
+                        for k, v in arg
+                    ],
+                    "k long, v double, s string",
                 ),
             )
             assert out["published"]
-            state.update({k: float(v) for k, v in arg})
+            state.update({k: (float(v), f"b{v}") for k, v in arg})
             seq += 1  # the claimed marker seq
             assert out["seq"] == seq
             states[seq] = dict(state)
             anchors.append(seq)  # the bulk generation IS an anchor
             dirty = False  # pending overlay folded in with the load
+            probe_get([k for k, _ in arg])
         elif kind == "cas":
             running = dict(state)
             specs, expect = [], []
             for k, v, mode in arg:
+                cur_v = running.get(k, (None, None))[0]
                 if mode == "absent":
-                    chk, ok = {"column": "v", "equals": None}, k not in running
+                    # the absent-CELL check: passes when the row is
+                    # absent OR its v cell is NULL (append-created)
+                    chk, ok = {"column": "v", "equals": None}, cur_v is None
                 elif mode == "equals":
                     # equals the current model value; on an absent key
-                    # that value IS None, which the absence check
-                    # accepts — so this mode always applies
-                    chk, ok = {"column": "v", "equals": running.get(k)}, True
+                    # (or a NULL cell) that value IS None, which the
+                    # absence check accepts — so this mode always applies
+                    chk, ok = {"column": "v", "equals": cur_v}, True
                 else:  # a value no VALS draw can produce
                     chk, ok = {"column": "v", "equals": 1e18}, False
                 specs.append({"k": k, "check": chk, "put": {"v": float(v)}})
                 expect.append(ok)
                 if ok:
-                    running[k] = float(v)
+                    # partial put: the string cell survives
+                    running[k] = (float(v), running.get(k, (None, None))[1])
             flags = check_and_mutate_store(opts, specs)
             assert flags == expect  # every applied flag model-predicted
             if any(expect):
@@ -1101,6 +1172,7 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
                 states[seq] = dict(state)
                 dirty = True
             # an all-fail batch commits nothing: seq/states untouched
+            probe_get([k for k, _, _ in arg])
         elif kind == "snap":
             name = f"s{len(snaps)}"
             snapshot_store(opts, name, spark=spark)
@@ -1140,7 +1212,8 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
 
     def asof(s):
         return {
-            r["k"]: r["v"] for r in read_store_asof(spark, opts, s).collect()
+            r["k"]: (r["v"], r["s"])
+            for r in read_store_asof(spark, opts, s).collect()
         }
 
     retained = anchors[-2:]  # live + one-cycle prev_anchor
