@@ -60,8 +60,16 @@ def test_bench_emits_one_json_line():
     assert len(lines) == 1, out.stdout
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec" and payload["value"] > 0
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "phases", "sf",
+    }
     assert payload["sf"] == 0.001
+    # round-11: lifecycle entries split into build/serve phases whose
+    # sum is the entry's recorded total (headline comparability)
+    assert payload["phases"], "lifecycle phases missing"
+    for name, ph in payload["phases"].items():
+        assert set(ph) == {"build", "serve"}, name
+        assert abs(ph["build"] + ph["serve"] - payload["queries"][name]) < 0.05, name
 
 
 def test_coverage_doc_counts_match_registry():
