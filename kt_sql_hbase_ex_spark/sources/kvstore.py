@@ -3010,12 +3010,15 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
             muts = muts.withColumn(
                 "__task", _router(new_starts)(*[F.col(c) for c in key_cols])
             )
+            touched = sorted(
+                r["__task"]
+                for r in muts.select("__task").distinct().collect()
+            )
         else:
+            # no hot region: tasks ARE regions — reuse the counts pass
+            # instead of a second distinct job over the batch
             muts = muts.withColumn("__task", F.col("__region"))
-
-        touched = sorted(
-            r["__task"] for r in muts.select("__task").distinct().collect()
-        )
+            touched = sorted(counts)
         touched_region_set = {task_region[t] for t in touched}
         split_task_ids = {
             t
