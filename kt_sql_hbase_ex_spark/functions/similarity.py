@@ -2643,6 +2643,29 @@ def compact_pq_store(
     )
 
 
+def maybe_compact_pq_store(
+    spark: SparkSession, root: str, max_files: int = 64
+) -> dict | None:
+    """Size-TRIGGERED PQ compaction (the :func:`maybe_compact_ivf_store`
+    role for codes): fold only when the live code table's file count
+    exceeds ``max_files``, so a standing admission pipeline calls this
+    after EVERY batch and pays the rewrite only when accretion
+    warrants it. Driver-side listing, no data read; under threshold
+    not even the lock is taken."""
+    import glob
+    import os
+
+    n = len(
+        glob.glob(
+            os.path.join(_pq_codes_dir(root), "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    if n <= max_files:
+        return None
+    return compact_pq_store(spark, root)
+
+
 def retrain_pq_store(spark: SparkSession, root: str, vecs: DataFrame) -> dict:
     """Drift maintenance: one fixed-point Lloyd step seeded from the
     LIVE books over the supplied corpus vectors (the store holds

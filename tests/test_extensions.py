@@ -2357,3 +2357,42 @@ def test_pq_store_lifecycle_codes_consistent(spark, tmp_path, ops):
         assert layout["gen"] == gen
         check()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pq_store_compaction_trigger(spark):
+    """maybe_compact_pq_store: under the file-count threshold it does
+    nothing (not even the lock); past it, one fold restores one file
+    per subspace partition."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _pq_codes_dir,
+        append_pq_batch,
+        maybe_compact_pq_store,
+        write_pq_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    root = os.path.join(tempfile.gettempdir(), "kt_sql_test_pqstore_mtrig")
+    shutil.rmtree(root, ignore_errors=True)
+    write_pq_store(spark, root, _pq_vecs(spark, range(36)), train=False)
+
+    def n_files():
+        return len(
+            glob.glob(
+                os.path.join(_pq_codes_dir(root), "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+
+    with _writer_lock(root):  # under threshold: lock never taken
+        assert maybe_compact_pq_store(spark, root, max_files=999) is None
+    append_pq_batch(spark, root, _pq_vecs(spark, range(100, 105)))
+    threshold = n_files() - 1
+    st = maybe_compact_pq_store(spark, root, max_files=threshold)
+    assert st is not None and st["files_after"] < st["files_before"]
+    assert maybe_compact_pq_store(spark, root, max_files=threshold) is None
+    shutil.rmtree(root, ignore_errors=True)
