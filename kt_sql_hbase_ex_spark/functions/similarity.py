@@ -2252,45 +2252,14 @@ def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     all stages in DuckDB. Scale: scoring work ∝ probed-cell members,
     raw-vector reads ∝ shortlist — the two knobs (nprobe, shortlist)
     are exactly the recall/latency dials a deployment tunes."""
-    import os
-
-    from pyspark.sql import Window as W
-
     root = ensure_ivfpq_store(spark, sf_dir)
     e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    batch = (
-        e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS))
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
-        .localCheckpoint()  # consumed by probing AND the PQ serve tail
+    batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    # --- coarse stage from PERSISTED state: probes against the frozen
-    # quantizer, candidates from the write-time cell assignment (the
-    # sim04 layout carrying 2-int rows; the join prunes to probed cells)
-    cent = spark.read.parquet(os.path.join(root, "cents"))
-    w_probe = W.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cid"))
-    probes = (
-        batch.join(F.broadcast(cent))
-        .select(
-            "query_id",
-            "cid",
-            F.round(_cosine_spark("qv", "cv"), 6).alias("cc"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "cid")
-    )
-    assign = spark.read.parquet(os.path.join(root, "assign"))
-    cand = (
-        assign.join(F.broadcast(probes), ["cid"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    # --- compressed stage + rerank from the persisted PQ store
-    return probe_pq_store(spark, root, batch, e, cand=cand)
+    return probe_ivfpq_store(spark, root, batch, e)
 
 
 
@@ -2812,6 +2781,47 @@ def probe_pq_store(
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "dist_micro", "rnk")
     )
+
+
+def probe_ivfpq_store(
+    spark: SparkSession, root: str, batch: DataFrame, vectors: DataFrame
+) -> DataFrame:
+    """The COMPOSED IVFADC probe against one persisted store root (the
+    FAISS ``index.search`` equivalent over this repo's on-disk layout):
+    queries score the frozen coarse quantizer (``cents/``, broadcast),
+    probe their N_PROBE nearest cells, candidates come from the
+    write-time cell assignment (``assign/``, 2-int rows partitioned by
+    cell), and the PQ tail (:func:`probe_pq_store` with the candidate
+    restriction) runs integer ADC over the persisted code table plus
+    the exact shortlist rerank against ``vectors``. Every stage reads
+    persisted state; raw-vector I/O is query- plus shortlist-sized."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    batch = batch.localCheckpoint()  # consumed by probing AND the tail
+    cent = spark.read.parquet(os.path.join(root, "cents"))
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("cc").desc(), F.col("cid")
+    )
+    probes = (
+        batch.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            F.round(_cosine_spark("qv", "cv"), 6).alias("cc"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    assign = spark.read.parquet(os.path.join(root, "assign"))
+    cand = (
+        assign.join(F.broadcast(probes), ["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return probe_pq_store(spark, root, batch, vectors, cand=cand)
 
 
 # --- PQ store fixtures (build-once per scale factor) -------------------
