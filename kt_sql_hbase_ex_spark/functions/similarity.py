@@ -2500,10 +2500,12 @@ def _pq_codes_dir(root: str) -> str:
     return os.path.join(root, _pq_store_layout(root)["codes"])
 
 
-def _pq_codes_rows(root: str) -> int:
+def _pq_codes_rows(root: str, codes_dir: str | None = None) -> int:
     """Live corpus size from parquet FOOTERS (codes rows / M_SUB) —
     driver-side metadata listing, no data read (the trigger path must
-    stay cheap enough to run after every batch)."""
+    stay cheap enough to run after every batch). ``codes_dir``
+    overrides the layout-resolved live directory (retrain counts its
+    not-yet-published generation)."""
     import glob
     import os
 
@@ -2511,7 +2513,8 @@ def _pq_codes_rows(root: str) -> int:
 
     total = 0
     for f in glob.glob(
-        os.path.join(_pq_codes_dir(root), "**", "*.parquet"), recursive=True
+        os.path.join(codes_dir or _pq_codes_dir(root), "**", "*.parquet"),
+        recursive=True,
     ):
         total += _pq_mod.read_metadata(f).num_rows
     return total // M_SUB
@@ -2671,9 +2674,10 @@ def retrain_pq_store(spark: SparkSession, root: str, vecs: DataFrame) -> dict:
         new_layout["prev"] = [layout["books"], layout["codes"]]
         new_layout["books"] = books_rel
         new_layout["codes"] = codes_rel
-        _pq_write_layout(root, new_layout)
-        new_layout["trained_rows"] = _pq_codes_rows(root)
-        _pq_write_layout(root, new_layout)
+        new_layout["trained_rows"] = _pq_codes_rows(
+            root, os.path.join(root, codes_rel)
+        )
+        _pq_write_layout(root, new_layout)  # ONE atomic publish
         for d in layout.get("prev", []):
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return {"gen": gen, "trained_rows": new_layout["trained_rows"]}

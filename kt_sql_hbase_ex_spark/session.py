@@ -66,6 +66,13 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffledHashJoinFactor", "3")
+        # Python-worker handshake timeout (default 15s): an
+        # oversubscribed host spawning many streaming-source workers
+        # concurrently (parallel test shards, parity batteries) can
+        # trip it and kill a healthy stream with "Python worker failed
+        # to connect back" — a pure infra flake. 60s is harmless on an
+        # idle host and on a real cluster.
+        .config("spark.python.authenticate.socketTimeout", "60s")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -2435,27 +2435,27 @@ def _build_generation(
                 # sub-task near 2x region_size; each sub-task merges
                 # only the region rows inside its range, so outputs
                 # stay disjoint, sorted, and pruning-exact.
-                unit_ov.sort(key=lambda r: _rowkey_of(r, key_cols))
+                decorated = sorted(
+                    (_rowkey_of(r, key_cols), i)
+                    for i, r in enumerate(unit_ov)
+                )
+                rks = [k for k, _ in decorated]
+                unit_ov = [unit_ov[i] for _, i in decorated]
                 n_sub = max(2, math.ceil(est / (2 * region_size)))
                 cuts: list = []
                 for j in range(1, n_sub):
-                    k = _rowkey_of(
-                        unit_ov[j * len(unit_ov) // n_sub], key_cols
-                    )
+                    k = rks[j * len(rks) // n_sub]
                     if not cuts or k > cuts[-1]:
                         cuts.append(k)
                 bounds = [None, *cuts, None]
                 lo_idx = 0
-                for s in range(len(bounds) - 1):
-                    lo, hi = bounds[s], bounds[s + 1]
-                    hi_idx = len(unit_ov)
-                    if hi is not None:
-                        hi_idx = next(
-                            ix
-                            for ix in range(lo_idx, len(unit_ov) + 1)
-                            if ix == len(unit_ov)
-                            or _rowkey_of(unit_ov[ix], key_cols) >= hi
-                        )
+                for sb in range(len(bounds) - 1):
+                    lo, hi = bounds[sb], bounds[sb + 1]
+                    hi_idx = (
+                        len(unit_ov)
+                        if hi is None
+                        else bisect.bisect_left(rks, hi)
+                    )
                     payloads.append(
                         {
                             **base_payload,

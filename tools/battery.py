@@ -53,6 +53,16 @@ def main() -> int:
             cwd=repo,
             env=env,
         )
+        if rc:
+            # one retry: concurrent-shard Python-worker handshake churn
+            # can kill a healthy stream ("failed to connect back") — a
+            # repeatable failure is real, a one-off is infra
+            print(f"=== axis {name}: rc={rc}, retrying once ===", flush=True)
+            rc = subprocess.call(
+                [sys.executable, "tools/parity_shards.py", "-n", "4"],
+                cwd=repo,
+                env=env,
+            )
         print(f"=== axis {name}: rc={rc} in {time.time() - t0:.0f}s ===", flush=True)
         if rc:
             return rc
