@@ -2648,6 +2648,7 @@ def retrain_pq_store(spark: SparkSession, root: str, vecs: DataFrame) -> dict:
     generation is retained until the NEXT rotation (deferred GC for
     in-flight readers) — :func:`retrain_ivf_store`'s discipline
     applied to the compressed index."""
+    import glob
     import os
     import shutil
     import uuid as _uuid
@@ -2656,6 +2657,26 @@ def retrain_pq_store(spark: SparkSession, root: str, vecs: DataFrame) -> dict:
 
     with _writer_lock(root):
         layout = _pq_store_layout(root)
+        # crash sweep (the generation-fold engine's discipline): a
+        # retrain that died before its atomic publish left never-
+        # referenced books_g*/codes_g* dirs and torn layout staging —
+        # compaction sweeps codes_* orphans but never books_*, so the
+        # retrain path owns its own sweep, under the same lock
+        referenced = {
+            layout["books"],
+            layout["codes"],
+            *layout.get("prev", []),
+        }
+        for d in glob.glob(os.path.join(root, "books_g*")) + glob.glob(
+            os.path.join(root, "codes_g*")
+        ):
+            if os.path.basename(d) not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+        for f in glob.glob(os.path.join(root, "layout.json.tmp.*")):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
         books_live = spark.read.parquet(
             os.path.join(root, layout["books"])
         ).localCheckpoint()
@@ -3071,3 +3092,318 @@ def sim16_pq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return probe_pq_store(spark, root, batch, e)
+
+
+# --- sim17: RESIDUAL-encoded IVF+PQ (the exact IVFADC of the paper) ----
+
+
+def _residual(vec_col: str, cent_col: str):
+    """Element-wise ``vec - centroid`` in double — the residual the
+    IVFADC paper quantizes (Jégou et al. 2011 §IV: PQ on residuals
+    concentrates the quantizer's dynamic range around the cell
+    center, recovering accuracy raw-vector PQ loses to coarse cell
+    geometry). f32→f64 widening and subtraction are both exact, so
+    DuckDB's ``list_zip`` replay is bit-identical."""
+    return F.zip_with(_vec(vec_col), _vec(cent_col), lambda x, y: x - y)
+
+
+def _subspaces(df: DataFrame, vec_col: str, keep: list) -> DataFrame:
+    """Explode ``vec_col`` into (keep..., m, sv) subvector rows."""
+    return df.select(
+        *keep,
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(vec_col, m * D_SUB + 1, D_SUB).alias("sv"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ),
+    )
+
+
+def ensure_ivfpq_residual_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim17's store: the sim14 layout (``cents``/``assign``) plus
+    books and codes built over RESIDUALS — every vector's PQ sketch
+    encodes ``x - centroid(cell(x))`` against books seeded from the
+    K_CODES lowest vec_ids' residual subvectors. Same provisioning
+    discipline as every store fixture."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = (
+        f"ivfpq-residual|{N_CELLS}|{N_PROBE}|{M_SUB}x{D_SUB}k{K_CODES}"
+    )
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        cent = (
+            e.filter(F.col("vec_id") < N_CELLS)
+            .select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            )
+            .localCheckpoint()
+        )
+        cent.coalesce(1).write.parquet(os.path.join(staging, "cents"))
+        assign = _assign_cells(e, cent).select(
+            "vec_id", F.col("cell").alias("cid")
+        )
+        assign.repartition("cid").write.partitionBy("cid").parquet(
+            os.path.join(staging, "assign")
+        )
+        resid = (
+            spark.read.parquet(os.path.join(staging, "assign"))
+            .join(e, ["vec_id"])
+            .join(F.broadcast(cent), ["cid"])
+            .select("vec_id", _residual("embedding", "cv").alias("rv"))
+        )
+        rsub = _subspaces(resid, "rv", ["vec_id"])
+        books = (
+            rsub.filter(F.col("vec_id") < K_CODES)
+            .select(
+                "m",
+                F.col("vec_id").alias("code"),
+                F.col("sv").cast("array<double>").alias("cv"),
+            )
+            .localCheckpoint()
+        )
+        books.coalesce(1).write.parquet(os.path.join(staging, "books"))
+        _pq_encode(rsub, books).repartition("m").write.partitionBy(
+            "m"
+        ).parquet(os.path.join(staging, "codes"))
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def probe_residual_ivfpq_store(
+    spark: SparkSession, root: str, batch: DataFrame, vectors: DataFrame
+) -> DataFrame:
+    """The residual-IVFADC probe: queries probe the coarse quantizer,
+    compute their residual PER PROBED CELL (the asymmetric-distance
+    table is cell-relative — the paper's key serving detail), and ADC
+    scores each candidate through the (query, cell) distance table its
+    assignment routes it to; the exact rerank tail is unchanged. Every
+    stage reads persisted state; raw-vector I/O stays query- plus
+    shortlist-sized."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    batch = batch.localCheckpoint()
+    cent = spark.read.parquet(os.path.join(root, "cents")).localCheckpoint()
+    books = spark.read.parquet(os.path.join(root, "books"))
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    assign = spark.read.parquet(os.path.join(root, "assign"))
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("cc").desc(), F.col("cid")
+    )
+    probes = (
+        batch.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            F.round(_cosine_spark("qv", "cv"), 6).alias("cc"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    # per-(query, probed cell) residual distance tables — M_SUB x
+    # K_CODES x N_PROBE rows per query, broadcast
+    qresid = (
+        probes.join(F.broadcast(batch), ["query_id"])
+        .join(F.broadcast(cent), ["cid"])
+        .select("query_id", "cid", _residual("qv", "cv").alias("rv"))
+    )
+    qsub = _subspaces(qresid, "rv", ["query_id", "cid"])
+    l2 = (
+        _dot_spark("sv", "sv")
+        - 2 * _dot_spark("sv", "cv")
+        + _dot_spark("cv", "cv")
+    )
+    qdt = qsub.join(F.broadcast(books), ["m"]).select(
+        "query_id",
+        "cid",
+        "m",
+        "code",
+        F.round(l2 * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
+    )
+    cand = (
+        assign.join(F.broadcast(probes), ["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cid", F.col("vec_id").alias("neighbor_id"))
+    )
+    w_short = W.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    shortlist = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"), ["neighbor_id"]
+        )
+        .join(F.broadcast(qdt), ["query_id", "cid", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dm").alias("ad"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = batch.select("query_id", "qv")
+    nv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    l2x = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "nv")
+        + _dot_spark("nv", "nv")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qv), ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_micro", "rnk")
+    )
+
+
+_SIM17_RESID_SQL = "list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+
+
+@query(
+    "sim17_residual_ivfpq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    g AS (SELECT CAST(r.range AS INT) AS m FROM range(0, {M_SUB}) r),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_SIM14_COS_EC}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id, a.cid,
+               {_SIM17_RESID_SQL.format(a="e.v", b="c.cv")} AS rv
+        FROM assign a JOIN e USING (vec_id) JOIN cent c ON c.cid = a.cid
+    ),
+    rsub AS (
+        SELECT vec_id, g.m,
+               list_slice(rv, g.m*{D_SUB}+1, (g.m+1)*{D_SUB}) AS sv
+        FROM resid CROSS JOIN g
+    ),
+    cb AS (
+        SELECT m, vec_id AS code, sv AS cv FROM rsub
+        WHERE vec_id < {K_CODES}
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="cb.cv")}, 6),
+                                cb.code) AS rn
+            FROM rsub s JOIN cb ON cb.m = s.m) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_SIM14_COS_EC}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id IN {QUERY_VEC_IDS}) t
+        WHERE rn <= {N_PROBE}
+    ),
+    qresid AS (
+        SELECT p.query_id, p.cid,
+               {_SIM17_RESID_SQL.format(a="qe.v", b="c.cv")} AS rv
+        FROM probes p
+        JOIN e qe ON qe.vec_id = p.query_id
+        JOIN cent c ON c.cid = p.cid
+    ),
+    qsub AS (
+        SELECT query_id, cid, g.m,
+               list_slice(rv, g.m*{D_SUB}+1, (g.m+1)*{D_SUB}) AS sv
+        FROM qresid CROSS JOIN g
+    ),
+    qdt AS (
+        SELECT q.query_id, q.cid, q.m, cb.code,
+               CAST(ROUND({_L2_SQL.format(a="q.sv", b="cb.cv")} * 1000000)
+                    AS BIGINT) AS dm
+        FROM qsub q JOIN cb ON cb.m = q.m
+    ),
+    cand AS (
+        SELECT p.query_id, p.cid, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                       ORDER BY SUM(q.dm), cand.neighbor_id) AS srn
+            FROM cand
+            JOIN codes c ON c.vec_id = cand.neighbor_id
+            JOIN qdt q ON q.query_id = cand.query_id AND q.cid = cand.cid
+                      AND q.m = c.m AND q.code = c.code
+            GROUP BY cand.query_id, cand.neighbor_id) t
+        WHERE srn <= {SHORTLIST}
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")} * 1000000)
+                    AS BIGINT) AS dist_micro
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.query_id
+        JOIN e ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist_micro, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim17_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVF+PQ — the exact IVFADC of Jégou et al. 2011
+    §IV, completing sim14's composition: PQ quantizes the RESIDUAL
+    ``x - centroid(cell(x))`` instead of the raw vector, so the
+    codebooks spend their dynamic range on within-cell structure
+    (what the coarse quantizer can't see) rather than re-describing
+    cell geometry — the accuracy recovery that made IVFADC the
+    production layout. Serving detail the raw form hides: the query's
+    asymmetric distance table is CELL-RELATIVE (one table per probed
+    cell, from the query's residual against THAT cell's centroid),
+    and each candidate scores through the table of its own assigned
+    cell. All state persists in the sim14 store layout
+    (:func:`ensure_ivfpq_residual_store`); the oracle replays
+    assignment / residuals (exact f64 subtraction, ``list_zip``) /
+    encode / per-cell ADC / rerank from scratch. Recall on the
+    fixture improves over raw-vector sim14 (pinned non-losing in
+    tests). Scale: identical to sim14 — candidates ∝ probed cells,
+    ADC is integer lookups, raw-vector I/O is shortlist-sized; the
+    only addition is N_PROBE distance tables per query instead of
+    one, still broadcast-sized."""
+    root = ensure_ivfpq_residual_store(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_residual_ivfpq_store(spark, root, batch, e)

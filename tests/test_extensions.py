@@ -2396,3 +2396,102 @@ def test_pq_store_compaction_trigger(spark):
     assert st is not None and st["files_after"] < st["files_before"]
     assert maybe_compact_pq_store(spark, root, max_files=threshold) is None
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pq_store_retrain_crash_sweep(spark):
+    """A retrain that crashed before its atomic publish leaves
+    never-referenced books_g*/codes_g* orphans and torn layout
+    staging; the next retrain sweeps them under the writer lock and
+    publishes cleanly — answers as if the crash never happened."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _pq_store_layout,
+        retrain_pq_store,
+        write_pq_store,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "kt_sql_test_pqstore_crash")
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = _pq_vecs(spark, range(36))
+    write_pq_store(spark, root, corpus, train=False)
+
+    # simulate the crash window: orphan generation dirs + torn staging
+    for orphan in ("books_g1.dead", "codes_g1.dead"):
+        os.makedirs(os.path.join(root, orphan))
+        with open(os.path.join(root, orphan, "junk.parquet"), "w") as f:
+            f.write("torn")
+    with open(os.path.join(root, "layout.json.tmp.999"), "w") as f:
+        json.dump({"gen": 1}, f)
+
+    st = retrain_pq_store(spark, root, corpus)
+    assert st["gen"] == 1
+    assert not os.path.exists(os.path.join(root, "books_g1.dead"))
+    assert not os.path.exists(os.path.join(root, "codes_g1.dead"))
+    assert not glob.glob(os.path.join(root, "layout.json.tmp.*"))
+    layout = _pq_store_layout(root)
+    # the published generation is the retrain's own, never the orphan
+    assert layout["books"].startswith("books_g1.")
+    assert layout["books"] != "books_g1.dead"
+    queries = (
+        _pq_vecs(spark, [500]).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        corpus,
+    )
+    assert len(_pq_probe_snap(spark, root, queries)) > 0
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_residual_ivfpq_recall_not_below_raw(spark, sf_oracle):
+    """sim17 (PQ over residuals, the exact IVFADC) vs sim14 (PQ over
+    raw vectors): quantizing ``x - centroid(x)`` spends codebook
+    range on within-cell structure, so recall vs brute-force exact L2
+    must not lose to the raw form (fixture: 0.87 vs 0.83); floor 0.6
+    like sim14's."""
+    from pyspark.sql import Window as W
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        QUERY_VEC_IDS,
+        TOP_K,
+        _dot_spark,
+        sim14_ivfpq_probe,
+        sim17_residual_ivfpq,
+    )
+
+    e = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    l2 = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "embedding")
+        + _dot_spark("embedding", "embedding")
+    )
+    scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("d")
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("d", 6), "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+
+    def recall(fn):
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, sf_oracle).collect()
+        }
+        return len(a & exact) / len(exact)
+
+    raw, residual = recall(sim14_ivfpq_probe), recall(sim17_residual_ivfpq)
+    assert residual >= 0.6, f"residual IVFADC recall {residual:.2%}"
+    assert residual >= raw, (residual, raw)
