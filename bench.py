@@ -195,6 +195,10 @@ HEADLINE = (
     # steady-state compressed-index serving path; the store provisions
     # once (warmup absorbs it) so the timed number is the pure probe.
     "sim16_pq_store_probe",
+    # round-11 addition: residual-encoded IVFADC (per-probed-cell
+    # distance tables + cell-routed ADC) — the serving shape whose
+    # table fan-out sim14's single-table form doesn't price.
+    "sim17_residual_ivfpq",
     # round-11 addition: the five-op mutation mix — interleaved
     # put/increment/CAS/append/delete batches then a fold, so WAL-write
     # + overlay-publish overhead under realistic interleaving is
