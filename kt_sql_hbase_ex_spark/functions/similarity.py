@@ -3407,3 +3407,40 @@ def sim17_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return probe_residual_ivfpq_store(spark, root, batch, e)
+
+
+def append_residual_ivfpq_batch(
+    spark: SparkSession, root: str, vecs: DataFrame
+) -> None:
+    """Admit one embedding batch into the standing residual-IVFADC
+    store: each vector assigns to its nearest FROZEN coarse centroid,
+    its residual against that centroid encodes against the FROZEN
+    books, and both the assignment row (2 ints, into its ``cid=``
+    partition) and the code rows (into their ``m=`` partitions) land
+    as new files under the O_EXCL writer lock. Write ∝ batch; neither
+    quantizer retrains on append (the sim09/sim16 discipline — the
+    append≡rebuild test proves a grown store serves the identical
+    probe answers)."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        cent = spark.read.parquet(os.path.join(root, "cents")).localCheckpoint()
+        books = spark.read.parquet(os.path.join(root, "books"))
+        assign = _assign_cells(vecs, cent).select(
+            "vec_id", F.col("cell").alias("cid")
+        ).localCheckpoint()  # consumed by the assign write AND residuals
+        assign.repartition("cid").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(os.path.join(root, "assign"))
+        resid = (
+            assign.join(vecs, ["vec_id"])
+            .join(F.broadcast(cent), ["cid"])
+            .select("vec_id", _residual("embedding", "cv").alias("rv"))
+        )
+        _pq_encode(_subspaces(resid, "rv", ["vec_id"]), books).repartition(
+            "m"
+        ).write.mode("append").partitionBy("m").parquet(
+            os.path.join(root, "codes")
+        )

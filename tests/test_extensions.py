@@ -2495,3 +2495,114 @@ def test_residual_ivfpq_recall_not_below_raw(spark, sf_oracle):
     raw, residual = recall(sim14_ivfpq_probe), recall(sim17_residual_ivfpq)
     assert residual >= 0.6, f"residual IVFADC recall {residual:.2%}"
     assert residual >= raw, (residual, raw)
+
+
+def test_residual_ivfpq_append_equals_rebuild(spark):
+    """The residual store's growth path: a batch admitted through
+    append_residual_ivfpq_batch (frozen quantizer + frozen books)
+    must make the store answer probes identically to a store built
+    with the batch present from the start — with BOTH quantizers
+    frozen on the same seeds, growth is pure state accretion. Write ∝
+    batch (no existing assign/code file touched); a held writer lock
+    makes a concurrent admission lose loudly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _assign_cells,
+        _pq_encode,
+        _residual,
+        _subspaces,
+        append_residual_ivfpq_batch,
+        probe_residual_ivfpq_store,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        IndexWriterConflict,
+        _writer_lock,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_rivfpq_grow")
+    shutil.rmtree(base, ignore_errors=True)
+    grown, rebuilt = os.path.join(base, "grown"), os.path.join(base, "rebuilt")
+
+    hist_ids = list(range(36))
+    batch_ids = list(range(100, 108))
+
+    def build(root, ids):
+        # the sim17 store shape built from an explicit corpus (seeds =
+        # lowest vec_ids, same frozen rules as the fixture build)
+        e = _pq_vecs(spark, ids)
+        cent = (
+            e.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            )
+            .localCheckpoint()
+        )
+        cent.coalesce(1).write.parquet(os.path.join(root, "cents"))
+        assign = _assign_cells(e, cent).select(
+            "vec_id", F.col("cell").alias("cid")
+        )
+        assign.repartition("cid").write.partitionBy("cid").parquet(
+            os.path.join(root, "assign")
+        )
+        resid = (
+            spark.read.parquet(os.path.join(root, "assign"))
+            .join(e, ["vec_id"])
+            .join(F.broadcast(cent), ["cid"])
+            .select("vec_id", _residual("embedding", "cv").alias("rv"))
+        )
+        rsub = _subspaces(resid, "rv", ["vec_id"])
+        books = (
+            rsub.filter(F.col("vec_id") < 32)
+            .select(
+                "m",
+                F.col("vec_id").alias("code"),
+                F.col("sv").cast("array<double>").alias("cv"),
+            )
+            .localCheckpoint()
+        )
+        books.coalesce(1).write.parquet(os.path.join(root, "books"))
+        _pq_encode(rsub, books).repartition("m").write.partitionBy(
+            "m"
+        ).parquet(os.path.join(root, "codes"))
+
+    build(grown, hist_ids)
+    before = {
+        p: os.path.getmtime(p)
+        for d in ("assign", "codes")
+        for p in glob.glob(
+            os.path.join(grown, d, "**", "*.parquet"), recursive=True
+        )
+    }
+    append_residual_ivfpq_batch(spark, grown, _pq_vecs(spark, batch_ids))
+    for p, mt in before.items():  # write ∝ batch
+        assert os.path.getmtime(p) == mt
+
+    # rebuilt twin: the batch present from the start — seeds identical
+    # (hist holds the lowest 36 vec_ids, so cents/books freeze the same)
+    build(rebuilt, hist_ids + batch_ids)
+
+    queries = _pq_vecs(spark, [500, 501]).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = _pq_vecs(spark, hist_ids + batch_ids)
+    snap = lambda root: {
+        (r.query_id, r.neighbor_id, r.dist_micro, r.rnk)
+        for r in probe_residual_ivfpq_store(
+            spark, root, queries, corpus
+        ).collect()
+    }
+    got = snap(grown)
+    assert got == snap(rebuilt)
+    assert {n for _, n, _, _ in got} & set(batch_ids)  # grown visible
+
+    with _writer_lock(grown):
+        with pytest.raises(IndexWriterConflict):
+            append_residual_ivfpq_batch(spark, grown, _pq_vecs(spark, [200]))
+    shutil.rmtree(base, ignore_errors=True)
