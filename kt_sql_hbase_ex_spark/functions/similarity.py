@@ -599,15 +599,20 @@ def ensure_semdedup_store(
         _index_root,
     )
 
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
+    variant = (
+        f"semdedup|auto{D18_TARGET_CELL_ROWS}"
+        if n_cells is None
+        else f"semdedup|{n_cells}"
     )
-    if n_cells is None:
-        n_cells = max(1, e.count() // D18_TARGET_CELL_ROWS)
-    variant = f"semdedup|{n_cells}"
 
     def build(staging: str) -> None:
-        write_ivf_store(spark, staging, e, n_cells=n_cells)
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        # the corpus count runs only at BUILD time (the steady-state
+        # path is a marker check — round-11 review finding)
+        k = n_cells or max(1, e.count() // D18_TARGET_CELL_ROWS)
+        write_ivf_store(spark, staging, e, n_cells=k)
 
     return _build_once(_index_root(sf_dir, variant), build)
 
@@ -2382,21 +2387,10 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_subs(vecs: DataFrame) -> DataFrame:
     """(vec_id, m, sv): each vector split into its M_SUB subvectors —
     the one subspace-decomposition rule every PQ stage shares (build,
-    append, training, query distance tables)."""
-    return vecs.select(
-        "vec_id",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("embedding", m * D_SUB + 1, D_SUB).alias("sv"),
-                    )
-                    for m in range(M_SUB)
-                ]
-            )
-        ),
-    )
+    append, training, query distance tables). Delegates to
+    :func:`_subspaces`, the keyed generalization the residual path
+    uses, so the rule has exactly one implementation."""
+    return _subspaces(vecs, "embedding", ["vec_id"])
 
 
 def _pq_l2():
@@ -2718,9 +2712,50 @@ def maybe_retrain_pq_store(
     not even the lock is taken."""
     layout = _pq_store_layout(root)
     trained = layout.get("trained_rows")
-    if trained and _pq_codes_rows(root) < growth_factor * trained:
+    if trained is None:
+        # pre-field store (or hand-assembled root): no baseline to
+        # compare growth against — do NOT silently pay a full
+        # retrain per call; an explicit retrain_pq_store records one
+        return None
+    if _pq_codes_rows(root) < growth_factor * max(1, trained):
         return None
     return retrain_pq_store(spark, root, vecs)
+
+
+def _exact_rerank(
+    shortlist: DataFrame, batch: DataFrame, vectors: DataFrame
+) -> DataFrame:
+    """(query_id, neighbor_id, dist_micro, rnk): the exact-L2 rerank
+    tail every compressed-index probe shares — raw vectors fetched
+    for the shortlist ONLY (the production recall repair; I/O ∝
+    shortlist, never corpus), micros-fixed distances, ties to the
+    lower neighbor id."""
+    from pyspark.sql import Window as W
+
+    qv = batch.select("query_id", "qv")
+    nv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    l2x = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "nv")
+        + _dot_spark("nv", "nv")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qv), ["query_id"])
+        .join(nv, ["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_micro", "rnk")
+    )
 
 
 def probe_pq_store(
@@ -2741,10 +2776,17 @@ def probe_pq_store(
     (vec_id, embedding) — shortlist-sized raw I/O, the production
     recall repair. ``cand`` (query_id, neighbor_id) restricts ADC to
     an IVF-pruned candidate set (the IVFADC composition)."""
+    import os
+
     from pyspark.sql import Window as W
 
-    books = spark.read.parquet(_pq_books_dir(root))
-    codes = spark.read.parquet(_pq_codes_dir(root))
+    # ONE layout snapshot for both relations: resolving the pointer
+    # twice would let a concurrent retrain publish between the reads
+    # hand us gen-N books with gen-N+1 codes — wrong ADC distances
+    # with no error (round-11 review finding)
+    layout = _pq_store_layout(root)
+    books = spark.read.parquet(os.path.join(root, layout["books"]))
+    codes = spark.read.parquet(os.path.join(root, layout["codes"]))
     batch = batch.localCheckpoint()  # consumed by qdt AND the rerank join
     qsubs = _pq_subs(
         batch.select(
@@ -2782,30 +2824,7 @@ def probe_pq_store(
         .filter(F.col("srn") <= SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qv = batch.select("query_id", "qv")
-    nv = vectors.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
-    )
-    l2x = (
-        _dot_spark("qv", "qv")
-        - 2 * _dot_spark("qv", "nv")
-        + _dot_spark("nv", "nv")
-    )
-    rerank = (
-        shortlist.join(F.broadcast(qv), ["query_id"])
-        .join(nv, ["neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "dist_micro", "rnk")
-    )
+    return _exact_rerank(shortlist, batch, vectors)
 
 
 def probe_ivfpq_store(
@@ -3225,17 +3244,12 @@ def probe_residual_ivfpq_store(
         .select("query_id", "cid", _residual("qv", "cv").alias("rv"))
     )
     qsub = _subspaces(qresid, "rv", ["query_id", "cid"])
-    l2 = (
-        _dot_spark("sv", "sv")
-        - 2 * _dot_spark("sv", "cv")
-        + _dot_spark("cv", "cv")
-    )
     qdt = qsub.join(F.broadcast(books), ["m"]).select(
         "query_id",
         "cid",
         "m",
         "code",
-        F.round(l2 * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
+        F.round(_pq_l2() * F.lit(1_000_000.0)).cast("bigint").alias("dm"),
     )
     cand = (
         assign.join(F.broadcast(probes), ["cid"])
@@ -3254,30 +3268,7 @@ def probe_residual_ivfpq_store(
         .filter(F.col("srn") <= SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qv = batch.select("query_id", "qv")
-    nv = vectors.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
-    )
-    l2x = (
-        _dot_spark("qv", "qv")
-        - 2 * _dot_spark("qv", "nv")
-        + _dot_spark("nv", "nv")
-    )
-    rerank = (
-        shortlist.join(F.broadcast(qv), ["query_id"])
-        .join(nv, ["neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(l2x * F.lit(1_000_000.0)).cast("bigint").alias("dist_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "dist_micro", "rnk")
-    )
+    return _exact_rerank(shortlist, batch, vectors)
 
 
 _SIM17_RESID_SQL = "list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"

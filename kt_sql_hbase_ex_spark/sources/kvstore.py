@@ -111,10 +111,24 @@ _BLOOM_BITS_PER_KEY = 10
 _BLOOM_HASHES = 3
 
 
+def _bloom_key_repr(key) -> str:
+    """Canonical hashed form of a rowkey: numerically-equal keys of
+    different Python types must hash identically (the dataset-scan
+    path this bloom fronts matches 5.0 == 5; a repr()-level mismatch
+    would turn that into a FALSE NEGATIVE — an existing row reading
+    as absent). Integral floats collapse to their int repr; bool is
+    excluded from the numeric collapse (True is not rowkey 1)."""
+    if isinstance(key, bool):
+        return repr(key)
+    if isinstance(key, float) and key.is_integer():
+        return repr(int(key))
+    return repr(key)
+
+
 def _bloom_hashes(key, m: int):
     import hashlib
 
-    h = hashlib.md5(repr(key).encode()).digest()
+    h = hashlib.md5(_bloom_key_repr(key).encode()).digest()
     return (
         int.from_bytes(h[4 * i: 4 * i + 4], "big") % m
         for i in range(_BLOOM_HASHES)

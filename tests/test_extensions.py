@@ -2266,6 +2266,18 @@ def test_pq_store_retrain_trigger(spark):
     assert st is not None and st["gen"] == 1
     assert _pq_store_layout(root)["trained_rows"] == 90
     assert maybe_retrain_pq_store(spark, root, corpus) is None  # reset
+    # a store with NO trained_rows baseline (pre-field layout) must
+    # not silently pay a retrain per call (round-11 review finding)
+    import json
+
+    lp = os.path.join(root, "layout.json")
+    with open(lp) as f:
+        layout = json.load(f)
+    layout.pop("trained_rows")
+    with open(lp, "w") as f:
+        json.dump(layout, f)
+    with _writer_lock(root):  # would deadlock if it tried to retrain
+        assert maybe_retrain_pq_store(spark, root, corpus) is None
     shutil.rmtree(root, ignore_errors=True)
 
 

@@ -4158,3 +4158,22 @@ class TestMultiGet:
         eng = KtSqlEngine(spark)
         out = eng.multi_get_kv([{"k": 10}], **opts)
         assert out == [{"k": 10, "v": 10.0}]
+
+
+def test_bloom_numeric_key_type_equivalence(tmp_path, spark):
+    """Round-11 review finding: the bloom must match numerically-equal
+    keys of different Python types (the dataset-scan path it fronts
+    matches 5.0 == 5) — a float-typed get against an int64-keyed
+    folded store reads the row, never a bloom false negative."""
+    from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+    store = TestDistributedFold()
+    opts = store._store(tmp_path, "blmflt")
+    TestDistributedFold._put(opts, [{"k": 1, "v": 10.0}])
+    kv.compact_store(opts)
+    out = kv.get_store_rows(opts, [{"k": 5.0}, {"k": 1.0}])
+    assert out[0] == {"k": 5, "v": 5.0}
+    assert out[1] == {"k": 1, "v": 10.0}
+    # and the increment path accumulates instead of resetting
+    got = kv.increment_store(opts, [{"k": 50.0, "v": 1.0}])
+    assert got[0]["v"] == 51.0
