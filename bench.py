@@ -1,18 +1,41 @@
 #!/usr/bin/env python
-"""Benchmark harness — one JSON line on stdout (driver contract).
+"""Benchmark harness — detail line then a compact headline line.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+TWO JSON lines:
 
-    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+    {"metric": "headline_detail", "unit": "sec",
      "queries": {"<name>": <sec>, ...},
-     "phases": {"<lifecycle name>": {"build": <sec>, "serve": <sec>}},
+     "phases": {"<lifecycle name>": {"build": <sec>, "serve": <sec>,
+                                     "provision": <sec>}},
      "sf": <sf>}
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {}, "sf": <sf>, "queries_n": <count>,
+     "detail": "see previous stdout line"}
 
-``queries`` carries each entry's full cost (build + serve — comparable
-with every earlier round's records); ``phases`` splits the LIFECYCLE
-entries so serving-path regressions aren't drowned by provisioning
-noise (see the LIFECYCLE constant below and SCALE.md round 11).
+The FINAL line is the driver contract and is guaranteed compact
+(< 1 KB): the round-11 record was lost because a single ever-growing
+JSON line overflowed the driver's ~2.2 KB stdout tail-capture window
+and arrived truncated (``BENCH_r11.json`` ``parsed: null``). The
+driver keeps the END of stdout, so the last line is the small
+headline and the per-query breakdown rides the line before it
+(captured in full by anything that keeps whole stdout, and its tail
+still lands inside the driver's window).
+
+``queries`` (detail line) carries each entry's full cost (build +
+serve — comparable with every earlier round's records); ``phases``
+splits the LIFECYCLE entries so serving-path regressions aren't
+drowned by provisioning noise (see the LIFECYCLE constant below and
+SCALE.md rounds 11-12). Phase semantics: ``serve`` is the returned
+plan's execution (steady-state read path); ``build`` is the fn-call
+half of the min-of-3 TIMED runs — for entries whose fixtures are
+build-once cached (ensure_* stores, persisted indexes) that is the
+steady-state marker-check + statement-sized-commit overhead, NOT
+provisioning cost; ``provision`` is the fn-call time of the UNTIMED
+first (warmup) run — the one-time store build / backfill a deployment
+pays once, recorded so provisioning regressions are visible without
+polluting the steady-state numbers.
 
 Timing method: each query DataFrame is written to the ``noop`` sink, so
 the full plan executes JVM-side (scan -> shuffle -> agg/join/window)
@@ -269,8 +292,16 @@ def main() -> None:
     # read ~2x its steady state purely from running first). At 100 TB
     # both costs amortize to nothing, so the warm number is the one that
     # projects.
+    provision: dict[str, float] = {}
     for name in HEADLINE:
-        _run_once(queries[name].fn(spark, sf_dir))
+        start = time.perf_counter()
+        df = queries[name].fn(spark, sf_dir)
+        if name in LIFECYCLE:
+            # first-call fn time = true provisioning (store build,
+            # index backfill) — every later call hits the cached
+            # fixture, so only this number tracks build-cost drift.
+            provision[name] = round(time.perf_counter() - start, 3)
+        _run_once(df)
 
     # Pass 2: min of three timed runs per query — the steady-state plan
     # cost. A JVM GC nudge before each query keeps the previous query's
@@ -297,13 +328,16 @@ def main() -> None:
             phases[name] = {
                 "build": round(best[1], 3),
                 "serve": round(best[2], 3),
+                "provision": provision[name],
             }
 
+    # Detail line first (full breakdown), compact headline line LAST —
+    # the driver's stdout tail window keeps the end, so the final line
+    # must stay < 1 KB (pinned by test_bench_final_line_is_compact).
     print(
         json.dumps(
             {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
+                "metric": "headline_detail",
                 "unit": "sec",
                 "queries": timings,
                 "phases": phases,
@@ -311,6 +345,19 @@ def main() -> None:
             }
         )
     )
+    final = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": sf,
+            "queries_n": len(timings),
+            "detail": "see previous stdout line",
+        }
+    )
+    assert len(final.encode()) < 1024, len(final)
+    print(final)
 
 
 if __name__ == "__main__":

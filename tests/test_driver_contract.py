@@ -42,10 +42,13 @@ def test_queries_oracle_alignment():
     assert set(qs) - set(oracles) == set()
 
 
-def test_bench_emits_one_json_line():
-    """bench.py at sf0.001 prints exactly one JSON object with the
-    driver's expected keys (run in a subprocess: bench builds its own
-    session; ~40 s)."""
+def test_bench_final_line_is_compact():
+    """bench.py at sf0.001 prints a full detail line then a FINAL
+    compact (<1 KB) headline JSON line — the driver keeps only the
+    tail of stdout (~2.2 KB), so the last line must parse on its own
+    (round-11's single ever-growing line arrived truncated and the
+    official record was lost; VERDICT r11 task #1). Run in a
+    subprocess: bench builds its own session; ~40 s."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_SMALL, SPARK_GRAFT_CPUS="8")
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -57,19 +60,27 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]
-    assert len(lines) == 1, out.stdout
-    payload = json.loads(lines[0])
-    assert payload["unit"] == "sec" and payload["value"] > 0
-    assert set(payload) == {
-        "metric", "value", "unit", "queries", "phases", "sf",
-    }
-    assert payload["sf"] == 0.001
+    assert len(lines) == 2, out.stdout
+    # final line: valid JSON, < 1 KB, carries headline_total
+    assert len(lines[-1].encode()) < 1024, len(lines[-1].encode())
+    final = json.loads(lines[-1])
+    assert final["metric"] == "headline_total"
+    assert final["unit"] == "sec" and final["value"] > 0
+    assert final["sf"] == 0.001
+    assert final["queries_n"] > 0
+    # detail line: per-query timings + lifecycle phases
+    detail = json.loads(lines[0])
+    assert detail["metric"] == "headline_detail"
+    assert len(detail["queries"]) == final["queries_n"]
+    assert abs(sum(detail["queries"].values()) - final["value"]) < 0.05
     # round-11: lifecycle entries split into build/serve phases whose
-    # sum is the entry's recorded total (headline comparability)
-    assert payload["phases"], "lifecycle phases missing"
-    for name, ph in payload["phases"].items():
-        assert set(ph) == {"build", "serve"}, name
-        assert abs(ph["build"] + ph["serve"] - payload["queries"][name]) < 0.05, name
+    # sum is the entry's recorded total (headline comparability);
+    # round-12 adds the first-call provisioning cost separately.
+    assert detail["phases"], "lifecycle phases missing"
+    for name, ph in detail["phases"].items():
+        assert set(ph) == {"build", "serve", "provision"}, name
+        assert abs(ph["build"] + ph["serve"] - detail["queries"][name]) < 0.05, name
+        assert ph["provision"] >= 0, name
 
 
 def test_coverage_doc_counts_match_registry():
