@@ -2478,7 +2478,16 @@ def _pq_store_layout(root: str) -> dict:
     path = os.path.join(root, "layout.json")
     if os.path.exists(path):
         with open(path) as f:
-            return json.load(f)
+            layout = json.load(f)
+        if layout.get("kind", "pq") != "pq":
+            # Loud guard: running PQ-store maintenance (compact/retrain/
+            # probe) against another store family's root would rotate
+            # directories that family's readers still resolve by name —
+            # stale answers, then FileNotFound after the next GC.
+            raise ValueError(
+                f"{root} is a {layout['kind']!r} store, not a PQ store"
+            )
+        return layout
     return {"gen": 0, "books": "books", "codes": "codes", "prev": []}
 
 
@@ -2558,6 +2567,7 @@ def write_pq_store(
     _pq_write_layout(
         root,
         {
+            "kind": "pq",
             "gen": 0,
             "books": "books",
             "codes": "codes",
@@ -3144,12 +3154,91 @@ def _subspaces(df: DataFrame, vec_col: str, keep: list) -> DataFrame:
     )
 
 
+def _residual_store_layout(root: str) -> dict:
+    """The residual-IVFADC store's generation pointer. Unlike the PQ
+    store (single live dir per relation), ``assign``/``codes`` are
+    LISTS of directory names: each admitted batch stages BOTH its
+    relations into fresh unreferenced dirs and one atomic
+    ``layout.json`` swap publishes them together — a crash between the
+    two relation writes leaves only orphan dirs (swept by the next
+    writer), never an assign row without its code rows (which the ADC
+    inner join would silently drop) nor a retried batch double-counted
+    through the candidate fan-out. Absent, the legacy fixed names
+    apply (pre-pointer fixture builds). A ``kind`` mismatch is
+    rejected loudly — PQ-store maintenance run against this root must
+    not rotate directories the residual probe resolves by name."""
+    import json
+    import os
+
+    path = os.path.join(root, "layout.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            layout = json.load(f)
+        if layout.get("kind") != "residual_ivfpq":
+            raise ValueError(
+                f"{root} is a {layout.get('kind', 'pq')!r} store, "
+                "not a residual-IVFADC store"
+            )
+        return layout
+    return {
+        "kind": "residual_ivfpq",
+        "gen": 0,
+        "batches": 0,
+        "cents": "cents",
+        "books": "books",
+        "assign": ["assign"],
+        "codes": ["codes"],
+        "prev": [],
+    }
+
+
+def _sweep_residual_orphans(root: str, layout: dict) -> None:
+    """Under the writer lock: remove batch/generation dirs referenced
+    by neither the live layout nor its deferred-GC retention list
+    (crash leftovers from a torn append or compaction), and torn
+    ``layout.json.tmp.*`` publish staging files — the
+    :func:`~kt_sql_hbase_ex_spark.functions.text_index.compact_partitioned_store`
+    sweep discipline for the list-valued layout."""
+    import glob
+    import os
+    import shutil
+
+    referenced = (
+        set(layout["assign"]) | set(layout["codes"]) | set(layout["prev"])
+    )
+    for pattern in ("assign_b*", "codes_b*", "assign_g*", "codes_g*"):
+        for d in glob.glob(os.path.join(root, pattern)):
+            if os.path.basename(d) not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+    for f in glob.glob(os.path.join(root, "layout.json.tmp.*")):
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+
+
+def _union_read(spark: SparkSession, root: str, names: list) -> DataFrame:
+    """Read a list-valued layout relation as one DataFrame (per-dir
+    reads keep each dir's ``k=v`` partition columns; unionByName keeps
+    column-order drift harmless)."""
+    import functools
+    import os
+
+    return functools.reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(os.path.join(root, d)) for d in names],
+    )
+
+
 def ensure_ivfpq_residual_store(spark: SparkSession, sf_dir: str) -> str:
     """sim17's store: the sim14 layout (``cents``/``assign``) plus
     books and codes built over RESIDUALS — every vector's PQ sketch
     encodes ``x - centroid(cell(x))`` against books seeded from the
     K_CODES lowest vec_ids' residual subvectors. Same provisioning
-    discipline as every store fixture."""
+    discipline as every store fixture; v2 writes the kind-bearing
+    generation pointer at build so foreign-store maintenance is
+    rejected loudly from day one."""
+    import json
     import os
 
     from kt_sql_hbase_ex_spark.functions.text_index import (
@@ -3158,7 +3247,7 @@ def ensure_ivfpq_residual_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
     variant = (
-        f"ivfpq-residual|{N_CELLS}|{N_PROBE}|{M_SUB}x{D_SUB}k{K_CODES}"
+        f"ivfpq-residual-v2|{N_CELLS}|{N_PROBE}|{M_SUB}x{D_SUB}k{K_CODES}"
     )
 
     def build(staging: str) -> None:
@@ -3199,6 +3288,20 @@ def ensure_ivfpq_residual_store(spark: SparkSession, sf_dir: str) -> str:
         _pq_encode(rsub, books).repartition("m").write.partitionBy(
             "m"
         ).parquet(os.path.join(staging, "codes"))
+        with open(os.path.join(staging, "layout.json"), "w") as f:
+            json.dump(
+                {
+                    "kind": "residual_ivfpq",
+                    "gen": 0,
+                    "batches": 0,
+                    "cents": "cents",
+                    "books": "books",
+                    "assign": ["assign"],
+                    "codes": ["codes"],
+                    "prev": [],
+                },
+                f,
+            )
 
     return _build_once(_index_root(sf_dir, variant), build)
 
@@ -3212,16 +3315,22 @@ def probe_residual_ivfpq_store(
     scores each candidate through the (query, cell) distance table its
     assignment routes it to; the exact rerank tail is unchanged. Every
     stage reads persisted state; raw-vector I/O stays query- plus
-    shortlist-sized."""
+    shortlist-sized. All directories resolve through ONE layout
+    snapshot (the :func:`probe_pq_store` discipline), so a concurrent
+    append/compaction publishing mid-probe can't pair one relation's
+    old generation with another's new one."""
     import os
 
     from pyspark.sql import Window as W
 
+    layout = _residual_store_layout(root)
     batch = batch.localCheckpoint()
-    cent = spark.read.parquet(os.path.join(root, "cents")).localCheckpoint()
-    books = spark.read.parquet(os.path.join(root, "books"))
-    codes = spark.read.parquet(os.path.join(root, "codes"))
-    assign = spark.read.parquet(os.path.join(root, "assign"))
+    cent = spark.read.parquet(
+        os.path.join(root, layout["cents"])
+    ).localCheckpoint()
+    books = spark.read.parquet(os.path.join(root, layout["books"]))
+    codes = _union_read(spark, root, layout["codes"])
+    assign = _union_read(spark, root, layout["assign"])
     w_probe = W.partitionBy("query_id").orderBy(
         F.col("cc").desc(), F.col("cid")
     )
@@ -3411,20 +3520,37 @@ def append_residual_ivfpq_batch(
     as new files under the O_EXCL writer lock. Write ∝ batch; neither
     quantizer retrains on append (the sim09/sim16 discipline — the
     append≡rebuild test proves a grown store serves the identical
-    probe answers)."""
+    probe answers).
+
+    Atomicity: the two relations are STAGED into fresh batch dirs
+    (``assign_b{n}.{tag}``/``codes_b{n}.{tag}``) and published
+    together by one ``layout.json`` swap — a crash between the writes
+    (or between the writes and the publish) leaves only unreferenced
+    orphan dirs, swept by the next writer, never an assign row whose
+    missing code rows the ADC inner join would silently drop, nor a
+    retried batch whose duplicate assign rows would double-count
+    ``sum(dm)`` through the candidate fan-out join."""
     import os
+    import uuid as _uuid
 
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
     with _writer_lock(root):
-        cent = spark.read.parquet(os.path.join(root, "cents")).localCheckpoint()
-        books = spark.read.parquet(os.path.join(root, "books"))
+        layout = _residual_store_layout(root)
+        _sweep_residual_orphans(root, layout)
+        n = layout["batches"] + 1
+        tag = _uuid.uuid4().hex[:8]
+        adir, cdir = f"assign_b{n}.{tag}", f"codes_b{n}.{tag}"
+        cent = spark.read.parquet(
+            os.path.join(root, layout["cents"])
+        ).localCheckpoint()
+        books = spark.read.parquet(os.path.join(root, layout["books"]))
         assign = _assign_cells(vecs, cent).select(
             "vec_id", F.col("cell").alias("cid")
         ).localCheckpoint()  # consumed by the assign write AND residuals
-        assign.repartition("cid").write.mode("append").partitionBy(
-            "cid"
-        ).parquet(os.path.join(root, "assign"))
+        assign.repartition("cid").write.partitionBy("cid").parquet(
+            os.path.join(root, adir)
+        )
         resid = (
             assign.join(vecs, ["vec_id"])
             .join(F.broadcast(cent), ["cid"])
@@ -3432,6 +3558,59 @@ def append_residual_ivfpq_batch(
         )
         _pq_encode(_subspaces(resid, "rv", ["vec_id"]), books).repartition(
             "m"
-        ).write.mode("append").partitionBy("m").parquet(
-            os.path.join(root, "codes")
+        ).write.partitionBy("m").parquet(os.path.join(root, cdir))
+        _pq_write_layout(  # the single atomic publish of BOTH relations
+            root,
+            dict(
+                layout,
+                batches=n,
+                assign=layout["assign"] + [adir],
+                codes=layout["codes"] + [cdir],
+            ),
         )
+
+
+def compact_residual_ivfpq_store(spark: SparkSession, root: str) -> dict:
+    """Fold the residual store's accumulated per-batch dir pairs into
+    ONE new generation pair (``assign_g{gen}``/``codes_g{gen}``) —
+    answers unchanged, layout only; without this a standing admission
+    pipeline's layout list (and the probe's union fan-in) grows
+    without bound. Same discipline as every sibling fold: writer lock,
+    orphan sweep, atomic pointer publish, deferred GC (the generation
+    superseded by the PREVIOUS compaction is reclaimed now — two swaps
+    old, no reader can still resolve it)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        layout = _residual_store_layout(root)
+        _sweep_residual_orphans(root, layout)
+        gen = layout["gen"] + 1
+        tag = _uuid.uuid4().hex[:8]
+        adir, cdir = f"assign_g{gen}.{tag}", f"codes_g{gen}.{tag}"
+        _union_read(spark, root, layout["assign"]).repartition(
+            "cid"
+        ).write.partitionBy("cid").parquet(os.path.join(root, adir))
+        _union_read(spark, root, layout["codes"]).repartition(
+            "m"
+        ).write.partitionBy("m").parquet(os.path.join(root, cdir))
+        _pq_write_layout(
+            root,
+            dict(
+                layout,
+                gen=gen,
+                assign=[adir],
+                codes=[cdir],
+                prev=layout["assign"] + layout["codes"],
+            ),
+        )
+        for d in layout["prev"]:  # deferred GC of the pre-previous gen
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return {
+        "gen": gen,
+        "dirs_before": len(layout["assign"]) + len(layout["codes"]),
+        "dirs_after": 2,
+    }

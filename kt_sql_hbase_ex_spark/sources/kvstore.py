@@ -116,13 +116,35 @@ def _bloom_key_repr(key) -> str:
     different Python types must hash identically (the dataset-scan
     path this bloom fronts matches 5.0 == 5; a repr()-level mismatch
     would turn that into a FALSE NEGATIVE — an existing row reading
-    as absent). Integral floats collapse to their int repr; bool is
-    excluded from the numeric collapse (True is not rowkey 1)."""
+    as absent, which silently corrupts increment/CAS/append). The
+    codec covers every surface a key can arrive through — parquet
+    read (int/str, Decimal for decimal128, date/datetime for
+    temporals), caller-supplied spec (int/float/str), pandas/numpy
+    batch (numpy scalars): bool is excluded from the numeric collapse
+    (True is not rowkey 1); any other numeric coerces through
+    int-if-integral else float; temporals through isoformat; str and
+    bytes through repr. Unsupported types are REJECTED loudly at
+    build time (a silent repr could false-negative later) and answer
+    "might contain" at probe time (never lossy)."""
+    import datetime
+
     if isinstance(key, bool):
         return repr(key)
-    if isinstance(key, float) and key.is_integer():
-        return repr(int(key))
-    return repr(key)
+    if isinstance(key, (str, bytes)):
+        return repr(key)
+    if isinstance(key, int):
+        return repr(key)
+    if isinstance(key, (datetime.datetime, datetime.date)):
+        return key.isoformat()
+    try:  # float / Decimal / numpy scalar: collapse numeric equals
+        i = int(key)
+        if i == key:
+            return repr(i)
+        return repr(float(key))
+    except (TypeError, ValueError, OverflowError):
+        raise TypeError(
+            f"unsupported bloom key type {type(key).__name__}: {key!r}"
+        )
 
 
 def _bloom_hashes(key, m: int):
@@ -155,14 +177,27 @@ def _bloom_has(spec, key) -> bool:
     try:
         m_hex, bits_hex = spec.split(":")
         m, bits = int(m_hex, 16), int(bits_hex, 16)
-    except (AttributeError, ValueError):
+        return all((bits >> idx) & 1 for idx in _bloom_hashes(key, m))
+    except (AttributeError, ValueError, TypeError):
+        # torn spec OR a probe key the codec can't canonicalize:
+        # "might contain" falls back to reading the file — never lossy
         return True
-    return all((bits >> idx) & 1 for idx in _bloom_hashes(key, m))
 
 
-#: diagnostics of the LAST _multi_get_base call (tests pin the pruning;
-#: not part of any API contract)
-_MULTIGET_STATS: dict = {}
+#: diagnostics of the calling THREAD's last _multi_get_base call —
+#: thread-local so concurrent sessions/threads sharing the process
+#: can't interleave each other's numbers (tests pin the pruning via
+#: :func:`last_multiget_stats`; not part of any API contract)
+import threading as _threading
+
+_MULTIGET_STATS = _threading.local()
+
+
+def last_multiget_stats() -> dict:
+    """The calling thread's last :func:`_multi_get_base` diagnostics
+    (``files_read``/``regions_total``/...); empty if the thread has
+    not issued a multi-get yet."""
+    return getattr(_MULTIGET_STATS, "value", {})
 
 
 def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
@@ -181,10 +216,9 @@ def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    global _MULTIGET_STATS
     base_rows: dict = {}
     if not need:
-        _MULTIGET_STATS = {"files_read": 0, "regions_total": 0}
+        _MULTIGET_STATS.value = {"files_read": 0, "regions_total": 0}
         return base_rows
 
     def read_paths(paths):
@@ -205,11 +239,12 @@ def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
     if gen is None or not gen.get("regions"):
         # never-folded fixture (or fully-emptied generation): one base
         # relation, pruned by parquet row-group stats as before
-        _MULTIGET_STATS = {"files_read": 1, "regions_total": 1}
+        stats = {"files_read": 1, "regions_total": 1}
         if gen is None:
             read_paths([_resolve_base_path(opts)])
         else:
-            _MULTIGET_STATS["files_read"] = 0
+            stats["files_read"] = 0
+        _MULTIGET_STATS.value = stats
         return base_rows
 
     regions = gen["regions"]
@@ -226,7 +261,7 @@ def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
             skipped_bloom += 1
             continue
         paths.append(os.path.join(gen["dir"], regions[i]["file"]))
-    _MULTIGET_STATS = {
+    _MULTIGET_STATS.value = {
         "files_read": len(paths),
         "regions_total": len(regions),
         "regions_routed": len(per_region),

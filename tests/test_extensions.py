@@ -2509,6 +2509,56 @@ def test_residual_ivfpq_recall_not_below_raw(spark, sf_oracle):
     assert residual >= raw, (residual, raw)
 
 
+def _build_residual_store(spark, root, ids):
+    """The sim17 store shape built from an explicit corpus (seeds =
+    lowest vec_ids, same frozen rules as the fixture build) — the
+    LEGACY fixed-name layout, so these tests also cover the
+    no-layout.json default resolution path."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _assign_cells,
+        _pq_encode,
+        _residual,
+        _subspaces,
+    )
+
+    e = _pq_vecs(spark, ids)
+    cent = (
+        e.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .localCheckpoint()
+    )
+    cent.coalesce(1).write.parquet(os.path.join(root, "cents"))
+    assign = _assign_cells(e, cent).select(
+        "vec_id", F.col("cell").alias("cid")
+    )
+    assign.repartition("cid").write.partitionBy("cid").parquet(
+        os.path.join(root, "assign")
+    )
+    resid = (
+        spark.read.parquet(os.path.join(root, "assign"))
+        .join(e, ["vec_id"])
+        .join(F.broadcast(cent), ["cid"])
+        .select("vec_id", _residual("embedding", "cv").alias("rv"))
+    )
+    rsub = _subspaces(resid, "rv", ["vec_id"])
+    books = (
+        rsub.filter(F.col("vec_id") < 32)
+        .select(
+            "m",
+            F.col("vec_id").alias("code"),
+            F.col("sv").cast("array<double>").alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    books.coalesce(1).write.parquet(os.path.join(root, "books"))
+    _pq_encode(rsub, books).repartition("m").write.partitionBy("m").parquet(
+        os.path.join(root, "codes")
+    )
+
+
 def test_residual_ivfpq_append_equals_rebuild(spark):
     """The residual store's growth path: a batch admitted through
     append_residual_ivfpq_batch (frozen quantizer + frozen books)
@@ -2525,10 +2575,6 @@ def test_residual_ivfpq_append_equals_rebuild(spark):
     import pytest
 
     from kt_sql_hbase_ex_spark.functions.similarity import (
-        _assign_cells,
-        _pq_encode,
-        _residual,
-        _subspaces,
         append_residual_ivfpq_batch,
         probe_residual_ivfpq_store,
     )
@@ -2544,47 +2590,7 @@ def test_residual_ivfpq_append_equals_rebuild(spark):
     hist_ids = list(range(36))
     batch_ids = list(range(100, 108))
 
-    def build(root, ids):
-        # the sim17 store shape built from an explicit corpus (seeds =
-        # lowest vec_ids, same frozen rules as the fixture build)
-        e = _pq_vecs(spark, ids)
-        cent = (
-            e.orderBy("vec_id")
-            .limit(16)
-            .select(
-                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-            )
-            .localCheckpoint()
-        )
-        cent.coalesce(1).write.parquet(os.path.join(root, "cents"))
-        assign = _assign_cells(e, cent).select(
-            "vec_id", F.col("cell").alias("cid")
-        )
-        assign.repartition("cid").write.partitionBy("cid").parquet(
-            os.path.join(root, "assign")
-        )
-        resid = (
-            spark.read.parquet(os.path.join(root, "assign"))
-            .join(e, ["vec_id"])
-            .join(F.broadcast(cent), ["cid"])
-            .select("vec_id", _residual("embedding", "cv").alias("rv"))
-        )
-        rsub = _subspaces(resid, "rv", ["vec_id"])
-        books = (
-            rsub.filter(F.col("vec_id") < 32)
-            .select(
-                "m",
-                F.col("vec_id").alias("code"),
-                F.col("sv").cast("array<double>").alias("cv"),
-            )
-            .localCheckpoint()
-        )
-        books.coalesce(1).write.parquet(os.path.join(root, "books"))
-        _pq_encode(rsub, books).repartition("m").write.partitionBy(
-            "m"
-        ).parquet(os.path.join(root, "codes"))
-
-    build(grown, hist_ids)
+    _build_residual_store(spark, grown, hist_ids)
     before = {
         p: os.path.getmtime(p)
         for d in ("assign", "codes")
@@ -2598,7 +2604,7 @@ def test_residual_ivfpq_append_equals_rebuild(spark):
 
     # rebuilt twin: the batch present from the start — seeds identical
     # (hist holds the lowest 36 vec_ids, so cents/books freeze the same)
-    build(rebuilt, hist_ids + batch_ids)
+    _build_residual_store(spark, rebuilt, hist_ids + batch_ids)
 
     queries = _pq_vecs(spark, [500, 501]).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -2617,4 +2623,94 @@ def test_residual_ivfpq_append_equals_rebuild(spark):
     with _writer_lock(grown):
         with pytest.raises(IndexWriterConflict):
             append_residual_ivfpq_batch(spark, grown, _pq_vecs(spark, [200]))
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_residual_ivfpq_append_is_atomic(spark):
+    """The residual append's crash story (r11 advice, medium): both
+    relations stage into unreferenced batch dirs and ONE layout swap
+    publishes them — so (a) a torn append (orphan assign dir with no
+    published pointer) is INVISIBLE to the probe and swept by the next
+    writer, (b) a compaction folds the batch pairs into one generation
+    pair with answers unchanged and deferred GC, and (c) PQ-store
+    maintenance pointed at a residual root is rejected loudly instead
+    of rotating dirs the residual probe resolves by name."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _residual_store_layout,
+        append_residual_ivfpq_batch,
+        compact_pq_store,
+        compact_residual_ivfpq_store,
+        probe_residual_ivfpq_store,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kt_sql_test_rivfpq_atomic")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "store")
+
+    # reuse the sibling test's store shape: seeds = lowest vec_ids
+    hist_ids = list(range(36))
+    _build_residual_store(spark, root, hist_ids)
+    queries = _pq_vecs(spark, [500, 501]).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def snap(ids):
+        corpus = _pq_vecs(spark, ids)
+        return {
+            (r.query_id, r.neighbor_id, r.dist_micro, r.rnk)
+            for r in probe_residual_ivfpq_store(
+                spark, root, queries, corpus
+            ).collect()
+        }
+
+    baseline = snap(hist_ids)
+
+    # (a) simulate a crash between the two relation writes: an assign
+    # batch dir exists but no codes dir and no pointer publish. The
+    # probe must not see the torn batch (pre-fix, mode("append") into
+    # the live dir made these rows visible with no code rows — the ADC
+    # join dropped them silently; worse, sum(dm) double-counted on a
+    # retry).
+    torn = os.path.join(root, "assign_b1.deadbeef")
+    os.makedirs(os.path.join(torn, "cid=0"))
+    shutil.copy(
+        glob.glob(os.path.join(root, "assign", "cid=*", "*.parquet"))[0],
+        os.path.join(torn, "cid=0", "part-torn.parquet"),
+    )
+    assert snap(hist_ids) == baseline  # orphan invisible
+    assert _residual_store_layout(root)["batches"] == 0
+
+    # the retried batch sweeps the orphan and publishes exactly once
+    batch_ids = list(range(100, 108))
+    append_residual_ivfpq_batch(spark, root, _pq_vecs(spark, batch_ids))
+    assert not os.path.exists(torn), "orphan not swept"
+    layout = _residual_store_layout(root)
+    assert layout["batches"] == 1
+    assert len(layout["assign"]) == 2 and len(layout["codes"]) == 2
+    grown = snap(hist_ids + batch_ids)
+    assert {n for _, n, _, _ in grown} & set(batch_ids)
+
+    # (b) compaction: same answers, one generation pair, deferred GC
+    out = compact_residual_ivfpq_store(spark, root)
+    assert out["dirs_before"] == 4 and out["dirs_after"] == 2
+    layout = _residual_store_layout(root)
+    assert len(layout["assign"]) == 1 and len(layout["codes"]) == 1
+    assert snap(hist_ids + batch_ids) == grown
+    assert set(layout["prev"]), "superseded dirs must be GC-deferred"
+    compact_residual_ivfpq_store(spark, root)  # second fold GCs them
+    for d in layout["prev"]:
+        assert not os.path.exists(os.path.join(root, d))
+    assert snap(hist_ids + batch_ids) == grown
+
+    # (c) foreign-store maintenance rejected loudly
+    with pytest.raises(ValueError, match="not a PQ store"):
+        compact_pq_store(spark, root)
     shutil.rmtree(base, ignore_errors=True)

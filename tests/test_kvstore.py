@@ -4038,6 +4038,47 @@ class TestRegionBloom:
                 ).to_pylist():
                     assert _bloom_has(rg["bloom"], r["k"]), (ns, r["k"])
 
+    def test_bloom_key_codec_collapses_numeric_types(self):
+        """r11 advice: a key surfaced as Decimal/numpy scalar on one
+        side (parquet read) and int/float on the other (caller spec)
+        must hash IDENTICALLY — a repr-level mismatch is a bloom false
+        negative, which corrupts increment/CAS/append (an existing row
+        reads as absent and the count restarts from zero). Unsupported
+        types reject loudly at build and answer might-contain at
+        probe."""
+        import datetime
+        from decimal import Decimal
+
+        import numpy as np
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            _bloom_build,
+            _bloom_has,
+            _bloom_key_repr,
+        )
+
+        # numerically-equal keys collapse across every arrival surface
+        assert (
+            _bloom_key_repr(5)
+            == _bloom_key_repr(5.0)
+            == _bloom_key_repr(Decimal("5"))
+            == _bloom_key_repr(np.int64(5))
+            == _bloom_key_repr(np.float64(5.0))
+        )
+        assert _bloom_key_repr(5.5) == _bloom_key_repr(Decimal("5.5"))
+        # bool is NOT rowkey 1/0; temporals canonicalize via isoformat
+        assert _bloom_key_repr(True) != _bloom_key_repr(1)
+        assert _bloom_key_repr(datetime.date(2026, 8, 16)) == "2026-08-16"
+        # end-to-end: bloom built from parquet-side Decimals answers
+        # the caller's int probe (the corruption scenario, pinned)
+        spec = _bloom_build([Decimal("7"), Decimal("9")])
+        assert _bloom_has(spec, 7) and _bloom_has(spec, 9.0)
+        # unsupported type: loud at build, lossless at probe
+        with pytest.raises(TypeError):
+            _bloom_build([object()])
+        assert _bloom_has(spec, object()) is True
+
     def test_point_get_prunes_files(self, tmp_path):
         from kt_sql_hbase_ex_spark.sources import kvstore as kv
 
@@ -4049,8 +4090,8 @@ class TestRegionBloom:
         # present key: exactly the covering region file reads
         out = kv.increment_store(opts, [{"k": 50, "v": 1.0}])
         assert out[0]["v"] == 51.0
-        assert kv._MULTIGET_STATS["files_read"] == 1, kv._MULTIGET_STATS
-        assert kv._MULTIGET_STATS["regions_total"] > 1
+        assert kv.last_multiget_stats()["files_read"] == 1, kv.last_multiget_stats()
+        assert kv.last_multiget_stats()["regions_total"] > 1
 
         # absent key inside a region's key range: the bloom rejects it
         # and NO file reads (pick a deleted key whose bloom answer is
@@ -4071,7 +4112,7 @@ class TestRegionBloom:
         assert probe is not None
         out = kv.increment_store(opts, [{"k": probe, "v": 2.5}])
         assert out[0]["v"] == 2.5  # create-on-increment from zero
-        assert kv._MULTIGET_STATS["files_read"] == 0, kv._MULTIGET_STATS
+        assert kv.last_multiget_stats()["files_read"] == 0, kv.last_multiget_stats()
 
     def test_carried_regions_keep_blooms(self, tmp_path):
         from kt_sql_hbase_ex_spark.sources.kvstore import (
@@ -4125,7 +4166,7 @@ class TestMultiGet:
         rg = gen["regions"][max(0, _b.bisect_right(starts, 7) - 1)]
         if not kv._bloom_has(rg["bloom"], 7):  # ~98% of fixtures
             assert kv.get_store_rows(opts, [{"k": 7}]) == [None]
-            assert kv._MULTIGET_STATS["files_read"] == 0
+            assert kv.last_multiget_stats()["files_read"] == 0
 
     def test_get_validation_and_ttl(self, tmp_path):
         import pytest
