@@ -236,7 +236,7 @@ def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
                 base_rows[rk] = r
 
     gen = _resolve_generation(opts)
-    if gen is None or not gen.get("regions"):
+    if gen is None or not _gen_regions_n(gen):
         # never-folded fixture (or fully-emptied generation): one base
         # relation, pruned by parquet row-group stats as before
         stats = {"files_read": 1, "regions_total": 1}
@@ -247,25 +247,30 @@ def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
         _MULTIGET_STATS.value = stats
         return base_rows
 
-    regions = gen["regions"]
-    starts = [r["start"] for r in regions]
+    # route by start key (one manifest COLUMN), then materialize full
+    # manifest rows — file name + bloom — for ONLY the routed regions
+    # (row-group-pruned isin on a sharded manifest; at 400k regions a
+    # point get reads a handful of manifest row groups, never the list)
+    starts = _gen_region_starts(gen)
     per_region: dict[int, list] = {}
     for rk in need:
         i = max(0, bisect.bisect_right(starts, rk) - 1)
         per_region.setdefault(i, []).append(rk)
+    routed = _gen_region_meta(gen, sorted(per_region))
     paths = []
     skipped_bloom = 0
     for i, rks in sorted(per_region.items()):
-        bloom = regions[i].get("bloom")
+        bloom = routed[i].get("bloom")
         if bloom is not None and not any(_bloom_has(bloom, rk) for rk in rks):
             skipped_bloom += 1
             continue
-        paths.append(os.path.join(gen["dir"], regions[i]["file"]))
+        paths.append(os.path.join(gen["dir"], routed[i]["file"]))
     _MULTIGET_STATS.value = {
         "files_read": len(paths),
-        "regions_total": len(regions),
+        "regions_total": len(starts),
         "regions_routed": len(per_region),
         "regions_skipped_bloom": skipped_bloom,
+        "manifest_rows_loaded": len(routed),
     }
     read_paths(paths)
     return base_rows
@@ -2050,16 +2055,137 @@ def _base_fingerprint(opts) -> str:
     ).hexdigest()[:16]
 
 
+#: sharded region-manifest file inside the generation dir (underscore
+#: prefix: invisible to directory-level parquet scans of the dir)
+REGIONS_FILE = "_regions.parquet"
+
+#: rows per manifest row group — the isin-pushdown prune unit: a point
+#: get touching R regions materializes ceil(R / this) row groups of
+#: manifest metadata, never the whole file
+_REGIONS_ROW_GROUP = 1024
+
+
+class _GenManifest(dict):
+    """Pointer contents with the region list SHARDED out of the JSON
+    (round-12, r11 verdict task #2): the pointer names a
+    ``_regions.parquet`` inside the generation dir instead of inlining
+    one dict per region, so opening a store costs a small-constant
+    JSON read regardless of region count (at 400k regions the inline
+    form was ~250 MB of driver JSON per open). ``gen["regions"]``
+    still works everywhere — the list loads lazily on first access
+    (fold/snapshot/admin paths, which touch every region anyway); the
+    point-get hot path never triggers it, routing instead through
+    :func:`_gen_region_starts` (one column) +
+    :func:`_gen_region_meta` (row-group-pruned ``isin`` on the routed
+    indices only). Legacy inline pointers read exactly as before."""
+
+    def _load(self) -> list:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self["dir"], self["regions_file"]))
+        rows = table.to_pylist()
+        rows.sort(key=lambda r: r["idx"])
+        for r in rows:
+            del r["idx"]
+        return rows
+
+    def __getitem__(self, k):
+        if k == "regions" and not super().__contains__(k):
+            loaded = self._load()
+            super().__setitem__("regions", loaded)
+            return loaded
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k == "regions" and super().__contains__("regions_file"):
+            return self["regions"]
+        return super().get(k, default)
+
+
+def _gen_regions_n(gen: dict) -> int:
+    """Region count without materializing the manifest."""
+    if "regions_n" in gen:
+        return gen["regions_n"]
+    return len(gen.get("regions") or [])
+
+
+def _gen_region_starts(gen: dict) -> list:
+    """Every region's start key, in region order — ONE column of the
+    sharded manifest (8-ish bytes/region), or the inline list's starts
+    for legacy/cached pointers. This is the routing table: covering
+    region = last start <= key, which needs all starts but none of the
+    per-region payload (the blooms are the bulk of the metadata)."""
+    if dict.__contains__(gen, "regions") or "regions_file" not in gen:
+        return [r["start"] for r in (gen.get("regions") or [])]
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        os.path.join(gen["dir"], gen["regions_file"]), columns=["idx", "start"]
+    )
+    pairs = sorted(zip(table["idx"].to_pylist(), table["start"].to_pylist()))
+    return [s for _, s in pairs]
+
+
+def _gen_region_meta(gen: dict, idxs: list) -> dict:
+    """Full manifest rows (file/bloom/rows) for ONLY the routed region
+    indices — ``isin`` pushdown over the sharded manifest's ``idx``
+    column prunes untouched row groups, so a point get materializes
+    manifest metadata ∝ regions routed, not regions total."""
+    if dict.__contains__(gen, "regions") or "regions_file" not in gen:
+        regions = gen.get("regions") or []
+        return {i: regions[i] for i in idxs}
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(
+        os.path.join(gen["dir"], gen["regions_file"]), format="parquet"
+    )
+    out = {}
+    for r in ds.to_table(filter=pc.field("idx").isin(idxs)).to_pylist():
+        out[r.pop("idx")] = r
+    return out
+
+
+def _shard_region_manifest(pointer: dict, gen_dir: str) -> dict:
+    """Writer half: move ``pointer["regions"]`` into
+    ``<gen_dir>/_regions.parquet`` (idx-keyed, row-grouped so routed
+    reads prune) and leave ``regions_file``/``regions_n`` in the JSON.
+    Runs BEFORE the pointer flip — the flip stays the single atomic
+    commit; a crash in between leaves an unreferenced manifest inside
+    a generation dir the GC sweeps. An empty region list stays inline
+    (nothing to shard; keeps the zero-row sentinel path unchanged)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    regions = pointer.get("regions") or []
+    pointer = dict(pointer, regions_n=len(regions))
+    if not regions:
+        return pointer
+    rows = [dict(m, idx=i) for i, m in enumerate(regions)]
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(gen_dir, REGIONS_FILE),
+        row_group_size=_REGIONS_ROW_GROUP,
+    )
+    del pointer["regions"]
+    pointer["regions_file"] = REGIONS_FILE
+    return pointer
+
+
 def _resolve_generation(options) -> dict | None:
     """The live generation (pointer contents) or None when the store
-    still serves the pristine fixture base."""
+    still serves the pristine fixture base. Sharded-manifest pointers
+    come back as a lazy :class:`_GenManifest`."""
     import json
 
     try:
         with open(os.path.join(_gen_root(options), GEN_POINTER)) as f:
-            return json.load(f)
+            data = json.load(f)
     except (FileNotFoundError, ValueError):
         return None
+    if "regions_file" in data:
+        return _GenManifest(data)
+    return data
 
 
 def _gen_signature(options) -> list:
@@ -3308,6 +3434,9 @@ def _publish_generation(opts, snap, built, verify: bool) -> dict:
             "gen": snap["cur"]["gen"],
         }
     root = snap["root"]
+    # shard the region list into the generation dir BEFORE the flip —
+    # the pointer stays a small-constant JSON read at any region count
+    pointer = _shard_region_manifest(pointer, built["dir"])
     ptr_path = os.path.join(root, GEN_POINTER)
     tmp = f"{ptr_path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -3415,6 +3544,7 @@ def _publish_bulk_generation(
             "applied_seq": snap["cur"]["applied_seq"],
             "gen": snap["cur"]["gen"],
         }
+    pointer = _shard_region_manifest(pointer, built["dir"])
     ptr_path = os.path.join(snap["root"], GEN_POINTER)
     tmp = f"{ptr_path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:

@@ -4038,6 +4038,59 @@ class TestRegionBloom:
                 ).to_pylist():
                     assert _bloom_has(rg["bloom"], r["k"]), (ns, r["k"])
 
+    def test_sharded_region_manifest(self, tmp_path):
+        """r11 verdict task #2: the region list lives in a
+        ``_regions.parquet`` inside the generation dir, NOT inline in
+        the JSON pointer — opening a store is a small-constant JSON
+        read at any region count (the inline form was ~250 MB of
+        driver JSON per open at 400k regions). Pins: (a) the pointer
+        JSON carries no region dicts, (b) a point get materializes
+        manifest rows ∝ regions ROUTED (row-group-pruned isin), never
+        the whole list, (c) lazy ``gen["regions"]`` still serves the
+        fold/snapshot/admin paths, (d) answers unchanged."""
+        import json
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "blm_shard")  # n=100, region_size=16
+        self._put(opts, [{"k": 1, "v": 10.0}])
+        kv.compact_store(opts)
+
+        # (a) the pointer is region-free JSON naming the parquet shard
+        root = kv._gen_root(opts)
+        with open(os.path.join(root, kv.GEN_POINTER)) as f:
+            raw = json.load(f)
+        assert "regions" not in raw, "region list must not inline"
+        assert raw["regions_file"] == kv.REGIONS_FILE
+        assert raw["regions_n"] > 1
+        assert os.path.exists(os.path.join(raw["dir"], kv.REGIONS_FILE))
+
+        # (b) point get: manifest rows loaded == regions routed (1),
+        # strictly fewer than regions_total — the scale pin
+        out = kv.get_store_rows(opts, [{"k": 50}])
+        assert out[0] == {"k": 50, "v": 50.0}
+        stats = kv.last_multiget_stats()
+        assert stats["manifest_rows_loaded"] == 1, stats
+        assert stats["regions_routed"] == 1
+        assert stats["regions_total"] == raw["regions_n"] > 1
+
+        # (c) lazy full-list access (fold/snapshot paths) round-trips
+        gen = kv._resolve_generation(opts)
+        regions = gen["regions"]
+        assert len(regions) == raw["regions_n"]
+        assert regions == sorted(regions, key=lambda m: m["start"])
+        assert all(
+            set(m) >= {"file", "start", "rows", "bloom"} for m in regions
+        )
+        # starts column matches the full list's order
+        assert kv._gen_region_starts(gen) == [m["start"] for m in regions]
+
+        # (d) a second fold over the sharded generation reads/merges it
+        self._put(opts, [{"k": 2, "v": 22.0}])
+        st = kv.compact_store(opts)
+        assert st["compacted"]
+        assert kv.get_store_rows(opts, [{"k": 2}])[0]["v"] == 22.0
+
     def test_bloom_key_codec_collapses_numeric_types(self):
         """r11 advice: a key surfaced as Decimal/numpy scalar on one
         side (parquet read) and int/float on the other (caller spec)
