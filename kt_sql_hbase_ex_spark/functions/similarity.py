@@ -3614,3 +3614,191 @@ def compact_residual_ivfpq_store(spark: SparkSession, root: str) -> dict:
         "dirs_before": len(layout["assign"]) + len(layout["codes"]),
         "dirs_after": 2,
     }
+
+
+# --- sim18: FILTERED ANN (predicate + vector search) --------------------
+
+#: the metadata predicate sim18 serves: label ∈ this set (~20% of the
+#: corpus) — the RAG/curation retrieval shape (filter by language /
+#: source / date, then top-k)
+SIM18_LABELS = (3, 7)
+
+
+def ensure_filtered_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """sim18's store — the sim14 IVFADC layout with the filterable
+    METADATA riding in the cell-partitioned membership: ``assign/``
+    rows are (vec_id, label, cid=) instead of (vec_id, cid=), so a
+    metadata predicate lands in the assign scan as a parquet pushed
+    filter and candidates are label-pruned BEFORE any ADC work — the
+    production filtered-search layout (attribute columns stored
+    alongside the inverted-list entries)."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.text_index import (
+        _build_once,
+        _index_root,
+    )
+
+    variant = f"ivfpq-filtered|{N_CELLS}|{N_PROBE}|{M_SUB}x{D_SUB}k{K_CODES}"
+
+    def build(staging: str) -> None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding", "label"
+        )
+        write_pq_store(
+            spark, staging, e.select("vec_id", "embedding"), train=False
+        )
+        cent = (
+            e.filter(F.col("vec_id") < N_CELLS)
+            .select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            )
+            .localCheckpoint()
+        )
+        cent.coalesce(1).write.parquet(os.path.join(staging, "cents"))
+        _assign_cells(e.select("vec_id", "embedding"), cent).join(
+            e.select("vec_id", "label"), ["vec_id"]
+        ).select("vec_id", "label", F.col("cell").alias("cid")).repartition(
+            "cid"
+        ).write.partitionBy("cid").parquet(os.path.join(staging, "assign"))
+
+    return _build_once(_index_root(sf_dir, variant), build)
+
+
+def probe_filtered_ivfpq_store(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    vectors: DataFrame,
+    predicate,
+) -> DataFrame:
+    """Filtered IVFADC probe: queries probe their N_PROBE cells as in
+    :func:`probe_ivfpq_store`, but the candidate read applies the
+    metadata ``predicate`` DIRECTLY on the cell-partitioned membership
+    scan (parquet pushdown — plan-pinned in tests), so only predicate
+    survivors reach the integer ADC and the exact rerank. Filter-first
+    beats post-filtering the unfiltered top-k (which returns < k or
+    misses matching neighbors the unfiltered shortlist crowded out —
+    the recall test pins non-losing); work ∝ probed-cell survivors."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    batch = batch.localCheckpoint()
+    cent = spark.read.parquet(os.path.join(root, "cents"))
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("cc").desc(), F.col("cid")
+    )
+    probes = (
+        batch.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            F.round(_cosine_spark("qv", "cv"), 6).alias("cc"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    assign = spark.read.parquet(os.path.join(root, "assign")).filter(
+        predicate
+    )
+    cand = (
+        assign.join(F.broadcast(probes), ["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return probe_pq_store(spark, root, batch, vectors, cand=cand)
+
+
+@query(
+    "sim18_filtered_ann",
+    oracle=f"""
+    WITH {_SIM13_SUB_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_SIM14_COS_EC}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_SIM14_COS_EC}, 6) DESC, cent.cid) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id IN {QUERY_VEC_IDS}) t
+        WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid
+        JOIN lab ON lab.vec_id = a.vec_id AND lab.label IN {SIM18_LABELS}
+        WHERE a.vec_id <> p.query_id
+    ),
+    qdt AS (
+        SELECT s.vec_id AS query_id, s.m, cb.code,
+               CAST(ROUND({_L2_SQL.format(a="s.sv", b="cb.cv")} * 1000000)
+                    AS BIGINT) AS dm
+        FROM sub s JOIN cb ON cb.m = s.m
+        WHERE s.vec_id IN {QUERY_VEC_IDS}
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                       ORDER BY SUM(q.dm), cand.neighbor_id) AS srn
+            FROM cand
+            JOIN codes c ON c.vec_id = cand.neighbor_id
+            JOIN qdt q ON q.query_id = cand.query_id
+                      AND q.m = c.m AND q.code = c.code
+            GROUP BY cand.query_id, cand.neighbor_id) t
+        WHERE srn <= {SHORTLIST}
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")} * 1000000)
+                    AS BIGINT) AS dist_micro
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.query_id
+        JOIN e ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist_micro, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — metadata predicate + vector search composed, the
+    production retrieval shape every RAG/curation pipeline hits
+    (filter by language/source/date, THEN top-k). Pre-filtering inside
+    the index beats post-filtering the unfiltered top-k: the naive
+    form returns fewer than k results (or none) whenever the
+    unfiltered shortlist is crowded with non-matching neighbors — the
+    recall test pins sim18 non-losing against exact filtered ground
+    truth vs that baseline. Mechanics: the sim14 IVFADC stack with the
+    label column stored ALONGSIDE the cell-partitioned membership
+    (:func:`ensure_filtered_ivfpq_store`), so the predicate lands in
+    the membership scan as a parquet PushedFilter (plan-pinned) and
+    only survivors reach the integer ADC and the shortlist rerank.
+    Scale: candidate work ∝ probed-cell predicate survivors — a
+    selective predicate makes filtered search CHEAPER than unfiltered,
+    the property attribute-partitioned production indexes are built
+    for; the oracle replays predicate-then-rank declaratively."""
+    root = ensure_filtered_ivfpq_store(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return probe_filtered_ivfpq_store(
+        spark, root, batch, e, F.col("label").isin(*SIM18_LABELS)
+    )

@@ -2714,3 +2714,67 @@ def test_residual_ivfpq_append_is_atomic(spark):
     with pytest.raises(ValueError, match="not a PQ store"):
         compact_pq_store(spark, root)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_filtered_ann_recall_vs_filtered_exact(spark, sf_oracle):
+    """sim18 (predicate pushed into the membership scan, ADC over
+    survivors) vs exact filtered ground truth (brute-force L2 top-k
+    restricted to the predicate): filter-FIRST must not lose to the
+    naive post-filter of the unfiltered sim14 top-k — the naive form
+    returns fewer than k whenever non-matching neighbors crowd the
+    unfiltered shortlist, which is exactly why production filtered
+    search pre-filters inside the index. Also pins an absolute
+    floor."""
+    from pyspark.sql import Window as W
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        QUERY_VEC_IDS,
+        SIM18_LABELS,
+        TOP_K,
+        _dot_spark,
+        sim14_ivfpq_probe,
+        sim18_filtered_ann,
+    )
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim18_filtered_ann(spark, sf_oracle).collect()
+    }
+    e = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    survivors = e.filter(F.col("label").isin(*SIM18_LABELS))
+    l2 = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "embedding")
+        + _dot_spark("embedding", "embedding")
+    )
+    scored = q.join(survivors, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("d")
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("d", 6), "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+
+    # the naive baseline: unfiltered sim14 top-k, post-filtered
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in e.select("vec_id", "label").collect()
+    }
+    naive = {
+        (qid, nid)
+        for r in sim14_ivfpq_probe(spark, sf_oracle).collect()
+        for qid, nid in [(r["query_id"], r["neighbor_id"])]
+        if labels[nid] in SIM18_LABELS
+    }
+    naive_recall = len(naive & exact) / len(exact)
+    assert recall >= naive_recall, (recall, naive_recall)
+    assert recall >= 0.5, f"filtered ANN recall {recall:.2%}"

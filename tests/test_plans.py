@@ -943,3 +943,25 @@ def test_pq_store_probe_reads_persisted_tables(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
     live_codes = os.path.basename(_pq_codes_dir(root))
     assert live_codes in plan, (live_codes, plan)
+
+
+def test_filtered_ann_predicate_pushes_into_membership_scan(spark, sf_small):
+    """sim18's contract: the metadata predicate lands in the
+    cell-partitioned membership FileScan as a parquet PushedFilter
+    (In(label, ...)) — candidates are label-pruned at the storage
+    layer before any ADC work, never by a post-scan filter over the
+    whole membership; and the composed plan stays broadcast-joined
+    with no cartesian product."""
+    import re
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        sim18_filtered_ann,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(sim18_filtered_ann(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the assign/ scan must carry the label filter in PushedFilters
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(label" in p or "EqualTo(label" in p for p in pushed), plan
