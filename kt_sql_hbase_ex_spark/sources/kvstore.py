@@ -200,7 +200,9 @@ def last_multiget_stats() -> dict:
     return getattr(_MULTIGET_STATS, "value", {})
 
 
-def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
+def _multi_get_base(
+    opts, need: dict, key_cols, columns, collect_all: bool = False
+) -> dict:
     """Point MULTI-GET against the base/generation files — the HBase
     client ``Get`` path (round-11, the per-HFile ROW-bloom analog,
     ``hbase/HBaseTable.kt:44-48`` server-side-filter intent): each
@@ -233,7 +235,10 @@ def _multi_get_base(opts, need: dict, key_cols, columns) -> dict:
         for r in ds.to_table(filter=flt, columns=list(columns)).to_pylist():
             rk = _rowkey_of(r, key_cols)
             if rk in need:  # composite isin is a superset: exact-match
-                base_rows[rk] = r
+                if collect_all:  # versioned keys: several rows per key
+                    base_rows.setdefault(rk, []).append(r)
+                else:
+                    base_rows[rk] = r
 
     gen = _resolve_generation(opts)
     if gen is None or not _gen_regions_n(gen):
@@ -777,7 +782,9 @@ def _log_seqs(log_dir: str) -> List[int]:
     )
 
 
-def _append_changelog(options, rows: list, key_cols, footer_meta=None) -> int:
+def _append_changelog(
+    options, rows: list, key_cols, footer_meta=None, extra_cols=None
+) -> int:
     """Append one commit's mutations as the next numbered log file.
 
     ``rows`` are the batch's PER-KEY FINAL mutations (same-batch
@@ -793,8 +800,11 @@ def _append_changelog(options, rows: list, key_cols, footer_meta=None) -> int:
     — ATOMIC with the claim, since the linked tmp file is fully written
     first; the bulk-load marker rides here so no reader can ever see
     the claimed entry without its marker (a sidecar alone would leave a
-    write-order race window). Returns the claimed sequence number (the
-    overlay records it as applied_seq)."""
+    write-order race window). ``extra_cols`` appends int64 metadata
+    columns to the entry schema (round-12: versioned stores' ``__ts``
+    rides in every WAL entry so replicas and recovery replay version
+    state exactly). Returns the claimed sequence number (the overlay
+    records it as applied_seq)."""
     import uuid
 
     import pyarrow as pa
@@ -805,6 +815,7 @@ def _append_changelog(options, rows: list, key_cols, footer_meta=None) -> int:
     base = pq.read_schema(os.path.realpath(opts["path"]))
     schema = pa.schema(
         [pa.field(c, base.field(c).type) for c in columns]
+        + [pa.field(x, pa.int64()) for x in (extra_cols or [])]
         + [pa.field(TOMBSTONE, pa.bool_()), pa.field(SEQ_COL, pa.int64())],
         metadata={
             k.encode(): v.encode() for k, v in (footer_meta or {}).items()
@@ -824,6 +835,7 @@ def _append_changelog(options, rows: list, key_cols, footer_meta=None) -> int:
         while True:
             tbl = pa.Table.from_pylist(
                 [{**{c: r.get(c) for c in columns},
+                  **{x: r.get(x) for x in (extra_cols or [])},
                   TOMBSTONE: bool(r.get(TOMBSTONE)), SEQ_COL: seq}
                  for r in out],
                 schema=schema,
@@ -850,6 +862,7 @@ def delete_from_store(options, keys) -> None:
     import pyarrow.parquet as pq
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    _reject_versioned(opts, "delete_from_store")
     # the whole read-merge-publish cycle runs under the overlay lock:
     # concurrent writers serialize, so the applied-seq watermark always
     # reflects exactly the commits the published overlay contains
@@ -924,6 +937,13 @@ def get_store_rows(options, keys: list) -> list:
             raise ValueError(
                 f"get is missing key column(s) {missing}: {spec!r}"
             )
+    if _versions_of(opts) > 1:
+        # versioned store: the Get serves the newest live version
+        # (same masked/capped semantics as get_kv_versions at depth 1)
+        return [
+            {c: v[0].get(c) for c in columns} if v else None
+            for v in get_kv_versions(opts, keys, max_versions=1)
+        ]
     cutoff = _ttl_cutoff(opts)
     ttl_col = opts.get("ttlcolumn")
 
@@ -985,6 +1005,7 @@ def increment_store(options, increments: list) -> list:
     import pyarrow.dataset as pads
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    _reject_versioned(opts, "increment_store")
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     if not increments:
@@ -1132,6 +1153,7 @@ def check_and_mutate_store(options, mutations: list) -> list:
     import pyarrow.dataset as pads
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    _reject_versioned(opts, "check_and_mutate_store")
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     if not mutations:
@@ -1274,6 +1296,7 @@ def append_store(options, appends: list) -> list:
     import pyarrow.dataset as pads
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    _reject_versioned(opts, "append_store")
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     if not appends:
@@ -1380,6 +1403,290 @@ def append_store(options, appends: list) -> list:
     return out_rows
 
 
+# --- cell-level VERSIONS (round-12, r11 verdict task #4) ----------------
+#
+# The HBase ``setMaxVersions`` / time-range-Get analog — the last
+# widely-used HBase primitive the substrate didn't model. The reference
+# reads latest-only through its scans (``hbase/HBaseTable.kt:241-262``)
+# but rides on a versioned substrate: every Put carries a timestamp,
+# a cell keeps up to N timestamped versions, reads serve the newest,
+# ``Get.setTimeRange``/``setMaxVersions`` serve history, and compaction
+# physically prunes beyond N. Model here: a store opened with
+# ``versions=N`` (N >= 2) keys its overlay and generation rows by
+# (rowkey, __ts) instead of rowkey — a Put APPENDS a version (client-
+# supplied logical timestamp, the ``Put(row, ts)`` form — deterministic,
+# oracle-replayable), a Delete writes a masking tombstone (hides every
+# version at-or-below its ts, the HBase Delete-row marker), reads cap
+# at N (HBase read-time maxVersions), and the FOLD physically rewrites
+# each key to its newest N live versions and drops the tombstones it
+# applied (major-compaction semantics — safe because the fold always
+# rewrites the key's WHOLE state). WAL entries carry __ts as a column,
+# so crash recovery and replicas replay version state exactly.
+#
+# Scale: version rows are ordinary region-file rows — the fold, bloom,
+# and point-get routing machinery is unchanged except that region
+# chunks respect KEY BOUNDARIES (a key's versions never straddle two
+# regions, or the start-key routing would miss the earlier slice).
+# Writers that merge by bare rowkey (increment/CAS/append/bulk/as-of)
+# reject versioned stores loudly rather than corrupt version state.
+
+#: version-timestamp column carried by versioned overlays, WAL entries,
+#: and folded region files (HBase cell timestamp)
+VERSION_TS = "__ts"
+
+
+def _versions_of(options) -> int:
+    """Max versions the store retains (the ``versions`` option);
+    1 = the unversioned default (every pre-round-12 store)."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    n = int(opts.get("versions", "1"))
+    if n < 1:
+        raise ValueError(f"versions must be >= 1: {n}")
+    return n
+
+
+def _reject_versioned(opts, what: str) -> None:
+    """Loud guard for paths whose bare-rowkey merge would corrupt
+    version state (collapse N versions to one, or replay last-wins
+    where versioned replay differs)."""
+    if _versions_of(opts) > 1:
+        raise ValueError(
+            f"{what} is not supported on a versioned store "
+            f"(versions={_versions_of(opts)}): use the versioned API "
+            "(put_kv_versions / delete_kv_versions / get_kv_versions)"
+        )
+
+
+def _vkey(row: dict, key_cols) -> tuple:
+    """Versioned merge key: (rowkey, version timestamp)."""
+    return (_rowkey_of(row, key_cols), int(row[VERSION_TS]))
+
+
+def _mask_and_cap(versions: list, n: int, min_ts=None, max_ts=None) -> list:
+    """HBase read semantics over one key's raw version rows (puts and
+    tombstones, any order): the newest tombstone masks every version
+    at-or-below its ts; survivors sort newest-first and cap at the
+    store's N (versions beyond N are gone even if a wider time range
+    asks — the HBase maxVersions contract); the optional
+    ``[min_ts, max_ts]`` time range filters AFTER the cap."""
+    tomb = max(
+        (int(r[VERSION_TS]) for r in versions if r.get(TOMBSTONE)),
+        default=None,
+    )
+    by_ts: dict = {}
+    for r in versions:  # later entries (overlay over base) win per ts
+        if not r.get(TOMBSTONE):
+            by_ts[int(r[VERSION_TS])] = r
+    live = [
+        r for ts, r in by_ts.items() if tomb is None or ts > tomb
+    ]
+    live.sort(key=lambda r: -int(r[VERSION_TS]))
+    live = live[:n]
+    if min_ts is not None:
+        live = [r for r in live if int(r[VERSION_TS]) >= min_ts]
+    if max_ts is not None:
+        live = [r for r in live if int(r[VERSION_TS]) <= max_ts]
+    return live
+
+
+def _versioned_overlay_rows(opts) -> list:
+    """The committed overlay's raw version rows (puts + tombstones,
+    each with __ts); [] when no overlay exists."""
+    import pyarrow.parquet as pq
+
+    opath = overlay_path(opts)
+    if not os.path.exists(opath):
+        return []
+    return pq.read_table(opath).to_pylist()
+
+
+def _commit_versioned(opts, batch: list) -> None:
+    """Shared commit tail for versioned Put/Delete: WAL entry first
+    (rows carry __ts), then the overlay publish keyed (rowkey, __ts) —
+    the delete_from_store write-ahead discipline with the versioned
+    merge key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key_cols = tuple(opts["keycol"].split(","))
+    merged = {
+        _vkey(r, key_cols): r for r in _versioned_overlay_rows(opts)
+    }
+    for r in batch:
+        merged[_vkey(r, key_cols)] = r
+    rows = sorted(merged.values(), key=lambda r: _vkey(r, key_cols))
+    applied = _append_changelog(
+        opts, batch, key_cols, extra_cols=[VERSION_TS]
+    )
+    opath = overlay_path(opts)
+    tmp = opath + ".tmp"
+    pq.write_table(_stamp_applied(pa.Table.from_pylist(rows), applied), tmp)
+    os.replace(tmp, opath)
+    _invalidate_dependent_indexes(opts)
+
+
+def put_kv_versions(options, rows: list) -> None:
+    """Versioned HBase Put: each row carries the store columns plus an
+    explicit ``__ts`` (client logical timestamp — the ``Put(row, ts)``
+    form; deterministic so oracles replay it). The version APPENDS —
+    existing versions of the key are untouched (same key + same ts
+    overwrites that one version, HBase's behavior). One call = one
+    atomic commit = one WAL entry carrying the timestamps."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    n = _versions_of(opts)
+    if n < 2:
+        raise ValueError("put_kv_versions requires a versions>=2 store")
+    if opts.get("ttlcolumn") or opts.get("indexon"):
+        raise ValueError("versioned stores do not compose with TTL/index")
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)
+        batch = []
+        for r in rows:
+            if r.get(VERSION_TS) is None:
+                raise ValueError(f"versioned put requires __ts: {r!r}")
+            if any(r.get(k) is None for k in key_cols):
+                raise ValueError("rowkey must not be null")
+            batch.append(
+                {
+                    **{c: r.get(c) for c in columns},
+                    VERSION_TS: int(r[VERSION_TS]),
+                    TOMBSTONE: False,
+                }
+            )
+        if batch:
+            _commit_versioned(opts, batch)
+
+
+def delete_kv_versions(options, keys: list, ts: int) -> None:
+    """Versioned HBase Delete: writes a masking tombstone at ``ts`` per
+    key — every version at-or-below ``ts`` reads as absent; a LATER Put
+    (higher ts) revives the key. The fold applies and then drops the
+    tombstone (major-compaction semantics)."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    if _versions_of(opts) < 2:
+        raise ValueError("delete_kv_versions requires a versions>=2 store")
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    with _overlay_lock(opts):
+        _recover_overlay_locked(opts)
+        batch = []
+        for k in keys:
+            kt = k if isinstance(k, tuple) else (k,)
+            if len(kt) != len(key_cols):
+                raise ValueError(
+                    f"delete key arity {len(kt)} != PK width "
+                    f"{len(key_cols)}: {k!r}"
+                )
+            row = {c: None for c in columns}
+            for col, v in zip(key_cols, kt):
+                row[col] = v
+            row[VERSION_TS] = int(ts)
+            row[TOMBSTONE] = True
+            batch.append(row)
+        if batch:
+            _commit_versioned(opts, batch)
+
+
+def _versioned_base_versions(opts, need: dict) -> dict:
+    """Base/generation version rows for the needed rowkeys — the
+    bloom- and range-pruned :func:`_multi_get_base` route with
+    ``collect_all`` (a versioned key has several rows per region
+    file). Pristine (never-folded) fixture rows read as version ts=0,
+    the pre-versioning state every HBase cell starts from."""
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    folded = _resolve_generation(opts) is not None
+    cols = columns + [VERSION_TS] if folded else columns
+    got = _multi_get_base(opts, need, key_cols, cols, collect_all=True)
+    out: dict = {}
+    for rk, rows in got.items():
+        out[rk] = [
+            dict(r, **{VERSION_TS: int(r.get(VERSION_TS, 0) or 0)})
+            for r in rows
+        ]
+    return out
+
+
+def _versioned_key_versions(opts, need: dict) -> dict:
+    """rowkey -> raw version rows (base ∪ overlay, unmasked) for the
+    needed keys; callers apply :func:`_mask_and_cap`."""
+    key_cols = tuple(opts["keycol"].split(","))
+    state = _versioned_base_versions(opts, need)
+    for r in _versioned_overlay_rows(opts):
+        rk = _rowkey_of(r, key_cols)
+        if rk in need:
+            state.setdefault(rk, []).append(r)
+    return state
+
+
+def get_kv_versions(
+    options, keys: list, min_ts=None, max_ts=None, max_versions=None
+) -> list:
+    """Versioned HBase Get: per input key, the key's live version
+    history newest-first — masked by tombstones, capped at the store's
+    N (and ``max_versions``), optionally time-ranged
+    (``Get.setTimeRange(min_ts, max_ts)``, both bounds inclusive).
+    Each version is a row dict with its ``__ts``. Same pruned read
+    path as :func:`get_store_rows` (bloom + start-key routed, overlay
+    merged, WAL-recovered first)."""
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    n = _versions_of(opts)
+    if n < 2:
+        raise ValueError("get_kv_versions requires a versions>=2 store")
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    recover_overlay(opts)
+    need = {}
+    order = []
+    for k in keys:
+        missing = [c for c in key_cols if c not in k]
+        if missing:
+            raise ValueError(f"get key missing PK column(s) {missing}: {k!r}")
+        rk = _rowkey_of(k, key_cols)
+        need[rk] = {c: k[c] for c in key_cols}
+        order.append(rk)
+    state = _versioned_key_versions(opts, need)
+    cap = n if max_versions is None else min(n, int(max_versions))
+    out = []
+    for rk in order:
+        live = _mask_and_cap(state.get(rk, []), cap, min_ts, max_ts)
+        out.append(
+            [
+                {**{c: r.get(c) for c in columns}, VERSION_TS: int(r[VERSION_TS])}
+                for r in live
+            ]
+        )
+    return out
+
+
+def _versioned_latest_rows(opts) -> list:
+    """Every key's newest live version (no __ts) — what a scan of a
+    versioned store serves (the reference's latest-only read,
+    ``hbase/HBaseTable.kt:241-262``). Full-view read: base/generation
+    rows plus the overlay, grouped per key, masked and capped."""
+    import pyarrow.parquet as pq
+
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    n = _versions_of(opts)
+    state: dict = {}
+    base = _resolve_base_path(opts)
+    folded = _resolve_generation(opts) is not None
+    for r in pq.read_table(base).to_pylist():
+        row = dict(r, **{VERSION_TS: int(r.get(VERSION_TS, 0) or 0)})
+        state.setdefault(_rowkey_of(row, key_cols), []).append(row)
+    for r in _versioned_overlay_rows(opts):
+        state.setdefault(_rowkey_of(r, key_cols), []).append(r)
+    out = []
+    for rk in sorted(state):
+        live = _mask_and_cap(state[rk], n)
+        if live:
+            out.append({c: live[0].get(c) for c in columns})
+    return out
+
+
 #: rowkey of a secondary-index entry: indexed value, then the base
 #: rowkey zero-padded so the string sort equals the numeric sort —
 #: the classic HBase composite index-rowkey encoding
@@ -1482,7 +1789,10 @@ def _open_store(options) -> KVStore:
         overlay_sig = (ost.st_mtime_ns, ost.st_size)
     except FileNotFoundError:
         overlay_sig = None
-    config_key = (path, opath, key_col, columns, region_size, index_on)
+    versioned = _versions_of(options) > 1
+    config_key = (
+        path, opath, key_col, columns, region_size, index_on, versioned
+    )
     # the generation pointer is part of the store's content identity:
     # a fold replaces the base the reader must scan. The TTL cutoff
     # rides in the SIGNATURE, not the key: a moving wall-clock cutoff
@@ -1501,6 +1811,25 @@ def _open_store(options) -> KVStore:
     # invariant above would silently break)
     for k in [k for k in _STORE_CACHE if not os.path.exists(k[0])]:
         del _STORE_CACHE[k]
+    if versioned:
+        # versions=N store: scans serve each key's newest live version
+        # (the reference's latest-only read over a versioned substrate,
+        # hbase/HBaseTable.kt:241-262); history reads go through
+        # get_kv_versions. TTL/secondary-index do not compose.
+        if index_on or options.get("ttlcolumn"):
+            raise ValueError(
+                "versioned stores do not compose with TTL/index"
+            )
+        opts_l = {k.lower(): v for k, v in dict(options).items()}
+        store = KVStore(
+            f"kv:{path}",
+            _pyspark_schema_for(path, columns),
+            key_col,
+            _versioned_latest_rows(opts_l),
+            region_size=region_size,
+        )
+        _STORE_CACHE[config_key] = (signature, store)
+        return store
     store = load_kv_store_from_parquet(
         f"kv:{path}", _resolve_base_path(options), key_col, columns,
         region_size=region_size,
@@ -1603,6 +1932,7 @@ class KVUpsertWriter(DataSourceWriter):
         import pyarrow.parquet as pq
 
         opts = {k.lower(): v for k, v in dict(self._options).items()}
+        _reject_versioned(opts, "connector Put (use put_kv_versions)")
         # read-merge-publish under the overlay lock — see
         # delete_from_store: serialized writers keep the applied-seq
         # watermark exact under concurrency (round-7 review finding)
@@ -1973,17 +2303,29 @@ def _recover_overlay_locked(opts) -> int:
     opath = overlay_path(opts)
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
+    versioned = _versions_of(opts) > 1
+    # versioned stores key the overlay by (rowkey, __ts): replay
+    # UPSERTS each logged version row (puts AND masking tombstones) —
+    # the WAL carries __ts, so recovered state is exactly what the
+    # crashed commit published (round-12)
+    mkey = (
+        (lambda r: (_rowkey_of(r, key_cols), int(r[VERSION_TS])))
+        if versioned
+        else (lambda r: _rowkey_of(r, key_cols))
+    )
     merged: dict = {}
     if os.path.exists(opath):
         for r in pq.read_table(opath).to_pylist():
-            merged[_rowkey_of(r, key_cols)] = r
+            merged[mkey(r)] = r
     log_dir = changelog_dir(opts)
     for q in todo:
         for r in pq.read_table(os.path.join(log_dir, f"{q:08d}.parquet")).to_pylist():
             row = {c: r[c] for c in columns}
+            if versioned:
+                row[VERSION_TS] = int(r[VERSION_TS])
             row[TOMBSTONE] = bool(r[TOMBSTONE])
-            merged[_rowkey_of(row, key_cols)] = row
-    rows = sorted(merged.values(), key=lambda r: _rowkey_of(r, key_cols))
+            merged[mkey(row)] = row
+    rows = sorted(merged.values(), key=mkey)
     tbl = _stamp_applied(pa.Table.from_pylist(rows), head)
     tmp = opath + ".tmp"
     pq.write_table(tbl, tmp)
@@ -2504,6 +2846,14 @@ def _build_generation(
 
     new_dir = os.path.join(snap["root"], f"gen.{uuid.uuid4().hex[:12]}")
     os.makedirs(new_dir)
+
+    if _versions_of(opts) > 1:
+        # versioned store: full driver-side rewrite — every key folds
+        # to its newest N live versions, masking tombstones applied
+        # then physically dropped (HBase major-compaction semantics;
+        # safe because the key's WHOLE state rewrites here)
+        return _build_versioned_generation(opts, snap, new_dir)
+
     regions_meta: list = []
     rewritten = carried = merged = split = 0
     distributed = False
@@ -2747,6 +3097,105 @@ def _build_generation(
         "merged": merged,
         "split": split,
         "distributed": distributed,
+    }
+
+
+def _version_chunks(rows: list, key_cols, region_size: int) -> list:
+    """Region chunks that respect KEY boundaries — a key's version
+    rows must land in ONE region file, or the point-get's start-key
+    routing (last region with start <= key) would miss the versions
+    that spilled into the previous chunk."""
+    import itertools
+
+    chunks: list = []
+    cur: list = []
+    for _, grp in itertools.groupby(
+        rows, key=lambda r: _rowkey_of(r, key_cols)
+    ):
+        g = list(grp)
+        if cur and len(cur) + len(g) > region_size:
+            chunks.append(cur)
+            cur = []
+        cur.extend(g)
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _build_versioned_generation(opts, snap, new_dir: str) -> dict:
+    """Rewrite phase for a versioned store: merge the current base
+    state (folded generation rows carrying ``__ts``; the pristine
+    fixture reads as version ts=0) with the overlay's version rows,
+    apply tombstone masking, keep each key's newest N versions, and
+    write key-bounded region files whose schema is the store columns
+    plus ``__ts``. Driver-side full rewrite (no incremental pruning or
+    distribution — versioned stores are point-lookup/history state,
+    not bulk-ingest fixtures; the loud bulk/asof guards document the
+    boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key_cols = snap["key_cols"]
+    columns = snap["columns"]
+    region_size = snap["region_size"]
+    n = _versions_of(opts)
+    base_sch = pq.read_schema(snap["fixture"])
+    schema = pa.schema(
+        [pa.field(c, base_sch.field(c).type) for c in columns]
+        + [pa.field(VERSION_TS, pa.int64())]
+    )
+    cur = snap["cur"]
+    src = cur["dir"] if cur else snap["fixture"]
+    state: dict = {}
+    # pyarrow dir reads skip underscore-prefixed files, so the sharded
+    # region manifest never reads as data
+    for r in pq.read_table(src).to_pylist():
+        row = dict(r, **{VERSION_TS: int(r.get(VERSION_TS, 0) or 0)})
+        state.setdefault(_rowkey_of(row, key_cols), []).append(row)
+    for r in snap["overlay_rows"]:
+        state.setdefault(_rowkey_of(r, key_cols), []).append(r)
+    rows: list = []
+    for rk in sorted(state):
+        live = _mask_and_cap(state[rk], n)
+        rows.extend(sorted(live, key=lambda r: -int(r[VERSION_TS])))
+    regions_meta: list = []
+    for j, chunk in enumerate(_version_chunks(rows, key_cols, region_size)):
+        name = f"region-{j:05d}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {
+                        **{c: r.get(c) for c in columns},
+                        VERSION_TS: int(r[VERSION_TS]),
+                    }
+                    for r in chunk
+                ],
+                schema=schema,
+            ),
+            os.path.join(new_dir, name),
+        )
+        chunk_keys = [_rowkey_of(r, key_cols) for r in chunk]
+        regions_meta.append(
+            {
+                "file": name,
+                "start": chunk_keys[0],
+                "rows": len(chunk),
+                "bloom": _bloom_build(sorted(set(chunk_keys))),
+            }
+        )
+    if not regions_meta:
+        pq.write_table(
+            pa.Table.from_pylist([], schema=schema),
+            os.path.join(new_dir, "region-empty.parquet"),
+        )
+    return {
+        "dir": new_dir,
+        "regions": regions_meta,
+        "rewritten": len(regions_meta),
+        "carried": 0,
+        "merged": 0,
+        "split": 0,
+        "distributed": False,
     }
 
 
@@ -3654,6 +4103,7 @@ def bulk_load_store(
     from pyspark.sql import functions as F
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    _reject_versioned(opts, "bulk_load_store")
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
     if set(df.columns) != set(columns):
@@ -4281,6 +4731,17 @@ def load_kv_store_from_parquet(
     this simulates the *external* HBase cluster that already holds the
     data; it is store provisioning, not part of any query plan)."""
     import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=list(columns))
+    rows = tbl.to_pylist()
+    schema = _pyspark_schema_from_arrow(tbl.schema, columns)
+    return KVStore(name, schema, key_col, rows, region_size=region_size)
+
+
+def _pyspark_schema_from_arrow(arrow, columns: Sequence[str]) -> StructType:
+    """Spark StructType for ``columns`` from an arrow schema — shared
+    by the fixture bootstrap (which reads files OR directories) and
+    the versioned latest-view store build."""
     from pyspark.sql.types import (
         BooleanType,
         DoubleType,
@@ -4302,16 +4763,21 @@ def load_kv_store_from_parquet(
         "timestamp[ns]": TimestampType(),
         "bool": BooleanType(),
     }
-    tbl = pq.read_table(parquet_path, columns=list(columns))
-    arrow = tbl.schema
-    rows = tbl.to_pylist()
-    schema = StructType(
+    return StructType(
         [
             StructField(c, type_map[str(arrow.field(c).type)], True)
             for c in columns
         ]
     )
-    return KVStore(name, schema, key_col, rows, region_size=region_size)
+
+
+def _pyspark_schema_for(parquet_path: str, columns: Sequence[str]) -> StructType:
+    """Spark StructType for ``columns`` from a parquet FILE's footer
+    (no data read) — the versioned store build's schema source (the
+    pristine fixture is always a single file)."""
+    import pyarrow.parquet as pq
+
+    return _pyspark_schema_from_arrow(pq.read_schema(parquet_path), columns)
 
 
 CUSTOMER_KV_COLUMNS = "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment"
@@ -5663,6 +6129,7 @@ def read_store_asof(spark, options, seq: int):
     from pyspark.sql import functions as F
 
     opts = {k.lower(): v for k, v in dict(options).items()}
+    _reject_versioned(opts, "read_store_asof")
     key_cols = opts["keycol"].split(",")
     columns = opts["columns"].split(",")
     # anchor resolution: the RETAINED generations — the live one plus,
@@ -6509,4 +6976,122 @@ def src19_kv_mutation_mix(spark, sf_dir: str):
         F.min("c_custkey").alias("min_key"),
         exact_sum("c_acctbal").alias("total_bal"),
         F.sum(F.length("c_name")).cast("bigint").alias("total_name_len"),
+    )
+
+
+_SRC20_V1_HI = 30    # ts=10 put reaches custkeys 1..30
+_SRC20_V2_HI = 20    # ts=20 put reaches 1..20
+_SRC20_DEL_HI = 10   # ts=25 tombstone masks 1..10
+_SRC20_V3_HI = 15    # ts=30 put (post-delete revive) reaches 1..15
+_SRC20_V4_LO, _SRC20_V4_HI = 5, 8  # ts=40 post-FOLD put
+_SRC20_PROBE_HI = 35  # history read covers 1..35 (31..35 = base-only)
+_SRC20_N = 3         # store retains 3 versions per cell
+
+
+@query(
+    "src20_kv_versioned_cells",
+    oracle=f"""
+    WITH vers AS (
+        SELECT c_custkey, 0 AS ts, c_name, c_acctbal FROM customer
+        WHERE c_custkey BETWEEN 1 AND {_SRC20_PROBE_HI}
+        UNION ALL
+        SELECT i, 10, 'v1', 111.25 FROM generate_series(1, {_SRC20_V1_HI}) t(i)
+        UNION ALL
+        SELECT i, 20, 'v2', 222.5 FROM generate_series(1, {_SRC20_V2_HI}) t(i)
+        UNION ALL
+        SELECT i, 30, 'v3', 333.75 FROM generate_series(1, {_SRC20_V3_HI}) t(i)
+        UNION ALL
+        SELECT i, 40, 'v4', 444.0
+        FROM generate_series({_SRC20_V4_LO}, {_SRC20_V4_HI}) t(i)
+    ),
+    masked AS (
+        SELECT * FROM vers
+        WHERE NOT (c_custkey <= {_SRC20_DEL_HI} AND ts <= 25)
+    ),
+    ranked AS (
+        SELECT c_custkey, ts, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY ts DESC) AS rnk
+        FROM masked
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(ts AS BIGINT) AS ts,
+           c_name, c_acctbal, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_SRC20_N}
+    """,
+)
+def src20_kv_versioned_cells(spark, sf_dir: str):
+    """Cell-level VERSIONS — the HBase ``setMaxVersions``/time-range-Get
+    analog (round-12), the last widely-used HBase primitive the
+    substrate didn't model: the reference reads latest-only
+    (``hbase/HBaseTable.kt:241-262``) but rides on a versioned
+    substrate where every Put carries a timestamp and a cell keeps up
+    to N versions. The fixture opens customer as a ``versions=3``
+    store and drives the full lifecycle: timestamped Put waves at
+    ts=10/20 (client-supplied logical timestamps — the ``Put(row,ts)``
+    form, deterministic so the oracle replays them), a masking DELETE
+    tombstone at ts=25 (hides every version at-or-below it), a
+    reviving Put at ts=30, a FOLD (physically prunes each key to its
+    newest 3 live versions and drops applied tombstones —
+    major-compaction semantics, pinned in TestVersions), and a
+    post-fold Put at ts=40 over the versioned generation. The returned
+    relation is the VERSION HISTORY of custkeys 1..{_SRC20_PROBE_HI}
+    through ``get_kv_versions`` (the HBase ``Get.setMaxVersions``
+    read: masked, newest-first, capped at N; served through the same
+    bloom- and start-key-routed point-get path as every Get); the
+    oracle replays mask-then-rank-then-cap declaratively. WAL entries
+    carry ``__ts`` so crash recovery and replicas replay version state
+    exactly (property-checked in test_versioned_store_model). Scale:
+    version rows are ordinary region-file rows — fold, bloom, and
+    routing machinery unchanged except that region chunks respect key
+    boundaries (a key's versions never straddle two regions)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kt_sql_hbase_ex_spark.sources.catalog import table_path
+
+    register_kv_source(spark)
+    path = table_path(sf_dir, "customer")
+    opts = {
+        "path": path,
+        "keyCol": "c_custkey",
+        "columns": "c_custkey,c_name,c_acctbal",
+        "regionSize": "64",
+        "versions": str(_SRC20_N),
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    def wave(hi, ts, name, bal, lo=1):
+        put_kv_versions(
+            lopts,
+            [
+                {"c_custkey": k, "c_name": name, "c_acctbal": bal,
+                 VERSION_TS: ts}
+                for k in range(lo, hi + 1)
+            ],
+        )
+
+    wave(_SRC20_V1_HI, 10, "v1", 111.25)
+    wave(_SRC20_V2_HI, 20, "v2", 222.5)
+    delete_kv_versions(lopts, list(range(1, _SRC20_DEL_HI + 1)), ts=25)
+    wave(_SRC20_V3_HI, 30, "v3", 333.75)
+    stats = compact_store(lopts)
+    assert stats["compacted"], stats
+    wave(_SRC20_V4_HI, 40, "v4", 444.0, lo=_SRC20_V4_LO)
+
+    probes = [{"c_custkey": k} for k in range(1, _SRC20_PROBE_HI + 1)]
+    hist = get_kv_versions(lopts, probes)
+    rows = [
+        (
+            int(p["c_custkey"]),
+            int(h[VERSION_TS]),
+            h["c_name"],
+            float(h["c_acctbal"]),
+            i + 1,
+        )
+        for p, versions in zip(probes, hist)
+        for i, h in enumerate(versions)
+    ]
+    return spark.createDataFrame(
+        rows, "c_custkey long, ts long, c_name string, c_acctbal double, rnk long"
     )

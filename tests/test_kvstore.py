@@ -4271,3 +4271,198 @@ def test_bloom_numeric_key_type_equivalence(tmp_path, spark):
     # and the increment path accumulates instead of resetting
     got = kv.increment_store(opts, [{"k": 50.0, "v": 1.0}])
     assert got[0]["v"] == 51.0
+
+
+class TestVersions:
+    """Round-12 (r11 verdict task #4): cell-level VERSIONS — the HBase
+    ``setMaxVersions``/time-range-Get analog. A ``versions=N`` store
+    appends timestamped versions on Put, masks with tombstones on
+    Delete, serves the newest live version to scans and point Gets,
+    serves history through ``get_kv_versions`` (masked, capped at N,
+    time-rangeable), physically prunes beyond N at fold, and carries
+    ``__ts`` in every WAL entry so crash recovery replays version
+    state exactly. Bare-rowkey writers reject versioned stores
+    loudly."""
+
+    def _store(self, tmp_path, ns, n=20, versions=3, region_size=8):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+        base = os.path.join(str(tmp_path), f"vbase_{ns}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(range(n), pa.int64()),
+                    "v": pa.array([float(i) for i in range(n)], pa.float64()),
+                }
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keycol": "k",
+            "columns": "k,v",
+            "regionsize": str(region_size),
+            "versions": str(versions),
+            "appid": ns,
+        }
+        truncate_overlay(opts)
+        return opts
+
+    def test_put_read_history_and_latest(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "v1")
+        # three timestamped versions of k=5 (base fixture row is ts=0)
+        kv.put_kv_versions(opts, [{"k": 5, "v": 50.0, "__ts": 10}])
+        kv.put_kv_versions(
+            opts,
+            [{"k": 5, "v": 51.0, "__ts": 20}, {"k": 6, "v": 60.0, "__ts": 20}],
+        )
+        # latest: point Get and scan agree
+        assert kv.get_store_rows(opts, [{"k": 5}])[0] == {"k": 5, "v": 51.0}
+        latest = {r["k"]: r["v"] for r in kv._open_store(opts).rows}
+        assert latest[5] == 51.0 and latest[6] == 60.0 and latest[7] == 7.0
+        # history: newest-first, capped at N=3 (base ts=0 still visible)
+        hist = kv.get_kv_versions(opts, [{"k": 5}])[0]
+        assert [(h["__ts"], h["v"]) for h in hist] == [
+            (20, 51.0), (10, 50.0), (0, 5.0),
+        ]
+        # a fourth version pushes the oldest out of the N-window
+        kv.put_kv_versions(opts, [{"k": 5, "v": 52.0, "__ts": 30}])
+        hist = kv.get_kv_versions(opts, [{"k": 5}])[0]
+        assert [(h["__ts"], h["v"]) for h in hist] == [
+            (30, 52.0), (20, 51.0), (10, 50.0),
+        ]
+        # time-range Get filters AFTER the cap (HBase: pruned versions
+        # are gone even if the range asks for them)
+        ranged = kv.get_kv_versions(opts, [{"k": 5}], min_ts=5, max_ts=20)[0]
+        assert [(h["__ts"], h["v"]) for h in ranged] == [(20, 51.0), (10, 50.0)]
+        # same key + same ts overwrites THAT version (HBase semantics)
+        kv.put_kv_versions(opts, [{"k": 5, "v": 99.0, "__ts": 30}])
+        assert kv.get_kv_versions(opts, [{"k": 5}])[0][0]["v"] == 99.0
+
+    def test_delete_masks_and_put_revives(self, tmp_path):
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "v2")
+        kv.put_kv_versions(opts, [{"k": 3, "v": 30.0, "__ts": 10}])
+        kv.delete_kv_versions(opts, [3], ts=15)
+        # masked: every version at-or-below ts=15 reads absent
+        assert kv.get_store_rows(opts, [{"k": 3}]) == [None]
+        assert kv.get_kv_versions(opts, [{"k": 3}]) == [[]]
+        assert 3 not in {r["k"] for r in kv._open_store(opts).rows}
+        # a LATER put revives; masked history stays hidden
+        kv.put_kv_versions(opts, [{"k": 3, "v": 33.0, "__ts": 20}])
+        assert kv.get_store_rows(opts, [{"k": 3}])[0] == {"k": 3, "v": 33.0}
+        hist = kv.get_kv_versions(opts, [{"k": 3}])[0]
+        assert [(h["__ts"], h["v"]) for h in hist] == [(20, 33.0)]
+
+    def test_fold_prunes_beyond_n_and_preserves_answers(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "v3")
+        for ts in (10, 20, 30, 40):  # 4 versions + base ts=0; N=3
+            kv.put_kv_versions(opts, [{"k": 2, "v": 2.0 + ts, "__ts": ts}])
+        kv.delete_kv_versions(opts, [4], ts=10)
+        before_hist = kv.get_kv_versions(opts, [{"k": 2}, {"k": 4}])
+        before_latest = {r["k"]: r["v"] for r in kv._open_store(opts).rows}
+
+        st = kv.compact_store(opts)
+        assert st["compacted"]
+
+        # answers unchanged across the fold
+        assert kv.get_kv_versions(opts, [{"k": 2}, {"k": 4}]) == before_hist
+        assert {
+            r["k"]: r["v"] for r in kv._open_store(opts).rows
+        } == before_latest
+        # physical prune: k=2 keeps exactly N=3 version rows on disk,
+        # k=4's masked row and its tombstone are gone
+        gen = kv._resolve_generation(opts)
+        rows = []
+        for rg in gen["regions"]:
+            rows += pq.read_table(
+                os.path.join(gen["dir"], rg["file"])
+            ).to_pylist()
+        k2 = sorted(r["__ts"] for r in rows if r["k"] == 2)
+        assert k2 == [20, 30, 40]
+        assert not [r for r in rows if r["k"] == 4]
+        # a key's versions never straddle region files (routing safety)
+        for rg in gen["regions"]:
+            keys_in = {
+                r["k"]
+                for r in pq.read_table(
+                    os.path.join(gen["dir"], rg["file"])
+                ).to_pylist()
+            }
+            for other in gen["regions"]:
+                if other["file"] != rg["file"]:
+                    other_keys = {
+                        r["k"]
+                        for r in pq.read_table(
+                            os.path.join(gen["dir"], other["file"])
+                        ).to_pylist()
+                    }
+                    assert not keys_in & other_keys
+        # post-fold writes and reads keep working (gen rows carry __ts)
+        kv.put_kv_versions(opts, [{"k": 2, "v": 999.0, "__ts": 50}])
+        hist = kv.get_kv_versions(opts, [{"k": 2}])[0]
+        assert [(h["__ts"], h["v"]) for h in hist] == [
+            (50, 999.0), (40, 42.0), (30, 32.0),
+        ]
+        st2 = kv.compact_store(opts)  # second fold over a versioned gen
+        assert st2["compacted"]
+        assert kv.get_store_rows(opts, [{"k": 2}])[0]["v"] == 999.0
+
+    def test_wal_carries_ts_and_replays_exactly(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "v4")
+        kv.put_kv_versions(opts, [{"k": 1, "v": 11.0, "__ts": 10}])
+        kv.delete_kv_versions(opts, [1], ts=12)
+        kv.put_kv_versions(opts, [{"k": 1, "v": 13.0, "__ts": 14}])
+        want_hist = kv.get_kv_versions(opts, [{"k": 1}])
+        want_latest = kv.get_store_rows(opts, [{"k": 1}])
+
+        # every WAL entry carries the version timestamp column
+        log_dir = kv.changelog_dir(opts)
+        for f in sorted(glob.glob(os.path.join(log_dir, "*.parquet"))):
+            t = pq.read_table(f)
+            assert "__ts" in t.schema.names, f
+        # crash simulation: lose the overlay, recover purely from WAL
+        os.unlink(kv.overlay_path(opts))
+        n = kv.recover_overlay(opts)
+        assert n == 3
+        assert kv.get_kv_versions(opts, [{"k": 1}]) == want_hist
+        assert kv.get_store_rows(opts, [{"k": 1}]) == want_latest
+
+    def test_bare_rowkey_writers_reject_versioned(self, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "v5")
+        with pytest.raises(ValueError, match="versioned store"):
+            kv.delete_from_store(opts, [1])
+        with pytest.raises(ValueError, match="versioned store"):
+            kv.increment_store(opts, [{"k": 1, "v": 1.0}])
+        with pytest.raises(ValueError, match="versioned store"):
+            kv.append_store(opts, [{"k": 1, "v": 1.0}])
+        with pytest.raises(ValueError, match="versioned store"):
+            kv.KVUpsertWriter(opts).commit(
+                [kv.KVWriteMessage([{"k": 1, "v": 1.0}])]
+            )
+        # and the versioned writers reject unversioned stores
+        plain = TestDistributedFold._store(self, tmp_path, "v5p")
+        with pytest.raises(ValueError, match="versions>=2"):
+            kv.put_kv_versions(plain, [{"k": 1, "v": 1.0, "__ts": 1}])

@@ -1230,3 +1230,139 @@ def test_wal_fold_prune_timetravel_model(spark, tmp_path, ops):
     if retained and retained[0] > 1 and changelog_floor(opts) > 0:
         with _pytest.raises(ValueError):
             read_store_asof(spark, opts, retained[0] - 1)
+
+
+_TS = st.integers(min_value=1, max_value=40)
+
+_v_ops = st.lists(
+    st.one_of(
+        # versioned Put: one commit of 1-3 (key, value, ts) cells
+        st.tuples(
+            st.just("put"),
+            st.lists(st.tuples(KEYS, VALS, _TS), min_size=1, max_size=3),
+        ),
+        # versioned Delete: one masking tombstone at ts
+        st.tuples(st.just("del"), st.tuples(KEYS, _TS)),
+        # fold: physically prunes beyond N, applies + drops tombstones
+        st.tuples(st.just("fold"), st.just(None)),
+        # crash: lose the overlay, recover purely from the WAL (whose
+        # entries carry __ts — replayed state must be exact)
+        st.tuples(st.just("crash"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ops=_v_ops)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_versioned_store_model(tmp_path, ops):
+    """Round-12: the versioned-cells story as ONE property — any
+    interleaving of timestamped Puts, masking Deletes, folds, and
+    WAL-recovery crashes over a ``versions=N`` store must agree with a
+    pure-Python model at every step: the point Get serves the newest
+    live version, ``get_kv_versions`` serves the masked history capped
+    at N, and a fold changes nothing observable EXCEPT the documented
+    HBase major-compaction wrinkle (tombstones are applied then
+    dropped, so a LATER put with an older timestamp is no longer
+    masked) — which the model reproduces by collapsing each key to its
+    capped live versions at fold time."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+    N = 3
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(str(tmp_path), f"vmodel_{tag}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "v": pa.array([], pa.float64()),
+            }
+        ),
+        base,
+    )
+    opts = {
+        "path": base,
+        "keycol": "k",
+        "columns": "k,v",
+        "regionsize": "4",
+        "versions": str(N),
+        "appid": tag,
+    }
+    kv.truncate_overlay(opts)
+
+    # model: key -> {"puts": {ts: v}, "tomb": max tombstone ts or None}
+    model: dict = {}
+
+    def live(k):
+        m = model.get(k)
+        if not m:
+            return []
+        out = [
+            (ts, v)
+            for ts, v in m["puts"].items()
+            if m["tomb"] is None or ts > m["tomb"]
+        ]
+        out.sort(key=lambda p: -p[0])
+        return out[:N]
+
+    def check(touched):
+        ks = sorted(set(touched))[:4] + [10**6]
+        got_latest = kv.get_store_rows(opts, [{"k": k} for k in ks])
+        got_hist = kv.get_kv_versions(opts, [{"k": k} for k in ks])
+        for k, latest, hist in zip(ks, got_latest, got_hist):
+            want = live(k)
+            assert [(h["__ts"], h["v"]) for h in hist] == want, (k, hist)
+            if want:
+                assert latest == {"k": k, "v": want[0][1]}, (k, latest)
+            else:
+                assert latest is None, (k, latest)
+
+    dirty = False
+    for kind, arg in ops:
+        if kind == "put":
+            kv.put_kv_versions(
+                opts,
+                [{"k": k, "v": float(v), "__ts": ts} for k, v, ts in arg],
+            )
+            for k, v, ts in arg:
+                m = model.setdefault(k, {"puts": {}, "tomb": None})
+                m["puts"][ts] = float(v)
+            dirty = True
+            check([k for k, _, _ in arg])
+        elif kind == "del":
+            k, ts = arg
+            kv.delete_kv_versions(opts, [k], ts=ts)
+            m = model.setdefault(k, {"puts": {}, "tomb": None})
+            m["tomb"] = max(ts, m["tomb"] or 0)
+            dirty = True
+            check([k])
+        elif kind == "crash":
+            opath = kv.overlay_path(opts)
+            if os.path.exists(opath):
+                os.unlink(opath)
+            kv.recover_overlay(opts)
+            check(list(model))
+        else:  # fold
+            out = kv.compact_store(opts)
+            assert out["compacted"] is dirty
+            if out["compacted"]:
+                # major-compaction collapse: capped live versions
+                # survive, tombstones are gone
+                for k in list(model):
+                    model[k] = {"puts": dict(live(k)), "tomb": None}
+                dirty = False
+            check(list(model))
