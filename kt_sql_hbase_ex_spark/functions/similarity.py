@@ -2713,13 +2713,31 @@ def maybe_retrain_pq_store(
     root: str,
     vecs: DataFrame,
     growth_factor: float = 2.0,
+    min_recall: float | None = None,
+    sample_mod: int | None = None,
+    sample_res: int | None = None,
 ) -> dict | None:
-    """Size-TRIGGERED retrain: rotate the books only when the live
-    corpus has grown past ``growth_factor`` x the size the books were
-    trained on (appended vectors quantize against books that never
-    saw them — bounded drift is fine, unbounded drift degrades ADC).
-    The check is a driver-side parquet-footer read; under threshold
-    not even the lock is taken."""
+    """Retrain trigger for the standing PQ store — two independent
+    signals, size then recall:
+
+    * SIZE (round-11): rotate the books when the live corpus has grown
+      past ``growth_factor`` x the size the books were trained on
+      (appended vectors quantize against books that never saw them —
+      bounded drift is fine, unbounded drift degrades ADC). Driver-side
+      parquet-footer read; under threshold not even the lock is taken.
+    * RECALL (round-12, r11 verdict task #5): with ``min_recall`` set,
+      a size-quiet store still MEASURES — recall@top-k of the live
+      probe against exact ground truth on the deterministic query
+      sample (the sim12/sim19 readout) — and retrains when the
+      measurement drops below the floor. This is the trigger that
+      catches distribution drift the size heuristic can't see (same
+      row count, worse books). Costs one sampled probe + one
+      batch x corpus ground truth per call — schedule it like the
+      sim12 readout, not per-commit.
+
+    Returns the retrain stats dict tagged with ``trigger`` (and
+    ``measured_recall`` for the recall path), or None when neither
+    signal fires."""
     layout = _pq_store_layout(root)
     trained = layout.get("trained_rows")
     if trained is None:
@@ -2727,9 +2745,23 @@ def maybe_retrain_pq_store(
         # compare growth against — do NOT silently pay a full
         # retrain per call; an explicit retrain_pq_store records one
         return None
-    if _pq_codes_rows(root) < growth_factor * max(1, trained):
-        return None
-    return retrain_pq_store(spark, root, vecs)
+    if _pq_codes_rows(root) >= growth_factor * max(1, trained):
+        return dict(retrain_pq_store(spark, root, vecs), trigger="size")
+    if min_recall is not None:
+        measured = measure_pq_recall(
+            spark,
+            root,
+            vecs,
+            sample_mod if sample_mod is not None else SIM19_MOD,
+            sample_res if sample_res is not None else SIM19_RES,
+        )
+        if measured < min_recall:
+            return dict(
+                retrain_pq_store(spark, root, vecs),
+                trigger="recall",
+                measured_recall=measured,
+            )
+    return None
 
 
 def _exact_rerank(
@@ -3802,3 +3834,219 @@ def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_filtered_ivfpq_store(
         spark, root, batch, e, F.col("label").isin(*SIM18_LABELS)
     )
+
+
+# --- sim19: recall readout + recall-drift retrain for the PQ store -----
+
+#: deterministic query sample for the PQ recall readout (the sim12
+#: discipline: the readout runs on a sampled query set; this residue
+#: class is ~6% of the corpus)
+SIM19_MOD, SIM19_RES = 16, 5
+
+
+def recall_vs_exact(
+    spark: SparkSession,
+    approx: DataFrame,
+    batch: DataFrame,
+    vectors: DataFrame,
+    phase: str,
+) -> DataFrame:
+    """One readout row (phase, n_queries, hits, possible, recall):
+    ``approx`` (query_id, neighbor_id) scored against the exact
+    brute-force L2 top-{TOP_K} ground truth over ``vectors`` — the
+    sim12 recall arithmetic generalized to any probe's output. The
+    ground truth is batch x corpus (a GRADING artifact; at 100 TB the
+    readout runs on a sampled query set exactly as here)."""
+    from pyspark.sql import Window as W
+
+    nv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    l2x = (
+        _dot_spark("qv", "qv")
+        - 2 * _dot_spark("qv", "nv")
+        + _dot_spark("nv", "nv")
+    )
+    w_ex = W.partitionBy("query_id").orderBy(
+        F.round(l2x, 6), F.col("neighbor_id")
+    )
+    exact = (
+        batch.join(nv, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+            F.count("*").alias("possible"),
+        )
+        .select(
+            F.lit(phase).alias("phase"),
+            "n_queries",
+            "hits",
+            "possible",
+            F.round(F.col("hits") * F.lit(1.0) / F.col("possible"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _sample_batch(vecs: DataFrame, mod: int, res: int) -> DataFrame:
+    return vecs.filter(F.col("vec_id") % mod == res).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def measure_pq_recall(
+    spark: SparkSession,
+    root: str,
+    vecs: DataFrame,
+    sample_mod: int = SIM19_MOD,
+    sample_res: int = SIM19_RES,
+) -> float:
+    """Scalar recall@{TOP_K} of the persisted PQ store's probe on the
+    deterministic query sample — the measurement the recall-drift
+    retrain trigger reads (and sim19 reports as a gated relation)."""
+    batch = _sample_batch(vecs, sample_mod, sample_res)
+    approx = probe_pq_store(spark, root, batch, vecs)
+    row = recall_vs_exact(spark, approx, batch, vecs, "probe").first()
+    return float(row["recall"])
+
+
+def measure_residual_ivfpq_recall(
+    spark: SparkSession,
+    root: str,
+    vecs: DataFrame,
+    sample_mod: int = SIM19_MOD,
+    sample_res: int = SIM19_RES,
+) -> float:
+    """The same sampled readout over a residual-IVFADC store root —
+    drift measurement for the append-grown sim17 stores."""
+    batch = _sample_batch(vecs, sample_mod, sample_res)
+    approx = probe_residual_ivfpq_store(spark, root, batch, vecs)
+    row = recall_vs_exact(spark, approx, batch, vecs, "probe").first()
+    return float(row["recall"])
+
+
+def _sim19_phase_sql(cb: str, codes: str) -> str:
+    """Per-phase probe replay: sampled queries' distance tables against
+    codebook relation ``cb``, ADC shortlist over ``codes``, exact-L2
+    rerank to top-{TOP_K} — (query_id, neighbor_id)."""
+    return f"""(
+        SELECT query_id, neighbor_id FROM (
+            SELECT r.query_id, r.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY r.query_id
+                       ORDER BY r.dist_micro, r.neighbor_id) AS rnk
+            FROM (
+                SELECT sl.query_id, sl.neighbor_id,
+                       CAST(ROUND({_L2_SQL.format(a="qe.v", b="ne.v")}
+                                  * 1000000) AS BIGINT) AS dist_micro
+                FROM (
+                    SELECT query_id, neighbor_id FROM (
+                        SELECT q.query_id, c.vec_id AS neighbor_id,
+                               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                   ORDER BY SUM(q.dm), c.vec_id) AS srn
+                        FROM {codes} c
+                        JOIN (
+                            SELECT s.vec_id AS query_id, s.m, {cb}.code,
+                                   CAST(ROUND(
+                                       {_L2_SQL.format(a="s.sv", b=f"{cb}.cv")}
+                                       * 1000000) AS BIGINT) AS dm
+                            FROM sub s JOIN {cb} ON {cb}.m = s.m
+                            WHERE s.vec_id % {SIM19_MOD} = {SIM19_RES}
+                        ) q ON q.m = c.m AND q.code = c.code
+                        WHERE c.vec_id <> q.query_id
+                        GROUP BY q.query_id, c.vec_id) t
+                    WHERE srn <= {SHORTLIST}
+                ) sl
+                JOIN e qe ON qe.vec_id = sl.query_id
+                JOIN e ne ON ne.vec_id = sl.neighbor_id
+            ) r
+        ) t WHERE rnk <= {TOP_K}
+    )"""
+
+
+@query(
+    "sim19_pq_recall_readout",
+    oracle=f"""
+    WITH {_SIM13_SUB_SQL},
+    comp AS (
+        SELECT c.m, c.code, g2.i, {_SIM15_MEAN_SQL} AS val
+        FROM codes c
+        JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m
+        CROSS JOIN (SELECT CAST(r.range AS INT) + 1 AS i
+                    FROM range(0, {D_SUB}) r) g2
+        GROUP BY c.m, c.code, g2.i
+    ),
+    cb2 AS (
+        SELECT cb.m, cb.code, COALESCE(t.nv, cb.cv) AS cv
+        FROM cb LEFT JOIN (
+            SELECT m, code, list(val ORDER BY i) AS nv
+            FROM comp GROUP BY m, code) t
+          ON t.m = cb.m AND t.code = cb.code
+    ),
+    codes2 AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, cb2.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY ROUND({_L2_SQL.format(a="s.sv", b="cb2.cv")}, 6),
+                                cb2.code) AS rn
+            FROM sub s JOIN cb2 ON cb2.m = s.m) t
+        WHERE rn = 1
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({_L2_SQL.format(a="q.v", b="n.v")}, 6),
+                                n.vec_id) AS rnk
+            FROM e q JOIN e n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id % {SIM19_MOD} = {SIM19_RES}) t
+        WHERE rnk <= {TOP_K}
+    ),
+    top_s AS {_sim19_phase_sql("cb", "codes")},
+    top_t AS {_sim19_phase_sql("cb2", "codes2")}
+    SELECT * FROM {_SIM12_RECALL_ROW.format(phase="seeded", top="top_s")}
+    UNION ALL
+    SELECT * FROM {_SIM12_RECALL_ROW.format(phase="trained", top="top_t")}
+    """,
+)
+def sim19_pq_recall_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} readout for the PERSISTED PQ stores — the sim12
+    measurement discipline applied to the compressed index (r11
+    verdict task #5): one row per serving store (sim13's seeded books,
+    sim15's trained books), each scoring its live probe against the
+    exact brute-force L2 ground truth on the deterministic ~6% query
+    sample (vec_id % {SIM19_MOD} == {SIM19_RES}) with exact integer
+    hit accounting. This is the measurement
+    :func:`maybe_retrain_pq_store`'s recall-drift trigger reads
+    (``min_recall=...``) — retrain decisions become measurable instead
+    of size-guessed; the trigger-fires-on-drift property is pinned in
+    ``tests/test_extensions.py``. The oracle replays BOTH serving
+    stacks end to end (seed, one fixed-point Lloyd step, both encodes,
+    ADC, rerank, recall arithmetic), so the readout is hash-gated.
+    Scale: ground truth is sample x corpus — the readout is a
+    scheduled maintenance job, not a per-query cost; the probes are
+    the sim13/sim15 serving shapes unchanged."""
+    root_s = ensure_pq_store_seeded(spark, sf_dir)
+    root_t = ensure_pq_store_trained(spark, sf_dir)
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    batch = _sample_batch(e, SIM19_MOD, SIM19_RES).localCheckpoint()
+    seeded = recall_vs_exact(
+        spark, probe_pq_store(spark, root_s, batch, e), batch, e, "seeded"
+    )
+    trained = recall_vs_exact(
+        spark, probe_pq_store(spark, root_t, batch, e), batch, e, "trained"
+    )
+    return seeded.unionByName(trained)

@@ -2778,3 +2778,74 @@ def test_filtered_ann_recall_vs_filtered_exact(spark, sf_oracle):
     naive_recall = len(naive & exact) / len(exact)
     assert recall >= naive_recall, (recall, naive_recall)
     assert recall >= 0.5, f"filtered ANN recall {recall:.2%}"
+
+
+def test_pq_recall_drift_triggers_retrain(spark, tmp_path):
+    """r11 verdict task #5: maybe_retrain_pq_store's RECALL trigger —
+    a store whose SIZE is constant (size trigger quiet) but whose
+    books are bad for the corpus must fire a retrain from the measured
+    recall drop, while a healthy store with the identical corpus size
+    and threshold does not. Bad books are constructed the way drift
+    actually happens: the seed vectors (lowest vec_ids) stop
+    resembling the corpus — here they are near-constant vectors, so
+    the seeded codebook collapses and ADC can no longer separate
+    candidates."""
+    import math
+    import os
+    import shutil
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _pq_store_layout,
+        _sample_batch,
+        maybe_retrain_pq_store,
+        measure_pq_recall,
+        measure_residual_ivfpq_recall,
+        write_pq_store,
+    )
+
+    base = os.path.join(str(tmp_path), "pq_drift")
+    good_root = os.path.join(base, "good")
+    bad_root = os.path.join(base, "bad")
+    os.makedirs(good_root)
+    os.makedirs(bad_root)
+
+    good_ids = list(range(100, 196))  # 96 well-spread vectors
+    flat = [
+        (i, [1.0 + 1e-4 * i + 1e-5 * d for d in range(64)])
+        for i in range(32)
+    ]  # 32 near-constant seed vectors: a collapsed codebook
+    good = _pq_vecs(spark, good_ids)
+    bad = spark.createDataFrame(
+        flat, "vec_id long, embedding array<double>"
+    ).unionByName(_pq_vecs(spark, good_ids[:64]))
+
+    write_pq_store(spark, good_root, good, train=False)
+    write_pq_store(spark, bad_root, bad, train=False)
+    # both stores are size-quiet: live rows == trained rows
+    for root in (good_root, bad_root):
+        layout = _pq_store_layout(root)
+        assert layout["trained_rows"] > 0
+
+    r_good = measure_pq_recall(spark, good_root, good)
+    r_bad = measure_pq_recall(spark, bad_root, bad)
+    assert r_bad < r_good, (r_bad, r_good)
+    floor = (r_bad + r_good) / 2
+
+    # healthy store, same floor: neither size nor recall fires
+    assert maybe_retrain_pq_store(
+        spark, good_root, good, min_recall=floor
+    ) is None
+    # drifted store, size constant: the RECALL trigger fires
+    out = maybe_retrain_pq_store(spark, bad_root, bad, min_recall=floor)
+    assert out is not None and out["trigger"] == "recall", out
+    assert out["measured_recall"] == r_bad
+    assert _pq_store_layout(bad_root)["gen"] >= 1  # books rotated
+    # and without min_recall the same call stays a no-op (size quiet)
+    assert maybe_retrain_pq_store(spark, bad_root, bad) is None
+
+    # the residual-store readout measures on the same scale
+    rroot = os.path.join(base, "resid")
+    _build_residual_store(spark, rroot, list(range(36)))
+    rr = measure_residual_ivfpq_recall(spark, rroot, _pq_vecs(spark, range(36)))
+    assert 0.0 <= rr <= 1.0
+    shutil.rmtree(base, ignore_errors=True)
