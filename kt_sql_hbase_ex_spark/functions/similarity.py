@@ -47,6 +47,16 @@ N_TABLES = 8
 BITS_PER_TABLE = 4
 N_PLANES = N_TABLES * BITS_PER_TABLE
 
+EMB_DIM = 64
+
+#: fixed-point Lloyd mean (retrain/sim05/sim12/d18 oracles): micro-unit
+#: integer sums, one deterministic double sequence — DuckDB replays the
+#: trained centroids bit-for-bit
+_RETRAIN_MEAN_SQL = (
+    "FLOOR(CAST(SUM(CAST(ROUND(e.v[t.i] * 1000000) AS BIGINT)) AS DOUBLE)"
+    " * 1000.0 / CAST(COUNT(*) AS DOUBLE)) / 1e9"
+)
+
 
 def _vec(col: str):
     return F.col(col).cast("array<double>")
@@ -503,10 +513,30 @@ _D18_NCELLS_SQL = (
     f" / {D18_TARGET_CELL_ROWS}.0) AS INT))"
 )
 
+# round-12 (r11 verdict task #6): the quantizer is TRAINED — seed
+# centroids (lowest vec_ids), one fixed-point Lloyd step with
+# empty-cell carry (SemDeDup's published recipe clusters with trained
+# k-means), then the whole corpus re-assigns to the trained centroids
+# before freezing — the sim11/sim15 replay discipline applied to d18.
 _D18_ASSIGN_SQL = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e
-             WHERE vec_id < {_D18_NCELLS_SQL}),
+    cent0 AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id < {_D18_NCELLS_SQL}),
+    assign0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent0.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_COSINE_SQL.format(a="e.v", b="cent0.cv")}, 6) DESC,
+                                cent0.cid) AS rn
+            FROM e CROSS JOIN cent0) t
+        WHERE rn = 1
+    ),
+    comp1 AS (SELECT a.cid, t.i, {_RETRAIN_MEAN_SQL} AS val
+              FROM assign0 a JOIN e USING (vec_id), range(1, {EMB_DIM + 1}) t(i)
+              GROUP BY a.cid, t.i),
+    cent1m AS (SELECT cid, list(val ORDER BY i) AS cv FROM comp1 GROUP BY cid),
+    cent AS (SELECT c0.cid, COALESCE(c1.cv, c0.cv) AS cv
+             FROM cent0 c0 LEFT JOIN cent1m c1 USING (cid)),
     assign AS (
         SELECT vec_id, cid FROM (
             SELECT e.vec_id, cent.cid,
@@ -600,9 +630,9 @@ def ensure_semdedup_store(
     )
 
     variant = (
-        f"semdedup|auto{D18_TARGET_CELL_ROWS}"
+        f"semdedup-trained|auto{D18_TARGET_CELL_ROWS}"
         if n_cells is None
-        else f"semdedup|{n_cells}"
+        else f"semdedup-trained|{n_cells}"
     )
 
     def build(staging: str) -> None:
@@ -613,6 +643,11 @@ def ensure_semdedup_store(
         # path is a marker check — round-11 review finding)
         k = n_cells or max(1, e.count() // D18_TARGET_CELL_ROWS)
         write_ivf_store(spark, staging, e, n_cells=k)
+        # round-12: ONE fixed-point Lloyd pass before the freeze —
+        # SemDeDup's published recipe clusters with trained k-means,
+        # not raw seeds; the oracle replays the trained assignment
+        # (seed -> mean with empty-cell carry -> re-assign) exactly
+        retrain_ivf_store(spark, staging)
 
     return _build_once(_index_root(sf_dir, variant), build)
 
@@ -791,9 +826,6 @@ def sim04_ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 K_STEP = 8  # clusters for the training-step demo
-EMB_DIM = 64
-
-
 @query(
     "sim05_kmeans_step",
     oracle=f"""
@@ -1672,12 +1704,6 @@ def ensure_retrained_ivf_store(spark: SparkSession, sf_dir: str) -> str:
 #: bit-for-bit — micro-unit integers (round-half-away), order-free
 #: HUGEINT/LONG sum, floor(sum·1000/n)/1e9 (one deterministic double
 #: sequence; see retrain_ivf_store's docstring)
-_RETRAIN_MEAN_SQL = (
-    "FLOOR(CAST(SUM(CAST(ROUND(e.v[t.i] * 1000000) AS BIGINT)) AS DOUBLE)"
-    " * 1000.0 / CAST(COUNT(*) AS DOUBLE)) / 1e9"
-)
-
-
 @query(
     "sim11_retrained_ivf_probe",
     oracle=f"""

@@ -109,32 +109,28 @@ def test_semantic_dedup_drop_rule_vs_ground_truth(spark, sf_oracle, n_cells):
     )
 
     # replay: exact pairs (cosine already >= the d05 threshold ==
-    # _D18_THRESHOLD) restricted to same-cell membership give the drop set
-    from kt_sql_hbase_ex_spark.functions.similarity import _cosine_spark
+    # _D18_THRESHOLD) restricted to same-cell membership give the drop
+    # set — membership read from the PERSISTED store (round-12: the
+    # quantizer is TRAINED at build, so the test replays against the
+    # actual clustering rather than re-deriving the seeds; the point
+    # is unchanged — clustering is the ONLY approximation, the
+    # within-cell pass is exact at any granularity)
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        _ivf_cells_dir,
+        ensure_semdedup_store,
+    )
     from pyspark.sql import functions as F
 
     k = n_cells or max(1, n_corpus // D18_TARGET_CELL_ROWS)
-    assert len(report) == k  # every cell reports (seeds are members)
-    e = load_table(spark, sf_oracle, "embeddings")
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    root = ensure_semdedup_store(spark, sf_oracle, n_cells)
     cell = {
-        r["vec_id"]: r["cid"]
-        for r in e.join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cid",
-            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
-            ).alias("cid")
-        )
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(_ivf_cells_dir(root))
+        .select("vec_id", "cell")
         .collect()
     }
+    # every populated cell reports; cells the Lloyd step emptied don't
+    assert len(report) == len(set(cell.values())) <= k
     exact_pairs = [
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in embedding_neardup_exact(spark, sf_oracle).collect()
@@ -2849,3 +2845,63 @@ def test_pq_recall_drift_triggers_retrain(spark, tmp_path):
     rr = measure_residual_ivfpq_recall(spark, rroot, _pq_vecs(spark, range(36)))
     assert 0.0 <= rr <= 1.0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_semdedup_trained_cells_do_not_lose_neardup_recall(spark, sf_oracle):
+    """r11 verdict task #6: training the SemDeDup quantizer (one
+    fixed-point Lloyd pass before the freeze) must not LOSE near-dup
+    pair recall vs the raw seeded cells — the fraction of exact
+    near-dup pairs that land in the SAME cell (the only pairs the
+    within-cell pass can ever see) is the clustering's quality
+    measure, and Lloyd tightening clusters should capture at least as
+    many."""
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        D18_TARGET_CELL_ROWS,
+        _cosine_spark,
+        _ivf_cells_dir,
+        ensure_semdedup_store,
+    )
+    from pyspark.sql import functions as F
+
+    exact = [
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_exact(spark, sf_oracle).collect()
+    ]
+    assert exact
+
+    # trained membership: the persisted store
+    root = ensure_semdedup_store(spark, sf_oracle)
+    trained = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(_ivf_cells_dir(root))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    # seeded membership: the pre-round-12 raw-seed assignment
+    e = load_table(spark, sf_oracle, "embeddings")
+    k = max(1, e.count() // D18_TARGET_CELL_ROWS)
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    seeded = {
+        r["vec_id"]: r["cid"]
+        for r in e.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(_cosine_spark("embedding", "cv"), 6).alias("cc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cc"), (-F.col("cid")).alias("t"))
+            ).alias("cid")
+        )
+        .collect()
+    }
+
+    def pair_recall(cell):
+        return sum(1 for a, b in exact if cell[a] == cell[b]) / len(exact)
+
+    r_trained, r_seeded = pair_recall(trained), pair_recall(seeded)
+    assert r_trained >= r_seeded, (r_trained, r_seeded)
