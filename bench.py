@@ -228,6 +228,18 @@ HEADLINE = (
     # tracked as ONE number (the per-op entries can't see cross-op
     # interleaving cost).
     "src19_kv_mutation_mix",
+    # round-12 additions: sim18 is the FILTERED ANN serving path
+    # (predicate pushed into the membership scan -> ADC survivors ->
+    # rerank) — the production retrieval shape sim14's unfiltered form
+    # doesn't price; sim19 is the recall readout (two store probes +
+    # sampled exact ground truth) the PQ retrain trigger reads — a
+    # scheduled maintenance job whose regression matters because a
+    # slow readout stops being run; src20 drives the versioned-cells
+    # lifecycle (timestamped put waves, masking delete, fold-prune,
+    # post-fold put, history reads through the bloom-routed Get).
+    "sim18_filtered_ann",
+    "sim19_pq_recall_readout",
+    "src20_kv_versioned_cells",
 )
 
 # Store-LIFECYCLE entries (round-11, r10 verdict task #2): these time
@@ -259,6 +271,11 @@ LIFECYCLE = frozenset(
         "sim15_pq_trained_codebooks",
         "t13_incremental_index_maintenance",
         "t15_index_doc_update",
+        # round-12: sim19 runs two probes + a sampled ground truth per
+        # call (readout job); src20 replays its whole mutation/fold
+        # lifecycle per call
+        "sim19_pq_recall_readout",
+        "src20_kv_versioned_cells",
     }
 )
 

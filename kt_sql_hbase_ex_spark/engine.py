@@ -1655,6 +1655,49 @@ class KtSqlEngine:
 
         return check_and_mutate_store(store_options, mutations)
 
+    def put_kv_versions(self, rows: list, **store_options: str) -> None:
+        """Versioned HBase Put (``versions=N`` stores, round-12): each
+        row carries the store columns plus an explicit ``__ts`` client
+        logical timestamp (the ``Put(row, ts)`` form); the version
+        APPENDS — existing versions of the key are untouched. One call
+        = one atomic commit = one WAL entry carrying the timestamps."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import put_kv_versions
+
+        put_kv_versions(store_options, rows)
+
+    def delete_kv_versions(
+        self, keys: list, ts: int, **store_options: str
+    ) -> None:
+        """Versioned HBase Delete: a masking tombstone at ``ts`` per
+        key — every version at-or-below ``ts`` reads as absent; a
+        LATER Put revives. The fold applies and drops the tombstone
+        (major-compaction semantics)."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            delete_kv_versions,
+        )
+
+        delete_kv_versions(store_options, keys, ts)
+
+    def get_kv_versions(
+        self,
+        keys: list,
+        min_ts=None,
+        max_ts=None,
+        max_versions=None,
+        **store_options: str,
+    ) -> list:
+        """Versioned HBase Get (``Get.setMaxVersions`` /
+        ``setTimeRange``): per input key, the live version history
+        newest-first — masked by tombstones, capped at the store's N
+        (and ``max_versions``), optionally time-ranged (inclusive
+        bounds). Served through the same bloom- and start-key-routed
+        point-get path as :meth:`multi_get_kv`."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import get_kv_versions
+
+        return get_kv_versions(
+            store_options, keys, min_ts, max_ts, max_versions
+        )
+
     def bulk_load_kv(self, df: DataFrame, **store_options: str) -> dict:
         """BULK LOAD a DataFrame of Put rows straight into the KV
         store's base (the HBase ``LoadIncrementalHFiles`` analog): the

@@ -3674,6 +3674,21 @@ def compact_residual_ivfpq_store(spark: SparkSession, root: str) -> dict:
     }
 
 
+def maybe_compact_residual_ivfpq_store(
+    spark: SparkSession, root: str, max_dirs: int = 16
+) -> dict | None:
+    """Size-TRIGGERED residual-store fold (the
+    :func:`maybe_compact_pq_store` role for the batch-dir layout):
+    fold only when the layout's directory list has grown past
+    ``max_dirs``, so a standing admission pipeline calls this after
+    EVERY batch and pays the rewrite only when accretion warrants it.
+    One pointer read under the threshold — no lock taken."""
+    layout = _residual_store_layout(root)
+    if len(layout["assign"]) + len(layout["codes"]) <= max_dirs:
+        return None
+    return compact_residual_ivfpq_store(spark, root)
+
+
 # --- sim18: FILTERED ANN (predicate + vector search) --------------------
 
 #: the metadata predicate sim18 serves: label ∈ this set (~20% of the

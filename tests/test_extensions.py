@@ -2706,6 +2706,16 @@ def test_residual_ivfpq_append_is_atomic(spark):
         assert not os.path.exists(os.path.join(root, d))
     assert snap(hist_ids + batch_ids) == grown
 
+    # the size trigger: quiet at 2 dirs, fires past the threshold
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        maybe_compact_residual_ivfpq_store,
+    )
+
+    assert maybe_compact_residual_ivfpq_store(spark, root) is None
+    out2 = maybe_compact_residual_ivfpq_store(spark, root, max_dirs=1)
+    assert out2 is not None and out2["gen"] == 3
+    assert snap(hist_ids + batch_ids) == grown
+
     # (c) foreign-store maintenance rejected loudly
     with pytest.raises(ValueError, match="not a PQ store"):
         compact_pq_store(spark, root)

@@ -4466,3 +4466,32 @@ class TestVersions:
         plain = TestDistributedFold._store(self, tmp_path, "v5p")
         with pytest.raises(ValueError, match="versions>=2"):
             kv.put_kv_versions(plain, [{"k": 1, "v": 1.0, "__ts": 1}])
+
+
+class TestVersionsFacade:
+    """Round-12: the engine facades for the versioned API mirror the
+    mutation quintet's facades (one client surface on KtSqlEngine)."""
+
+    _store = TestVersions._store
+
+    def test_engine_facade_roundtrip(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.engine import KtSqlEngine
+
+        opts = self._store(tmp_path, "vfac")
+        eng = KtSqlEngine(spark)
+        eng.put_kv_versions(
+            [{"k": 2, "v": 20.0, "__ts": 10},
+             {"k": 2, "v": 21.0, "__ts": 20}],
+            **opts,
+        )
+        hist = eng.get_kv_versions([{"k": 2}], **opts)[0]
+        assert [(h["__ts"], h["v"]) for h in hist] == [
+            (20, 21.0), (10, 20.0), (0, 2.0),
+        ]
+        ranged = eng.get_kv_versions(
+            [{"k": 2}], min_ts=5, max_ts=15, **opts
+        )[0]
+        assert [(h["__ts"], h["v"]) for h in ranged] == [(10, 20.0)]
+        eng.delete_kv_versions([2], ts=25, **opts)
+        assert eng.get_kv_versions([{"k": 2}], **opts) == [[]]
+        assert eng.multi_get_kv([{"k": 2}], **opts) == [None]
