@@ -1687,6 +1687,61 @@ def _versioned_latest_rows(opts) -> list:
     return out
 
 
+def scan_kv_versions_asof(spark, options, ts: int):
+    """Distributed versioned SCAN at logical timestamp ``ts`` — the
+    HBase ``Scan.setTimeRange(0, ts]`` with ``maxVersions=1``: every
+    key's newest version at-or-below ``ts`` that is live (not masked
+    by an at-or-newer tombstone in the visible window), as ONE
+    DataFrame plan. Sources: the generation/base parquet (version rows
+    carry ``__ts``; the pristine fixture reads as ts=0) unioned with
+    the overlay's version rows; the only shuffle is the per-key window
+    (newest ts first, tombstones winning ties, overlay over base at
+    equal ts), and a rowkey predicate composed on top pushes through
+    the window into both scans (the window partitions on the key).
+    Post-fold honesty, exactly HBase's: a fold physically prunes
+    masked/beyond-N versions, so an as-of scan below the fold point
+    sees the SURVIVING state, not purged cells (major compaction has
+    the same effect on time-range scans)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    if _versions_of(opts) < 2:
+        raise ValueError(
+            "scan_kv_versions_asof requires a versions>=2 store"
+        )
+    key_cols = tuple(opts["keycol"].split(","))
+    columns = list(opts["columns"].split(","))
+    recover_overlay(opts)
+    b = spark.read.parquet(_resolve_base_path(opts))
+    if VERSION_TS not in b.columns:
+        b = b.withColumn(VERSION_TS, F.lit(0).cast("long"))
+    rel = (
+        b.select(*columns, VERSION_TS)
+        .withColumn(TOMBSTONE, F.lit(False))
+        .withColumn("__prio", F.lit(0))
+    )
+    opath = overlay_path(opts)
+    if os.path.exists(opath):
+        o = (
+            spark.read.parquet(opath)
+            .select(*columns, VERSION_TS, TOMBSTONE)
+            .withColumn("__prio", F.lit(1))
+        )
+        rel = rel.unionByName(o)
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(VERSION_TS).desc(),
+        F.col(TOMBSTONE).desc(),  # a tombstone at the same ts masks
+        F.col("__prio").desc(),   # overlay wins a base duplicate ts
+    )
+    return (
+        rel.filter(F.col(VERSION_TS) <= ts)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col(TOMBSTONE)))
+        .select(*columns, VERSION_TS)
+    )
+
+
 #: rowkey of a secondary-index entry: indexed value, then the base
 #: rowkey zero-padded so the string sort equals the numeric sort —
 #: the classic HBase composite index-rowkey encoding
@@ -6979,6 +7034,47 @@ def src19_kv_mutation_mix(spark, sf_dir: str):
     )
 
 
+def _provision_versioned_customer(spark, sf_dir: str) -> dict:
+    """src20/src21's shared fixture: the customer table as a
+    ``versions=3`` store driven through the full versioned lifecycle —
+    timestamped put waves at ts=10/20, a masking delete at ts=25, a
+    reviving put at ts=30, a FOLD (physical N-prune + tombstone drop),
+    and a post-fold put at ts=40 over the versioned generation.
+    Deterministic end state; returns the lowered options bundle."""
+    register_kv_source(spark)
+    from kt_sql_hbase_ex_spark.sources.catalog import table_path
+
+    opts = {
+        "path": table_path(sf_dir, "customer"),
+        "keyCol": "c_custkey",
+        "columns": "c_custkey,c_name,c_acctbal",
+        "regionSize": "64",
+        "versions": str(_SRC20_N),
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    lopts = {k.lower(): v for k, v in opts.items()}
+    truncate_overlay(lopts)  # hermetic: pristine base
+
+    def wave(hi, ts, name, bal, lo=1):
+        put_kv_versions(
+            lopts,
+            [
+                {"c_custkey": k, "c_name": name, "c_acctbal": bal,
+                 VERSION_TS: ts}
+                for k in range(lo, hi + 1)
+            ],
+        )
+
+    wave(_SRC20_V1_HI, 10, "v1", 111.25)
+    wave(_SRC20_V2_HI, 20, "v2", 222.5)
+    delete_kv_versions(lopts, list(range(1, _SRC20_DEL_HI + 1)), ts=25)
+    wave(_SRC20_V3_HI, 30, "v3", 333.75)
+    stats = compact_store(lopts)
+    assert stats["compacted"], stats
+    wave(_SRC20_V4_HI, 40, "v4", 444.0, lo=_SRC20_V4_LO)
+    return lopts
+
+
 _SRC20_V1_HI = 30    # ts=10 put reaches custkeys 1..30
 _SRC20_V2_HI = 20    # ts=20 put reaches 1..20
 _SRC20_DEL_HI = 10   # ts=25 tombstone masks 1..10
@@ -7044,41 +7140,7 @@ def src20_kv_versioned_cells(spark, sf_dir: str):
     version rows are ordinary region-file rows — fold, bloom, and
     routing machinery unchanged except that region chunks respect key
     boundaries (a key's versions never straddle two regions)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
-    from kt_sql_hbase_ex_spark.sources.catalog import table_path
-
-    register_kv_source(spark)
-    path = table_path(sf_dir, "customer")
-    opts = {
-        "path": path,
-        "keyCol": "c_custkey",
-        "columns": "c_custkey,c_name,c_acctbal",
-        "regionSize": "64",
-        "versions": str(_SRC20_N),
-        "appId": spark.conf.get("spark.app.id", "shared"),
-    }
-    lopts = {k.lower(): v for k, v in opts.items()}
-    truncate_overlay(lopts)  # hermetic: pristine base
-
-    def wave(hi, ts, name, bal, lo=1):
-        put_kv_versions(
-            lopts,
-            [
-                {"c_custkey": k, "c_name": name, "c_acctbal": bal,
-                 VERSION_TS: ts}
-                for k in range(lo, hi + 1)
-            ],
-        )
-
-    wave(_SRC20_V1_HI, 10, "v1", 111.25)
-    wave(_SRC20_V2_HI, 20, "v2", 222.5)
-    delete_kv_versions(lopts, list(range(1, _SRC20_DEL_HI + 1)), ts=25)
-    wave(_SRC20_V3_HI, 30, "v3", 333.75)
-    stats = compact_store(lopts)
-    assert stats["compacted"], stats
-    wave(_SRC20_V4_HI, 40, "v4", 444.0, lo=_SRC20_V4_LO)
-
+    lopts = _provision_versioned_customer(spark, sf_dir)
     probes = [{"c_custkey": k} for k in range(1, _SRC20_PROBE_HI + 1)]
     hist = get_kv_versions(lopts, probes)
     rows = [
@@ -7095,3 +7157,89 @@ def src20_kv_versioned_cells(spark, sf_dir: str):
     return spark.createDataFrame(
         rows, "c_custkey long, ts long, c_name string, c_acctbal double, rnk long"
     )
+
+
+_SRC21_SCAN_HI = 40   # the scan's pushed rowkey bound
+_SRC21_TS_MID = 15    # mid-history read point (post-fold honesty)
+_SRC21_TS_HEAD = 40   # head read point
+
+
+@query(
+    "src21_kv_versioned_asof_scan",
+    oracle=f"""
+    WITH vers AS (
+        SELECT c_custkey, 0 AS ts, c_name, c_acctbal FROM customer
+        WHERE c_custkey BETWEEN 1 AND {_SRC21_SCAN_HI}
+        UNION ALL
+        SELECT i, 10, 'v1', 111.25 FROM generate_series(1, {_SRC20_V1_HI}) t(i)
+        UNION ALL
+        SELECT i, 20, 'v2', 222.5 FROM generate_series(1, {_SRC20_V2_HI}) t(i)
+        UNION ALL
+        SELECT i, 30, 'v3', 333.75 FROM generate_series(1, {_SRC20_V3_HI}) t(i)
+    ),
+    fold_keep AS (
+        -- the fold's surviving state: tombstone(ts=25, keys<=10)
+        -- applied, then each key's newest {_SRC20_N} versions kept
+        SELECT c_custkey, ts, c_name, c_acctbal FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY ts DESC) AS rnk
+            FROM vers
+            WHERE NOT (c_custkey <= {_SRC20_DEL_HI} AND ts <= 25)) t
+        WHERE rnk <= {_SRC20_N}
+    ),
+    survivors AS (
+        SELECT * FROM fold_keep
+        UNION ALL
+        SELECT i, 40, 'v4', 444.0
+        FROM generate_series({_SRC20_V4_LO}, {_SRC20_V4_HI}) t(i)
+    ),
+    scan AS (
+        SELECT T.asof_ts, s.c_custkey, s.ts, s.c_name, s.c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY T.asof_ts, s.c_custkey
+                                  ORDER BY s.ts DESC) AS rn
+        FROM (VALUES ({_SRC21_TS_MID}), ({_SRC21_TS_HEAD})) T(asof_ts)
+        JOIN survivors s ON s.ts <= T.asof_ts
+    )
+    SELECT CAST(asof_ts AS BIGINT) AS asof_ts,
+           CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(ts AS BIGINT) AS ts, c_name, c_acctbal
+    FROM scan WHERE rn = 1
+    """,
+)
+def src21_kv_versioned_asof_scan(spark, sf_dir: str):
+    """Versioned TIME-RANGE SCAN — the HBase ``Scan.setTimeRange``
+    analog completing src20's point-history reads with the table-wide
+    form (round-12): over the same versioned-customer lifecycle
+    fixture (put waves ts=10/20, masking delete ts=25, reviving put
+    ts=30, FOLD, post-fold put ts=40), scan the store's state at a
+    MID-HISTORY timestamp ({_SRC21_TS_MID}) and at the head
+    ({_SRC21_TS_HEAD}) as ONE distributed DataFrame plan each
+    (:func:`scan_kv_versions_asof`): generation rows ∪ overlay rows,
+    filter ``__ts <= T``, one per-key window picks the newest
+    survivor, tombstones mask at ties. Post-fold honesty is the
+    point of the mid-history read: the fold physically pruned
+    tombstone-masked versions and beyond-N history, so the T=15 scan
+    serves the SURVIVING state exactly as an HBase time-range scan
+    reads post-major-compaction HFiles — the oracle replays
+    fold-prune-then-filter declaratively. Scale: the only shuffle is
+    the per-key window; the rowkey bound composes on top and pushes
+    through the window into both parquet scans (the window partitions
+    on the key)."""
+    from pyspark.sql import functions as F
+
+    lopts = _provision_versioned_customer(spark, sf_dir)
+
+    def at(t: int):
+        return (
+            scan_kv_versions_asof(spark, lopts, t)
+            .filter(F.col("c_custkey").between(1, _SRC21_SCAN_HI))
+            .select(
+                F.lit(t).cast("long").alias("asof_ts"),
+                F.col("c_custkey").cast("long").alias("c_custkey"),
+                F.col(VERSION_TS).alias("ts"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+
+    return at(_SRC21_TS_MID).unionByName(at(_SRC21_TS_HEAD))

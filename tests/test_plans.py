@@ -965,3 +965,26 @@ def test_filtered_ann_predicate_pushes_into_membership_scan(spark, sf_small):
     # the assign/ scan must carry the label filter in PushedFilters
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("In(label" in p or "EqualTo(label" in p for p in pushed), plan
+
+
+def test_versioned_asof_scan_pushes_bounds_into_scans(spark, sf_small):
+    """src21's contract: the time bound (__ts <= T) AND the rowkey
+    bound composed on top both reach every parquet scan as
+    PushedFilters — they push THROUGH the per-key window because it
+    partitions on the key — and the only shuffle is that window (no
+    join, no cartesian)."""
+    import re
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        src21_kv_versioned_asof_scan,
+    )
+    from kt_sql_hbase_ex_spark.plans.explain import executed_plan
+
+    plan = executed_plan(src21_kv_versioned_asof_scan(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    data_scans = [p for p in pushed if "c_custkey" in p or "__ts" in p]
+    assert data_scans, plan
+    for p in data_scans:
+        assert "LessThanOrEqual(__ts" in p, p
+        assert "GreaterThanOrEqual(c_custkey,1)" in p, p
