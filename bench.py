@@ -240,6 +240,10 @@ HEADLINE = (
     "sim18_filtered_ann",
     "sim19_pq_recall_readout",
     "src20_kv_versioned_cells",
+    # round-12: the versioned TIME-RANGE SCAN (same lifecycle fixture,
+    # the distributed window-over-union read path src20's point
+    # history doesn't price)
+    "src21_kv_versioned_asof_scan",
 )
 
 # Store-LIFECYCLE entries (round-11, r10 verdict task #2): these time
@@ -276,6 +280,7 @@ LIFECYCLE = frozenset(
         # lifecycle per call
         "sim19_pq_recall_readout",
         "src20_kv_versioned_cells",
+        "src21_kv_versioned_asof_scan",
     }
 )
 
