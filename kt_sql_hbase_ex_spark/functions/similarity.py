@@ -2781,7 +2781,7 @@ def maybe_retrain_pq_store(
             sample_mod if sample_mod is not None else SIM19_MOD,
             sample_res if sample_res is not None else SIM19_RES,
         )
-        if measured < min_recall:
+        if measured is not None and measured < min_recall:
             return dict(
                 retrain_pq_store(spark, root, vecs),
                 trigger="recall",
@@ -3953,13 +3953,15 @@ def measure_pq_recall(
     vecs: DataFrame,
     sample_mod: int = SIM19_MOD,
     sample_res: int = SIM19_RES,
-) -> float:
+) -> float | None:
     """Scalar recall@{TOP_K} of the persisted PQ store's probe on the
     deterministic query sample — the measurement the recall-drift
     retrain trigger reads (and sim19 reports as a gated relation)."""
     batch = _sample_batch(vecs, sample_mod, sample_res)
     approx = probe_pq_store(spark, root, batch, vecs)
     row = recall_vs_exact(spark, approx, batch, vecs, "probe").first()
+    if not row["possible"]:
+        return None  # empty query sample: no signal, not a crash
     return float(row["recall"])
 
 
@@ -3975,6 +3977,8 @@ def measure_residual_ivfpq_recall(
     batch = _sample_batch(vecs, sample_mod, sample_res)
     approx = probe_residual_ivfpq_store(spark, root, batch, vecs)
     row = recall_vs_exact(spark, approx, batch, vecs, "probe").first()
+    if not row["possible"]:
+        return None  # empty query sample: no signal, not a crash
     return float(row["recall"])
 
 

@@ -168,15 +168,28 @@ def _bloom_build(keys) -> str:
     for key in keys:
         for idx in _bloom_hashes(key, m):
             bits |= 1 << idx
-    return f"{m:x}:{bits:x}"
+    # "2:" = codec version (round-12: the canonical key repr changed
+    # for non-int numerics and temporals; versioning the spec keeps
+    # pre-round-12 blooms from false-negating those key types)
+    return f"2:{m:x}:{bits:x}"
 
 
 def _bloom_has(spec, key) -> bool:
     """Might the region contain ``key``? A missing/torn spec answers
     True (pre-bloom generations read as before — never lossy)."""
     try:
-        m_hex, bits_hex = spec.split(":")
-        m, bits = int(m_hex, 16), int(bits_hex, 16)
+        parts = spec.split(":")
+        if len(parts) == 3 and parts[0] == "2":
+            m, bits = int(parts[1], 16), int(parts[2], 16)
+        else:
+            # legacy (pre-codec-version) spec: its hashes used repr()
+            # directly, which matches the canonical codec ONLY for
+            # bool/int/str — for key types whose repr changed
+            # (Decimal/float/numpy/temporals) answer "might contain"
+            # rather than risk a stale-hash false negative
+            m, bits = int(parts[0], 16), int(parts[1], 16)
+            if not isinstance(key, (bool, int, str)):
+                return True
         return all((bits >> idx) & 1 for idx in _bloom_hashes(key, m))
     except (AttributeError, ValueError, TypeError):
         # torn spec OR a probe key the codec can't canonicalize:
@@ -200,8 +213,12 @@ def last_multiget_stats() -> dict:
     return getattr(_MULTIGET_STATS, "value", {})
 
 
+_GEN_UNRESOLVED = object()
+
+
 def _multi_get_base(
-    opts, need: dict, key_cols, columns, collect_all: bool = False
+    opts, need: dict, key_cols, columns, collect_all: bool = False,
+    gen=_GEN_UNRESOLVED,
 ) -> dict:
     """Point MULTI-GET against the base/generation files — the HBase
     client ``Get`` path (round-11, the per-HFile ROW-bloom analog,
@@ -240,7 +257,8 @@ def _multi_get_base(
                 else:
                     base_rows[rk] = r
 
-    gen = _resolve_generation(opts)
+    if gen is _GEN_UNRESOLVED:
+        gen = _resolve_generation(opts)
     if gen is None or not _gen_regions_n(gen):
         # never-folded fixture (or fully-emptied generation): one base
         # relation, pruned by parquet row-group stats as before
@@ -1597,9 +1615,16 @@ def _versioned_base_versions(opts, need: dict) -> dict:
     the pre-versioning state every HBase cell starts from."""
     key_cols = tuple(opts["keycol"].split(","))
     columns = list(opts["columns"].split(","))
-    folded = _resolve_generation(opts) is not None
-    cols = columns + [VERSION_TS] if folded else columns
-    got = _multi_get_base(opts, need, key_cols, cols, collect_all=True)
+    # ONE pointer resolution decides BOTH the column set and the
+    # routing (round-12 review: a fold publishing between two reads
+    # would read folded files without __ts and silently collapse every
+    # version to ts=0 — the round-11 probe_pq_store double-resolve
+    # class); the resolved gen passes straight into the routed read
+    gen = _resolve_generation(opts)
+    cols = columns + [VERSION_TS] if gen is not None else columns
+    got = _multi_get_base(
+        opts, need, key_cols, cols, collect_all=True, gen=gen
+    )
     out: dict = {}
     for rk, rows in got.items():
         out[rk] = [
@@ -1673,7 +1698,6 @@ def _versioned_latest_rows(opts) -> list:
     n = _versions_of(opts)
     state: dict = {}
     base = _resolve_base_path(opts)
-    folded = _resolve_generation(opts) is not None
     for r in pq.read_table(base).to_pylist():
         row = dict(r, **{VERSION_TS: int(r.get(VERSION_TS, 0) or 0)})
         state.setdefault(_rowkey_of(row, key_cols), []).append(row)
@@ -2070,6 +2094,11 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options) -> None:
         self._options = {k.lower(): v for k, v in dict(options).items()}
+        # round-12 review: the feed's row shape drops __ts, so a CDC
+        # consumer replaying a versioned store would silently diverge
+        # (a masked-by-tombstone put replays as live) — reject loudly
+        # like every other bare-rowkey surface
+        _reject_versioned(self._options, "the change feed")
         self._columns = list(self._options["columns"].split(","))
         self._log_dir = changelog_dir(self._options)
 
@@ -4443,6 +4472,9 @@ def snapshot_store(options, name: str, spark=None, attempts: int = 3) -> dict:
                     "gen": gen["gen"],
                     "columns": opts["columns"],
                     "key_cols": opts["keycol"],
+                    # round-12: versioned region files hold N rows per
+                    # key + __ts — a restore/clone target must match
+                    "versions": _versions_of(opts),
                     "rows": sum(m["rows"] for m in gen["regions"]),
                 }
                 with open(os.path.join(tmp, SNAP_MANIFEST), "w") as f:
@@ -4520,6 +4552,16 @@ def _publish_snapshot_as_generation(
     import uuid
 
     opts = {k.lower(): v for k, v in dict(target_opts).items()}
+    # round-12 review: a versioned snapshot's region files hold up to
+    # N rows per rowkey plus __ts; publishing them into a target whose
+    # versions setting differs would serve duplicate/stale rows with
+    # no error (pre-round-12 manifests carry no field — treated as 1)
+    if _versions_of(opts) != int(manifest.get("versions", 1)):
+        raise SnapshotError(
+            f"snapshot {manifest['name']!r} was taken from a "
+            f"versions={manifest.get('versions', 1)} store; the target "
+            f"is versions={_versions_of(opts)} — settings must match"
+        )
     with _fold_lock(opts, timeout_s=fold_timeout_s):
         with _overlay_lock(opts):
             snap = _bulk_snapshot(opts)
@@ -4621,6 +4663,7 @@ class KVChangesBatchReader(DataSourceReader):
 
     def __init__(self, options) -> None:
         opts = {k.lower(): v for k, v in dict(options).items()}
+        _reject_versioned(opts, "the change feed")  # see stream reader
         self._columns = list(opts["columns"].split(","))
         self._log_dir = changelog_dir(opts)
         #: optional upper bound: only commits <= maxSeq are scanned —

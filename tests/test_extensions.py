@@ -2915,3 +2915,27 @@ def test_semdedup_trained_cells_do_not_lose_neardup_recall(spark, sf_oracle):
 
     r_trained, r_seeded = pair_recall(trained), pair_recall(seeded)
     assert r_trained >= r_seeded, (r_trained, r_seeded)
+
+
+def test_pq_recall_empty_sample_is_no_signal(spark, tmp_path):
+    """Round-12 review fix: an empty deterministic query sample (no
+    vec_id in the residue class) must read as NO SIGNAL — the
+    scheduled maintenance call returns None instead of crashing on
+    float(None)."""
+    import os
+    import shutil
+
+    from kt_sql_hbase_ex_spark.functions.similarity import (
+        maybe_retrain_pq_store,
+        measure_pq_recall,
+        write_pq_store,
+    )
+
+    root = os.path.join(str(tmp_path), "pq_empty_sample")
+    os.makedirs(root)
+    # vec_ids 100..163 step 2: none satisfies vec_id % 16 == 5
+    vecs = _pq_vecs(spark, range(100, 164, 2))
+    write_pq_store(spark, root, vecs, train=False)
+    assert measure_pq_recall(spark, root, vecs) is None
+    assert maybe_retrain_pq_store(spark, root, vecs, min_recall=0.9) is None
+    shutil.rmtree(root, ignore_errors=True)

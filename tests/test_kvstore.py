@@ -4495,3 +4495,77 @@ class TestVersionsFacade:
         eng.delete_kv_versions([2], ts=25, **opts)
         assert eng.get_kv_versions([{"k": 2}], **opts) == [[]]
         assert eng.multi_get_kv([{"k": 2}], **opts) == [None]
+
+
+class TestVersionsBoundaries:
+    """Round-12 review fixes: the surfaces whose bare-rowkey shape
+    would corrupt versioned state reject loudly, snapshots carry the
+    versions setting, and legacy bloom specs never false-negate."""
+
+    _store = TestVersions._store
+
+    def test_change_feed_rejects_versioned(self, spark, tmp_path):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "vfeed")
+        kv.put_kv_versions(opts, [{"k": 1, "v": 1.0, "__ts": 10}])
+        # the feed's row shape drops __ts: a CDC replica replaying a
+        # versioned store would silently diverge (a masked put replays
+        # live) — both readers reject at construction
+        with pytest.raises(ValueError, match="versioned store"):
+            kv.KVChangesStreamReader(opts)
+        with pytest.raises(ValueError, match="versioned store"):
+            kv.KVChangesBatchReader(opts)
+
+    def test_snapshot_carries_versions_and_clone_validates(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        opts = self._store(tmp_path, "vsnap")
+        kv.put_kv_versions(
+            opts,
+            [{"k": 1, "v": 11.0, "__ts": 10}, {"k": 1, "v": 12.0, "__ts": 20}],
+        )
+        manifest = kv.snapshot_store(opts, "s1")
+        assert manifest["versions"] == 3
+
+        # restore into the SAME versioned store: version state survives
+        kv.put_kv_versions(opts, [{"k": 1, "v": 13.0, "__ts": 30}])
+        out = kv.restore_store(opts, "s1")
+        assert out["published"]
+        hist = kv.get_kv_versions(opts, [{"k": 1}])[0]
+        assert [(h["__ts"], h["v"]) for h in hist] == [
+            (20, 12.0), (10, 11.0), (0, 1.0),
+        ]
+
+        # clone into an UNVERSIONED target: rejected loudly (the
+        # versioned region files hold N rows per key + __ts — an
+        # unversioned scan would serve duplicates/stale rows silently)
+        plain = TestDistributedFold._store(self, tmp_path, "vsnapp")
+        with pytest.raises(kv.SnapshotError, match="versions"):
+            kv.clone_store_snapshot(opts, "s1", plain)
+
+    def test_legacy_bloom_spec_never_false_negates(self):
+        from decimal import Decimal
+
+        from kt_sql_hbase_ex_spark.sources import kvstore as kv
+
+        # new specs carry the codec version
+        spec = kv._bloom_build([5, 7])
+        assert spec.startswith("2:")
+        assert kv._bloom_has(spec, 5) and kv._bloom_has(spec, Decimal("5"))
+        assert not kv._bloom_has(spec, 6)
+        # a legacy (pre-version) spec: repr() matched the canonical
+        # codec for int/str, so those keys still resolve — but key
+        # types whose repr CHANGED (Decimal/float/temporals) answer
+        # might-contain instead of risking a stale-hash false negative
+        legacy = spec[len("2:"):]
+        assert kv._bloom_has(legacy, 5)
+        assert not kv._bloom_has(legacy, 6)
+        assert kv._bloom_has(legacy, Decimal("6")) is True  # lossless
+        assert kv._bloom_has(legacy, 6.0) is True
