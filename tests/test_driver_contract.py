@@ -54,7 +54,9 @@ def test_bench_final_line_is_compact():
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=500,
+        # ~7 min standalone at 55 entries (sf0.001); headroom for a
+        # loaded host — the full suite runs this beside 600 tests
+        timeout=900,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
