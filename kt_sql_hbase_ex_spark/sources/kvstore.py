@@ -2094,12 +2094,12 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options) -> None:
         self._options = {k.lower(): v for k, v in dict(options).items()}
-        # round-12 review: the feed's row shape drops __ts, so a CDC
-        # consumer replaying a versioned store would silently diverge
-        # (a masked-by-tombstone put replays as live) — reject loudly
-        # like every other bare-rowkey surface
-        _reject_versioned(self._options, "the change feed")
         self._columns = list(self._options["columns"].split(","))
+        # versioned stores' WAL entries carry __ts; the feed emits it
+        # (extra schema column before the flag) so a replica can
+        # replay version state EXACTLY — without it a masked-by-
+        # tombstone put would replay as live and replicas diverge
+        self._versioned = _versions_of(self._options) > 1
         self._log_dir = changelog_dir(self._options)
 
     def initialOffset(self) -> dict:
@@ -2121,8 +2121,10 @@ class KVChangesStreamReader(SimpleDataSourceStreamReader):
         for seq in seqs:
             path = os.path.join(self._log_dir, f"{seq:08d}.parquet")
             for r in pq.read_table(path).to_pylist():
+                ts = (int(r[VERSION_TS]),) if self._versioned else ()
                 out.append(
                     tuple(r[c] for c in self._columns)
+                    + ts
                     + (bool(r[TOMBSTONE]), r[SEQ_COL])
                 )
         return iter(out)
@@ -4663,8 +4665,8 @@ class KVChangesBatchReader(DataSourceReader):
 
     def __init__(self, options) -> None:
         opts = {k.lower(): v for k, v in dict(options).items()}
-        _reject_versioned(opts, "the change feed")  # see stream reader
         self._columns = list(opts["columns"].split(","))
+        self._versioned = _versions_of(opts) > 1  # see stream reader
         self._log_dir = changelog_dir(opts)
         #: optional upper bound: only commits <= maxSeq are scanned —
         #: the file list prunes BEFORE any task reads (an as-of read
@@ -4734,7 +4736,8 @@ class KVChangesBatchReader(DataSourceReader):
         if partition.path is None:  # the empty-result sentinel
             return
         for r in pq.read_table(partition.path).to_pylist():
-            yield tuple(r[c] for c in self._columns) + (
+            ts = (int(r[VERSION_TS]),) if self._versioned else ()
+            yield tuple(r[c] for c in self._columns) + ts + (
                 bool(r[TOMBSTONE]),
                 r[SEQ_COL],
             )
@@ -4759,8 +4762,14 @@ class KVChangesDataSource(DataSource):
         from pyspark.sql.types import BooleanType, LongType, StructField
 
         base = _open_store(self.options).schema
+        ts = (
+            [StructField(VERSION_TS, LongType(), False)]
+            if _versions_of(self.options) > 1
+            else []
+        )
         return StructType(
             list(base.fields)
+            + ts
             + [
                 StructField(TOMBSTONE, BooleanType(), False),
                 StructField(SEQ_COL, LongType(), False),

@@ -1633,11 +1633,16 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
         FORMAT_NAME,
         SEQ_COL,
         TOMBSTONE,
+        _versions_of,
         delete_from_store,
     )
 
     key_cols = replica_opts["keyCol"].split(",")
     columns = replica_opts["columns"].split(",")
+    if _versions_of(replica_opts) > 1:
+        return _apply_cdc_batch_versioned(
+            batch_df, replica_opts, key_cols, columns
+        )
     # per-key last-wins across the batch's commits (bounded: partitioned
     # by key, each partition holds at most one row per commit in batch)
     latest = (
@@ -1670,6 +1675,69 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
             for r in del_rows
         ]
         delete_from_store(lopts, keys)
+
+
+def _apply_cdc_batch_versioned(
+    batch_df: DataFrame, replica_opts: dict, key_cols, columns
+) -> None:
+    """The versioned-replica apply (round-12): a versioned source's
+    feed rows carry ``__ts``, and the replica replays them as VERSION
+    EVENTS — a put upserts its (rowkey, ts) version, a tombstone masks
+    at its ts — through the versioned writers. Collapse is per
+    (key, __ts) last-wins by sequence (re-putting the SAME version is
+    the only overwrite versioned state allows), NOT per key: the
+    unversioned per-key collapse would drop the older versions a
+    multi-commit recovery batch legitimately carries. Idempotent by
+    construction (version upsert + tombstone re-write converge), and
+    ORDER-FREE within the batch: versioned state is a set of
+    (key, ts) put events plus each key's max tombstone ts, so applying
+    all puts then all tombstones reaches the same state as any
+    interleaving — including the masked-put case (put ts=20 under a
+    tombstone ts=25 replays masked, never live)."""
+    from pyspark.sql import Window
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        SEQ_COL,
+        TOMBSTONE,
+        VERSION_TS,
+        delete_kv_versions,
+        put_kv_versions,
+    )
+
+    lopts = {k.lower(): v for k, v in replica_opts.items()}
+    latest = (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols, VERSION_TS).orderBy(
+                    F.col(SEQ_COL).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    # version events ship driver-side: commits are statement-sized by
+    # the overlay contract (the unversioned apply's delete path bound)
+    put_rows = latest.filter(~F.col(TOMBSTONE)).select(
+        *columns, VERSION_TS
+    ).collect()
+    if put_rows:
+        put_kv_versions(lopts, [r.asDict() for r in put_rows])
+    tomb_rows = latest.filter(F.col(TOMBSTONE)).select(
+        *key_cols, VERSION_TS
+    ).collect()
+    by_ts: dict = {}
+    for r in tomb_rows:
+        k = (
+            tuple(r[c] for c in key_cols)
+            if len(key_cols) > 1
+            else r[key_cols[0]]
+        )
+        by_ts.setdefault(int(r[VERSION_TS]), []).append(k)
+    for ts in sorted(by_ts):
+        delete_kv_versions(lopts, by_ts[ts], ts=ts)
 
 
 def _st17_oracle() -> str:

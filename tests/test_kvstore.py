@@ -4504,20 +4504,62 @@ class TestVersionsBoundaries:
 
     _store = TestVersions._store
 
-    def test_change_feed_rejects_versioned(self, spark, tmp_path):
-        import pytest
-
+    def test_change_feed_replicates_version_state(self, spark, tmp_path):
+        """The feed carries __ts for versioned stores and the CDC
+        apply replays version EVENTS, so a versioned replica converges
+        to the source exactly — including the divergence scenario the
+        round-12 review flagged: a put under a newer tombstone
+        (put ts=10/20, delete ts=25) must replay MASKED, never live,
+        even when a multi-commit recovery batch delivers all three
+        commits at once (where a per-key last-wins collapse would
+        corrupt version history)."""
         from kt_sql_hbase_ex_spark.sources import kvstore as kv
+        from kt_sql_hbase_ex_spark.streaming.events import apply_cdc_batch
 
-        opts = self._store(tmp_path, "vfeed")
-        kv.put_kv_versions(opts, [{"k": 1, "v": 1.0, "__ts": 10}])
-        # the feed's row shape drops __ts: a CDC replica replaying a
-        # versioned store would silently diverge (a masked put replays
-        # live) — both readers reject at construction
-        with pytest.raises(ValueError, match="versioned store"):
-            kv.KVChangesStreamReader(opts)
-        with pytest.raises(ValueError, match="versioned store"):
-            kv.KVChangesBatchReader(opts)
+        src = self._store(tmp_path, "vfeed_src", n=0)
+        rep = self._store(tmp_path, "vfeed_rep", n=0)
+        kv.register_kv_source(spark)
+
+        # interleaved version history across four commits
+        kv.put_kv_versions(
+            src, [{"k": 1, "v": 11.0, "__ts": 10}, {"k": 3, "v": 31.0, "__ts": 10}]
+        )
+        kv.put_kv_versions(
+            src, [{"k": 1, "v": 12.0, "__ts": 20}, {"k": 3, "v": 32.0, "__ts": 20}]
+        )
+        kv.delete_kv_versions(src, [1, 3], ts=25)
+        kv.put_kv_versions(src, [{"k": 1, "v": 13.0, "__ts": 30}])
+
+        feed = spark.read.format(kv.CHANGES_FORMAT_NAME).options(
+            **{k: str(v) for k, v in src.items()}
+        ).load()
+        assert "__ts" in feed.columns
+        # ONE batch spanning all commits — the recovery-replay shape
+        apply_cdc_batch(feed, {
+            "path": rep["path"], "keyCol": "k", "columns": "k,v",
+            "regionSize": rep["regionsize"], "versions": rep["versions"],
+            "appId": rep["appid"],
+        })
+
+        probes = [{"k": 1}, {"k": 3}]
+        assert kv.get_kv_versions(rep, probes) == kv.get_kv_versions(
+            src, probes
+        )
+        # k=1 revived above the tombstone; k=3 fully masked (the
+        # pre-fix bug read k=3 LIVE at ts=20 on the replica)
+        assert kv.get_store_rows(rep, probes) == kv.get_store_rows(
+            src, probes
+        )
+        assert kv.get_store_rows(rep, [{"k": 3}]) == [None]
+        # idempotent: re-applying the same batch changes nothing
+        apply_cdc_batch(feed, {
+            "path": rep["path"], "keyCol": "k", "columns": "k,v",
+            "regionSize": rep["regionsize"], "versions": rep["versions"],
+            "appId": rep["appid"],
+        })
+        assert kv.get_kv_versions(rep, probes) == kv.get_kv_versions(
+            src, probes
+        )
 
     def test_snapshot_carries_versions_and_clone_validates(
         self, spark, tmp_path
