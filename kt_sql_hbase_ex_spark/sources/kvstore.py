@@ -1527,6 +1527,15 @@ def _commit_versioned(opts, batch: list) -> None:
     import pyarrow.parquet as pq
 
     key_cols = tuple(opts["keycol"].split(","))
+    # collapse same-batch overwrites of one (rowkey, __ts) version
+    # BEFORE the WAL append — _append_changelog's contract is per-key
+    # FINAL mutations. Two raw rows would share one seq, and a replica's
+    # last-wins-by-seq collapse could then replay the overwritten value
+    # while recovery (file-order replay) keeps the last one.
+    final = {}
+    for r in batch:
+        final[_vkey(r, key_cols)] = r
+    batch = list(final.values())
     merged = {
         _vkey(r, key_cols): r for r in _versioned_overlay_rows(opts)
     }

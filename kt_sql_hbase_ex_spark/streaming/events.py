@@ -1627,38 +1627,37 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
     restart can produce re-applies to the same state — the idempotent
     consumer the feed's one-commit-per-microbatch contract is designed
     for. Work ∝ batch mutations; the replica is never scanned."""
-    from pyspark.sql import Window
-
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         FORMAT_NAME,
-        SEQ_COL,
         TOMBSTONE,
+        VERSION_TS,
         _versions_of,
         delete_from_store,
     )
 
     key_cols = replica_opts["keyCol"].split(",")
     columns = replica_opts["columns"].split(",")
-    if _versions_of(replica_opts) > 1:
+    versioned = _versions_of(replica_opts) > 1
+    # the routing must agree with the batch's actual shape: a versioned
+    # source's feed carries __ts, and collapsing it per key (the
+    # unversioned path) would replay a masked-by-tombstone put as LIVE
+    # — the exact divergence the versioned apply exists to prevent.
+    # Fail loudly instead of silently corrupting the replica.
+    if (VERSION_TS in batch_df.columns) != versioned:
+        raise ValueError(
+            "change-feed batch and replica disagree on versioning: "
+            f"batch {'carries' if VERSION_TS in batch_df.columns else 'lacks'} "
+            f"{VERSION_TS!r} but replica_opts versions="
+            f"{_versions_of(replica_opts)} — pass the source store's "
+            "'versions' option in replica_opts"
+        )
+    if versioned:
         return _apply_cdc_batch_versioned(
             batch_df, replica_opts, key_cols, columns
         )
     # per-key last-wins across the batch's commits (bounded: partitioned
     # by key, each partition holds at most one row per commit in batch)
-    latest = (
-        batch_df.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(*key_cols).orderBy(F.col(SEQ_COL).desc())
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        # materialize ONCE: the collapsed set feeds three consumers
-        # (emptiness probe, connector write, tombstone collect) — each
-        # would otherwise re-run the per-key window shuffle
-        .localCheckpoint(eager=True)
-    )
+    latest = _collapse_last_wins(batch_df, key_cols)
     puts = latest.filter(~F.col(TOMBSTONE)).select(*columns)
     if puts.limit(1).count():
         puts.write.format(FORMAT_NAME).options(**replica_opts).mode(
@@ -1675,6 +1674,31 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
             for r in del_rows
         ]
         delete_from_store(lopts, keys)
+
+
+def _collapse_last_wins(batch_df: DataFrame, partition_cols) -> DataFrame:
+    """Collapse a (possibly multi-commit) feed batch to each partition
+    key's FINAL mutation — last-wins by commit sequence — and
+    materialize ONCE: the collapsed set feeds several consumers
+    (emptiness probe, writes, tombstone collect), each of which would
+    otherwise re-run the per-key window shuffle."""
+    from pyspark.sql import Window
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import SEQ_COL
+
+    return (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*partition_cols).orderBy(
+                    F.col(SEQ_COL).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
 
 
 def _apply_cdc_batch_versioned(
@@ -1694,10 +1718,7 @@ def _apply_cdc_batch_versioned(
     all puts then all tombstones reaches the same state as any
     interleaving — including the masked-put case (put ts=20 under a
     tombstone ts=25 replays masked, never live)."""
-    from pyspark.sql import Window
-
     from kt_sql_hbase_ex_spark.sources.kvstore import (
-        SEQ_COL,
         TOMBSTONE,
         VERSION_TS,
         delete_kv_versions,
@@ -1705,19 +1726,7 @@ def _apply_cdc_batch_versioned(
     )
 
     lopts = {k.lower(): v for k, v in replica_opts.items()}
-    latest = (
-        batch_df.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(*key_cols, VERSION_TS).orderBy(
-                    F.col(SEQ_COL).desc()
-                )
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .localCheckpoint(eager=True)
-    )
+    latest = _collapse_last_wins(batch_df, [*key_cols, VERSION_TS])
     # version events ship driver-side: commits are statement-sized by
     # the overlay contract (the unversioned apply's delete path bound)
     put_rows = latest.filter(~F.col(TOMBSTONE)).select(
