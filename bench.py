@@ -378,7 +378,14 @@ def main() -> None:
             "detail": "see previous stdout line",
         }
     )
-    assert len(final.encode()) < 1024, len(final)
+    if len(final.encode()) >= 1024:
+        # Hard driver-contract failure (NOT an assert: -O must not strip
+        # it — an oversized final line silently truncates in the
+        # driver's ~2.2 KB stdout tail window, the exact round-11
+        # record-loss failure this line exists to prevent).
+        raise RuntimeError(
+            f"final headline line {len(final.encode())}B >= 1024B budget"
+        )
     print(final)
 
 

@@ -3971,9 +3971,11 @@ def measure_residual_ivfpq_recall(
     vecs: DataFrame,
     sample_mod: int = SIM19_MOD,
     sample_res: int = SIM19_RES,
-) -> float:
+) -> float | None:
     """The same sampled readout over a residual-IVFADC store root —
-    drift measurement for the append-grown sim17 stores."""
+    drift measurement for the append-grown sim17 stores; ``None`` on
+    an empty query sample (no signal), matching
+    :func:`measure_pq_recall`'s contract."""
     batch = _sample_batch(vecs, sample_mod, sample_res)
     approx = probe_residual_ivfpq_store(spark, root, batch, vecs)
     row = recall_vs_exact(spark, approx, batch, vecs, "probe").first()

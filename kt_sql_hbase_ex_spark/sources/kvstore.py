@@ -1483,10 +1483,16 @@ def _vkey(row: dict, key_cols) -> tuple:
 def _mask_and_cap(versions: list, n: int, min_ts=None, max_ts=None) -> list:
     """HBase read semantics over one key's raw version rows (puts and
     tombstones, any order): the newest tombstone masks every version
-    at-or-below its ts; survivors sort newest-first and cap at the
-    store's N (versions beyond N are gone even if a wider time range
-    asks — the HBase maxVersions contract); the optional
-    ``[min_ts, max_ts]`` time range filters AFTER the cap."""
+    at-or-below its ts; the optional ``[min_ts, max_ts]`` time range
+    filters BEFORE the cap (pre-compaction HBase serves beyond-N
+    versions on time-range reads as long as the cells physically
+    exist, so a time-ranged Get agrees with
+    :func:`scan_kv_versions_asof` at the same logical timestamp);
+    survivors then sort newest-first and cap at N. Post-fold the
+    beyond-N versions are physically gone (the fold rewrites each key
+    to its newest N live versions — major-compaction semantics), so
+    the same ranged read narrows after a fold exactly as HBase's does
+    after a major compaction."""
     tomb = max(
         (int(r[VERSION_TS]) for r in versions if r.get(TOMBSTONE)),
         default=None,
@@ -1498,13 +1504,12 @@ def _mask_and_cap(versions: list, n: int, min_ts=None, max_ts=None) -> list:
     live = [
         r for ts, r in by_ts.items() if tomb is None or ts > tomb
     ]
-    live.sort(key=lambda r: -int(r[VERSION_TS]))
-    live = live[:n]
     if min_ts is not None:
         live = [r for r in live if int(r[VERSION_TS]) >= min_ts]
     if max_ts is not None:
         live = [r for r in live if int(r[VERSION_TS]) <= max_ts]
-    return live
+    live.sort(key=lambda r: -int(r[VERSION_TS]))
+    return live[:n]
 
 
 def _versioned_overlay_rows(opts) -> list:
@@ -4478,7 +4483,6 @@ def snapshot_store(options, name: str, spark=None, attempts: int = 3) -> dict:
                             )
                 manifest = {
                     "name": name,
-                    "regions": gen["regions"],
                     "applied_seq": gen["applied_seq"],
                     "gen": gen["gen"],
                     "columns": opts["columns"],
@@ -4488,6 +4492,26 @@ def snapshot_store(options, name: str, spark=None, attempts: int = 3) -> dict:
                     "versions": _versions_of(opts),
                     "rows": sum(m["rows"] for m in gen["regions"]),
                 }
+                # the region list ships SHARDED beside the manifest,
+                # never inline in the JSON (round-13: the inline form
+                # reintroduced the O(regions) driver-side JSON cost —
+                # ~250 MB at 400k regions — that _shard_region_manifest
+                # removed from the generation pointer; restore/clone
+                # re-read it lazily via _GenManifest). A sharded
+                # generation hardlinks its _regions.parquet (zero-copy,
+                # byte-identical to the list we just linked from); a
+                # legacy inline generation writes one.
+                if dict.__contains__(gen, "regions_file"):
+                    _link_or_copy(
+                        os.path.join(gen["dir"], gen["regions_file"]),
+                        os.path.join(tmp, REGIONS_FILE),
+                    )
+                    manifest["regions_file"] = REGIONS_FILE
+                    manifest["regions_n"] = _gen_regions_n(gen)
+                else:
+                    manifest = _shard_region_manifest(
+                        dict(manifest, regions=gen["regions"]), tmp
+                    )
                 with open(os.path.join(tmp, SNAP_MANIFEST), "w") as f:
                     json.dump(manifest, f)
                 os.rename(tmp, sdir)  # atomic publish; fails if taken
@@ -4541,11 +4565,17 @@ def _read_snapshot_manifest(options, name: str) -> tuple[str, dict]:
     sdir = os.path.join(_snap_root(options), name)
     try:
         with open(os.path.join(sdir, SNAP_MANIFEST)) as f:
-            return sdir, json.load(f)
+            manifest = json.load(f)
     except FileNotFoundError:
         raise SnapshotError(
             f"snapshot {name!r} does not exist for this store"
         ) from None
+    if "regions_file" in manifest:
+        # sharded manifest (round-13): the region list lives in the
+        # snapshot dir's _regions.parquet; manifest["regions"] loads
+        # lazily exactly like a sharded generation pointer
+        return sdir, _GenManifest(dict(manifest, dir=sdir))
+    return sdir, manifest
 
 
 def _publish_snapshot_as_generation(

@@ -4336,10 +4336,17 @@ class TestVersions:
         assert [(h["__ts"], h["v"]) for h in hist] == [
             (30, 52.0), (20, 51.0), (10, 50.0),
         ]
-        # time-range Get filters AFTER the cap (HBase: pruned versions
-        # are gone even if the range asks for them)
+        # time-range Get filters BEFORE the cap (pre-compaction HBase
+        # serves versions still physically present, so a ranged Get
+        # agrees with the as-of scan at the same logical timestamp)
         ranged = kv.get_kv_versions(opts, [{"k": 5}], min_ts=5, max_ts=20)[0]
         assert [(h["__ts"], h["v"]) for h in ranged] == [(20, 51.0), (10, 50.0)]
+        # the divergence case the ordering fixes: ts=0 is beyond-N at
+        # read time but not yet folded away — a range covering only it
+        # still serves it (post-fold it is physically gone: see
+        # test_fold_prunes_beyond_n* for the narrowing)
+        ranged = kv.get_kv_versions(opts, [{"k": 5}], max_ts=0)[0]
+        assert [(h["__ts"], h["v"]) for h in ranged] == [(0, 5.0)]
         # same key + same ts overwrites THAT version (HBase semantics)
         kv.put_kv_versions(opts, [{"k": 5, "v": 99.0, "__ts": 30}])
         assert kv.get_kv_versions(opts, [{"k": 5}])[0][0]["v"] == 99.0
