@@ -244,6 +244,17 @@ HEADLINE = (
     # the distributed window-over-union read path src20's point
     # history doesn't price)
     "src21_kv_versioned_asof_scan",
+    # round-13 additions: the persisted mergeable-sketch serving paths
+    # — sk01 answers a distinct-count slice by max-merging the HLL
+    # register store's per-segment rows (the ingest-time
+    # pre-aggregation read that replaces raw scans at 100 TB), sk03
+    # probes the count-min counter store for heavy-hitter frequencies
+    # (d broadcast lookups per probe). Both provision their store once
+    # (warmup absorbs it); the timed number is the steady-state
+    # sketch-merge read plus the exact-count companion scan that rides
+    # for grading.
+    "sk01_hll_rollup",
+    "sk03_cm_heavy_hitters",
 )
 
 # Store-LIFECYCLE entries (round-11, r10 verdict task #2): these time

@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "kt_sql_hbase_ex_spark.functions.dedup",
     "kt_sql_hbase_ex_spark.functions.pipeline",
     "kt_sql_hbase_ex_spark.functions.similarity",
+    "kt_sql_hbase_ex_spark.functions.sketches",
     "kt_sql_hbase_ex_spark.functions.multimodal",
     "kt_sql_hbase_ex_spark.streaming.events",
 )

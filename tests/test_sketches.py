@@ -1,0 +1,146 @@
+"""Sketch rollup store lifecycle pins (sk01-sk03).
+
+The oracle-parity sweep grades the registered queries' VALUES; these
+tests pin the store-lifecycle invariants the oracle is deliberately
+blind to: append mergeability/idempotence, compaction answer
+preservation + deferred GC, writer mutual exclusion, and count-min's
+one-sided error guarantee.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kt_sql_hbase_ex_spark.functions import sketches as sk
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _mk(spark, lo, hi, seg):
+    """(grp, val, seg) synthetic slice: values lo..hi-1, two groups."""
+    return spark.range(lo, hi).select(
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+        F.col("id").alias("val"),
+        F.lit(seg).alias("seg"),
+    )
+
+
+class TestHllStore:
+    def test_append_union_and_idempotence(self, spark, tmp_path):
+        root = str(tmp_path / "hll")
+        sk.write_hll_store(spark, root, _mk(spark, 0, 400, 1), "grp", "val", "seg")
+        sk.append_hll_segments(
+            spark, root, _mk(spark, 400, 900, 2), "grp", "val", "seg"
+        )
+        # merged registers == registers of a one-shot build over the union
+        direct = str(tmp_path / "hll_direct")
+        sk.write_hll_store(
+            spark, direct, _mk(spark, 0, 900, 1), "grp", "val", "seg"
+        )
+        merged = (
+            sk.read_hll_registers(spark, root)
+            .groupBy("grp", "j")
+            .agg(F.max("mrho").alias("m"))
+        )
+        want = (
+            sk.read_hll_registers(spark, direct)
+            .groupBy("grp", "j")
+            .agg(F.max("mrho").alias("m"))
+        )
+        assert _rows(merged, ("grp", "j", "m")) == _rows(want, ("grp", "j", "m"))
+        # re-appending the SAME slice is idempotent under max-merge
+        # (at-least-once ingest needs no dedup ledger)
+        before = _rows(sk.hll_estimates(sk.read_hll_registers(spark, root)),
+                       ("grp", "est", "s_scaled", "zero_regs"))
+        sk.append_hll_segments(
+            spark, root, _mk(spark, 400, 900, 2), "grp", "val", "seg"
+        )
+        after = _rows(sk.hll_estimates(sk.read_hll_registers(spark, root)),
+                      ("grp", "est", "s_scaled", "zero_regs"))
+        assert after == before
+
+    def test_compact_preserves_answers_with_deferred_gc(self, spark, tmp_path):
+        root = str(tmp_path / "hll")
+        sk.write_hll_store(spark, root, _mk(spark, 0, 300, 1), "grp", "val", "seg")
+        sk.append_hll_segments(
+            spark, root, _mk(spark, 300, 700, 2), "grp", "val", "seg"
+        )
+        before = _rows(sk.hll_estimates(sk.read_hll_registers(spark, root)),
+                       ("grp", "est", "s_scaled", "zero_regs"))
+        old = sk._read_layout(root)
+        st = sk.compact_hll_store(spark, root)
+        assert st["gen"] == old["gen"] + 1
+        after = _rows(sk.hll_estimates(sk.read_hll_registers(spark, root)),
+                      ("grp", "est", "s_scaled", "zero_regs"))
+        assert after == before
+        # superseded dir survives one cycle for in-flight readers…
+        assert os.path.isdir(os.path.join(root, old["data"]))
+        # …and the NEXT compaction sweeps it (deferred GC)
+        sk.compact_hll_store(spark, root)
+        assert not os.path.isdir(os.path.join(root, old["data"]))
+
+    def test_estimates_land_within_tolerance(self, spark, tmp_path):
+        root = str(tmp_path / "hll")
+        sk.write_hll_store(spark, root, _mk(spark, 0, 3000, 1), "grp", "val", "seg")
+        exact = {"even": 1500, "odd": 1500}
+        for r in sk.hll_estimates(sk.read_hll_registers(spark, root)).collect():
+            assert abs(r["est"] - exact[r["grp"]]) <= 0.2 * exact[r["grp"]]
+
+    def test_writer_mutual_exclusion(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.functions.text_index import (
+            IndexWriterConflict,
+        )
+
+        root = str(tmp_path / "hll")
+        sk.write_hll_store(spark, root, _mk(spark, 0, 50, 1), "grp", "val", "seg")
+        with open(os.path.join(root, "writer.lock"), "w"):
+            pass
+        with pytest.raises(IndexWriterConflict):
+            sk.append_hll_segments(
+                spark, root, _mk(spark, 50, 60, 2), "grp", "val", "seg"
+            )
+        os.unlink(os.path.join(root, "writer.lock"))
+
+
+class TestCmStore:
+    def _toks(self, spark, vals):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, tok string"
+        )
+
+    def test_counters_are_additive(self, spark, tmp_path):
+        a = self._toks(spark, ["x", "y", "x", "z"])
+        b = self._toks(spark, ["x", "z", "z", "w"])
+        both = a.unionByName(b)
+        root = str(tmp_path / "cm")
+        sk.write_cm_store(spark, root, sk.cm_counters(a))
+        sk.append_cm_counters(spark, root, sk.cm_counters(b))
+        got = _rows(sk.read_cm_counters(spark, root), ("i", "b", "cnt"))
+        want = _rows(sk.cm_counters(both), ("i", "b", "cnt"))
+        assert got == want
+        # compaction collapses the append rows without changing answers
+        sk.compact_cm_store(spark, root)
+        assert _rows(sk.read_cm_counters(spark, root), ("i", "b", "cnt")) == want
+
+    def test_estimate_never_underestimates(self, spark, tmp_path):
+        vals = ["a"] * 7 + ["b"] * 3 + ["c"] * 5 + ["d"]
+        root = str(tmp_path / "cm")
+        sk.write_cm_store(spark, root, sk.cm_counters(self._toks(spark, vals)))
+        counters = {(r["i"], r["b"]): r["cnt"]
+                    for r in sk.read_cm_counters(spark, root).collect()}
+        import hashlib as _h
+
+        for tok, exact in (("a", 7), ("b", 3), ("c", 5), ("d", 1)):
+            est = min(
+                counters.get(
+                    (i, int(_h.md5(f"{i}:{tok}".encode()).hexdigest()[:8], 16)
+                     % sk._CM_W), 0)
+                for i in range(sk._CM_D)
+            )
+            assert est >= exact  # the count-min one-sided guarantee
