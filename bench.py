@@ -255,6 +255,12 @@ HEADLINE = (
     # for grading.
     "sk01_hll_rollup",
     "sk03_cm_heavy_hitters",
+    # round-13 addition: the incrementally-maintained aggregate view —
+    # a live drain crediting per-commit deltas (replica point-gets +
+    # partial append + idempotent replica apply) with a mid-stream log
+    # compaction; prices the IVM consumer shape st17's row-replica
+    # doesn't (per-commit point-get + driver-side delta credit).
+    "st19_incremental_matview",
 )
 
 # Store-LIFECYCLE entries (round-11, r10 verdict task #2): these time
@@ -292,6 +298,10 @@ LIFECYCLE = frozenset(
         "sim19_pq_recall_readout",
         "src20_kv_versioned_cells",
         "src21_kv_versioned_asof_scan",
+        # round-13: st19 provisions two stores + drains four commits
+        # through the crediting apply per call; the serve phase is the
+        # partial-log fold (the view read a deployment pays)
+        "st19_incremental_matview",
     }
 )
 

@@ -1988,3 +1988,413 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_key"),
         _emit(F.sum(_micros(F.col("c_acctbal"))), 2).alias("total_bal"),
     )
+
+
+# --- incremental materialized aggregate view (round 13) ----------------
+#
+# The change feed's third production consumer beside the replica (st17)
+# and the audit reader (src10): a GROUP-BY aggregate VIEW maintained
+# incrementally from the WAL — classic incremental view maintenance
+# (delta processing), the shape every OLAP serving layer runs so a
+# dashboard aggregate over a 100 TB mutating table costs work ∝ commit,
+# never a rescan. Per commit: the batch's keys point-get their OLD
+# credited rows from a maintained replica (the bloom- and range-routed
+# ``get_store_rows`` path — absent keys read zero files), per-group
+# deltas (−old, +new) append as ONE partial file named by the commit
+# sequence (the st07 log+compaction convention; money deltas are exact
+# micro-unit longs so incremental ± never drifts from a recompute),
+# and the replica advances through the idempotent st17 apply. The
+# seq-named partial is an O_EXCL-style CLAIM: at-least-once redelivery
+# (checkpoint-recovery replay) finds the claim and skips re-crediting,
+# making the view exactly-once in effect — the partial writes BEFORE
+# the replica advances, so "claim exists" always means "commit
+# credited" and a crash between the two re-applies only the idempotent
+# replica half. Compaction folds the partial log into one row set
+# behind the layout pointer and records ``floor_seq``; late replays at
+# or below the floor are skipped (the claim files it swept are
+# subsumed), the kvstore ``applied_seq`` watermark discipline.
+
+#: matview partial-log schema: per-group delta rows
+_MV_FIELDS = [("grp", "string"), ("dn", "int64"), ("dmicros", "int64")]
+
+
+def _mv_layout_path(root: str) -> str:
+    return os.path.join(root, "layout.json")
+
+
+def _mv_read_layout(root: str) -> dict:
+    import json
+
+    try:
+        with open(_mv_layout_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"gen": 0, "data": "partials", "floor_seq": 0, "prev": []}
+
+
+def _mv_write_layout(root: str, layout: dict) -> None:
+    import json
+
+    tmp = f"{_mv_layout_path(root)}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(layout, f)
+    os.replace(tmp, _mv_layout_path(root))
+
+
+def _mv_micros(v: float) -> int:
+    """Driver-side twin of :func:`money._micros` (same IEEE double
+    product, same add-half-then-truncate) so deltas credited here
+    subtract exactly what a Spark-side aggregate would have added."""
+    scaled = v * 1_000_000
+    return int(scaled + (0.5 if scaled >= 0 else -0.5))
+
+
+def apply_matview_batch(
+    batch_df: DataFrame, replica_opts: dict, view_root: str, grp_col: str,
+    val_col: str,
+) -> None:
+    """Credit one change-feed microbatch to the aggregate view, then
+    advance the credited-state replica. Processes the batch one COMMIT
+    at a time in sequence order (a normal microbatch is one commit by
+    the feed contract; a checkpoint-recovery replay spans several),
+    because commit N's old values must reflect commits < N. Work per
+    commit: one statement-sized collect (the commit contract the
+    replica's tombstone path already relies on), one bloom-routed
+    point multi-get against the replica, one partial-file write, one
+    idempotent replica apply."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        SEQ_COL,
+        TOMBSTONE,
+        get_store_rows,
+    )
+
+    lopts = {k.lower(): v for k, v in replica_opts.items()}
+    key_cols = lopts["keycol"].split(",")
+    with _writer_lock(view_root):
+        _apply_matview_locked(
+            batch_df, replica_opts, lopts, key_cols, view_root, grp_col,
+            val_col, pa, pq, SEQ_COL, TOMBSTONE, get_store_rows,
+        )
+
+
+def _apply_matview_locked(
+    batch_df, replica_opts, lopts, key_cols, view_root, grp_col, val_col,
+    pa, pq, SEQ_COL, TOMBSTONE, get_store_rows,
+) -> None:
+    """Body of :func:`apply_matview_batch`, under the view's writer
+    lock — appliers and compaction serialize MECHANICALLY (the losing
+    side of a race fails loudly, the repo-wide single-writer
+    discipline), so a partial can never land in a dir compaction just
+    superseded."""
+    layout = _mv_read_layout(view_root)
+    pdir = os.path.join(view_root, layout["data"])
+    os.makedirs(pdir, exist_ok=True)
+    seqs = sorted(
+        r[SEQ_COL]
+        for r in batch_df.select(SEQ_COL).distinct().collect()
+    )
+    for seq in seqs:
+        part = os.path.join(pdir, f"partial-{int(seq):012d}.parquet")
+        claimed = os.path.exists(part) or int(seq) <= layout.get(
+            "floor_seq", 0
+        )
+        if not claimed:
+            rows = batch_df.filter(F.col(SEQ_COL) == seq).collect()
+            # per-key finality within one commit (overlay contract);
+            # keep the last row per key defensively
+            final = {tuple(r[c] for c in key_cols): r for r in rows}
+            olds = get_store_rows(
+                lopts,
+                [dict(zip(key_cols, k)) for k in final],
+            )
+            deltas: dict = {}
+
+            def _credit(grp, dn, dmicros):
+                n, m = deltas.get(grp, (0, 0))
+                deltas[grp] = (n + dn, m + dmicros)
+
+            for old, new in zip(olds, final.values()):
+                if old is not None:
+                    _credit(old[grp_col], -1, -_mv_micros(old[val_col]))
+                if not new[TOMBSTONE]:
+                    _credit(new[grp_col], 1, _mv_micros(new[val_col]))
+            table = pa.table(
+                {
+                    "grp": pa.array([g for g in deltas], pa.string()),
+                    "dn": pa.array(
+                        [d[0] for d in deltas.values()], pa.int64()
+                    ),
+                    "dmicros": pa.array(
+                        [d[1] for d in deltas.values()], pa.int64()
+                    ),
+                }
+            )
+            tmp = f"{part}.tmp.{os.getpid()}"
+            pq.write_table(table, tmp)
+            os.replace(tmp, part)  # the claim publishes atomically
+        # replica advance is idempotent either way (upsert/tombstone
+        # by rowkey) — re-applying an already-applied commit is a no-op
+        apply_cdc_batch(
+            batch_df.filter(F.col(SEQ_COL) == seq), replica_opts
+        )
+
+
+def read_matview(spark: SparkSession, view_root: str) -> DataFrame:
+    """The view: per-group (n, micros-sum) folded over the partial log
+    — bytes read ∝ groups × commits-since-compaction, never the base
+    table. Groups whose membership netted to zero drop out (a fully
+    deleted group reads absent, like the base rows it summarized)."""
+    layout = _mv_read_layout(view_root)
+    pdir = os.path.join(view_root, layout["data"])
+    return (
+        spark.read.parquet(pdir)
+        .groupBy("grp")
+        .agg(
+            F.sum("dn").cast("long").alias("n"),
+            F.sum("dmicros").cast("long").alias("micros"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def compact_matview(spark: SparkSession, view_root: str) -> dict:
+    """Fold the partial log into one row set behind the layout pointer
+    and advance ``floor_seq`` to the highest claimed commit: the
+    swept claim files are subsumed by the floor, so a late replay of
+    an old span skips instead of double-crediting. Deferred GC keeps
+    the superseded dir one cycle for in-flight readers."""
+    import glob
+    import shutil
+
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(view_root):
+        layout = _mv_read_layout(view_root)
+        pdir = os.path.join(view_root, layout["data"])
+        claims = [
+            int(os.path.basename(p).split("-")[1].split(".")[0])
+            for p in glob.glob(os.path.join(pdir, "partial-*.parquet"))
+        ]
+        floor = max(claims, default=layout.get("floor_seq", 0))
+        merged = (
+            spark.read.parquet(pdir)
+            .groupBy("grp")
+            .agg(
+                F.sum("dn").cast("long").alias("dn"),
+                F.sum("dmicros").cast("long").alias("dmicros"),
+            )
+        )
+        data = f"partials.{uuid.uuid4().hex[:12]}"
+        merged.coalesce(1).write.parquet(os.path.join(view_root, data))
+        for stale in layout.get("prev", []):
+            shutil.rmtree(
+                os.path.join(view_root, stale), ignore_errors=True
+            )
+        _mv_write_layout(
+            view_root,
+            {
+                "gen": layout["gen"] + 1,
+                "data": data,
+                "floor_seq": int(floor),
+                "prev": [layout["data"]],
+            },
+        )
+        return {"gen": layout["gen"] + 1, "floor_seq": int(floor)}
+
+
+def _mv_provision(spark: SparkSession, sf_dir: str, base_name: str) -> dict:
+    """st19's fresh-identity store base (the ``_cdc_provision`` pattern
+    widened to carry the view's group column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import truncate_overlay
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_kv_cdc_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base_dir, exist_ok=True)
+    base_path = os.path.join(base_dir, f"{base_name}.parquet")
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_mktsegment": pa.array([], pa.string()),
+            "c_acctbal": pa.array([], pa.float64()),
+        }
+    )
+    staging = f"{base_path}.tmp.{os.getpid()}"
+    pq.write_table(empty, staging)
+    os.replace(staging, base_path)
+    opts = {
+        "path": base_path,
+        "keyCol": "c_custkey",
+        "columns": "c_custkey,c_mktsegment,c_acctbal",
+        "regionSize": "1024",
+        "appId": spark.conf.get("spark.app.id", "shared"),
+    }
+    truncate_overlay({k.lower(): v for k, v in opts.items()})
+    return opts
+
+
+def _mv_mutation_batches(spark: SparkSession, sf_dir: str):
+    """st19's deterministic mutation batches — st16's shape plus the
+    IVM-specific case: an UPDATE THAT MOVES A ROW BETWEEN GROUPS
+    (commit 3 rewrites the %5 keys' segment to 'MOVED'), the delta
+    the replica-blind recompute can't distinguish but a broken
+    incremental path double-counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    put_batches = [
+        cust.filter(k % 3 == 0).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ),
+        cust.filter(k % 3 == 1).select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        ),
+        cust.filter(k % 5 == 0).select(
+            "c_custkey",
+            F.lit("MOVED").alias("c_mktsegment"),
+            (F.col("c_acctbal") - 500).alias("c_acctbal"),
+        ),
+    ]
+    delete_keys = sorted(
+        r["c_custkey"]
+        for r in cust.filter(k % 7 == 0).select("c_custkey").collect()
+    )
+    return put_batches, delete_keys
+
+
+def _st19_oracle() -> str:
+    """Declarative replay of the view's final state: last write wins
+    per key (commit 3's MOVED/−500 overrides commits 1/2 on the %5
+    overlap), %7 keys deleted, then the GROUP-BY the view maintains."""
+    return f"""
+    WITH final AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 500
+                    WHEN c_custkey % 3 = 1 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS bal
+        FROM customer
+        WHERE (c_custkey % 3 IN (0, 1) OR c_custkey % 5 = 0)
+          AND c_custkey % 7 <> 0
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {exact_sum_sql("bal")} AS total_bal
+    FROM final GROUP BY seg
+    """
+
+
+@query(
+    "st19_incremental_matview",
+    oracle=_st19_oracle(),
+)
+def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained GROUP-BY aggregate view over the KV
+    change feed — classic incremental view maintenance: a live
+    streaming drain consumes the WAL commit by commit, point-gets each
+    commit's keys' OLD credited rows from a maintained replica
+    (bloom- and range-routed — work ∝ commit, the view NEVER rescans
+    the base), appends exact micro-unit per-group deltas as a
+    seq-claimed partial, and advances the replica; the partial log
+    compacts mid-stream (pointer swap + ``floor_seq`` watermark) to
+    prove maintenance never disturbs answers. The oracle states the
+    final per-segment aggregate declaratively — blind to the
+    incremental path — so a hash match proves feed-maintained ≡
+    recomputed, including the group-moving update (commit 3 re-homes
+    the %5 keys to segment 'MOVED') whose −old/+new double entry is
+    exactly what naive "apply new values" maintenance gets wrong.
+    Exactly-once in effect under at-least-once delivery: the claim
+    file skips re-credits, the replica apply is idempotent — pinned
+    with a span-replay test in ``tests/test_streaming_incremental.py``.
+
+    Scale: per commit the view touches one statement-sized mutation
+    set + point-gets; the view read folds partials (∝ groups ×
+    commits-since-compaction). A 100 TB base table never appears in
+    any maintenance plan."""
+    import shutil
+    import time
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        CHANGES_FORMAT_NAME,
+        FORMAT_NAME,
+        delete_from_store,
+        register_kv_source,
+    )
+
+    register_kv_source(spark)
+    spark = stream_session(spark)
+    register_kv_source(spark)
+
+    src_opts = _mv_provision(spark, sf_dir, "matview_src")
+    dst_opts = _mv_provision(spark, sf_dir, "matview_dst")
+    src_lopts = {k.lower(): v for k, v in src_opts.items()}
+    view_root = os.path.join(
+        os.path.dirname(src_opts["path"]), "matview_view"
+    )
+    shutil.rmtree(view_root, ignore_errors=True)
+    put_batches, delete_keys = _mv_mutation_batches(spark, sf_dir)
+
+    applied: list = []
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count():
+            apply_matview_batch(
+                batch_df, dst_opts, view_root, "c_mktsegment", "c_acctbal"
+            )
+            applied.append(batch_id)
+
+    ckpt = os.path.join(os.path.dirname(src_opts["path"]), "matview_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    feed = (
+        spark.readStream.format(CHANGES_FORMAT_NAME)
+        .options(**src_opts)
+        .load()
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply)
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def await_applied(n: int, deadline_s: float = 120.0) -> None:
+        t0 = time.monotonic()
+        while len(applied) < n:
+            if q.exception() is not None:
+                raise q.exception()
+            if time.monotonic() - t0 > deadline_s:
+                raise TimeoutError(f"view applied {len(applied)}/{n}")
+            time.sleep(0.05)
+
+    try:
+        for i, b in enumerate(put_batches):
+            b.write.format(FORMAT_NAME).options(**src_opts).mode(
+                "append"
+            ).save()
+            await_applied(i + 1)
+            if i == 1:
+                # mid-stream log compaction: answers must not move
+                compact_matview(spark, view_root)
+        delete_from_store(src_lopts, delete_keys)
+        await_applied(len(put_batches) + 1)
+    finally:
+        q.stop()
+
+    view = read_matview(spark, view_root)
+    return view.select(
+        F.col("grp").alias("c_mktsegment"),
+        F.col("n").alias("n_customers"),
+        _emit(F.col("micros"), 2).alias("total_bal"),
+    )

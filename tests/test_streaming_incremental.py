@@ -1366,3 +1366,121 @@ def test_asof_prev_generation_anchor_one_cycle(spark, tmp_path):
     assert state(5) == {2: 25.0, 3: 30.0, 5: 50.0, 6: 60.0}
     with _pytest.raises(ValueError, match="earliest reachable.*4"):
         read_store_asof(spark, opts, 2)
+
+
+def test_matview_incremental_maintenance_exactly_once(spark, tmp_path):
+    """The st19 consumer's crediting protocol under failure and
+    maintenance: per-commit deltas (including a group-MOVING update
+    and a delete) keep the view equal to a recompute of the source
+    state; a full-span replay through the same apply changes NOTHING
+    (seq-claimed partials skip re-credits — exactly-once in effect
+    under at-least-once delivery); compaction folds the partial log,
+    advances floor_seq, preserves answers, and keeps even a
+    post-compaction replay of the swept span a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        FORMAT_NAME,
+        KVChangesStreamReader,
+        _log_seqs,
+        changelog_dir,
+        delete_from_store,
+        register_kv_source,
+        truncate_overlay,
+    )
+    from kt_sql_hbase_ex_spark.streaming.events import (
+        _mv_read_layout,
+        apply_matview_batch,
+        compact_matview,
+        read_matview,
+    )
+
+    register_kv_source(spark)
+
+    def mk_store(name):
+        base = os.path.join(str(tmp_path), f"{name}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.string()),
+                    "v": pa.array([], pa.float64()),
+                }
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keyCol": "k",
+            "columns": "k,g,v",
+            "appId": spark.conf.get("spark.app.id", "shared"),
+        }
+        truncate_overlay({kk.lower(): vv for kk, vv in opts.items()})
+        return opts
+
+    src, dst = mk_store("mv_src"), mk_store("mv_dst")
+    src_l = {k.lower(): v for k, v in src.items()}
+    view_root = os.path.join(str(tmp_path), "mv_view")
+
+    def put(rows):
+        spark.createDataFrame(rows, "k bigint, g string, v double").write.format(
+            FORMAT_NAME
+        ).options(**src).mode("append").save()
+
+    def span_df(lo, hi):
+        rows = list(
+            KVChangesStreamReader(src_l).readBetweenOffsets(
+                {"seq": lo}, {"seq": hi}
+            )
+        )
+        return spark.createDataFrame(
+            rows, "k bigint, g string, v double, __deleted boolean, __seq bigint"
+        )
+
+    def apply_span(lo, hi):
+        apply_matview_batch(span_df(lo, hi), dst, view_root, "g", "v")
+
+    def view():
+        return {
+            r["grp"]: (r["n"], r["micros"])
+            for r in read_matview(spark, view_root).collect()
+        }
+
+    # commit 1: two groups
+    put([(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)])
+    apply_span(0, 1)
+    assert view() == {"a": (2, 30_000_000), "b": (1, 30_000_000)}
+
+    # commit 2: key 2 MOVES group a -> b with a new value — the −old/+new
+    # double entry naive apply-new-values maintenance gets wrong
+    put([(2, "b", 25.0)])
+    apply_span(1, 2)
+    assert view() == {"a": (1, 10_000_000), "b": (2, 55_000_000)}
+
+    # commit 3: delete key 1 — group a nets to zero and drops out
+    delete_from_store(src_l, [1])
+    apply_span(2, 3)
+    assert view() == {"b": (2, 55_000_000)}
+
+    # full-span replay through the same apply: every seq is claimed,
+    # so the view is byte-identical and the replica no-ops
+    head = _log_seqs(changelog_dir(src_l))[-1]
+    apply_span(0, head)
+    assert view() == {"b": (2, 55_000_000)}
+
+    # compaction: answers preserved, floor advances to the head claim
+    st = compact_matview(spark, view_root)
+    assert st["floor_seq"] == head
+    assert view() == {"b": (2, 55_000_000)}
+
+    # post-compaction replay of the swept span: the floor guard (the
+    # claim files are gone) keeps it a no-op
+    apply_span(0, head)
+    assert view() == {"b": (2, 55_000_000)}
+    assert _mv_read_layout(view_root)["floor_seq"] == head
+
+    # maintenance keeps working after the fold: a new commit credits
+    put([(4, "a", 5.0)])
+    apply_span(head, head + 1)
+    assert view() == {"a": (1, 5_000_000), "b": (2, 55_000_000)}
