@@ -255,6 +255,11 @@ HEADLINE = (
     # for grading.
     "sk01_hll_rollup",
     "sk03_cm_heavy_hitters",
+    # round-13: the quantile-sketch read — per-group cumulative-rank
+    # selection over the additive log-histogram store (a window over
+    # bucket rows), the percentile-serving shape approx_percentile
+    # scans can't price because the store never touches raw rows.
+    "sk04_quantile_rollup",
     # round-13 addition: the incrementally-maintained aggregate view —
     # a live drain crediting per-commit deltas (replica point-gets +
     # partial append + idempotent replica apply) with a mid-stream log

@@ -10,13 +10,14 @@ scans (``hbase/HBaseTable.kt:26-38``, no sketch machinery); this module
 is what its users would need the day the raw scan stops fitting the
 query SLA.
 
-Two sketches, both persisted through the same pointer-published store
-discipline as the PQ/IVF stores (``similarity.py``) and both EXACTLY
-replayable by the DuckDB oracle — unlike ``a04``'s engine-specific
-HLL++, register/counter computation here is pure md5 + integer
+Three sketches — the classic distinct/frequency/quantile trio — all
+persisted through the same pointer-published store discipline as the
+PQ/IVF stores (``similarity.py``) and all EXACTLY replayable by the
+DuckDB oracle — unlike ``a04``'s engine-specific HLL++, the
+register/counter/bucket computation here is pure md5 + integer
 arithmetic, identical in Spark and DuckDB, so the driver gate
 hash-matches the sketch VALUES (registers, scaled harmonic sums,
-counter minima), not just a tolerance flag:
+counter minima, histogram quantile picks), not just a tolerance flag:
 
 * **HLL register store** (sk01/sk02): Flajolet et al.'s HyperLogLog
   with p=8 (m=256 registers). For a value v: ``h = md5(v)``, register
@@ -37,6 +38,13 @@ counter minima), not just a tolerance flag:
   h_i(tok)], never an underestimate. Counters are ADDITIVE-mergeable:
   the fixture build sums two segment builds, and the oracle replays
   the counters from the full corpus — additivity is the proof.
+* **log-histogram quantile store** (sk04): p50/p90/p99 from an
+  additive histogram whose buckets are PURE INTEGER (octave = bit
+  length of the exact micro-unit value, 4-bit sub-bucket — ~3%
+  worst-case relative error, HdrHistogram's discipline without libm
+  log at bucket boundaries); rank selection by integer
+  cross-multiplication, midpoint reconstruction by exact powers of
+  two — so even the quantile ESTIMATES hash-match across engines.
 
 Store layout (per store root)::
 
@@ -110,7 +118,7 @@ def _sketch_root(sf_dir: str, table: str, variant: str) -> str:
     src = os.path.realpath(table_path(sf_dir, table))
     st = os.stat(src)
     fp = hashlib.sha256(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}|sketch-v1|{variant}".encode()
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|sketch-v2|{variant}".encode()
     ).hexdigest()[:16]
     uid = getattr(os, "getuid", lambda: 0)()
     return os.path.join(tempfile.gettempdir(), f"kt_sql_sketch_u{uid}", fp)
@@ -509,21 +517,28 @@ def cm_counters(tokens: DataFrame) -> DataFrame:
     )
 
 
-def write_cm_store(spark: SparkSession, root: str, counters: DataFrame) -> None:
+def _counter_write(
+    spark: SparkSession, root: str, counters: DataFrame, keys: tuple,
+    kind: str,
+) -> None:
+    """Generic ADDITIVE counter store (count-min counters, histogram
+    buckets — anything whose merge is SUM over a key tuple)."""
     os.makedirs(root, exist_ok=True)
     data = f"counters.{uuid.uuid4().hex[:12]}"
     counters.coalesce(1).write.parquet(os.path.join(root, data))
-    _write_layout(root, {"kind": "cm", "gen": 0, "data": data, "prev": []})
+    _write_layout(
+        root, {"kind": kind, "gen": 0, "data": data, "prev": [], "keys": list(keys)}
+    )
 
 
-def append_cm_counters(
+def _counter_append(
     spark: SparkSession, root: str, counters: DataFrame
 ) -> None:
     """Admit one slice's counters — counters are ADDITIVE, so appends
     just land counter rows and readers sum-merge; merging per-segment
     sketches equals the sketch of the union corpus (the linearity that
-    makes count-min shard-friendly: every ingest partition sketches
-    independently, no coordination)."""
+    makes these sketches shard-friendly: every ingest partition
+    sketches independently, no coordination)."""
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
     with _writer_lock(root):
@@ -533,17 +548,18 @@ def append_cm_counters(
         )
 
 
-def compact_cm_store(spark: SparkSession, root: str) -> dict:
-    """Fold accumulated counter rows into one summed (i, b) set as a
-    fresh generation — the fixed d × w footprint a standing store
-    returns to after any number of appends."""
+def _counter_compact(spark: SparkSession, root: str) -> dict:
+    """Fold accumulated counter rows into one summed set per key tuple
+    as a fresh generation — the fixed footprint a standing store
+    returns to after any number of appends; deferred GC as everywhere."""
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
     with _writer_lock(root):
         layout = _read_layout(root)
+        keys = layout["keys"]
         merged = (
             spark.read.parquet(_data_dir(root, layout))
-            .groupBy("i", "b")
+            .groupBy(*keys)
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
         data = f"counters.{uuid.uuid4().hex[:12]}"
@@ -553,24 +569,43 @@ def compact_cm_store(spark: SparkSession, root: str) -> dict:
         _write_layout(
             root,
             {
-                "kind": "cm",
+                "kind": layout["kind"],
                 "gen": layout["gen"] + 1,
                 "data": data,
                 "prev": [layout["data"]],
+                "keys": keys,
             },
         )
         return {"gen": layout["gen"] + 1, "data": data}
 
 
-def read_cm_counters(spark: SparkSession, root: str) -> DataFrame:
+def _counter_read(spark: SparkSession, root: str) -> DataFrame:
     """The live counters, sum-merged across whatever append rows have
     accreted (so reads are correct between compactions)."""
     layout = _read_layout(root)
     return (
         spark.read.parquet(_data_dir(root, layout))
-        .groupBy("i", "b")
+        .groupBy(*layout["keys"])
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def write_cm_store(spark: SparkSession, root: str, counters: DataFrame) -> None:
+    _counter_write(spark, root, counters, ("i", "b"), "cm")
+
+
+def append_cm_counters(
+    spark: SparkSession, root: str, counters: DataFrame
+) -> None:
+    _counter_append(spark, root, counters)
+
+
+def compact_cm_store(spark: SparkSession, root: str) -> dict:
+    return _counter_compact(spark, root)
+
+
+def read_cm_counters(spark: SparkSession, root: str) -> DataFrame:
+    return _counter_read(spark, root)
 
 
 def ensure_cm_store(spark: SparkSession, sf_dir: str) -> str:
@@ -680,4 +715,226 @@ def sk03_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             "never_underestimates",
         )
+    )
+
+
+# --- log-histogram quantile sketch (sk04) ------------------------------
+#
+# The third classic mergeable sketch beside distinct-count (HLL) and
+# frequency (count-min): APPROXIMATE QUANTILES from an additive
+# log-scaled histogram — the fixed-size, shard-independent shape of
+# production latency/price percentile pipelines (HdrHistogram's
+# bucketing discipline). Floating-point log bucketing would let the
+# engines disagree at bucket boundaries (libm ulps), so buckets are
+# PURE INTEGER: the value's exact micro-unit integer m (the money
+# discipline — Spark and DuckDB recover the identical BIGINT), octave =
+# bit length of m, sub-bucket = the 4 bits after the leading 1. That is
+# 16 sub-buckets per power of two => worst-case relative error ~3%
+# (half a sub-bucket width), counts merge by addition, and every
+# arithmetic step — bucketing, cumulative rank selection (c*2 >= n for
+# p50 etc.), representative-value reconstruction — is exact integer
+# math identical in both engines, so unlike t-digest/KLL the oracle
+# hash-matches the ESTIMATES themselves.
+
+#: sub-bucket resolution bits per octave
+_QS_SUBBITS = 4
+
+
+def quantile_bucket(micros_col) -> "F.Column":
+    """Bucket id of an exact positive micro-unit integer: octave
+    (bit length) * 16 + the 4 bits after the leading 1. Integer-only —
+    ``length(bin(m))`` and floor-division by an exact power of two."""
+    nbits = F.length(F.bin(micros_col))
+    sub = F.expr(
+        f"m div cast(power(2, length(bin(m)) - {_QS_SUBBITS + 1}) as bigint)"
+        f" - {2 ** _QS_SUBBITS}"
+    )
+    return nbits * (2 ** _QS_SUBBITS) + sub
+
+
+def _qs_bucket_sql(m_sql: str) -> str:
+    """DuckDB spelling of :func:`quantile_bucket` (``//`` is DuckDB's
+    integer floor division; values are positive)."""
+    nb = f"length(bin({m_sql}))"
+    return (
+        f"{nb} * {2 ** _QS_SUBBITS} + "
+        f"(({m_sql}) // CAST(pow(2, {nb} - {_QS_SUBBITS + 1}) AS BIGINT)"
+        f" - {2 ** _QS_SUBBITS})"
+    )
+
+
+#: representative value of bucket id B, in micros: the bucket's
+#: midpoint (2*(16+sub)+1) * 2^(octave-6) — exact integer, emitted to
+#: currency at 2dp through one deterministic double divide
+_QS_REP_SQL = (
+    f"cast(round((2 * (b % {2 ** _QS_SUBBITS} + {2 ** _QS_SUBBITS}) + 1)"
+    f" * cast(power(2, b div {2 ** _QS_SUBBITS} - {_QS_SUBBITS + 2})"
+    f" as double) / 1000000.0, 2) as double)"
+)
+_QS_REP_DUCK = (
+    f"CAST(ROUND((2 * (b % {2 ** _QS_SUBBITS} + {2 ** _QS_SUBBITS}) + 1)"
+    f" * pow(2, b // {2 ** _QS_SUBBITS} - {_QS_SUBBITS + 2})"
+    f" / 1000000.0, 2) AS DOUBLE)"
+)
+
+
+def price_histogram(df: DataFrame, grp: str, val: str) -> DataFrame:
+    """(grp, b, cnt) additive histogram rows for one corpus slice."""
+    from kt_sql_hbase_ex_spark.functions.money import _micros
+
+    return (
+        df.select(
+            F.col(grp).alias("grp"), _micros(F.col(val)).alias("m")
+        )
+        .select("grp", quantile_bucket(F.col("m")).alias("b"))
+        .groupBy("grp", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def ensure_quantile_store(spark: SparkSession, sf_dir: str) -> str:
+    """sk04's store over lineitem extended prices, built through the
+    additive lifecycle: two ship-year halves sketched independently,
+    appended, compacted — the oracle replays buckets from the full
+    corpus, so green proves segment addition ≡ whole-corpus histogram
+    (the same linearity proof as sk03's counters)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import _build_once
+
+    def build(staging: str) -> None:
+        li = fan_out(load_table(spark, sf_dir, "lineitem")).select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.year("l_shipdate").alias("y"),
+        )
+        _counter_write(
+            spark,
+            staging,
+            price_histogram(
+                li.filter(F.col("y") <= _SK02_SPLIT_YEAR),
+                "l_returnflag",
+                "l_extendedprice",
+            ),
+            ("grp", "b"),
+            "qhist",
+        )
+        _counter_append(
+            spark,
+            staging,
+            price_histogram(
+                li.filter(F.col("y") > _SK02_SPLIT_YEAR),
+                "l_returnflag",
+                "l_extendedprice",
+            ),
+        )
+        _counter_compact(spark, staging)
+
+    return _build_once(
+        _sketch_root(sf_dir, "lineitem", "qhist-returnflag"), build
+    )
+
+
+def histogram_quantiles(buckets: DataFrame) -> DataFrame:
+    """(grp, n_rows, p50_est, p90_est, p99_est) from histogram rows:
+    cumulative counts in bucket order, pick the first bucket whose
+    cumulative rank covers the target — the comparisons are integer
+    cross-multiplications (c*2 >= n, c*10 >= 9n, c*100 >= 99n), no
+    float rank ever computed."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp").orderBy("b")
+    cum = buckets.withColumn("c", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy("grp"))
+    )
+    rep = F.expr(_QS_REP_SQL)
+    return cum.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.min(F.when(F.col("c") * 2 >= F.col("n"), rep)).alias("p50_est"),
+        F.min(F.when(F.col("c") * 10 >= F.col("n") * 9, rep)).alias(
+            "p90_est"
+        ),
+        F.min(F.when(F.col("c") * 100 >= F.col("n") * 99, rep)).alias(
+            "p99_est"
+        ),
+    )
+
+
+@query(
+    "sk04_quantile_rollup",
+    oracle=f"""
+    WITH hist AS (
+        SELECT l_returnflag AS grp,
+               {_qs_bucket_sql("CAST(ROUND(l_extendedprice * 1000000) AS BIGINT)")}
+                   AS b,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, b, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY b) AS c,
+               SUM(cnt) OVER (PARTITION BY grp) AS n
+        FROM hist
+    ),
+    est AS (
+        SELECT grp,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               MIN(CASE WHEN c * 2 >= n THEN {_QS_REP_DUCK} END) AS p50_est,
+               MIN(CASE WHEN c * 10 >= n * 9 THEN {_QS_REP_DUCK} END)
+                   AS p90_est,
+               MIN(CASE WHEN c * 100 >= n * 99 THEN {_QS_REP_DUCK} END)
+                   AS p99_est
+        FROM cum GROUP BY grp
+    ),
+    ex AS (
+        SELECT l_returnflag AS grp,
+               quantile_cont(l_extendedprice, 0.5) AS x50,
+               quantile_cont(l_extendedprice, 0.9) AS x90
+        FROM lineitem GROUP BY 1
+    )
+    SELECT e.grp AS l_returnflag, e.n_rows, e.p50_est, e.p90_est, e.p99_est,
+           ABS(e.p50_est - ex.x50) <= 0.05 * ex.x50
+               AND ABS(e.p90_est - ex.x90) <= 0.05 * ex.x90
+               AS within_tolerance
+    FROM est e JOIN ex ON ex.grp = e.grp
+    """,
+)
+def sk04_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted mergeable QUANTILE sketch — p50/p90/p99 extended price
+    per return flag served from the additive log-histogram store
+    (octave + 4-bit sub-bucket over exact micro-unit integers, ~3%
+    worst-case relative error), built as two independently-sketched
+    ship-year halves summed. Every step is exact integer arithmetic
+    identical in both engines — bucketing (bit length + floor division
+    by a power of two), cumulative rank selection (integer
+    cross-multiplication, no float rank), midpoint reconstruction — so
+    the oracle, which replays the histogram from raw lineitem,
+    hash-matches the ESTIMATES themselves (impossible with
+    t-digest/KLL/approx_percentile, whose state is engine-specific).
+    Each engine also checks the estimates against its own exact
+    interpolated percentiles at ±5% (the bound the 16-sub-bucket
+    resolution guarantees) — the a04 tolerance-flag discipline.
+    Scale: the store is ≤ a few hundred bucket rows per group
+    regardless of corpus size; segments sketch shard-locally and merge
+    by addition; the percentile read never touches raw rows."""
+    root = ensure_quantile_store(spark, sf_dir)
+    est = histogram_quantiles(_counter_read(spark, root))
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("x50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("x90"),
+        )
+    )
+    return est.join(
+        exact, est.grp == exact.l_returnflag, "inner"
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        (
+            (F.abs(F.col("p50_est") - F.col("x50")) <= 0.05 * F.col("x50"))
+            & (F.abs(F.col("p90_est") - F.col("x90")) <= 0.05 * F.col("x90"))
+        ).alias("within_tolerance"),
     )

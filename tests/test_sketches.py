@@ -1,4 +1,4 @@
-"""Sketch rollup store lifecycle pins (sk01-sk03).
+"""Sketch rollup store lifecycle pins (sk01-sk04).
 
 The oracle-parity sweep grades the registered queries' VALUES; these
 tests pin the store-lifecycle invariants the oracle is deliberately
@@ -144,3 +144,32 @@ class TestCmStore:
                 for i in range(sk._CM_D)
             )
             assert est >= exact  # the count-min one-sided guarantee
+
+
+class TestQuantileStore:
+    def test_histogram_additivity_and_error_bound(self, spark, tmp_path):
+        df = spark.range(1, 2001).select(
+            F.lit("g").alias("grp"),
+            (F.col("id").cast("double") * 1.37 + 3.0).alias("v"),
+        )
+        a = df.filter(F.col("id") % 2 == 0)
+        b = df.filter(F.col("id") % 2 == 1)
+        root = str(tmp_path / "qs")
+        sk._counter_write(
+            spark, root, sk.price_histogram(a, "grp", "v"), ("grp", "b"),
+            "qhist",
+        )
+        sk._counter_append(spark, root, sk.price_histogram(b, "grp", "v"))
+        got = _rows(sk._counter_read(spark, root), ("grp", "b", "cnt"))
+        want = _rows(sk.price_histogram(df, "grp", "v"), ("grp", "b", "cnt"))
+        assert got == want  # segment addition == whole-corpus histogram
+        # compaction preserves the histogram
+        sk._counter_compact(spark, root)
+        assert _rows(sk._counter_read(spark, root), ("grp", "b", "cnt")) == want
+        # the 16-sub-bucket midpoint estimate lands within the ~3.2%
+        # resolution bound of the true percentile (uniform values)
+        est = sk.histogram_quantiles(sk._counter_read(spark, root)).first()
+        vals = sorted(r["v"] for r in df.collect())
+        for q, e in ((0.5, est["p50_est"]), (0.9, est["p90_est"])):
+            true = vals[int(q * (len(vals) - 1))]
+            assert abs(e - true) <= 0.05 * true, (q, e, true)
