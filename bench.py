@@ -260,6 +260,11 @@ HEADLINE = (
     # bucket rows), the percentile-serving shape approx_percentile
     # scans can't price because the store never touches raw rows.
     "sk04_quantile_rollup",
+    # round-13: the live sketch-ingest loop — four microbatch register
+    # appends + mid-drain size-triggered compaction + the merged serve;
+    # prices the streaming pre-aggregation shape (per-batch register
+    # group-by, no history re-hash) nothing else tracks.
+    "st20_streaming_sketch_maintenance",
     # round-13 addition: the incrementally-maintained aggregate view —
     # a live drain crediting per-commit deltas (replica point-gets +
     # partial append + idempotent replica apply) with a mid-stream log
@@ -305,8 +310,11 @@ LIFECYCLE = frozenset(
         "src21_kv_versioned_asof_scan",
         # round-13: st19 provisions two stores + drains four commits
         # through the crediting apply per call; the serve phase is the
-        # partial-log fold (the view read a deployment pays)
+        # partial-log fold (the view read a deployment pays). st20
+        # re-chunks and re-drains the register ingest per call; its
+        # serve phase is the merged-store estimate read.
         "st19_incremental_matview",
+        "st20_streaming_sketch_maintenance",
     }
 )
 

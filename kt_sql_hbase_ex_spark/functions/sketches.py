@@ -254,6 +254,29 @@ def compact_hll_store(spark: SparkSession, root: str) -> dict:
         return {"gen": layout["gen"] + 1, "data": data}
 
 
+def maybe_compact_hll_store(
+    spark: SparkSession, root: str, max_files: int = 64
+) -> dict | None:
+    """Size-TRIGGERED register compaction (the ``maybe_compact_*``
+    discipline shared with the IVF/PQ/band stores): fold only when the
+    live register set's accreted file count exceeds ``max_files``, so
+    a standing ingest loop calls this after EVERY append and pays the
+    rewrite only when accretion warrants it. Driver-side listing, no
+    data read; under threshold not even the lock is taken."""
+    import glob
+
+    layout = _read_layout(root)
+    n = len(
+        glob.glob(
+            os.path.join(_data_dir(root, layout), "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    if n <= max_files:
+        return None
+    return compact_hll_store(spark, root)
+
+
 def read_hll_registers(spark: SparkSession, root: str) -> DataFrame:
     """The live generation's register rows (layout resolved once)."""
     return spark.read.parquet(_data_dir(root, _read_layout(root)))

@@ -2398,3 +2398,116 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         _emit(F.col("micros"), 2).alias("total_bal"),
     )
+
+
+# --- streaming sketch maintenance (round 13) ---------------------------
+
+#: st20: lineitem arrives in orderkey-residue batches (the st14 arrival
+#: convention applied to the fact table)
+N_SKETCH_BATCHES = 4
+
+
+def _st20_oracle() -> str:
+    """sk01's unsegmented replay, verbatim: the oracle never sees the
+    drain, so a hash match proves streaming maintenance ≡ one-shot
+    build — the same blindness proof as sk02, now for a LIVE pipeline
+    with mid-drain compaction."""
+    from kt_sql_hbase_ex_spark.functions.sketches import (
+        _HLL_ORACLE_TAIL,
+        _hll_oracle,
+    )
+
+    return (
+        f"WITH x AS ({_hll_oracle('l_orderkey', 'l_returnflag', 'lineitem')})"
+        f"{_HLL_ORACLE_TAIL}"
+    )
+
+
+@query(
+    "st20_streaming_sketch_maintenance",
+    oracle=_st20_oracle(),
+)
+def st20_streaming_sketch_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch rollup store as a LIVE ingest consumer — the st14
+    admission-loop discipline applied to pre-aggregation: lineitem
+    arrives in four real microbatches (maxFilesPerTrigger=1), each
+    foreachBatch appends its HLL register segment to the standing
+    store under the writer lock (work ∝ batch — the register group-by;
+    history is never re-hashed) and runs the size-triggered register
+    compaction, which fires MID-DRAIN so the gate proves
+    merge-after-fold equivalence every round. The final relation
+    serves sk01's estimate shape from the maintained store; the oracle
+    is sk01's unsegmented replay VERBATIM — blind to batching, append
+    order, and the mid-stream fold — so green proves the streaming
+    loop converges to the one-shot build exactly (max-merge
+    idempotence + associativity is what makes at-least-once streaming
+    ingest safe with NO dedup ledger, the property a 100 TB
+    sketch-maintenance pipeline stands on)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kt_sql_hbase_ex_spark.functions.sketches import (
+        _hll_query_relation,
+        _layout_path,
+        append_hll_segments,
+        maybe_compact_hll_store,
+        write_hll_store,
+    )
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    base = os.path.join(
+        tempfile.gettempdir(), f"kt_sql_sketchstream_u{uid}",
+        spark.conf.get("spark.app.id", "shared"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)  # hermetic per invocation
+    chunks = os.path.join(base, "chunks")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(chunks)
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_orderkey", "l_shipdate"],
+    )
+    residues = tbl.column("l_orderkey").to_numpy() % N_SKETCH_BATCHES
+    for b in range(N_SKETCH_BATCHES):
+        part = tbl.filter(pa.array(residues == b))
+        cpath = os.path.join(chunks, f"c{b:02d}.parquet")
+        pq.write_table(part, cpath)
+        os.utime(cpath, (1_600_000_000 + b, 1_600_000_000 + b))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "l_returnflag", "l_orderkey", F.lit(int(batch_id)).alias("seg")
+        )
+        if not os.path.exists(_layout_path(store)):
+            write_hll_store(
+                spark, store, rows, "l_returnflag", "l_orderkey", "seg"
+            )
+        else:
+            append_hll_segments(
+                spark, store, rows, "l_returnflag", "l_orderkey", "seg"
+            )
+        # sized to trigger mid-drain, the st14 convention: the later
+        # batches append onto a FOLDED register set and the oracle's
+        # from-scratch replay proves the fold never moved an estimate
+        maybe_compact_hll_store(spark, store, max_files=2)
+
+    schema = spark.read.parquet(chunks).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(chunks, "c*"))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return _hll_query_relation(spark, sf_dir, store)
