@@ -260,6 +260,11 @@ HEADLINE = (
     # bucket rows), the percentile-serving shape approx_percentile
     # scans can't price because the store never touches raw rows.
     "sk04_quantile_rollup",
+    # round-13: the set-operation sketch read — union/intersection
+    # estimates from bottom-k rows (sketch-sized joins + windows) with
+    # the exact-overlap self-join companion; prices the KMV merge
+    # shape the additive/max-merge sketch entries don't.
+    "sk05_kmv_audience_overlap",
     # round-13: the live sketch-ingest loop — four microbatch register
     # appends + mid-drain size-triggered compaction + the merged serve;
     # prices the streaming pre-aggregation shape (per-batch register

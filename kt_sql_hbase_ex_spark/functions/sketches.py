@@ -10,7 +10,8 @@ scans (``hbase/HBaseTable.kt:26-38``, no sketch machinery); this module
 is what its users would need the day the raw scan stops fitting the
 query SLA.
 
-Three sketches — the classic distinct/frequency/quantile trio — all
+Four sketch families — distinct-count, frequency, quantile, and
+set-operation (KMV bottom-k, see its section below) — all
 persisted through the same pointer-published store discipline as the
 PQ/IVF stores (``similarity.py``) and all EXACTLY replayable by the
 DuckDB oracle — unlike ``a04``'s engine-specific HLL++, the
@@ -959,5 +960,345 @@ def sk04_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.abs(F.col("p50_est") - F.col("x50")) <= 0.05 * F.col("x50"))
             & (F.abs(F.col("p90_est") - F.col("x90")) <= 0.05 * F.col("x90"))
+        ).alias("within_tolerance"),
+    )
+
+
+# --- KMV / bottom-k sketch (sk05): set-operation estimates ------------
+#
+# The fourth sketch family: K-minimum-values (Bar-Yossef et al. 2002;
+# the datasketches "theta sketch" core) — the one that answers SET
+# OPERATIONS between slices. HLL unions cleanly but intersects badly
+# (inclusion-exclusion compounds error); a KMV sketch keeps the K
+# smallest hash values of each slice's distinct members, so the union
+# sketch is minK(minK(A) ∪ minK(B)) — EXACTLY the sketch of A ∪ B
+# (the merge identity the oracle replays blind) — and the Jaccard
+# estimate |unionK ∩ minK(A) ∩ minK(B)| / K rides on top to price
+# intersections (audience overlap, retention cohorts, cross-slice
+# dedup budgets). Hashes are the md5-derived 48-bit integers of the
+# HLL store, minK selection is a distinct + rank (no ties possible on
+# distinct integers), so the sketch CONTENT and the estimates
+# hash-match across engines like every sketch in this module.
+
+_KMV_K = 256                    #: sketch size
+_KMV_HEX = 12                   #: hashed hex chars (48 bits)
+_KMV_POW = 2 ** 48              #: hash-space size (exact double)
+
+
+def kmv_hash(col) -> "F.Column":
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, _KMV_HEX), 16, 10
+    ).cast("bigint")
+
+
+def kmv_minks(df: DataFrame, grp, val: str) -> DataFrame:
+    """(grp, h) — each group's K smallest distinct member hashes for
+    one corpus slice. Two bounded shuffles (distinct, per-group rank);
+    output ∝ groups × K regardless of rows."""
+    from pyspark.sql import Window as W
+
+    g = F.col(grp) if isinstance(grp, str) else grp
+    d = df.select(g.alias("grp"), kmv_hash(F.col(val)).alias("h")).distinct()
+    r = F.row_number().over(W.partitionBy("grp").orderBy("h"))
+    return d.withColumn("r", r).filter(F.col("r") <= _KMV_K).drop("r")
+
+
+def write_kmv_store(
+    spark: SparkSession, root: str, df: DataFrame, grp, val: str
+) -> None:
+    _counter_free_write(spark, root, kmv_minks(df, grp, val), "kmv")
+
+
+def _counter_free_write(
+    spark: SparkSession, root: str, rows: DataFrame, kind: str
+) -> None:
+    """Row-store write for the non-additive sketches (bottom-k rows):
+    same pointer discipline, merge semantics live in the reader."""
+    os.makedirs(root, exist_ok=True)
+    data = f"rows.{uuid.uuid4().hex[:12]}"
+    rows.coalesce(1).write.parquet(os.path.join(root, data))
+    _write_layout(root, {"kind": kind, "gen": 0, "data": data, "prev": []})
+
+
+def append_kmv_batch(
+    spark: SparkSession, root: str, df: DataFrame, grp, val: str
+) -> None:
+    """Admit one slice's minK candidates — the merge identity
+    minK(minK(A) ∪ minK(B)) = minK(A ∪ B) makes appends mergeable and
+    (being distinct-based) idempotent: at-least-once ingest, no
+    ledger, exactly the HLL register discipline for bottom-k state."""
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        layout = _read_layout(root)
+        kmv_minks(df, grp, val).coalesce(1).write.mode("append").parquet(
+            _data_dir(root, layout)
+        )
+
+
+def compact_kmv_store(spark: SparkSession, root: str) -> dict:
+    """Materialize the merged minK per group as a fresh generation —
+    accreted candidate rows beyond K physically drop (they can never
+    re-enter any minK)."""
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        layout = _read_layout(root)
+        merged = _kmv_merge(spark.read.parquet(_data_dir(root, layout)))
+        data = f"rows.{uuid.uuid4().hex[:12]}"
+        merged.coalesce(1).write.parquet(os.path.join(root, data))
+        for stale in layout.get("prev", []):
+            shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+        _write_layout(
+            root,
+            {
+                "kind": layout["kind"],
+                "gen": layout["gen"] + 1,
+                "data": data,
+                "prev": [layout["data"]],
+            },
+        )
+        return {"gen": layout["gen"] + 1, "data": data}
+
+
+def _kmv_merge(rows: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(W.partitionBy("grp").orderBy("h"))
+    return (
+        rows.select("grp", "h")
+        .distinct()
+        .withColumn("r", r)
+        .filter(F.col("r") <= _KMV_K)
+        .drop("r")
+    )
+
+
+def read_kmv_minks(spark: SparkSession, root: str) -> DataFrame:
+    """The live merged minK rows (correct between compactions)."""
+    layout = _read_layout(root)
+    return _kmv_merge(spark.read.parquet(_data_dir(root, layout)))
+
+
+#: sk05's audience pairs: consecutive order years
+_SK05_PAIRS = ((1995, 1996), (1996, 1997), (1997, 1998))
+#: distinct-estimate expression over (count kc, max-hash th) — the KMV
+#: estimator (K-1) * 2^48 / theta, exact-count branch below K; the
+#: identical text rides in the oracle
+#: (the 2^48 factor rides as CAST(int AS DOUBLE) — a bare ``x.0``
+#: literal is DECIMAL in DuckDB and the decimal product overflows)
+_KMV_EST = (
+    f"case when {{kc}} < {_KMV_K} then cast({{kc}} as double)"
+    f" else (cast({_KMV_K - 1} as double) * cast({_KMV_POW} as double))"
+    f" / cast({{th}} as double) end"
+)
+_KMV_EST_DUCK = (
+    f"CASE WHEN {{kc}} < {_KMV_K} THEN CAST({{kc}} AS DOUBLE)"
+    f" ELSE (CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_POW} AS DOUBLE))"
+    f" / CAST({{th}} AS DOUBLE) END"
+)
+
+
+def ensure_kmv_store(spark: SparkSession, sf_dir: str) -> str:
+    """sk05's store over order-year audiences, built through the
+    mergeable lifecycle: two orderkey-parity halves sketched
+    independently, appended, compacted — the oracle replays minK from
+    the full orders table, so green IS the merge identity."""
+    from kt_sql_hbase_ex_spark.functions.text_index import _build_once
+
+    def build(staging: str) -> None:
+        o = fan_out(load_table(spark, sf_dir, "orders")).select(
+            F.year("o_orderdate").alias("y"), "o_custkey", "o_orderkey"
+        )
+        write_kmv_store(
+            spark, staging, o.filter(F.col("o_orderkey") % 2 == 0),
+            "y", "o_custkey",
+        )
+        append_kmv_batch(
+            spark, staging, o.filter(F.col("o_orderkey") % 2 == 1),
+            "y", "o_custkey",
+        )
+        compact_kmv_store(spark, staging)
+
+    return _build_once(_sketch_root(sf_dir, "orders", "kmv-year"), build)
+
+
+@query(
+    "sk05_kmv_audience_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT year(o_orderdate) AS grp,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT AS h
+        FROM orders
+    ),
+    mk AS (
+        SELECT grp, h FROM (
+            SELECT grp, h,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+            FROM d) t
+        WHERE r <= {_KMV_K}
+    ),
+    pairs(ya, yb) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _SK05_PAIRS)}),
+    ystat AS (
+        SELECT grp, COUNT(*) AS kc, MAX(h) AS th FROM mk GROUP BY grp
+    ),
+    ucand AS (
+        SELECT DISTINCT p.ya, p.yb, mk.h
+        FROM pairs p JOIN mk ON mk.grp IN (p.ya, p.yb)
+    ),
+    uk AS (
+        SELECT ya, yb, h FROM (
+            SELECT ya, yb, h,
+                   ROW_NUMBER() OVER (PARTITION BY ya, yb ORDER BY h) AS r
+            FROM ucand) t
+        WHERE r <= {_KMV_K}
+    ),
+    ustat AS (
+        SELECT ya, yb, COUNT(*) AS ku, MAX(h) AS thu FROM uk GROUP BY 1, 2
+    ),
+    common AS (
+        SELECT uk.ya, uk.yb, COUNT(*) AS c
+        FROM uk
+        JOIN mk a ON a.grp = uk.ya AND a.h = uk.h
+        JOIN mk b ON b.grp = uk.yb AND b.h = uk.h
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT p.ya, p.yb, CAST(COUNT(*) AS BIGINT) AS exact_overlap
+        FROM pairs p
+        JOIN (SELECT DISTINCT year(o_orderdate) AS y, o_custkey FROM orders) a
+             ON a.y = p.ya
+        JOIN (SELECT DISTINCT year(o_orderdate) AS y, o_custkey FROM orders) b
+             ON b.y = p.yb AND b.o_custkey = a.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(u.ya AS BIGINT) AS year_a, CAST(u.yb AS BIGINT) AS year_b,
+           ROUND({_KMV_EST_DUCK.format(kc="sa.kc", th="sa.th")}, 2) AS est_a,
+           ROUND({_KMV_EST_DUCK.format(kc="sb.kc", th="sb.th")}, 2) AS est_b,
+           ROUND({_KMV_EST_DUCK.format(kc="u.ku", th="u.thu")}, 2) AS est_union,
+           ROUND(c.c * ({_KMV_EST_DUCK.format(kc="u.ku", th="u.thu")}) / u.ku, 2)
+               AS est_overlap,
+           ex.exact_overlap,
+           ABS(c.c * ({_KMV_EST_DUCK.format(kc="u.ku", th="u.thu")}) / u.ku
+               - ex.exact_overlap) <= 0.25 * ex.exact_overlap
+               AS within_tolerance
+    FROM ustat u
+    JOIN ystat sa ON sa.grp = u.ya
+    JOIN ystat sb ON sb.grp = u.yb
+    JOIN common c ON c.ya = u.ya AND c.yb = u.yb
+    JOIN ex ON ex.ya = u.ya AND ex.yb = u.yb
+    """,
+)
+def sk05_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV / theta) sketch store answering SET OPERATIONS —
+    the per-year order audiences' union and INTERSECTION sizes
+    (consecutive-year customer retention) estimated from each year's K
+    smallest distinct member hashes: union sketch = minK of the two
+    minKs (the merge identity minK(minK(A) ∪ minK(B)) = minK(A ∪ B),
+    which the oracle — replaying minK from the raw orders table,
+    blind to the store's two-half build + append + compaction —
+    proves every round), overlap = the Jaccard fraction of union-K
+    members present in BOTH input sketches scaled by the union
+    estimate. This is the sketch family HLL cannot supply
+    (inclusion-exclusion intersections compound error; KMV
+    intersects natively) and, as everywhere in this module, hashes
+    and rank selection are exact integers so the gate hash-matches
+    the ESTIMATES, with the exact overlap + a ±25% flag beside them
+    (K=256 ⇒ ~6% typical error at these Jaccards). Scale: the store
+    is groups × K rows; estimates touch only sketch rows; the exact
+    companion is the self-join the sketch replaces, carried for
+    grading."""
+    from pyspark.sql import Window as W
+
+    root = ensure_kmv_store(spark, sf_dir)
+    minks = read_kmv_minks(spark, root).localCheckpoint(eager=True)
+    ystat = minks.groupBy("grp").agg(
+        F.count("*").alias("kc"), F.max("h").alias("th")
+    )
+    pairs = spark.createDataFrame(
+        list(_SK05_PAIRS), "ya long, yb long"
+    )
+    ucand = (
+        pairs.join(
+            minks,
+            (minks.grp == F.col("ya")) | (minks.grp == F.col("yb")),
+            "inner",
+        )
+        .select("ya", "yb", "h")
+        .distinct()
+    )
+    uk = (
+        ucand.withColumn(
+            "r",
+            F.row_number().over(W.partitionBy("ya", "yb").orderBy("h")),
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .drop("r")
+        .localCheckpoint(eager=True)
+    )
+    ustat = uk.groupBy("ya", "yb").agg(
+        F.count("*").alias("ku"), F.max("h").alias("thu")
+    )
+    a = minks.select(F.col("grp").alias("ga"), F.col("h").alias("h"))
+    b = minks.select(F.col("grp").alias("gb"), F.col("h").alias("h"))
+    common = (
+        uk.join(a, (a.ga == uk.ya) & (a.h == uk.h), "inner")
+        .join(b, (b.gb == uk.yb) & (b.h == uk.h), "inner")
+        .groupBy("ya", "yb")
+        .agg(F.count("*").alias("c"))
+    )
+    dy = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("y"), "o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ex = (
+        pairs.join(dy.alias("xa"), F.col("xa.y") == F.col("ya"), "inner")
+        .join(
+            dy.alias("xb"),
+            (F.col("xb.y") == F.col("yb"))
+            & (F.col("xb.o_custkey") == F.col("xa.o_custkey")),
+            "inner",
+        )
+        .groupBy("ya", "yb")
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    est_u = _KMV_EST.format(kc="ku", th="thu")
+    out = (
+        ustat.join(
+            ystat.select(
+                F.col("grp").alias("ya"),
+                F.col("kc").alias("kca"),
+                F.col("th").alias("tha"),
+            ),
+            "ya",
+        )
+        .join(
+            ystat.select(
+                F.col("grp").alias("yb"),
+                F.col("kc").alias("kcb"),
+                F.col("th").alias("thb"),
+            ),
+            "yb",
+        )
+        .join(common, ["ya", "yb"])
+        .join(ex, ["ya", "yb"])
+    )
+    return out.select(
+        F.col("ya").cast("long").alias("year_a"),
+        F.col("yb").cast("long").alias("year_b"),
+        F.expr(
+            f"round({_KMV_EST.format(kc='kca', th='tha')}, 2)"
+        ).alias("est_a"),
+        F.expr(
+            f"round({_KMV_EST.format(kc='kcb', th='thb')}, 2)"
+        ).alias("est_b"),
+        F.expr(f"round({est_u}, 2)").alias("est_union"),
+        F.expr(f"round(c * ({est_u}) / ku, 2)").alias("est_overlap"),
+        "exact_overlap",
+        F.expr(
+            f"abs(c * ({est_u}) / ku - exact_overlap)"
+            f" <= 0.25 * exact_overlap"
         ).alias("within_tolerance"),
     )

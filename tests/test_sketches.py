@@ -1,4 +1,4 @@
-"""Sketch rollup store lifecycle pins (sk01-sk04).
+"""Sketch rollup store lifecycle pins (sk01-sk05).
 
 The oracle-parity sweep grades the registered queries' VALUES; these
 tests pin the store-lifecycle invariants the oracle is deliberately
@@ -173,3 +173,48 @@ class TestQuantileStore:
         for q, e in ((0.5, est["p50_est"]), (0.9, est["p90_est"])):
             true = vals[int(q * (len(vals) - 1))]
             assert abs(e - true) <= 0.05 * true, (q, e, true)
+
+
+class TestKmvStore:
+    def _df(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+            F.col("id").alias("v"),
+        )
+
+    def test_merge_identity_and_idempotence(self, spark, tmp_path):
+        root = str(tmp_path / "kmv")
+        a, b = self._df(spark, 0, 700), self._df(spark, 500, 1400)
+        sk.write_kmv_store(spark, root, a, "g", "v")
+        sk.append_kmv_batch(spark, root, b, "g", "v")
+        # minK(minK(A) ∪ minK(B)) == minK(A ∪ B) — the merge identity
+        want = _rows(
+            sk.kmv_minks(self._df(spark, 0, 1400), "g", "v"), ("grp", "h")
+        )
+        assert _rows(sk.read_kmv_minks(spark, root), ("grp", "h")) == want
+        # distinct-based: re-appending the same slice changes nothing
+        sk.append_kmv_batch(spark, root, b, "g", "v")
+        assert _rows(sk.read_kmv_minks(spark, root), ("grp", "h")) == want
+        # compaction drops beyond-K candidates, answers unchanged
+        sk.compact_kmv_store(spark, root)
+        assert _rows(sk.read_kmv_minks(spark, root), ("grp", "h")) == want
+
+    def test_overlap_estimate_tracks_truth(self, spark, tmp_path):
+        # two groups sharing exactly half their members
+        df = spark.range(0, 1200).select(
+            F.when(F.col("id") < 800, "A").otherwise("B").alias("g"),
+            (F.col("id") % 800).alias("v"),  # B's 400 values ⊂ A's 800
+        )
+        root = str(tmp_path / "kmv2")
+        sk.write_kmv_store(spark, root, df, "g", "v")
+        minks = {(r["grp"], r["h"]) for r in
+                 sk.read_kmv_minks(spark, root).collect()}
+        a = sorted(h for g, h in minks if g == "A")
+        b = sorted(h for g, h in minks if g == "B")
+        union = sorted(set(a) | set(b))[: sk._KMV_K]
+        ku, thu = len(union), union[-1]
+        est_u = (sk._KMV_K - 1) * sk._KMV_POW / thu if ku == sk._KMV_K else ku
+        c = sum(1 for h in union if h in set(a) and h in set(b))
+        est_i = c * est_u / ku
+        assert abs(est_u - 800) <= 0.2 * 800   # |A ∪ B| = 800
+        assert abs(est_i - 400) <= 0.3 * 400   # |A ∩ B| = 400
