@@ -265,6 +265,12 @@ HEADLINE = (
     # the exact-overlap self-join companion; prices the KMV merge
     # shape the additive/max-merge sketch entries don't.
     "sk05_kmv_audience_overlap",
+    # round-13: level-selected serving from the persisted
+    # continuous-aggregate cascade — day totals from the day rows plus
+    # one pruned hour partition; the store provisions once (warmup
+    # absorbs the three appends + rollup), so the timed number is the
+    # rollup-read path a dashboard pays.
+    "ts07_continuous_aggregate",
     # round-13: the live sketch-ingest loop — four microbatch register
     # appends + mid-drain size-triggered compaction + the merged serve;
     # prices the streaming pre-aggregation shape (per-batch register

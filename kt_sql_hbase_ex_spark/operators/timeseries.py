@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kt_sql_hbase_ex_spark.functions.money import exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
 from kt_sql_hbase_ex_spark.sources.catalog import load_table
 
@@ -372,3 +373,214 @@ def ts06_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("volume"),
         )
     )
+
+
+# --- persisted continuous-aggregate cascade (ts07, round 13) -----------
+#
+# ts03 is the one-pass BACKFILL of a continuous aggregate and st07 the
+# single-level streaming MV; this is the piece between them that a
+# hypertable deployment actually serves from: a PERSISTED two-level
+# rollup store (hour partials -> day rollup) where the coarse level
+# derives from the FINE level's partials — never from raw events — and
+# the query picks the coarsest level that answers (day totals from the
+# day rows, an hour drill-down from day-partition-pruned hour rows).
+# At 100 TB that derivation order is the whole point: the day backfill
+# re-aggregates hour-partial rows (groups × hours), not the fact
+# table, and an hour drill-down reads one day partition. Partials
+# carry exact micro-unit LONG sums (functions/money.py), so partial →
+# hour → day re-summing is exact at any batching.
+
+#: ts07's hour-level drill-down day (the fixture's first event day —
+#: identical across scale factors)
+_TS07_DRILL_DAY = "2024-01-01"
+#: arrival batches for the store build (event_id residue)
+_TS07_BATCHES = 3
+
+
+def _cagg_hour_partials(batch: DataFrame) -> DataFrame:
+    """One batch's hour-level partial rows, partition-keyed by day:
+    (event_type, d, hb, pn, psum) — group-cardinality-sized whatever
+    the batch size (the st07 log discipline with a time axis)."""
+    from kt_sql_hbase_ex_spark.functions.money import _micros
+
+    return (
+        batch.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hb"),
+            _micros(F.col("value")).alias("m"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("pn"), F.sum("m").alias("psum"))
+        .withColumn("d", F.date_format("hb", "yyyy-MM-dd"))
+    )
+
+
+def append_cagg_batch(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """Admit one arrival batch's hour partials into the standing store
+    (first call creates it). Appends land inside ``day=``-style ``d=``
+    partitions — an hour drill-down for one day reads one partition
+    regardless of retained history."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.sketches import (
+        _data_dir,
+        _layout_path,
+        _read_layout,
+        _write_layout,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    parts = _cagg_hour_partials(batch)
+    if not os.path.exists(_layout_path(root)):
+        import uuid
+
+        os.makedirs(root, exist_ok=True)
+        data = f"hour.{uuid.uuid4().hex[:12]}"
+        parts.repartition("d").write.partitionBy("d").parquet(
+            os.path.join(root, data)
+        )
+        _write_layout(
+            root,
+            {"kind": "cagg", "gen": 0, "hour": data, "day": None,
+             "data": data, "prev": []},
+        )
+        return
+    with _writer_lock(root):
+        layout = _read_layout(root)
+        parts.repartition("d").write.mode("append").partitionBy("d").parquet(
+            os.path.join(root, layout["hour"])
+        )
+
+
+def rollup_cagg_store(spark: SparkSession, root: str) -> dict:
+    """The maintenance pass: fold accreted hour partials into one row
+    per (event_type, hour) AND derive the day level by re-aggregating
+    the folded HOUR rows (groups × hours input — the fact table is
+    not in this plan), publishing both behind one atomic pointer
+    flip; superseded level dirs survive one cycle (deferred GC)."""
+    import os
+    import shutil
+    import uuid
+
+    from kt_sql_hbase_ex_spark.functions.sketches import (
+        _read_layout,
+        _write_layout,
+    )
+    from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
+
+    with _writer_lock(root):
+        layout = _read_layout(root)
+        hours = (
+            spark.read.parquet(os.path.join(root, layout["hour"]))
+            .groupBy("event_type", "d", "hb")
+            .agg(
+                F.sum("pn").cast("long").alias("pn"),
+                F.sum("psum").cast("long").alias("psum"),
+            )
+        )
+        hdata = f"hour.{uuid.uuid4().hex[:12]}"
+        hours.repartition("d").write.partitionBy("d").parquet(
+            os.path.join(root, hdata)
+        )
+        days = (
+            spark.read.parquet(os.path.join(root, hdata))
+            .groupBy("event_type", F.date_trunc("day", "hb").alias("db"))
+            .agg(
+                F.sum("pn").cast("long").alias("pn"),
+                F.sum("psum").cast("long").alias("psum"),
+            )
+        )
+        ddata = f"day.{uuid.uuid4().hex[:12]}"
+        days.coalesce(1).write.parquet(os.path.join(root, ddata))
+        for stale in layout.get("prev", []):
+            shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+        prev = [layout["hour"]] + ([layout["day"]] if layout["day"] else [])
+        _write_layout(
+            root,
+            {"kind": "cagg", "gen": layout["gen"] + 1, "hour": hdata,
+             "day": ddata, "data": hdata, "prev": prev},
+        )
+        return {"gen": layout["gen"] + 1}
+
+
+def ensure_cagg_store(spark: SparkSession, sf_dir: str) -> str:
+    """ts07's fixture store: three event_id-residue arrival batches
+    append hour partials, then one rollup pass folds hours and derives
+    the day level — the lifecycle a standing continuous aggregate
+    runs (appends per ingest, rollup on the maintenance schedule)."""
+    from kt_sql_hbase_ex_spark.functions.sketches import _sketch_root
+    from kt_sql_hbase_ex_spark.functions.text_index import _build_once
+
+    def build(staging: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        for b in range(_TS07_BATCHES):
+            append_cagg_batch(
+                spark, staging,
+                e.filter(F.col("event_id") % _TS07_BATCHES == b),
+            )
+        rollup_cagg_store(spark, staging)
+
+    return _build_once(_sketch_root(sf_dir, "events", "cagg-hour-day"), build)
+
+
+@query(
+    "ts07_continuous_aggregate",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+           CAST(NULL AS TIMESTAMP) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {{total}} AS total_value
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+           date_trunc('hour', ts) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {{total}} AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '{_TS07_DRILL_DAY} 00:00:00'
+    GROUP BY 1, 2, 3
+    """.format(total=exact_sum_sql("value")),
+)
+def ts07_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-selected serving from the persisted continuous-aggregate
+    cascade: month-wide day totals answered from the DAY level (rows =
+    groups × days — the fact table is not in the plan) plus an hour
+    drill-down for one day answered from the HOUR level with the day
+    partition pruned (``d=2024-01-01`` is the only hour partition
+    read). The store was maintained incrementally — three arrival
+    batches appended hour partials, one rollup pass folded them and
+    derived the day level FROM the hour rows — and the oracle
+    aggregates raw events directly, blind to batching, partials, and
+    the derivation order, so a hash match proves the cascade exact at
+    every level (partials are micro-unit LONGs; partial → hour → day
+    re-summing is exact at any batching). This is the serving half of
+    the hypertable continuous-aggregate story whose backfill shape
+    ts03 prices and whose single-level streaming form st07 prices."""
+    import os
+
+    from kt_sql_hbase_ex_spark.functions.money import _emit
+    from kt_sql_hbase_ex_spark.functions.sketches import _read_layout
+
+    root = ensure_cagg_store(spark, sf_dir)
+    layout = _read_layout(root)
+    days = spark.read.parquet(os.path.join(root, layout["day"])).select(
+        "event_type",
+        F.col("db").alias("day_bucket"),
+        F.lit(None).cast("timestamp").alias("hour_bucket"),
+        F.col("pn").alias("n_events"),
+        _emit(F.col("psum"), 2).alias("total_value"),
+    )
+    hours = (
+        spark.read.parquet(os.path.join(root, layout["hour"]))
+        .filter(F.col("d") == _TS07_DRILL_DAY)
+        .select(
+            "event_type",
+            F.date_trunc("day", "hb").alias("day_bucket"),
+            F.col("hb").alias("hour_bucket"),
+            F.col("pn").alias("n_events"),
+            _emit(F.col("psum"), 2).alias("total_value"),
+        )
+    )
+    return days.unionByName(hours)

@@ -218,3 +218,62 @@ class TestKmvStore:
         est_i = c * est_u / ku
         assert abs(est_u - 800) <= 0.2 * 800   # |A ∪ B| = 800
         assert abs(est_i - 400) <= 0.3 * 400   # |A ∩ B| = 400
+
+
+class TestCaggStore:
+    def test_cascade_levels_match_direct_aggregation(self, spark, tmp_path):
+        from kt_sql_hbase_ex_spark.functions.money import _micros
+        from kt_sql_hbase_ex_spark.operators.timeseries import (
+            append_cagg_batch,
+            rollup_cagg_store,
+        )
+        from kt_sql_hbase_ex_spark.functions.sketches import _read_layout
+
+        ev = spark.range(0, 500).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias(
+                "event_type"
+            ),
+            (
+                F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                + F.make_interval(mins=(F.col("id") * 17) % (3 * 1440))
+            ).alias("ts"),
+            (F.col("id").cast("double") * 0.25 + 1.0).alias("value"),
+        )
+        root = str(tmp_path / "cagg")
+        for b in range(2):
+            append_cagg_batch(spark, root, ev.filter(F.col("event_id") % 2 == b))
+        st = rollup_cagg_store(spark, root)
+        assert st["gen"] == 1
+
+        import os
+
+        layout = _read_layout(root)
+        days = {
+            (r["event_type"], r["db"]): (r["pn"], r["psum"])
+            for r in spark.read.parquet(
+                os.path.join(root, layout["day"])
+            ).collect()
+        }
+        want = {
+            (r["event_type"], r["db"]): (r["pn"], r["psum"])
+            for r in ev.groupBy(
+                "event_type", F.date_trunc("day", "ts").alias("db")
+            )
+            .agg(
+                F.count("*").alias("pn"),
+                F.sum(_micros(F.col("value"))).alias("psum"),
+            )
+            .collect()
+        }
+        assert days == want  # day level (derived from HOURS) == direct
+        # a second rollup over the folded store is idempotent
+        rollup_cagg_store(spark, root)
+        layout = _read_layout(root)
+        days2 = {
+            (r["event_type"], r["db"]): (r["pn"], r["psum"])
+            for r in spark.read.parquet(
+                os.path.join(root, layout["day"])
+            ).collect()
+        }
+        assert days2 == want
