@@ -91,9 +91,17 @@ _HLL_M = 256                    #: register count m = 2^p
 _HLL_WHEX = 12                  #: rank-source hex chars (48 bits)
 _HLL_RMAX = 49                  #: max rank = 48-bit zeros + 1
 _HLL_POW = 2 ** _HLL_RMAX       #: harmonic-sum scale 2^49 (exact BIGINT)
-#: alpha_256 as a literal EXPRESSION (not a rounded float) so Spark and
-#: DuckDB parse and evaluate the identical IEEE operation sequence
-_ALPHA_SQL = "0.7213 / (1.0 + 1.079 / 256.0)"
+#: alpha_256 as a literal EXPRESSION with every literal CAST to
+#: DOUBLE: Spark parses a bare ``0.7213`` as DECIMAL and would evaluate
+#: the whole chain in decimal arithmetic while DuckDB's ``/`` promotes
+#: to DOUBLE — a ~4e-9 relative divergence that can flip ``round(est,
+#: 2)`` at a half-cent boundary (round-13 review finding, verified
+#: numerically). With the casts both engines run the identical IEEE
+#: double operation sequence.
+_ALPHA_SQL = (
+    "cast(0.7213 as double)"
+    " / (cast(1 as double) + cast(1.079 as double) / cast(256 as double))"
+)
 #: small-range (linear counting) threshold 2.5 * m
 _HLL_SMALL = 640.0
 
@@ -301,12 +309,15 @@ def hll_estimates(registers: DataFrame) -> DataFrame:
     return per.select(
         "grp",
         F.expr(
-            f"round(case when (({_ALPHA_SQL}) * {_HLL_M * _HLL_M}.0)"
-            f" * {_HLL_POW}.0 / cast(s_scaled as double) <= {_HLL_SMALL}"
-            f" and zero_regs > 0"
-            f" then {_HLL_M}.0 * ln({_HLL_M}.0 / cast(zero_regs as double))"
-            f" else (({_ALPHA_SQL}) * {_HLL_M * _HLL_M}.0)"
-            f" * {_HLL_POW}.0 / cast(s_scaled as double) end, 2)"
+            f"round(case when (({_ALPHA_SQL})"
+            f" * cast({_HLL_M * _HLL_M} as double))"
+            f" * cast({_HLL_POW} as double) / cast(s_scaled as double)"
+            f" <= cast(640 as double) and zero_regs > 0"
+            f" then cast({_HLL_M} as double)"
+            f" * ln(cast({_HLL_M} as double) / cast(zero_regs as double))"
+            f" else (({_ALPHA_SQL}) * cast({_HLL_M * _HLL_M} as double))"
+            f" * cast({_HLL_POW} as double) / cast(s_scaled as double)"
+            f" end, 2)"
         ).alias("est"),
         "s_scaled",
         "zero_regs",
@@ -325,8 +336,8 @@ def _hll_oracle(val_sql: str, grp_sql: str, source_sql: str) -> str:
     j = f"('0x' || substr({h}, 1, {_HLL_P // 4}))::BIGINT"
     w = f"('0x' || substr({h}, {_HLL_P // 4 + 1}, {_HLL_WHEX}))::BIGINT"
     e_raw = (
-        f"(({_ALPHA_SQL}) * {_HLL_M * _HLL_M}.0) * {_HLL_POW}.0"
-        f" / CAST(s_scaled AS DOUBLE)"
+        f"(({_ALPHA_SQL}) * cast({_HLL_M * _HLL_M} as double))"
+        f" * cast({_HLL_POW} as double) / CAST(s_scaled AS DOUBLE)"
     )
     return f"""
     WITH reg AS (
@@ -343,9 +354,11 @@ def _hll_oracle(val_sql: str, grp_sql: str, source_sql: str) -> str:
                  CAST({_HLL_M} - COUNT(*) AS BIGINT) AS zero_regs
           FROM m GROUP BY grp)
     SELECT grp, s_scaled, zero_regs,
-           ROUND(CASE WHEN {e_raw} <= {_HLL_SMALL} AND zero_regs > 0
-                      THEN {_HLL_M}.0
-                           * ln({_HLL_M}.0 / CAST(zero_regs AS DOUBLE))
+           ROUND(CASE WHEN {e_raw} <= cast(640 as double)
+                           AND zero_regs > 0
+                      THEN cast({_HLL_M} as double)
+                           * ln(cast({_HLL_M} as double)
+                                / CAST(zero_regs AS DOUBLE))
                       ELSE {e_raw} END, 2) AS est
     FROM s
     """
@@ -356,7 +369,7 @@ def _hll_oracle(val_sql: str, grp_sql: str, source_sql: str) -> str:
 
 def _li_slice(spark: SparkSession, sf_dir: str):
     """lineitem projected to the store's (grp, val, seg) shape:
-    distinct orders per ship mode, segmented by ship year (the
+    distinct orders per return flag, segmented by ship year (the
     ingest-partition analog)."""
     return fan_out(load_table(spark, sf_dir, "lineitem")).select(
         "l_returnflag", "l_orderkey", F.year("l_shipdate").alias("ship_year")
@@ -459,7 +472,7 @@ _HLL_ORACLE_TAIL = f"""
     """,
 )
 def sk01_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted HLL rollup: distinct orders per ship mode, answered by
+    """Persisted HLL rollup: distinct orders per return flag, answered by
     MAX-MERGING the store's per-ship-year register segments — the
     ingest-time sketch pattern (Druid/datasketches) where a 100 TB
     distinct-count slice reads m × groups × segments register rows
@@ -764,20 +777,23 @@ def sk03_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QS_SUBBITS = 4
 
 
-def quantile_bucket(micros_col) -> "F.Column":
-    """Bucket id of an exact positive micro-unit integer: octave
-    (bit length) * 16 + the 4 bits after the leading 1. Integer-only —
-    ``length(bin(m))`` and floor-division by an exact power of two."""
-    nbits = F.length(F.bin(micros_col))
-    sub = F.expr(
-        f"m div cast(power(2, length(bin(m)) - {_QS_SUBBITS + 1}) as bigint)"
-        f" - {2 ** _QS_SUBBITS}"
+def _quantile_bucket_expr() -> "F.Column":
+    """Bucket id of the exact positive micro-unit integer column ``m``
+    (the name is part of the contract — the expression references it
+    textually because Spark's Column API lacks a variable-amount
+    integer shift, and a double-division reformulation could round
+    across a bucket boundary): octave (bit length) * 16 + the 4 bits
+    after the leading 1. Integer-only — ``length(bin(m))`` and
+    floor-division by an exact power of two."""
+    return F.expr(
+        f"length(bin(m)) * {2 ** _QS_SUBBITS}"
+        f" + (m div cast(power(2, length(bin(m)) - {_QS_SUBBITS + 1})"
+        f" as bigint) - {2 ** _QS_SUBBITS})"
     )
-    return nbits * (2 ** _QS_SUBBITS) + sub
 
 
 def _qs_bucket_sql(m_sql: str) -> str:
-    """DuckDB spelling of :func:`quantile_bucket` (``//`` is DuckDB's
+    """DuckDB spelling of :func:`_quantile_bucket_expr` (``//`` is DuckDB's
     integer floor division; values are positive)."""
     nb = f"length(bin({m_sql}))"
     return (
@@ -810,7 +826,7 @@ def price_histogram(df: DataFrame, grp: str, val: str) -> DataFrame:
         df.select(
             F.col(grp).alias("grp"), _micros(F.col(val)).alias("m")
         )
-        .select("grp", quantile_bucket(F.col("m")).alias("b"))
+        .select("grp", _quantile_bucket_expr().alias("b"))
         .groupBy("grp", "b")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

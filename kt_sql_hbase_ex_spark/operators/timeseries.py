@@ -431,21 +431,26 @@ def append_cagg_batch(spark: SparkSession, root: str, batch: DataFrame) -> None:
     from kt_sql_hbase_ex_spark.functions.text_index import _writer_lock
 
     parts = _cagg_hour_partials(batch)
-    if not os.path.exists(_layout_path(root)):
-        import uuid
-
-        os.makedirs(root, exist_ok=True)
-        data = f"hour.{uuid.uuid4().hex[:12]}"
-        parts.repartition("d").write.partitionBy("d").parquet(
-            os.path.join(root, data)
-        )
-        _write_layout(
-            root,
-            {"kind": "cagg", "gen": 0, "hour": data, "day": None,
-             "data": data, "prev": []},
-        )
-        return
+    # the CREATE path holds the writer lock too (round-13 review
+    # finding): an unlocked exists-check is a TOCTOU — two racing
+    # first appends would each write a data dir and the loser's batch
+    # would orphan silently; under the lock the loser re-checks and
+    # lands as a normal append (or fails loudly on lock conflict, the
+    # repo-wide single-writer discipline)
     with _writer_lock(root):
+        if not os.path.exists(_layout_path(root)):
+            import uuid
+
+            data = f"hour.{uuid.uuid4().hex[:12]}"
+            parts.repartition("d").write.partitionBy("d").parquet(
+                os.path.join(root, data)
+            )
+            _write_layout(
+                root,
+                {"kind": "cagg", "gen": 0, "hour": data, "day": None,
+                 "data": data, "prev": []},
+            )
+            return
         layout = _read_layout(root)
         parts.repartition("d").write.mode("append").partitionBy("d").parquet(
             os.path.join(root, layout["hour"])

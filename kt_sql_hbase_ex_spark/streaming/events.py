@@ -2018,27 +2018,22 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MV_FIELDS = [("grp", "string"), ("dn", "int64"), ("dmicros", "int64")]
 
 
-def _mv_layout_path(root: str) -> str:
-    return os.path.join(root, "layout.json")
-
-
 def _mv_read_layout(root: str) -> dict:
-    import json
+    """The view's layout pointer — sketches.py's publish/read
+    discipline (one implementation repo-wide, round-13 review
+    finding), defaulted for a not-yet-created view."""
+    from kt_sql_hbase_ex_spark.functions.sketches import _read_layout
 
     try:
-        with open(_mv_layout_path(root)) as f:
-            return json.load(f)
+        return _read_layout(root)
     except FileNotFoundError:
         return {"gen": 0, "data": "partials", "floor_seq": 0, "prev": []}
 
 
 def _mv_write_layout(root: str, layout: dict) -> None:
-    import json
+    from kt_sql_hbase_ex_spark.functions.sketches import _write_layout
 
-    tmp = f"{_mv_layout_path(root)}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(layout, f)
-    os.replace(tmp, _mv_layout_path(root))
+    _write_layout(root, layout)
 
 
 def _mv_micros(v: float) -> int:
@@ -2059,9 +2054,16 @@ def apply_matview_batch(
     the feed contract; a checkpoint-recovery replay spans several),
     because commit N's old values must reflect commits < N. Work per
     commit: one statement-sized collect (the commit contract the
-    replica's tombstone path already relies on), one bloom-routed
-    point multi-get against the replica, one partial-file write, one
-    idempotent replica apply."""
+    replica's tombstone path already relies on), one point multi-get
+    against the replica, one partial-file write, one idempotent
+    replica apply. The point-get cost splits along the replica's LSM
+    shape: the folded base answers through the bloom- and range-routed
+    pruned read, while the committed overlay is read whole — so the
+    per-commit bound is "commits since the replica's last fold", and
+    the replica must fold on the normal ``compact_store`` schedule
+    like any KV table (st19 exercises a mid-stream fold; an unfolded
+    replica degrades toward O(total rows) per commit — round-13
+    review finding)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2329,6 +2331,7 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         CHANGES_FORMAT_NAME,
         FORMAT_NAME,
+        compact_store,
         delete_from_store,
         register_kv_source,
     )
@@ -2385,8 +2388,17 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).save()
             await_applied(i + 1)
             if i == 1:
-                # mid-stream log compaction: answers must not move
+                # mid-stream maintenance: the view's partial log folds
+                # AND the replica folds through its normal
+                # compact_store cycle (st17's replica discipline) —
+                # answers must not move, and the later commits'
+                # old-value point-gets then run against a folded base
+                # (bloom-routed) plus a commits-since-fold overlay
                 compact_matview(spark, view_root)
+                compact_store(
+                    {k.lower(): v for k, v in dst_opts.items()},
+                    spark=spark,
+                )
         delete_from_store(src_lopts, delete_keys)
         await_applied(len(put_batches) + 1)
     finally:
