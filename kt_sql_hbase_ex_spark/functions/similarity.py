@@ -62,16 +62,27 @@ def _vec(col: str):
     return F.col(col).cast("array<double>")
 
 
-def _dot_spark(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(_vec(a), _vec(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dot_sql(a: str, b: str) -> str:
+    """The dot product as ONE SQL expression string. Same parsed plan
+    as the Column-API zip_with/aggregate form it replaced, but a single
+    py4j construction call instead of ~30 — plan-construction time was
+    a measurable slice of every sim probe's fn call (round-13)."""
+    return (
+        f"aggregate(zip_with(cast({a} as array<double>),"
+        f" cast({b} as array<double>), (x, y) -> x * y),"
+        f" cast(0.0 as double), (acc, x) -> acc + x)"
     )
 
 
+def _dot_spark(a: str, b: str):
+    return F.expr(_dot_sql(a, b))
+
+
 def _cosine_spark(a: str, b: str):
-    return _dot_spark(a, b) / (F.sqrt(_dot_spark(a, a)) * F.sqrt(_dot_spark(b, b)))
+    return F.expr(
+        f"({_dot_sql(a, b)})"
+        f" / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
 
 
 _COSINE_SQL = (
@@ -2189,7 +2200,11 @@ def sim13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring above promises), and this query is a pure probe of the
     on-disk store (:func:`probe_pq_store`)."""
     root = ensure_pq_store_seeded(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # probe-side relations need no fan_out: the batch is a pruned
+    # 8-row scan (the isin pushes into the parquet reader) and the
+    # rerank side broadcasts the shortlist, so the repartition only
+    # added a full shuffle of raw vectors per probe (round-13)
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
@@ -2284,7 +2299,11 @@ def sim14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-vector reads ∝ shortlist — the two knobs (nprobe, shortlist)
     are exactly the recall/latency dials a deployment tunes."""
     root = ensure_ivfpq_store(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # probe-side relations need no fan_out: the batch is a pruned
+    # 8-row scan (the isin pushes into the parquet reader) and the
+    # rerank side broadcasts the shortlist, so the repartition only
+    # added a full shuffle of raw vectors per probe (round-13)
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
@@ -2384,7 +2403,11 @@ def sim15_pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors only for the shortlist rerank. Recall improves over the
     seeded books on the fixture (pinned in tests)."""
     root = ensure_pq_store_trained(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # probe-side relations need no fan_out: the batch is a pruned
+    # 8-row scan (the isin pushes into the parquet reader) and the
+    # rerank side broadcasts the shortlist, so the repartition only
+    # added a full shuffle of raw vectors per probe (round-13)
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
@@ -2832,6 +2855,7 @@ def probe_pq_store(
     batch: DataFrame,
     vectors: DataFrame,
     cand: DataFrame | None = None,
+    checkpointed: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, dist_micro, rnk) top-k of a query batch
     against a persisted PQ store — the sim13 ADC + exact-rerank tail
@@ -2855,7 +2879,12 @@ def probe_pq_store(
     layout = _pq_store_layout(root)
     books = spark.read.parquet(os.path.join(root, layout["books"]))
     codes = spark.read.parquet(os.path.join(root, layout["codes"]))
-    batch = batch.localCheckpoint()  # consumed by qdt AND the rerank join
+    if not checkpointed:
+        # consumed by qdt AND the rerank join; callers that already
+        # checkpointed (the IVF composition) pass checkpointed=True so
+        # the tiny batch isn't materialized twice (round-13: the double
+        # eager job was ~half of sim14's fn-call cost)
+        batch = batch.localCheckpoint()
     qsubs = _pq_subs(
         batch.select(
             F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")
@@ -2933,7 +2962,9 @@ def probe_ivfpq_store(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    return probe_pq_store(spark, root, batch, vectors, cand=cand)
+    return probe_pq_store(
+        spark, root, batch, vectors, cand=cand, checkpointed=True
+    )
 
 
 # --- PQ store fixtures (build-once per scale factor) -------------------
@@ -3172,7 +3203,9 @@ def sim16_pq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, broadcast) and the code table ({M_SUB} small ints per
     vector); raw-vector I/O is query- plus shortlist-sized."""
     root = ensure_pq_store_grown(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # probe-side: no fan_out (see sim13 — the held-out residue filter
+    # evaluates in the scan; the rerank side broadcasts the shortlist)
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     batch = e.filter(F.col("vec_id") % SIM08_MOD == SIM08_RES).select(
@@ -3558,7 +3591,11 @@ def sim17_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only addition is N_PROBE distance tables per query instead of
     one, still broadcast-sized."""
     root = ensure_ivfpq_residual_store(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # probe-side relations need no fan_out: the batch is a pruned
+    # 8-row scan (the isin pushes into the parquet reader) and the
+    # rerank side broadcasts the shortlist, so the repartition only
+    # added a full shuffle of raw vectors per probe (round-13)
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(
@@ -3781,7 +3818,9 @@ def probe_filtered_ivfpq_store(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    return probe_pq_store(spark, root, batch, vectors, cand=cand)
+    return probe_pq_store(
+        spark, root, batch, vectors, cand=cand, checkpointed=True
+    )
 
 
 @query(
@@ -3866,7 +3905,11 @@ def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property attribute-partitioned production indexes are built
     for; the oracle replays predicate-then-rank declaratively."""
     root = ensure_filtered_ivfpq_store(spark, sf_dir)
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # probe-side relations need no fan_out: the batch is a pruned
+    # 8-row scan (the isin pushes into the parquet reader) and the
+    # rerank side broadcasts the shortlist, so the repartition only
+    # added a full shuffle of raw vectors per probe (round-13)
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     batch = e.filter(F.col("vec_id").isin(*QUERY_VEC_IDS)).select(

@@ -1612,15 +1612,24 @@ def src10_change_feed_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
+def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> bool:
     """Apply one change-feed microbatch to a downstream KV replica —
     the HBase WAL-shipping replication apply (a reference deployment's
     replica cluster receives the source's WAL entries as Put/Delete):
-    collapse the batch per key LAST-WINS by sequence (a normal
-    microbatch is one commit, so per-key finality already holds; a
-    checkpoint-recovery replay spans several commits, where the
-    collapse is load-bearing), then ship puts through the connector's
-    two-phase write and tombstones through ``delete_from_store``.
+    collect the batch ONCE (statement-sized by the overlay contract —
+    the same bound the tombstone path and the stream reader's driver
+    prefetch always relied on), collapse per key LAST-WINS by sequence
+    in plain Python (a normal microbatch is one commit, so per-key
+    finality already holds; a checkpoint-recovery replay spans several
+    commits, where the collapse is load-bearing), then ship puts
+    through the connector's distributed two-phase write and tombstones
+    through ``delete_from_store``. Returns True iff the batch carried
+    any mutation, so callers need no separate emptiness-probe job.
+
+    (Round-13 optimization: the previous shape ran an emptiness probe,
+    a per-key window shuffle, an eager localCheckpoint, a second probe
+    and a collect — five jobs per commit; one bounded collect plus the
+    put write does the same work in two.)
 
     Idempotent by construction: Put is upsert-by-rowkey and Delete is
     tombstone-by-rowkey, so the at-least-once delivery a foreachBatch
@@ -1628,15 +1637,10 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
     consumer the feed's one-commit-per-microbatch contract is designed
     for. Work ∝ batch mutations; the replica is never scanned."""
     from kt_sql_hbase_ex_spark.sources.kvstore import (
-        FORMAT_NAME,
-        TOMBSTONE,
         VERSION_TS,
         _versions_of,
-        delete_from_store,
     )
 
-    key_cols = replica_opts["keyCol"].split(",")
-    columns = replica_opts["columns"].split(",")
     versioned = _versions_of(replica_opts) > 1
     # the routing must agree with the batch's actual shape: a versioned
     # source's feed carries __ts, and collapsing it per key (the
@@ -1651,58 +1655,75 @@ def apply_cdc_batch(batch_df: DataFrame, replica_opts: dict) -> None:
             f"{_versions_of(replica_opts)} — pass the source store's "
             "'versions' option in replica_opts"
         )
-    if versioned:
-        return _apply_cdc_batch_versioned(
-            batch_df, replica_opts, key_cols, columns
-        )
-    # per-key last-wins across the batch's commits (bounded: partitioned
-    # by key, each partition holds at most one row per commit in batch)
-    latest = _collapse_last_wins(batch_df, key_cols)
-    puts = latest.filter(~F.col(TOMBSTONE)).select(*columns)
-    if puts.limit(1).count():
-        puts.write.format(FORMAT_NAME).options(**replica_opts).mode(
-            "append"
-        ).save()
+    rows = [r.asDict() for r in batch_df.collect()]
+    return _apply_cdc_rows(rows, batch_df.sparkSession, replica_opts)
+
+
+def _apply_cdc_rows(rows: list, spark, replica_opts: dict) -> bool:
+    """The collected-rows half of :func:`apply_cdc_batch`, shared with
+    the matview applier (which collects the batch once for delta
+    crediting and must not pay a second collect to advance the
+    replica). ``rows`` are one feed batch's mutations as dicts."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import (
+        TOMBSTONE,
+        _versions_of,
+        delete_from_store,
+        put_rows_to_store,
+    )
+
+    if not rows:
+        return False
+    key_cols = replica_opts["keyCol"].split(",")
+    columns = replica_opts["columns"].split(",")
+    if _versions_of(replica_opts) > 1:
+        _apply_cdc_rows_versioned(rows, replica_opts, key_cols, columns)
+        return True
+    latest = _collapse_last_wins_rows(rows, key_cols)
+    puts = [r for r in latest if not r[TOMBSTONE]]
+    if puts:
+        # driver-side Put — the same overlay/WAL commit the connector
+        # write runs (shared _commit_put_rows), minus the Spark job
+        # that would only carry the already-collected rows back out to
+        # an executor stage. An HBase replica applies WAL entries via
+        # region-server Puts the same way.
+        lopts = {k.lower(): v for k, v in replica_opts.items()}
+        put_rows_to_store(lopts, [{c: r[c] for c in columns} for r in puts])
     # tombstoned keys ship driver-side: commits are statement-sized by
     # the overlay contract (same bound the simple stream reader's
     # driver prefetch already relies on)
-    del_rows = latest.filter(F.col(TOMBSTONE)).select(*key_cols).collect()
-    if del_rows:
+    dels = [r for r in latest if r[TOMBSTONE]]
+    if dels:
         lopts = {k.lower(): v for k, v in replica_opts.items()}
         keys = [
-            tuple(r[c] for c in key_cols) if len(key_cols) > 1 else r[key_cols[0]]
-            for r in del_rows
+            tuple(r[c] for c in key_cols)
+            if len(key_cols) > 1
+            else r[key_cols[0]]
+            for r in dels
         ]
         delete_from_store(lopts, keys)
+    return True
 
 
-def _collapse_last_wins(batch_df: DataFrame, partition_cols) -> DataFrame:
-    """Collapse a (possibly multi-commit) feed batch to each partition
-    key's FINAL mutation — last-wins by commit sequence — and
-    materialize ONCE: the collapsed set feeds several consumers
-    (emptiness probe, writes, tombstone collect), each of which would
-    otherwise re-run the per-key window shuffle."""
-    from pyspark.sql import Window
-
+def _collapse_last_wins_rows(rows: list, partition_cols) -> list:
+    """Collapse one (possibly multi-commit) feed batch's collected rows
+    to each partition key's FINAL mutation — last-wins by commit
+    sequence. Plain-Python twin of the old per-key window shuffle,
+    valid because the batch is statement-sized by the overlay
+    contract; deterministic (dict insertion keyed by the partition
+    tuple, max seq wins)."""
     from kt_sql_hbase_ex_spark.sources.kvstore import SEQ_COL
 
-    return (
-        batch_df.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(*partition_cols).orderBy(
-                    F.col(SEQ_COL).desc()
-                )
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .localCheckpoint(eager=True)
-    )
+    final: dict = {}
+    for r in rows:
+        k = tuple(r[c] for c in partition_cols)
+        cur = final.get(k)
+        if cur is None or r[SEQ_COL] >= cur[SEQ_COL]:
+            final[k] = r
+    return list(final.values())
 
 
-def _apply_cdc_batch_versioned(
-    batch_df: DataFrame, replica_opts: dict, key_cols, columns
+def _apply_cdc_rows_versioned(
+    rows: list, replica_opts: dict, key_cols, columns
 ) -> None:
     """The versioned-replica apply (round-12): a versioned source's
     feed rows carry ``__ts``, and the replica replays them as VERSION
@@ -1726,19 +1747,20 @@ def _apply_cdc_batch_versioned(
     )
 
     lopts = {k.lower(): v for k, v in replica_opts.items()}
-    latest = _collapse_last_wins(batch_df, [*key_cols, VERSION_TS])
+    latest = _collapse_last_wins_rows(rows, [*key_cols, VERSION_TS])
     # version events ship driver-side: commits are statement-sized by
     # the overlay contract (the unversioned apply's delete path bound)
-    put_rows = latest.filter(~F.col(TOMBSTONE)).select(
-        *columns, VERSION_TS
-    ).collect()
+    put_rows = [
+        {**{c: r[c] for c in columns}, VERSION_TS: r[VERSION_TS]}
+        for r in latest
+        if not r[TOMBSTONE]
+    ]
     if put_rows:
-        put_kv_versions(lopts, [r.asDict() for r in put_rows])
-    tomb_rows = latest.filter(F.col(TOMBSTONE)).select(
-        *key_cols, VERSION_TS
-    ).collect()
+        put_kv_versions(lopts, put_rows)
     by_ts: dict = {}
-    for r in tomb_rows:
+    for r in latest:
+        if not r[TOMBSTONE]:
+            continue
         k = (
             tuple(r[c] for c in key_cols)
             if len(key_cols) > 1
@@ -1820,8 +1842,7 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied: list = []  # acked commit counts, foreachBatch is driver-side
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count():
-            apply_cdc_batch(batch_df, dst_opts)
+        if apply_cdc_batch(batch_df, dst_opts):
             applied.append(batch_id)
 
     ckpt = os.path.join(os.path.dirname(src_opts["path"]), "replica_ckpt")
@@ -1910,8 +1931,7 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied: list = []
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count():
-            apply_cdc_batch(batch_df, dst_opts)
+        if apply_cdc_batch(batch_df, dst_opts):
             applied.append(batch_id)
 
     def start_drain(ckpt_name: str):
@@ -2047,16 +2067,17 @@ def _mv_micros(v: float) -> int:
 def apply_matview_batch(
     batch_df: DataFrame, replica_opts: dict, view_root: str, grp_col: str,
     val_col: str,
-) -> None:
+) -> bool:
     """Credit one change-feed microbatch to the aggregate view, then
-    advance the credited-state replica. Processes the batch one COMMIT
-    at a time in sequence order (a normal microbatch is one commit by
-    the feed contract; a checkpoint-recovery replay spans several),
-    because commit N's old values must reflect commits < N. Work per
-    commit: one statement-sized collect (the commit contract the
-    replica's tombstone path already relies on), one point multi-get
-    against the replica, one partial-file write, one idempotent
-    replica apply. The point-get cost splits along the replica's LSM
+    advance the credited-state replica; returns True iff the batch
+    carried any mutation (no separate emptiness-probe job). The batch
+    collects ONCE (statement-sized by the commit contract the
+    replica's tombstone path already relies on) and processes one
+    COMMIT at a time in sequence order (a normal microbatch is one
+    commit by the feed contract; a checkpoint-recovery replay spans
+    several), because commit N's old values must reflect commits < N.
+    Work per commit: one point multi-get against the replica, one
+    partial-file write, one idempotent replica apply. The point-get cost splits along the replica's LSM
     shape: the folded base answers through the bloom- and range-routed
     pruned read, while the committed overlay is read whole — so the
     per-commit bound is "commits since the replica's last fold", and
@@ -2074,18 +2095,28 @@ def apply_matview_batch(
         get_store_rows,
     )
 
+    # ONE bounded collect per microbatch (the commit contract's
+    # statement-size bound); commits group driver-side — the previous
+    # shape paid a distinct job plus a filter+collect job per commit,
+    # and the replica apply re-collected the same rows (round-13
+    # optimization, same discipline as apply_cdc_batch)
+    rows = [r.asDict() for r in batch_df.collect()]
+    if not rows:
+        return False
     lopts = {k.lower(): v for k, v in replica_opts.items()}
     key_cols = lopts["keycol"].split(",")
     with _writer_lock(view_root):
         _apply_matview_locked(
-            batch_df, replica_opts, lopts, key_cols, view_root, grp_col,
-            val_col, pa, pq, SEQ_COL, TOMBSTONE, get_store_rows,
+            rows, batch_df.sparkSession, replica_opts, lopts, key_cols,
+            view_root, grp_col, val_col, pa, pq, SEQ_COL, TOMBSTONE,
+            get_store_rows,
         )
+    return True
 
 
 def _apply_matview_locked(
-    batch_df, replica_opts, lopts, key_cols, view_root, grp_col, val_col,
-    pa, pq, SEQ_COL, TOMBSTONE, get_store_rows,
+    all_rows, spark, replica_opts, lopts, key_cols, view_root, grp_col,
+    val_col, pa, pq, SEQ_COL, TOMBSTONE, get_store_rows,
 ) -> None:
     """Body of :func:`apply_matview_batch`, under the view's writer
     lock — appliers and compaction serialize MECHANICALLY (the losing
@@ -2095,17 +2126,16 @@ def _apply_matview_locked(
     layout = _mv_read_layout(view_root)
     pdir = os.path.join(view_root, layout["data"])
     os.makedirs(pdir, exist_ok=True)
-    seqs = sorted(
-        r[SEQ_COL]
-        for r in batch_df.select(SEQ_COL).distinct().collect()
-    )
-    for seq in seqs:
+    by_seq: dict = {}
+    for r in all_rows:
+        by_seq.setdefault(r[SEQ_COL], []).append(r)
+    for seq in sorted(by_seq):
         part = os.path.join(pdir, f"partial-{int(seq):012d}.parquet")
         claimed = os.path.exists(part) or int(seq) <= layout.get(
             "floor_seq", 0
         )
         if not claimed:
-            rows = batch_df.filter(F.col(SEQ_COL) == seq).collect()
+            rows = by_seq[seq]
             # per-key finality within one commit (overlay contract);
             # keep the last row per key defensively
             final = {tuple(r[c] for c in key_cols): r for r in rows}
@@ -2140,9 +2170,7 @@ def _apply_matview_locked(
             os.replace(tmp, part)  # the claim publishes atomically
         # replica advance is idempotent either way (upsert/tombstone
         # by rowkey) — re-applying an already-applied commit is a no-op
-        apply_cdc_batch(
-            batch_df.filter(F.col(SEQ_COL) == seq), replica_opts
-        )
+        _apply_cdc_rows(by_seq[seq], spark, replica_opts)
 
 
 def read_matview(spark: SparkSession, view_root: str) -> DataFrame:
@@ -2352,10 +2380,9 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied: list = []
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count():
-            apply_matview_batch(
-                batch_df, dst_opts, view_root, "c_mktsegment", "c_acctbal"
-            )
+        if apply_matview_batch(
+            batch_df, dst_opts, view_root, "c_mktsegment", "c_acctbal"
+        ):
             applied.append(batch_id)
 
     ckpt = os.path.join(os.path.dirname(src_opts["path"]), "matview_ckpt")

@@ -102,6 +102,45 @@ def test_read_schema_prunes_qualifiers():
     assert len(part.tuples[0]) == len(store.schema.fields) - 2
 
 
+def test_scan_partitions_pack_above_cap():
+    """Round-13 optimization: a scan over more regions than the packing
+    cap groups CONTIGUOUS regions into at most ~cap partitions — same
+    rows, same global key order, regions stay the pruning unit."""
+    from kt_sql_hbase_ex_spark.session import default_parallelism
+
+    cap = max(2 * default_parallelism(), 32)
+    store = customer_store(SF_SMALL, region_size=1)  # 150 regions of 1 row
+    assert len(store.regions()) > cap
+    rd = _reader(store)
+    parts = rd.partitions()
+    assert len(parts) <= cap
+    keys = [t[0] for p in parts for t in p.tuples]
+    assert keys == sorted(keys) and len(keys) == len(store.rows)
+    # pruning still shrinks the partition set before packing
+    rd2 = _reader(store)
+    rd2.pushFilters([LessThanOrEqual(("c_custkey",), 5)])
+    got = [t[0] for p in rd2.partitions() for t in p.tuples]
+    assert got == [k for k in keys if k <= 5]
+
+
+def test_scan_reader_pickles_without_store():
+    """Round-13 optimization: executors call read(partition) only, so
+    the pickled reader must NOT carry the store (every row of the
+    table) — that payload rode into every task and dominated scan cost
+    on many-region stores."""
+    import pickle
+
+    store = customer_store(SF_SMALL, region_size=16)
+    rd = _reader(store)
+    parts = rd.partitions()
+    clone = pickle.loads(pickle.dumps(rd))
+    assert clone._store is None
+    assert len(pickle.dumps(rd)) < 4096
+    # read() on the unpickled reader still serves every partition
+    rows = [t for p in parts for t in clone.read(p)]
+    assert len(rows) == len(store.rows)
+
+
 def test_empty_range_yields_one_empty_partition():
     store = customer_store(SF_SMALL, region_size=16)
     rd = _reader(store)
