@@ -3928,38 +3928,54 @@ def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM19_MOD, SIM19_RES = 16, 5
 
 
+def exact_ground_truth(batch: DataFrame, vectors: DataFrame) -> DataFrame:
+    """Exact brute-force L2 top-{TOP_K} (query_id, neighbor_id) pairs
+    for ``batch`` over ``vectors``. Per-vector squared norms compute
+    ONCE per row before the batch x corpus join, so each candidate
+    pair pays one dot product instead of three array reductions —
+    l2 = ||q||² − 2·q·n + ||n||² evaluates the same three doubles in
+    the same association order as the inline form (and the oracle's
+    unrolled SQL), so the round-6dp rank order is bit-identical."""
+    from pyspark.sql import Window as W
+
+    nv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        _dot_spark("embedding", "embedding").alias("_nn"),
+    )
+    q = batch.withColumn("_qq", _dot_spark("qv", "qv"))
+    l2x = F.col("_qq") - 2 * _dot_spark("qv", "nv") + F.col("_nn")
+    w_ex = W.partitionBy("query_id").orderBy(
+        F.round(l2x, 6), F.col("neighbor_id")
+    )
+    return (
+        q.join(nv, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def recall_vs_exact(
     spark: SparkSession,
     approx: DataFrame,
     batch: DataFrame,
     vectors: DataFrame,
     phase: str,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """One readout row (phase, n_queries, hits, possible, recall):
     ``approx`` (query_id, neighbor_id) scored against the exact
     brute-force L2 top-{TOP_K} ground truth over ``vectors`` — the
     sim12 recall arithmetic generalized to any probe's output. The
     ground truth is batch x corpus (a GRADING artifact; at 100 TB the
-    readout runs on a sampled query set exactly as here)."""
-    from pyspark.sql import Window as W
-
-    nv = vectors.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
-    )
-    l2x = (
-        _dot_spark("qv", "qv")
-        - 2 * _dot_spark("qv", "nv")
-        + _dot_spark("nv", "nv")
-    )
-    w_ex = W.partitionBy("query_id").orderBy(
-        F.round(l2x, 6), F.col("neighbor_id")
-    )
-    exact = (
-        batch.join(nv, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rnk", F.row_number().over(w_ex))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
+    readout runs on a sampled query set exactly as here). Pass a
+    precomputed ``exact`` (from :func:`exact_ground_truth`) when one
+    readout scores several probes against the same sample — sim19's
+    two phases share one ground truth instead of recomputing the
+    batch x corpus pass per phase."""
+    if exact is None:
+        exact = exact_ground_truth(batch, vectors)
     hits = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -4133,10 +4149,24 @@ def sim19_pq_recall_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     batch = _sample_batch(e, SIM19_MOD, SIM19_RES).localCheckpoint()
+    # ONE batch x corpus ground-truth pass shared by both phases (it
+    # does not depend on the store; the result is TOP_K x |sample|
+    # rows) — the union previously executed the exact pass twice
+    exact = exact_ground_truth(batch, e).localCheckpoint()
     seeded = recall_vs_exact(
-        spark, probe_pq_store(spark, root_s, batch, e), batch, e, "seeded"
+        spark,
+        probe_pq_store(spark, root_s, batch, e),
+        batch,
+        e,
+        "seeded",
+        exact=exact,
     )
     trained = recall_vs_exact(
-        spark, probe_pq_store(spark, root_t, batch, e), batch, e, "trained"
+        spark,
+        probe_pq_store(spark, root_t, batch, e),
+        batch,
+        e,
+        "trained",
+        exact=exact,
     )
     return seeded.unionByName(trained)

@@ -75,9 +75,27 @@ CHANGES_FORMAT_NAME = "ktsql_kv_changes"
 #: per distinct store, however many writes happen).
 _STORE_CACHE: dict[tuple, tuple] = {}  # config key -> (signature, KVStore)
 
+#: base-relation cache under the store cache: the BASE rows (pristine
+#: fixture or immutable generation dir) only change on fold/regenerate,
+#: but every overlay commit invalidates the merged-store entry above —
+#: without this layer each statement-sized commit re-read the whole
+#: base parquet into Python rows just to merge a handful of overlay
+#: rows over it. Same bounded-memory shape: one entry per distinct
+#: base, REPLACED when the base identity moves. The cached KVStore is
+#: never mutated (merge/TTL/index paths all build a NEW KVStore).
+_BASE_CACHE: dict[tuple, tuple] = {}  # base key -> (signature, KVStore)
+
 #: zero-pad width for one composite-rowkey component (shared with the
 #: secondary index's value|basekey encoding below)
 _KEY_PAD = 12
+
+#: minimum rows per packed scan partition: below this, the ~14 ms fixed
+#: Python-task cost (scheduling + command deserialization + Arrow
+#: framing) outweighs the row work, so contiguous surviving regions
+#: pack together (see KVScanReader.partitions). Cluster regions carry
+#: orders of magnitude more rows, so this floor is local-overhead
+#: hygiene, not a scale knob.
+_PACK_MIN_ROWS = 1024
 
 
 def _pad_component(v) -> str:
@@ -542,25 +560,42 @@ class KVScanReader(DataSourceReader):
                 if self._row_passes(r)
             ]
             slices.append(tuples)
-        # Pack CONTIGUOUS surviving regions into at most ``cap`` scan
-        # partitions (the maxPartitionBytes discipline for the region
-        # files, guide §6: many tiny inputs -> per-task overhead twice,
-        # scheduling AND per-task command deserialization). Regions stay
-        # the pruning unit above; the pack only groups what survived, so
-        # row set and global key order are unchanged. cap >= 32 keeps
-        # the partition count 1:1 with regions on test-sized stores
-        # (region-count pins) while a 235-region sf0.1 scan runs ~32
-        # tasks instead of 235. At cluster scale regions outnumber any
-        # cap and each packed task still reads a contiguous key range.
+        # Pack CONTIGUOUS surviving regions into scan partitions (the
+        # maxPartitionBytes discipline for the region files, guide §6:
+        # many tiny inputs -> per-task overhead twice, scheduling AND
+        # per-task command deserialization). Regions stay the pruning
+        # unit above; the pack only groups what survived, so row set
+        # and global key order are unchanged. Two bounds compose:
+        # at most ``cap`` partitions (a 235-region sf0.1 scan runs ~64
+        # tasks, not 235), and at least ``_PACK_MIN_ROWS`` rows per
+        # partition (a 59-region store of 256-row regions runs ~15
+        # tasks, not 59 — measured ~14 ms of fixed Python-task cost
+        # per partition, so tiny-region stores paid 2x the scan in
+        # scheduling). At cluster scale regions carry far more than
+        # _PACK_MIN_ROWS rows each, so only the cap is active and each
+        # packed task still reads a contiguous key range.
         from kt_sql_hbase_ex_spark.session import default_parallelism
 
         cap = max(2 * default_parallelism(), 32)
-        if len(slices) > cap:
-            per = -(-len(slices) // cap)  # ceil
-            slices = [
-                [t for s in slices[i: i + per] for t in s]
-                for i in range(0, len(slices), per)
-            ]
+        total = sum(len(s) for s in slices)
+        n_parts = min(
+            len(slices), cap, max(1, -(-total // _PACK_MIN_ROWS))
+        )
+        if 0 < n_parts < len(slices):
+            per = total / n_parts  # target rows per packed partition
+            packed: List[List[tuple]] = []
+            cur: List[tuple] = []
+            seen = 0
+            for s in slices:
+                cur.extend(s)
+                seen += len(s)
+                if len(packed) < n_parts - 1 and seen >= per * (
+                    len(packed) + 1
+                ):
+                    packed.append(cur)
+                    cur = []
+            packed.append(cur)
+            slices = packed
         parts = [KVRegionPartition(ts) for ts in slices]
         # Spark requires >=1 partition even for an empty result
         return parts or [KVRegionPartition([])]
@@ -1953,10 +1988,21 @@ def _open_store(options) -> KVStore:
         )
         _STORE_CACHE[config_key] = (signature, store)
         return store
-    store = load_kv_store_from_parquet(
-        f"kv:{path}", _resolve_base_path(options), key_col, columns,
-        region_size=region_size,
-    )
+    base_path = _resolve_base_path(options)
+    bst = os.stat(base_path)
+    base_key = (base_path, key_col, columns, region_size)
+    base_sig = (bst.st_mtime_ns, bst.st_size)
+    hit = _BASE_CACHE.get(base_key)
+    if hit is not None and hit[0] == base_sig:
+        store = hit[1]
+    else:
+        for k in [k for k in _BASE_CACHE if not os.path.exists(k[0])]:
+            del _BASE_CACHE[k]  # swept generations: bounded memory
+        store = load_kv_store_from_parquet(
+            f"kv:{path}", base_path, key_col, columns,
+            region_size=region_size,
+        )
+        _BASE_CACHE[base_key] = (base_sig, store)
     if overlay_sig is not None:
         import pyarrow.parquet as pq
 
@@ -2128,6 +2174,41 @@ def put_rows_to_store(options, rows) -> None:
     _commit_put_rows(opts, key_cols, staged)
 
 
+def _store_schema(options) -> StructType:
+    """The relation schema an options bundle names, FOOTER-ONLY — no
+    row is read and no store is materialized. ``schema()`` runs on
+    every ``load()`` in the planning worker; opening the full store
+    there (base parquet → Python dicts → sort) charged every scan of a
+    just-written store a second full load before the reader's own
+    (cached) open. Sources: the live generation's region-file footers
+    (the same files the full open reads, so fold-time type rewrites
+    are reflected identically), or the pristine fixture footer for a
+    versioned store (the versioned open's own schema source)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StringType, StructField
+
+    opts = {k.lower(): v for k, v in dict(options).items()}
+    columns = list(opts["columns"].split(","))
+    path = (
+        os.path.realpath(opts["path"])
+        if _versions_of(opts) > 1
+        else _resolve_base_path(opts)
+    )
+    if os.path.isdir(path):
+        arrow = pads.dataset(path, format="parquet").schema
+    else:
+        arrow = pq.read_schema(path)
+    index_on = opts.get("indexon")
+    if index_on:
+        key_cols = tuple(opts["keycol"].split(","))
+        base_key_fields = _pyspark_schema_from_arrow(arrow, key_cols).fields
+        return StructType(
+            [StructField(INDEX_KEY, StringType(), False), *base_key_fields]
+        )
+    return _pyspark_schema_from_arrow(arrow, columns)
+
+
 class KVDataSource(DataSource):
     """``spark.read.format("ktsql_kv")`` / ``df.write.format("ktsql_kv")``
     with options naming the external store (``path``, ``keyCol``,
@@ -2141,7 +2222,7 @@ class KVDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
-        return _open_store(self.options).schema
+        return _store_schema(self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return KVScanReader(_open_store(self.options), schema)
@@ -4871,7 +4952,7 @@ class KVChangesDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.types import BooleanType, LongType, StructField
 
-        base = _open_store(self.options).schema
+        base = _store_schema(self.options)  # footer-only, see KVDataSource
         ts = (
             [StructField(VERSION_TS, LongType(), False)]
             if _versions_of(self.options) > 1

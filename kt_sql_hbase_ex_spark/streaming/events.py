@@ -1366,6 +1366,29 @@ def st15_streaming_vector_admission(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(results).localCheckpoint(eager=True)
 
 
+def _await_live(q, ready, label: str, deadline_s: float = 120.0) -> None:
+    """Poll a live drain until ``ready()`` — 10 ms sleeps so the ack
+    adds at most one trigger-poll of latency, with the
+    ``q.exception()`` check (a py4j round trip per call — it exists to
+    fail fast, not to pace) throttled to ~4/s: the previous 50 ms
+    sleep + per-iteration exception probe charged every commit ack
+    ~60 ms of pure polling on top of the feed's own pickup latency."""
+    import time
+
+    t0 = time.monotonic()
+    i = 0
+    while not ready():
+        if i % 25 == 24 and q.exception() is not None:
+            raise q.exception()
+        if time.monotonic() - t0 > deadline_s:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            raise TimeoutError(label)
+        time.sleep(0.01)
+        i += 1
+
+
 def _cdc_provision(spark: SparkSession, sf_dir: str, base_name: str) -> dict:
     """Fresh-identity CDC store base (st10's layout pattern): ALWAYS
     rewrite the base (fresh mtime) — the overlay AND commit log are
@@ -1534,23 +1557,23 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(os.path.dirname(opts["path"]), "ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
     feed = spark.readStream.format(CHANGES_FORMAT_NAME).options(**opts).load()
+    # no explicit trigger: the micro-batch engine runs batches
+    # back-to-back and polls for offsets every ~10 ms when idle
+    # (spark.sql.streaming.pollingDelay) — a fixed 50 ms processingTime
+    # trigger added up to 50 ms of pickup latency to EVERY live commit
     q = (
         feed.writeStream.foreachBatch(summarize)
-        .trigger(processingTime="50 milliseconds")
         .option("checkpointLocation", ckpt)
         .start()
     )
 
     def await_summaries(n: int, deadline_s: float = 120.0) -> None:
-        t0 = time.monotonic()
-        while len(summaries) < n:
-            if q.exception() is not None:
-                raise q.exception()
-            if time.monotonic() - t0 > deadline_s:
-                raise TimeoutError(
-                    f"change feed delivered {len(summaries)}/{n} summaries"
-                )
-            time.sleep(0.05)
+        _await_live(
+            q,
+            lambda: len(summaries) >= n,
+            f"change feed delivered summaries short of {n}",
+            deadline_s,
+        )
 
     try:
         for i, b in enumerate(put_batches):
@@ -1848,21 +1871,21 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(os.path.dirname(src_opts["path"]), "replica_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
     feed = spark.readStream.format(CHANGES_FORMAT_NAME).options(**src_opts).load()
+    # no explicit trigger: back-to-back micro-batches, ~10 ms idle
+    # offset polls (see st16's drain note)
     q = (
         feed.writeStream.foreachBatch(apply)
-        .trigger(processingTime="50 milliseconds")
         .option("checkpointLocation", ckpt)
         .start()
     )
 
     def await_applied(n: int, deadline_s: float = 120.0) -> None:
-        t0 = time.monotonic()
-        while len(applied) < n:
-            if q.exception() is not None:
-                raise q.exception()
-            if time.monotonic() - t0 > deadline_s:
-                raise TimeoutError(f"replica applied {len(applied)}/{n} commits")
-            time.sleep(0.05)
+        _await_live(
+            q,
+            lambda: len(applied) >= n,
+            f"replica applied fewer than {n} commits",
+            deadline_s,
+        )
 
     try:
         for i, b in enumerate(put_batches):
@@ -1902,9 +1925,12 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     of them via bulk + re-baseline instead of the feed), so the hash
     match proves the recovery path converges to the replication path.
 
-    Scale: the re-baseline is one distributed store read + one
-    distributed bulk load — no driver-side data; everything else is the
-    st17 per-commit apply (work ∝ one commit's mutation set)."""
+    Scale: the re-baseline is one store read + one bulk load whose
+    ``distribute_min_rows`` crossover keeps fixture-sized batches on
+    the driver fold and 100 TB batches fully distributed (the
+    distributed merge itself is priced by src13 and pinned by the
+    crossover-forcing tests); everything else is the st17 per-commit
+    apply (work ∝ one commit's mutation set)."""
     import shutil
     import time
 
@@ -1943,20 +1969,17 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
         return (
+            # no explicit trigger: back-to-back micro-batches, ~10 ms
+            # idle offset polls (see st16's drain note)
             feed.writeStream.foreachBatch(apply)
-            .trigger(processingTime="50 milliseconds")
             .option("checkpointLocation", ckpt)
             .start()
         )
 
     def await_applied(q, n: int, deadline_s: float = 120.0) -> None:
-        t0 = time.monotonic()
-        while len(applied) < n:
-            if q.exception() is not None:
-                raise q.exception()
-            if time.monotonic() - t0 > deadline_s:
-                raise TimeoutError(f"applied {len(applied)}/{n}")
-            time.sleep(0.05)
+        _await_live(
+            q, lambda: len(applied) >= n, f"applied fewer than {n}", deadline_s
+        )
 
     # phase 1: normal replication of commit 1, then the bulk load
     q1 = start_drain("rebase_ckpt1")
@@ -1965,16 +1988,21 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).save()
         await_applied(q1, 1)
-        load = bulk_load_store(
-            src_lopts, put_batches[1], distribute_min_rows=0
-        )
+        # default distribute_min_rows: the crossover picks the
+        # driver-side fold for this statement-sized batch (the marker
+        # claim, WAL contract and published state are path-identical —
+        # the distributed merge path is priced by src13 and pinned by
+        # the distribute_min_rows=0 tests; forcing it here paid ~2 s of
+        # job scheduling per load for rows the driver folds in ms, a
+        # constant tuned for neither scale)
+        load = bulk_load_store(src_lopts, put_batches[1])
         assert load["published"], load
         # the subscriber MUST fail loudly at the marker — never skip it
         t0 = time.monotonic()
         while q1.exception() is None:
             if time.monotonic() - t0 > 120.0:
                 raise TimeoutError("drain did not stop at the bulk marker")
-            time.sleep(0.05)
+            time.sleep(0.01)
         assert "bulk-load marker" in str(q1.exception()), q1.exception()
     finally:
         q1.stop()
@@ -1983,7 +2011,7 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the replica's own bulk load, bulk-wins makes it idempotent over
     # whatever was already applied), retire the marker, resubscribe
     state = spark.read.format(FORMAT_NAME).options(**src_opts).load()
-    rb = bulk_load_store(dst_lopts, state, distribute_min_rows=0)
+    rb = bulk_load_store(dst_lopts, state)  # crossover: see phase 1
     assert rb["published"], rb
     prune_changelog(src_lopts, load["seq"])
     assert changelog_floor(src_lopts) == load["seq"]
@@ -2392,21 +2420,21 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(**src_opts)
         .load()
     )
+    # no explicit trigger: back-to-back micro-batches, ~10 ms idle
+    # offset polls (see st16's drain note)
     q = (
         feed.writeStream.foreachBatch(apply)
-        .trigger(processingTime="50 milliseconds")
         .option("checkpointLocation", ckpt)
         .start()
     )
 
     def await_applied(n: int, deadline_s: float = 120.0) -> None:
-        t0 = time.monotonic()
-        while len(applied) < n:
-            if q.exception() is not None:
-                raise q.exception()
-            if time.monotonic() - t0 > deadline_s:
-                raise TimeoutError(f"view applied {len(applied)}/{n}")
-            time.sleep(0.05)
+        _await_live(
+            q,
+            lambda: len(applied) >= n,
+            f"view applied fewer than {n}",
+            deadline_s,
+        )
 
     try:
         for i, b in enumerate(put_batches):

@@ -123,6 +123,23 @@ def test_scan_partitions_pack_above_cap():
     assert got == [k for k in keys if k <= 5]
 
 
+def test_scan_partitions_pack_small_regions():
+    """Row-aware pack (round-13): a store of many SMALL regions scans
+    in ~ceil(rows / _PACK_MIN_ROWS) partitions, not one per region —
+    the per-task fixed cost floor — while row set and global key order
+    are unchanged and pruning still precedes the pack."""
+    from kt_sql_hbase_ex_spark.sources.kvstore import _PACK_MIN_ROWS
+
+    store = customer_store(SF_SMALL, region_size=16)
+    assert len(store.regions()) > 8  # many small regions
+    rd = _reader(store)
+    parts = rd.partitions()
+    want = max(1, -(-len(store.rows) // _PACK_MIN_ROWS))
+    assert len(parts) <= min(want, len(store.regions()))
+    keys = [t[0] for p in parts for t in p.tuples]
+    assert keys == sorted(keys) and len(keys) == len(store.rows)
+
+
 def test_scan_reader_pickles_without_store():
     """Round-13 optimization: executors call read(partition) only, so
     the pickled reader must NOT carry the store (every row of the
@@ -550,7 +567,10 @@ def test_composite_unencodable_filter_value_goes_residual():
     rd = KVScanReader(store, store.schema)
     residual = list(rd.pushFilters([GreaterThanOrEqual(("l_orderkey",), -5)]))
     assert len(residual) == 1  # negative can't encode: Spark keeps it
-    assert len(rd.partitions()) == len(store.regions())  # full scan
+    # no pruning happened: the scan still covers every row (partition
+    # COUNT may be smaller than the region count — the row-aware pack)
+    n_rows = sum(len(p.tuples) for p in rd.partitions())
+    assert n_rows == len(store.rows)  # full scan
 
 
 _CKEY = st.integers(min_value=0, max_value=8)
