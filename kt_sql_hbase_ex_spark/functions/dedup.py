@@ -927,20 +927,28 @@ def d10_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     (∝ nodes), state is the rank vector only; checkpointing keeps the
     plan flat at any iteration count."""
     pairs = read_verified_pairs(spark, sf_dir)  # persisted pair store
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)  # feeds every round: pin in memory
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # (src, dst, outdeg) is loop-invariant: materialize ONCE — edges
+    # itself needs no separate checkpoint (edge_w subsumes it, and
+    # nodes derives from edge_w's src side below), so provisioning is
+    # one eager job instead of two
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edge_w = edges.join(deg, "src").localCheckpoint(eager=True)
+    # nodes is loop-invariant too: without its own checkpoint every
+    # round's left join re-ran this distinct — one extra shuffle per
+    # iteration, 20 over the run (round-13 measurement)
+    nodes = (
+        edge_w.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return spark.createDataFrame([], "doc_id bigint, rank double")
-    # (src, dst, outdeg) is loop-invariant: materialize once
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edge_w = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(PAGERANK_ITERS):
         contrib = (

@@ -428,8 +428,11 @@ def _hll_query_relation(
     precisely the scan the store exists to avoid; it rides here so the
     driver gate can grade estimate quality as data, not just shape)."""
     est = hll_estimates(read_hll_registers(spark, root))
+    # fan_out: the fixture is one parquet split, so the count-distinct
+    # partial aggregation otherwise runs on a single core (no-op at
+    # scale, where the scan has thousands of splits)
     exact = (
-        load_table(spark, sf_dir, "lineitem")
+        fan_out(load_table(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").cast("long").alias("exact_orders"))
     )
@@ -957,12 +960,22 @@ def sk04_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by addition; the percentile read never touches raw rows."""
     root = ensure_quantile_store(spark, sf_dir)
     est = histogram_quantiles(_counter_read(spark, root))
+    # one percentile buffer for both cut points (array form): the
+    # two-expression form sorted the same 600k-value buffer twice per
+    # group — identical interpolation, identical doubles, half the
+    # aggregate work (round-13 optimization)
     exact = (
-        load_table(spark, sf_dir, "lineitem")
+        fan_out(load_table(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("x50"),
-            F.expr("percentile(l_extendedprice, 0.9)").alias("x90"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.9D))"
+            ).alias("xs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("xs")[0].alias("x50"),
+            F.col("xs")[1].alias("x90"),
         )
     )
     return est.join(
@@ -1264,7 +1277,7 @@ def sk05_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     dy = (
-        load_table(spark, sf_dir, "orders")
+        fan_out(load_table(spark, sf_dir, "orders"))
         .select(F.year("o_orderdate").alias("y"), "o_custkey")
         .distinct()
         .localCheckpoint(eager=True)

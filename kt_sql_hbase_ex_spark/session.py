@@ -66,6 +66,16 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffledHashJoinFactor", "3")
+        # Whole-stage-codegen CLASS CACHE, sized to the query registry
+        # (static conf, default 100 compiled classes): this engine
+        # serves ~270 registered queries of several codegen stages
+        # each, so at the default the bench/battery sweeps thrash the
+        # cache and re-Janino-compile hot plans on every execution —
+        # measured: d03's minhash stage compiles in seconds and ran 3x
+        # slower mid-sweep than isolated, purely from eviction. 2048
+        # classes is a few hundred MB of driver metaspace at worst,
+        # the same sizing call a multi-tenant cluster driver makes.
+        .config("spark.sql.codegen.cache.maxEntries", "2048")
         # Python-worker handshake timeout (default 15s): an
         # oversubscribed host spawning many streaming-source workers
         # concurrently (parallel test shards, parity batteries) can
