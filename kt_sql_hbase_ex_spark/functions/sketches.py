@@ -428,11 +428,11 @@ def _hll_query_relation(
     precisely the scan the store exists to avoid; it rides here so the
     driver gate can grade estimate quality as data, not just shape)."""
     est = hll_estimates(read_hll_registers(spark, root))
-    # fan_out: the fixture is one parquet split, so the count-distinct
-    # partial aggregation otherwise runs on a single core (no-op at
-    # scale, where the scan has thousands of splits)
+    # NO fan_out here (measured): count-distinct dedups map-side before
+    # its exchange, so the single-split scan already ships only the
+    # distinct pairs — a repartition would add a full-data exchange
     exact = (
-        fan_out(load_table(spark, sf_dir, "lineitem"))
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").cast("long").alias("exact_orders"))
     )
@@ -1277,7 +1277,9 @@ def sk05_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     dy = (
-        fan_out(load_table(spark, sf_dir, "orders"))
+        # no fan_out: distinct dedups map-side before its exchange
+        # (measured — a repartition added a full-data exchange)
+        load_table(spark, sf_dir, "orders")
         .select(F.year("o_orderdate").alias("y"), "o_custkey")
         .distinct()
         .localCheckpoint(eager=True)

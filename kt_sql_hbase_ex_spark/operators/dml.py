@@ -33,11 +33,7 @@ from pyspark.sql import functions as F
 
 from kt_sql_hbase_ex_spark.functions.money import exact_sum, exact_sum_sql
 from kt_sql_hbase_ex_spark.registry import query
-from kt_sql_hbase_ex_spark.sources.catalog import (
-    PRIMARY_KEYS,
-    fan_out,
-    load_table,
-)
+from kt_sql_hbase_ex_spark.sources.catalog import PRIMARY_KEYS, load_table
 
 _ORDERS_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
@@ -196,9 +192,7 @@ def dml03_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dml04_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPSERT (MERGE INTO analog): 2 updates to existing PKs 1,2 + 3 new
     PKs; end state checked on count / updated-count / total."""
-    # fan_out: one parquet split otherwise serializes the anti-join +
-    # partial aggregate on a single core (no-op at scale)
-    base = fan_out(load_table(spark, sf_dir, "orders"))
+    base = load_table(spark, sf_dir, "orders")
     changes = spark.createDataFrame(
         [
             (1, 1, "X", 999.99, dt.datetime(2001, 10, 1), "1-URGENT"),

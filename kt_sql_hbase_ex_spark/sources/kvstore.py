@@ -7040,14 +7040,21 @@ def src17_kv_snapshot_restore(spark, sf_dir: str):
         "c_acctbal", F.lit(-1.0)
     )
     wave_b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
-    new_row = spark.range(1).select(
-        F.lit(_SRC17_B_NEW).cast("long").alias("c_custkey"),
-        F.lit("PostSnap").alias("c_name"),
-        F.lit(0).cast("int").alias("c_nationkey"),
-        F.lit(1.0).alias("c_acctbal"),
-        F.lit("CASNEW").alias("c_mktsegment"),
+    # single-row insert: the driver-side Put facade (an HBase client
+    # Put, the same _commit_put_rows commit the connector write runs —
+    # a distributed job for one literal row was pure scheduling cost)
+    put_rows_to_store(
+        lopts,
+        [
+            {
+                "c_custkey": _SRC17_B_NEW,
+                "c_name": "PostSnap",
+                "c_nationkey": 0,
+                "c_acctbal": 1.0,
+                "c_mktsegment": "CASNEW",
+            }
+        ],
     )
-    new_row.write.format(FORMAT_NAME).options(**opts).mode("append").save()
 
     st = restore_store(lopts, "src17")
     assert st["published"] and st["snapshot"] == "src17"

@@ -2549,6 +2549,10 @@ def st20_streaming_sketch_maintenance(
         os.utime(cpath, (1_600_000_000 + b, 1_600_000_000 + b))
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # NO repartition before the register group-by (measured): the
+        # partial aggregation folds each split to ~groups x m register
+        # rows map-side, so spreading the one-file microbatch first
+        # costs a full-data exchange for nothing
         rows = batch_df.select(
             "l_returnflag", "l_orderkey", F.lit(int(batch_id)).alias("seg")
         )
