@@ -3061,6 +3061,81 @@ def _fold_snapshot(opts, major: bool = False) -> dict | None:
     }
 
 
+def _first_fold_arrow(snap, schema, new_dir, key_col: str) -> list | None:
+    """Vectorized driver-side FIRST FOLD for single-column rowkeys:
+    base ∖ overlay-keys ∪ surviving puts, TTL-filtered, globally
+    sorted and sliced into region files — all as pyarrow TABLE
+    operations instead of per-row Python dicts (guide §4.2: hand the
+    batch to the columnar library). Produces the same rows in the
+    same order with the same chunk boundaries, blooms and pointer
+    metadata as the dict path; only the TTL/key comparisons run over
+    single extracted columns. Returns None when the base carries
+    duplicate keys — there the dict path's silent last-wins collapse
+    is the semantic, so the caller falls back."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    columns = snap["columns"]
+    region_size = snap["region_size"]
+    overlay_rows = snap["overlay_rows"]
+    ttl_col = snap.get("ttl_col")
+    cutoff = snap.get("ttl_cutoff")
+
+    tbl = pq.read_table(snap["fixture"], columns=list(columns))
+    if cutoff is not None and ttl_col is not None:
+        # same Python-value comparison as _ttl_live, over ONE column
+        mask = pa.array(
+            [v is None or v >= cutoff for v in tbl.column(ttl_col).to_pylist()],
+            pa.bool_(),
+        )
+        tbl = tbl.filter(mask)
+    if overlay_rows:
+        okeys = {_rowkey_of(r, (key_col,)) for r in overlay_rows}
+        keep = pa.array(
+            [k not in okeys for k in tbl.column(key_col).to_pylist()],
+            pa.bool_(),
+        )
+        tbl = tbl.filter(keep)
+        puts = [
+            {c: r[c] for c in columns}
+            for r in overlay_rows
+            if not r.get(TOMBSTONE)
+            and (
+                cutoff is None
+                or r.get(ttl_col) is None
+                or r[ttl_col] >= cutoff
+            )
+        ]
+        if puts:
+            tbl = pa.concat_tables(
+                [tbl, pa.Table.from_pylist(puts, schema=tbl.schema)]
+            )
+    tbl = tbl.sort_by([(key_col, "ascending")])
+    keys = tbl.column(key_col).combine_chunks()
+    if len(keys) > 1:
+        adj_dup = pc.any(
+            pc.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        ).as_py()
+        if adj_dup:
+            return None  # duplicate base keys: dict path's last-wins
+    metas: list = []
+    for j, off in enumerate(range(0, tbl.num_rows, region_size)):
+        sub = tbl.slice(off, region_size)
+        name = f"region-{j:05d}.parquet"
+        pq.write_table(sub, os.path.join(new_dir, name))
+        chunk_keys = sub.column(key_col).to_pylist()
+        metas.append(
+            {
+                "file": name,
+                "start": chunk_keys[0],
+                "rows": len(chunk_keys),
+                "bloom": _bloom_build(chunk_keys),
+            }
+        )
+    return metas
+
+
 def _build_generation(
     opts, spark, snap, distribute_min_rows: int = 0, major: bool = False
 ) -> dict:
@@ -3279,46 +3354,60 @@ def _build_generation(
         else:
             ttl_col = snap.get("ttl_col")
             cutoff = snap.get("ttl_cutoff")
-            merged_rows: dict = {}
-            if cur is None:
-                for r in _ttl_live(
-                    pq.read_table(
-                        snap["fixture"], columns=columns
-                    ).to_pylist(),
-                    ttl_col,
-                    cutoff,
-                ):
-                    merged_rows[_rowkey_of(r, key_cols)] = r
-            for r in overlay_rows:
-                if r.get(TOMBSTONE):
-                    merged_rows.pop(_rowkey_of(r, key_cols), None)
-                elif (
-                    cutoff is None
-                    or r.get(ttl_col) is None
-                    or r[ttl_col] >= cutoff
-                ):
-                    merged_rows[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
-                else:  # expired Put: supersedes, doesn't survive
-                    merged_rows.pop(_rowkey_of(r, key_cols), None)
-            rows = sorted(merged_rows.values(), key=lambda r: _rowkey_of(r, key_cols))
-            for j, chunk in enumerate(_region_chunks(rows, region_size)):
-                name = f"region-{j:05d}.parquet"
-                pq.write_table(
-                    pa.Table.from_pylist(
-                        [{c: r[c] for c in columns} for r in chunk],
-                        schema=schema,
-                    ),
-                    os.path.join(new_dir, name),
+            fast = None
+            if cur is None and len(key_cols) == 1:
+                # vectorized first fold (guide §4.2): the base folds as
+                # pyarrow TABLE ops — filter → key anti-set → concat
+                # puts → sort → slice — instead of materializing every
+                # row as a Python dict; returns None (fall back) when
+                # the base carries duplicate keys, where the dict
+                # path's last-wins collapse is the semantic
+                fast = _first_fold_arrow(
+                    snap, schema, new_dir, key_cols[0]
                 )
-                chunk_keys = [_rowkey_of(r, key_cols) for r in chunk]
-                regions_meta.append(
-                    {
-                        "file": name,
-                        "start": chunk_keys[0],
-                        "rows": len(chunk),
-                        "bloom": _bloom_build(chunk_keys),
-                    }
-                )
+            if fast is not None:
+                regions_meta.extend(fast)
+            else:
+                merged_rows: dict = {}
+                if cur is None:
+                    for r in _ttl_live(
+                        pq.read_table(
+                            snap["fixture"], columns=columns
+                        ).to_pylist(),
+                        ttl_col,
+                        cutoff,
+                    ):
+                        merged_rows[_rowkey_of(r, key_cols)] = r
+                for r in overlay_rows:
+                    if r.get(TOMBSTONE):
+                        merged_rows.pop(_rowkey_of(r, key_cols), None)
+                    elif (
+                        cutoff is None
+                        or r.get(ttl_col) is None
+                        or r[ttl_col] >= cutoff
+                    ):
+                        merged_rows[_rowkey_of(r, key_cols)] = {c: r[c] for c in columns}
+                    else:  # expired Put: supersedes, doesn't survive
+                        merged_rows.pop(_rowkey_of(r, key_cols), None)
+                rows = sorted(merged_rows.values(), key=lambda r: _rowkey_of(r, key_cols))
+                for j, chunk in enumerate(_region_chunks(rows, region_size)):
+                    name = f"region-{j:05d}.parquet"
+                    pq.write_table(
+                        pa.Table.from_pylist(
+                            [{c: r[c] for c in columns} for r in chunk],
+                            schema=schema,
+                        ),
+                        os.path.join(new_dir, name),
+                    )
+                    chunk_keys = [_rowkey_of(r, key_cols) for r in chunk]
+                    regions_meta.append(
+                        {
+                            "file": name,
+                            "start": chunk_keys[0],
+                            "rows": len(chunk),
+                            "bloom": _bloom_build(chunk_keys),
+                        }
+                    )
         rewritten = len(regions_meta)
 
     if not regions_meta:
@@ -3695,7 +3784,9 @@ def _distributed_first_fold(
     ]
 
 
-def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
+def _distributed_bulk_merge(
+    opts, spark, snap, schema, new_dir, df, n_bulk: int | None = None
+) -> dict:
     """Region-pruned DISTRIBUTED merge of a bulk batch (plus any
     pending overlay) into an existing generation — the bulk-load twin
     of the incremental fold's one-task-per-touched-region shape, with
@@ -3815,12 +3906,54 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     muts_cached = muts  # unpersist target: later withColumns derive new DFs
     try:
-        counts = {
-            r["__region"]: r["cnt"]
-            for r in muts.groupBy("__region")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        # ONE routing aggregate carries the per-region counts AND —
+        # when the caller deferred it (n_bulk None) — the bulk batch's
+        # exact count plus null-key / duplicate-key validation, so no
+        # separate stats job scans the batch (guide §1.2: fewer
+        # passes). Per-region distinct-key counts SUM to the global
+        # distinct count because routing is a pure function of the
+        # key: one key can never land in two regions.
+        need_stats = n_bulk is None
+        is_bulk = F.col("__prio") == 1
+        aggs = [F.count("*").alias("cnt")]
+        if need_stats:
+            aggs += [
+                F.count(F.when(is_bulk, 1)).alias("nb"),
+                F.count_distinct(
+                    F.when(
+                        is_bulk, F.struct(*[F.col(c) for c in key_cols])
+                    )
+                ).alias("nd"),
+                *[
+                    F.count(F.when(is_bulk, F.col(c))).alias(f"nk{i}")
+                    for i, c in enumerate(key_cols)
+                ],
+            ]
+        crows = muts.groupBy("__region").agg(*aggs).collect()
+        counts = {r["__region"]: r["cnt"] for r in crows}
+        if need_stats:
+            import shutil as _shutil
+
+            n_bulk = sum(int(r["nb"]) for r in crows)
+            if n_bulk == 0:
+                _shutil.rmtree(new_dir, ignore_errors=True)
+                return {"empty": True}
+            for i, c in enumerate(key_cols):
+                if sum(int(r[f"nk{i}"]) for r in crows) != n_bulk:
+                    _shutil.rmtree(new_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"bulk batch has NULL values in key column {c!r} — "
+                        "rowkeys are never null"
+                    )
+            nd = sum(int(r["nd"]) for r in crows)
+            if nd != n_bulk:
+                _shutil.rmtree(new_dir, ignore_errors=True)
+                raise ValueError(
+                    f"bulk batch has duplicate keys ({n_bulk} rows, "
+                    f"{nd} distinct keys) — last-wins among "
+                    "duplicates in a distributed batch would be "
+                    "nondeterministic; collapse the batch first"
+                )
         # REGION SPLIT (round-11, the HBase ``split_region`` analog):
         # a bulk batch hammering one key range concentrates in one
         # region's merge task — the skew the round-10 docstring could
@@ -3886,16 +4019,17 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
             muts = muts.withColumn(
                 "__task", _router(new_starts)(*[F.col(c) for c in key_cols])
             )
-            touched = sorted(
-                r["__task"]
-                for r in muts.select("__task").distinct().collect()
-            )
         else:
-            # no hot region: tasks ARE regions — reuse the counts pass
-            # instead of a second distinct job over the batch
             muts = muts.withColumn("__task", F.col("__region"))
-            touched = sorted(counts)
-        touched_region_set = {task_region[t] for t in touched}
+        # regions with >= 1 mutation row come straight from the counts
+        # pass; at sub-task granularity the merge tasks REPORT which
+        # task ids they actually processed (marker rows in their meta
+        # output), so no distinct job over the batch is needed — the
+        # candidate set below only sizes the repartition
+        touched_region_set = set(counts)
+        candidates = [
+            t for t, i in enumerate(task_region) if i in touched_region_set
+        ]
         split_task_ids = {
             t
             for t, i in enumerate(task_region)
@@ -4011,17 +4145,32 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                     chunk_keys = [_rowkey_of(r, kc) for r in chunk]
                     metas.append(
                         {
+                            "task": ridx,
                             "file": name,
                             "start": _json.dumps(chunk_keys[0]),
                             "rows": len(chunk),
                             "bloom": _bloom_build(chunk_keys),
                         }
                     )
+                # marker row: this task RAN (even if every row of its
+                # slice was deleted and no chunk file came out) — the
+                # driver derives the exact touched-task set from these
+                # instead of paying a distinct job over the batch
+                metas.append(
+                    {
+                        "task": ridx,
+                        "file": None,
+                        "start": None,
+                        "rows": 0,
+                        "bloom": None,
+                    }
+                )
             if metas:
                 yield pa.RecordBatch.from_pandas(
                     _pd.DataFrame(metas),
                     schema=pa.schema(
                         [
+                            pa.field("task", pa.int64()),
                             pa.field("file", pa.string()),
                             pa.field("start", pa.string()),
                             pa.field("rows", pa.int64()),
@@ -4030,13 +4179,17 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
                     ),
                 )
 
-        shaped = muts.repartition(max(1, len(touched)), "__task")
-        metas = shaped.mapInArrow(
-            merge_regions, "file string, start string, rows long, bloom string"
+        shaped = muts.repartition(max(1, len(candidates)), "__task")
+        raw_metas = shaped.mapInArrow(
+            merge_regions,
+            "task long, file string, start string, rows long, bloom string",
         ).collect()
     finally:
         muts_cached.unpersist(blocking=False)
-    for m in metas:
+    touched = sorted({int(m["task"]) for m in raw_metas})
+    for m in raw_metas:
+        if m["file"] is None:
+            continue  # touched-task marker, not a chunk
         regions_meta.append(
             {
                 "file": m["file"],
@@ -4078,6 +4231,7 @@ def _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df) -> dict:
         "carried": carried,
         "split": max(0, len(touched) - len(touched_region_set)),
         "distributed": True,
+        "n_bulk": n_bulk,
     }
 
 
@@ -4366,6 +4520,69 @@ def bulk_load_store(
         )
     df = df.select(*columns)
     spark = df.sparkSession
+    # Crossover probe: ONE limit-collect job both decides driver vs
+    # distributed AND, below the crossover, already holds the whole
+    # batch for the driver fold — the previous shape paid a full
+    # count+count_distinct aggregate (with its shuffle) over the batch
+    # and then collected it AGAIN on the driver path (guide §1.2:
+    # don't run two passes where one suffices). At scale the probe
+    # collects at most ``distribute_min_rows`` rows before bailing to
+    # the distributed path, whose exact stats and validation ride the
+    # merge's own routing aggregate (or the first fold's stats pass)
+    # instead of a separate scan of the batch.
+    bulk_rows = None
+    n_bulk: int | None = None
+    if distribute_min_rows > 0:
+        probe = df.limit(distribute_min_rows).collect()
+        if len(probe) < distribute_min_rows:
+            bulk_rows = [row.asDict() for row in probe]
+            n_bulk = len(bulk_rows)
+            if n_bulk == 0:
+                return {"published": False, "loaded": 0, "reason": "empty batch"}
+            _validate_bulk_rows(bulk_rows, key_cols)
+    with _fold_lock(opts, timeout_s=fold_timeout_s):
+        for _ in range(max(0, lock_free_attempts)):
+            out = _bulk_once(
+                opts, spark, df, n_bulk, distribute_min_rows,
+                locked_build=False, bulk_rows=bulk_rows,
+            )
+            if out.get("reason") != _FOLD_CONFLICT:
+                return out
+        return _bulk_once(
+            opts, spark, df, n_bulk, distribute_min_rows,
+            locked_build=True, bulk_rows=bulk_rows,
+        )
+
+
+def _validate_bulk_rows(rows, key_cols) -> None:
+    """Driver-side twin of the distributed bulk validation — the same
+    loud rejections (NULL rowkeys, duplicate keys) over an
+    already-collected below-crossover batch."""
+    n = len(rows)
+    for c in key_cols:
+        if any(r[c] is None for r in rows):
+            raise ValueError(
+                f"bulk batch has NULL values in key column {c!r} — "
+                "rowkeys are never null"
+            )
+    nd = len({tuple(r[c] for c in key_cols) for r in rows})
+    if nd != n:
+        raise ValueError(
+            f"bulk batch has duplicate keys ({n} rows, "
+            f"{nd} distinct keys) — last-wins among "
+            "duplicates in a distributed batch would be "
+            "nondeterministic; collapse the batch first"
+        )
+
+
+def _bulk_stats_validate(df, key_cols) -> int:
+    """Full-batch stats/validation aggregate (row count, per-key null
+    counts, distinct keys) — the distributed FIRST FOLD's validation
+    pass. The region-pruned merge never calls this: its validation
+    rides the routing aggregate it already runs (one pass, no extra
+    job)."""
+    from pyspark.sql import functions as F
+
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(c) for c in key_cols]).alias("nd"),
@@ -4373,7 +4590,7 @@ def bulk_load_store(
     ).first()
     n_bulk = int(stats["n"])
     if n_bulk == 0:
-        return {"published": False, "loaded": 0, "reason": "empty batch"}
+        return 0
     for i, c in enumerate(key_cols):
         if int(stats[f"nk{i}"]) != n_bulk:
             raise ValueError(
@@ -4387,41 +4604,43 @@ def bulk_load_store(
             "duplicates in a distributed batch would be "
             "nondeterministic; collapse the batch first"
         )
-    with _fold_lock(opts, timeout_s=fold_timeout_s):
-        for _ in range(max(0, lock_free_attempts)):
-            out = _bulk_once(
-                opts, spark, df, n_bulk, distribute_min_rows,
-                locked_build=False,
-            )
-            if out.get("reason") != _FOLD_CONFLICT:
-                return out
-        return _bulk_once(
-            opts, spark, df, n_bulk, distribute_min_rows, locked_build=True
-        )
+    return n_bulk
 
 
 def _bulk_once(
-    opts, spark, df, n_bulk: int, distribute_min_rows: int,
-    locked_build: bool,
+    opts, spark, df, n_bulk: int | None, distribute_min_rows: int,
+    locked_build: bool, bulk_rows: list | None = None,
 ) -> dict:
     """One bulk snapshot → build → publish cycle; caller holds the
-    fold lock. Same discipline as :func:`_compact_once`."""
+    fold lock. Same discipline as :func:`_compact_once`. ``n_bulk``
+    is None when the caller deferred counting/validation to the
+    distributed build (the build reports the exact count back via
+    ``built["n_bulk"]``); ``bulk_rows`` carries the already-collected
+    batch on the below-crossover driver path."""
     if locked_build:
         with _overlay_lock(opts):
             snap = _bulk_snapshot(opts)
             built = _build_bulk_generation(
-                opts, spark, snap, df, n_bulk, distribute_min_rows
+                opts, spark, snap, df, n_bulk, distribute_min_rows,
+                bulk_rows=bulk_rows,
             )
+            if built.get("empty"):
+                return {"published": False, "loaded": 0, "reason": "empty batch"}
             return _publish_bulk_generation(
-                opts, snap, built, n_bulk, verify=False
+                opts, snap, built, built.get("n_bulk", n_bulk), verify=False
             )
     with _overlay_lock(opts):
         snap = _bulk_snapshot(opts)
     built = _build_bulk_generation(
-        opts, spark, snap, df, n_bulk, distribute_min_rows
+        opts, spark, snap, df, n_bulk, distribute_min_rows,
+        bulk_rows=bulk_rows,
     )
+    if built.get("empty"):
+        return {"published": False, "loaded": 0, "reason": "empty batch"}
     with _overlay_lock(opts):
-        return _publish_bulk_generation(opts, snap, built, n_bulk, verify=True)
+        return _publish_bulk_generation(
+            opts, snap, built, built.get("n_bulk", n_bulk), verify=True
+        )
 
 
 def _bulk_snapshot(opts) -> dict:
@@ -4459,14 +4678,17 @@ def _bulk_snapshot(opts) -> dict:
 
 
 def _build_bulk_generation(
-    opts, spark, snap, df, n_bulk: int, distribute_min_rows: int
+    opts, spark, snap, df, n_bulk: int | None, distribute_min_rows: int,
+    bulk_rows: list | None = None,
 ) -> dict:
     """Rewrite phase for a bulk load (lock-free). Below the crossover
-    the batch collects and the existing fold machinery runs verbatim
+    the batch arrives ALREADY COLLECTED (``bulk_rows`` — the crossover
+    probe's own collect) and the existing fold machinery runs verbatim
     (mutations = overlay ⊕ bulk with bulk-wins); at or above it the
     batch stays distributed — the region-pruned mapInArrow merge for a
     store with a generation, the range-partitioned whole-base rewrite
-    otherwise."""
+    otherwise. ``n_bulk`` None = count/validation deferred to the
+    distributed build (reported back via ``built["n_bulk"]``)."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -4477,14 +4699,14 @@ def _build_bulk_generation(
     base_sch = pq.read_schema(snap["fixture"])
     schema = pa.schema([pa.field(c, base_sch.field(c).type) for c in columns])
 
-    if n_bulk < distribute_min_rows:
+    if bulk_rows is not None:
         # driver-side crossover (the compact_store pattern): merge the
         # bulk rows into the mutation set with bulk-wins and reuse the
         # fold builder — identical region pruning, chunking, carries
         merged_mut: dict = {}
         for r in snap["overlay_rows"]:
             merged_mut[_rowkey_of(r, key_cols)] = r
-        for r in (row.asDict() for row in df.collect()):
+        for r in bulk_rows:
             merged_mut[_rowkey_of(r, key_cols)] = {
                 **{c: r[c] for c in columns}, TOMBSTONE: False,
             }
@@ -4494,7 +4716,18 @@ def _build_bulk_generation(
     new_dir = os.path.join(snap["root"], f"gen.{_uuid.uuid4().hex[:12]}")
     os.makedirs(new_dir)
     if snap["cur"] is not None and bool(snap["cur"].get("regions")):
-        return _distributed_bulk_merge(opts, spark, snap, schema, new_dir, df)
+        return _distributed_bulk_merge(
+            opts, spark, snap, schema, new_dir, df, n_bulk=n_bulk
+        )
+    if n_bulk is None:
+        # first fold of a generation-less store: no routing aggregate
+        # exists to carry validation, so run the stats pass here
+        n_bulk = _bulk_stats_validate(df, key_cols)
+        if n_bulk == 0:
+            import shutil
+
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return {"empty": True}
     regions_meta = _distributed_first_fold(
         opts, spark, snap, schema, new_dir, bulk_df=df, n_bulk=n_bulk
     )
@@ -4505,6 +4738,7 @@ def _build_bulk_generation(
         "rewritten": len(regions_meta),
         "carried": 0,
         "distributed": True,
+        "n_bulk": n_bulk,
     }
 
 
@@ -7017,9 +7251,16 @@ def src17_kv_snapshot_restore(spark, sf_dir: str):
     lopts = {k.lower(): v for k, v in opts.items()}
     truncate_overlay(lopts)  # hermetic: pristine base
 
-    base = spark.read.format(FORMAT_NAME).options(**opts).load()
+    # mutation waves derive from the PRISTINE parquet (the src13
+    # discipline): the store was truncated above, so the pristine rows
+    # ARE the store's pre-mutation state — and the plain parquet scan
+    # skips the Python data-source read each write job would otherwise
+    # pay just to produce its input batch (round-13 optimization)
+    pristine = spark.read.parquet(lopts["path"]).select(
+        *CUSTOMER_KV_COLUMNS.split(",")
+    )
     # wave A (pre-snapshot): re-balance 1..A_MAX, delete DEL span
-    wave_a = base.filter(
+    wave_a = pristine.filter(
         F.col("c_custkey").between(1, _SRC17_A_MAX)
     ).withColumn("c_acctbal", F.lit(_SRC17_A_BAL))
     wave_a.write.format(FORMAT_NAME).options(**opts).mode("append").save()
@@ -7036,7 +7277,7 @@ def src17_kv_snapshot_restore(spark, sf_dir: str):
 
     # wave B (post-snapshot, must vanish on restore): overwrite a
     # wider span — re-inserting the deleted keys — plus a new row
-    wave_b = base.filter(F.col("c_custkey") <= _SRC17_B_MAX).withColumn(
+    wave_b = pristine.filter(F.col("c_custkey") <= _SRC17_B_MAX).withColumn(
         "c_acctbal", F.lit(-1.0)
     )
     wave_b.write.format(FORMAT_NAME).options(**opts).mode("append").save()

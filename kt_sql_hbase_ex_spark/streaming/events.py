@@ -133,6 +133,14 @@ STREAM_STATE_PARTITIONS = 4
 #: prior registrations instead of leaking one result set per clone).
 _STREAM_SESSIONS: dict[SparkSession, SparkSession] = {}
 
+#: clone -> Python-side mirror of the clone's runtime conf. stream_session
+#: is the clone's ONLY conf writer (run_stream_to_table never touches
+#: conf; tests flip keys on the PARENT and call stream_session to
+#: propagate), so the mirror makes the per-drain re-sync pay one
+#: ``getAll`` (the parent's) instead of two — the clone-side read was
+#: ~0.1 s of py4j map iteration per drain (round-13 measurement).
+_CLONE_CONF: dict[SparkSession, dict] = {}
+
 
 def stream_session(spark: SparkSession) -> SparkSession:
     """The session every streaming drain plans on: a cached clone of the
@@ -163,14 +171,18 @@ def stream_session(spark: SparkSession) -> SparkSession:
                 return spark  # already a drain session
         clone = spark.newSession()
         _STREAM_SESSIONS[spark] = clone
-    parent_conf = dict(spark.conf.getAll)
-    clone_conf = dict(clone.conf.getAll)
-    for k, v in parent_conf.items():
-        if k == "spark.sql.shuffle.partitions":
+        _CLONE_CONF[clone] = dict(clone.conf.getAll)  # once, at creation
+    mirror = _CLONE_CONF[clone]
+    pin = "spark.sql.shuffle.partitions"
+    for k, v in dict(spark.conf.getAll).items():
+        if k == pin:
             continue
-        if clone_conf.get(k) != v and clone.conf.isModifiable(k):
+        if mirror.get(k) != v and clone.conf.isModifiable(k):
             clone.conf.set(k, v)
-    clone.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+            mirror[k] = v
+    if mirror.get(pin) != str(STREAM_STATE_PARTITIONS):
+        clone.conf.set(pin, str(STREAM_STATE_PARTITIONS))
+        mirror[pin] = str(STREAM_STATE_PARTITIONS)
     return clone
 
 
@@ -1444,11 +1456,24 @@ def _cdc_mutation_batches(spark: SparkSession, sf_dir: str):
             "c_custkey", (F.col("c_acctbal") - 500).alias("c_acctbal")
         ),
     ]
-    delete_keys = sorted(
-        r["c_custkey"]
-        for r in cust.filter(k % 7 == 0).select("c_custkey").collect()
+    return put_batches, _residue_delete_keys(sf_dir)
+
+
+def _residue_delete_keys(sf_dir: str) -> list:
+    """The delete slice (custkeys ≡ 0 mod 7), straight from the
+    customer parquet via pyarrow — the keys are a driver-side INPUT to
+    ``delete_from_store`` either way, and the previous Spark
+    filter+collect paid a full job per fn call for what one column
+    read answers in milliseconds (round-13 optimization; same sorted
+    Python ints)."""
+    import pyarrow.parquet as pq
+
+    arr = (
+        pq.read_table(table_path(sf_dir, "customer"), columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy()
     )
-    return put_batches, delete_keys
+    return [int(k) for k in sorted(arr[arr % 7 == 0])]
 
 
 def _st16_oracle() -> str:
@@ -2324,11 +2349,7 @@ def _mv_mutation_batches(spark: SparkSession, sf_dir: str):
             (F.col("c_acctbal") - 500).alias("c_acctbal"),
         ),
     ]
-    delete_keys = sorted(
-        r["c_custkey"]
-        for r in cust.filter(k % 7 == 0).select("c_custkey").collect()
-    )
-    return put_batches, delete_keys
+    return put_batches, _residue_delete_keys(sf_dir)
 
 
 def _st19_oracle() -> str:

@@ -4043,6 +4043,74 @@ class TestRegionSplit:
         )
         assert st["published"] and st["regions_split"] == 0, st
 
+    def test_bulk_zero_chunk_merge_task_still_deletes(self, spark, tmp_path):
+        """Round-13 internals pin: a merge task whose whole region
+        folds to ZERO rows (every key tombstoned by the pending
+        overlay) emits only its touched-task MARKER — the region must
+        disappear from the new generation, not be resurrected by the
+        hardlink carry or the split carry sweep. Run beside a hot
+        batch so markers and split sub-tasks coexist in one merge."""
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            bulk_load_store,
+            compact_store,
+            delete_from_store,
+        )
+
+        opts = self._store(tmp_path, "blzero")  # 100 rows / 16 = 7 regions
+        self._put(opts, [{"k": 1, "v": 10.0}])
+        compact_store(opts)
+        # tombstone region 1's whole key range (16..31): its merge task
+        # receives ONLY tombstones and writes no chunk files
+        delete_from_store(opts, list(range(16, 32)))
+        hot = [(100000 + i, float(i)) for i in range(300)]
+        st = bulk_load_store(
+            opts,
+            spark.createDataFrame(hot, "k long, v double"),
+            distribute_min_rows=0,
+        )
+        assert st["published"] and st["distributed"], st
+        assert st["regions_split"] >= 1, st  # the hot tail split
+        state = self._state(opts)
+        assert not any(16 <= k <= 31 for k in state), "deleted keys revived"
+        assert state[1] == 10.0 and state[100000] == 0.0
+        assert len(state) == 100 - 16 + 300
+
+    def test_first_fold_duplicate_base_keys_last_wins(self, tmp_path):
+        """Round-13 internals pin: the vectorized arrow first fold
+        detects duplicate BASE keys and falls back to the dict path's
+        silent last-wins collapse (file order), so a dirty base folds
+        identically on both paths."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kt_sql_hbase_ex_spark.sources.kvstore import (
+            compact_store,
+            truncate_overlay,
+        )
+
+        base = os.path.join(str(tmp_path), "base_dup.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 2, 3], pa.int64()),
+                    "v": pa.array([1.0, 2.0, 22.0, 3.0], pa.float64()),
+                }
+            ),
+            base,
+        )
+        opts = {
+            "path": base,
+            "keycol": "k",
+            "columns": "k,v",
+            "regionsize": "16",
+            "appid": "blzdup",
+        }
+        truncate_overlay(opts)
+        self._put(opts, [{"k": 4, "v": 4.0}])
+        st = compact_store(opts)
+        assert st["compacted"], st
+        assert self._state(opts) == {1: 1.0, 2: 22.0, 3: 3.0, 4: 4.0}
+
 
 class TestRegionBloom:
     """Round-11: per-region key blooms (the HBase per-HFile ROW bloom
