@@ -11,17 +11,36 @@ TWO JSON lines:
                                      "provision": <sec>}},
      "sf": <sf>}
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {}, "sf": <sf>, "queries_n": <count>,
-     "detail": "see previous stdout line"}
+     "queries": {"<key>": <sec>, ...}, "sf": <sf>,
+     "queries_n": <count>}
 
 The FINAL line is the driver contract and is guaranteed compact
 (< 1 KB): the round-11 record was lost because a single ever-growing
 JSON line overflowed the driver's ~2.2 KB stdout tail-capture window
 and arrived truncated (``BENCH_r11.json`` ``parsed: null``). The
-driver keeps the END of stdout, so the last line is the small
-headline and the per-query breakdown rides the line before it
-(captured in full by anything that keeps whole stdout, and its tail
-still lands inside the driver's window).
+driver keeps the END of stdout, so the last line must stay small.
+
+Round-14 fix (VERDICT r13 task #1): rounds 12-13 kept the final line
+small by emptying its ``queries`` map, which left the driver's
+per-query record (``PERF_r{N}.json`` ``per_query``/``scaling``) BLIND
+for two rounds — the full-name map rode the detail line, outside the
+driver's parse. The final line now carries the per-query map under
+SHORT STABLE KEYS: each entry's unique family prefix — the substring
+before the first ``_`` (``src13_kv_bulk_load`` -> ``src13``,
+``flagship_revenue_by_nation`` -> ``flagship``), see
+:func:`short_key`. 62 keys at 2 dp fit in ~900 B; uniqueness and the
+<1 KB budget are pinned by ``tests/test_driver_contract.py``. The
+detail line keeps the full names at 3 dp (nothing removed or renamed
+— the full-name records every earlier round published live there,
+and the final line's short-key map is a pure ADDITION to its
+previously-empty ``queries``).
+
+Testing knob: ``$SPARK_GRAFT_BENCH_ONLY`` (comma-separated HEADLINE
+entry names) restricts the run to a slice — the bench-contract test
+pins the two-line output FORMAT, which does not need 62-entry
+coverage (its full-bench subprocess ran 700+ s and timed out the
+driver's pytest budget — VERDICT r13 task #2). The driver never sets
+it: unset, the full HEADLINE runs exactly as before.
 
 ``queries`` (detail line) carries each entry's full cost (build +
 serve — comparable with every earlier round's records); ``phases``
@@ -335,16 +354,47 @@ def _run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def short_key(name: str) -> str:
+    """The entry's short stable key for the compact final line: the
+    unique family prefix before the first ``_``. Stable because entry
+    names never change (the driver's round-over-round comparison keys
+    on them) and every HEADLINE name starts with a distinct family
+    code — uniqueness is test-pinned, and an accidental future
+    collision fails loudly in main() rather than silently dropping a
+    record."""
+    return name.split("_", 1)[0]
+
+
+def headline_names() -> tuple:
+    """The entries this run times: the full HEADLINE, or the
+    ``$SPARK_GRAFT_BENCH_ONLY`` slice (testing knob — see module
+    docstring; unknown names fail loudly in main's registry check)."""
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not only:
+        return HEADLINE
+    picked = tuple(n.strip() for n in only.split(",") if n.strip())
+    unknown = [n for n in picked if n not in HEADLINE]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}")
+    return picked
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    headline = headline_names()
+    keys = [short_key(n) for n in headline]
+    if len(set(keys)) != len(keys):
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        print(f"bench: short-key collision {dupes}", file=sys.stderr)
+        sys.exit(2)
     spark = get_session("bench")
 
     queries = registry.all_queries()
-    missing = [name for name in HEADLINE if name not in queries]
+    missing = [name for name in headline if name not in queries]
     if missing:
         print(f"bench: unknown headline queries {missing}", file=sys.stderr)
         sys.exit(2)
@@ -360,7 +410,7 @@ def main() -> None:
     # both costs amortize to nothing, so the warm number is the one that
     # projects.
     provision: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         start = time.perf_counter()
         df = queries[name].fn(spark, sf_dir)
         if name in LIFECYCLE:
@@ -376,7 +426,7 @@ def main() -> None:
     # tightens the long tail a host-shared CPU adds to single runs.
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         try:
             spark._jvm.System.gc()
         except Exception:
@@ -412,22 +462,33 @@ def main() -> None:
             }
         )
     )
-    final = json.dumps(
-        {
-            "metric": "headline_total",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": {},
-            "sf": sf,
-            "queries_n": len(timings),
-            "detail": "see previous stdout line",
-        }
-    )
-    if len(final.encode()) >= 1024:
+    # Final line: short-key per-query map (full precision would blow
+    # the budget; 2 dp resolves a 5% regression on a 0.3 s entry, and
+    # the 3 dp full-name record rides the detail line). Compact
+    # separators: ~140 B of pure whitespace at 62 entries. If a future
+    # entry set ever outgrows 2 dp, fall back to 1 dp before failing —
+    # a coarser record beats the blind empty map of rounds 12-13.
+    for ndigits in (2, 1):
+        final = json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": {
+                    short_key(n): round(t, ndigits) for n, t in timings.items()
+                },
+                "sf": sf,
+                "queries_n": len(timings),
+            },
+            separators=(",", ":"),
+        )
+        if len(final.encode()) < 1024:
+            break
+    else:
         # Hard driver-contract failure (NOT an assert: -O must not strip
         # it — an oversized final line silently truncates in the
         # driver's ~2.2 KB stdout tail window, the exact round-11
-        # record-loss failure this line exists to prevent).
+        # record-loss failure this guard exists to prevent).
         raise RuntimeError(
             f"final headline line {len(final.encode())}B >= 1024B budget"
         )
