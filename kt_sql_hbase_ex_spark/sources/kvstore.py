@@ -6790,16 +6790,18 @@ def src12_kv_timetravel(spark, sf_dir: str):
 
     from kt_sql_hbase_ex_spark.functions.money import exact_sum
     from kt_sql_hbase_ex_spark.streaming.events import (
-        _cdc_mutation_batches,
         _cdc_provision,
+        _cdc_put_rows,
     )
 
     register_kv_source(spark)
     opts = _cdc_provision(spark, sf_dir, "timetravel_base")
     lopts = {k.lower(): v for k, v in opts.items()}
-    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
-    for b in put_batches:
-        b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    put_batches, delete_keys = _cdc_put_rows(sf_dir)
+    for rows in put_batches:
+        # driver-side Put: same _commit_put_rows commit as the
+        # connector write, no carry job (see st16's drain note)
+        put_rows_to_store(lopts, rows)
     delete_from_store(lopts, delete_keys)
 
     asof = read_store_asof(spark, opts, _SRC12_ASOF_SEQ)

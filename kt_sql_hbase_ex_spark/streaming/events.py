@@ -1441,22 +1441,45 @@ def _cdc_provision(spark: SparkSession, sf_dir: str, base_name: str) -> dict:
     return opts
 
 
-def _cdc_mutation_batches(spark: SparkSession, sf_dir: str):
-    """The four deterministic mutation batches st16/src10 commit and
-    their oracle (:func:`_st16_oracle`) replays: three Put slices of
-    customer and one Delete slice. Returns (put_batches, delete_keys)."""
-    cust = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    put_batches = [
-        cust.filter(k % 3 == 0).select("c_custkey", "c_acctbal"),
-        cust.filter(k % 3 == 1).select(
-            "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
-        ),
-        cust.filter(k % 5 == 0).select(
-            "c_custkey", (F.col("c_acctbal") - 500).alias("c_acctbal")
-        ),
+def _cdc_put_rows(sf_dir: str):
+    """The four deterministic mutation batches st16/src10/st17/st18/
+    src12 commit and their oracle (:func:`_st16_oracle`) replays: three
+    Put slices of customer and one Delete slice. Returns
+    (put_row_batches, delete_keys) — the puts as DRIVER-SIDE row dicts
+    straight from the customer parquet (the :func:`_residue_delete_keys`
+    discipline, round-14): the rows are a driver-side INPUT to
+    ``put_rows_to_store`` either way, and the previous Spark
+    filter+select DataFrames paid a full connector-write job per commit
+    (~0.8 s each) for statement-sized batches whose commit phase — WAL
+    entry + overlay publish, the work the entries price — is the
+    driver-side ``_commit_put_rows`` in both paths. Value arithmetic is
+    IEEE-double identical to the previous ``F.col + 1000`` plan (and to
+    the DuckDB oracle's replay)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    )
+    keys = tbl.column("c_custkey").to_pylist()
+    bals = tbl.column("c_acctbal").to_pylist()
+    put_rows = [
+        [
+            {"c_custkey": k, "c_acctbal": b}
+            for k, b in zip(keys, bals)
+            if k % 3 == 0
+        ],
+        [
+            {"c_custkey": k, "c_acctbal": b + 1000.0}
+            for k, b in zip(keys, bals)
+            if k % 3 == 1
+        ],
+        [
+            {"c_custkey": k, "c_acctbal": b - 500.0}
+            for k, b in zip(keys, bals)
+            if k % 5 == 0
+        ],
     ]
-    return put_batches, _residue_delete_keys(sf_dir)
+    return put_rows, _residue_delete_keys(sf_dir)
 
 
 def _residue_delete_keys(sf_dir: str) -> list:
@@ -1537,10 +1560,10 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         CHANGES_FORMAT_NAME,
-        FORMAT_NAME,
         SEQ_COL,
         TOMBSTONE,
         delete_from_store,
+        put_rows_to_store,
         register_kv_source,
     )
 
@@ -1559,7 +1582,7 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- provision fresh-identity base + the four mutation batches ----
     opts = _cdc_provision(spark, sf_dir, "accounts_base")
     lopts = {k.lower(): v for k, v in opts.items()}
-    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+    put_batches, delete_keys = _cdc_put_rows(sf_dir)
 
     # --- the drain: consume summaries while commits happen live ------
     summaries: list = []  # foreachBatch runs driver-side: plain closure
@@ -1601,8 +1624,13 @@ def st16_kv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        for i, b in enumerate(put_batches):
-            b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+        for i, rows in enumerate(put_batches):
+            # driver-side Put — the same overlay/WAL commit the
+            # connector write runs (shared _commit_put_rows), minus the
+            # Spark job that only carried a statement-sized batch out
+            # to executors and back (round-14; an HBase client commits
+            # Puts from the client process)
+            put_rows_to_store(lopts, rows)
             await_summaries(i + 1)  # ack before the next commit: live CDC
         delete_from_store(lopts, delete_keys)
         await_summaries(len(put_batches) + 1)
@@ -1636,19 +1664,20 @@ def src10_change_feed_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     JVM-side hash aggregate over the feed scan."""
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         CHANGES_FORMAT_NAME,
-        FORMAT_NAME,
         SEQ_COL,
         TOMBSTONE,
         delete_from_store,
+        put_rows_to_store,
         register_kv_source,
     )
 
     register_kv_source(spark)
     opts = _cdc_provision(spark, sf_dir, "audit_base")
-    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
-    for b in put_batches:
-        b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
-    delete_from_store({k.lower(): v for k, v in opts.items()}, delete_keys)
+    lopts = {k.lower(): v for k, v in opts.items()}
+    put_batches, delete_keys = _cdc_put_rows(sf_dir)
+    for rows in put_batches:
+        put_rows_to_store(lopts, rows)  # same commit path, no carry job
+    delete_from_store(lopts, delete_keys)
 
     feed = spark.read.format(CHANGES_FORMAT_NAME).options(**opts).load()
     return feed.groupBy(F.col(SEQ_COL).alias("seq")).agg(
@@ -1853,8 +1882,9 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     st16's four mutation batches commit to the SOURCE store WHILE a
     streaming drain consumes ``ktsql_kv_changes`` and applies each
     commit to a second KV store through :func:`apply_cdc_batch` —
-    last-wins per key, puts through the connector's two-phase write,
-    tombstones through the delete path, acknowledged commit-by-commit
+    last-wins per key, puts through the shared ``_commit_put_rows``
+    commit (the WAL-apply-via-region-server-Puts model), tombstones
+    through the delete path, acknowledged commit-by-commit
     (live CDC, not a post-hoc batch). The returned summary aggregates
     the REPLICA read back through the connector; the oracle states the
     final replicated state declaratively, so a hash match proves the
@@ -1875,6 +1905,7 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         CHANGES_FORMAT_NAME,
         FORMAT_NAME,
         delete_from_store,
+        put_rows_to_store,
         register_kv_source,
     )
 
@@ -1885,7 +1916,7 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_opts = _cdc_provision(spark, sf_dir, "replica_src")
     dst_opts = _cdc_provision(spark, sf_dir, "replica_dst")
     src_lopts = {k.lower(): v for k, v in src_opts.items()}
-    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+    put_batches, delete_keys = _cdc_put_rows(sf_dir)
 
     applied: list = []  # acked commit counts, foreachBatch is driver-side
 
@@ -1913,8 +1944,10 @@ def st17_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        for i, b in enumerate(put_batches):
-            b.write.format(FORMAT_NAME).options(**src_opts).mode("append").save()
+        for i, rows in enumerate(put_batches):
+            # driver-side Put: same _commit_put_rows the connector write
+            # runs, no carry job (see st16's drain note, round-14)
+            put_rows_to_store(src_lopts, rows)
             await_applied(i + 1)  # replica acks before the next commit
         delete_from_store(src_lopts, delete_keys)
         await_applied(len(put_batches) + 1)
@@ -1966,6 +1999,7 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         changelog_floor,
         delete_from_store,
         prune_changelog,
+        put_rows_to_store,
         register_kv_source,
     )
 
@@ -1977,7 +2011,15 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst_opts = _cdc_provision(spark, sf_dir, "rebase_dst")
     src_lopts = {k.lower(): v for k, v in src_opts.items()}
     dst_lopts = {k.lower(): v for k, v in dst_opts.items()}
-    put_batches, delete_keys = _cdc_mutation_batches(spark, sf_dir)
+    put_batches, delete_keys = _cdc_put_rows(sf_dir)
+    # the bulk batch (the second logical mutation) stays a DataFrame:
+    # bulk_load_store's input contract is a DataFrame — at 100 TB the
+    # load is a distributed ingest, and the crossover probe bounds what
+    # it collects. Same rows as put_batches[1], straight from customer.
+    cust = load_table(spark, sf_dir, "customer")
+    bulk_batch = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        "c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+    )
 
     applied: list = []
 
@@ -2009,9 +2051,7 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 1: normal replication of commit 1, then the bulk load
     q1 = start_drain("rebase_ckpt1")
     try:
-        put_batches[0].write.format(FORMAT_NAME).options(**src_opts).mode(
-            "append"
-        ).save()
+        put_rows_to_store(src_lopts, put_batches[0])  # see st16's note
         await_applied(q1, 1)
         # default distribute_min_rows: the crossover picks the
         # driver-side fold for this statement-sized batch (the marker
@@ -2020,7 +2060,7 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the distribute_min_rows=0 tests; forcing it here paid ~2 s of
         # job scheduling per load for rows the driver folds in ms, a
         # constant tuned for neither scale)
-        load = bulk_load_store(src_lopts, put_batches[1])
+        load = bulk_load_store(src_lopts, bulk_batch)
         assert load["published"], load
         # the subscriber MUST fail loudly at the marker — never skip it
         t0 = time.monotonic()
@@ -2045,9 +2085,7 @@ def st18_cdc_replica_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the post-bulk commits live
     q2 = start_drain("rebase_ckpt2")
     try:
-        put_batches[2].write.format(FORMAT_NAME).options(**src_opts).mode(
-            "append"
-        ).save()
+        put_rows_to_store(src_lopts, put_batches[2])  # see st16's note
         await_applied(q2, 2)
         delete_from_store(src_lopts, delete_keys)
         await_applied(q2, 3)
@@ -2326,28 +2364,38 @@ def _mv_provision(spark: SparkSession, sf_dir: str, base_name: str) -> dict:
     return opts
 
 
-def _mv_mutation_batches(spark: SparkSession, sf_dir: str):
+def _mv_put_rows(sf_dir: str):
     """st19's deterministic mutation batches — st16's shape plus the
     IVM-specific case: an UPDATE THAT MOVES A ROW BETWEEN GROUPS
     (commit 3 rewrites the %5 keys' segment to 'MOVED'), the delta
     the replica-blind recompute can't distinguish but a broken
-    incremental path double-counts."""
-    cust = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
+    incremental path double-counts. Driver-side row dicts, the
+    :func:`_cdc_put_rows` discipline (round-14)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    keys = tbl.column("c_custkey").to_pylist()
+    segs = tbl.column("c_mktsegment").to_pylist()
+    bals = tbl.column("c_acctbal").to_pylist()
     put_batches = [
-        cust.filter(k % 3 == 0).select(
-            "c_custkey", "c_mktsegment", "c_acctbal"
-        ),
-        cust.filter(k % 3 == 1).select(
-            "c_custkey",
-            "c_mktsegment",
-            (F.col("c_acctbal") + 1000).alias("c_acctbal"),
-        ),
-        cust.filter(k % 5 == 0).select(
-            "c_custkey",
-            F.lit("MOVED").alias("c_mktsegment"),
-            (F.col("c_acctbal") - 500).alias("c_acctbal"),
-        ),
+        [
+            {"c_custkey": k, "c_mktsegment": s, "c_acctbal": b}
+            for k, s, b in zip(keys, segs, bals)
+            if k % 3 == 0
+        ],
+        [
+            {"c_custkey": k, "c_mktsegment": s, "c_acctbal": b + 1000.0}
+            for k, s, b in zip(keys, segs, bals)
+            if k % 3 == 1
+        ],
+        [
+            {"c_custkey": k, "c_mktsegment": "MOVED", "c_acctbal": b - 500.0}
+            for k, b in zip(keys, bals)
+            if k % 5 == 0
+        ],
     ]
     return put_batches, _residue_delete_keys(sf_dir)
 
@@ -2407,9 +2455,9 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kt_sql_hbase_ex_spark.sources.kvstore import (
         CHANGES_FORMAT_NAME,
-        FORMAT_NAME,
         compact_store,
         delete_from_store,
+        put_rows_to_store,
         register_kv_source,
     )
 
@@ -2424,7 +2472,7 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(src_opts["path"]), "matview_view"
     )
     shutil.rmtree(view_root, ignore_errors=True)
-    put_batches, delete_keys = _mv_mutation_batches(spark, sf_dir)
+    put_batches, delete_keys = _mv_put_rows(sf_dir)
 
     applied: list = []
 
@@ -2458,10 +2506,8 @@ def st19_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        for i, b in enumerate(put_batches):
-            b.write.format(FORMAT_NAME).options(**src_opts).mode(
-                "append"
-            ).save()
+        for i, rows in enumerate(put_batches):
+            put_rows_to_store(src_lopts, rows)  # see st16's note
             await_applied(i + 1)
             if i == 1:
                 # mid-stream maintenance: the view's partial log folds
