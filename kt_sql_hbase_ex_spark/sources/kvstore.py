@@ -2174,6 +2174,36 @@ def put_rows_to_store(options, rows) -> None:
     _commit_put_rows(opts, key_cols, staged)
 
 
+def _pristine_put_rows(
+    path: str, columns, key_col: str, lo, hi, **overrides
+) -> list:
+    """A statement-sized put batch derived from the PRISTINE fixture
+    parquet, driver-side: rows with ``lo <= key <= hi``, selected
+    columns, constant ``overrides`` applied — the
+    ``_residue_delete_keys`` discipline (round-14). The rows are a
+    driver-side INPUT to :func:`put_rows_to_store` either way; the
+    previous Spark filter+select DataFrames paid a full connector-write
+    job per commit (the 64-task write of an 80-row batch measured
+    ~1.3 s) for batches whose commit phase — WAL entry + overlay
+    publish — is the driver-side ``_commit_put_rows`` in both paths.
+    Values are bit-identical to the Spark plan's (same parquet bytes,
+    constant literals)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.realpath(path), columns=list(columns))
+    k = tbl.column(key_col)
+    mask = pc.less_equal(k, hi)
+    if lo is not None:  # None = unbounded below (the fixtures carry a
+        # custkey-0 row, so `<= hi` and `between(1, hi)` differ)
+        mask = pc.and_(pc.greater_equal(k, lo), mask)
+    tbl = tbl.filter(mask)
+    rows = tbl.to_pylist()
+    for r in rows:
+        r.update(overrides)
+    return rows
+
+
 def _store_schema(options) -> StructType:
     """The relation schema an options bundle names, FOOTER-ONLY — no
     row is read and no store is materialized. ``schema()`` runs on
@@ -6564,7 +6594,9 @@ def src11_kv_compacted_scan(spark, sf_dir: str):
     (VIP re-segmentation of custkeys <= {_SRC11_VIP_MAX} plus
     {_SRC11_N_NEW} inserts) and a delete batch (custkeys
     {_SRC11_DEL_LO}..{_SRC11_DEL_HI} tombstoned) commit through the
-    connector, then :func:`compact_store` folds overlay-over-base into
+    shared ``_commit_put_rows``/delete path (statement-sized,
+    driver-side — an HBase client's Put/Delete), then
+    :func:`compact_store` folds overlay-over-base into
     a new region-file generation behind an atomic pointer — tombstones
     physically dropped, the applied-seq watermark carried so WAL
     recovery replays nothing — and the read back serves the GENERATION
@@ -6581,21 +6613,24 @@ def src11_kv_compacted_scan(spark, sf_dir: str):
     lopts = {k.lower(): v for k, v in opts.items()}
     truncate_overlay(lopts)  # hermetic: pristine base, no generations
 
-    base = spark.read.format(FORMAT_NAME).options(**opts).load()
-    vip = (
-        base.filter(F.col("c_custkey") <= _SRC11_VIP_MAX)
-        .withColumn("c_mktsegment", F.lit("VIP"))
-        .withColumn("c_acctbal", F.lit(999.99))
+    # put batch driver-side (statement-sized by contract): pristine
+    # VIP slice + literal inserts commit through the same
+    # _commit_put_rows the connector write runs (see _pristine_put_rows)
+    vip_rows = _pristine_put_rows(
+        lopts["path"], CUSTOMER_KV_COLUMNS.split(","), "c_custkey",
+        None, _SRC11_VIP_MAX, c_mktsegment="VIP", c_acctbal=999.99,
     )
-    new = spark.range(1, _SRC11_N_NEW + 1).select(
-        (F.lit(_SRC11_NEW_BASE) + F.col("id")).alias("c_custkey"),
-        F.concat(F.lit("CompactedCustomer#"), F.col("id")).alias("c_name"),
-        F.lit(0).cast("int").alias("c_nationkey"),
-        F.lit(250.0).alias("c_acctbal"),
-        F.lit("VIP").alias("c_mktsegment"),
-    )
-    changes = vip.select(*new.columns).unionByName(new)
-    changes.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    new_rows = [
+        {
+            "c_custkey": _SRC11_NEW_BASE + i,
+            "c_name": f"CompactedCustomer#{i}",
+            "c_nationkey": 0,
+            "c_acctbal": 250.0,
+            "c_mktsegment": "VIP",
+        }
+        for i in range(1, _SRC11_N_NEW + 1)
+    ]
+    put_rows_to_store(lopts, vip_rows + new_rows)
     delete_from_store(lopts, range(_SRC11_DEL_LO, _SRC11_DEL_HI + 1))
 
     # round-9: spark is passed so the fold auto-selects its execution —
@@ -6890,12 +6925,16 @@ def src13_kv_bulk_load(spark, sf_dir: str):
     pristine = spark.read.parquet(lopts["path"]).select(
         *CUSTOMER_KV_COLUMNS.split(",")
     )
-    pending = (
-        pristine.filter(F.col("c_custkey") <= _SRC13_PEND_MAX)
-        .withColumn("c_mktsegment", F.lit("PENDING"))
-        .withColumn("c_acctbal", F.lit(111.11))
+    # pending put batch driver-side (statement-sized; see
+    # _pristine_put_rows) — the bulk batch below stays a DataFrame,
+    # the distributed ingest this entry exists to price
+    put_rows_to_store(
+        lopts,
+        _pristine_put_rows(
+            lopts["path"], CUSTOMER_KV_COLUMNS.split(","), "c_custkey",
+            None, _SRC13_PEND_MAX, c_mktsegment="PENDING", c_acctbal=111.11,
+        ),
     )
-    pending.write.format(FORMAT_NAME).options(**opts).mode("append").save()
     stats = compact_store(lopts, spark=spark)
     assert stats["compacted"], stats
     delete_from_store(lopts, range(_SRC13_DEL_LO, _SRC13_DEL_HI + 1))
@@ -6979,7 +7018,15 @@ def src14_kv_ttl_scan(spark, sf_dir: str):
 
     register_kv_source(spark)
     path = table_path(sf_dir, "events")
-    max_ts = spark.read.parquet(path).agg(F.max("ts")).first()[0]
+    # driver-side max(ts): one pyarrow column read answers what a
+    # Spark job (~0.3 s) did — ts is a naive timestamp[us], so the
+    # value is byte-identical to the collected F.max (round-14)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    max_ts = pc.max(
+        pq.read_table(path, columns=["ts"]).column("ts")
+    ).as_py()
     opts = {
         "path": path,
         "keyCol": "event_id",
@@ -6996,25 +7043,30 @@ def src14_kv_ttl_scan(spark, sf_dir: str):
     import datetime as dt
 
     stale_ts = max_ts - dt.timedelta(days=3 * _SRC14_TTL_DAYS)
-    fresh = spark.range(1, _SRC14_N_FRESH + 1).select(
-        (F.lit(_SRC14_NEW_BASE) + F.col("id")).alias("event_id"),
-        F.lit(max_ts).alias("ts"),
-        F.lit(0).cast("long").alias("user_id"),
-        F.lit("TTLFRESH").alias("event_type"),
-        F.lit(10.25).alias("value"),
-    )
-    stale = spark.range(1, _SRC14_N_STALE + 1).select(
-        (F.lit(_SRC14_NEW_BASE + _SRC14_N_FRESH) + F.col("id")).alias(
-            "event_id"
-        ),
-        F.lit(stale_ts).alias("ts"),
-        F.lit(0).cast("long").alias("user_id"),
-        F.lit("TTLSTALE").alias("event_type"),
-        F.lit(99.0).alias("value"),
-    )
-    fresh.unionByName(stale).write.format(FORMAT_NAME).options(
-        **opts
-    ).mode("append").save()
+    # literal put batches commit driver-side (statement-sized; the
+    # previous 64-task connector write of these 80 literal rows
+    # measured ~1.3 s — see _pristine_put_rows' note)
+    fresh = [
+        {
+            "event_id": _SRC14_NEW_BASE + i,
+            "ts": max_ts,
+            "user_id": 0,
+            "event_type": "TTLFRESH",
+            "value": 10.25,
+        }
+        for i in range(1, _SRC14_N_FRESH + 1)
+    ]
+    stale = [
+        {
+            "event_id": _SRC14_NEW_BASE + _SRC14_N_FRESH + i,
+            "ts": stale_ts,
+            "user_id": 0,
+            "event_type": "TTLSTALE",
+            "value": 99.0,
+        }
+        for i in range(1, _SRC14_N_STALE + 1)
+    ]
+    put_rows_to_store(lopts, fresh + stale)
     stats = compact_store(lopts, spark=spark)
     assert stats["compacted"], stats
 
@@ -7255,17 +7307,17 @@ def src17_kv_snapshot_restore(spark, sf_dir: str):
 
     # mutation waves derive from the PRISTINE parquet (the src13
     # discipline): the store was truncated above, so the pristine rows
-    # ARE the store's pre-mutation state — and the plain parquet scan
-    # skips the Python data-source read each write job would otherwise
-    # pay just to produce its input batch (round-13 optimization)
-    pristine = spark.read.parquet(lopts["path"]).select(
-        *CUSTOMER_KV_COLUMNS.split(",")
-    )
+    # ARE the store's pre-mutation state — driver-side rows through
+    # the shared _commit_put_rows (see _pristine_put_rows; round-13
+    # had already dropped the Python data-source scan from each wave)
     # wave A (pre-snapshot): re-balance 1..A_MAX, delete DEL span
-    wave_a = pristine.filter(
-        F.col("c_custkey").between(1, _SRC17_A_MAX)
-    ).withColumn("c_acctbal", F.lit(_SRC17_A_BAL))
-    wave_a.write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    put_rows_to_store(
+        lopts,
+        _pristine_put_rows(
+            lopts["path"], CUSTOMER_KV_COLUMNS.split(","), "c_custkey",
+            1, _SRC17_A_MAX, c_acctbal=_SRC17_A_BAL,
+        ),
+    )
     delete_from_store(
         lopts, list(range(_SRC17_DEL_LO, _SRC17_DEL_HI + 1))
     )
@@ -7279,10 +7331,13 @@ def src17_kv_snapshot_restore(spark, sf_dir: str):
 
     # wave B (post-snapshot, must vanish on restore): overwrite a
     # wider span — re-inserting the deleted keys — plus a new row
-    wave_b = pristine.filter(F.col("c_custkey") <= _SRC17_B_MAX).withColumn(
-        "c_acctbal", F.lit(-1.0)
+    put_rows_to_store(
+        lopts,
+        _pristine_put_rows(
+            lopts["path"], CUSTOMER_KV_COLUMNS.split(","), "c_custkey",
+            None, _SRC17_B_MAX, c_acctbal=-1.0,
+        ),
     )
-    wave_b.write.format(FORMAT_NAME).options(**opts).mode("append").save()
     # single-row insert: the driver-side Put facade (an HBase client
     # Put, the same _commit_put_rows commit the connector write runs —
     # a distributed job for one literal row was pure scheduling cost)
@@ -7494,13 +7549,17 @@ def src19_kv_mutation_mix(spark, sf_dir: str):
     lopts = {k.lower(): v for k, v in opts.items()}
     truncate_overlay(lopts)  # hermetic: pristine base
 
-    base = spark.read.format(FORMAT_NAME).options(**opts).load()
-    # wave 1 — Put: full-row re-segmentation (names still pristine)
-    base.filter(F.col("c_custkey").between(1, _SRC19_PUT_MAX)).withColumn(
-        "c_mktsegment", F.lit("MIX")
-    ).withColumn("c_acctbal", F.lit(_SRC19_PUT_BAL)).write.format(
-        FORMAT_NAME
-    ).options(**opts).mode("append").save()
+    # wave 1 — Put: full-row re-segmentation (names still pristine;
+    # the store was truncated above, so pristine rows ARE its state —
+    # driver-side statement-sized commit, see _pristine_put_rows)
+    put_rows_to_store(
+        lopts,
+        _pristine_put_rows(
+            lopts["path"], CUSTOMER_KV_COLUMNS.split(","), "c_custkey",
+            1, _SRC19_PUT_MAX,
+            c_mktsegment="MIX", c_acctbal=_SRC19_PUT_BAL,
+        ),
+    )
     # wave 2 — Increment: spans beyond the put wave + a new counter row
     increment_store(
         lopts,
@@ -7531,12 +7590,17 @@ def src19_kv_mutation_mix(spark, sf_dir: str):
             for k in range(1, _SRC19_INC_MAX + 1)
         ],
     )
-    # wave 5 — Put AFTER appends (full rows; names pristine by read)
-    base.filter(
-        F.col("c_custkey").between(_SRC19_PUT2_LO, _SRC19_PUT2_HI)
-    ).withColumn("c_mktsegment", F.lit("MIX2")).withColumn(
-        "c_acctbal", F.lit(_SRC19_PUT2_BAL)
-    ).write.format(FORMAT_NAME).options(**opts).mode("append").save()
+    # wave 5 — Put AFTER appends (full rows; the {_SRC19_PUT2_LO}..
+    # {_SRC19_PUT2_HI} span is untouched by waves 1-4, so its live
+    # rows equal the pristine parquet — same driver-side commit)
+    put_rows_to_store(
+        lopts,
+        _pristine_put_rows(
+            lopts["path"], CUSTOMER_KV_COLUMNS.split(","), "c_custkey",
+            _SRC19_PUT2_LO, _SRC19_PUT2_HI,
+            c_mktsegment="MIX2", c_acctbal=_SRC19_PUT2_BAL,
+        ),
+    )
     # wave 6 — Delete a range spanning already-mutated keys
     delete_from_store(lopts, range(_SRC19_DEL_LO, _SRC19_DEL_HI + 1))
     # ONE fold over the whole interleaved overlay
