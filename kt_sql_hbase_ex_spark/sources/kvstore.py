@@ -3890,7 +3890,12 @@ def _distributed_bulk_merge(
         # counting / sampling jobs pays a Python-worker stage
         # (guide §4: built-ins over UDFs). O(|regions|) per row, and
         # the batch's row count is statement/bulk-task sized.
-        arr = F.array(*[F.lit(s) for s in start_list])
+        # ONE list-valued lit: the per-element F.array(*[F.lit(s)...])
+        # form paid ~236 py4j round trips per pass (~0.3 s at sf0.1's
+        # 235 regions); Literal.create on the whole list builds the
+        # identical array literal (same element type, same plan) in
+        # one call (round-14; the _dot_spark single-expr discipline).
+        arr = F.lit(list(start_list))
 
         def route(*cols):
             # cols are always the key columns in declaration order (both
