@@ -7595,9 +7595,9 @@ def src19_kv_mutation_mix(spark, sf_dir: str):
             for k in range(1, _SRC19_INC_MAX + 1)
         ],
     )
-    # wave 5 — Put AFTER appends (full rows; the {_SRC19_PUT2_LO}..
-    # {_SRC19_PUT2_HI} span is untouched by waves 1-4, so its live
-    # rows equal the pristine parquet — same driver-side commit)
+    # wave 5 — Put AFTER appends (full rows; the PUT2 span 61..70 is
+    # untouched by waves 1-4, so its live rows equal the pristine
+    # parquet — same driver-side commit)
     put_rows_to_store(
         lopts,
         _pristine_put_rows(
